@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One named, oracle-checked engine query (driver contract, SURVEY.md §5).
+  *
+  * @param name   stable query id (key in `SparkEntry.queries`)
+  * @param oracle equivalent ANSI SQL for the DuckDB oracle, or None for
+  *               ops whose exact output is not SQL-expressible (approx
+  *               sketches, seeded sampling) — those get a rows-only check.
+  * @param fn     (session, sfDir) => result DataFrame
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+/** Catalog of the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * All tables are plain parquet files `<sfDir>/<name>.parquet` with
+  * embedded schemas; we read them directly (columnar scan, predicate
+  * pushdown and column pruning apply). `registerAll` exposes them as
+  * temp views so SQL-surface queries (SURVEY.md §2.5) can run through
+  * `spark.sql` with the same text the DuckDB oracle sees.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md §A), which
+    * Spark's vectorized reader rejects outright. Read it as raw
+    * nanos-since-epoch (legacy nanosAsLong mode) and convert to
+    * TimestampType with integer `div` — a double division would lose
+    * precision at 2^63-scale nanos. The fixture has no sub-µs component
+    * (verified), so the truncation is lossless and matches DuckDB's own
+    * ns→µs cast in oracle SQL.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Register every fixture table as a temp view named after the table.
+    * Memoized per (session, dir): repeated SQL-surface queries would
+    * otherwise re-list and re-plan all ten parquet reads each time.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    val key = (spark, dir)
+    if (!registered.contains(key)) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered += key
+    }
+  }
+
+  private val registered = scala.collection.mutable.Set.empty[(SparkSession, String)]
+}

@@ -1,0 +1,192 @@
+package graft.ops
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+/** The reference's one real data-movement operator, re-expressed
+  * Spark-first: external-stage CSV COPY INTO a table
+  * (`dags/s3_data_copy_test.py:32-41`), with every file-format option
+  * from SURVEY.md §2.2.1 and the catchup/backfill date loop
+  * (`dags/s3_data_copy_test.py:24-29`).
+  *
+  * Design:
+  *  - a "stage" is just a base directory (S3 prefix in production —
+  *    `s3a://` URIs read identically), file names are rendered from the
+  *    logical date exactly like the reference's Jinja slice
+  *    `{{ ds[5:7]+ds[8:10]+ds[0:4] }}` → `MMddyyyy`;
+  *  - files parse as all-string columns first (Snowflake COPY
+  *    semantics: text → NULL_IF normalization → cast), because Spark's
+  *    `nullValue` option is single-valued while the reference's
+  *    NULL_IF is a set (`('NULL','null','')`);
+  *  - `nullIf` + the casts are plain Catalyst expressions, fully
+  *    codegen'd, and the CSV scan is streamed per-partition — at 100 TB
+  *    the reads parallelize per file/split with no shuffle at all.
+  */
+object Ingest {
+
+  /** Target schema of `prestg_product_order_trans` (FIXTURES.md B1). */
+  val transSchema: StructType = StructType(Seq(
+    StructField("trans_id", LongType),
+    StructField("order_id", LongType),
+    StructField("product_id", LongType),
+    StructField("quantity", IntegerType),
+    StructField("unit_price", DoubleType),
+    StructField("currency", StringType),
+    StructField("trans_ts", TimestampType),
+    StructField("note", StringType)))
+
+  /** Spark CSV options ≡ the reference file_format block, one option per
+    * SURVEY.md §2.2.1 row (`dags/s3_data_copy_test.py:38-40`):
+    * type=CSV → format, field_delimiter → sep, SKIP_HEADER=1 → header,
+    * FIELD_OPTIONALLY_ENCLOSED_BY='"' → quote, ESCAPE_UNENCLOSED_FIELD=
+    * NONE → escape is the quote char (doubling only, backslash literal),
+    * RECORD_DELIMITER='\n' → lineSep. NULL_IF/empty_field_as_null are
+    * handled by [[nullIf]] post-read.
+    */
+  val csvOptions: Map[String, String] = Map(
+    "sep" -> ",",
+    "header" -> "true",
+    "quote" -> "\"",
+    "escape" -> "\"",
+    "lineSep" -> "\n",
+    "mode" -> "PERMISSIVE")
+
+  /** Multi-valued NULL_IF (`NULL_IF = ('NULL','null','')` +
+    * `empty_field_as_null=true`): normalize every string column whose
+    * text is in `values` to SQL NULL. Runs before casting so ANSI casts
+    * never see the sentinel strings.
+    */
+  def nullIf(df: DataFrame, values: Seq[String] = Seq("NULL", "null", "")): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        when(col(f.name).isin(values.map(lit): _*), lit(null)).otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+
+  /** `product_order_trans_{{ ds[5:7]+ds[8:10]+ds[0:4] }}.csv`
+    * (`dags/s3_data_copy_test.py:34`) in plain Scala. */
+  def stagedFileName(ds: LocalDate): String =
+    s"product_order_trans_${ds.format(DateTimeFormatter.ofPattern("MMddyyyy"))}.csv"
+
+  /** COPY INTO: read named CSV files from a stage directory with the
+    * reference options, normalize NULL_IF, cast to the target schema.
+    * Append to a table with `.write.mode("append").saveAsTable(...)` at
+    * the call site when materialization is wanted; the DataFrame itself
+    * is the loaded relation.
+    */
+  def copyInto(spark: SparkSession, stageDir: String, files: Seq[String]): DataFrame = {
+    val raw = spark.read.format("csv")
+      .options(csvOptions)
+      .schema(StructType(transSchema.fields.map(f => StructField(f.name, StringType, nullable = true))))
+      .load(files.map(f => s"$stageDir/$f"): _*)
+    val cleaned = nullIf(raw)
+    cleaned.select(transSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** catchup=True backfill: one COPY per logical date in [start, end),
+    * each tagged with its load_date — the reference's per-DagRun `ds`
+    * parameter (`dags/s3_data_copy_test.py:24-29`). Union of per-date
+    * scans: at scale each date's files stay in their own input splits
+    * (no shuffle), and `load_date` is the natural partition column for
+    * the sink.
+    */
+  def backfill(spark: SparkSession, stageDir: String, start: LocalDate, end: LocalDate): DataFrame = {
+    val dates = Iterator.iterate(start)(_.plusDays(1)).takeWhile(_.isBefore(end)).toSeq
+    dates.map { ds =>
+      copyInto(spark, stageDir, Seq(stagedFileName(ds)))
+        .withColumn("load_date", lit(ds.toString).cast(DateType))
+    }.reduce(_.unionByName(_))
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic staged-CSV fixtures (FIXTURES.md B1): three files, one
+  // per reference backfill date, exercising every §2.2.1 parse edge:
+  // upper/lower NULL, empty→null, quoted comma, doubled quote, literal
+  // backslash in an unenclosed field, missing trailing field.
+  // ---------------------------------------------------------------------
+
+  val backfillStart: LocalDate = LocalDate.of(2022, 7, 13)
+  val backfillEnd: LocalDate = LocalDate.of(2022, 7, 16)
+
+  def stageDir: String =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft-stage").toString
+
+  private def csvContent(ds: LocalDate, off: Int): String = {
+    val d = ds.toString
+    Seq(
+      "trans_id,order_id,product_id,quantity,unit_price,currency,trans_ts,note",
+      s"${1001 + off},${501 + off},9001,2,19.99,USD,$d 08:30:00,plain",
+      s"${1002 + off},${502 + off},9002,NULL,4.50,EUR,$d 09:00:00,upper null qty",
+      s"${1003 + off},${503 + off},9003,3,null,USD,$d 09:15:00,lower null price",
+      s"${1004 + off},${504 + off},9004,1,7.25,,$d 10:00:00,empty currency",
+      s"""${1005 + off},${505 + off},9005,5,12.00,USD,$d 10:30:00,"quoted, with comma"""",
+      s"""${1006 + off},${506 + off},9006,4,3.75,GBP,$d 11:00:00,"embedded ""quote"" here"""",
+      s"${1007 + off},${507 + off},9007,2,8.10,USD,$d 11:30:00,back\\slash note",
+      s"${1008 + off},${508 + off},,6,2.20,USD,$d 12:00:00,missing product"
+    ).mkString("", "\n", "\n")
+  }
+
+  /** Write the three staged files (idempotent overwrite). */
+  def writeStageFixtures(): String = {
+    val dir = Paths.get(stageDir)
+    Files.createDirectories(dir)
+    Iterator.iterate(backfillStart)(_.plusDays(1)).takeWhile(_.isBefore(backfillEnd))
+      .zipWithIndex.foreach { case (ds, i) =>
+        Files.write(dir.resolve(stagedFileName(ds)),
+          csvContent(ds, i * 100).getBytes(StandardCharsets.UTF_8))
+      }
+    stageDir
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- S1-S5 + §2.2.1: single-date COPY, full parsed rows -----
+    Q("q35_copy_csv",
+      Some("""SELECT CAST(trans_id AS BIGINT) AS trans_id, CAST(order_id AS BIGINT) AS order_id,
+             |  CAST(product_id AS BIGINT) AS product_id, CAST(quantity AS INT) AS quantity,
+             |  CAST(unit_price AS DOUBLE) AS unit_price, currency, trans_ts, note
+             |FROM (VALUES
+             |  (1001,501,9001,2,19.99,'USD',TIMESTAMP '2022-07-13 08:30:00','plain'),
+             |  (1002,502,9002,NULL,4.5,'EUR',TIMESTAMP '2022-07-13 09:00:00','upper null qty'),
+             |  (1003,503,9003,3,NULL,'USD',TIMESTAMP '2022-07-13 09:15:00','lower null price'),
+             |  (1004,504,9004,1,7.25,NULL,TIMESTAMP '2022-07-13 10:00:00','empty currency'),
+             |  (1005,505,9005,5,12.0,'USD',TIMESTAMP '2022-07-13 10:30:00','quoted, with comma'),
+             |  (1006,506,9006,4,3.75,'GBP',TIMESTAMP '2022-07-13 11:00:00','embedded "quote" here'),
+             |  (1007,507,9007,2,8.1,'USD',TIMESTAMP '2022-07-13 11:30:00','back\slash note'),
+             |  (1008,508,NULL,6,2.2,'USD',TIMESTAMP '2022-07-13 12:00:00','missing product')
+             |) AS t(trans_id, order_id, product_id, quantity, unit_price, currency, trans_ts, note)
+             |ORDER BY trans_id""".stripMargin),
+      (s, _) => {
+        val stage = writeStageFixtures()
+        copyInto(s, stage, Seq(stagedFileName(backfillStart)))
+          .orderBy("trans_id")
+      }),
+
+    // ----- O8/O9: 3-date backfill loop, per-load_date summary -----
+    Q("q36_backfill_copy",
+      Some("""SELECT CAST(load_date AS DATE) AS load_date, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_qty AS BIGINT) AS n_qty, CAST(total_price AS DOUBLE) AS total_price
+             |FROM (VALUES
+             |  ('2022-07-13', 8, 7, 57.79),
+             |  ('2022-07-14', 8, 7, 57.79),
+             |  ('2022-07-15', 8, 7, 57.79)
+             |) AS t(load_date, n_rows, n_qty, total_price)
+             |ORDER BY load_date""".stripMargin),
+      (s, _) => {
+        val stage = writeStageFixtures()
+        backfill(s, stage, backfillStart, backfillEnd)
+          .groupBy(col("load_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("quantity")).as("n_qty"),
+            round(sum(col("unit_price")), 4).as("total_price"))
+          .orderBy("load_date")
+      })
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Sql
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class SqlSpec extends AnyFunSuite {
+
+  /** scalatestplus bridge isn't on the offline classpath — run
+    * ScalaCheck directly and assert the result. */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("splitStatements splits on top-level semicolons") {
+    assert(Sql.splitStatements("SELECT 1; SELECT 2 ; SELECT 3") ==
+      Seq("SELECT 1", "SELECT 2", "SELECT 3"))
+  }
+
+  test("splitStatements ignores semicolons in single-quoted strings") {
+    assert(Sql.splitStatements("INSERT INTO t VALUES ('a;b'); SELECT 1") ==
+      Seq("INSERT INTO t VALUES ('a;b')", "SELECT 1"))
+  }
+
+  test("splitStatements handles '' escaped quotes") {
+    assert(Sql.splitStatements("SELECT 'it''s; fine'; SELECT 2") ==
+      Seq("SELECT 'it''s; fine'", "SELECT 2"))
+  }
+
+  test("splitStatements ignores semicolons in comments and identifiers") {
+    assert(Sql.splitStatements("SELECT 1 -- no; split\n; SELECT \"a;b\"; SELECT /* x; y */ 2") ==
+      Seq("SELECT 1 -- no; split", "SELECT \"a;b\"", "SELECT /* x; y */ 2"))
+  }
+
+  test("splitStatements drops empty trailing statement") {
+    assert(Sql.splitStatements("SELECT 1;") == Seq("SELECT 1"))
+    assert(Sql.splitStatements(";;") == Seq.empty)
+  }
+
+  test("property: N joined simple statements split back to N") {
+    val stmtGen = Gen.chooseNum(0, 99).map(i => s"INSERT INTO t VALUES ('name', $i)")
+    check(Prop.forAll(Gen.nonEmptyListOf(stmtGen)) { stmts =>
+      Sql.splitStatements(stmts.mkString("; ")) == stmts
+    })
+  }
+
+  test("property: statements containing quoted semicolons round-trip") {
+    // string literal content: any printable chars, quotes pre-doubled
+    val litGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(';', ' ', ',')))
+      .map(_.mkString)
+    val stmtGen = litGen.map(s => s"SELECT '${s.replace("'", "''")}' AS c")
+    check(Prop.forAll(Gen.nonEmptyListOf(stmtGen)) { stmts =>
+      Sql.splitStatements(stmts.mkString(";")) == stmts
+    })
+  }
+
+  test("translateDialect maps sysdate() and lowers CREATE OR REPLACE") {
+    assert(Sql.translateDialect("INSERT INTO t VALUES (SYSDATE())") ==
+      "INSERT INTO t VALUES (current_timestamp())")
+    val out = Sql.translateDialect("CREATE OR REPLACE TRANSIENT TABLE dev_test (id INT)")
+    assert(out == "DROP TABLE IF EXISTS dev_test; CREATE TABLE dev_test (id INT)")
+    assert(Sql.splitStatements(out).size == 2)
+  }
+}

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle query in DuckDB against the parquet fixture tables, and compares
+with the Spark result parquet at <verifyOutDir>/<name>/. Mirrors the
+driver contract: columns sorted by name, rows sorted, exact value match
+(floats must already be rounded identically on both sides).
+"""
+import duckdb
+import json
+import os
+import sys
+
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith("int") or dt.startswith("uint"):
+            df[c] = df[c].astype("int64")
+        elif dt.startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif dt.startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_missing = 0
+    result_dirs = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)))
+    for name in result_dirs:
+        spark_glob = os.path.join(out_dir, name, "*.parquet")
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_glob}')").df()
+        except Exception as e:
+            print(f"FAIL  {name}: cannot read spark result: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ROWS" if len(got) >= 0 else "EMPTY"
+            print(f"{status:5} {name}: rows={len(got)} (no oracle, rows-only)")
+            n_missing += 1
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL  {name}: columns differ: spark={list(g.columns)} oracle={list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL  {name}: row count spark={len(g)} oracle={len(w)}")
+            n_fail += 1
+            continue
+        # dtype check (schema match is part of the driver gate)
+        dt_mismatch = [(c, str(g[c].dtype), str(w[c].dtype))
+                       for c in g.columns if str(g[c].dtype) != str(w[c].dtype)]
+        eq = g.equals(w)
+        if not eq:
+            # locate first differing cell for the report
+            diff_cols = []
+            for c in g.columns:
+                s1, s2 = g[c], w[c]
+                neq = ~((s1 == s2) | (s1.isna() & s2.isna()))
+                if neq.any():
+                    i = int(neq.idxmax())
+                    diff_cols.append(f"{c}[row {i}]: spark={s1[i]!r} oracle={s2[i]!r}")
+            print(f"FAIL  {name}: values differ: {'; '.join(diff_cols[:4])}")
+            n_fail += 1
+        elif dt_mismatch:
+            print(f"WARN  {name}: values equal but dtypes differ: {dt_mismatch}")
+            n_pass += 1
+        else:
+            print(f"PASS  {name}: rows={len(g)}")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_missing} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
