@@ -44,9 +44,14 @@ object Tables {
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = spark.read.parquet(path(dir, "events"))
+    // TIMESTAMP(NANOS) columns arrive as LongType under nanosAsLong;
+    // micro/milli fixtures (e.g. test-written parquet) are already
+    // TimestampType and need no conversion.
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    else raw
   }
 
   /** Register every fixture table as a temp view named after the table.

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.9): media as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * distributed batches.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[fakeDecodeFeatures]] — a byte
+  * histogram standing in for "run the decoder on this buffer"). What
+  * is real and tested: the schema (binary payload + metadata struct),
+  * the partition-preserving `mapPartitions` batch shape (exactly how a
+  * JNI/FFI decoder is driven: one decoder init per partition, then a
+  * streamed iterator of buffers — never one init per row), and the
+  * resize / frame-sample plumbing on the extracted features.
+  *
+  * At 100 TB: payloads stay opaque bytes end-to-end (no shuffle ever
+  * moves decoded frames), decode is map-side only, and metadata columns
+  * let planners prune (e.g. filter on `meta.byte_len` pushes down
+  * before any decode happens).
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class Media(doc_id: Long, payload: Array[Byte], format: String, byte_len: Long)
+
+  /** Attach a deterministic binary payload to each document (UTF-8
+    * bytes of the text — the fixture's stand-in for image bytes) and a
+    * typed metadata struct. */
+  def attachBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("utf8-text").as("format"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
+
+  /** STUB decoder: a real build links an image/audio codec here; the
+    * container has none, so features are a deterministic 16-bin byte
+    * histogram (normalized). The mapPartitions batch shape — per-
+    * partition "decoder" setup, streamed rows — is the real contract. */
+  def fakeDecodeFeatures(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (JNI handle, model, …)
+      rows.map { m =>
+        val hist = new Array[Float](16)
+        m.payload.foreach(b => hist((b & 0xFF) % 16) += 1f)
+        val n = math.max(m.payload.length, 1).toFloat
+        (m.doc_id, hist.map(_ / n))
+      }
+    }.toDF("doc_id", "features")
+  }
+
+  /** Resize a feature vector: truncate or zero-pad to `size`. */
+  def resizeFeatures(df: DataFrame, size: Int): DataFrame =
+    df.withColumn("features",
+      expr(s"transform(sequence(1, $size), i -> coalesce(try_element_at(features, i), 0.0F))"))
+
+  /** Frame-sample: view the payload as fixed-size frames, keep every
+    * `step`-th frame (video keyframe sampling shape). */
+  def frameSample(df: DataFrame, frameBytes: Int, step: Int): DataFrame =
+    df.withColumn("n_frames", ceil(col("byte_len") / lit(frameBytes.toDouble)).cast("long"))
+      .withColumn("frames",
+        expr(s"transform(sequence(1, cast(n_frames as int)), i -> substring(payload, (i-1)*$frameBytes + 1, $frameBytes))"))
+      .withColumn("sampled_frames", expr(s"filter(transform(sequence(1, cast(n_frames as int)), " +
+        s"i -> IF((i-1) % $step = 0, frames[i-1], null)), x -> x IS NOT NULL)"))
+      .drop("frames")
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- binary plumbing, oracle-checkable metadata: payload byte
+    //       length must equal n_chars (ASCII fixture), frame count from
+    //       byte_len. -----
+    Q("q55_multimodal_meta",
+      Some("""SELECT doc_id, CAST(n_chars AS BIGINT) AS byte_len, 'utf8-text' AS format,
+             |  CAST(ceil(n_chars / 64.0) AS BIGINT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        frameSample(attachBinary(Tables.load(s, dir, "documents")), 64, 4)
+          .select(col("doc_id"), col("byte_len"), col("format"), col("n_frames"))
+          .orderBy("doc_id")),
+
+    // ----- decode → features → resize, rows-only (stubbed decode is
+    //       engine-internal; exact values asserted in MultimodalSpec). -----
+    Q("q56_multimodal_features", None,
+      (s, dir) => {
+        import s.implicits._
+        val media = attachBinary(Tables.load(s, dir, "documents")).as[Media]
+        resizeFeatures(fakeDecodeFeatures(media), 8)
+          .select(col("doc_id"), round(expr("features[0]"), 4).as("f0"),
+            round(expr("features[7]"), 4).as("f7"),
+            size(col("features")).as("n_features"))
+          .orderBy("doc_id")
+      })
+  )
+}

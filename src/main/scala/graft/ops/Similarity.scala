@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding: array<float>` (64-dim)
+  * — SURVEY.md §2.9.
+  *
+  * Cross-engine float determinism: both engines compute
+  * `sum_i(double(a_i) * double(b_i))` as a sequential left fold in
+  * index order (Spark `aggregate(zip_with(...))`, DuckDB
+  * `list_dot_product(::DOUBLE[])` — verified equal to an explicit
+  * `list_reduce` fold on the fixture), so the doubles are bit-identical
+  * and `round(x, 4)` agrees exactly. Ranking and thresholds always use
+  * the ROUNDED value with a vec_id tiebreak, never the raw double.
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k broadcasts the (small) query set and streams
+  *    the candidate corpus — one narrow scan, one shuffle keyed by
+  *    query id for the final top-k;
+  *  - the ANN path buckets rows by 8 random-hyperplane sign bits
+  *    (a deterministic literal sign matrix, embedded identically in
+  *    the oracle SQL) so candidate generation is a per-bucket
+  *    equi-join instead of the quadratic cross join;
+  *  - norms are computed once per row before any join (never inside
+  *    the pair loop).
+  */
+object Similarity {
+
+  private val dims = 64
+  private val planes = 8
+
+  /** Deterministic ±1 hyperplane matrix (seeded java.util.Random —
+    * embedded as literals in BOTH engines, so cross-engine agreement
+    * is by construction). */
+  val hpSigns: Array[Array[Double]] = {
+    val r = new scala.util.Random(42)
+    Array.fill(planes, dims)(if (r.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def sqlArray(a: Array[Double]): String =
+    a.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private def sparkArray(a: Array[Double]): String =
+    a.map(v => if (v > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
+
+  /** Spark: dot(embedding, embedding) in doubles, sequential fold. */
+  private val normExpr =
+    "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), cast(0 as double), (a,v) -> a + v))"
+
+  /** Spark: 8-bit LSH bucket from the literal hyperplane signs. */
+  private val bucketExpr: String = (0 until planes).map { j =>
+    val dot = s"aggregate(zip_with(embedding, ${sparkArray(hpSigns(j))}, (x,h) -> cast(x as double) * h), cast(0 as double), (a,v) -> a + v)"
+    s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
+  }.mkString("cast(", " + ", " as int)")
+
+  /** DuckDB equivalents. */
+  private val duckNorm =
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+  private val duckBucket: String = (0 until planes).map { j =>
+    s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlArray(hpSigns(j))}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END"
+  }.mkString("CAST(", " + ", " AS INT)")
+
+  /** Corpus with per-row norm + LSH bucket (computed once, pre-join). */
+  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .withColumn("nrm", expr(normExpr))
+      .withColumn("bucket", expr(bucketExpr))
+
+  private val pairCos =
+    "aggregate(zip_with(q_emb, embedding, (x,y) -> cast(x as double) * cast(y as double)), cast(0 as double), (a,v) -> a + v)"
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- brute-force cosine top-k (the exact baseline): queries are
+    //       broadcast against the streamed corpus. -----
+    Q("q48_cosine_topk",
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), q AS (SELECT * FROM n WHERE vec_id < 5),
+              |sc AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+              |          / (q.nrm * c.nrm), 4) AS cos
+              |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+              |SELECT q_id, cand_id, cos, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+              |  FROM sc)
+              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        val n = corpus(s, dir)
+        val q = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+        n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(expr(pairCos) / (col("q_nrm") * col("nrm")), 4))
+          .select(col("q_id"), col("vec_id").as("cand_id"), col("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      }),
+
+    // ----- ANN via LSH sign buckets: same queries, candidates limited
+    //       to the query's bucket (the scale path — bucket equi-join,
+    //       not cross join). -----
+    Q("q49_ann_lsh_topk",
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm, $duckBucket AS bucket FROM embeddings
+              |), q AS (SELECT * FROM n WHERE vec_id < 5),
+              |sc AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
+              |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+              |          / (q.nrm * c.nrm), 4) AS cos
+              |  FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+              |SELECT q_id, bucket, cand_id, cos, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+              |  FROM sc)
+              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        val n = corpus(s, dir)
+        val q = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+        n.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(expr(pairCos) / (col("q_nrm") * col("nrm")), 4))
+          .select(col("q_id"), col("bucket"), col("vec_id").as("cand_id"), col("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("q_id", "rn")
+      }),
+
+    // ----- embedding-cosine near-dup: all pairs INSIDE a bucket whose
+    //       rounded cosine clears the threshold (bucket = blocking key;
+    //       random-vector fixture peaks near cos≈0.5, so 0.3 yields a
+    //       small deterministic pair set). -----
+    Q("q50_embedding_neardup",
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm, $duckBucket AS bucket FROM embeddings
+              |)
+              |SELECT a.vec_id AS d1, b.vec_id AS d2,
+              |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              |        / (a.nrm * b.nrm), 4) AS cos
+              |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              |            / (a.nrm * b.nrm), 4) >= 0.3
+              |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        val n = corpus(s, dir)
+        val a = n.select(col("vec_id").as("d1"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket"))
+        val b = n.select(col("vec_id").as("d2"), col("embedding"),
+          col("nrm"), col("bucket"))
+        a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+          .withColumn("cos", round(expr(pairCos) / (col("q_nrm") * col("nrm")), 4))
+          .filter(col("cos") >= 0.3)
+          .select("d1", "d2", "cos")
+          .orderBy("d1", "d2")
+      })
+  )
+}

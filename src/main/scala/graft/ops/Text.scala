@@ -1,0 +1,268 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over `documents` (SURVEY.md §2.9):
+  * exact + near dedup (MinHash-LSH, SimHash, n-gram Jaccard), language
+  * ID, quality scoring, token counting, rolling-hash fingerprinting.
+  *
+  * Cross-engine determinism: every hash bottoms out in `md5(...)` hex
+  * strings (identical in Spark and DuckDB), reduced to integers via
+  * base-16 conversion of a 14-hex-digit prefix (56 bits, fits a signed
+  * 64-bit long in both engines). MinHash minima compare lexicographic
+  * hex strings — also engine-independent.
+  *
+  * Scale design (100 TB):
+  *  - all shingle/token explosion is followed by keyed aggregation —
+  *    shuffles are on high-cardinality keys (shingle text, band
+  *    bucket), never all-pairs;
+  *  - near-dup candidate generation is bounded: MinHash-LSH only pairs
+  *    docs sharing a band bucket; the plain Jaccard variant blocks on
+  *    `source` — both avoid the quadratic cross join;
+  *  - everything is built-in higher-order functions (whole-stage
+  *    codegen, no UDFs).
+  */
+object Text {
+
+  /** 56-bit portable hash: Spark side. DuckDB side is
+    * `('0x' || substr(md5(x),1,14))::BIGINT`. */
+  private def hash56(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 14), 16, 10) as bigint)"
+
+  private val tokens = "split(text, ' ')"
+
+  /** 3-word shingles, 1-based slice (portable with DuckDB's
+    * `tokens[i:i+2]` inclusive slice). */
+  private val shingles =
+    s"transform(sequence(1, greatest(size($tokens) - 2, 0)), i -> concat_ws(' ', slice($tokens, i, 3)))"
+
+  private val duckTokens = "string_split(text, ' ')"
+  private val duckShingles =
+    s"list_transform(range(1, greatest(len($duckTokens) - 1, 1)), i -> array_to_string(($duckTokens)[i:i+2], ' '))"
+
+  /** MinHash seeds; k=6, banded 2-per-band → 3 LSH bands. */
+  private val seeds = Seq("s1", "s2", "s3", "s4", "s5", "s6")
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- exact dedup via content-normalization hash: key is md5 of the
+    //       sorted token bag, keep the smallest doc_id per key. One
+    //       hash-shuffle on a high-cardinality key — the canonical exact
+    //       dedup at any scale. -----
+    Q("q40_dedup_exact",
+      Some("""SELECT min(doc_id) AS kept_doc_id, CAST(count(*) AS BIGINT) AS n_dupes
+             |FROM (SELECT doc_id, md5(array_to_string(list_sort(string_split(text,' ')), ' ')) AS k
+             |      FROM documents)
+             |GROUP BY k
+             |ORDER BY kept_doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("k", expr(s"md5(concat_ws(' ', array_sort($tokens)))"))
+          .groupBy(col("k"))
+          .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_dupes"))
+          .select("kept_doc_id", "n_dupes")
+          .orderBy("kept_doc_id")),
+
+    // ----- MinHash + LSH near-dup: 6 minhashes over 3-word shingles,
+    //       3 bands of 2 → candidate pairs share a band bucket; then the
+    //       true shingle-Jaccard filters candidates at 0.4. Candidate
+    //       generation is a groupBy on band value (no cross join); the
+    //       verify join is only over candidate pairs. -----
+    Q("q41_minhash_lsh_pairs", {
+      val duckMh = seeds.map(sd =>
+        s"list_aggregate(list_transform($duckShingles, x -> md5('$sd|' || x)), 'min') AS mh_$sd").mkString(",\n         ")
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, $duckMh
+              |  FROM documents WHERE len($duckTokens) >= 3
+              |), bands AS (
+              |  SELECT doc_id, band, val FROM (
+              |    SELECT doc_id, 1 AS band, md5(mh_s1 || mh_s2) AS val FROM sig
+              |    UNION ALL SELECT doc_id, 2, md5(mh_s3 || mh_s4) FROM sig
+              |    UNION ALL SELECT doc_id, 3, md5(mh_s5 || mh_s6) FROM sig)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+              |), sh AS (
+              |  SELECT DISTINCT doc_id, sh FROM (
+              |    SELECT doc_id, unnest($duckShingles) AS sh FROM documents WHERE len($duckTokens) >= 3)
+              |), sizes AS (
+              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT c.d1, c.d2, count(*) AS i
+              |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.sh = y.sh
+              |  GROUP BY c.d1, c.d2
+              |)
+              |SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+              |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.4
+              |ORDER BY d1, d2""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(expr(s"size($tokens) >= 3"))
+          .withColumn("shingles", expr(shingles))
+        val sig = docs.select(col("doc_id") +: seeds.map(sd =>
+          expr(s"array_min(transform(shingles, x -> md5(concat('$sd|', x))))").as(s"mh_$sd")): _*)
+        val bands = Seq((1, "s1", "s2"), (2, "s3", "s4"), (3, "s5", "s6")).map { case (b, x, y) =>
+          sig.select(col("doc_id"), lit(b).as("band"), expr(s"md5(concat(mh_$x, mh_$y))").as("val"))
+        }.reduce(_.unionByName(_))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.val") === col("b.val")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("x"), col("x.doc_id") === col("d1"))
+          .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.sh") === col("y.sh"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+          .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+          .withColumn("jac", col("i").cast("double") / (col("s1.n") + col("s2.n") - col("i")))
+          .filter(col("jac") >= 0.4)
+          .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+          .orderBy("d1", "d2")
+      }),
+
+    // ----- SimHash: 32-bit signature from per-token 56-bit hashes; bit b
+    //       is set iff sum over tokens of ±1 (by bit b of the token hash)
+    //       is positive. Pure map + one groupBy(doc_id). -----
+    Q("q42_simhash", {
+      val duckH = s"('0x' || substr(md5(token),1,14))::BIGINT"
+      val bits = (0 until 32).map(b =>
+        s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      Some(s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+              |FROM (SELECT doc_id, $duckH AS h
+              |      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents))
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .withColumn("h", expr(hash56("token")))
+        val bits = (0 until 32).map(b =>
+          when(sum(when(expr(s"(h >> $b) & 1 = 1"), 1).otherwise(-1)) > 0, lit(1L << b))
+            .otherwise(lit(0L)))
+        tok.groupBy("doc_id")
+          .agg(bits.reduce(_ + _).cast("long").as("simhash"))
+          .orderBy("doc_id")
+      }),
+
+    // ----- n-gram Jaccard near-dup, blocked by `source` (bounded
+    //       all-pairs: blocking is what makes pairwise similarity viable
+    //       at scale — pairs only form inside a block). -----
+    Q("q43_ngram_jaccard",
+      Some(s"""WITH sh AS (
+              |  SELECT DISTINCT doc_id, source, sh FROM (
+              |    SELECT doc_id, source, unnest($duckShingles) AS sh
+              |    FROM documents WHERE len($duckTokens) >= 3)
+              |), sizes AS (
+              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
+              |  FROM sh x JOIN sh y ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+              |  GROUP BY x.doc_id, y.doc_id
+              |)
+              |SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
+              |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+              |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(expr(s"size($tokens) >= 3"))
+        val sh = docs.select(col("doc_id"), col("source"),
+          explode(expr(shingles)).as("sh")).distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("x").join(sh.as("y"),
+            col("x.source") === col("y.source") && col("x.sh") === col("y.sh")
+              && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+          .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+          .withColumn("jac", col("i").cast("double") / (col("s1.n") + col("s2.n") - col("i")))
+          .filter(col("jac") >= 0.2)
+          .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+          .orderBy("d1", "d2")
+      }),
+
+    // ----- language ID: stopword-ratio heuristic (the fixture is
+    //       English word soup; the heuristic still yields a deterministic
+    //       ratio + guess per doc). Pure per-row higher-order functions,
+    //       no shuffle at all. -----
+    Q("q44_langid",
+      Some(s"""SELECT doc_id,
+              |  round(CAST(len(list_filter($duckTokens, t -> t IN ${inList(stopEn)})) AS DOUBLE)
+              |        / len($duckTokens), 4) AS en_ratio,
+              |  CASE WHEN len(list_filter($duckTokens, t -> t IN ${inList(stopEn)})) > 0
+              |       THEN 'en' ELSE 'unknown' END AS lang_guess
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            round(expr(s"cast(size(filter($tokens, t -> t IN ${inList(stopEn)})) as double) / size($tokens)"), 4).as("en_ratio"),
+            expr(s"CASE WHEN size(filter($tokens, t -> t IN ${inList(stopEn)})) > 0 THEN 'en' ELSE 'unknown' END").as("lang_guess"))
+          .orderBy("doc_id")),
+
+    // ----- quality scoring: token counts, uniqueness, average token
+    //       length, regex token parity, composite score. Row-local. -----
+    Q("q45_quality_score",
+      Some(s"""SELECT doc_id,
+              |  CAST(len($duckTokens) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct($duckTokens)) AS BIGINT) AS n_uniq,
+              |  round(CAST(len(list_distinct($duckTokens)) AS DOUBLE) / len($duckTokens), 4) AS uniq_ratio,
+              |  round(CAST(n_chars - len($duckTokens) + 1 AS DOUBLE) / len($duckTokens), 4) AS avg_tok_len,
+              |  CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_regex_tokens,
+              |  round(0.5 * (CAST(len(list_distinct($duckTokens)) AS DOUBLE) / len($duckTokens))
+              |      + 0.5 * least(1.0, len($duckTokens) / 100.0), 4) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(s"cast(size($tokens) as bigint)").as("n_tokens"),
+            expr(s"cast(size(array_distinct($tokens)) as bigint)").as("n_uniq"),
+            round(expr(s"cast(size(array_distinct($tokens)) as double) / size($tokens)"), 4).as("uniq_ratio"),
+            round(expr(s"cast(n_chars - size($tokens) + 1 as double) / size($tokens)"), 4).as("avg_tok_len"),
+            expr("""cast(size(regexp_extract_all(text, '\\w+', 0)) as bigint)""").as("n_regex_tokens"),
+            round(expr(s"0.5 * (cast(size(array_distinct($tokens)) as double) / size($tokens))" +
+              s" + 0.5 * least(1.0, size($tokens) / 100.0)"), 4).as("quality"))
+          .orderBy("doc_id")),
+
+    // ----- token counting: corpus-level top-20 (explode → keyed agg →
+    //       top-k; partial aggregation makes the shuffle tiny). -----
+    Q("q46_token_counts",
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)),
+
+    // ----- document fingerprint: polynomial rolling hash over the token
+    //       stream (mod 1e9+7), tokens hashed to 56 bits then reduced
+    //       mod 1000003. Left fold in both engines → identical values. -----
+    Q("q47_fingerprint",
+      Some(s"""SELECT doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform($duckTokens, t -> ('0x' || substr(md5(t),1,14))::BIGINT % 1000003)),
+              |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(s"aggregate(transform($tokens, t -> ${hash56("t")} % 1000003), " +
+              "cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)").as("fingerprint"))
+          .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over `events` (SURVEY.md §2.8) plus the as-of
+  * join (§2.5). All four are written batch-first: the identical
+  * DataFrame expressions run under Structured Streaming (`readStream`
+  * source + watermark — see `graft.streaming.Streams` and its spec);
+  * the batch path is what the DuckDB oracle checks.
+  *
+  * Oracle parity notes:
+  *  - Spark's tumbling windows are epoch-aligned, so `window(ts, '1
+  *    hour').start ≡ date_trunc('hour', ts)`;
+  *  - sliding windows (1h size, 15m slide) put each event in exactly 4
+  *    windows whose starts are the event's 15-minute bucket minus
+  *    0..3 slides — expressed in DuckDB with `time_bucket` + unnest;
+  *  - session windows: Spark MERGES touching windows — an event at
+  *    exactly `prev + gap` extends the session (verified empirically:
+  *    events at 00:00 and 00:30 with a 30m gap form ONE session), so
+  *    the gaps-and-islands oracle starts a new session only when the
+  *    gap is strictly `> INTERVAL 30 MINUTE`; session end = last
+  *    event + gap;
+  *  - as-of: clicks are deduped per (user_id, ts) keeping the max
+  *    event_id so "latest click at or before the purchase" is unique;
+  *    DuckDB checks it with a native ASOF LEFT JOIN, Spark computes it
+  *    with the union + last(ignoreNulls) running-state trick — one
+  *    shuffle by user_id, no range join blowup, streaming-friendly.
+  */
+object Windows {
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- tumbling 1h window agg -----
+    Q("q51_tumbling_window",
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("total"))
+          .orderBy("window_start", "event_type")),
+
+    // ----- sliding window: 1h size / 15m slide -----
+    Q("q52_sliding_window",
+      Some("""SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+             |FROM (
+             |  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+             |           - k * INTERVAL 15 MINUTE AS ws, value
+             |  FROM events, unnest([0,1,2,3]) AS t(k))
+             |GROUP BY ws ORDER BY ws""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+          .select(col("window.start").as("window_start"), col("n"), col("total"))
+          .orderBy("window_start")),
+
+    // ----- session window: 30m inactivity gap per user -----
+    Q("q53_session_window",
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |m AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), g AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+          .orderBy("user_id", "session_start")),
+
+    // ----- as-of join: each purchase ↔ latest click at or before it -----
+    Q("q54_asof_join",
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+             |c AS (
+             |  SELECT user_id, ts, event_id, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM e WHERE event_type = 'click') WHERE rn = 1
+             |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
+             |  c.ts AS click_ts, c.event_id AS click_event_id, round(c.value, 4) AS click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+            struct(col("ts").as("click_ts"), col("event_id").as("click_event_id"),
+              col("value").as("click_value")).as("click"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+            lit(null).cast(clicks.schema("click").dataType).as("click"))
+        // running latest-click state per user: order clicks before
+        // purchases at equal ts (tag), max event_id wins among equal-ts
+        // clicks (event_id last in order)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("tag"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        clicks.unionByName(purchases)
+          .withColumn("last_click", last(col("click"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+            col("last_click.click_ts").as("click_ts"),
+            col("last_click.click_event_id").as("click_event_id"),
+            round(col("last_click.click_value"), 4).as("click_value"))
+          .orderBy("user_id", "p_ts", "p_event_id")
+      })
+  )
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.8). The reference is
+  * batch-only; these wrap the SAME DataFrame transforms used by the
+  * batch queries (`graft.ops.Windows`) in `readStream` sources with
+  * watermarks — batch-first design: correctness is oracle-checked on
+  * the batch path, and StreamingSpec asserts stream ≡ batch on
+  * identical input.
+  */
+object Streams {
+
+  /** Incremental file-source ingestion — the streaming analogue of the
+    * reference's per-date COPY backfill (new files appear in the stage
+    * directory and are picked up per micro-batch). */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+
+  /** Tumbling 1h event-time aggregation with a 2h watermark (bounds
+    * state: windows older than watermark are finalized and evicted). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding-window variant (1h / 15m), same watermark bound. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows (30m gap) per user on a stream. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming dedup bounded by the watermark (exact within the
+    * watermark horizon, state evicted beyond it). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Run a streaming DataFrame to a named in-memory table until all
+    * currently-available input is processed (test/dev harness). */
+  def runToMemory(sdf: DataFrame, name: String, outputMode: String = "complete"): StreamingQuery = {
+    val q = sdf.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("exact dedup groups identical sorted-token bags") {
+    val d = docs(
+      (1L, "b a c", "s"), (2L, "c b a", "s"), // same bag, different order
+      (3L, "a a b", "s"))
+    d.createOrReplaceTempView("t_dedup")
+    val out = d
+      .withColumn("k", expr("md5(concat_ws(' ', array_sort(split(text, ' '))))"))
+      .groupBy("k").agg(min("doc_id").as("kept"), count(lit(1)).as("n"))
+      .orderBy("kept").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds an exact-duplicate pair with jaccard 1.0") {
+    val text = "spark shuffles keyed data across partitions during wide transformations"
+    val d = docs((10L, text, "s0"), (20L, text, "s0"),
+      (30L, "completely different words that share no shingles at all here", "s1"))
+    d.createOrReplaceTempView("documents_test")
+    // run the same pipeline as q41 on a temp view by name substitution
+    val q = graft.SparkEntry.queries("q41_minhash_lsh_pairs")
+    // instead of the fixture, drive the internal logic through a direct call:
+    // duplicate docs share every band, so the pair (10,20) must surface.
+    val pairs = withDocs(d)(dir => q(spark, dir)).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .contains((10L, 20L, 1.0)))
+  }
+
+  test("fingerprint is order-sensitive (rolling hash, not a bag hash)") {
+    val d1 = docs((1L, "alpha beta gamma", "s"), (2L, "gamma beta alpha", "s"))
+    val fps = withDocs(d1)(dir =>
+      graft.SparkEntry.queries("q47_fingerprint")(spark, dir)).collect()
+    assert(fps.length == 2)
+    assert(fps(0).getLong(1) != fps(1).getLong(1))
+  }
+
+  test("simhash of identical docs is identical") {
+    val text = "one two three four five six seven eight nine ten"
+    val d = docs((1L, text, "s"), (2L, text, "s"))
+    val sh = withDocs(d)(dir =>
+      graft.SparkEntry.queries("q42_simhash")(spark, dir)).collect()
+    assert(sh(0).getLong(1) == sh(1).getLong(1))
+  }
+
+  /** Write the docs DataFrame as a parquet fixture dir so queries that
+    * take (spark, sfDir) can run against it. */
+  private def withDocs[T](d: org.apache.spark.sql.DataFrame)(f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    d.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+}
