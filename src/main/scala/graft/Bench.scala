@@ -12,11 +12,18 @@ object Bench {
       .config("spark.sql.warehouse.dir", "target/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warm-up: JVM/codegen paths, parquet footers, OS page
+    // cache — so the first timed query isn't charged session startup.
+    Tables.registerAll(spark, sfDir)
+    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // Declaration order (SparkEntry.all), not Map order — deterministic
+    // run-to-run comparability of per-query times.
+    val results = SparkEntry.all.map { q =>
+      spark.catalog.clearCache() // per-query isolation: no cross-query cache credit
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -587,6 +587,61 @@ object Relational {
             datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long").as("days_since_1995"),
             unix_timestamp(col("o_orderdate")).as("epoch_sec"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"))
-          .orderBy("o_orderkey"))
+          .orderBy("o_orderkey")),
+
+    // ----- array / map / higher-order-function / try_cast sampler
+    //       (SURVEY.md §2.4 array+map rows; DuckDB map extraction
+    //       yields a 1-element list, unwrapped with [1]) -----
+    Q("q58_array_map_functions",
+      Some("""SELECT o_orderkey,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), [o_orderkey, o_custkey, o_orderkey + o_custkey]),
+             |    (a, x) -> a + x) AS arr_sum,
+             |  list_aggregate([o_orderkey, o_custkey, o_orderkey + o_custkey], 'max') AS arr_max,
+             |  ([o_orderkey, o_custkey, o_orderkey + o_custkey])[2] AS second_elem,
+             |  CAST(len(list_filter([o_orderkey, o_custkey], x -> x % 2 = 0)) > 0 AS BOOLEAN) AS has_even,
+             |  list_transform([o_orderkey, o_custkey], x -> x * 2)[1] AS doubled_first,
+             |  array_to_string(list_sort(map_keys(map(['status','priority'], [o_orderstatus, o_orderpriority]))), ',') AS mkeys,
+             |  map(['status','priority'], [o_orderstatus, o_orderpriority])['status'][1] AS status_via_map,
+             |  TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+             |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num
+             |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 100)
+          .select(col("o_orderkey"),
+            expr("aggregate(array(o_orderkey, o_custkey, o_orderkey + o_custkey), cast(0 as bigint), (a, x) -> a + x)").as("arr_sum"),
+            expr("array_max(array(o_orderkey, o_custkey, o_orderkey + o_custkey))").as("arr_max"),
+            expr("element_at(array(o_orderkey, o_custkey, o_orderkey + o_custkey), 2)").as("second_elem"),
+            expr("exists(array(o_orderkey, o_custkey), x -> x % 2 = 0)").as("has_even"),
+            expr("element_at(transform(array(o_orderkey, o_custkey), x -> x * 2), 1)").as("doubled_first"),
+            expr("array_join(array_sort(map_keys(map_from_arrays(array('status','priority'), array(o_orderstatus, o_orderpriority)))), ',')").as("mkeys"),
+            expr("element_at(map_from_arrays(array('status','priority'), array(o_orderstatus, o_orderpriority)), 'status')").as("status_via_map"),
+            expr("try_cast(o_orderpriority as int)").as("bad_cast"),
+            expr("try_cast(substring(o_orderpriority, 1, 1) as int)").as("pri_num"))
+          .orderBy("o_orderkey")),
+
+    // ----- aggregation: stddev/variance + collect_list/collect_set
+    //       (collected arrays sorted for engine-independent order;
+    //       first/last are nondeterministic without a window, so the
+    //       deterministic min/max stand in for them per SURVEY §7.3) -----
+    Q("q59_stats_collect",
+      Some("""SELECT c_nationkey,
+             |  round(stddev_samp(c_acctbal), 4) AS sd_bal,
+             |  round(var_samp(c_acctbal), 4) AS var_bal,
+             |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+             |  CAST(len(list(c_mktsegment)) AS INT) AS n_collected,
+             |  min(c_name) AS first_name, max(c_name) AS last_name
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+            round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+            array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+            size(collect_list(col("c_mktsegment"))).as("n_collected"),
+            min(col("c_name")).as("first_name"),
+            max(col("c_name")).as("last_name"))
+          .orderBy("c_nationkey"))
   )
 }

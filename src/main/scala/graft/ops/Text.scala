@@ -103,27 +103,35 @@ object Text {
               |ORDER BY d1, d2""".stripMargin)
     },
       (s, dir) => {
+        // shingles feed BOTH the signature path and the verify path —
+        // cache them so the tokenize+slice pipeline runs once
         val docs = Tables.load(s, dir, "documents")
           .filter(expr(s"size($tokens) >= 3"))
-          .withColumn("shingles", expr(shingles))
+          .select(col("doc_id"), expr(shingles).as("shingles"))
+          .cache()
         val sig = docs.select(col("doc_id") +: seeds.map(sd =>
           expr(s"array_min(transform(shingles, x -> md5(concat('$sd|', x))))").as(s"mh_$sd")): _*)
+        // bands feed a self-join — cache so the md5-heavy signature
+        // pipeline runs once, not once per join side
         val bands = Seq((1, "s1", "s2"), (2, "s3", "s4"), (3, "s5", "s6")).map { case (b, x, y) =>
           sig.select(col("doc_id"), lit(b).as("band"), expr(s"md5(concat(mh_$x, mh_$y))").as("val"))
-        }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_)).cache()
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.val") === col("b.val")
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-        val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh")).distinct()
+        val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh")).distinct().cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
+        // candidate set and per-doc sizes are tiny relative to the
+        // shingle relation — broadcast them so the only big shuffle is
+        // the sh self-match
+        val inter = broadcast(cand)
           .join(sh.as("x"), col("x.doc_id") === col("d1"))
           .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.sh") === col("y.sh"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
         inter
-          .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
-          .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+          .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
+          .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
           .withColumn("jac", col("i").cast("double") / (col("s1.n") + col("s2.n") - col("i")))
           .filter(col("jac") >= 0.4)
           .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
@@ -177,8 +185,9 @@ object Text {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
           .filter(expr(s"size($tokens) >= 3"))
+        // sh feeds its own self-join plus sizes twice — cache it
         val sh = docs.select(col("doc_id"), col("source"),
-          explode(expr(shingles)).as("sh")).distinct()
+          explode(expr(shingles)).as("sh")).distinct().cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("x").join(sh.as("y"),
             col("x.source") === col("y.source") && col("x.sh") === col("y.sh")
@@ -186,8 +195,8 @@ object Text {
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("i"))
         inter
-          .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
-          .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+          .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
+          .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
           .withColumn("jac", col("i").cast("double") / (col("s1.n") + col("s2.n") - col("i")))
           .filter(col("jac") >= 0.2)
           .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))

@@ -123,6 +123,26 @@ object Windows {
             col("last_click.click_event_id").as("click_event_id"),
             round(col("last_click.click_value"), 4).as("click_value"))
           .orderBy("user_id", "p_ts", "p_event_id")
-      })
+      }),
+
+    // ----- JSON event parsing: from_json on events.props (schema
+    //       STRUCT<k INT>, FIXTURES.md §A) → typed field, aggregated.
+    //       Row-local parse (codegen'd JacksonParser), then one keyed
+    //       agg — the standard semi-structured ingestion shape. -----
+    Q("q57_events_json",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+             |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .withColumn("k", from_json(col("props"), lit("STRUCT<k: INT>")).getField("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"))
   )
 }
