@@ -642,6 +642,25 @@ object Relational {
             size(collect_list(col("c_mktsegment"))).as("n_collected"),
             min(col("c_name")).as("first_name"),
             max(col("c_name")).as("last_name"))
-          .orderBy("c_nationkey"))
+          .orderBy("c_nationkey")),
+
+    // ----- skew mitigation: two-phase salted aggregation must equal the
+    //       plain GROUP BY (l_returnflag has only 3 values — exactly the
+    //       hot-key shape salting exists for; the oracle is the
+    //       unsalted query, proving the rewrite is semantics-free) -----
+    Q("q60_salted_aggregate",
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        Skew.saltedAggregate(
+            Tables.load(s, dir, "lineitem"),
+            keys = Seq("l_returnflag"),
+            saltFrom = Seq("l_orderkey", "l_linenumber"),
+            partials = Map(
+              "sum_qty" -> (sum(col("l_quantity")), (c: Column) => sum(c)),
+              "n" -> (count(lit(1)), (c: Column) => sum(c).cast("long"))))
+          .select(col("l_returnflag"), round(col("sum_qty"), 4).as("sum_qty"), col("n"))
+          .orderBy("l_returnflag"))
   )
 }
