@@ -158,6 +158,39 @@ object Similarity {
           .filter(col("cos") >= 0.3)
           .select("d1", "d2", "cos")
           .orderBy("d1", "d2")
+      }),
+
+    // ----- brute-force top-k again, through the FUSED custom Catalyst
+    //       expression (graft.functions.CosineSimilarity): one codegen
+    //       loop for dot+norms instead of three higher-order-function
+    //       folds with intermediate arrays. Same oracle as q48 — the
+    //       fused loop accumulates in the same order, so the doubles
+    //       are bit-identical. -----
+    Q("q61_cosine_topk_fused",
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), q AS (SELECT * FROM n WHERE vec_id < 5),
+              |sc AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+              |          / (q.nrm * c.nrm), 4) AS cos
+              |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+              |SELECT q_id, cand_id, cos, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+              |  FROM sc)
+              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+        emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(expr("cosine_sim(q_emb, embedding)"), 4))
+          .select(col("q_id"), col("vec_id").as("cand_id"), col("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy("q_id", "rn")
       })
   )
 }
