@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table co-location (SURVEY.md scale notes): pre-shuffle a
+  * fact and its join peer into the same bucket layout once at write
+  * time, and every subsequent equi-join on the bucket key plans with
+  * ZERO exchanges — the shuffle is amortized across all future reads.
+  * This is the primary repeated-join strategy at 100 TB (the other is
+  * broadcast, for dims small enough to ship).
+  */
+object Bucketing {
+
+  /** Write `df` as a managed bucketed table on `key` (drops any stale
+    * table/location first — same re-runnability contract as
+    * [[Sql.dropTable]]). */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+                    key: String, buckets: Int = 8): Unit = {
+    Sql.dropTable(spark, table)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Join two co-bucketed tables on their bucket key. The plan must
+    * contain no Exchange on either side (asserted in BucketingSpec). */
+  def cobucketedJoin(spark: SparkSession, left: String, right: String,
+                     key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+}

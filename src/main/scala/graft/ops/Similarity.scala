@@ -191,6 +191,65 @@ object Similarity {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .orderBy("q_id", "rn")
+      }),
+
+    // ----- IVF-style ANN: coarse quantizer = 8 seed centroids
+    //       (vec_id < 8 — a real deployment k-means-trains these; the
+    //       cell-assign / nprobe plumbing is identical), every vector
+    //       assigned to its nearest cell, queries probe their 2 best
+    //       cells. The inverted-file property: search touches only the
+    //       probed cells' candidates, an equi-join on cell id. -----
+    Q("q62_ivf_topk",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT e.vec_id, c.c_id,
+              |    round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+              |          / (e.nrm * c.c_nrm), 4) AS rcos
+              |  FROM e CROSS JOIN c),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg),
+              |cells AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+              |cand AS (
+              |  SELECT p.q_id, t.vec_id AS cand_id
+              |  FROM probes p JOIN cells t ON t.cell = p.cell AND t.vec_id <> p.q_id),
+              |sc AS (
+              |  SELECT cand.q_id, cand.cand_id,
+              |    round(list_dot_product(q.embedding::DOUBLE[], t.embedding::DOUBLE[])
+              |          / (q.nrm * t.nrm), 4) AS cos
+              |  FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e t ON t.vec_id = cand.cand_id)
+              |SELECT q_id, cand_id, cos, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn FROM sc)
+              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        // cell assignment: one pass corpus × 8 broadcast centroids
+        val asg = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+          .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
+        val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("c_id"))
+        val ranked = asg.withColumn("rn", row_number().over(wAsg)).cache()
+        val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("c_id").as("cell"))
+        val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+        val cand = broadcast(probes).join(cells, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"))
+        val qEmb = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+        cand
+          .join(broadcast(qEmb), Seq("q_id"))
+          .join(e.select(col("vec_id").as("cand_id"), col("embedding")), Seq("cand_id"))
+          .withColumn("cos", round(expr("cosine_sim(q_emb, embedding)"), 4))
+          .select(col("q_id"), col("cand_id"), col("cos"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .orderBy("q_id", "rn")
       })
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2.8). The reference is
@@ -50,6 +50,36 @@ object Streams {
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Event row shape of the `events` fixture (typed for groupByKey). */
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                            event_type: String, value: Double, props: String)
+  final case class UserState(count: Long, lastType: String)
+  final case class UserUpdate(user_id: Long, count: Long, last_type: String)
+
+  /** Arbitrary stateful processing (§2.8): per-user running event
+    * counter via `flatMapGroupsWithState` — state persists across
+    * micro-batches (the thing windowed aggs can't express: unbounded
+    * per-key counters, custom session logic, decorated emissions).
+    * State is partitioned by key; at scale this shuffles once by
+    * user_id and the store is RocksDB-backed per partition.
+    */
+  def statefulUserCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, ""))
+          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+            st = UserState(st.count + 1, e.event_type)
+            UserUpdate(uid, st.count, st.lastType)
+          }
+          state.update(st)
+          out.iterator
+      }.toDF()
+  }
 
   /** Run a streaming DataFrame to a named in-memory table until all
     * currently-available input is processed (test/dev harness). */
