@@ -233,6 +233,7 @@ object Similarity {
           .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
         val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("c_id"))
         val ranked = asg.withColumn("rn", row_number().over(wAsg)).cache()
+        ranked.count() // eager: cells + probes both scan it, one via broadcast
         val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("c_id").as("cell"))
         val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("c_id").as("cell"))

@@ -116,11 +116,14 @@ object Text {
         val bands = Seq((1, "s1", "s2"), (2, "s3", "s4"), (3, "s5", "s6")).map { case (b, x, y) =>
           sig.select(col("doc_id"), lit(b).as("band"), expr(s"md5(concat(mh_$x, mh_$y))").as("val"))
         }.reduce(_.unionByName(_)).cache()
+        bands.count() // eager: downstream broadcast + join jobs run
+        // concurrently and would otherwise race to (re)compute the cache
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.val") === col("b.val")
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
         val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh")).distinct().cache()
+        sh.count() // eager, same reason
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         // candidate set and per-doc sizes are tiny relative to the
         // shingle relation — broadcast them so the only big shuffle is
@@ -185,9 +188,12 @@ object Text {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
           .filter(expr(s"size($tokens) >= 3"))
-        // sh feeds its own self-join plus sizes twice — cache it
+        // sh feeds its own self-join plus sizes twice — cache it, and
+        // materialize eagerly so the concurrent broadcast-build jobs
+        // read the cache instead of racing to recompute the lineage
         val sh = docs.select(col("doc_id"), col("source"),
           explode(expr(shingles)).as("sh")).distinct().cache()
+        sh.count()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = sh.as("x").join(sh.as("y"),
             col("x.source") === col("y.source") && col("x.sh") === col("y.sh")
