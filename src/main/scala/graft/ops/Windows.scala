@@ -133,16 +133,21 @@ object Windows {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
              |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
-             |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+             |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k_path
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) =>
         Tables.load(s, dir, "events")
+          // both JSON access paths: schema-full from_json and
+          // path-extraction get_json_object (SURVEY §2.4 JSON row)
           .withColumn("k", from_json(col("props"), lit("STRUCT<k: INT>")).getField("k"))
+          .withColumn("k_path", get_json_object(col("props"), "$.k").cast("int"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("k")).as("sum_k"),
             min(col("k")).as("min_k"),
-            max(col("k")).as("max_k"))
+            max(col("k")).as("max_k"),
+            sum(col("k_path")).as("sum_k_path"))
           .orderBy("event_type"))
   )
 }
