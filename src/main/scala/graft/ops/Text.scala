@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data text operators over `documents` (SURVEY.md §2.9):
@@ -47,6 +48,29 @@ object Text {
   private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Shared 32-bit SimHash signature (q42 output, q63 input). */
+  private def simhashDF(s: SparkSession, dir: String) = {
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", expr(hash56("token")))
+    val bits = (0 until 32).map(b =>
+      when(sum(when(expr(s"(h >> $b) & 1 = 1"), 1).otherwise(-1)) > 0, lit(1L << b))
+        .otherwise(lit(0L)))
+    tok.groupBy("doc_id").agg(bits.reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  /** DuckDB text of the same signature (CTE body). */
+  private val duckSimhash: String = {
+    val duckH = "('0x' || substr(md5(token),1,14))::BIGINT"
+    val bits = (0 until 32).map(b =>
+      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, $duckH AS h
+       |      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents))
+       |GROUP BY doc_id""".stripMargin
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -144,26 +168,45 @@ object Text {
     // ----- SimHash: 32-bit signature from per-token 56-bit hashes; bit b
     //       is set iff sum over tokens of ±1 (by bit b of the token hash)
     //       is positive. Pure map + one groupBy(doc_id). -----
-    Q("q42_simhash", {
-      val duckH = s"('0x' || substr(md5(token),1,14))::BIGINT"
-      val bits = (0 until 32).map(b =>
-        s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      Some(s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-              |FROM (SELECT doc_id, $duckH AS h
-              |      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents))
-              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-    },
+    Q("q42_simhash",
+      Some(s"""SELECT doc_id, simhash FROM ($duckSimhash) ORDER BY doc_id""".stripMargin),
+      (s, dir) => simhashDF(s, dir).orderBy("doc_id")),
+
+    // ----- SimHash near-dup pairs: 4 byte-bands over the 32-bit
+    //       signature (pigeonhole: hamming ≤ 3 ⇒ at least one identical
+    //       band), candidates = band-bucket join, verified by
+    //       bit_count(xor) ≤ 3. Same blocked-pair shape as MinHash-LSH:
+    //       no cross join, shuffles keyed by (band, value). -----
+    Q("q63_simhash_pairs",
+      Some(s"""WITH sig AS ($duckSimhash),
+              |bands AS (
+              |  SELECT doc_id, b, (simhash >> (8 * b)) & 255 AS val
+              |  FROM sig, unnest([0,1,2,3]) AS t(b)),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+              |  FROM bands x JOIN bands y ON x.b = y.b AND x.val = y.val AND x.doc_id < y.doc_id)
+              |SELECT d1, d2, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INT) AS hamming
+              |FROM cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2
+              |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+              |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        val tok = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          .withColumn("h", expr(hash56("token")))
-        val bits = (0 until 32).map(b =>
-          when(sum(when(expr(s"(h >> $b) & 1 = 1"), 1).otherwise(-1)) > 0, lit(1L << b))
-            .otherwise(lit(0L)))
-        tok.groupBy("doc_id")
-          .agg(bits.reduce(_ + _).cast("long").as("simhash"))
-          .orderBy("doc_id")
+        val sig = simhashDF(s, dir).cache()
+        sig.count() // eager: consumed by bands and twice by the verify join
+        val bands = sig.select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("b"), col("simhash"))
+          .withColumn("val", expr("(simhash >> (8 * b)) & 255"))
+          .select("doc_id", "b", "val")
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.val") === col("y.val")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        cand
+          .join(broadcast(sig.as("s1")), col("s1.doc_id") === col("d1"))
+          .join(broadcast(sig.as("s2")), col("s2.doc_id") === col("d2"))
+          .withColumn("hamming", expr("cast(bit_count(s1.simhash ^ s2.simhash) as int)"))
+          .filter(col("hamming") <= 3)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
       }),
 
     // ----- n-gram Jaccard near-dup, blocked by `source` (bounded

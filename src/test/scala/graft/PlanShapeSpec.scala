@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties SURVEY.md §4
+  * promises (pushdown, pruning, broadcast dims) must survive future
+  * edits, not just hold on the day they were checked. */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = formatted("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q01: scan reads only the needed lineitem columns") {
+    val p = formatted("q01_pricing_summary")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey")
+      && read.contains("l_quantity") && read.contains("l_returnflag"))
+  }
+
+  test("q03: dimension joins broadcast, fact side streams") {
+    val p = formatted("q03_top_revenue_orders")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q32: 5-way star join is all-broadcast (single fact scan pass)") {
+    val p = formatted("q32_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q02: predicate pushdown covers IN / range / LIKE prefix") {
+    val p = formatted("q02_filter_predicates")
+    assert(p.contains("PushedFilters") && p.contains("In(o_orderstatus")
+      && p.contains("GreaterThanOrEqual(o_totalprice"))
+  }
+}
