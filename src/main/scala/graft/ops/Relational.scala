@@ -197,13 +197,16 @@ object Relational {
           .orderBy("nationkey")
       }),
 
-    // ----- window: ranking functions, per-group top-k -----
+    // ----- window: full ranking-function family, per-group top-k -----
     Q("q10_window_rank_top_customers",
       Some("""SELECT * FROM (
              |  SELECT c_nationkey, c_custkey, c_acctbal,
              |    CAST(row_number() OVER w AS INT) AS rn,
              |    CAST(rank() OVER w AS INT) AS rnk,
-             |    CAST(dense_rank() OVER w AS INT) AS drnk
+             |    CAST(dense_rank() OVER w AS INT) AS drnk,
+             |    CAST(ntile(4) OVER w AS INT) AS quartile,
+             |    round(percent_rank() OVER w, 4) AS prank,
+             |    round(cume_dist() OVER w, 4) AS cdist
              |  FROM customer
              |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
              |) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin),
@@ -214,9 +217,28 @@ object Relational {
           .withColumn("rn", row_number().over(w))
           .withColumn("rnk", rank().over(w))
           .withColumn("drnk", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("prank", round(percent_rank().over(w), 4))
+          .withColumn("cdist", round(cume_dist().over(w), 4))
           .filter(col("rn") <= 3)
-          .select("c_nationkey", "c_custkey", "c_acctbal", "rn", "rnk", "drnk")
+          .select("c_nationkey", "c_custkey", "c_acctbal", "rn", "rnk", "drnk",
+            "quartile", "prank", "cdist")
           .orderBy("c_nationkey", "rn")
+      }),
+
+    // ----- join: pure theta (no equi component) — plans as
+    //       BroadcastNestedLoopJoin; only ever used dim × dim
+    //       (fact-side theta joins get an equi prefix like q09) -----
+    Q("q64_theta_join",
+      Some("""SELECT r_regionkey, n_nationkey FROM region JOIN nation
+             |  ON r_regionkey < n_nationkey - 20
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin),
+      (s, dir) => {
+        val r = Tables.load(s, dir, "region")
+        val n = Tables.load(s, dir, "nation")
+        r.join(n, r("r_regionkey") < n("n_nationkey") - 20)
+          .select("r_regionkey", "n_nationkey")
+          .orderBy("r_regionkey", "n_nationkey")
       }),
 
     // ----- window: framed running aggregate -----
