@@ -83,15 +83,25 @@ object Multimodal {
           .select(col("doc_id"), col("byte_len"), col("format"), col("n_frames"))
           .orderBy("doc_id")),
 
-    // ----- decode → features → resize, rows-only (stubbed decode is
-    //       engine-internal; exact values asserted in MultimodalSpec). -----
-    Q("q56_multimodal_features", None,
+    // ----- decode → features → resize, oracle-checked through exact
+    //       integer bin counts: feature b is count(bytes ≡ b mod 16)/n
+    //       as float32, so feature*n rounds back to the exact count
+    //       (float eps ≪ 0.5); the fixture text is ASCII, so DuckDB's
+    //       per-char codepoints ARE the payload bytes. -----
+    Q("q56_multimodal_features",
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(range(1, len(text)+1), i -> ascii(text[i]) % 16 = 1)) AS INT) AS bin1_count,
+             |  CAST(len(list_filter(range(1, len(text)+1), i -> ascii(text[i]) % 16 = 2)) AS INT) AS bin2_count,
+             |  CAST(8 AS INT) AS n_features
+             |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         import s.implicits._
         val media = attachBinary(Tables.load(s, dir, "documents")).as[Media]
         resizeFeatures(fakeDecodeFeatures(media), 8)
-          .select(col("doc_id"), round(expr("features[0]"), 4).as("f0"),
-            round(expr("features[7]"), 4).as("f7"),
+          .join(Tables.load(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+          .select(col("doc_id"),
+            round(expr("features[1] * n_chars"), 0).cast("int").as("bin1_count"),
+            round(expr("features[2] * n_chars"), 0).cast("int").as("bin2_count"),
             size(col("features")).as("n_features"))
           .orderBy("doc_id")
       })
