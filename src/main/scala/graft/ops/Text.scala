@@ -49,6 +49,22 @@ object Text {
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Documents with their per-doc DISTINCT 3-shingle set and its size.
+    * Tokens are hoisted into a column FIRST: referencing `split(...)`
+    * inline inside the transform lambda re-tokenizes the text once per
+    * shingle (quadratic per row — measured 4s of pure tokenize at
+    * sf0.1); a column reference evaluates once per row. Dedup via
+    * array_distinct is row-local — no shuffle.
+    */
+  private def shingleSets(s: SparkSession, dir: String, extra: Seq[String] = Nil) =
+    Tables.load(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select((Seq(col("doc_id")) ++ extra.map(col) :+
+        expr("array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))")
+          .as("shingles")): _*)
+      .withColumn("n", size(col("shingles")))
+
   /** Shared 32-bit SimHash signature (q42 output, q63 input). */
   private def simhashDF(s: SparkSession, dir: String) = {
     val tok = Tables.load(s, dir, "documents")
@@ -127,28 +143,23 @@ object Text {
               |ORDER BY d1, d2""".stripMargin)
     },
       (s, dir) => {
-        // shingles feed BOTH the signature path and the verify path —
-        // cache them so the tokenize+slice pipeline runs once
-        val docs = Tables.load(s, dir, "documents")
-          .filter(expr(s"size($tokens) >= 3"))
-          .select(col("doc_id"), expr(shingles).as("shingles"))
-          .cache()
+        // Per-doc DISTINCT shingle set (row-local dedup, hoisted
+        // tokens). Cached: feeds the signature path, two explode
+        // branches, and the size lookups.
+        val docs = shingleSets(s, dir).cache()
+        docs.count() // eager: concurrent downstream jobs must not race the cache
         val sig = docs.select(col("doc_id") +: seeds.map(sd =>
           expr(s"array_min(transform(shingles, x -> md5(concat('$sd|', x))))").as(s"mh_$sd")): _*)
-        // bands feed a self-join — cache so the md5-heavy signature
-        // pipeline runs once, not once per join side
         val bands = Seq((1, "s1", "s2"), (2, "s3", "s4"), (3, "s5", "s6")).map { case (b, x, y) =>
           sig.select(col("doc_id"), lit(b).as("band"), expr(s"md5(concat(mh_$x, mh_$y))").as("val"))
-        }.reduce(_.unionByName(_)).cache()
-        bands.count() // eager: downstream broadcast + join jobs run
-        // concurrently and would otherwise race to (re)compute the cache
+        }.reduce(_.unionByName(_))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.val") === col("b.val")
               && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-        val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh")).distinct().cache()
-        sh.count() // eager, same reason
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // per-doc-distinct explode: no global distinct shuffle needed
+        val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val sizes = docs.select(col("doc_id"), col("n"))
         // candidate set and per-doc sizes are tiny relative to the
         // shingle relation — broadcast them so the only big shuffle is
         // the sh self-match
@@ -229,15 +240,13 @@ object Text {
               |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .filter(expr(s"size($tokens) >= 3"))
-        // sh feeds its own self-join plus sizes twice — cache it, and
-        // materialize eagerly so the concurrent broadcast-build jobs
-        // read the cache instead of racing to recompute the lineage
-        val sh = docs.select(col("doc_id"), col("source"),
-          explode(expr(shingles)).as("sh")).distinct().cache()
-        sh.count()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        // per-doc distinct shingle sets (row-local, shuffle-free dedup);
+        // cached + eagerly materialized so the two explode branches and
+        // the broadcast size lookups don't race to recompute
+        val docs = shingleSets(s, dir, extra = Seq("source")).cache()
+        docs.count()
+        val sh = docs.select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
+        val sizes = docs.select(col("doc_id"), col("n"))
         val inter = sh.as("x").join(sh.as("y"),
             col("x.source") === col("y.source") && col("x.sh") === col("y.sh")
               && col("x.doc_id") < col("y.doc_id"))
