@@ -642,6 +642,31 @@ object Relational {
             expr("try_cast(substring(o_orderpriority, 1, 1) as int)").as("pri_num"))
           .orderBy("o_orderkey")),
 
+    // ----- conditional aggregation over a fact ⋈ dim join (TPC-H Q14
+    //       shape; exercises the `part` table + LIKE-filtered dim,
+    //       broadcast to keep the lineitem side shuffle-free) -----
+    Q("q65_promo_revenue",
+      Some("""SELECT p_brand,
+             |  round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+             |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            round(lit(100.0) * sum(when(col("p_type").like("PROMO%"), rev).otherwise(0))
+              / sum(rev), 4).as("promo_pct"),
+            round(sum(rev), 4).as("revenue"))
+          .orderBy("p_brand")
+      }),
+
     // ----- aggregation: stddev/variance + collect_list/collect_set
     //       (collected arrays sorted for engine-independent order;
     //       first/last are nondeterministic without a window, so the
