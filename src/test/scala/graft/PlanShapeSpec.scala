@@ -40,4 +40,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("PushedFilters") && p.contains("In(o_orderstatus")
       && p.contains("GreaterThanOrEqual(o_totalprice"))
   }
+
+  test("q65: part dim is broadcast against the streaming lineitem side") {
+    val p = formatted("q65_promo_revenue")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q48: query set broadcasts; only window + final-sort shuffles") {
+    val p = formatted("q48_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin")) // pure non-equi pair filter
+    // two non-broadcast exchanges: hash by q_id (window), range (orderBy)
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q64: pure theta join plans as broadcast nested loop") {
+    val p = formatted("q64_theta_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
 }
