@@ -105,6 +105,31 @@ object Ingest {
     }.reduce(_.unionByName(_))
   }
 
+  /** COPY idempotency (SURVEY.md §2.7): Snowflake's COPY skips files
+    * already in its load history, which is what makes the reference's
+    * daily `catchup=True` re-runs safe (`dags/s3_data_copy_test.py:29`).
+    * Engine equivalent: a load-log table keyed by file name; only files
+    * absent from the log are read, appended to `table`, and logged.
+    * The file LIST is metadata (small by construction — one name per
+    * staged file), so consulting it driver-side is not a data collect.
+    * Returns the file names actually loaded this call.
+    */
+  def copyIntoLogged(spark: SparkSession, stageDir: String, files: Seq[String],
+                     table: String, logTable: String): Seq[String] = {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $logTable (file_name STRING) USING parquet")
+    val loaded = spark.table(logTable).collect().map(_.getString(0)).toSet
+    val fresh = files.filterNot(loaded)
+    if (fresh.nonEmpty) {
+      val df = copyInto(spark, stageDir, fresh)
+      if (!spark.catalog.tableExists(table))
+        df.limit(0).write.saveAsTable(table)
+      df.write.mode("append").insertInto(table)
+      import spark.implicits._
+      fresh.toDF("file_name").coalesce(1).write.mode("append").insertInto(logTable)
+    }
+    fresh
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic staged-CSV fixtures (FIXTURES.md B1): three files, one
   // per reference backfill date, exercising every §2.2.1 parse edge:

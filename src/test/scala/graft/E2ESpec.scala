@@ -55,6 +55,24 @@ class E2ESpec extends SparkSuite {
     assert(re.select("load_date").distinct().count() == 3)
   }
 
+  test("COPY load-log: re-running the same files is a no-op, new files load") {
+    val stage = Ingest.writeStageFixtures()
+    Sql.dropTable(spark, "e2e_prestg")
+    Sql.dropTable(spark, "e2e_load_log")
+    val d1 = Ingest.stagedFileName(Ingest.backfillStart)
+    val d2 = Ingest.stagedFileName(Ingest.backfillStart.plusDays(1))
+
+    assert(Ingest.copyIntoLogged(spark, stage, Seq(d1), "e2e_prestg", "e2e_load_log") == Seq(d1))
+    assert(spark.table("e2e_prestg").count() == 8)
+    // same file again → skipped, no duplicate rows (Snowflake load history)
+    assert(Ingest.copyIntoLogged(spark, stage, Seq(d1), "e2e_prestg", "e2e_load_log").isEmpty)
+    assert(spark.table("e2e_prestg").count() == 8)
+    // a mixed request loads only the new file
+    assert(Ingest.copyIntoLogged(spark, stage, Seq(d1, d2), "e2e_prestg", "e2e_load_log") == Seq(d2))
+    assert(spark.table("e2e_prestg").count() == 16)
+    assert(spark.table("e2e_load_log").count() == 2)
+  }
+
   test("diamond pipeline via stages: start >> {a,b} >> merge >> end") {
     implicit val ec: ExecutionContext = ExecutionContext.global
     import spark.implicits._
