@@ -32,14 +32,23 @@ object Bench {
     // best-of-2 per query: the box shows multi-second scheduler jitter
     // on overhead-dominated stages (verified: no CPU steal, <25% busy
     // during spikes), so min-of-N measures the engine, not the noise.
-    def pass(): Map[String, Double] = SparkEntry.all.map { q =>
+    // A failed execution must not contribute its time-to-exception as a
+    // "fast run": failures record None and a query with no successful
+    // pass reports -1 (and is loudly logged).
+    def pass(): Map[String, Option[Double]] = SparkEntry.all.map { q =>
       spark.catalog.clearCache() // per-query isolation: no cross-query cache credit
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          false
+      }
+      q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
     val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v) =>
+      k -> (v.toSeq ++ p2(k).toSeq).minOption.getOrElse(-1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -55,16 +55,19 @@ object Tables {
   }
 
   /** Register every fixture table as a temp view named after the table.
-    * Memoized per (session, dir): repeated SQL-surface queries would
-    * otherwise re-list and re-plan all ten parquet reads each time.
+    * Memoized on the session's CURRENT dir (views are session-global, so
+    * the memo must track the last-registered dir, not the set of dirs
+    * ever seen — a set would silently leave views pointing at another
+    * dir's data when a session alternates between fixture dirs).
+    * Skipping only when the same dir is already registered still avoids
+    * re-planning all ten reads per SQL-surface query.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
-    val key = (spark, dir)
-    if (!registered.contains(key)) {
+    if (!registered.get(spark).contains(dir)) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered += key
+      registered(spark) = dir
     }
   }
 
-  private val registered = scala.collection.mutable.Set.empty[(SparkSession, String)]
+  private val registered = scala.collection.mutable.Map.empty[SparkSession, String]
 }

@@ -108,10 +108,14 @@ object Ingest {
   /** COPY idempotency (SURVEY.md §2.7): Snowflake's COPY skips files
     * already in its load history, which is what makes the reference's
     * daily `catchup=True` re-runs safe (`dags/s3_data_copy_test.py:29`).
-    * Engine equivalent: a load-log table keyed by file name; only files
-    * absent from the log are read, appended to `table`, and logged.
-    * The file LIST is metadata (small by construction — one name per
-    * staged file), so consulting it driver-side is not a data collect.
+    * Engine equivalent: a load-log table keyed by file name for the
+    * fast skip, and — because the data write and the log write are two
+    * separate commits — the data table is PARTITIONED BY source file
+    * with dynamic partition overwrite: if the process dies between the
+    * two writes, the re-run redoes the file's partition in place
+    * instead of appending duplicates. Effective exactly-once without a
+    * transaction. The file LIST is metadata (one name per staged file),
+    * so consulting it driver-side is not a data collect.
     * Returns the file names actually loaded this call.
     */
   def copyIntoLogged(spark: SparkSession, stageDir: String, files: Seq[String],
@@ -120,10 +124,18 @@ object Ingest {
     val loaded = spark.table(logTable).collect().map(_.getString(0)).toSet
     val fresh = files.filterNot(loaded)
     if (fresh.nonEmpty) {
-      val df = copyInto(spark, stageDir, fresh)
+      val df = fresh.map { f =>
+        copyInto(spark, stageDir, Seq(f)).withColumn("_src_file", lit(f))
+      }.reduce(_.unionByName(_))
       if (!spark.catalog.tableExists(table))
-        df.limit(0).write.saveAsTable(table)
-      df.write.mode("append").insertInto(table)
+        df.limit(0).write.partitionBy("_src_file").saveAsTable(table)
+      // v1 insertInto honors only the SESSION conf for dynamic
+      // partition overwrite (the writer option is ignored) — set and
+      // restore it around the write
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try df.write.mode("overwrite").insertInto(table)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       import spark.implicits._
       fresh.toDF("file_name").coalesce(1).write.mode("append").insertInto(logTable)
     }

@@ -33,13 +33,26 @@ object Pipeline {
     Stage(name, { df => scala.sys.process.Process(command).!; df })
 
   /** O3/O4: fan-out then fan-in (the `chain(start, [a,b], merge, end)`
-    * diamond of `dags/complex_example.py:21`). Branches run as
-    * concurrent Spark jobs; the barrier is `Future.sequence`.
+    * diamond of `dags/complex_example.py:21`).
+    *
+    * DataFrame construction is lazy, so with `eager = false` the
+    * futures only build plans concurrently and the actual computation
+    * happens in whatever single action consumes the merged result —
+    * appropriate when the merge is a union feeding one job. With
+    * `eager = true` each branch is materialized inside its future
+    * (`localCheckpoint`), so branch computations genuinely run as
+    * concurrent Spark jobs and the merge consumes their checkpointed
+    * results — the true analogue of Airflow's parallel task slots
+    * (side-effecting branches, e.g. concurrent table writes, are
+    * inherently eager; see E2ESpec's fan-out test).
     */
   def fanOutFanIn(input: DataFrame, branches: Seq[DataFrame => DataFrame],
-                  merge: Seq[DataFrame] => DataFrame)
+                  merge: Seq[DataFrame] => DataFrame, eager: Boolean = false)
                  (implicit ec: ExecutionContext): DataFrame = {
-    val outs = branches.map(b => Future(b(input)))
+    val outs = branches.map(b => Future {
+      val out = b(input)
+      if (eager) out.localCheckpoint(true) else out
+    })
     merge(Await.result(Future.sequence(outs), Duration.Inf))
   }
 

@@ -33,11 +33,6 @@ object Text {
 
   private val tokens = "split(text, ' ')"
 
-  /** 3-word shingles, 1-based slice (portable with DuckDB's
-    * `tokens[i:i+2]` inclusive slice). */
-  private val shingles =
-    s"transform(sequence(1, greatest(size($tokens) - 2, 0)), i -> concat_ws(' ', slice($tokens, i, 3)))"
-
   private val duckTokens = "string_split(text, ' ')"
   private val duckShingles =
     s"list_transform(range(1, greatest(len($duckTokens) - 1, 1)), i -> array_to_string(($duckTokens)[i:i+2], ' '))"

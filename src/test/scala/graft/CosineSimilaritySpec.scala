@@ -45,4 +45,11 @@ class CosineSimilaritySpec extends SparkSuite {
     val df = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]])).toDF("a", "b")
     assert(df.select(expr("cosine_sim(a, b)")).collect().head.isNullAt(0))
   }
+
+  test("length mismatch yields NULL (matches zip_with padding semantics)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).collect().head.isNullAt(0))
+  }
 }

@@ -55,6 +55,22 @@ class SqlSpec extends AnyFunSuite {
     })
   }
 
+  test("splitStatements handles backslash-escaped quotes") {
+    assert(Sql.splitStatements("INSERT INTO t VALUES ('O\\'Brien; Jr'); SELECT 1") ==
+      Seq("INSERT INTO t VALUES ('O\\'Brien; Jr')", "SELECT 1"))
+  }
+
+  test("'/*/' is a comment OPENER, not a complete comment") {
+    assert(Sql.splitStatements("SELECT 1 /*/ note; still comment */; SELECT 2") ==
+      Seq("SELECT 1 /*/ note; still comment */", "SELECT 2"))
+  }
+
+  test("comment-only fragments are not statements") {
+    assert(Sql.splitStatements("INSERT INTO t VALUES (1); -- done\n") ==
+      Seq("INSERT INTO t VALUES (1)"))
+    assert(Sql.splitStatements("-- only a comment\n; /* and another */") == Seq.empty)
+  }
+
   test("translateDialect maps sysdate() and lowers CREATE OR REPLACE") {
     assert(Sql.translateDialect("INSERT INTO t VALUES (SYSDATE())") ==
       "INSERT INTO t VALUES (current_timestamp())")
