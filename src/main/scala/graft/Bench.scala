@@ -49,10 +49,18 @@ object Bench {
     val results = p1.map { case (k, v) =>
       k -> (v.toSeq ++ p2(k).toSeq).minOption.getOrElse(-1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line from that window (round-1 line was ~3.4 KB → "parsed": null).
+    // Keep the line well under 2000 chars: short query keys (the qNN prefix),
+    // 3-decimal seconds, numeric sf.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -40,9 +40,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
-  // Length-mismatched vectors yield NULL — same as the higher-order
-  // composition (zip_with pads with null, which nulls the whole fold),
-  // keeping q48 (HOF) and q61 (fused) truly interchangeable.
+  // Length-mismatched vectors and NULL elements yield NULL — same as
+  // the higher-order composition (zip_with pads with null / propagates
+  // null elements, which nulls the whole fold), keeping q48 (HOF) and
+  // q61 (fused) truly interchangeable.
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -53,6 +54,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -77,11 +79,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

@@ -98,6 +98,8 @@ object Ingest {
     * the sink.
     */
   def backfill(spark: SparkSession, stageDir: String, start: LocalDate, end: LocalDate): DataFrame = {
+    require(start.isBefore(end),
+      s"backfill range is empty: start=$start must be before end=$end (end exclusive)")
     val dates = Iterator.iterate(start)(_.plusDays(1)).takeWhile(_.isBefore(end)).toSeq
     dates.map { ds =>
       copyInto(spark, stageDir, Seq(stagedFileName(ds)))

@@ -62,12 +62,18 @@ object Multimodal {
   /** Frame-sample: view the payload as fixed-size frames, keep every
     * `step`-th frame (video keyframe sampling shape). */
   def frameSample(df: DataFrame, frameBytes: Int, step: Int): DataFrame =
+    // Spark's sequence() is bidirectional — sequence(1, 0) yields [1, 0],
+    // which would fabricate two frames for an empty payload. Materialize an
+    // explicitly-empty index array when n_frames = 0.
     df.withColumn("n_frames", ceil(col("byte_len") / lit(frameBytes.toDouble)).cast("long"))
+      .withColumn("frame_idx", expr(
+        "CASE WHEN n_frames > 0 THEN sequence(1, cast(n_frames as int)) " +
+          "ELSE cast(array() as array<int>) END"))
       .withColumn("frames",
-        expr(s"transform(sequence(1, cast(n_frames as int)), i -> substring(payload, (i-1)*$frameBytes + 1, $frameBytes))"))
-      .withColumn("sampled_frames", expr(s"filter(transform(sequence(1, cast(n_frames as int)), " +
-        s"i -> IF((i-1) % $step = 0, frames[i-1], null)), x -> x IS NOT NULL)"))
-      .drop("frames")
+        expr(s"transform(frame_idx, i -> substring(payload, (i-1)*$frameBytes + 1, $frameBytes))"))
+      .withColumn("sampled_frames",
+        expr(s"filter(frames, (x, i) -> i % $step = 0)"))
+      .drop("frames", "frame_idx")
 
   val queries: Seq[Q] = Seq(
 

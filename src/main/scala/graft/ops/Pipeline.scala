@@ -28,9 +28,15 @@ object Pipeline {
   val empty: Stage = Stage("empty", identity)
 
   /** O5: BashOperator — a side-effect stage that runs a shell command
-    * and passes its input through unchanged. */
+    * and passes its input through unchanged. A non-zero exit fails the
+    * stage (the reference's BashOperator fails the task), so a broken
+    * side-effect can't silently pass data downstream. */
   def bash(name: String, command: Seq[String]): Stage =
-    Stage(name, { df => scala.sys.process.Process(command).!; df })
+    Stage(name, { df =>
+      val rc = scala.sys.process.Process(command).!
+      require(rc == 0, s"bash stage '$name' exited $rc: ${command.mkString(" ")}")
+      df
+    })
 
   /** O3/O4: fan-out then fan-in (the `chain(start, [a,b], merge, end)`
     * diamond of `dags/complex_example.py:21`).

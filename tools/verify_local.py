@@ -59,9 +59,13 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
-            status = "ROWS" if len(got) >= 0 else "EMPTY"
-            print(f"{status:5} {name}: rows={len(got)} (no oracle, rows-only)")
-            n_missing += 1
+            # driver contract smoke-checks rows > 0 for oracle-less queries
+            if len(got) > 0:
+                print(f"ROWS  {name}: rows={len(got)} (no oracle, rows-only)")
+                n_missing += 1
+            else:
+                print(f"FAIL  {name}: 0 rows (no oracle; driver requires rows>0)")
+                n_fail += 1
             continue
         try:
             want = con.execute(oracles[name]).df()
