@@ -35,7 +35,12 @@ object Bench {
     // A failed execution must not contribute its time-to-exception as a
     // "fast run": failures record None and a query with no successful
     // pass reports -1 (and is loudly logged).
-    def pass(): Map[String, Option[Double]] = SparkEntry.all.map { q =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q32,q63 runs just those
+    // (prefix match). Unset in driver runs — full inventory.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = only.fold(SparkEntry.all)(ps =>
+      SparkEntry.all.filter(q => ps.exists(q.name.startsWith)))
+    def pass(): Map[String, Option[Double]] = selected.map { q =>
       spark.catalog.clearCache() // per-query isolation: no cross-query cache credit
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true } catch {

@@ -119,13 +119,17 @@ object Similarity {
               |  FROM sc)
               |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
       (s, dir) => {
+        // per-pair cosine via the fused codegen expression (bit-identical
+        // fold to the HOF composition — q48 keeps the HOF form as the
+        // stated baseline; the ANN scale path takes the fast kernel)
+        graft.functions.GraftExtensions.register(s)
         val n = corpus(s, dir)
         val q = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+            col("bucket").as("q_bucket"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
         n.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-          .withColumn("cos", round(expr(pairCos) / (col("q_nrm") * col("nrm")), 4))
+          .withColumn("cos", round(expr("cosine_sim(q_emb, embedding)"), 4))
           .select(col("q_id"), col("bucket"), col("vec_id").as("cand_id"), col("cos"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
@@ -148,13 +152,12 @@ object Similarity {
               |            / (a.nrm * b.nrm), 4) >= 0.3
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
         val n = corpus(s, dir)
-        val a = n.select(col("vec_id").as("d1"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("bucket"))
-        val b = n.select(col("vec_id").as("d2"), col("embedding"),
-          col("nrm"), col("bucket"))
+        val a = n.select(col("vec_id").as("d1"), col("embedding").as("q_emb"), col("bucket"))
+        val b = n.select(col("vec_id").as("d2"), col("embedding"), col("bucket"))
         a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
-          .withColumn("cos", round(expr(pairCos) / (col("q_nrm") * col("nrm")), 4))
+          .withColumn("cos", round(expr("cosine_sim(q_emb, embedding)"), 4))
           .filter(col("cos") >= 0.3)
           .select("d1", "d2", "cos")
           .orderBy("d1", "d2")

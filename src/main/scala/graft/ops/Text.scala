@@ -197,21 +197,23 @@ object Text {
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
         val sig = simhashDF(s, dir).cache()
-        sig.count() // eager: consumed by bands and twice by the verify join
+        sig.count() // eager: consumed by both sides of the band self-join
+        // Bands CARRY the signature, so the hamming predicate runs inside
+        // the band join itself — candidate pairs failing hamming ≤ 3 die
+        // before any shuffle. The distinct then dedups only true near-dup
+        // pairs (tiny) instead of every bucket collision (quadratic in
+        // bucket size — at sf0.1 that ordering was 20M rows through a
+        // distinct + two joins; at 100 TB it would be the bottleneck).
         val bands = sig.select(col("doc_id"),
             explode(expr("sequence(0, 3)")).as("b"), col("simhash"))
           .withColumn("val", expr("(simhash >> (8 * b)) & 255"))
-          .select("doc_id", "b", "val")
-        val cand = bands.as("x").join(bands.as("y"),
+        bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.val") === col("y.val")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-        cand
-          .join(broadcast(sig.as("s1")), col("s1.doc_id") === col("d1"))
-          .join(broadcast(sig.as("s2")), col("s2.doc_id") === col("d2"))
-          .withColumn("hamming", expr("cast(bit_count(s1.simhash ^ s2.simhash) as int)"))
-          .filter(col("hamming") <= 3)
-          .select("d1", "d2", "hamming")
+              && col("x.doc_id") < col("y.doc_id")
+              && expr("bit_count(x.simhash ^ y.simhash) <= 3"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            expr("cast(bit_count(x.simhash ^ y.simhash) as int)").as("hamming"))
+          .distinct()
           .orderBy("d1", "d2")
       }),
 
