@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -226,6 +226,48 @@ object Ingest {
             count(col("quantity")).as("n_qty"),
             round(sum(col("unit_price")), 4).as("total_price"))
           .orderBy("load_date")
+      }),
+
+    // ----- JSON-lines sink + source roundtrip (the interchange format
+    //       of training-data pipelines): project → write json → read
+    //       back with an EXPLICIT schema (schema inference is a full
+    //       extra pass at scale — never in production paths) → aggregate.
+    //       Oracle aggregates the parquet fixture directly: the roundtrip
+    //       must be value-preserving. -----
+    Q("q79_json_roundtrip",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 4) AS total
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val out = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-stage-json", "events").toString
+        Tables.load(s, dir, "events")
+          .select("event_id", "event_type", "value")
+          .write.mode("overwrite").json(out)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE")
+        s.read.schema(schema).json(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+          .orderBy("event_type")
+      }),
+
+    // ----- ORC sink + source roundtrip (the other columnar format Spark
+    //       ships a vectorized reader for): same contract as q79. -----
+    Q("q80_orc_roundtrip",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_quantity), 4) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val out = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-stage-orc", "lineitem").toString
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+          .orderBy("l_returnflag")
       })
   )
 }

@@ -313,6 +313,56 @@ object Text {
           .orderBy(col("n").desc, col("token"))
           .limit(20)),
 
+    // ----- dedup CLUSTERS: docs sharing the full 6-minhash signature
+    //       form a cluster (cluster id = min doc_id). This is the
+    //       grouping form of near-dedup — the "keep one per cluster"
+    //       decision a training pipeline actually executes, vs q41's
+    //       pair list. One groupBy on the signature (high-cardinality
+    //       key), no pairwise join at all — the cheapest dedup shape at
+    //       100 TB. Fixture has 21 multi-doc clusters at sf0.01. -----
+    Q("q77_dedup_clusters", {
+      val duckMh = seeds.map(sd =>
+        s"list_aggregate(list_transform($duckShingles, x -> md5('$sd|' || x)), 'min')")
+        .mkString(" || '|' || ")
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, $duckMh AS sig_key
+              |  FROM documents WHERE len($duckTokens) >= 3)
+              |SELECT min(doc_id) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+              |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+              |FROM sig GROUP BY sig_key HAVING count(*) > 1
+              |ORDER BY cluster_id""".stripMargin)
+    },
+      (s, dir) =>
+        shingleSets(s, dir)
+          .select(col("doc_id"), concat_ws("|", seeds.map(sd =>
+            expr(s"array_min(transform(shingles, x -> md5(concat('$sd|', x))))")): _*)
+            .as("sig_key"))
+          .groupBy(col("sig_key"))
+          .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_members"),
+            array_join(transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("members"))
+          .filter(col("n_members") > 1)
+          .select("cluster_id", "n_members", "members")
+          .orderBy("cluster_id")),
+
+    // ----- BPE-ish regex tokenization: letter-runs / digit-runs /
+    //       single non-alphanumerics (the pre-tokenizer split shape of
+    //       byte-pair-encoding vocabularies), corpus-level top-20.
+    //       Same explode → keyed agg → top-k pipeline as q46; the regex
+    //       runs row-local in the scan stage. -----
+    Q("q78_bpe_tokens",
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS token
+             |      FROM documents)
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)),
+
     // ----- document fingerprint: polynomial rolling hash over the token
     //       stream (mod 1e9+7), tokens hashed to 56 bits then reduced
     //       mod 1000003. Left fold in both engines → identical values. -----
