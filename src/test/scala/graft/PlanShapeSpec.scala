@@ -57,4 +57,36 @@ class PlanShapeSpec extends SparkSuite {
     val p = formatted("q64_theta_join")
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q66: unpivot is shuffle-free up to the final sort") {
+    val p = formatted("q66_unpivot")
+    // Expand (the unpivot physical op) + scan + one range exchange for orderBy
+    assert(p.contains("Expand"))
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q67: null-safe join still plans as a broadcast HASH join") {
+    val p = formatted("q67_nullsafe_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q73: merge upsert co-shuffles both sides once on the key") {
+    val p = formatted("q73_merge_upsert")
+    // one exchange per join side + one range exchange for the final sort
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q75: hash-sample scan reads only the three needed columns") {
+    val read = formatted("q75_hash_sample").linesIterator
+      .find(_.startsWith("ReadSchema")).get
+    assert(read.contains("o_orderkey") && read.contains("o_orderstatus")
+      && read.contains("o_totalprice") && !read.contains("o_orderdate")
+      && !read.contains("o_custkey"))
+  }
+
+  test("q77: dedup clustering has no join — one hash aggregation chain") {
+    val p = formatted("q77_dedup_clusters")
+    assert(!p.contains("Join"), p)
+  }
 }
