@@ -81,6 +81,31 @@ object Streams {
       }.toDF()
   }
 
+  /** Idempotent micro-batch write: the batch lands in its own
+    * `_batch_id` partition under dynamic partition overwrite, so a
+    * REPLAYED batch (restart after a failure between the sink write and
+    * the checkpoint commit — the at-least-once window of foreachBatch)
+    * overwrites its own partition instead of appending duplicates.
+    * Same idempotency contract as `Ingest.copyIntoLogged`, keyed by
+    * batch id instead of file name. */
+  def writeBatchIdempotent(batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("_batch_id").parquet(outDir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Exactly-once-style parquet sink via foreachBatch — the canonical
+    * production sink for stores without native streaming commit. */
+  def foreachBatchSink(sdf: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    sdf.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, id: Long) => writeBatchIdempotent(batch, outDir, id))
+      .start()
+
   /** Run a streaming DataFrame to a named in-memory table until all
     * currently-available input is processed (test/dev harness). */
   def runToMemory(sdf: DataFrame, name: String, outputMode: String = "complete"): StreamingQuery = {

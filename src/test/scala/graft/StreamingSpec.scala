@@ -37,6 +37,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink is idempotent under batch replay") {
+    val in = java.nio.file.Files.createTempDirectory("graft-fb-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-fb-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fb-ckpt").toString
+    writeEvents(in,
+      (1L, "2024-01-01 00:10:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:20:00", 1L, "view", 2.0))
+    val schema = spark.read.parquet(in).schema
+    val q = Streams.foreachBatchSink(Streams.fileStream(spark, in, schema), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val once = spark.read.parquet(out)
+    assert(once.count() == 2)
+    // simulate the at-least-once replay: re-run batch 0 with the same id
+    Streams.writeBatchIdempotent(
+      spark.read.parquet(in).where(col("event_id").isNotNull), out, 0L)
+    val replayed = spark.read.parquet(out)
+    assert(replayed.count() == 2, "replayed batch must overwrite, not append")
+    assert(replayed.select("event_id").distinct().count() == 2)
+  }
+
   test("dropDuplicatesWithinWatermark removes stream duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     writeEvents(dir,
