@@ -12,6 +12,7 @@ object Bench {
       .config("spark.sql.warehouse.dir", "target/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark) // custom exprs + fusion rule
     // Untimed warm-up: JVM/codegen paths, parquet footers, OS page
     // cache — so the first timed query isn't charged session startup.
     Tables.registerAll(spark, sfDir)

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.warehouse.dir", "target/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark) // custom exprs + fusion rule
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {

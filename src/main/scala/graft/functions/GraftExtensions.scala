@@ -5,13 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * expressions into the session function registry. Activate with
+  * expressions and optimizer rules. Activate with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.dotProduct)
+    ext.injectOptimizerRule(_ => FuseDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -20,9 +23,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
 
+  private val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+
   /** Idempotent registration on an already-built session (used by the
-    * query registry so the driver's stock session gets the function). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineSim._1, cosineSim._2, cosineSim._3)
+    * query registry so the driver's stock session gets the function
+    * surface, and by the Verify/Bench mains so the fusion rule is on
+    * engine-wide). `extraOptimizations` is the runtime hook for
+    * optimizer rules — guarded against double-append. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Seq(cosineSim, dotProduct).foreach { f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    }
+    if (!spark.experimental.extraOptimizations.contains(FuseDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseDotProduct
+  }
 }
