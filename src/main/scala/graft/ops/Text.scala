@@ -37,28 +37,59 @@ object Text {
   private val duckShingles =
     s"list_transform(range(1, greatest(len($duckTokens) - 1, 1)), i -> array_to_string(($duckTokens)[i:i+2], ' '))"
 
-  /** MinHash seeds; k=6, banded 2-per-band → 3 LSH bands. */
-  private val seeds = Seq("s1", "s2", "s3", "s4", "s5", "s6")
+  /** Per-doc DISTINCT shingle hashes (DuckDB side): each shingle is
+    * md5'd ONCE to a 56-bit int; all downstream minhashing works on
+    * these ints. */
+  private val duckShingleHashes =
+    s"list_distinct(list_transform($duckShingles, x -> ('0x' || substr(md5(x),1,14))::BIGINT))"
+
+  /** MinHash permutation seeds: k=6, banded 2-per-band → 3 LSH bands.
+    * Each "permutation" is xor by a 56-bit constant — a bijection on
+    * the hash space, so min-over-xored-hashes is a valid minhash; this
+    * replaces 6 md5 invocations per shingle with 1 md5 + 6 xors (the
+    * md5 was ~5/6 of the near-dup pipeline's map time at sf0.1, and at
+    * 100 TB shingle hashing dominates the whole dedup stage). 56 bits
+    * keeps every value positive in a signed 64-bit long in BOTH
+    * engines. */
+  private val mhSeeds: Seq[Long] = Seq(
+    0x9E3779B97F4A7CL, 0xC2B2AE3D27D4EBL, 0x165667B19E3779L,
+    0x27D4EB2F165667L, 0x85EBCA6B2C2B2AL, 0x5BD1E9955BD1E9L)
 
   private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ",", ")")
 
-  /** Documents with their per-doc DISTINCT 3-shingle set and its size.
-    * Tokens are hoisted into a column FIRST: referencing `split(...)`
-    * inline inside the transform lambda re-tokenizes the text once per
-    * shingle (quadratic per row — measured 4s of pure tokenize at
-    * sf0.1); a column reference evaluates once per row. Dedup via
-    * array_distinct is row-local — no shuffle.
+  /** Documents with their per-doc DISTINCT 3-shingle HASH set (56-bit
+    * ints) and its size. Tokens and shingle strings are hoisted into
+    * columns FIRST: referencing `split(...)` inline inside a transform
+    * lambda re-tokenizes the text once per shingle (quadratic per row —
+    * measured 4s of pure tokenize at sf0.1); a column reference
+    * evaluates once per row. Each shingle is md5'd exactly once; dedup
+    * via array_distinct is row-local — no shuffle. All downstream
+    * near-dup ops (minhash, band join, intersection counting) work on
+    * the int hashes: int shuffles instead of string shuffles.
     */
   private def shingleSets(s: SparkSession, dir: String, extra: Seq[String] = Nil) =
     Tables.load(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
       .select((Seq(col("doc_id")) ++ extra.map(col) :+
-        expr("array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))")
-          .as("shingles")): _*)
-      .withColumn("n", size(col("shingles")))
+        expr(s"array_distinct(transform(shingles, x -> ${hash56("x")}))").as("hashes")): _*)
+      .withColumn("n", size(col("hashes")))
+
+  /** Spark-side minhash signature columns over the hoisted hash set. */
+  private def mhCols: Seq[org.apache.spark.sql.Column] =
+    mhSeeds.zipWithIndex.map { case (seed, i) =>
+      expr(s"array_min(transform(hashes, h -> h ^ ${seed}L))").as(s"mh${i + 1}")
+    }
+
+  /** DuckDB text of the same signature columns (over a list column `hs`). */
+  private def duckMhExprs(hs: String): Seq[String] =
+    mhSeeds.zipWithIndex.map { case (seed, i) =>
+      s"list_min(list_transform($hs, h -> xor(h, $seed))) AS mh${i + 1}"
+    }
 
   /** Shared 32-bit SimHash signature (q42 output, q63 input). */
   private def simhashDF(s: SparkSession, dir: String) = {
@@ -103,64 +134,64 @@ object Text {
           .select("kept_doc_id", "n_dupes")
           .orderBy("kept_doc_id")),
 
-    // ----- MinHash + LSH near-dup: 6 minhashes over 3-word shingles,
-    //       3 bands of 2 → candidate pairs share a band bucket; then the
-    //       true shingle-Jaccard filters candidates at 0.4. Candidate
-    //       generation is a groupBy on band value (no cross join); the
-    //       verify join is only over candidate pairs. -----
-    Q("q41_minhash_lsh_pairs", {
-      val duckMh = seeds.map(sd =>
-        s"list_aggregate(list_transform($duckShingles, x -> md5('$sd|' || x)), 'min') AS mh_$sd").mkString(",\n         ")
+    // ----- MinHash + LSH near-dup: 6 xor-minhashes over hashed 3-word
+    //       shingles, 3 bands of 2 → candidate pairs share a band
+    //       bucket; then the true shingle-Jaccard (intersection of hash
+    //       sets) filters candidates at 0.4. Candidate generation is a
+    //       band-key equi-join (no cross join); the verify join is only
+    //       over candidate pairs, and every shuffled key is an int. -----
+    Q("q41_minhash_lsh_pairs",
       Some(s"""WITH sig AS (
-              |  SELECT doc_id, $duckMh
-              |  FROM documents WHERE len($duckTokens) >= 3
+              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+              |        FROM documents WHERE len($duckTokens) >= 3)
               |), bands AS (
-              |  SELECT doc_id, band, val FROM (
-              |    SELECT doc_id, 1 AS band, md5(mh_s1 || mh_s2) AS val FROM sig
-              |    UNION ALL SELECT doc_id, 2, md5(mh_s3 || mh_s4) FROM sig
-              |    UNION ALL SELECT doc_id, 3, md5(mh_s5 || mh_s6) FROM sig)
+              |  SELECT doc_id, band, v1, v2 FROM (
+              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
+              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
+              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
               |), cand AS (
               |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+              |    AND a.doc_id < b.doc_id
               |), sh AS (
-              |  SELECT DISTINCT doc_id, sh FROM (
-              |    SELECT doc_id, unnest($duckShingles) AS sh FROM documents WHERE len($duckTokens) >= 3)
+              |  SELECT doc_id, unnest($duckShingleHashes) AS h
+              |  FROM documents WHERE len($duckTokens) >= 3
               |), sizes AS (
               |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
               |), inter AS (
               |  SELECT c.d1, c.d2, count(*) AS i
-              |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.sh = y.sh
+              |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.h = y.h
               |  GROUP BY c.d1, c.d2
               |)
               |SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
               |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
               |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.4
-              |ORDER BY d1, d2""".stripMargin)
-    },
+              |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        // Per-doc DISTINCT shingle set (row-local dedup, hoisted
-        // tokens). Cached: feeds the signature path, two explode
-        // branches, and the size lookups.
+        // Per-doc DISTINCT shingle-hash set (row-local dedup, hoisted
+        // tokens, one md5 per shingle). Cached: feeds the signature
+        // path, two explode branches, and the size lookups.
         val docs = shingleSets(s, dir).cache()
         docs.count() // eager: concurrent downstream jobs must not race the cache
-        val sig = docs.select(col("doc_id") +: seeds.map(sd =>
-          expr(s"array_min(transform(shingles, x -> md5(concat('$sd|', x))))").as(s"mh_$sd")): _*)
-        val bands = Seq((1, "s1", "s2"), (2, "s3", "s4"), (3, "s5", "s6")).map { case (b, x, y) =>
-          sig.select(col("doc_id"), lit(b).as("band"), expr(s"md5(concat(mh_$x, mh_$y))").as("val"))
-        }.reduce(_.unionByName(_))
+        val sig = docs.select(col("doc_id") +: mhCols: _*)
+        val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
+          .map { case (b, x, y) =>
+            sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
+          }.reduce(_.unionByName(_))
         val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.val") === col("b.val")
-              && col("a.doc_id") < col("b.doc_id"))
+            col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
+              && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
         // per-doc-distinct explode: no global distinct shuffle needed
-        val sh = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val sh = docs.select(col("doc_id"), explode(col("hashes")).as("h"))
         val sizes = docs.select(col("doc_id"), col("n"))
         // candidate set and per-doc sizes are tiny relative to the
         // shingle relation — broadcast them so the only big shuffle is
         // the sh self-match
         val inter = broadcast(cand)
           .join(sh.as("x"), col("x.doc_id") === col("d1"))
-          .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.sh") === col("y.sh"))
+          .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.h") === col("y.h"))
           .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
         inter
           .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
@@ -222,14 +253,13 @@ object Text {
     //       at scale — pairs only form inside a block). -----
     Q("q43_ngram_jaccard",
       Some(s"""WITH sh AS (
-              |  SELECT DISTINCT doc_id, source, sh FROM (
-              |    SELECT doc_id, source, unnest($duckShingles) AS sh
-              |    FROM documents WHERE len($duckTokens) >= 3)
+              |  SELECT doc_id, source, unnest($duckShingleHashes) AS h
+              |  FROM documents WHERE len($duckTokens) >= 3
               |), sizes AS (
               |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
               |), inter AS (
               |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS i
-              |  FROM sh x JOIN sh y ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+              |  FROM sh x JOIN sh y ON x.source = y.source AND x.h = y.h AND x.doc_id < y.doc_id
               |  GROUP BY x.doc_id, y.doc_id
               |)
               |SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
@@ -237,15 +267,16 @@ object Text {
               |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
               |ORDER BY d1, d2""".stripMargin),
       (s, dir) => {
-        // per-doc distinct shingle sets (row-local, shuffle-free dedup);
-        // cached + eagerly materialized so the two explode branches and
-        // the broadcast size lookups don't race to recompute
+        // per-doc distinct shingle-hash sets (row-local, shuffle-free
+        // dedup); cached + eagerly materialized so the two explode
+        // branches and the broadcast size lookups don't race to
+        // recompute. The self-match shuffles (source, int-hash) keys.
         val docs = shingleSets(s, dir, extra = Seq("source")).cache()
         docs.count()
-        val sh = docs.select(col("doc_id"), col("source"), explode(col("shingles")).as("sh"))
+        val sh = docs.select(col("doc_id"), col("source"), explode(col("hashes")).as("h"))
         val sizes = docs.select(col("doc_id"), col("n"))
         val inter = sh.as("x").join(sh.as("y"),
-            col("x.source") === col("y.source") && col("x.sh") === col("y.sh")
+            col("x.source") === col("y.source") && col("x.h") === col("y.h")
               && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("i"))
@@ -320,24 +351,19 @@ object Text {
     //       pair list. One groupBy on the signature (high-cardinality
     //       key), no pairwise join at all — the cheapest dedup shape at
     //       100 TB. Fixture has 21 multi-doc clusters at sf0.01. -----
-    Q("q77_dedup_clusters", {
-      val duckMh = seeds.map(sd =>
-        s"list_aggregate(list_transform($duckShingles, x -> md5('$sd|' || x)), 'min')")
-        .mkString(" || '|' || ")
+    Q("q77_dedup_clusters",
       Some(s"""WITH sig AS (
-              |  SELECT doc_id, $duckMh AS sig_key
-              |  FROM documents WHERE len($duckTokens) >= 3)
+              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+              |        FROM documents WHERE len($duckTokens) >= 3))
               |SELECT min(doc_id) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
               |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
-              |FROM sig GROUP BY sig_key HAVING count(*) > 1
-              |ORDER BY cluster_id""".stripMargin)
-    },
+              |FROM sig GROUP BY mh1, mh2, mh3, mh4, mh5, mh6 HAVING count(*) > 1
+              |ORDER BY cluster_id""".stripMargin),
       (s, dir) =>
         shingleSets(s, dir)
-          .select(col("doc_id"), concat_ws("|", seeds.map(sd =>
-            expr(s"array_min(transform(shingles, x -> md5(concat('$sd|', x))))")): _*)
-            .as("sig_key"))
-          .groupBy(col("sig_key"))
+          .select(col("doc_id") +: mhCols: _*)
+          .groupBy((1 to 6).map(i => col(s"mh$i")): _*)
           .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_members"),
             array_join(transform(sort_array(collect_list(col("doc_id"))),
               _.cast("string")), ",").as("members"))
