@@ -148,6 +148,28 @@ object Windows {
             min(col("k")).as("min_k"),
             max(col("k")).as("max_k"),
             sum(col("k_path")).as("sum_k_path"))
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // ----- VARIANT (Spark 4 semi-structured type): parse_json once into
+    //       the binary variant encoding, extract typed fields with
+    //       variant_get. At scale this is the schema-flexible ingestion
+    //       path — the variant column shreds/prunes without a declared
+    //       schema, vs from_json's fixed StructType (q57). Oracle uses
+    //       plain JSON extraction: the access path differs, values must
+    //       not. -----
+    Q("q81_variant_json",
+      Some("""SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+             |  round(sum(value), 4) AS total
+             |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .withColumn("v", parse_json(col("props")))
+          .select(expr("variant_get(v, '$.k', 'int')").as("k"), col("value"))
+          .groupBy(expr("cast(k % 10 as int)").as("k_mod"))
+          .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
+            round(sum(col("value")), 4).as("total"))
+          .orderBy("k_mod"))
   )
 }
