@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2.8). The reference is
@@ -79,6 +79,36 @@ object Streams {
           state.update(st)
           out.iterator
       }.toDF()
+  }
+
+  /** transformWithState (Spark 4 arbitrary-state v2) variant of
+    * [[statefulUserCounts]]: explicit named `ValueState` through a
+    * `StatefulProcessor` — the API that adds state TTL, timers, and
+    * independent state variables over the v1 single-state-object model.
+    * Requires the RocksDB state store provider (the scale-grade store:
+    * incremental checkpointing, changelog, bounded memory). */
+  class RunningCountProcessor extends StatefulProcessor[Long, EventRow, UserUpdate] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues): Iterator[UserUpdate] = {
+      var c = if (count.exists()) count.get() else 0L
+      val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
+        c += 1; UserUpdate(key, c, e.event_type)
+      }
+      count.update(c)
+      out.iterator
+    }
+  }
+
+  def statefulUserCountsTws(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
 
   /** Idempotent micro-batch write: the batch lands in its own

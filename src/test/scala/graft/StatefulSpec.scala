@@ -34,4 +34,29 @@ class StatefulSpec extends SparkSuite {
       assert(rows.toSeq == Seq((7L, 1L, "click"), (7L, 2L, "view"), (7L, 3L, "purchase")))
     } finally q.stop()
   }
+
+  test("transformWithState runs the same counter on the v2 API (RocksDB store)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    write(dir, (1L, "2024-01-01 00:00:00", 9L, "click"))
+    val schema = spark.read.parquet(dir).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sdf = Streams.statefulUserCountsTws(Streams.fileStream(spark, dir, schema))
+    val q = sdf.writeStream.format("memory").queryName("t_tws").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write(dir, (2L, "2024-01-01 00:01:00", 9L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("t_tws").orderBy("count").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.toSeq == Seq((9L, 1L, "click"), (9L, 2L, "view")))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
