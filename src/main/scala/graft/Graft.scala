@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The engine's public library surface — one documented facade over the
+  * operator modules, so a user of the reference
+  * (`beaconfireDE/bfs-etl-sep2025`) can run every workflow it runs
+  * today (stage COPY, backfills, SQL scripts, parameterized SQL, DAG
+  * orchestration) plus the training-data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal plumbing,
+  * streaming) from a single import:
+  *
+  * {{{
+  * import graft.Graft
+  * Graft.init(spark)                           // custom exprs + fusion rule
+  * val df  = Graft.copyInto(spark, stage, files)
+  * val out = Graft.dedupClusters(docsWithHashes)
+  * }}}
+  *
+  * Everything is DataFrame-in / DataFrame-out and lazily planned —
+  * Catalyst sees the whole composition. The named demo queries over
+  * the driver fixtures live in [[SparkEntry.queries]].
+  */
+object Graft {
+
+  /** Register the engine's custom expressions (`cosine_sim`,
+    * `dot_product`) and the [[graft.functions.FuseDotProduct]]
+    * optimizer rule on a live session. Idempotent. */
+  def init(spark: SparkSession): Unit = functions.GraftExtensions.register(spark)
+
+  // ----- ingestion (SURVEY §2.2: stage COPY, CSV options, idempotency) -----
+
+  /** COPY FROM stage: CSV files → typed DataFrame with the reference's
+    * full file_format option set (multi-value NULL_IF, quote doubling,
+    * no unenclosed escape). */
+  def copyInto(spark: SparkSession, stageDir: String, files: Seq[String]): DataFrame =
+    ops.Ingest.copyInto(spark, stageDir, files)
+
+  /** COPY with Snowflake-style load-history idempotency: already-loaded
+    * files are skipped; interrupted loads are repaired by dynamic
+    * partition overwrite. Returns the files actually loaded. */
+  def copyIntoLogged(spark: SparkSession, stageDir: String, files: Seq[String],
+                     table: String, logTable: String): Seq[String] =
+    ops.Ingest.copyIntoLogged(spark, stageDir, files, table, logTable)
+
+  /** catchup=True backfill: one COPY per logical date in [start, end). */
+  def backfill(spark: SparkSession, stageDir: String,
+               start: java.time.LocalDate, end: java.time.LocalDate): DataFrame =
+    ops.Ingest.backfill(spark, stageDir, start, end)
+
+  /** Multi-value NULL_IF normalization over all string columns. */
+  def nullIf(df: DataFrame, values: Seq[String] = Seq("NULL", "null", "")): DataFrame =
+    ops.Ingest.nullIf(df, values)
+
+  // ----- SQL execution (SURVEY §2.3: scripts, params, files) -----
+
+  /** Quote/comment-aware multi-statement script runner (the reference's
+    * `"; ".join(...)` submissions); returns the last result. */
+  def runScript(spark: SparkSession, script: String): DataFrame =
+    ops.Sql.runScript(spark, script)
+
+  // ----- orchestration (SURVEY §2.1: DAG shapes as driver structure) -----
+
+  /** Sequential stages (the `a >> b >> c` chain). */
+  def sequence(input: DataFrame, stages: Seq[ops.Pipeline.Stage]): DataFrame =
+    ops.Pipeline.sequence(input, stages)
+
+  /** Fan-out / fan-in diamond over concurrent Spark jobs. */
+  def fanOutFanIn(input: DataFrame, branches: Seq[DataFrame => DataFrame],
+                  merge: Seq[DataFrame] => DataFrame, eager: Boolean = false)
+                 (implicit ec: scala.concurrent.ExecutionContext): DataFrame =
+    ops.Pipeline.fanOutFanIn(input, branches, merge, eager)
+
+  // ----- skew & layout (100 TB structure) -----
+
+  /** Two-phase salted aggregation for hot grouping keys. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltFrom: Seq[String],
+                      partials: Map[String, (Column, Column => Column)],
+                      buckets: Int = 16): DataFrame =
+    ops.Skew.saltedAggregate(df, keys, saltFrom, partials, buckets)
+
+  /** Salted fact ⋈ replicated-dim join for known key skew. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFrom: Seq[String], buckets: Int = 16,
+                 joinType: String = "inner"): DataFrame =
+    ops.Skew.saltedJoin(fact, dim, key, saltFrom, buckets, joinType)
+
+  /** Write a bucketed table; later equi-joins on `key` plan with zero
+    * exchanges (amortized shuffle). */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+                    key: String, buckets: Int = 8): Unit =
+    ops.Bucketing.writeBucketed(spark, df, table, key, buckets)
+
+  // ----- text / dedup (SURVEY §2.9) -----
+
+  /** Per-row DISTINCT k-shingle 56-bit hash sets over a text column
+    * (one md5 per shingle; all downstream dedup works on ints). */
+  def shingleHashSets(docs: DataFrame, textCol: String, keep: Seq[String],
+                      k: Int = 3): DataFrame =
+    ops.Text.shingleHashSets(docs, textCol, keep, k)
+
+  /** Xor-permutation minhash signature columns (mh1..mh6) over the
+    * `hashes` column produced by [[shingleHashSets]]. */
+  def minhashCols: Seq[Column] = ops.Text.mhCols
+
+  // ----- similarity search (SURVEY §2.9) -----
+
+  /** Attach per-row L2 norm and sign-LSH bucket to any `array<float>`
+    * embedding column; `hyperplanes(n, dims)` sizes the bucket space. */
+  def withNormAndBucket(df: DataFrame, embCol: String,
+                        hp: Array[Array[Double]] = ops.Similarity.hpSigns): DataFrame =
+    ops.Similarity.withNormAndBucket(df, embCol, hp)
+
+  /** Deterministic ±1 hyperplane matrix for [[withNormAndBucket]]. */
+  def hyperplanes(nPlanes: Int, nDims: Int, seed: Long = 42L): Array[Array[Double]] =
+    ops.Similarity.hyperplanes(nPlanes, nDims, seed)
+
+  // ----- streaming (SURVEY §2.8) -----
+
+  /** Incremental file-source stream over a stage directory. */
+  def fileStream(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 format: String = "parquet"): DataFrame =
+    streaming.Streams.fileStream(spark, dir, schema, format)
+
+  /** Exactly-once-style parquet sink (idempotent per micro-batch). */
+  def foreachBatchSink(sdf: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    streaming.Streams.foreachBatchSink(sdf, outDir, checkpoint)
+}

@@ -32,13 +32,17 @@ object Similarity {
   private val dims = 64
   private val planes = 8
 
-  /** Deterministic ±1 hyperplane matrix (seeded java.util.Random —
+  /** Deterministic ±1 hyperplane matrix (seeded scala.util.Random —
     * embedded as literals in BOTH engines, so cross-engine agreement
-    * is by construction). */
-  val hpSigns: Array[Array[Double]] = {
-    val r = new scala.util.Random(42)
-    Array.fill(planes, dims)(if (r.nextBoolean()) 1.0 else -1.0)
+    * is by construction). PUBLIC and parameterized: the plane count is
+    * the bucket-density scale knob (SCALING.md) — at larger corpora,
+    * grow nPlanes ~log2(n / targetBucketSize) and re-bucket. */
+  def hyperplanes(nPlanes: Int, nDims: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(nPlanes, nDims)(if (r.nextBoolean()) 1.0 else -1.0)
   }
+
+  val hpSigns: Array[Array[Double]] = hyperplanes(planes, dims)
 
   private def sqlArray(a: Array[Double]): String =
     a.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -46,15 +50,27 @@ object Similarity {
   private def sparkArray(a: Array[Double]): String =
     a.map(v => if (v > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
 
-  /** Spark: dot(embedding, embedding) in doubles, sequential fold. */
-  private val normExpr =
-    "sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), cast(0 as double), (a,v) -> a + v))"
+  /** Spark: dot(c, c) in doubles, sequential fold (the FuseDotProduct
+    * rule collapses this to one codegen loop). */
+  private def normExprOf(c: String) =
+    s"sqrt(aggregate(transform($c, x -> cast(x as double) * cast(x as double)), cast(0 as double), (a,v) -> a + v))"
+  private val normExpr = normExprOf("embedding")
 
-  /** Spark: 8-bit LSH bucket from the literal hyperplane signs. */
-  private val bucketExpr: String = (0 until planes).map { j =>
-    val dot = s"aggregate(zip_with(embedding, ${sparkArray(hpSigns(j))}, (x,h) -> cast(x as double) * h), cast(0 as double), (a,v) -> a + v)"
-    s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
-  }.mkString("cast(", " + ", " as int)")
+  /** Spark: n-bit sign-LSH bucket from literal hyperplane signs. */
+  private def bucketExprOf(c: String, hp: Array[Array[Double]]): String =
+    hp.indices.map { j =>
+      val dot = s"aggregate(zip_with($c, ${sparkArray(hp(j))}, (x,h) -> cast(x as double) * h), cast(0 as double), (a,v) -> a + v)"
+      s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("cast(", " + ", " as int)")
+  private val bucketExpr = bucketExprOf("embedding", hpSigns)
+
+  /** PUBLIC generic form: attach per-row L2 norm (`nrm`) and sign-LSH
+    * bucket (`bucket`) over any `array<float>` embedding column —
+    * computed once per row, before any join touches the data. */
+  def withNormAndBucket(df: DataFrame, embCol: String,
+                        hp: Array[Array[Double]] = hpSigns): DataFrame =
+    df.withColumn("nrm", expr(normExprOf(embCol)))
+      .withColumn("bucket", expr(bucketExprOf(embCol, hp)))
 
   /** DuckDB equivalents. */
   private val duckNorm =
@@ -65,9 +81,7 @@ object Similarity {
 
   /** Corpus with per-row norm + LSH bucket (computed once, pre-join). */
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .withColumn("nrm", expr(normExpr))
-      .withColumn("bucket", expr(bucketExpr))
+    withNormAndBucket(Tables.load(s, dir, "embeddings"), "embedding")
 
   private val pairCos =
     "aggregate(zip_with(q_emb, embedding, (x,y) -> cast(x as double) * cast(y as double)), cast(0 as double), (a,v) -> a + v)"

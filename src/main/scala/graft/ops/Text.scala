@@ -69,18 +69,24 @@ object Text {
     * near-dup ops (minhash, band join, intersection counting) work on
     * the int hashes: int shuffles instead of string shuffles.
     */
-  private def shingleSets(s: SparkSession, dir: String, extra: Seq[String] = Nil) =
-    Tables.load(s, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
+  /** PUBLIC generic form: per-row DISTINCT k-shingle hash sets over any
+    * text column. Keeps `keep` columns alongside `hashes` and `n`. */
+  def shingleHashSets(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      keep: Seq[String], k: Int = 3): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= k)
       .withColumn("shingles",
-        expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-      .select((Seq(col("doc_id")) ++ extra.map(col) :+
-        expr(s"array_distinct(transform(shingles, x -> ${hash56("x")}))").as("hashes")): _*)
+        expr(s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+      .select(keep.map(col) :+
+        expr(s"array_distinct(transform(shingles, x -> ${hash56("x")}))").as("hashes"): _*)
       .withColumn("n", size(col("hashes")))
 
+  private def shingleSets(s: SparkSession, dir: String, extra: Seq[String] = Nil) =
+    shingleHashSets(Tables.load(s, dir, "documents"), "text", "doc_id" +: extra)
+
   /** Spark-side minhash signature columns over the hoisted hash set. */
-  private def mhCols: Seq[org.apache.spark.sql.Column] =
+  def mhCols: Seq[org.apache.spark.sql.Column] =
     mhSeeds.zipWithIndex.map { case (seed, i) =>
       expr(s"array_min(transform(hashes, h -> h ^ ${seed}L))").as(s"mh${i + 1}")
     }
