@@ -395,6 +395,54 @@ object Text {
           .orderBy(col("n").desc, col("token"))
           .limit(20)),
 
+    // ----- FLAGSHIP composite: the full training-data cleanse pipeline
+    //       as ONE declarative plan — quality score → language gate →
+    //       minhash-signature dedup (keep lowest doc_id per cluster) →
+    //       per-source corpus stats of the surviving docs. The shapes
+    //       compose without materialization: row-local scoring, one
+    //       signature groupBy (no pairwise join), one semi-join back,
+    //       one final agg. At 100 TB this is the nightly corpus build. -----
+    Q("q82_training_data_pipeline",
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, source,
+              |    len($duckTokens) AS n_tokens,
+              |    CAST(len(list_distinct($duckTokens)) AS DOUBLE) / len($duckTokens) AS uniq_ratio,
+              |    len(list_filter($duckTokens, t -> t IN ${inList(stopEn)})) > 0 AS is_en,
+              |    $duckShingleHashes AS hs
+              |  FROM documents WHERE len($duckTokens) >= 3),
+              |gated AS (
+              |  SELECT * FROM scored WHERE uniq_ratio >= 0.5 AND is_en),
+              |sig AS (
+              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")} FROM gated),
+              |kept AS (
+              |  SELECT min(doc_id) AS doc_id FROM sig
+              |  GROUP BY mh1, mh2, mh3, mh4, mh5, mh6)
+              |SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens,
+              |  round(avg(g.uniq_ratio), 4) AS avg_uniq
+              |FROM gated g JOIN kept k ON g.doc_id = k.doc_id
+              |GROUP BY g.source ORDER BY g.source""".stripMargin),
+      (s, dir) => {
+        val scored = shingleHashSets(
+            Tables.load(s, dir, "documents"), "text", Seq("doc_id", "source", "toks"))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("uniq_ratio",
+            expr("cast(size(array_distinct(toks)) as double) / size(toks)"))
+          .withColumn("is_en", expr(s"size(filter(toks, t -> t IN ${inList(stopEn)})) > 0"))
+        val gated = scored.filter(col("uniq_ratio") >= 0.5 && col("is_en")).cache()
+        gated.count() // eager: signature groupBy + semi-join both consume it
+        val kept = gated.select(col("doc_id") +: mhCols: _*)
+          .groupBy((1 to 6).map(i => col(s"mh$i")): _*)
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        gated.join(kept, Seq("doc_id"), "left_semi")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(avg(col("uniq_ratio")), 4).as("avg_uniq"))
+          .orderBy("source")
+      }),
+
     // ----- document fingerprint: polynomial rolling hash over the token
     //       stream (mod 1e9+7), tokens hashed to 56 bits then reduced
     //       mod 1000003. Left fold in both engines → identical values. -----
