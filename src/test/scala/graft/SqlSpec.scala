@@ -78,4 +78,15 @@ class SqlSpec extends AnyFunSuite {
     assert(out == "DROP TABLE IF EXISTS dev_test; CREATE TABLE dev_test (id INT)")
     assert(Sql.splitStatements(out).size == 2)
   }
+
+  test("runScript covers INSERT OVERWRITE and CREATE OR REPLACE VIEW") {
+    Sql.dropTable(spark, "graft_ow")
+    val out = Sql.runScript(spark,
+      """CREATE TABLE graft_ow (v INT) USING parquet;
+        |INSERT INTO graft_ow VALUES (1);
+        |INSERT OVERWRITE graft_ow VALUES (2), (3);
+        |CREATE OR REPLACE TEMPORARY VIEW graft_ow_v AS SELECT sum(v) AS s FROM graft_ow;
+        |SELECT s FROM graft_ow_v""".stripMargin)
+    assert(out.head().getLong(0) == 5L) // overwrite replaced the 1
+  }
 }
