@@ -80,8 +80,9 @@ class SqlSpec extends AnyFunSuite {
   }
 
   test("runScript covers INSERT OVERWRITE and CREATE OR REPLACE VIEW") {
-    Sql.dropTable(spark, "graft_ow")
-    val out = Sql.runScript(spark,
+    val s = SparkSuite.session
+    Sql.dropTable(s, "graft_ow")
+    val out = Sql.runScript(s,
       """CREATE TABLE graft_ow (v INT) USING parquet;
         |INSERT INTO graft_ow VALUES (1);
         |INSERT OVERWRITE graft_ow VALUES (2), (3);
