@@ -284,6 +284,60 @@ object RelationalX {
             max(col("n")).as("max_session_events"),
             sum(col("n")).as("total_events"))
           .orderBy("user_id")
+      }),
+
+    // ----- SCD-2 history derivation: per-customer order timeline →
+    //       validity intervals (valid_from = this order's date,
+    //       valid_to = next order's date, open-ended for the current
+    //       row). lead() over one per-key window — the standard
+    //       dimension-history build; one shuffle by the business key.
+    //       Ties on (date, key) are broken by o_orderkey so the
+    //       interval chain is total. -----
+    Q("q83_scd2_history",
+      Some("""SELECT o_custkey, o_orderkey, o_orderstatus,
+             |  CAST(o_orderdate AS DATE) AS valid_from,
+             |  CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to,
+             |  lead(o_orderdate) OVER w IS NULL AS is_current
+             |FROM orders
+             |WHERE o_custkey <= 200
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") <= 200)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("date").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(w).cast("date").as("valid_to"),
+            lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+          .orderBy("o_custkey", "valid_from", "o_orderkey")
+      }),
+
+    // ----- RANGE window frame over event time: per-user rolling 1-hour
+    //       event count/sum — the frame is VALUE-based (all rows within
+    //       the preceding hour), not row-count-based, so ties and gaps
+    //       are handled by time itself. Expressed on epoch seconds in
+    //       both engines to pin identical frame arithmetic. -----
+    Q("q84_range_frame",
+      Some("""SELECT user_id, event_id,
+             |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             |  round(sum(value) OVER w, 4) AS sum_1h
+             |FROM (SELECT user_id, event_id, value,
+             |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+          .rangeBetween(-3600L, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_timestamp(col("ts")).as("ts_s"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h", round(sum(col("value")).over(w), 4))
+          .select("user_id", "event_id", "n_1h", "sum_1h")
+          .orderBy("user_id", "event_id")
       })
   )
 }
