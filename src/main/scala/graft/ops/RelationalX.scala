@@ -314,6 +314,90 @@ object RelationalX {
           .orderBy("o_custkey", "valid_from", "o_orderkey")
       }),
 
+    // ----- recursive CTE (WITH RECURSIVE, Spark ≥4.0): a 12-row month
+    //       ladder built by recursion, LEFT-joined to 1995 orders for a
+    //       per-month gap-free rollup. The recursion is driver-cheap
+    //       (12 iterations over a 1-row seed); the join and aggregate
+    //       stay fully distributed — at scale the spine side is tiny
+    //       and broadcast. -----
+    Q("q85_recursive_cte",
+      Some("""WITH RECURSIVE m(mon) AS (
+             |  SELECT 1
+             |  UNION ALL
+             |  SELECT mon + 1 FROM m WHERE mon < 12)
+             |SELECT m.mon, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+             |  round(coalesce(sum(o_totalprice), 0), 4) AS total
+             |FROM m LEFT JOIN (SELECT * FROM orders
+             |                  WHERE year(CAST(o_orderdate AS DATE)) = 1995) o
+             |  ON month(CAST(o.o_orderdate AS DATE)) = m.mon
+             |GROUP BY m.mon ORDER BY m.mon""".stripMargin),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""WITH RECURSIVE m(mon) AS (
+                |  SELECT 1
+                |  UNION ALL
+                |  SELECT mon + 1 FROM m WHERE mon < 12)
+                |SELECT m.mon, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+                |  round(coalesce(sum(o_totalprice), 0), 4) AS total
+                |FROM m LEFT JOIN (SELECT * FROM orders
+                |                  WHERE year(CAST(o_orderdate AS DATE)) = 1995) o
+                |  ON month(CAST(o.o_orderdate AS DATE)) = m.mon
+                |GROUP BY m.mon ORDER BY m.mon""".stripMargin)
+      }),
+
+    // ----- LATERAL correlated subquery (per-row top-k): for each
+    //       customer, the 2 priciest orders via a LATERAL subquery with
+    //       ORDER BY + LIMIT — the SQL form of per-group top-k. Catalyst
+    //       decorrelates this into a ranked window join, so the physical
+    //       plan is the same scalable shape as q19's row_number ≤ k. -----
+    Q("q86_lateral_topk",
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |WHERE c_custkey <= 50
+             |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+                |FROM customer c, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM orders
+                |  WHERE o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                |WHERE c_custkey <= 50
+                |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+      }),
+
+    // ----- GROUPING / grouping_id over ROLLUP: distinguishes "NULL
+    //       because subtotal" from "NULL in the data" — required for
+    //       correct report layers over rollups. The combined id is
+    //       computed as 2*g(status)+g(priority) in both engines (engine-
+    //       specific GROUPING_ID bit orders differ; the arithmetic form
+    //       is portable). -----
+    Q("q87_grouping_id",
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+             |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS INT) AS gid,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM orders
+             |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, status, priority""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+            (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+              .cast("int").as("gid"),
+            count(lit(1)).as("n"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("g_status"), col("g_priority"), col("gid"), col("n"))
+          .orderBy("gid", "status", "priority")),
+
     // ----- RANGE window frame over event time: per-user rolling 1-hour
     //       event count/sum — the frame is VALUE-based (all rows within
     //       the preceding hour), not row-count-based, so ties and gaps
@@ -338,6 +422,28 @@ object RelationalX {
           .withColumn("sum_1h", round(sum(col("value")).over(w), 4))
           .select("user_id", "event_id", "n_1h", "sum_1h")
           .orderBy("user_id", "event_id")
+      }),
+
+    // ----- HLL sketch build + MERGE (Apache DataSketches, Spark ≥3.5):
+    //       per-event-type distinct-user sketches, then a union-merged
+    //       corpus-wide estimate from the PARTIAL SKETCHES — never
+    //       re-scanning the raw data. Mergeability is the 100 TB
+    //       property: per-partition/per-day sketches roll up to any
+    //       grouping for the cost of a few KB each. No oracle (estimates
+    //       are library-specific) → driver rows-only check; the exact
+    //       counterpart is q16. -----
+    Q("q90_hll_sketch",
+      None,
+      (s, dir) => {
+        val sk = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val perType = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).cast("long").as("approx_users"))
+        val overall = sk.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("approx_users"))
+          .select(lit("ALL").as("event_type"), col("approx_users"))
+        perType.unionByName(overall).orderBy("event_type")
       })
   )
 }

@@ -210,6 +210,44 @@ object Similarity {
           .orderBy("q_id", "rn")
       }),
 
+    // ----- L2 (Euclidean) nearest neighbors: distance from the norm
+    //       identity ||a-b||² = a·a + b·b − 2·a·b — norms are computed
+    //       ONCE per row before the join, so the per-pair work is a
+    //       single fused dot product (the same kernel as cosine; metric
+    //       choice costs nothing extra). greatest(·, 0) guards the tiny
+    //       negative residue float cancellation can leave. Both engines
+    //       evaluate sqrt(q² + c² − 2·dot) from bit-identical doubles,
+    //       and ranking uses the ROUNDED distance with a cand_id
+    //       tiebreak. -----
+    Q("q89_l2_topk",
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), q AS (SELECT * FROM n WHERE vec_id < 5),
+              |sc AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    round(sqrt(greatest(q.nrm * q.nrm + c.nrm * c.nrm
+              |      - 2 * list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 0)), 4) AS dist
+              |  FROM q JOIN n c ON c.vec_id <> q.vec_id)
+              |SELECT q_id, cand_id, dist, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, cand_id) AS rn
+              |  FROM sc)
+              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val n = corpus(s, dir)
+        val q = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cand_id"))
+        n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("dist", round(sqrt(greatest(
+            col("q_nrm") * col("q_nrm") + col("nrm") * col("nrm")
+              - lit(2) * expr("dot_product(q_emb, embedding)"), lit(0.0))), 4))
+          .select(col("q_id"), col("vec_id").as("cand_id"), col("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .orderBy("q_id", "rn")
+      }),
+
     // ----- IVF-style ANN: coarse quantizer = 8 seed centroids
     //       (vec_id < 8 — a real deployment k-means-trains these; the
     //       cell-assign / nprobe plumbing is identical), every vector

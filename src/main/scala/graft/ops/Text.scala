@@ -443,6 +443,50 @@ object Text {
           .orderBy("source")
       }),
 
+    // ----- TF-IDF: term frequency × inverse document frequency, the
+    //       classic relevance weight — top-3 terms per doc. tf and df are
+    //       exact integer aggregates; the only float op is tf*ln(N/df),
+    //       computed from identical ints in both engines and rounded to
+    //       4 before ranking (ranking on the ROUNDED score + token
+    //       tiebreak keeps the order engine-independent). Shapes:
+    //       explode → two keyed aggs (partial+final) → join on token →
+    //       per-doc top-k window. The df relation is vocabulary-sized;
+    //       at 100 TB it stays a regular shuffle join (vocab can exceed
+    //       broadcast limits), while the doc-count scalar is a 1-row
+    //       broadcast. -----
+    Q("q88_tfidf",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+             |df AS (SELECT token, count(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+             |nd AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.token,
+             |    round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 4) AS tfidf
+             |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd)
+             |SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rn FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+             |  FROM scored WHERE doc_id <= 20)
+             |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfr = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+        tf.join(dfr, "token")
+          .crossJoin(broadcast(nd))
+          .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+          .filter(col("doc_id") <= 20)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "token", "tfidf", "rn")
+          .orderBy("doc_id", "rn")
+      }),
+
     // ----- document fingerprint: polynomial rolling hash over the token
     //       stream (mod 1e9+7), tokens hashed to 56 bits then reduced
     //       mod 1000003. Left fold in both engines → identical values. -----

@@ -111,6 +111,24 @@ object Streams {
       .toDF()
   }
 
+  /** Stream-stream inner join with a time-range condition: each side is
+    * watermarked, and the join requires the right event to land within
+    * `[left.ts, left.ts + within]` — the bound that lets Spark EVICT
+    * join state (an unbounded stream-stream join would buffer both
+    * streams forever; the watermark + range condition caps state to the
+    * horizon). Column names must be disjoint; `leftTs`/`rightTs` name
+    * each side's event-time column. At scale both streams co-shuffle on
+    * the key once and state lives in the per-partition store. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String = "1 hour",
+                       within: String = "10 minutes"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $within"))
+
   /** Idempotent micro-batch write: the batch lands in its own
     * `_batch_id` partition under dynamic partition overwrite, so a
     * REPLAYED batch (restart after a failure between the sink write and

@@ -57,6 +57,40 @@ class StreamingSpec extends SparkSuite {
     assert(replayed.select("event_id").distinct().count() == 2)
   }
 
+  test("stream-stream time-range join matches the batch join") {
+    val lDir = java.nio.file.Files.createTempDirectory("graft-ss-l").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft-ss-r").toString
+    writeEvents(lDir,
+      (1L, "2024-01-01 00:10:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:40:00", 2L, "click", 2.0),
+      (3L, "2024-01-01 01:00:00", 1L, "click", 3.0))
+    writeEvents(rDir,
+      (11L, "2024-01-01 00:15:00", 1L, "buy", 9.0), // within 10m of event 1
+      (12L, "2024-01-01 00:55:00", 2L, "buy", 8.0), // 15m after event 2 -> no match
+      (13L, "2024-01-01 01:05:00", 1L, "buy", 7.0)) // within 10m of event 3
+    val lSchema = spark.read.parquet(lDir).schema
+    def prep(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("event_id").as(s"${side}_id"), col("ts").as(s"${side}_ts"),
+        col("user_id").as(s"${side}_user"))
+    val expected = Streams.streamStreamJoin(
+        prep(spark.read.parquet(lDir), "l"), prep(spark.read.parquet(rDir), "r"),
+        "l_user", "r_user", "l_ts", "r_ts")
+      .select("l_id", "r_id").orderBy("l_id").collect()
+    assert(expected.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L), (3L, 13L)))
+
+    val sdf = Streams.streamStreamJoin(
+      prep(Streams.fileStream(spark, lDir, lSchema), "l"),
+      prep(Streams.fileStream(spark, rDir, lSchema), "r"),
+      "l_user", "r_user", "l_ts", "r_ts")
+    val q = sdf.select("l_id", "r_id").writeStream
+      .format("memory").queryName("t_ssjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("t_ssjoin").orderBy("l_id").collect()
+      assert(got.toSeq == expected.toSeq)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes stream duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     writeEvents(dir,
