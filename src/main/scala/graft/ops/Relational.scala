@@ -421,15 +421,19 @@ object Relational {
              |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
              |  FROM lineitem
              |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin),
-      (s, dir) => {
-        val w = Window.partitionBy(col("l_orderkey"))
-          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      (s, dir) =>
+        // "first row per key" as a hash aggregate: min over the ordering
+        // tuple as a struct (struct ordering = field order = the window's
+        // ORDER BY). Unlike row_number-over-window this partial-aggregates
+        // map-side, so the shuffle carries one row per order, not every
+        // lineitem — the only dedup-keep-first shape that survives 100 TB.
         Tables.load(s, dir, "lineitem")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-          .orderBy("l_orderkey")
-      }),
+          .groupBy(col("l_orderkey"))
+          .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"))).as("f"))
+          .select(col("l_orderkey"), col("f.l_partkey").as("l_partkey"),
+            col("f.l_suppkey").as("l_suppkey"), col("f.l_quantity").as("l_quantity"))
+          .orderBy("l_orderkey")),
 
     // ----- pivot (explicit value list: single pass, no discovery job) -----
     Q("q25_pivot_linestatus",

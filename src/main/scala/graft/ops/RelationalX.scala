@@ -429,15 +429,20 @@ object RelationalX {
     //       corpus-wide estimate from the PARTIAL SKETCHES — never
     //       re-scanning the raw data. Mergeability is the 100 TB
     //       property: per-partition/per-day sketches roll up to any
-    //       grouping for the cost of a few KB each. No oracle (estimates
-    //       are library-specific) → driver rows-only check; the exact
-    //       counterpart is q16. -----
+    //       grouping for the cost of a few KB each. The sketch frame is
+    //       cached before branching so the per-type estimates and the
+    //       union-merge physically share ONE scan+agg of the raw data
+    //       (without the cache the two branches are identical logical
+    //       subtrees that may or may not be deduped by exchange reuse).
+    //       No oracle (estimates are library-specific) → driver
+    //       rows-only check; the exact counterpart is q16. -----
     Q("q90_hll_sketch",
       None,
       (s, dir) => {
         val sk = Tables.load(s, dir, "events")
           .groupBy(col("event_type"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .cache()
         val perType = sk.select(col("event_type"),
           hll_sketch_estimate(col("sk")).cast("long").as("approx_users"))
         val overall = sk.agg(

@@ -116,18 +116,28 @@ object Streams {
     * `[left.ts, left.ts + within]` — the bound that lets Spark EVICT
     * join state (an unbounded stream-stream join would buffer both
     * streams forever; the watermark + range condition caps state to the
-    * horizon). Column names must be disjoint; `leftTs`/`rightTs` name
-    * each side's event-time column. At scale both streams co-shuffle on
-    * the key once and state lives in the per-partition store. */
+    * horizon). Column names must be disjoint (enforced); `leftTs`/
+    * `rightTs` name each side's event-time column. At scale both
+    * streams co-shuffle on the key once and state lives in the
+    * per-partition store. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTs: String, rightTs: String,
                        watermark: String = "1 hour",
-                       within: String = "10 minutes"): DataFrame =
-    left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
-        expr(s"$leftKey = $rightKey AND " +
-          s"$rightTs >= $leftTs AND $rightTs <= $leftTs + interval $within"))
+                       within: String = "10 minutes"): DataFrame = {
+    require(Set(leftKey, rightKey, leftTs, rightTs).size == 4,
+      s"streamStreamJoin needs four distinct column names, got " +
+        s"($leftKey, $rightKey, $leftTs, $rightTs)")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right schemas must be disjoint; shared columns: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"interval $within"))
+  }
 
   /** Idempotent micro-batch write: the batch lands in its own
     * `_batch_id` partition under dynamic partition overwrite, so a

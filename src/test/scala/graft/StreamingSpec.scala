@@ -91,6 +91,20 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join rejects colliding column names") {
+    import spark.implicits._
+    val l = Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"))).toDF("k", "ts")
+    val r = Seq((1L, Timestamp.valueOf("2024-01-01 00:15:00"))).toDF("k2", "r_ts")
+    // same key name on both sides would silently become a trivial k = k
+    intercept[IllegalArgumentException] {
+      Streams.streamStreamJoin(l, l, "k", "k", "ts", "ts")
+    }
+    // overlapping (non-key) schemas are ambiguous downstream
+    intercept[IllegalArgumentException] {
+      Streams.streamStreamJoin(l, r.withColumn("ts", col("r_ts")), "k", "k2", "ts", "r_ts")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes stream duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     writeEvents(dir,
