@@ -13,8 +13,9 @@ object SparkEntry {
 
   /** Full inventory, grouped by SURVEY.md §2 category. */
   def all: Seq[Q] =
-    Relational.queries ++ RelationalX.queries ++ Ingest.queries ++ Sql.queries ++
-      Pipeline.queries ++ Text.queries ++ Similarity.queries ++ Windows.queries ++
+    Relational.queries ++ RelationalX.queries ++ RelationalY.queries ++
+      Ingest.queries ++ Sql.queries ++ Pipeline.queries ++ Text.queries ++
+      Corpus.queries ++ Similarity.queries ++ Windows.queries ++
       Multimodal.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

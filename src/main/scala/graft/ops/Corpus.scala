@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-engineering operators over `documents` (SURVEY.md §2.9, the
+  * training-data-pipeline extension): term redaction (PII-scrub
+  * plumbing), deterministic stratified sampling, hash-based
+  * train/val/test splits, contiguous sequence packing into fixed token
+  * budgets, and per-source vocabulary statistics.
+  *
+  * Determinism rule (same as `Text`): every sampling/split decision
+  * bottoms out in `md5(salt || doc_id)` reduced to a 56-bit int —
+  * identical in Spark and DuckDB, independent of partitioning, cluster
+  * size, and row order. That property (not a seeded RNG) is what makes
+  * a 100 TB sample reproducible and re-runnable per partition.
+  */
+object Corpus {
+
+  /** 56-bit salted doc hash in [0,100): Spark side. */
+  private def pctHash(salt: String): String =
+    s"cast(conv(substring(md5(concat('$salt', cast(doc_id as string))), 1, 14), 16, 10) as bigint) % 100"
+
+  /** Same hash, DuckDB side. */
+  private def duckPctHash(salt: String): String =
+    s"('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100"
+
+  /** Redaction pattern: word-boundary alternation over the denylist —
+    * RE2 (DuckDB) and java.util.regex (Spark) agree on this subset. */
+  private val denyRe = "\\b(customer|query|user)\\b"
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- term redaction (the PII-scrub shape): regexp_replace over a
+    //       word-boundary denylist + per-source audit counts. Row-local
+    //       scan-stage work; the audit agg is partial+final. In a real
+    //       pipeline the denylist regex is compiled once per task —
+    //       constant-folded here. -----
+    Q("q99_redact_terms",
+      Some(s"""SELECT source,
+              |  CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS docs_affected,
+              |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+              |  CAST(sum(len(text) - len(redacted)) AS BIGINT) AS chars_delta
+              |FROM (
+              |  SELECT source, text,
+              |    regexp_replace(text, '$denyRe', '<PII>', 'g') AS redacted,
+              |    len(regexp_extract_all(text, '$denyRe')) AS n_hits
+              |  FROM documents)
+              |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("text"),
+            regexp_replace(col("text"), denyRe, "<PII>").as("redacted"),
+            // Column-API form: the pattern goes in verbatim (an expr()
+            // SQL string would escape-process the \b into a backspace)
+            size(regexp_extract_all(col("text"), lit(denyRe), lit(0))).as("n_hits"))
+          .groupBy("source")
+          .agg(
+            count(when(col("n_hits") > 0, 1)).as("docs_affected"),
+            sum(col("n_hits")).as("total_hits"),
+            sum(length(col("text")) - length(col("redacted"))).cast("long").as("chars_delta"))
+          .orderBy("source")),
+
+    // ----- deterministic stratified sampling: per-stratum rates (50%
+    //       for the first five sources, 10% for the rest) decided by a
+    //       salted doc hash — no RNG, no sampleBy; the predicate pushes
+    //       to the scan and the same doc is kept on every re-run at any
+    //       parallelism. -----
+    Q("q100_stratified_sample",
+      Some(s"""SELECT source,
+              |  CAST(count(*) AS BIGINT) AS n_total,
+              |  CAST(count(*) FILTER (WHERE picked) AS BIGINT) AS n_sampled
+              |FROM (
+              |  SELECT source,
+              |    ${duckPctHash("smp")} <
+              |      (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              |            THEN 50 ELSE 10 END) AS picked
+              |  FROM documents)
+              |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            (expr(pctHash("smp")) <
+              when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 50)
+                .otherwise(10)).as("picked"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("picked"), 1)).as("n_sampled"))
+          .orderBy("source")),
+
+    // ----- hash-based train/val/test split (90/5/5): the assignment is
+    //       a pure function of doc_id, so the split is stable across
+    //       runs, machines, and data layout — the property a training
+    //       pipeline needs to never leak val docs into train. -----
+    Q("q101_train_val_split",
+      Some(s"""SELECT split,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              |FROM (
+              |  SELECT text, source,
+              |    CASE WHEN ${duckPctHash("spl")} < 90 THEN 'train'
+              |         WHEN ${duckPctHash("spl")} < 95 THEN 'val'
+              |         ELSE 'test' END AS split
+              |  FROM documents)
+              |GROUP BY split ORDER BY split""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("bucket", expr(pctHash("spl")))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("split")),
+
+    // ----- contiguous sequence packing: stream docs (per source, in
+    //       doc_id order) into 2048-token context windows; a doc's bin is
+    //       floor(tokens-before-it / 2048). One window sum per source —
+    //       the streaming-pack shape that needs no global coordination
+    //       (each source packs independently; at 100 TB sources shard
+    //       across executors and the window never crosses them). -----
+    Q("q102_sequence_packing",
+      Some("""SELECT source, CAST(bin AS BIGINT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+             |  round(sum(n_tokens) / 2048.0, 4) AS fill_ratio
+             |FROM (
+             |  SELECT source, n_tokens,
+             |    floor(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS bin
+             |  FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+             |        FROM documents))
+             |GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("bin",
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / 2048))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("bin_tokens"),
+            round(sum(col("n_tokens")) / 2048.0, 4).as("fill_ratio"))
+          .orderBy("source", "bin")
+      }),
+
+    // ----- per-source vocabulary statistics: token total, vocabulary
+    //       size, hapax legomena (frequency-1 tokens), type-token ratio.
+    //       explode → (source, token) agg (partial combine eats the
+    //       explosion) → per-source rollup of counts. -----
+    Q("q103_vocab_stats",
+      Some("""SELECT source,
+             |  CAST(sum(cnt) AS BIGINT) AS total_tokens,
+             |  CAST(count(*) AS BIGINT) AS vocab,
+             |  CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS hapax,
+             |  round(count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS type_token_ratio
+             |FROM (
+             |  SELECT source, token, count(*) AS cnt
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY source, token)
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+          .groupBy("source")
+          .agg(sum(col("cnt")).cast("long").as("total_tokens"),
+            count(lit(1)).as("vocab"),
+            count(when(col("cnt") === 1, 1)).as("hapax"),
+            round(count(lit(1)) / sum(col("cnt")).cast("double"), 4).as("type_token_ratio"))
+          .orderBy("source"))
+  )
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the transitive
+  * closure a near-dup pipeline needs: MinHash-LSH emits PAIRS, but the
+  * keep-one-per-group decision needs whole CLUSTERS (A~B, B~C ⇒ {A,B,C}
+  * even though A,C never shared a bucket).
+  *
+  * Algorithm: iterative min-label propagation. Each node starts labeled
+  * with itself; every round each node takes the min of its own label
+  * and its neighbors' labels; converged when no label changes. Rounds =
+  * graph diameter; near-dup graphs are unions of small dense clusters,
+  * so diameter is tiny (2-4) regardless of corpus size. Each round is
+  * one shuffle keyed by node id — no driver-side graph state, edges
+  * never leave the cluster. (For adversarial long-chain graphs the
+  * large-star/small-star variant [Kiveris et al., "Connected Components
+  * in MapReduce and Beyond"] converges in O(log n) rounds; the
+  * propagation loop below is the same join shape, so it swaps in
+  * without changing callers.)
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by `edges`
+    * (two numeric columns `src`, `dst`). Returns (`id`, `component`)
+    * where `component` is the minimum node id reachable from `id`.
+    * Isolated nodes (absent from `edges`) are absent from the result.
+    *
+    * Each iteration caches its labels and unpersists the previous
+    * round's — peak storage is two label sets, not the whole history.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetrize once: propagation below only follows src -> dst
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // neighbor labels flow along edges; keep min(own, incoming)
+      val incoming = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(incoming)
+        .groupBy("id").agg(min("component").as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -487,6 +487,56 @@ object Text {
           .orderBy("doc_id", "rn")
       }),
 
+    // ----- near-dup CONNECTED COMPONENTS: MinHash-LSH band candidates
+    //       (q41's generation stage) closed transitively via iterative
+    //       min-label propagation (ops.Graph) — A~B, B~C ⇒ one cluster
+    //       {A,B,C} even when A,C never share a bucket. This is the
+    //       cluster view q77 (exact-signature grouping) can't produce.
+    //       Oracle: recursive-CTE reachability in DuckDB. Rounds =
+    //       cluster diameter (2-4 for near-dup graphs); each round one
+    //       id-keyed shuffle — no driver-side graph state. -----
+    Q("q104_neardup_components",
+      Some(s"""WITH RECURSIVE sig AS (
+              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+              |        FROM documents WHERE len($duckTokens) >= 3)
+              |), bands AS (
+              |  SELECT doc_id, band, v1, v2 FROM (
+              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
+              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
+              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+              |), edges AS (
+              |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+              |    AND a.doc_id <> b.doc_id
+              |), reach(src, dst) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              |)
+              |SELECT component AS component_id, CAST(count(*) AS BIGINT) AS n_members,
+              |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+              |FROM (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+              |GROUP BY component ORDER BY component""".stripMargin),
+      (s, dir) => {
+        val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*)
+        val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
+          .map { case (b, x, y) =>
+            sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
+          }.reduce(_.unionByName(_))
+        val edges = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
+              && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
+        Graph.connectedComponents(edges)
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"),
+            array_join(transform(sort_array(collect_list(col("id"))),
+              _.cast("string")), ",").as("members"))
+          .select(col("component").as("component_id"), col("n_members"), col("members"))
+          .orderBy("component_id")
+      }),
+
     // ----- document fingerprint: polynomial rolling hash over the token
     //       stream (mod 1e9+7), tokens hashed to 56 bits then reduced
     //       mod 1000003. Left fold in both engines → identical values. -----
