@@ -89,4 +89,34 @@ class PlanShapeSpec extends SparkSuite {
     val p = formatted("q77_dedup_clusters")
     assert(!p.contains("Join"), p)
   }
+
+  test("q91: all three ranking functions share ONE window sort pass") {
+    val p = formatted("q91_ranking_suite")
+    assert("\\bWindow \\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q97: fuzzy matching pairs the deduplicated key domain via broadcast") {
+    val p = formatted("q97_levenshtein_fuzzy")
+    assert(p.contains("BroadcastNestedLoopJoin")) // non-equi name < name
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q98: histogram is scan → partial agg → one shuffle (+ final sort)") {
+    val p = formatted("q98_histogram_bins")
+    assert(!p.contains("Join"))
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q100: sampling decision never reads the text column") {
+    val read = formatted("q100_stratified_sample").linesIterator
+      .find(_.startsWith("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("source")
+      && !read.contains("text"), read)
+  }
+
+  test("q102: packing is one window pass + one aggregation, no join") {
+    val p = formatted("q102_sequence_packing")
+    assert(!p.contains("Join"))
+    assert("\\bWindow \\(".r.findAllIn(p).size == 1, p)
+  }
 }
