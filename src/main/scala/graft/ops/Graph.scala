@@ -31,10 +31,13 @@ object Graph {
     * round's — peak storage is two label sets, not the whole history.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Cache the edge list BEFORE symmetrizing: the union below references
+    // it twice, and the propagation loop re-reads it every round — without
+    // this, an expensive upstream (e.g. an LSH band self-join) would be
+    // re-executed once per reference.
+    val e = edges.select(col("src"), col("dst")).cache()
     // symmetrize once: propagation below only follows src -> dst
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .cache()
@@ -53,7 +56,7 @@ object Graph {
       labels = next
       i += 1
     }
-    sym.unpersist()
+    e.unpersist()
     labels
   }
 }

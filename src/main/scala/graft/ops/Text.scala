@@ -519,7 +519,11 @@ object Text {
               |FROM (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
               |GROUP BY component ORDER BY component""".stripMargin),
       (s, dir) => {
-        val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*)
+        // signature frame cached + eager (as in q41): the three band
+        // branches and both self-join sides would otherwise re-run the
+        // whole shingle-hash pipeline 6×
+        val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*).cache()
+        sig.count()
         val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
           .map { case (b, x, y) =>
             sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))

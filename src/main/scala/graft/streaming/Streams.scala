@@ -51,6 +51,17 @@ object Streams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension, explicitly broadcast — the stream side never shuffles
+    * and carries no join state (unlike stream-stream joins, the static
+    * side is re-resolvable per batch). This is the streaming analogue
+    * of every starjoin in the batch queries: at 100 TB/day the stream
+    * stays partition-local and only the (small) dim ships. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String,
+                    joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), joinType)
+
   /** Event row shape of the `events` fixture (typed for groupByKey). */
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                             event_type: String, value: Double, props: String)

@@ -91,6 +91,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    writeEvents(dir,
+      (1L, "2024-01-01 00:10:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:20:00", 2L, "view", 2.0),
+      (3L, "2024-01-01 00:30:00", 9L, "view", 3.0)) // user 9 not in dim
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("u_id", "u_name")
+    val batch = spark.read.parquet(dir)
+    val expected = Streams.enrichWithDim(batch, dim, "user_id", "u_id")
+      .select("event_id", "u_name").orderBy("event_id").collect()
+    assert(expected.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice"), (2L, "bob"), (3L, null)))
+
+    val sdf = Streams.enrichWithDim(
+      Streams.fileStream(spark, dir, batch.schema), dim, "user_id", "u_id")
+    val q = sdf.select("event_id", "u_name").writeStream
+      .format("memory").queryName("t_enrich").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_enrich").orderBy("event_id").collect().toSeq == expected.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream join rejects colliding column names") {
     import spark.implicits._
     val l = Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"))).toDF("k", "ts")
