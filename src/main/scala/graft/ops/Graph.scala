@@ -41,17 +41,23 @@ object Graph {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .cache()
-    var changed = 1L
+    // Convergence check: labels are monotonically non-increasing, so the
+    // label SUM strictly decreases every round until fixpoint — one
+    // scalar aggregate per round instead of a join against the previous
+    // labels (decimal(38,0) so billions of 64-bit ids can't overflow).
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       // neighbor labels flow along edges; keep min(own, incoming)
       val incoming = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
       val next = labels.unionByName(incoming)
         .groupBy("id").agg(min("component").as("component"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).count()
+      val s = next.agg(sum(col("component").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       i += 1
