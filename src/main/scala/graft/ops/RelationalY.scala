@@ -176,6 +176,31 @@ object RelationalY {
           .orderBy("n1", "n2")
       }),
 
+    // ----- calendar arithmetic (complements q34's extraction/diff set):
+    //       month-clamped addition, period ends, ISO week/day numbering,
+    //       quarter truncation. Row-local; everything normalized to DATE
+    //       so both engines compare exactly. -----
+    Q("q105_date_arith",
+      Some("""SELECT o_orderkey,
+             |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+             |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+             |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+             |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             |  CAST(isodow(o_orderdate) AS INT) AS iso_dow
+             |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 200)
+          .select(col("o_orderkey"),
+            add_months(col("o_orderdate"), 2).as("plus_2mo"),
+            last_day(col("o_orderdate")).as("month_end"),
+            quarter(col("o_orderdate")).as("qtr"),
+            date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr_start"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            (weekday(col("o_orderdate")) + 1).as("iso_dow"))
+          .orderBy("o_orderkey")),
+
     // ----- fixed-width histogram: integer bin arithmetic on the scan
     //       (no join against a bin table), partial-aggregated counts —
     //       the O(1)-memory histogram shape for any scale. -----
