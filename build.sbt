@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the JSON line from captured stdout; sbt's
+// default BufferedOutput prefixes every forked-run line with "[info] ",
+// which defeats a `line.startswith('{')`-style parse. StdoutOutput
+// pipes the forked JVM's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

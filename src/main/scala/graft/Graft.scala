@@ -104,6 +104,27 @@ object Graft {
     * `hashes` column produced by [[shingleHashSets]]. */
   def minhashCols: Seq[Column] = ops.Text.mhCols
 
+  /** Connected components of an undirected edge list (`src`, `dst`) via
+    * iterative min-label propagation — closes near-dup candidate PAIRS
+    * into whole CLUSTERS (rounds bounded by cluster diameter; one
+    * id-keyed shuffle per round, no driver-side graph state). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    ops.Graph.connectedComponents(edges, maxIter)
+
+  // ----- corpus engineering (SURVEY §2.9: sampling, splits, packing) -----
+
+  /** Deterministic percent-hash in [0,100) from a salted md5 of `keyCol`
+    * — the reproducible-decision primitive behind stratified sampling
+    * and train/val/test splits (pure function of the key: stable across
+    * runs, machines, and data layout; the predicate pushes to the scan). */
+  def hashPercent(keyCol: Column, salt: String): Column =
+    ops.Corpus.hashPercent(keyCol, salt)
+
+  /** Hash-based train/val/test split assignment (default 90/5/5). */
+  def splitAssign(keyCol: Column, salt: String = "spl",
+                  trainPct: Int = 90, valPct: Int = 5): Column =
+    ops.Corpus.splitAssign(keyCol, salt, trainPct, valPct)
+
   // ----- similarity search (SURVEY §2.9) -----
 
   /** Attach per-row L2 norm and sign-LSH bucket to any `array<float>`

@@ -18,9 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** 56-bit salted doc hash in [0,100): Spark side. */
-  private def pctHash(salt: String): String =
-    s"cast(conv(substring(md5(concat('$salt', cast(doc_id as string))), 1, 14), 16, 10) as bigint) % 100"
+  /** PUBLIC deterministic percent-hash in [0,100): 56-bit salted md5 of
+    * the key, reduced mod 100 — a pure function of (salt, key), so every
+    * sampling/split decision is stable across runs, machines, and data
+    * layout, and the predicate pushes to the scan. DuckDB-identical
+    * ([[duckPctHash]]). */
+  def hashPercent(keyCol: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 14), 16, 10)
+      .cast("long") % 100
+
+  /** PUBLIC hash-based split assignment: train/val/test by percent-hash
+    * bucket (default 90/5/5). */
+  def splitAssign(keyCol: org.apache.spark.sql.Column, salt: String = "spl",
+                  trainPct: Int = 90, valPct: Int = 5): org.apache.spark.sql.Column = {
+    val b = hashPercent(keyCol, salt)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
 
   /** Same hash, DuckDB side. */
   private def duckPctHash(salt: String): String =
@@ -81,7 +94,7 @@ object Corpus {
       (s, dir) =>
         Tables.load(s, dir, "documents")
           .select(col("source"),
-            (expr(pctHash("smp")) <
+            (hashPercent(col("doc_id"), "smp") <
               when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 50)
                 .otherwise(10)).as("picked"))
           .groupBy("source")
@@ -107,11 +120,7 @@ object Corpus {
               |GROUP BY split ORDER BY split""".stripMargin),
       (s, dir) =>
         Tables.load(s, dir, "documents")
-          .withColumn("bucket", expr(pctHash("spl")))
-          .withColumn("split",
-            when(col("bucket") < 90, "train")
-              .when(col("bucket") < 95, "val")
-              .otherwise("test"))
+          .withColumn("split", splitAssign(col("doc_id")))
           .groupBy("split")
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
@@ -150,6 +159,25 @@ object Corpus {
             round(sum(col("n_tokens")) / 2048.0, 4).as("fill_ratio"))
           .orderBy("source", "bin")
       }),
+
+    // ----- explode_outer: null-preserving generator semantics — docs
+    //       whose filtered token list is EMPTY survive as a null row
+    //       (plain explode would silently drop them; the difference is
+    //       exactly the LEFT vs INNER join of a doc against its tokens,
+    //       and losing empty docs corrupts per-doc statistics). -----
+    Q("q106_explode_outer",
+      Some("""SELECT doc_id, tok FROM (
+             |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 6)) AS tok
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, NULL AS tok FROM documents
+             |  WHERE len(list_filter(string_split(text, ' '), t -> len(t) > 6)) = 0)
+             |ORDER BY doc_id, tok""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode_outer(expr("filter(split(text, ' '), t -> length(t) > 6)")).as("tok"))
+          .orderBy("doc_id", "tok")),
 
     // ----- per-source vocabulary statistics: token total, vocabulary
     //       size, hapax legomena (frequency-1 tokens), type-token ratio.
