@@ -27,4 +27,14 @@ object Bucketing {
   def cobucketedJoin(spark: SparkSession, left: String, right: String,
                      key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
+
+  /** Same, for sides whose bucket columns carry different names (the
+    * usual fact ⋈ dim shape, e.g. `o_custkey = c_custkey`): each side
+    * must be bucketed on its OWN join key with the same bucket count. */
+  def cobucketedJoin(spark: SparkSession, left: String, leftKey: String,
+                     right: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

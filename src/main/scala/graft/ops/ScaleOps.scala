@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.TopKAggregator
+import org.apache.spark.sql.functions._
+
+/** Scale-structure operators (SURVEY.md §2.5 scale notes + §4): the
+  * techniques that keep the SAME logical query viable when the data
+  * grows 1000× — amortized bucketing, structural salting, range-join
+  * binning, bounded-heap top-k, bloom semi-join reduction, and
+  * incremental (algebraic) re-aggregation.
+  *
+  * Each query here is the oracle-checked demonstration of one
+  * technique over the driver fixtures; the technique itself lives in a
+  * reusable op ([[Bucketing]], [[Skew]], [[graft.functions.TopKAggregator]])
+  * or inline where it is a plan shape rather than a function.
+  * Plan-shape assertions live in ScaleOpsSpec.
+  */
+object ScaleOps {
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- co-bucketed fact ⋈ dim join: both sides pre-shuffled into
+    //       the same bucket layout at write time, so the join itself
+    //       plans with ZERO exchanges (BucketingSpec asserts it). At
+    //       100 TB this amortizes the fact table's shuffle across every
+    //       future join on the key — write once, join shuffle-free
+    //       forever. The aggregate after the join is the usual
+    //       partial+final hash agg. -----
+    Q("q107_bucketed_join",
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      (s, dir) => {
+        Bucketing.writeBucketed(s, Tables.load(s, dir, "orders"),
+          "g_orders_by_cust", "o_custkey", buckets = 8)
+        Bucketing.writeBucketed(s, Tables.load(s, dir, "customer"),
+          "g_customer_by_key", "c_custkey", buckets = 8)
+        Bucketing.cobucketedJoin(s, "g_orders_by_cust", "o_custkey",
+            "g_customer_by_key", "c_custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+          .orderBy("c_mktsegment")
+      }),
+
+    // ----- structurally salted fact ⋈ dim join (Skew.saltedJoin): the
+    //       fact side gets a deterministic hash salt, the broadcast dim
+    //       is replicated per salt value, so ONE hot part key spreads
+    //       over 8 reducers instead of melting one. Same result as the
+    //       plain join — the salt never escapes the op. -----
+    Q("q108_salted_join",
+      Some("""SELECT p_brand, count(*) AS n_lines,
+             |  round(sum(l_quantity), 2) AS qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val dim = Tables.load(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        Skew.saltedJoin(li, dim, "l_partkey",
+            saltFrom = Seq("l_orderkey", "l_linenumber"), buckets = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("l_quantity")), 2).as("qty"))
+          .orderBy("p_brand")
+      }),
+
+    // ----- binned range join: point-in-interval joins default to
+    //       BroadcastNestedLoopJoin (every row × every interval — dies
+    //       at scale). Discretize instead: each interval explodes into
+    //       the fixed-width bins it covers, each point computes its one
+    //       bin, and the join becomes an EQUI-join on bin id + a cheap
+    //       residual filter. O(points + intervals×bins/interval) instead
+    //       of O(points × intervals); overlapping intervals are fine
+    //       (a point meets each interval in exactly one bin — its own).
+    //       cf. q09's BNLJ form — this is its 100-TB replacement. -----
+    Q("q109_binned_range_join",
+      Some("""SELECT band_id, count(*) AS n_orders,
+             |  round(avg(o_totalprice), 2) AS avg_price
+             |FROM orders JOIN (VALUES (1, 0, 50000), (2, 25000, 100000),
+             |    (3, 75000, 200000), (4, 150000, 600000)) AS b(band_id, lo, hi)
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY band_id
+             |ORDER BY band_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val binW = 25000d
+        val bands = Seq((1, 0d, 50000d), (2, 25000d, 100000d),
+          (3, 75000d, 200000d), (4, 150000d, 600000d)).toDF("band_id", "lo", "hi")
+        val binnedBands = bands.withColumn("bin",
+          explode(sequence(floor(col("lo") / binW), floor(col("hi") / binW))))
+        Tables.load(s, dir, "orders")
+          .withColumn("bin", floor(col("o_totalprice") / binW))
+          .join(broadcast(binnedBands), Seq("bin"))
+          .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_orders"),
+            round(avg(col("o_totalprice")), 2).as("avg_price"))
+          .orderBy("band_id")
+      }),
+
+    // ----- bounded-heap grouped top-k (TopKAggregator): top-5
+    //       customers by balance per nation WITHOUT the
+    //       sort-every-row window form. The typed Aggregator keeps a
+    //       5-element buffer per group and Catalyst plans it
+    //       partial+final, so each map partition ships ≤5 rows per
+    //       nation across the exchange — the window equivalent shuffles
+    //       and sorts ALL rows. Deterministic (value DESC, id ASC). -----
+    Q("q110_grouped_topk",
+      Some("""SELECT CAST(c_nationkey AS INT) AS c_nationkey, CAST(rn AS INT) AS rn,
+             |  c_custkey, round(c_acctbal, 2) AS acctbal
+             |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+             |        row_number() OVER (PARTITION BY c_nationkey
+             |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |      FROM customer) t
+             |WHERE rn <= 5
+             |ORDER BY c_nationkey, rn""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "customer")
+          .select(col("c_nationkey").cast("long"), col("c_custkey"),
+            col("c_acctbal"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(TopKAggregator.topK(5))
+          .toDF("nation", "top")
+          .select(col("nation"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("nation").cast("int").as("c_nationkey"),
+            (col("pos") + 1).cast("int").as("rn"),
+            col("e._2").as("c_custkey"),
+            round(col("e._1"), 2).as("acctbal"))
+          .orderBy("c_nationkey", "rn")
+      }),
+
+    // ----- bloom-filter semi-join reduction (the manual form of
+    //       Spark's runtime row-group filtering): build a compact bloom
+    //       sketch of the probe keys ONCE (distributed agg → ~120 KB at
+    //       1% fpp for 100k keys), broadcast it, and prefilter the big
+    //       side at the scan before the exact semi-join. At 100 TB the
+    //       bloom pass drops ~99% of non-matching rows without a
+    //       shuffle; the trailing semi-join only certifies the
+    //       survivors, so the result stays EXACT despite the sketch. -----
+    Q("q111_bloom_semi_join",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders
+             |                    WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val urgent = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        val bloom = urgent.stat.bloomFilter("o_custkey", 100000L, 0.01)
+        val bloomB = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+        Tables.load(s, dir, "customer")
+          .filter(mightContain(col("c_custkey")))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+      }),
+
+    // ----- incremental (algebraic) re-aggregation: monthly revenue
+    //       rollup maintained as mergeable partials — the "history"
+    //       partial is computed once, each new batch contributes its own
+    //       partial, and the final state is a re-aggregation of partials
+    //       (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes).
+    //       This is how a 100-TB rollup updates from a 100-GB daily
+    //       delta without rescanning history; only works because every
+    //       aggregate here is algebraic (avg would be derived
+    //       sum/count, never averaged-of-averages). -----
+    Q("q112_incremental_agg",
+      Some("""SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev,
+             |  round(min(l_quantity), 2) AS minq, round(max(l_quantity), 2) AS maxq
+             |FROM lineitem
+             |GROUP BY 1
+             |ORDER BY month""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val splitDate = "1997-01-01"
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+          .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"),
+            min(col("l_quantity")).as("minq"), max(col("l_quantity")).as("maxq"))
+        val history = partial(li.filter(col("l_shipdate") < lit(splitDate)))
+        val delta = partial(li.filter(col("l_shipdate") >= lit(splitDate)))
+        history.unionByName(delta)
+          .groupBy("month")
+          .agg(sum(col("n")).as("n"), round(sum(col("rev")), 2).as("rev"),
+            round(min(col("minq")), 2).as("minq"),
+            round(max(col("maxq")), 2).as("maxq"))
+          .select(to_date(col("month")).as("month"), col("n"), col("rev"),
+            col("minq"), col("maxq"))
+          .orderBy("month")
+      })
+  )
+}
