@@ -92,6 +92,25 @@ object Graft {
                     key: String, buckets: Int = 8): Unit =
     ops.Bucketing.writeBucketed(spark, df, table, key, buckets)
 
+  /** Rewrite a table Z-ordered on two scaled dimensions so parquet
+    * row-group stats prune on BOTH columns ([[ops.Layout.grid16]]
+    * scales raw values to the 16-bit grid). */
+  def writeZordered(df: DataFrame, aCol: Column, bCol: Column,
+                    nFiles: Int, path: String): Unit =
+    ops.Layout.writeZordered(df, aCol, bCol, nFiles, path)
+
+  /** Snapshot diff (CDC): classify every key across two snapshots as
+    * insert / delete / update on the tracked columns, dropping the
+    * unchanged majority inside the one full-outer join. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   tracked: Seq[String]): DataFrame =
+    ops.Cdc.snapshotDiff(oldSnap, newSnap, key, tracked)
+
+  /** Bounded-heap per-group top-k typed aggregation column (map-side
+    * partial: ≤k rows per group per partition cross the shuffle). */
+  def topK(k: Int): org.apache.spark.sql.TypedColumn[(Long, Double), Seq[(Double, Long)]] =
+    functions.TopKAggregator.topK(k)
+
   // ----- text / dedup (SURVEY §2.9) -----
 
   /** Per-row DISTINCT k-shingle 56-bit hash sets over a text column

@@ -17,7 +17,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark) // custom exprs + fusion rule
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated name filter for fast local re-checks of a
+    // few queries (the driver sets nothing and gets the full surface).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet).filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

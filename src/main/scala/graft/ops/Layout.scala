@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (SURVEY.md §4 scale notes): Z-order
+  * (Morton) clustering so parquet row-group min/max statistics prune on
+  * EVERY clustered dimension, not just the leading sort key.
+  *
+  * A table linearly sorted on `a` skips row groups for `a`-filters but
+  * reads everything for `b`-filters; writing it in Z-order of (a, b)
+  * keeps both columns' value ranges tight within each row group, so
+  * either filter (or both) skips. At 100 TB this is the difference
+  * between a full scan and touching a few percent of files for the
+  * second-dimension query — the same layout trick Delta's OPTIMIZE
+  * ZORDER applies, built from stock Spark bit arithmetic (codegen'd,
+  * no UDF).
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` so a zero sits between consecutive
+    * bits (x15 x14 … x0 → x15 0 x14 0 … x0): the classic magic-number
+    * spread, as Column arithmetic. */
+  private def spread16(c: Column): Column = {
+    val masks = Seq(
+      (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL),
+      (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    masks.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+      case (x, (shift, mask)) =>
+        x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** 2-D Morton key of two columns already scaled to [0, 65535]. */
+  def zorder2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Min-max scale a numeric column to the 16-bit grid using provided
+    * bounds (bounds come from a stats pass or catalog metadata — they
+    * need not be exact; clamping keeps out-of-range rows valid). */
+  def grid16(c: Column, lo: Double, hi: Double): Column =
+    least(lit(65535), greatest(lit(0),
+      ((c - lo) / (hi - lo) * 65535).cast("int")))
+
+  /** Rewrite `df` into `n` files Z-ordered on the two scaled dimensions:
+    * range-partition by the Morton key (so files tile the Z-curve) and
+    * sort within partitions (so row groups inside a file stay tight).
+    * The key is dropped before the write — layout is physical, not
+    * schema. */
+  def writeZordered(df: DataFrame, aCol: Column, bCol: Column,
+                    n: Int, path: String): Unit = {
+    val keyed = df.withColumn("__z", zorder2(aCol, bCol))
+    keyed.repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -197,6 +197,33 @@ object ScaleOps {
           .select(to_date(col("month")).as("month"), col("n"), col("rev"),
             col("minq"), col("maxq"))
           .orderBy("month")
+      }),
+
+    // ----- heavy hitters with sketch-prune + exact certify: freqItems
+    //       (Karp/Misra-Gries — superset guarantee: every key with
+    //       share > support IS a candidate, false positives possible)
+    //       finds candidate hot keys in one pass with O(1/support)
+    //       state; the exact count then runs ONLY over candidate rows.
+    //       At 100 TB this is how hot keys are detected to drive salting
+    //       (q108) without a full groupBy of the key domain: the scan
+    //       prunes on `isin(candidates)`, the certify agg is tiny.
+    //       Result is EXACT: keys with share strictly > 0.6%. -----
+    Q("q113_heavy_hitters",
+      Some("""SELECT user_id, count(*) AS n_events FROM events
+             |GROUP BY user_id
+             |HAVING count(*) > (SELECT 0.006 * count(*) FROM events)
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val support = 0.006
+        val events = Tables.load(s, dir, "events")
+        val total = events.count()
+        val candidates = events.stat.freqItems(Seq("user_id"), support)
+          .head().getSeq[Long](0)
+        events.filter(col("user_id").isin(candidates: _*))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .filter(col("n_events") > support * total)
+          .orderBy("user_id")
       })
   )
 }

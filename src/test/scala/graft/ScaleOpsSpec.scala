@@ -109,6 +109,36 @@ class ScaleOpsSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q113 sketch-pruned heavy hitters equal the exact full groupBy") {
+    val pruned = q("q113_heavy_hitters").collect().toSeq
+    val ev = Tables.load(spark, sf, "events")
+    val cutoff = 0.006 * ev.count()
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > cutoff)
+      .orderBy("user_id").collect().toSeq
+    assert(pruned == exact && pruned.nonEmpty)
+    // the sketch's state bound holds: ≤ 1/support candidates survive
+    // (at this tiny SF every user may legitimately clear the bar)
+    assert(pruned.size <= (1 / 0.006).toInt)
+  }
+
+  test("snapshotDiff classifies insert / update / delete and drops unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val newSnap = Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("k", "v")
+    val diff = ops.Cdc.snapshotDiff(oldSnap, newSnap, "k", Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // k=1 unchanged → absent; k=2 update; k=3 delete; k=4 insert
+    assert(diff == Seq(("update", 2L), ("delete", 3L), ("insert", 4L)))
+  }
+
+  test("q114 diff joins once: full-outer co-shuffle, no second exchange") {
+    val plan = ops.Cdc.queries.head.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected full-outer join:\n$plan")
+  }
+
   test("q108 salted join equals the plain join result") {
     val salted = q("q108_salted_join").collect().toSeq
     val plain = Tables.load(spark, sf, "lineitem")
