@@ -144,6 +144,13 @@ object Graft {
                   trainPct: Int = 90, valPct: Int = 5): Column =
     ops.Corpus.splitAssign(keyCol, salt, trainPct, valPct)
 
+  // ----- multimodal ingestion (SURVEY §2.9) -----
+
+  /** Ingest a media directory via the `binaryFile` source (opaque
+    * bytes + typed metadata; `glob` prunes at file listing). */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    ops.Multimodal.readBinaryDir(spark, dir, glob)
+
   // ----- similarity search (SURVEY §2.9) -----
 
   /** Attach per-row L2 norm and sign-LSH bucket to any `array<float>`

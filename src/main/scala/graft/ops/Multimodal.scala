@@ -27,6 +27,27 @@ object Multimodal {
   /** One media row: opaque payload + typed metadata. */
   final case class Media(doc_id: Long, payload: Array[Byte], format: String, byte_len: Long)
 
+  /** Ingest a directory of raw media files via Spark's `binaryFile`
+    * source — the at-scale path for image/audio corpora: one row per
+    * file with (path, modificationTime, length, content), content an
+    * opaque binary column, partitions sized by
+    * `spark.sql.files.maxPartitionBytes` so huge dirs split across
+    * executors without any driver-side listing loop. `glob` prunes at
+    * FILE LISTING time (e.g. "*.jpg"), before any byte is read. */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
+  /** [[readBinaryDir]] rows → typed [[Media]] (doc id from the file
+    * name's digits, format from its extension). */
+  def mediaFromFiles(files: DataFrame): Dataset[Media] = {
+    import files.sparkSession.implicits._
+    files.select(
+      regexp_extract(col("path"), "(\\d+)\\.[^.]+$", 1).cast("long").as("doc_id"),
+      col("content").as("payload"),
+      regexp_extract(col("path"), "\\.([^.]+)$", 1).as("format"),
+      col("length").as("byte_len")).as[Media]
+  }
+
   /** Attach a deterministic binary payload to each document (UTF-8
     * bytes of the text — the fixture's stand-in for image bytes) and a
     * typed metadata struct. */

@@ -45,4 +45,26 @@ class MultimodalSpec extends SparkSuite {
     assert(sampled.length == 3) // frames 0, 2, 4
     assert(sampled(0).length == 64 && sampled(2).length == 300 - 4 * 64)
   }
+
+  test("binaryFile ingestion: glob prunes at listing, bytes arrive opaque and typed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    val payloads = Map(7L -> Array[Byte](1, 2, 3, 4), 12L -> Array[Byte](9, 8))
+    payloads.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(dir.resolve(s"img_$id.jpg"), bytes)
+    }
+    java.nio.file.Files.write(dir.resolve("notes.txt"), Array[Byte](0))
+
+    val files = Multimodal.readBinaryDir(spark, dir.toString, "*.jpg")
+    assert(files.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val media = Multimodal.mediaFromFiles(files).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(media.keySet == Set(7L, 12L)) // .txt pruned by the glob
+    assert(media(7L).payload.toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(media(7L).format == "jpg" && media(7L).byte_len == 4L)
+    // and the ingested Dataset[Media] feeds the decode pipeline directly
+    val feats = Multimodal.fakeDecodeFeatures(
+      Multimodal.mediaFromFiles(files)).collect()
+    assert(feats.length == 2)
+  }
 }
