@@ -203,6 +203,37 @@ object Corpus {
             count(lit(1)).as("vocab"),
             count(when(col("cnt") === 1, 1)).as("hapax"),
             round(count(lit(1)) / sum(col("cnt")).cast("double"), 4).as("type_token_ratio"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // ----- Gopher-style repetition filter: fraction of duplicate
+    //       bigrams per document (high ratio = boilerplate / degenerate
+    //       generation — a standard pretraining-corpus gate). Entirely
+    //       row-local array arithmetic: no explode, no shuffle except
+    //       the final sort; the flag threshold (0.5) mirrors the
+    //       published Gopher duplicate-ngram cuts. -----
+    Q("q115_bigram_repetition",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |SELECT doc_id,
+             |  round(1 - len(list_distinct(list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i+1]))) / CAST(len(toks) - 1 AS DOUBLE), 4)
+             |    AS rep2,
+             |  (1 - len(list_distinct(list_transform(range(1, len(toks)),
+             |      i -> toks[i] || ' ' || toks[i+1]))) / CAST(len(toks) - 1 AS DOUBLE)) > 0.5
+             |    AS flagged
+             |FROM t WHERE len(toks) > 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) > 1)
+          .withColumn("bigrams", expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .withColumn("rep_raw",
+            lit(1) - size(array_distinct(col("bigrams"))) /
+              (size(col("toks")) - 1).cast("double"))
+          .select(col("doc_id"), round(col("rep_raw"), 4).as("rep2"),
+            (col("rep_raw") > 0.5).as("flagged"))
+          .orderBy("doc_id"))
   )
 }

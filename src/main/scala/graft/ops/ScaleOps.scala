@@ -224,6 +224,31 @@ object ScaleOps {
           .agg(count(lit(1)).as("n_events"))
           .filter(col("n_events") > support * total)
           .orderBy("user_id")
-      })
+      }),
+
+    // ----- key-skew profile: the distribution diagnostics that DECIDE
+    //       whether a join key needs salting (q108) or AQE skew
+    //       handling — max/avg ratio and exact p50/p99 of per-key
+    //       counts. Two-level aggregation: per-key partial+final count,
+    //       then a single-row global rollup; the second level sees one
+    //       row per key, never the raw data. -----
+    Q("q116_key_skew_profile",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(n) AS BIGINT) AS max_n,
+             |  round(avg(n), 4) AS avg_n,
+             |  round(max(n) / avg(n), 4) AS skew_ratio,
+             |  round(quantile_cont(n, 0.5), 4) AS p50,
+             |  round(quantile_cont(n, 0.99), 4) AS p99
+             |FROM (SELECT l_partkey, CAST(count(*) AS DOUBLE) AS n
+             |      FROM lineitem GROUP BY l_partkey)""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_partkey").agg(count(lit(1)).cast("double").as("n"))
+          .agg(count(lit(1)).as("n_keys"),
+            max(col("n")).cast("long").as("max_n"),
+            round(avg(col("n")), 4).as("avg_n"),
+            round(max(col("n")) / avg(col("n")), 4).as("skew_ratio"),
+            round(expr("percentile(n, 0.5)"), 4).as("p50"),
+            round(expr("percentile(n, 0.99)"), 4).as("p99")))
   )
 }
