@@ -90,4 +90,38 @@ class SqlSpec extends AnyFunSuite {
         |SELECT s FROM graft_ow_v""".stripMargin)
     assert(out.head().getLong(0) == 5L) // overwrite replaced the 1
   }
+
+  test("translateQualify: no QUALIFY → text unchanged") {
+    val sql = "SELECT a FROM t WHERE b = 'QUALIFY x' ORDER BY a"
+    assert(Sql.translateQualify(sql) == sql) // quoted keyword ignored
+    val sub = "SELECT * FROM (SELECT a FROM t QUALIFY rn = 1) s"
+    assert(Sql.translateQualify(sub) == sub) // parenthesized = not top level
+  }
+
+  test("translateQualify rewrites the clause and preserves the ORDER BY tail") {
+    val s = SparkSuite.session
+    import s.implicits._
+    Seq((1, 10), (1, 20), (2, 30), (2, 5), (2, 1)).toDF("k", "v")
+      .createOrReplaceTempView("graft_qual")
+    val out = Sql.runScript(s, Sql.translateDialect(
+      """SELECT k, v,
+        |  row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |FROM graft_qual
+        |QUALIFY rn = 1
+        |ORDER BY k""".stripMargin))
+    assert(out.columns.toSeq == Seq("k", "v", "rn")) // helper col dropped
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 20), (2, 30)))
+  }
+
+  test("translateQualify handles a window function directly in the predicate") {
+    val s = SparkSuite.session
+    import s.implicits._
+    Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v")
+      .createOrReplaceTempView("graft_qual2")
+    val out = Sql.runScript(s, Sql.translateQualify(
+      "SELECT k, v FROM graft_qual2 QUALIFY rank() OVER (PARTITION BY k ORDER BY v DESC) = 1"))
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 20), (2, 30)))
+  }
 }
