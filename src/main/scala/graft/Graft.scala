@@ -99,6 +99,12 @@ object Graft {
                     nFiles: Int, path: String): Unit =
     ops.Layout.writeZordered(df, aCol, bCol, nFiles, path)
 
+  /** Compact a parquet directory's small files to ~targetBytes files
+    * (returns the new file count; non-atomic swap — see scaladoc). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): Int =
+    ops.Layout.compact(spark, dir, targetBytes)
+
   /** Snapshot diff (CDC): classify every key across two snapshots as
     * insert / delete / update on the tracked columns, dropping the
     * unchanged majority inside the one full-outer join. */

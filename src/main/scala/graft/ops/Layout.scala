@@ -44,6 +44,34 @@ object Layout {
     least(lit(65535), greatest(lit(0),
       ((c - lo) / (hi - lo) * 65535).cast("int")))
 
+  /** Compact a parquet directory's small files into ~`targetBytes`
+    * files: one distributed read, one round-robin repartition to
+    * ceil(dataBytes / target), one rewrite, then a directory swap.
+    * The small-files problem is the classic streaming-sink /
+    * over-parallel-write pathology — a 100 TB table of 10 MB files
+    * pays listing, footer, and task-startup costs per FILE, so
+    * compaction is routine maintenance, not an optimization.
+    * Returns the new file count.
+    *
+    * The swap (delete + rename) is NOT atomic on a plain filesystem —
+    * production table formats get atomicity from a commit log; on raw
+    * directories, run compaction in a maintenance window.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(dataBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction swap failed for $dir")
+    n
+  }
+
   /** Rewrite `df` into `n` files Z-ordered on the two scaled dimensions:
     * range-partition by the Morton key (so files tile the Z-curve) and
     * sort within partitions (so row groups inside a file stay tight).

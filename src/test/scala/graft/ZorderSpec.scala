@@ -50,4 +50,20 @@ class ZorderSpec extends SparkSuite {
     assert(linRows == n, s"expected no pruning on linear layout, read $linRows")
     assert(zRows * 2 < linRows, s"z-order pruned too little: $zRows of $linRows")
   }
+
+  test("compact folds a many-small-files directory, preserving the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .repartition(40).write.mode("overwrite").parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // row-identical before/after (an aggregate would compare fp sums
+    // whose addition order legitimately changes across layouts)
+    val before = spark.read.parquet(dir).orderBy("o_orderkey").collect().toSeq
+    assert(files == 40)
+    val n = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && files == 1)
+    val after = spark.read.parquet(dir).orderBy("o_orderkey").collect().toSeq
+    assert(after == before)
+  }
 }
