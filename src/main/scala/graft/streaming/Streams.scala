@@ -135,7 +135,8 @@ object Streams {
                        leftKey: String, rightKey: String,
                        leftTs: String, rightTs: String,
                        watermark: String = "1 hour",
-                       within: String = "10 minutes"): DataFrame = {
+                       within: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
     require(Set(leftKey, rightKey, leftTs, rightTs).size == 4,
       s"streamStreamJoin needs four distinct column names, got " +
         s"($leftKey, $rightKey, $leftTs, $rightTs)")
@@ -144,10 +145,16 @@ object Streams {
       s"left/right schemas must be disjoint; shared columns: ${overlap.mkString(", ")}")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // Outer variants are legal ONLY because the watermark + time bound
+    // make "no match will ever arrive" decidable: a buffered row is
+    // null-padded and emitted when the watermark passes its horizon —
+    // so outer results trail the inner ones by up to watermark+within,
+    // and a stream with no further input never flushes its tail.
     l.join(r,
       l(leftKey) === r(rightKey) &&
         r(rightTs) >= l(leftTs) &&
-        r(rightTs) <= l(leftTs) + expr(s"interval $within"))
+        r(rightTs) <= l(leftTs) + expr(s"interval $within"),
+      joinType)
   }
 
   /** Idempotent micro-batch write: the batch lands in its own

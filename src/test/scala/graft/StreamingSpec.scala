@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join null-pads once the watermark passes") {
+    val lDir = java.nio.file.Files.createTempDirectory("graft-sso-l").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft-sso-r").toString
+    writeEvents(lDir,
+      (1L, "2024-01-01 00:10:00", 1L, "click", 1.0), // will match
+      (2L, "2024-01-01 00:20:00", 5L, "click", 2.0)) // user 5: no right event
+    writeEvents(rDir,
+      (11L, "2024-01-01 00:15:00", 1L, "buy", 9.0))
+    val schema = spark.read.parquet(lDir).schema
+    def prep(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(col("event_id").as(s"${side}_id"), col("ts").as(s"${side}_ts"),
+        col("user_id").as(s"${side}_user"))
+    val sdf = Streams.streamStreamJoin(
+      prep(Streams.fileStream(spark, lDir, schema), "l"),
+      prep(Streams.fileStream(spark, rDir, schema), "r"),
+      "l_user", "r_user", "l_ts", "r_ts", joinType = "left_outer")
+    val q = sdf.select("l_id", "r_id").writeStream
+      .format("memory").queryName("t_ssouter").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // unmatched left row is still BUFFERED: watermark hasn't passed
+      // its horizon, so only the inner match has emitted
+      val firstPass = spark.table("t_ssouter").collect()
+      assert(firstPass.map(r => (r.getLong(0), r.get(1))).toSet == Set((1L, 11L)))
+      // a later batch on BOTH sides (global watermark = min over inputs)
+      // advances the watermark past 00:20 + within + watermark → flush
+      writeEvents(lDir, (90L, "2024-01-01 12:00:00", 99L, "click", 0.0))
+      writeEvents(rDir, (91L, "2024-01-01 12:00:00", 99L, "buy", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("t_ssouter").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(got.contains((2L, None)), s"outer row never flushed: $got")
+      assert(got.contains((1L, Some(11L))))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment matches the batch join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
