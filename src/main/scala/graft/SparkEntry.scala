@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.queries ++ RelationalX.queries ++ RelationalY.queries ++
       Ingest.queries ++ Sql.queries ++ Pipeline.queries ++ Text.queries ++
       Corpus.queries ++ Similarity.queries ++ Windows.queries ++
-      Multimodal.queries ++ ScaleOps.queries ++ Cdc.queries
+      Multimodal.queries ++ ScaleOps.queries ++ Cdc.queries ++
+      Analytics.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

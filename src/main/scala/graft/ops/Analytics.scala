@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event analytics over the `events` stream-shaped fixture: ordered
+  * funnels and cohort retention — the queries a product-analytics user
+  * of the reference's warehouse runs daily.
+  *
+  * Both are built to hold at 100 TB of events:
+  *  - the funnel is ONE shuffle on user_id (three chained conditional
+  *    window minima share the same partitioning — no orderBy, so no
+  *    sort — then a global conditional count over one row per event);
+  *  - retention is a per-user first-touch aggregate broadcast-joined
+  *    back, then a keyed distinct count. Nothing materializes pairs,
+  *    and no self-join of the raw event table ever happens.
+  */
+object Analytics {
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- ordered funnel view → click → purchase: each stage's
+    //       timestamp is the MIN event time strictly after the prior
+    //       stage, per user; the summary counts users surviving each
+    //       stage. The strict ordering is the point — an unordered
+    //       "did all three" overcounts users who purchased before ever
+    //       viewing. -----
+    Q("q118_funnel",
+      Some("""WITH s1 AS (SELECT user_id, ts, event_type,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS v
+             |  FROM events),
+             |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > v THEN ts END)
+             |    OVER (PARTITION BY user_id) AS c FROM s1),
+             |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END)
+             |    OVER (PARTITION BY user_id) AS p FROM s2)
+             |SELECT CAST(count(DISTINCT CASE WHEN v IS NOT NULL THEN user_id END) AS BIGINT) AS n_view,
+             |  CAST(count(DISTINCT CASE WHEN c IS NOT NULL THEN user_id END) AS BIGINT) AS n_click,
+             |  CAST(count(DISTINCT CASE WHEN p IS NOT NULL THEN user_id END) AS BIGINT) AS n_purchase
+             |FROM s3""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.load(s, dir, "events")
+          .withColumn("v",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("c",
+            min(when(col("event_type") === "click" && col("ts") > col("v"),
+              col("ts"))).over(w))
+          .withColumn("p",
+            min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+              col("ts"))).over(w))
+          .agg(
+            countDistinct(when(col("v").isNotNull, col("user_id"))).as("n_view"),
+            countDistinct(when(col("c").isNotNull, col("user_id"))).as("n_click"),
+            countDistinct(when(col("p").isNotNull, col("user_id"))).as("n_purchase"))
+      }),
+
+    // ----- weekly cohort retention: cohort = the Monday of a user's
+    //       first event; k = whole weeks between the cohort week and an
+    //       active week (exact — week-trunc differences are multiples
+    //       of 7 days). Output is the classic retention triangle. -----
+    Q("q119_cohort_retention",
+      Some("""WITH first_touch AS (
+             |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |  FROM events GROUP BY user_id)
+             |SELECT cohort_week,
+             |  CAST(date_diff('day', cohort_week, CAST(date_trunc('week', ts) AS DATE)) / 7 AS INT) AS k,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM events e JOIN first_touch f ON e.user_id = f.user_id
+             |GROUP BY 1, 2
+             |ORDER BY cohort_week, k""".stripMargin),
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val firstTouch = events.groupBy("user_id")
+          .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+        events.join(broadcast(firstTouch), "user_id")
+          .withColumn("k",
+            (datediff(to_date(date_trunc("week", col("ts"))), col("cohort_week")) / 7)
+              .cast("int"))
+          .groupBy("cohort_week", "k")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "k")
+      })
+  )
+}

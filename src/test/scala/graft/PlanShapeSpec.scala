@@ -119,4 +119,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Join"))
     assert("\\bWindow \\(".r.findAllIn(p).size == 1, p)
   }
+
+  test("q118: three funnel stages share ONE shuffle below the windows") {
+    val p = formatted("q118_funnel")
+    assert(!p.contains("Join"), p)
+    assert("\\bWindow \\(".r.findAllIn(p).size == 3, p)
+    // exactly one exchange sits below the window chain (the other two
+    // belong to the distinct-count aggregate above it): the windows
+    // share a single user_id shuffle + sort
+    val belowWindows = p.linesIterator
+      .dropWhile(l => !l.contains("+- Window")).mkString("\n")
+    assert("\\+- Exchange".r.findAllIn(belowWindows).size == 1, p)
+  }
+
+  test("q119: first-touch side broadcasts; events never self-join by shuffle") {
+    val p = formatted("q119_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
