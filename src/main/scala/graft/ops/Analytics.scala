@@ -81,6 +81,65 @@ object Analytics {
           .groupBy("cohort_week", "k")
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy("cohort_week", "k")
+      }),
+
+    // ----- winsorization (outlier capping) per group: clip balances to
+    //       each nation's exact [p05, p95]. Tiny per-group stats are
+    //       broadcast back onto the fact — the standard two-pass
+    //       feature-cleaning shape (stats pass + map-side clip, no
+    //       row-vs-row work). Percentile bounds are rounded to 6 digits
+    //       BEFORE clipping so both engines clip against bit-identical
+    //       thresholds. -----
+    Q("q120_winsorize",
+      Some("""WITH stats AS (
+             |  SELECT c_nationkey,
+             |    round(quantile_cont(c_acctbal, 0.05), 6) AS lo,
+             |    round(quantile_cont(c_acctbal, 0.95), 6) AS hi
+             |  FROM customer GROUP BY c_nationkey)
+             |SELECT c.c_nationkey,
+             |  round(avg(greatest(least(c_acctbal, hi), lo)), 4) AS avg_clipped,
+             |  round(min(greatest(least(c_acctbal, hi), lo)), 4) AS min_clipped,
+             |  round(max(greatest(least(c_acctbal, hi), lo)), 4) AS max_clipped
+             |FROM customer c JOIN stats s ON c.c_nationkey = s.c_nationkey
+             |GROUP BY c.c_nationkey
+             |ORDER BY c.c_nationkey""".stripMargin),
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val stats = customer.groupBy("c_nationkey")
+          .agg(round(expr("percentile(c_acctbal, 0.05)"), 6).as("lo"),
+            round(expr("percentile(c_acctbal, 0.95)"), 6).as("hi"))
+        val clipped = greatest(least(col("c_acctbal"), col("hi")), col("lo"))
+        customer.join(broadcast(stats), "c_nationkey")
+          .groupBy("c_nationkey")
+          .agg(round(avg(clipped), 4).as("avg_clipped"),
+            round(min(clipped), 4).as("min_clipped"),
+            round(max(clipped), 4).as("max_clipped"))
+          .orderBy("c_nationkey")
+      }),
+
+    // ----- per-group z-score standardization: document length scaled by
+    //       its source's mean/stddev — the feature-normalization step of
+    //       an ML data pipeline, same broadcast-stats shape as q120.
+    //       Mean/stddev rounded to 6 digits before the map-side formula
+    //       so both engines standardize with identical constants. -----
+    Q("q121_zscore",
+      Some("""WITH stats AS (
+             |  SELECT source, round(avg(n_chars), 6) AS mu,
+             |    round(stddev_samp(n_chars), 6) AS sigma
+             |  FROM documents GROUP BY source)
+             |SELECT doc_id, d.source,
+             |  round((n_chars - mu) / sigma, 4) AS z
+             |FROM documents d JOIN stats s ON d.source = s.source
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stats = docs.groupBy("source")
+          .agg(round(avg(col("n_chars")), 6).as("mu"),
+            round(stddev_samp(col("n_chars")), 6).as("sigma"))
+        docs.join(broadcast(stats), "source")
+          .select(col("doc_id"), col("source"),
+            round((col("n_chars") - col("mu")) / col("sigma"), 4).as("z"))
+          .orderBy("doc_id")
       })
   )
 }
