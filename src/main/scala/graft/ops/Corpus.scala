@@ -234,6 +234,38 @@ object Corpus {
               (size(col("toks")) - 1).cast("double"))
           .select(col("doc_id"), round(col("rep_raw"), 4).as("rep2"),
             (col("rep_raw") > 0.5).as("flagged"))
+          .orderBy("doc_id")),
+
+    // ----- web-corpus cleaning: strip markup, pull the host and a
+    //       query parameter out of the crawl URL. The fixture has no
+    //       HTML/URLs, so the row builds a deterministic pseudo-crawl
+    //       record from its own fields first — the CLEANING is the op
+    //       under test: tag-strip via one regexp_replace pass,
+    //       host/param extraction via Spark's parse_url (codegen'd;
+    //       the oracle uses the equivalent regexes). All row-local. -----
+    Q("q122_web_clean",
+      Some("""WITH crawl AS (
+             |  SELECT doc_id,
+             |    'https://' || source || '.example.com/doc/' || doc_id || '?lang=' || lang AS url,
+             |    '<html><body class="m">' || text || '<br/></body></html>' AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+             |  length(regexp_replace(raw, '<[^>]*>', '', 'g')) AS clean_len
+             |FROM crawl
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+              col("doc_id"), lit("?lang="), col("lang")).as("url"),
+            concat(lit("<html><body class=\"m\">"), col("text"),
+              lit("<br/></body></html>")).as("raw"))
+          .select(col("doc_id"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+            length(regexp_replace(col("raw"), "<[^>]*>", "")).as("clean_len"))
           .orderBy("doc_id"))
   )
 }

@@ -48,4 +48,39 @@ class IngestSpec extends SparkSuite {
       Ingest.backfillStart, Ingest.backfillEnd)
     assert(again.count() == 24L)
   }
+
+  test("malformed-record modes: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-badrec")
+    java.nio.file.Files.writeString(dir.resolve("part.json"),
+      """{"id": 1, "v": 10}
+        |{"id": 2, "v": "not-a-number"}
+        |{"id": 3, "v": 30}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType),
+      StructField("_corrupt_record", StringType)))
+
+    // PERMISSIVE (the load-and-audit default): bad row survives with its
+    // raw text in _corrupt_record, good fields null — the audit trail a
+    // 100 TB load needs instead of dying 90 TB in
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(dir.toString)
+      .cache() // one parse: corrupt-record column must not re-read lazily
+    assert(permissive.count() == 3)
+    val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").contains("not-a-number"))
+
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.count() == 2)
+
+    val failfast = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST").json(dir.toString)
+    val e = intercept[org.apache.spark.SparkException] { failfast.collect() }
+    assert(e.getMessage.contains("MALFORMED_RECORD") ||
+      e.getCause != null, e.getMessage)
+  }
 }
