@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * in MapReduce and Beyond"] converges in O(log n) rounds; the
   * propagation loop below is the same join shape, so it swaps in
   * without changing callers.)
+  *
+  * Lineage discipline: each round's labels reference the previous
+  * round's frame TWICE (once through the neighbor join, once through
+  * the union), so a naive loop doubles the logical plan every round —
+  * after d rounds Catalyst re-analyzes a 2^d-node tree per action, and
+  * planning time (not data) dominates. `localCheckpoint()` truncates
+  * the plan to the materialized RDD each round, keeping per-round
+  * planning O(1). Executor-local checkpoint blocks are lost if an
+  * executor dies; on a long-running cluster job prefer
+  * `sparkContext.setCheckpointDir` + `checkpoint()` for the same
+  * truncation with reliable storage — the loop shape is unchanged.
   */
 object Graph {
 
@@ -26,21 +37,18 @@ object Graph {
     * (two numeric columns `src`, `dst`). Returns (`id`, `component`)
     * where `component` is the minimum node id reachable from `id`.
     * Isolated nodes (absent from `edges`) are absent from the result.
-    *
-    * Each iteration caches its labels and unpersists the previous
-    * round's — peak storage is two label sets, not the whole history.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Cache the edge list BEFORE symmetrizing: the union below references
-    // it twice, and the propagation loop re-reads it every round — without
-    // this, an expensive upstream (e.g. an LSH band self-join) would be
-    // re-executed once per reference.
-    val e = edges.select(col("src"), col("dst")).cache()
+    // Materialize the edge list ONCE with truncated lineage: the loop
+    // re-reads it every round, and an expensive upstream (e.g. an LSH
+    // band self-join) must not be re-planned or re-executed per round.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     // symmetrize once: propagation below only follows src -> dst
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .cache()
+      .localCheckpoint()
     // Convergence check: labels are monotonically non-increasing, so the
     // label SUM strictly decreases every round until fixpoint — one
     // scalar aggregate per round instead of a join against the previous
@@ -54,15 +62,13 @@ object Graph {
         .select(col("dst").as("id"), col("component"))
       val next = labels.unionByName(incoming)
         .groupBy("id").agg(min("component").as("component"))
-        .cache()
+        .localCheckpoint() // eager: truncates lineage, materializes once
       val s = next.agg(sum(col("component").cast("decimal(38,0)")).as("s")).head.getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
       i += 1
     }
-    e.unpersist()
     labels
   }
 }

@@ -287,7 +287,12 @@ object Similarity {
         val asg = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
           .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
         val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("c_id"))
-        val ranked = asg.withColumn("rn", row_number().over(wAsg)).cache()
+        // cache only the NARROW assignment (id, cell, rank) — caching
+        // before the projection would materialize both embedding arrays
+        // ×8 centroid copies per row (the arrays are 64 floats; the
+        // assignment is 3 ints — two orders of magnitude smaller)
+        val ranked = asg.withColumn("rn", row_number().over(wAsg))
+          .select("vec_id", "c_id", "rn").cache()
         ranked.count() // eager: cells + probes both scan it, one via broadcast
         val cells = ranked.filter(col("rn") === 1).select(col("vec_id"), col("c_id").as("cell"))
         val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)

@@ -74,7 +74,9 @@ class IngestSpec extends SparkSuite {
     val dropped = spark.read
       .schema(StructType(schema.dropRight(1)))
       .option("mode", "DROPMALFORMED").json(dir.toString)
-    assert(dropped.count() == 2)
+    // collect(), not count(): count() prunes every column, so the parser
+    // never touches `v` and malformed rows are not detected/dropped
+    assert(dropped.collect().length == 2)
 
     val failfast = spark.read
       .schema(StructType(schema.dropRight(1)))
