@@ -15,9 +15,9 @@ object SparkEntry {
   def all: Seq[Q] =
     Relational.queries ++ RelationalX.queries ++ RelationalY.queries ++
       Ingest.queries ++ Sql.queries ++ Pipeline.queries ++ Text.queries ++
-      Corpus.queries ++ Similarity.queries ++ Windows.queries ++
-      Multimodal.queries ++ ScaleOps.queries ++ Cdc.queries ++
-      Analytics.queries
+      Corpus.queries ++ Training.queries ++ Similarity.queries ++
+      Windows.queries ++ Multimodal.queries ++ ScaleOps.queries ++
+      Cdc.queries ++ Analytics.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,14 +33,14 @@ object Text {
 
   private val tokens = "split(text, ' ')"
 
-  private val duckTokens = "string_split(text, ' ')"
+  private[ops] val duckTokens = "string_split(text, ' ')"
   private val duckShingles =
     s"list_transform(range(1, greatest(len($duckTokens) - 1, 1)), i -> array_to_string(($duckTokens)[i:i+2], ' '))"
 
   /** Per-doc DISTINCT shingle hashes (DuckDB side): each shingle is
     * md5'd ONCE to a 56-bit int; all downstream minhashing works on
     * these ints. */
-  private val duckShingleHashes =
+  private[ops] val duckShingleHashes =
     s"list_distinct(list_transform($duckShingles, x -> ('0x' || substr(md5(x),1,14))::BIGINT))"
 
   /** MinHash permutation seeds: k=6, banded 2-per-band → 3 LSH bands.

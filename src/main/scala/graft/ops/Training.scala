@@ -1,0 +1,355 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents` / `embeddings`
+  * (SURVEY.md §2.9 extension, second batch): PII detection + masking,
+  * benchmark-contamination screening, temperature-weighted source
+  * mixing, a k-means Lloyd step over embeddings, int8 embedding
+  * quantization, cross-corpus chunk (line-level) dedup, and curriculum
+  * difficulty binning.
+  *
+  * Same determinism discipline as [[Text]] / [[Corpus]]: hashes bottom
+  * out in md5, floats are rounded to a fixed scale before any ranking
+  * or threshold, and every query ends in a total ORDER BY. Scale notes
+  * are per-query; the shared principles: detection/masking/quantization
+  * are row-local scan-stage work; contamination screening broadcasts
+  * the (small) benchmark set instead of joining the corpus against it;
+  * the k-means assignment is corpus × broadcast-centroids, never
+  * corpus × corpus.
+  */
+object Training {
+
+  /** Pseudo-PII synthesis: the fixture corpus is clean word soup, so
+    * each row first APPENDS a deterministic email + phone derived from
+    * its own key (identical text in both engines); the operator under
+    * test is the detection/masking pass that follows. Only the cast
+    * keyword differs per dialect (STRING vs VARCHAR). */
+  private def synthSqlFor(castType: String) =
+    s"text || ' contact user' || doc_id || '@mail-' || source || " +
+      s"'.com or call 555-' || lpad(CAST(doc_id % 10000 AS $castType), 4, '0')"
+  private val synthSql = synthSqlFor("STRING")        // Spark
+  private val synthSqlDuck = synthSqlFor("VARCHAR")   // DuckDB
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- PII detection + masking: email/phone regex sweep with a
+    //       per-source audit (docs touched, hits per category, masked
+    //       char delta). Row-local scan-stage work — the patterns
+    //       compile once per task; the audit agg is partial+final. The
+    //       RE subset used (char classes, bounded repeats, \b) behaves
+    //       identically in java.util.regex and RE2. -----
+    Q("q123_pii_scrub",
+      Some(s"""SELECT source,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(len(regexp_extract_all(synth, '$emailRe'))) AS BIGINT) AS email_hits,
+              |  CAST(sum(len(regexp_extract_all(synth, '$phoneRe'))) AS BIGINT) AS phone_hits,
+              |  CAST(sum(len(synth) - len(masked)) AS BIGINT) AS chars_delta
+              |FROM (
+              |  SELECT source, synth,
+              |    regexp_replace(regexp_replace(synth, '$emailRe', '<EMAIL>', 'g'),
+              |      '$phoneRe', '<PHONE>', 'g') AS masked
+              |  FROM (SELECT source, $synthSqlDuck AS synth FROM documents))
+              |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("source"), expr(synthSql).as("synth"))
+          .withColumn("masked",
+            regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(regexp_extract_all(col("synth"), lit(emailRe), lit(0))))
+              .cast("long").as("email_hits"),
+            sum(size(regexp_extract_all(col("synth"), lit(phoneRe), lit(0))))
+              .cast("long").as("phone_hits"),
+            sum(length(col("synth")) - length(col("masked")))
+              .cast("long").as("chars_delta"))
+          .orderBy("source")),
+
+    // ----- benchmark-contamination screen: fraction of each corpus
+    //       doc's 3-shingles that appear in the benchmark shingle set
+    //       (docs 0-4 stand in for the eval suite). The benchmark set
+    //       is aggregated to ONE array and broadcast — the overlap is
+    //       then a row-local array_intersect at the scan, no join
+    //       against the corpus. This is the decontamination shape at
+    //       100 TB: eval suites are KBs, the corpus is the big side,
+    //       and the screen must not shuffle the corpus. -----
+    Q("q124_contamination",
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, source, $duckHashes AS hs, len($duckHashes) AS n
+              |  FROM documents WHERE len(${Text.duckTokens}) >= 3
+              |), ev AS (
+              |  SELECT list(DISTINCT h) AS evh
+              |  FROM (SELECT unnest(hs) AS h FROM sh WHERE doc_id < 5)
+              |), scored AS (
+              |  SELECT source,
+              |    len(list_intersect(hs, evh)) / CAST(n AS DOUBLE) AS ov
+              |  FROM sh CROSS JOIN ev WHERE doc_id >= 5)
+              |SELECT source,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(*) FILTER (WHERE ov >= 0.1) AS BIGINT) AS n_flagged,
+              |  round(max(ov), 4) AS max_overlap
+              |FROM scored GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val sh = Text.shingleHashSets(
+          Tables.load(s, dir, "documents"), "text", Seq("doc_id", "source"))
+        val ev = sh.filter(col("doc_id") < 5)
+          .select(explode(col("hashes")).as("h"))
+          .agg(collect_set(col("h")).as("evh"))
+        sh.filter(col("doc_id") >= 5)
+          .crossJoin(broadcast(ev))
+          .withColumn("ov",
+            size(array_intersect(col("hashes"), col("evh"))) / col("n").cast("double"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("ov") >= 0.1, 1)).as("n_flagged"),
+            round(max(col("ov")), 4).as("max_overlap"))
+          .orderBy("source")
+      }),
+
+    // ----- temperature-weighted source mixing (α = 0.5): per-source
+    //       sampling weight ∝ tokens^α, the standard flattening of a
+    //       fat-tailed source distribution when composing a training
+    //       mix. Cross-engine determinism: sqrt is correctly rounded in
+    //       IEEE 754 (unlike pow), the rounded weight goes through
+    //       DECIMAL(18,4) so the normalizing sum is EXACT and
+    //       order-independent in both engines, and shares divide as
+    //       doubles from identical inputs. Two-level agg + a one-row
+    //       broadcast-window normalization — per-source cardinality,
+    //       not corpus cardinality. -----
+    Q("q125_source_mix",
+      Some("""WITH s AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS n_tokens
+             |  FROM documents GROUP BY source
+             |), w AS (
+             |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 4) AS DECIMAL(18,4)) AS wt
+             |  FROM s)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  round(CAST(wt * 10000 AS DOUBLE) * 1000000
+             |    / CAST(sum(wt) OVER () * 10000 AS DOUBLE)) / 1000000.0 AS share,
+             |  CAST(round(CAST(wt * 10000 AS DOUBLE) * 10000
+             |    / CAST(sum(wt) OVER () * 10000 AS DOUBLE)) AS BIGINT) AS docs_per_10k
+             |FROM w ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy()
+        Tables.load(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+          .withColumn("wt",
+            round(sqrt(col("n_tokens").cast("double")), 4).cast("decimal(18,4)"))
+          // integer-scaled exact division (see q126): numerator and
+          // denominator are exact-integer doubles, so rounding ties are
+          // representable halves and both engines agree
+          .withColumn("share",
+            round((col("wt") * 10000).cast("double") * 1000000
+              / (sum(col("wt")).over(w) * 10000).cast("double")) / 1000000.0)
+          .withColumn("docs_per_10k",
+            round((col("wt") * 10000).cast("double") * 10000
+              / (sum(col("wt")).over(w) * 10000).cast("double")).cast("long"))
+          .select("source", "n_docs", "n_tokens", "share", "docs_per_10k")
+          .orderBy("source")
+      }),
+
+    // ----- k-means Lloyd step over embeddings: assign every vector to
+    //       its nearest seed centroid (vec_id < 8 — rounded cosine,
+    //       c_id tiebreak), then recompute each centroid as the per-dim
+    //       member mean. The two halves are the scale shapes that
+    //       matter: assignment is corpus × BROADCAST centroids (one
+    //       scan, no corpus shuffle); the update is a (cluster, dim)
+    //       keyed agg whose cardinality is k × dims, independent of
+    //       corpus size — partial aggregation eats the posexplode.
+    //       Output: member count, mean assignment cosine (cohesion),
+    //       and the new centroid's L2 norm. -----
+    Q("q126_kmeans_step",
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+             |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+             |  FROM embeddings
+             |), c AS (SELECT vec_id AS c_id, emb AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+             |asg AS (
+             |  SELECT e.vec_id, c.c_id,
+             |    round(list_dot_product(e.emb, c.c_emb) / (e.nrm * c.c_nrm), 4) AS rcos
+             |  FROM e CROSS JOIN c),
+             |best AS (
+             |  SELECT vec_id, c_id AS cluster, rcos FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn
+             |    FROM asg) WHERE rn = 1),
+             |dims AS (
+             |  SELECT b.cluster, generate_subscripts(e.emb, 1) AS pos, unnest(e.emb) AS v
+             |  FROM best b JOIN e ON e.vec_id = b.vec_id),
+             |cent AS (SELECT cluster, pos, avg(v) AS m FROM dims GROUP BY cluster, pos),
+             |norms AS (SELECT cluster, round(sqrt(sum(m * m)), 4) AS centroid_norm
+             |          FROM cent GROUP BY cluster),
+             |stats AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+             |            round(CAST(sum(CAST(rcos AS DECIMAL(8,4))) * 10000 AS DOUBLE)
+             |              / count(*)) / 10000.0 AS cohesion FROM best GROUP BY cluster)
+             |SELECT s.cluster, s.n_members, s.cohesion, n.centroid_norm
+             |FROM stats s JOIN norms n USING (cluster)
+             |ORDER BY cluster""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("rcos").desc, col("c_id"))
+        // narrow cache: assignment is (id, cluster, cos) — embeddings
+        // rejoin later only for the members that feed the update step
+        val best = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+          .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id").as("cluster"), col("rcos"))
+          .cache()
+        best.count() // eager: stats and dims both consume it
+        // Deterministic cross-engine mean of rounded values: sum as
+        // exact DECIMAL (order-independent), scale to an INTEGER, and
+        // divide two exact-integer doubles — any rounding tie is then
+        // an exactly-representable half, which both engines round away
+        // from zero. (A plain round(avg(x), 4) diverges when the true
+        // mean is a decimal tie: Spark rounds the shortest decimal repr
+        // of the double, DuckDB rounds its binary value.)
+        val stats = best.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            (round((sum(col("rcos").cast("decimal(8,4)")) * 10000).cast("double")
+              / count(lit(1))) / 10000.0).as("cohesion"))
+        val cent = best.join(e, "vec_id")
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+        val norms = cent.groupBy("cluster")
+          .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+        stats.join(norms, "cluster")
+          .select("cluster", "n_members", "cohesion", "centroid_norm")
+          .orderBy("cluster")
+      }),
+
+    // ----- int8 embedding quantization: per-vector symmetric scale
+    //       (maxabs/127), quantize, reconstruct, report per-label error
+    //       stats — the storage-shrink pass before building a vector
+    //       index (4× smaller than float32). Entirely row-local array
+    //       arithmetic fused into the scan; identical double expression
+    //       trees (explicit parens) keep both engines bit-equal before
+    //       the final rounding. -----
+    Q("q127_quantize_int8",
+      Some("""WITH q AS (
+             |  SELECT label, emb,
+             |    list_max(list_transform(emb, x -> abs(x))) AS maxabs
+             |  FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings)
+             |), r AS (
+             |  SELECT label, maxabs,
+             |    list_max(list_transform(emb,
+             |      x -> abs(x - ((round((x * 127) / maxabs) * maxabs) / 127)))) AS max_err
+             |  FROM q)
+             |SELECT CAST(label AS INT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  round(CAST(sum(CAST(round(maxabs, 6) AS DECIMAL(12,6))) * 1000000 AS DOUBLE)
+             |    / (100 * count(*))) / 10000.0 AS avg_maxabs,
+             |  round(CAST(sum(CAST(round(max_err, 8) AS DECIMAL(14,8))) * 100000000 AS DOUBLE)
+             |    / (100 * count(*))) / 1000000.0 AS avg_max_err,
+             |  round(max(max_err), 6) AS worst_err
+             |FROM r GROUP BY label ORDER BY label""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"),
+            expr("transform(embedding, x -> cast(x as double))").as("emb"))
+          .withColumn("maxabs", expr("array_max(transform(emb, x -> abs(x)))"))
+          .withColumn("max_err", expr(
+            "array_max(transform(emb, x -> abs(x - ((round((x * 127) / maxabs) * maxabs) / 127))))"))
+          .groupBy(col("label").cast("int").as("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            // per-row values are deterministic (no accumulation); the
+            // cross-row mean uses the exact-decimal-sum / integer-scaled
+            // division pattern (see q126) so no rounding tie can split
+            // the engines
+            (round((sum(round(col("maxabs"), 6).cast("decimal(12,6)")) * 1000000)
+              .cast("double") / (lit(100) * count(lit(1)))) / 10000.0).as("avg_maxabs"),
+            (round((sum(round(col("max_err"), 8).cast("decimal(14,8)")) * 100000000L)
+              .cast("double") / (lit(100) * count(lit(1)))) / 1000000.0).as("avg_max_err"),
+            round(max(col("max_err")), 6).as("worst_err"))
+          .orderBy("label")),
+
+    // ----- cross-corpus chunk dedup (the line-level dedup of
+    //       CCNet/Falcon, over fixed 8-token chunks): chunk the corpus
+    //       row-locally, then ONE high-cardinality groupBy counts every
+    //       chunk's occurrences — duplicated boilerplate surfaces as
+    //       chunks shared across docs. Map-side partial aggregation
+    //       absorbs the explosion; the surviving dup set is tiny. -----
+    Q("q128_chunk_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ch AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(0, CAST(floor(len(toks) / 8) AS INT)),
+             |    i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS chunk
+             |  FROM t)
+             |SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  min(doc_id) AS first_doc
+             |FROM ch GROUP BY chunk HAVING count(*) >= 2
+             |ORDER BY n_occ DESC, chunk""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(floor(size(toks) / 8) as int) - 1), " +
+              "i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))")).as("chunk"))
+          .groupBy("chunk")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_occ") >= 2)
+          .orderBy(col("n_occ").desc, col("chunk"))),
+
+    // ----- curriculum difficulty binning: per-source quartiles (ntile)
+    //       over a rounded lexical-diversity score — the stage that
+    //       orders a corpus easy→hard for curriculum schedules.
+    //       ntile is deterministic because it orders by the ROUNDED
+    //       score with a doc_id tiebreak; the window sorts within each
+    //       source only (sources shard across executors at scale). -----
+    Q("q129_curriculum_bins",
+      Some("""WITH s AS (
+             |  SELECT doc_id, source, n_chars,
+             |    round(len(list_distinct(string_split(text, ' ')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS score
+             |  FROM documents
+             |), b AS (
+             |  SELECT *, CAST(ntile(4) OVER (PARTITION BY source ORDER BY score, doc_id) AS INT) AS bin
+             |  FROM s)
+             |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(CAST(sum(CAST(score AS DECIMAL(8,4))) * 10000 AS DOUBLE) / count(*))
+             |    / 10000.0 AS avg_score,
+             |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |  CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(size(array_distinct(col("toks"))) / size(col("toks")).cast("double"), 4)
+              .as("score"))
+          .withColumn("bin", ntile(4).over(w))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            // exact-decimal-sum / integer-scaled division (see q126):
+            // this group hit a true decimal tie at sf0.01 (2.1849/6 =
+            // 0.36415 exactly), where plain round(avg) splits engines
+            (round((sum(col("score").cast("decimal(8,4)")) * 10000).cast("double")
+              / count(lit(1))) / 10000.0).as("avg_score"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("source", "bin")
+      })
+  )
+
+  /** DuckDB per-doc distinct shingle-hash list (mirrors
+    * [[Text.shingleHashSets]]; see Text for the determinism notes). */
+  private def duckHashes: String = Text.duckShingleHashes
+}

@@ -136,4 +136,33 @@ class PlanShapeSpec extends SparkSuite {
     val p = formatted("q119_cohort_retention")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q123: PII sweep is row-local — no join anywhere in the plan") {
+    val p = formatted("q123_pii_scrub")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q124: eval set broadcasts; the corpus side never sort-merge joins") {
+    val p = formatted("q124_contamination")
+    // one-row eval array × corpus = broadcast nested loop; the overlap
+    // math is row-local array_intersect after that
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q126: k-means assignment is corpus × broadcast centroids") {
+    val p = formatted("q126_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q128: chunk dedup is explode → partial agg → one keyed shuffle") {
+    val p = formatted("q128_chunk_dedup")
+    assert(!p.contains("Join"), p)
+    // count(DISTINCT doc_id) expands to a two-level aggregate: partial
+    // by (chunk, doc_id), re-agg by chunk, then the final range sort —
+    // three exchanges total, all keyed, none corpus-wide
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 3, p)
+    assert(p.contains("partial_count"), p)
+  }
 }
