@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+/** Pipeline data-quality auditing (SURVEY.md §2.7 operational
+  * semantics): `observe()` metrics that piggyback on an action the
+  * pipeline already runs.
+  *
+  * At 100 TB the difference between `observe()` and a separate audit
+  * query is an entire extra scan of the table: observe attaches
+  * aggregate accumulators to the EXISTING pass (here a `noop`-sink
+  * write standing in for the real production write), so row counts,
+  * null rates, and business-rule violations are collected for free and
+  * read on the driver after the action completes.
+  */
+object Quality {
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- observed load-audit metrics: the pipeline writes orders to
+    //       its sink (noop format — the Spark-native /dev/null used for
+    //       exactly this kind of pass-through measurement) and the
+    //       audit metrics ride along on that same single scan. The
+    //       returned one-row frame is the driver-side metrics record a
+    //       real pipeline would append to its load log. Oracle = the
+    //       same aggregates as a plain query — observe must change
+    //       WHERE the numbers are computed, never the numbers. -----
+    Q("q132_observed_metrics",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT) AS n_big,
+             |  CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) AS null_priority,
+             |  round(sum(o_totalprice), 2) AS total_rev
+             |FROM orders""".stripMargin),
+      (s, dir) => {
+        val obs = Observation("load_audit")
+        Tables.load(s, dir, "orders")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            count(when(col("o_totalprice") > 300000, 1)).as("n_big"),
+            count(when(col("o_orderpriority").isNull, 1)).as("null_priority"),
+            round(sum(col("o_totalprice")), 2).as("total_rev"))
+          .write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long], m("n_big").asInstanceOf[Long],
+          m("null_priority").asInstanceOf[Long], m("total_rev").asInstanceOf[Double]))
+          .toDF("n_rows", "n_big", "null_priority", "total_rev")
+      })
+  )
+}

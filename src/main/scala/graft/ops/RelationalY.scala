@@ -218,6 +218,52 @@ object RelationalY {
             round(min(col("o_totalprice")), 4).as("lo"),
             round(max(col("o_totalprice")), 4).as("hi"),
             round(avg(col("o_totalprice")), 4).as("avg_price"))
-          .orderBy("bin"))
+          .orderBy("bin")),
+
+    // ----- ANSI-safe error handling (try_* family): the load-don't-die
+    //       semantics an ETL edge needs — malformed casts and division
+    //       by zero yield NULL instead of failing the job 90 TB in.
+    //       Row-local; every try_* stays inside whole-stage codegen.
+    //       DuckDB mirrors try_cast natively and try_divide via a
+    //       guarded CASE. -----
+    Q("q130_try_functions",
+      Some("""SELECT o_orderkey,
+             |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+             |  TRY_CAST(o_orderstatus AS INT) AS status_num,
+             |  round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+             |        ELSE o_totalprice / (o_orderkey % 3) END, 4) AS price_per,
+             |  TRY_CAST('2024-13-40' AS DATE) AS bad_date
+             |FROM orders WHERE o_orderkey <= 500
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 500)
+          .select(col("o_orderkey"),
+            expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+            expr("try_cast(o_orderstatus AS INT)").as("status_num"),
+            round(expr("try_divide(o_totalprice, o_orderkey % 3)"), 4).as("price_per"),
+            expr("try_cast('2024-13-40' AS DATE)").as("bad_date"))
+          .orderBy("o_orderkey")),
+
+    // ----- GROUP BY ALL / ORDER BY ALL (Snowflake-dialect convenience,
+    //       native in Spark 4 AND DuckDB): one SQL text runs verbatim on
+    //       both engines — the q117 dialect-parity pattern without even
+    //       needing translation. Groups by every non-aggregate
+    //       select-list item, orders by the full select list. -----
+    Q("q131_group_by_all",
+      Some(groupByAllSql),
+      (s, dir) => {
+        graft.Tables.registerAll(s, dir)
+        s.sql(groupByAllSql)
+      })
   )
+
+  /** Shared verbatim by the Spark path and the DuckDB oracle. */
+  private lazy val groupByAllSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS rev
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
 }
