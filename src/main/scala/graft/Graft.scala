@@ -132,9 +132,19 @@ object Graft {
   /** Connected components of an undirected edge list (`src`, `dst`) via
     * iterative min-label propagation — closes near-dup candidate PAIRS
     * into whole CLUSTERS (rounds bounded by cluster diameter; one
-    * id-keyed shuffle per round, no driver-side graph state). */
+    * id-keyed shuffle per round, per-round `localCheckpoint` keeps the
+    * plan O(1); no driver-side graph state). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
     ops.Graph.connectedComponents(edges, maxIter)
+
+  /** Canonical selection after clustering: keep the best-scoring member
+    * of each cluster (score DESC, id tiebreak) — what a dedup pipeline
+    * actually ships. `components` = (`id`, `component`) from
+    * [[connectedComponents]]; `scored` = (idCol, scoreCol). */
+  def keepBestPerCluster(components: DataFrame, scored: DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "score"): DataFrame =
+    ops.Text.keepBestPerCluster(components, scored, idCol, scoreCol)
 
   // ----- corpus engineering (SURVEY §2.9: sampling, splits, packing) -----
 
@@ -149,6 +159,16 @@ object Graft {
   def splitAssign(keyCol: Column, salt: String = "spl",
                   trainPct: Int = 90, valPct: Int = 5): Column =
     ops.Corpus.splitAssign(keyCol, salt, trainPct, valPct)
+
+  // ----- pipeline auditing (SURVEY §2.7) -----
+
+  /** Write `df` through `sink` with aggregate audit metrics observed on
+    * that SAME pass (`observe()` — no second scan); returns the
+    * collected metrics after the action completes. */
+  def auditedWrite(df: DataFrame, metrics: Seq[Column],
+                   sink: DataFrame => Unit =
+                     _.write.format("noop").mode("overwrite").save()): Map[String, Any] =
+    ops.Quality.auditedWrite(df, metrics, sink)
 
   // ----- multimodal ingestion (SURVEY §2.9) -----
 

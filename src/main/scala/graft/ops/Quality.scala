@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** PUBLIC audited write: run `df`'s write action with the given
+    * aggregate metrics observed ON that same pass (no second scan) and
+    * return the collected metrics. `sink` defaults to the noop format —
+    * substitute the real writer in production. */
+  def auditedWrite(df: org.apache.spark.sql.DataFrame,
+                   metrics: Seq[org.apache.spark.sql.Column],
+                   sink: org.apache.spark.sql.DataFrame => Unit =
+                     _.write.format("noop").mode("overwrite").save()): Map[String, Any] = {
+    require(metrics.nonEmpty, "auditedWrite needs at least one metric column")
+    val obs = Observation()
+    sink(df.observe(obs, metrics.head, metrics.tail: _*))
+    obs.get
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- observed load-audit metrics: the pipeline writes orders to
@@ -34,15 +48,11 @@ object Quality {
              |  round(sum(o_totalprice), 2) AS total_rev
              |FROM orders""".stripMargin),
       (s, dir) => {
-        val obs = Observation("load_audit")
-        Tables.load(s, dir, "orders")
-          .observe(obs,
-            count(lit(1)).as("n_rows"),
-            count(when(col("o_totalprice") > 300000, 1)).as("n_big"),
-            count(when(col("o_orderpriority").isNull, 1)).as("null_priority"),
-            round(sum(col("o_totalprice")), 2).as("total_rev"))
-          .write.format("noop").mode("overwrite").save()
-        val m = obs.get
+        val m = auditedWrite(Tables.load(s, dir, "orders"), Seq(
+          count(lit(1)).as("n_rows"),
+          count(when(col("o_totalprice") > 300000, 1)).as("n_big"),
+          count(when(col("o_orderpriority").isNull, 1)).as("null_priority"),
+          round(sum(col("o_totalprice")), 2).as("total_rev")))
         import s.implicits._
         Seq((m("n_rows").asInstanceOf[Long], m("n_big").asInstanceOf[Long],
           m("null_priority").asInstanceOf[Long], m("total_rev").asInstanceOf[Double]))

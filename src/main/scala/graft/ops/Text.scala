@@ -97,6 +97,70 @@ object Text {
       s"list_min(list_transform($hs, h -> xor(h, $seed))) AS mh${i + 1}"
     }
 
+  /** PUBLIC canonical selection (the near-dup pipeline's last stage):
+    * given cluster labels (`id`, `component`) — e.g. from
+    * [[Graph.connectedComponents]] — and per-doc scores (`idCol`,
+    * `scoreCol`), keep the best-scoring member of each cluster
+    * (score DESC, id tiebreak). The cluster frame holds clustered docs
+    * only (tiny vs the corpus) and broadcasts against the scored scan. */
+  def keepBestPerCluster(components: org.apache.spark.sql.DataFrame,
+                         scored: org.apache.spark.sql.DataFrame,
+                         idCol: String = "doc_id",
+                         scoreCol: String = "score"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col(scoreCol).desc, col("id"))
+    scored.join(org.apache.spark.sql.functions.broadcast(components),
+        scored(idCol) === components("id"))
+      .select(col("component"), col("id"), col(scoreCol))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col("id"))).as("kept_doc"),
+        min(when(col("rn") === 1, col(scoreCol))).as("kept_score"))
+  }
+
+  /** MinHash-LSH candidate edges (q41's generation stage) as an
+    * undirected edge list — shared by q104/q134. The signature frame is
+    * cached + eager: the three band branches and both self-join sides
+    * would otherwise re-run the whole shingle-hash pipeline 6×. */
+  private[ops] def lshBandEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*).cache()
+    sig.count()
+    val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
+      .map { case (b, x, y) =>
+        sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
+      }.reduce(_.unionByName(_))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
+          && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
+  }
+
+  /** DuckDB CTE chain sig → bands → edges → reach → comp (recursive
+    * reachability closure), shared verbatim by the q104/q134 oracles so
+    * the two can never drift. Use as `WITH RECURSIVE $duckComponentsCtes`. */
+  private def duckComponentsCtes: String =
+    s"""sig AS (
+       |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+       |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+       |        FROM documents WHERE len($duckTokens) >= 3)
+       |), bands AS (
+       |  SELECT doc_id, band, v1, v2 FROM (
+       |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
+       |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
+       |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+       |), edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+       |    AND a.doc_id <> b.doc_id
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
+       |)""".stripMargin
+
   /** Shared 32-bit SimHash signature (q42 output, q63 input). */
   private def simhashDF(s: SparkSession, dir: String) = {
     val tok = Tables.load(s, dir, "documents")
@@ -496,50 +560,19 @@ object Text {
     //       cluster diameter (2-4 for near-dup graphs); each round one
     //       id-keyed shuffle — no driver-side graph state. -----
     Q("q104_neardup_components",
-      Some(s"""WITH RECURSIVE sig AS (
-              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
-              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
-              |        FROM documents WHERE len($duckTokens) >= 3)
-              |), bands AS (
-              |  SELECT doc_id, band, v1, v2 FROM (
-              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
-              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
-              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
-              |), edges AS (
-              |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-              |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
-              |    AND a.doc_id <> b.doc_id
-              |), reach(src, dst) AS (
-              |  SELECT src, dst FROM edges
-              |  UNION
-              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-              |)
+      Some(s"""WITH RECURSIVE $duckComponentsCtes
               |SELECT component AS component_id, CAST(count(*) AS BIGINT) AS n_members,
               |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
-              |FROM (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+              |FROM comp
               |GROUP BY component ORDER BY component""".stripMargin),
-      (s, dir) => {
-        // signature frame cached + eager (as in q41): the three band
-        // branches and both self-join sides would otherwise re-run the
-        // whole shingle-hash pipeline 6×
-        val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*).cache()
-        sig.count()
-        val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
-          .map { case (b, x, y) =>
-            sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
-          }.reduce(_.unionByName(_))
-        val edges = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
-              && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
-        Graph.connectedComponents(edges)
+      (s, dir) =>
+        Graph.connectedComponents(lshBandEdges(s, dir))
           .groupBy("component")
           .agg(count(lit(1)).as("n_members"),
             array_join(transform(sort_array(collect_list(col("id"))),
               _.cast("string")), ",").as("members"))
           .select(col("component").as("component_id"), col("n_members"), col("members"))
-          .orderBy("component_id")
-      }),
+          .orderBy("component_id")),
 
     // ----- document fingerprint: polynomial rolling hash over the token
     //       stream (mod 1e9+7), tokens hashed to 56 bits then reduced
@@ -555,6 +588,68 @@ object Text {
           .select(col("doc_id"),
             expr(s"aggregate(transform($tokens, t -> ${hash56("t")} % 1000003), " +
               "cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)").as("fingerprint"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- BPE pair counting: adjacent character-pair frequencies
+    //       within tokens — the statistic a BPE tokenizer trainer
+    //       recomputes every merge round. explode → explode → ONE
+    //       high-cardinality keyed agg; map-side partials absorb the
+    //       quadratic-looking blowup (pairs per token ≈ token length).
+    //       Top-30 by count with a pair tiebreak. -----
+    Q("q133_bpe_pair_counts",
+      Some(s"""WITH tok AS (SELECT unnest($duckTokens) AS t FROM documents),
+              |pairs AS (
+              |  SELECT unnest(list_transform(range(1, len(t)), i -> substr(t, i, 2))) AS pair
+              |  FROM tok WHERE len(t) >= 2)
+              |SELECT pair, CAST(count(*) AS BIGINT) AS n
+              |FROM pairs GROUP BY pair
+              |ORDER BY n DESC, pair LIMIT 30""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("t"))
+          .filter(length(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(30)),
+
+    // ----- quality-aware canonical selection: the near-dup pipeline's
+    //       LAST stage. q104's clusters + a per-doc quality score →
+    //       keep the highest-quality member of each cluster (score
+    //       DESC, doc_id tiebreak). The cluster frame (clustered docs
+    //       only — tiny vs the corpus) BROADCASTS against the scored
+    //       corpus scan, the keep decision is one per-cluster window.
+    //       This is what "dedup" actually ships at 100 TB: not the pair
+    //       list, the per-cluster survivor. -----
+    Q("q134_dedup_keep_best",
+      Some(s"""WITH RECURSIVE $duckComponentsCtes,
+              |sc AS (
+              |  SELECT doc_id,
+              |    round(len(list_distinct($duckTokens))
+              |      / CAST(len($duckTokens) AS DOUBLE), 4) AS score
+              |  FROM documents),
+              |ranked AS (
+              |  SELECT c.component, c.id, s.score,
+              |    row_number() OVER (PARTITION BY c.component
+              |      ORDER BY s.score DESC, c.id) AS rn
+              |  FROM comp c JOIN sc s ON s.doc_id = c.id)
+              |SELECT component AS component_id, CAST(count(*) AS BIGINT) AS n_members,
+              |  min(CASE WHEN rn = 1 THEN id END) AS kept_doc,
+              |  min(CASE WHEN rn = 1 THEN score END) AS kept_score
+              |FROM ranked GROUP BY component
+              |ORDER BY component_id""".stripMargin),
+      (s, dir) => {
+        val comp = Graph.connectedComponents(lshBandEdges(s, dir))
+        val sc = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            round(size(array_distinct(col("toks")))
+              / size(col("toks")).cast("double"), 4).as("score"))
+        keepBestPerCluster(comp, sc)
+          .select(col("component").as("component_id"), col("n_members"),
+            col("kept_doc"), col("kept_score"))
+          .orderBy("component_id")
+      })
   )
 }

@@ -99,9 +99,14 @@ object Training {
       (s, dir) => {
         val sh = Text.shingleHashSets(
           Tables.load(s, dir, "documents"), "text", Seq("doc_id", "source"))
+        // no explode here: a Generate would make InferFiltersFromGenerate
+        // push `size(hashes) > 0 / isnotnull(hashes)` guards below it,
+        // and predicate pushdown re-expands those through the projection
+        // into the FULL md5 shingle pipeline inside the Filter — every
+        // row then hashes its shingles once for the guard and once for
+        // the projection (measured 2.9s vs 0.3s for this 5-doc branch)
         val ev = sh.filter(col("doc_id") < 5)
-          .select(explode(col("hashes")).as("h"))
-          .agg(collect_set(col("h")).as("evh"))
+          .agg(array_distinct(flatten(collect_list(col("hashes")))).as("evh"))
         sh.filter(col("doc_id") >= 5)
           .crossJoin(broadcast(ev))
           .withColumn("ov",

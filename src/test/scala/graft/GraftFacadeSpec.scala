@@ -42,4 +42,26 @@ class GraftFacadeSpec extends SparkSuite {
     assert(maxBucket(4) < 16)
     assert(maxBucket(8) >= 16) // wider code space actually used
   }
+
+  test("connectedComponents + keepBestPerCluster ship one survivor per cluster") {
+    // two clusters: {1,2,3} (chained 1-2, 2-3) and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.4))
+      .toDF("doc_id", "score")
+    val kept = Graft.keepBestPerCluster(
+        Graft.connectedComponents(edges), scored)
+      .select("component", "n_members", "kept_doc", "kept_score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // cluster 1: docs 2 and 3 tie on score — id tiebreak keeps 2
+    assert(kept.toSeq == Seq((1L, 3L, 2L, 0.9), (10L, 2L, 10L, 0.5)))
+  }
+
+  test("auditedWrite collects metrics on the write pass itself") {
+    val df = Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)).toDF("id", "v")
+    val m = Graft.auditedWrite(df, Seq(
+      count(lit(1)).as("n"),
+      count(when(col("v") > 100, 1)).as("n_big"),
+      round(sum(col("v")), 2).as("total")))
+    assert(m("n") == 3L && m("n_big") == 1L && m("total") == 240.0)
+  }
 }
