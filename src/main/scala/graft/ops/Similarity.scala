@@ -20,29 +20,57 @@ import org.apache.spark.sql.functions._
   *  - brute-force top-k broadcasts the (small) query set and streams
   *    the candidate corpus — one narrow scan, one shuffle keyed by
   *    query id for the final top-k;
-  *  - the ANN path buckets rows by 8 random-hyperplane sign bits
+  *  - the ANN path buckets rows by random-hyperplane sign bits
   *    (a deterministic literal sign matrix, embedded identically in
-  *    the oracle SQL) so candidate generation is a per-bucket
-  *    equi-join instead of the quadratic cross join;
+  *    the oracle SQL), the plane count auto-sized from the corpus
+  *    count so expected bucket occupancy stays bounded as the data
+  *    grows — candidate generation is a per-bucket equi-join instead
+  *    of the quadratic cross join;
   *  - norms are computed once per row before any join (never inside
   *    the pair loop).
   */
 object Similarity {
 
   private val dims = 64
-  private val planes = 8
+
+  /** Widest plane count the embedded literal matrix (and its oracle-SQL
+    * copy) carries. 12 planes = 4,096 buckets — enough for fixture
+    * scales through ~256k vectors at the 64/bucket target; a true
+    * 100 TB deployment regenerates a wider matrix (`hyperplanes(24,…)`
+    * ≈ 16M buckets) — the seed is deterministic, so any width agrees
+    * across engines and runs. */
+  private val maxPlanes = 12
 
   /** Deterministic ±1 hyperplane matrix (seeded scala.util.Random —
     * embedded as literals in BOTH engines, so cross-engine agreement
     * is by construction). PUBLIC and parameterized: the plane count is
-    * the bucket-density scale knob (SCALING.md) — at larger corpora,
-    * grow nPlanes ~log2(n / targetBucketSize) and re-bucket. */
+    * the bucket-density scale knob (SCALING.md). `Array.fill` draws
+    * row-major, so `hyperplanes(k).take(j)` ≡ `hyperplanes(j)` — a
+    * corpus re-bucketed with more planes refines (splits) its old
+    * buckets rather than reshuffling them. */
   def hyperplanes(nPlanes: Int, nDims: Int, seed: Long = 42L): Array[Array[Double]] = {
     val r = new scala.util.Random(seed)
     Array.fill(nPlanes, nDims)(if (r.nextBoolean()) 1.0 else -1.0)
   }
 
-  val hpSigns: Array[Array[Double]] = hyperplanes(planes, dims)
+  val hpSigns: Array[Array[Double]] = hyperplanes(maxPlanes, dims)
+
+  /** Corpus-size-derived plane count: smallest even p with
+    * n ≤ target·2^p (= ceil(log2(n/target)) rounded up to even),
+    * clamped to [4, maxPlanes]. Even steps keep the tier thresholds
+    * exact integers — both engines pick the SAME p by pure integer
+    * comparison, no float log2 at the decision boundary. Expected
+    * bucket occupancy stays ≤ `target` until n outgrows the embedded
+    * matrix width. */
+  def autoPlanes(n: Long, target: Long = 64L): Int =
+    (4 to maxPlanes by 2).find(p => n <= (target << p)).getOrElse(maxPlanes)
+
+  /** DuckDB copy of the same tier decision (CTE `p`, column `np`). */
+  private def duckAutoPlanes(target: Long = 64L): String = {
+    val cases = (4 until maxPlanes by 2)
+      .map(p => s"WHEN count(*) <= ${target << p} THEN $p").mkString(" ")
+    s"(SELECT CASE $cases ELSE $maxPlanes END AS np FROM embeddings)"
+  }
 
   private def sqlArray(a: Array[Double]): String =
     a.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -62,7 +90,6 @@ object Similarity {
       val dot = s"aggregate(zip_with($c, ${sparkArray(hp(j))}, (x,h) -> cast(x as double) * h), cast(0 as double), (a,v) -> a + v)"
       s"CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("cast(", " + ", " as int)")
-  private val bucketExpr = bucketExprOf("embedding", hpSigns)
 
   /** PUBLIC generic form: attach per-row L2 norm (`nrm`) and sign-LSH
     * bucket (`bucket`) over any `array<float>` embedding column —
@@ -75,13 +102,26 @@ object Similarity {
   /** DuckDB equivalents. */
   private val duckNorm =
     "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
-  private val duckBucket: String = (0 until planes).map { j =>
+
+  /** DuckDB: full `maxPlanes`-bit bucket, masked down to `np` planes by
+    * the caller (`& ((1 << np) - 1)`). Plane j contributes bit j, so
+    * masking to the low np bits IS the np-plane bucket — the oracle can
+    * stay a static string while the plane count is data-derived. */
+  private val duckBucketFull: String = (0 until maxPlanes).map { j =>
     s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlArray(hpSigns(j))}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END"
   }.mkString("CAST(", " + ", " AS INT)")
 
-  /** Corpus with per-row norm + LSH bucket (computed once, pre-join). */
-  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    withNormAndBucket(Tables.load(s, dir, "embeddings"), "embedding")
+  /** Corpus with per-row norm + LSH bucket, the plane count derived
+    * from the corpus size (VERDICT r4 #2: the `nPlanes ≈
+    * log2(n/targetBucketSize)` sizing as code, not a comment). The
+    * count is one parquet-metadata job; the Spark side then evaluates
+    * only the chosen prefix of the plane matrix (the oracle evaluates
+    * all 12 and masks — same bits by construction). */
+  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val np = autoPlanes(emb.count())
+    withNormAndBucket(emb, "embedding", hpSigns.take(np))
+  }
 
   private val pairCos =
     "aggregate(zip_with(q_emb, embedding, (x,y) -> cast(x as double) * cast(y as double)), cast(0 as double), (a,v) -> a + v)"
@@ -120,8 +160,10 @@ object Similarity {
     //       to the query's bucket (the scale path — bucket equi-join,
     //       not cross join). -----
     Q("q49_ann_lsh_topk",
-      Some(s"""WITH n AS (
-              |  SELECT vec_id, embedding, $duckNorm AS nrm, $duckBucket AS bucket FROM embeddings
+      Some(s"""WITH p AS ${duckAutoPlanes()},
+              |n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm,
+              |    $duckBucketFull & ((1 << p.np) - 1) AS bucket FROM embeddings, p
               |), q AS (SELECT * FROM n WHERE vec_id < 5),
               |sc AS (
               |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, q.bucket,
@@ -155,8 +197,10 @@ object Similarity {
     //       random-vector fixture peaks near cos≈0.5, so 0.3 yields a
     //       small deterministic pair set). -----
     Q("q50_embedding_neardup",
-      Some(s"""WITH n AS (
-              |  SELECT vec_id, embedding, $duckNorm AS nrm, $duckBucket AS bucket FROM embeddings
+      Some(s"""WITH p AS ${duckAutoPlanes()},
+              |n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm,
+              |    $duckBucketFull & ((1 << p.np) - 1) AS bucket FROM embeddings, p
               |)
               |SELECT a.vec_id AS d1, b.vec_id AS d2,
               |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])

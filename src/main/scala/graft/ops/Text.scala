@@ -161,25 +161,41 @@ object Text {
        |  SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
        |)""".stripMargin
 
-  /** Shared 32-bit SimHash signature (q42 output, q63 input). */
+  /** Shared 64-bit SimHash signature (q42 output, q63 input).
+    *
+    * Per-token 64-bit hash from two md5 chunks: bits 0–55 from the
+    * first 14 hex digits (`h`), bits 56–63 from the next 2 (`h2`) —
+    * both chunks portable to DuckDB as `('0x'||substr(md5,..))::BIGINT`.
+    * Bit 63's weight is `1L << 63` = Long.MinValue; summing it LAST
+    * keeps every partial sum in signed-64 range (positives top out at
+    * 2^63−1), so the construction is overflow-free in both engines
+    * (verified: DuckDB sums the chain in HUGEINT and the final value
+    * always fits the BIGINT cast). 64 bits matter at scale: with 4
+    * bands of 16 bits (65,536 values/band) band-bucket occupancy stays
+    * ~n/65536 instead of the old 32-bit 4×8-bit layout's n/256 —
+    * the within-bucket candidate join stays near-linear at 100×. */
   private def simhashDF(s: SparkSession, dir: String) = {
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("h", expr(hash56("token")))
-    val bits = (0 until 32).map(b =>
-      when(sum(when(expr(s"(h >> $b) & 1 = 1"), 1).otherwise(-1)) > 0, lit(1L << b))
-        .otherwise(lit(0L)))
+      .withColumn("h2", expr("cast(conv(substring(md5(token), 15, 2), 16, 10) as bigint)"))
+    val bits = (0 until 64).map { b =>
+      val bitSet = if (b < 56) s"(h >> $b) & 1 = 1" else s"(h2 >> ${b - 56}) & 1 = 1"
+      when(sum(when(expr(bitSet), 1).otherwise(-1)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }
     tok.groupBy("doc_id").agg(bits.reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** DuckDB text of the same signature (CTE body). */
   private val duckSimhash: String = {
     val duckH = "('0x' || substr(md5(token),1,14))::BIGINT"
-    val bits = (0 until 32).map(b =>
-      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
+    val duckH2 = "('0x' || substr(md5(token),15,2))::BIGINT"
+    val bits = (0 until 64).map { b =>
+      val bitSet = if (b < 56) s"(h >> $b) & 1 = 1" else s"(h2 >> ${b - 56}) & 1 = 1"
+      s"CASE WHEN sum(CASE WHEN $bitSet THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
     s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
-       |FROM (SELECT doc_id, $duckH AS h
+       |FROM (SELECT doc_id, $duckH AS h, $duckH2 AS h2
        |      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents))
        |GROUP BY doc_id""".stripMargin
   }
@@ -272,22 +288,29 @@ object Text {
           .orderBy("d1", "d2")
       }),
 
-    // ----- SimHash: 32-bit signature from per-token 56-bit hashes; bit b
+    // ----- SimHash: 64-bit signature from per-token 64-bit hashes; bit b
     //       is set iff sum over tokens of ±1 (by bit b of the token hash)
     //       is positive. Pure map + one groupBy(doc_id). -----
     Q("q42_simhash",
       Some(s"""SELECT doc_id, simhash FROM ($duckSimhash) ORDER BY doc_id""".stripMargin),
       (s, dir) => simhashDF(s, dir).orderBy("doc_id")),
 
-    // ----- SimHash near-dup pairs: 4 byte-bands over the 32-bit
+    // ----- SimHash near-dup pairs: 4 16-bit bands over the 64-bit
     //       signature (pigeonhole: hamming ≤ 3 ⇒ at least one identical
     //       band), candidates = band-bucket join, verified by
     //       bit_count(xor) ≤ 3. Same blocked-pair shape as MinHash-LSH:
-    //       no cross join, shuffles keyed by (band, value). -----
+    //       no cross join, shuffles keyed by (band, value). 16-bit
+    //       bands give 65,536 buckets per band — expected occupancy
+    //       n/65536, so the within-bucket pair enumeration stays
+    //       near-linear at 100× (the old 32-bit/8-bit-band layout
+    //       capped at 256 buckets/band and went quadratic). Shift-then-
+    //       mask band extraction is engine-portable even on negative
+    //       signatures: the & 65535 mask makes arithmetic vs logical
+    //       shift indistinguishable. -----
     Q("q63_simhash_pairs",
       Some(s"""WITH sig AS ($duckSimhash),
               |bands AS (
-              |  SELECT doc_id, b, (simhash >> (8 * b)) & 255 AS val
+              |  SELECT doc_id, b, (simhash >> (16 * b)) & 65535 AS val
               |  FROM sig, unnest([0,1,2,3]) AS t(b)),
               |cand AS (
               |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
@@ -307,7 +330,7 @@ object Text {
         // distinct + two joins; at 100 TB it would be the bottleneck).
         val bands = sig.select(col("doc_id"),
             explode(expr("sequence(0, 3)")).as("b"), col("simhash"))
-          .withColumn("val", expr("(simhash >> (8 * b)) & 255"))
+          .withColumn("val", expr("(simhash >> (16 * b)) & 65535"))
         bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.val") === col("y.val")
               && col("x.doc_id") < col("y.doc_id")
