@@ -324,13 +324,27 @@ object Relational {
             countDistinct(col("l_suppkey")).as("distinct_supps"))
           .orderBy("l_returnflag")),
 
-    // ----- aggregation: approx distinct (HLL++; sketch is engine-specific
-    //       → rows-only check; exactness covered by q16) -----
-    Q("q17_approx_count_distinct", None,
+    // ----- aggregation: approx distinct (HLL++). The estimate itself is
+    //       engine-specific, so the oracle checks a TOLERANCE BAND
+    //       instead of the raw value: the query emits the exact count
+    //       and a flag for |approx−exact|/exact ≤ 5% (rsd pinned at
+    //       0.01, so the band is ~5σ — deterministic for a given
+    //       fixture), and the oracle asserts the exact count and
+    //       flag=1. A broken estimator now FAILS the hash check rather
+    //       than hiding behind rows-only. -----
+    Q("q17_approx_count_distinct",
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             |  CAST(1 AS INT) AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .withColumn("approx_ok",
+            (abs(col("approx_parts") - col("exact_parts")).cast("double")
+              / col("exact_parts") <= 0.05).cast("int"))
+          .select("l_returnflag", "exact_parts", "approx_ok")
           .orderBy("l_returnflag")),
 
     // ----- aggregation: percentiles / median (exact, linear interpolation) -----
@@ -512,15 +526,30 @@ object Relational {
       (s, _) =>
         s.sql("SELECT * FROM (VALUES (1,'one'),(2,'two'),(3,'three')) AS t(id, name) ORDER BY id")),
 
-    // ----- sampling: seeded Bernoulli sample (seed semantics are
-    //       engine-specific → rows-only check) -----
-    Q("q31_sample", None,
-      (s, dir) =>
-        Tables.load(s, dir, "lineitem")
-          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy("l_returnflag")),
+    // ----- sampling: seeded Bernoulli sample. Seed semantics are
+    //       engine-specific, so the oracle checks the STATISTICAL
+    //       contract instead of the row set: per group, the sampled
+    //       count must land within ±15% of fraction×N (≫3σ for the
+    //       smallest fixture group, and the seed makes the draw
+    //       deterministic per fixture — the band is belt-and-braces
+    //       against sampler changes, not run-to-run noise). The oracle
+    //       asserts the exact group totals and flag=1, so a sampler
+    //       that over/under-draws or drops a group fails the hash. -----
+    Q("q31_sample",
+      Some("""SELECT l_returnflag, count(*) AS n_total, CAST(1 AS INT) AS sample_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val sampled = li.sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_sampled"))
+        li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_total"))
+          .join(sampled, Seq("l_returnflag"), "left")
+          .withColumn("sample_ok",
+            (abs(coalesce(col("n_sampled"), lit(0L)).cast("double")
+              / (col("n_total") * 0.1) - 1.0) <= 0.15).cast("int"))
+          .select("l_returnflag", "n_total", "sample_ok")
+          .orderBy("l_returnflag")
+      }),
 
     // ----- multi-way star join over all dims, TPC-H Q5 shape -----
     Q("q32_regional_revenue",

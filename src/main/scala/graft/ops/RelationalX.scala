@@ -434,21 +434,40 @@ object RelationalX {
     //       union-merge physically share ONE scan+agg of the raw data
     //       (without the cache the two branches are identical logical
     //       subtrees that may or may not be deduped by exchange reuse).
-    //       No oracle (estimates are library-specific) → driver
-    //       rows-only check; the exact counterpart is q16. -----
+    //       The estimates are library-specific, so the oracle checks a
+    //       TOLERANCE BAND: the query carries the exact distinct count
+    //       beside each sketch estimate (per type AND through the
+    //       union-merge) and emits |approx−exact|/exact ≤ 5% as a flag
+    //       (default lgConfigK=12 ⇒ ~1.6% rsd — 5% is ≳3σ); the oracle
+    //       asserts exact counts and flag=1, a real hash check. The
+    //       exact columns exist only to arm the gate — the sketch path
+    //       itself never re-scans raw data to merge. -----
     Q("q90_hll_sketch",
-      None,
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  CAST(1 AS INT) AS approx_ok
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT 'ALL' AS event_type, count(DISTINCT user_id), CAST(1 AS INT)
+             |FROM events
+             |ORDER BY event_type""".stripMargin),
       (s, dir) => {
-        val sk = Tables.load(s, dir, "events")
-          .groupBy(col("event_type"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val ev = Tables.load(s, dir, "events")
+        val sk = ev.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("exact_users"))
           .cache()
-        val perType = sk.select(col("event_type"),
+        val perType = sk.select(col("event_type"), col("exact_users"),
           hll_sketch_estimate(col("sk")).cast("long").as("approx_users"))
-        val overall = sk.agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("approx_users"))
-          .select(lit("ALL").as("event_type"), col("approx_users"))
-        perType.unionByName(overall).orderBy("event_type")
+        val overall = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+          .crossJoin(sk.agg(
+            hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("approx_users")))
+          .select(lit("ALL").as("event_type"), col("exact_users"), col("approx_users"))
+        perType.unionByName(overall)
+          .withColumn("approx_ok",
+            (abs(col("approx_users") - col("exact_users")).cast("double")
+              / col("exact_users") <= 0.05).cast("int"))
+          .select("event_type", "exact_users", "approx_ok")
+          .orderBy("event_type")
       })
   )
 }
