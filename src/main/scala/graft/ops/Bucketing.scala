@@ -22,6 +22,17 @@ object Bucketing {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Create the bucketed table only if it doesn't exist yet — the
+    * amortization IS the point: the one-time layout shuffle is paid at
+    * first use, and every later join on the key reads it shuffle-free.
+    * `df` is by-name so an existing table costs no plan work. Callers
+    * must key the table name to the source dataset (q107 appends a
+    * fixture-dir tag) so layouts from different datasets never alias. */
+  def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
+                     key: String, buckets: Int = 8): Unit =
+    if (!spark.catalog.tableExists(table))
+      writeBucketed(spark, df, table, key, buckets)
+
   /** Join two co-bucketed tables on their bucket key. The plan must
     * contain no Exchange on either side (asserted in BucketingSpec). */
   def cobucketedJoin(spark: SparkSession, left: String, right: String,

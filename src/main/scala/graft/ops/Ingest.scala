@@ -123,8 +123,16 @@ object Ingest {
   def copyIntoLogged(spark: SparkSession, stageDir: String, files: Seq[String],
                      table: String, logTable: String): Seq[String] = {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $logTable (file_name STRING) USING parquet")
-    val loaded = spark.table(logTable).collect().map(_.getString(0)).toSet
-    val fresh = files.filterNot(loaded)
+    // Which of the REQUESTED files are new: anti-join the (driver-held,
+    // bounded) request list against the log table, rather than pulling
+    // the full load history to the driver — a multi-year backfill log
+    // has millions of rows; the collected result here is capped by
+    // |files|, which the caller already holds in memory.
+    import spark.implicits._
+    val freshSet = files.toDF("file_name")
+      .join(spark.table(logTable), Seq("file_name"), "left_anti")
+      .as[String].collect().toSet
+    val fresh = files.filter(freshSet)
     if (fresh.nonEmpty) {
       val df = fresh.map { f =>
         copyInto(spark, stageDir, Seq(f)).withColumn("_src_file", lit(f))
