@@ -5,15 +5,14 @@ class EntrySpec extends SparkSuite {
   test("entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
-  test("every query has either an oracle or a documented rows-only status") {
+  test("every query has an oracle (estimator/RNG ops use tolerance bands)") {
     val noOracle = SparkEntry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle ==
-      Set("q17_approx_count_distinct", "q31_sample", "q90_hll_sketch"))
+    assert(noOracle == Set.empty[String])
   }
   test("query names are unique and ordered") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size)
     assert(SparkEntry.queries.size == names.size)
-    assert(SparkEntry.oracleSql.size == names.size - 3)
+    assert(SparkEntry.oracleSql.size == names.size)
   }
 }
