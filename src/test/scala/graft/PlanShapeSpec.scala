@@ -165,4 +165,47 @@ class PlanShapeSpec extends SparkSuite {
     assert("\\bExchange \\(".r.findAllIn(p).size <= 3, p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    // Fixture: orders re-laid-out partitioned by month (the production
+    // layout for a date-partitioned 100 TB fact), plus a month dim
+    // whose FILTER column is not the join key — so only a runtime DPP
+    // subquery, not static constraint propagation, can prune the scan.
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp")
+    val factDir = base.resolve("orders_by_month").toString
+    val dimDir = base.resolve("month_dim").toString
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.mode("overwrite").partitionBy("o_month").parquet(factDir)
+    orders.select("o_month").distinct()
+      .withColumn("m_year", substring(col("o_month"), 1, 4))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val nMonths = fact.select("o_month").distinct().count()
+    val dim = spark.read.parquet(dimDir).filter(col("m_year") === "1995")
+    val joined = fact.join(dim, Seq("o_month"))
+      .groupBy("o_month").agg(count(lit(1)).as("n"))
+    // plan shape: the fact scan's partition filters carry a DPP expression
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("dynamicpruningexpression"), p)
+    // execution: the scan touches only 1995's 12 partitions, not all ~84
+    assert(joined.collect().length == 12)
+    // AQE wraps materialized stages in QueryStageExec leaves — recurse
+    // through them to reach the physical parquet scans
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(joined.queryExecution.executedPlan)
+      .find(_.partitionFilters.nonEmpty).get
+    val partsRead = factScan.metrics("numPartitions").value
+    assert(partsRead == 12, s"expected 12 pruned partitions, read $partsRead of $nMonths")
+    assert(nMonths > 50) // the pruning is real: 12 of ~84
+  }
 }
