@@ -55,18 +55,40 @@ object Bench {
     val results = p1.map { case (k, v) =>
       k -> (v.toSeq ++ p2(k).toSeq).minOption.getOrElse(-1.0)
     }
-    // The driver captures only the LAST 2000 chars of stdout and parses the
-    // JSON line from that window (round-1 line was ~3.4 KB → "parsed": null).
-    // Keep the line well under 2000 chars: short query keys (the qNN prefix),
-    // 3-decimal seconds, numeric sf.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
+    // Per-query run-to-run spread (VERDICT r4 #3): queries whose two
+    // passes disagree most, as [min,max] — the variance data that lets
+    // the driver tell a plan regression from scheduler jitter. Capped
+    // to the 5 widest spreads to respect the output-size budget.
+    val jitter = p1.keys.toSeq.flatMap { k =>
+      (p1(k), p2(k)) match {
+        case (Some(a), Some(b)) if math.max(a, b) / math.min(a, b) >= 1.5
+          && math.max(a, b) - math.min(a, b) >= 0.2 =>
+          Some(k -> (math.min(a, b), math.max(a, b)))
+        case _ => None
+      }
+    }.sortBy { case (_, (a, b)) => a - b }.take(5)
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line from that window (round-1 line was ~3.4 KB → "parsed": null).
+    // Render adaptively: 3-decimal seconds + jitter map, degrading to
+    // 2 decimals and then dropping jitter if the line would overflow
+    // the window (a truncated FRONT makes the whole line unparseable).
+    def render(dec: Int, jit: Seq[(String, (Double, Double))]): String = {
+      def fmt(v: Double): String = if (v < 0) "-1" else s"%.${dec}f".format(v)
+      def key(k: String): String = "\"" + k.takeWhile(_ != '_') + "\""
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => key(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+      val js =
+        if (jit.isEmpty) ""
+        else jit.map { case (k, (a, b)) => s"${key(k)}:[${fmt(a)},${fmt(b)}]" }
+          .mkString(""","jitter":{""", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$js,"sf":$sfNum}"""
+    }
+    val line = Seq(render(3, jitter), render(2, jitter), render(2, Nil))
+      .find(_.length <= 1950).getOrElse(render(2, Nil))
+    println(line)
     spark.stop()
   }
 }
