@@ -140,6 +140,58 @@ object Analytics {
           .select(col("doc_id"), col("source"),
             round((col("n_chars") - col("mu")) / col("sigma"), 4).as("z"))
           .orderBy("doc_id")
+      }),
+
+    // ----- day-over-day distribution drift (pipeline monitoring): the
+    //       total-variation distance ½·Σ|p_today − p_yesterday| of the
+    //       per-day event-type mix — the standard ingest monitor that
+    //       catches an upstream source silently changing shape before
+    //       it poisons a training run. Densified over the full
+    //       day×type grid (a type absent today still contributes its
+    //       yesterday mass), then ONE lag window per type. Scale
+    //       shape: the per-day histogram is a keyed agg of the raw
+    //       stream; everything after operates on days×types rows —
+    //       monitoring cost is independent of event volume. -----
+    Q("q140_daily_drift",
+      Some("""WITH c AS (
+             |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT d.day, t.event_type,
+             |    coalesce(c.c, 0) AS c
+             |  FROM (SELECT DISTINCT day FROM c) d
+             |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+             |  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type),
+             |p AS (
+             |  SELECT day, event_type,
+             |    CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY day) AS p
+             |  FROM grid),
+             |l AS (
+             |  SELECT day, event_type, p,
+             |    lag(p) OVER (PARTITION BY event_type ORDER BY day) AS p_prev,
+             |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS day_prev
+             |  FROM p)
+             |SELECT day, round(0.5 * sum(abs(p - p_prev)), 4) AS tv_drift
+             |FROM l WHERE day_prev = day - 1
+             |GROUP BY day ORDER BY day""".stripMargin),
+      (s, dir) => {
+        val c = Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+        val grid = c.select("day").distinct()
+          .crossJoin(c.select("event_type").distinct())
+          .join(c, Seq("day", "event_type"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val wDay = Window.partitionBy(col("day"))
+        val wType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        grid
+          .withColumn("p", col("c").cast("double") / sum(col("c")).over(wDay))
+          .withColumn("p_prev", lag(col("p"), 1).over(wType))
+          .withColumn("day_prev", lag(col("day"), 1).over(wType))
+          .filter(col("day_prev") === date_sub(col("day"), 1))
+          .groupBy("day")
+          .agg(round(lit(0.5) * sum(abs(col("p") - col("p_prev"))), 4).as("tv_drift"))
+          .orderBy("day")
       })
   )
 }

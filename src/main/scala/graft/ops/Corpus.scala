@@ -266,6 +266,55 @@ object Corpus {
             parse_url(col("url"), lit("HOST")).as("host"),
             parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
             length(regexp_replace(col("raw"), "<[^>]*>", "")).as("clean_len"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ----- perplexity-proxy quality scoring via a corpus-trained
+    //       bigram LM (the KenLM-filter shape, e.g. CCNet): pass 1
+    //       trains MLE bigram probabilities p(w2|w1) = c(w1w2)/c(w1·)
+    //       over the whole corpus; pass 2 scores each doc by its mean
+    //       bigram log-probability. Low scores = improbable token
+    //       sequences (boilerplate, garbled text) — the standard
+    //       quality gate before training. No smoothing needed: every
+    //       doc bigram exists in the counts it contributed to. Scale
+    //       shape: counts are keyed aggs (partial+final), scoring is
+    //       ONE equi-join on the bigram key + a per-doc agg — never
+    //       collects the LM; at 100 TB the LM table co-shuffles with
+    //       the bigram stream (or top-K + backoff broadcasts). -----
+    Q("q139_bigram_lm_score",
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2),
+             |bb AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(2, len(tk) + 1), i -> tk[i-1])) AS w1,
+             |    unnest(list_transform(range(2, len(tk) + 1),
+             |      i -> tk[i-1] || ' ' || tk[i])) AS bg
+             |  FROM t),
+             |c12 AS (SELECT w1, bg, count(*) AS c12 FROM bb GROUP BY w1, bg),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY w1),
+             |lm AS (SELECT bg, CAST(c12 AS DOUBLE) / c1 AS p
+             |       FROM c12 JOIN c1 USING (w1))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  round(avg(ln(p)), 4) AS avg_logp
+             |FROM bb JOIN lm USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val bb = Tables.load(s, dir, "documents")
+          .withColumn("tk", split(col("text"), " "))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(tk) - 1), " +
+              "i -> struct(tk[i-1] AS w1, concat(tk[i-1], ' ', tk[i]) AS bg))"))
+            .as(Seq("pos", "b")))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+        val c12 = bb.groupBy("w1", "bg").agg(count(lit(1)).as("c12"))
+        val c1 = bb.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val lm = c12.join(c1, "w1")
+          .select(col("bg"), (col("c12").cast("double") / col("c1")).as("p"))
+        bb.join(lm, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), round(avg(log(col("p"))), 4).as("avg_logp"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -55,6 +55,10 @@ object Similarity {
 
   val hpSigns: Array[Array[Double]] = hyperplanes(maxPlanes, dims)
 
+  /** q138's 16×64 ±1 projection matrix (seed distinct from the LSH
+    * planes so bucket bits and projected dims are independent). */
+  private val projSigns: Array[Array[Double]] = hyperplanes(16, dims, seed = 7L)
+
   /** Corpus-size-derived plane count: smallest even p with
     * n ≤ target·2^p (= ceil(log2(n/target)) rounded up to even),
     * clamped to [4, maxPlanes]. Even steps keep the tier thresholds
@@ -355,6 +359,38 @@ object Similarity {
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 3)
           .orderBy("q_id", "rn")
+      }),
+
+    // ----- random-projection dimensionality reduction (Johnson–
+    //       Lindenstrauss): 64-dim float embeddings → 16-dim via a
+    //       seeded ±1 sign matrix scaled by 1/√16 = 0.25 (exact in
+    //       binary, so no cross-engine scale drift). The production
+    //       pattern at 100 TB: project ONCE at ingest, store the
+    //       narrow vector beside the wide one, and run candidate
+    //       generation (ANN, clustering, near-dup) on 4× less data —
+    //       row-local map work, no shuffle, codegen'd HOF folds. The
+    //       matrix is embedded as literals in both engines (same
+    //       device as the LSH planes), emitted EXPLODED (vec_id, dim,
+    //       proj) so the oracle is a scalar compare. -----
+    Q("q138_random_projection",
+      Some {
+        val rows = projSigns.zipWithIndex
+          .map { case (r, j) => s"($j, ${sqlArray(r)}::DOUBLE[])" }.mkString(", ")
+        s"""SELECT vec_id, m.j AS dim,
+           |  round(0.25 * list_dot_product(embedding::DOUBLE[], m.v), 4) AS proj
+           |FROM embeddings, (VALUES $rows) AS m(j, v)
+           |ORDER BY vec_id, dim""".stripMargin
+      },
+      (s, dir) => {
+        val dots = projSigns.map { row =>
+          expr(s"aggregate(zip_with(embedding, ${sparkArray(row)}, " +
+            "(x,h) -> cast(x as double) * h), cast(0 as double), (a,v) -> a + v)")
+        }
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(array(dots: _*)).as(Seq("dim", "raw")))
+          .select(col("vec_id"), col("dim").cast("int").as("dim"),
+            round(col("raw") * 0.25, 4).as("proj"))
+          .orderBy("vec_id", "dim")
       })
   )
 }
