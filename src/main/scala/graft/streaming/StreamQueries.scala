@@ -176,6 +176,46 @@ object StreamQueries {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
           .orderBy("event_type")
+      }),
+
+    // ----- arbitrary-state v1 (flatMapGroupsWithState) through real
+    //       micro-batches: the per-user running counter RESUMES from
+    //       persisted state in batch 2, so the max emitted count per
+    //       user equals that user's total events iff cross-batch state
+    //       actually worked — which is exactly what the oracle checks. -----
+    Q("q141_stream_stateful_counts",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val staged = stageSplit(Tables.load(s, dir, "events"), "ts")
+        val counted = Streams.statefulUserCounts(fileStream(s, staged))
+        withStatePartitions(s, 8)(runAppend(s, counted, "fmgws"))
+          .groupBy("user_id").agg(max(col("count")).as("n_events"))
+          .orderBy("user_id")
+      }),
+
+    // ----- arbitrary-state v2 (transformWithState on the RocksDB
+    //       store — the scale-grade provider: incremental checkpoint,
+    //       changelog, bounded memory) running the same counter; same
+    //       cross-batch-resume oracle as q141. -----
+    Q("q142_stream_stateful_tws",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val staged = stageSplit(Tables.load(s, dir, "events"), "ts")
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val out =
+          try {
+            val counted = Streams.statefulUserCountsTws(fileStream(s, staged))
+            withStatePartitions(s, 8)(runAppend(s, counted, "tws"))
+          } finally prev match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        out.groupBy("user_id").agg(max(col("count")).as("n_events"))
+          .orderBy("user_id")
       })
   )
 }
