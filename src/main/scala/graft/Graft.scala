@@ -189,6 +189,12 @@ object Graft {
   def hyperplanes(nPlanes: Int, nDims: Int, seed: Long = 42L): Array[Array[Double]] =
     ops.Similarity.hyperplanes(nPlanes, nDims, seed)
 
+  /** Corpus-sized LSH plane count: smallest even p with
+    * n ≤ target·2^p — keeps expected bucket occupancy ≤ `target` as
+    * the corpus grows (pass to [[hyperplanes]]/[[withNormAndBucket]]). */
+  def autoPlanes(n: Long, target: Long = 64L): Int =
+    ops.Similarity.autoPlanes(n, target)
+
   // ----- streaming (SURVEY §2.8) -----
 
   /** Incremental file-source stream over a stage directory. */
