@@ -673,6 +673,102 @@ object Text {
           .select(col("component").as("component_id"), col("n_members"),
             col("kept_doc"), col("kept_score"))
           .orderBy("component_id")
+      }),
+
+    // ----- shingle CONTAINMENT over LSH candidates: |A∩B|/|A| and
+    //       |A∩B|/|B| instead of Jaccard — the asymmetric metric that
+    //       catches near-SUPERSET duplication (doc B embeds doc A:
+    //       quotes, boilerplate wrappers, concatenated articles),
+    //       which symmetric Jaccard under-scores when sizes differ.
+    //       Same bounded candidate generation as q41 (band equi-join,
+    //       int shuffles); only the verify metric changes. -----
+    Q("q143_shingle_containment",
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+              |        FROM documents WHERE len($duckTokens) >= 3)
+              |), bands AS (
+              |  SELECT doc_id, band, v1, v2 FROM (
+              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
+              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
+              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+              |), cand AS (
+              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+              |    AND a.doc_id < b.doc_id
+              |), sh AS (
+              |  SELECT doc_id, unnest($duckShingleHashes) AS h
+              |  FROM documents WHERE len($duckTokens) >= 3
+              |), sizes AS (
+              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+              |), inter AS (
+              |  SELECT c.d1, c.d2, count(*) AS i
+              |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.h = y.h
+              |  GROUP BY c.d1, c.d2
+              |)
+              |SELECT d1, d2,
+              |  round(CAST(i AS DOUBLE) / s1.n, 4) AS cont_in_d1,
+              |  round(CAST(i AS DOUBLE) / s2.n, 4) AS cont_in_d2
+              |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              |WHERE greatest(CAST(i AS DOUBLE) / s1.n, CAST(i AS DOUBLE) / s2.n) >= 0.5
+              |ORDER BY d1, d2""".stripMargin),
+      (s, dir) => {
+        val docs = shingleSets(s, dir).cache()
+        docs.count() // eager: signature path + explode branches share it
+        val sig = docs.select(col("doc_id") +: mhCols: _*)
+        val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
+          .map { case (b, x, y) =>
+            sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
+          }.reduce(_.unionByName(_))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
+              && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        val sh = docs.select(col("doc_id"), explode(col("hashes")).as("h"))
+        val sizes = docs.select(col("doc_id"), col("n"))
+        broadcast(cand)
+          .join(sh.as("x"), col("x.doc_id") === col("d1"))
+          .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.h") === col("y.h"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+          .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
+          .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
+          .withColumn("c1", col("i").cast("double") / col("s1.n"))
+          .withColumn("c2", col("i").cast("double") / col("s2.n"))
+          .filter(greatest(col("c1"), col("c2")) >= 0.5)
+          .select(col("d1"), col("d2"),
+            round(col("c1"), 4).as("cont_in_d1"), round(col("c2"), 4).as("cont_in_d2"))
+          .orderBy("d1", "d2")
+      }),
+
+    // ----- per-doc character entropy (gibberish / compression-artifact
+    //       gate): Shannon entropy in bits over the doc's character
+    //       distribution. Natural text sits ~4–4.5 bits; base64 blobs
+    //       and repeated-char junk land far outside — a standard
+    //       pre-training quality signal. Shuffle is keyed by
+    //       (doc_id, char) with map-side partials absorbing the
+    //       explode; the per-doc distribution is ≤ alphabet-size rows. -----
+    Q("q144_char_entropy",
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+             |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id)
+             |SELECT c.doc_id, CAST(max(n.n) AS BIGINT) AS n_chars_total,
+             |  round(-sum((CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n))
+             |        / ln(2), 4) AS entropy_bits
+             |FROM c JOIN n ON c.doc_id = n.doc_id
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+      (s, dir) => {
+        val chars = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+          .filter(length(col("ch")) === 1) // Spark's regex split keeps a trailing ""
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        val n = chars.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        chars.join(n, "doc_id")
+          .withColumn("p", col("c").cast("double") / col("n"))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_chars_total"),
+            round(-sum(col("p") * log(col("p"))) / log(lit(2.0)), 4).as("entropy_bits"))
+          .orderBy("doc_id")
       })
   )
 }
