@@ -42,4 +42,34 @@ class SimilaritySpec extends SparkSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(out.head.getDouble(2) == 1.0)
   }
+
+  test("autoPlanes tiers keep expected bucket occupancy <= target") {
+    import graft.ops.Similarity.autoPlanes
+    assert(autoPlanes(1000) == 4)
+    assert(autoPlanes(1024) == 4)  // boundary: 64 * 2^4
+    assert(autoPlanes(1025) == 6)
+    assert(autoPlanes(2000) == 6)
+    assert(autoPlanes(20000) == 10)
+    assert(autoPlanes(Long.MaxValue) == 12) // clamped to the matrix width
+    for (n <- Seq(100L, 5000L, 60000L, 200000L)) {
+      val p = autoPlanes(n)
+      assert(n.toDouble / (1 << p) <= 64.0, s"n=$n p=$p")
+    }
+  }
+
+  test("random projection preserves exact zero and scaling structure") {
+    // proj(0) = 0; proj(2x) = 2*proj(x) — linearity of the sign matrix
+    val dir = emb(
+      (0L, (0 until 64).map(_ => 0f), 0),
+      (1L, (0 until 64).map(d => if (d == 2) 1f else 0f), 0),
+      (2L, (0 until 64).map(d => if (d == 2) 2f else 0f), 0))
+    val rows = SparkEntry.queries("q138_random_projection")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 48)
+    (0 until 16).foreach { j =>
+      assert(rows((0L, j)) == 0.0)
+      assert(rows((2L, j)) == 2.0 * rows((1L, j)))
+      assert(math.abs(rows((1L, j))) == 0.25) // ±1 entry scaled by 1/√16
+    }
+  }
 }

@@ -54,6 +54,29 @@ class TextSpec extends SparkSuite {
     assert(sh(0).getLong(1) == sh(1).getLong(1))
   }
 
+  test("containment flags a near-superset pair that Jaccard under-scores") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = docs(
+      (1L, base, "s"),                                  // contained doc
+      (2L, base + " nu xi omicron pi rho sigma tau upsilon", "s"), // superset
+      (3L, "totally unrelated words nothing shared here at all friend", "s"))
+    val out = withDocs(d)(dir =>
+      graft.SparkEntry.queries("q143_shingle_containment")(spark, dir)).collect()
+    val pair = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, out.mkString(", "))
+    assert(pair.get.getDouble(2) == 1.0) // every shingle of doc 1 is in doc 2
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("char entropy: uniform two-symbol doc is 1 bit, one-symbol doc is 0") {
+    val d = docs((1L, "abab", "s"), (2L, "aaaa", "s"))
+    val out = withDocs(d)(dir =>
+      graft.SparkEntry.queries("q144_char_entropy")(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+  }
+
   /** Write the docs DataFrame as a parquet fixture dir so queries that
     * take (spark, sfDir) can run against it. */
   private def withDocs[T](d: org.apache.spark.sql.DataFrame)(f: String => T): T = {

@@ -46,4 +46,20 @@ class WindowsSpec extends SparkSuite {
     val out = SparkEntry.queries("q51_tumbling_window")(spark, dir).collect()
     assert(out.length == 2) // boundary event goes to the 01:00 window
   }
+
+  test("daily drift: known distribution shift yields exact TV distance") {
+    // day 1: click/view 50/50; day 2: all click → TV = ½(|1−.5|+|0−.5|) = 0.5
+    // day 3 ≡ day 2 → TV = 0. A type absent today still contributes
+    // yesterday's mass through the densified grid.
+    val dir = events(
+      (1L, "2024-01-01 01:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 02:00:00", 1L, "view", 1.0),
+      (3L, "2024-01-02 01:00:00", 1L, "click", 1.0),
+      (4L, "2024-01-02 02:00:00", 1L, "click", 1.0),
+      (5L, "2024-01-03 01:00:00", 1L, "click", 1.0),
+      (6L, "2024-01-03 02:00:00", 1L, "click", 1.0))
+    val out = SparkEntry.queries("q140_daily_drift")(spark, dir)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(out == Map("2024-01-02" -> 0.5, "2024-01-03" -> 0.0))
+  }
 }
