@@ -175,10 +175,14 @@ object Text {
     * ~n/65536 instead of the old 32-bit 4×8-bit layout's n/256 —
     * the within-bucket candidate join stays near-linear at 100×. */
   private def simhashDF(s: SparkSession, dir: String) = {
+    // md5 is evaluated ONCE per token and both chunks slice the hex —
+    // md5 dominates the map stage, so folding it into each chunk
+    // expression would double the hashing cost for nothing
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", expr(hash56("token")))
-      .withColumn("h2", expr("cast(conv(substring(md5(token), 15, 2), 16, 10) as bigint)"))
+      .withColumn("m", md5(col("token")))
+      .withColumn("h", expr("cast(conv(substring(m, 1, 14), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substring(m, 15, 2), 16, 10) as bigint)"))
     val bits = (0 until 64).map { b =>
       val bitSet = if (b < 56) s"(h >> $b) & 1 = 1" else s"(h2 >> ${b - 56}) & 1 = 1"
       when(sum(when(expr(bitSet), 1).otherwise(-1)) > 0, lit(1L << b)).otherwise(lit(0L))
