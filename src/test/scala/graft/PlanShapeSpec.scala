@@ -166,6 +166,36 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q138: random projection is row-local — no join, no mid-plan exchange") {
+    val p = formatted("q138_random_projection")
+    assert(!p.contains("Join"), p)
+    // scan → project/explode → one range exchange for the final sort
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q139: LM training and scoring are keyed joins — never a cartesian") {
+    val p = formatted("q139_bigram_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q140: drift monitor scans never read beyond ts and event_type") {
+    // the grid branches each prune to their own need (days: ts only;
+    // types: event_type only) — no scan may touch the wide columns
+    val reads = formatted("q140_daily_drift").linesIterator
+      .filter(_.startsWith("ReadSchema")).toSeq
+    assert(reads.nonEmpty)
+    reads.foreach(r => assert(!r.contains("props") && !r.contains("value")
+      && !r.contains("user_id") && !r.contains("event_id"), r))
+  }
+
+  test("q144: entropy never reads non-text columns and has no join but the keyed n-join") {
+    val p = formatted("q144_char_entropy")
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("text")
+      && !read.contains("source") && !read.contains("lang"), read)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
     import org.apache.spark.sql.functions._
     // Fixture: orders re-laid-out partitioned by month (the production
