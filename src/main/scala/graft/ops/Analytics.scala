@@ -192,6 +192,36 @@ object Analytics {
           .groupBy("day")
           .agg(round(lit(0.5) * sum(abs(col("p") - col("p_prev"))), 4).as("tv_drift"))
           .orderBy("day")
+      }),
+
+    // ----- behavioral Markov chain: per-user event streams → global
+    //       transition matrix P(next_type | type). ONE window shuffle
+    //       keyed by user (lead over ts with event_id tiebreak for
+    //       determinism), then a (from,to)-keyed count whose output is
+    //       |types|² rows — downstream normalization is volume-
+    //       independent. The sequence-model shape behind session
+    //       recommendation / anomaly scoring over event logs. -----
+    Q("q146_markov_transitions",
+      Some("""WITH nx AS (
+             |  SELECT event_type, lead(event_type) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |c AS (SELECT event_type, next_type, count(*) AS n FROM nx
+             |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+             |  round(CAST(n AS DOUBLE)
+             |        / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS p
+             |FROM c ORDER BY event_type, next_type""".stripMargin),
+      (s, dir) => {
+        val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(wSeq))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast("double")
+            / sum(col("n")).over(Window.partitionBy(col("event_type"))), 4))
+          .orderBy("event_type", "next_type")
       })
   )
 }

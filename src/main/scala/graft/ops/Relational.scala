@@ -363,6 +363,30 @@ object Relational {
             r4(median(col("o_totalprice"))).as("med"))
           .orderBy("o_orderstatus")),
 
+    // ----- approximate percentile (GK/t-digest family) under the same
+    //       tolerance-band oracle device as q17: the sketch result is
+    //       merge-order-dependent, so the query emits the exact median
+    //       plus a |approx−exact|/exact ≤ 5% flag (accuracy 10k ⇒ rank
+    //       error ~1e-4 — the band is enormous headroom) and the oracle
+    //       asserts exact values and flag=1. Covers the last estimator
+    //       family (quantile sketches) with a real hash check. -----
+    Q("q145_approx_percentile_band",
+      Some("""SELECT o_orderstatus,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+             |  CAST(1 AS INT) AS approx_ok
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_p50"),
+            percentile(col("o_totalprice"), lit(0.5)).as("exact_raw"))
+          .withColumn("approx_ok",
+            (abs(col("approx_p50") - col("exact_raw")) / col("exact_raw") <= 0.05).cast("int"))
+          .select(col("o_orderstatus"), round(col("exact_raw"), 4).as("exact_p50"),
+            col("approx_ok"))
+          .orderBy("o_orderstatus")),
+
     // ----- sort + limit: global top-k with deterministic tiebreak -----
     Q("q19_topk_orders",
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
