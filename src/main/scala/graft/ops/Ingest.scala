@@ -276,6 +276,30 @@ object Ingest {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
           .orderBy("l_returnflag")
+      }),
+
+    // ----- TEXT source/sink round-trip (spark.read/write.text — the
+    //       raw-lines format of log shipping and LLM corpus dumps):
+    //       documents serialize as one tab-joined line each, read back
+    //       as raw `value` lines, re-parse with a bounded split. The
+    //       oracle recomputes per-doc length directly from the table,
+    //       so any line mangling (encoding, truncation, split drift)
+    //       fails the hash. Fixture text is tab/newline-free
+    //       (verified), which is the format's own precondition. -----
+    Q("q147_text_roundtrip",
+      Some("""SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_rt
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val out = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft-stage-text", "documents").toString
+        Tables.load(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(split(col("value"), "\t", 2).as("parts"))
+          .select(col("parts").getItem(0).cast("long").as("doc_id"),
+            length(col("parts").getItem(1)).cast("long").as("n_chars_rt"))
+          .orderBy("doc_id")
       })
   )
 }
