@@ -195,6 +195,12 @@ object Graft {
   def autoPlanes(n: Long, target: Long = 64L): Int =
     ops.Similarity.autoPlanes(n, target)
 
+  /** Mergeable SimHash aggregation over 64-bit token hashes: partial
+    * state is 65 ints per group regardless of token count, so
+    * signatures built per partition/file/day roll up losslessly. */
+  def simhashAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(functions.SimHashAgg)
+
   // ----- streaming (SURVEY §2.8) -----
 
   /** Incremental file-source stream over a stage directory. */
