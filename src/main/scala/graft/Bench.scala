@@ -76,7 +76,11 @@ object Bench {
     // 2 decimals and then dropping jitter if the line would overflow
     // the window (a truncated FRONT makes the whole line unparseable).
     def render(dec: Int, jit: Seq[(String, (Double, Double))]): String = {
-      def fmt(v: Double): String = if (v < 0) "-1" else s"%.${dec}f".format(v)
+      // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR)
+      // would render "2,36" and corrupt the JSON line
+      def fmt(v: Double): String =
+        if (v < 0) "-1"
+        else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
       def key(k: String): String = "\"" + k.takeWhile(_ != '_') + "\""
       val qs = results.toSeq.sortBy(_._1)
         .map { case (k, v) => key(k) + ":" + fmt(v) }.mkString("{", ",", "}")

@@ -9,20 +9,22 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * count, output sets bit b iff its set-count exceeds half the tokens
   * — exactly the `sum(±1) > 0` rule of the 64-sum expression form in
   * `Text.simhashDF` (set > n − set ⟺ 2·set > n; SimHashAggSpec asserts
-  * bit-identical signatures on a fixture).
+  * bit-identical signatures on a fixture). Counters are Long: a
+  * per-day group at corpus scale exceeds 2^31 tokens, which would
+  * silently wrap Int state into garbage signatures.
   *
   * The point of the Aggregator shape here is the PARTIAL STATE: a
-  * per-partition partial is 65 ints regardless of token count, and
+  * per-partition partial is 65 longs regardless of token count, and
   * `merge` is elementwise addition — signatures built per partition,
   * per file, or per day roll up losslessly, the same mergeability
   * argument as the q90 HLL sketches. TopKAggregator shows a bounded
   * heap buffer; this shows the fixed-width vector buffer.
   */
-object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+object SimHashAgg extends Aggregator[Long, Array[Long], Long] {
 
-  def zero: Array[Int] = new Array[Int](65)
+  def zero: Array[Long] = new Array[Long](65)
 
-  def reduce(buf: Array[Int], tokenHash: Long): Array[Int] = {
+  def reduce(buf: Array[Long], tokenHash: Long): Array[Long] = {
     var b = 0
     while (b < 64) {
       if (((tokenHash >>> b) & 1L) == 1L) buf(b) += 1
@@ -32,13 +34,13 @@ object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     buf
   }
 
-  def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < 65) { a(i) += b(i); i += 1 }
     a
   }
 
-  def finish(buf: Array[Int]): Long = {
+  def finish(buf: Array[Long]): Long = {
     val n = buf(64)
     var sig = 0L
     var b = 0
@@ -49,6 +51,6 @@ object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     sig
   }
 
-  def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

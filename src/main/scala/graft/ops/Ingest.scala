@@ -290,8 +290,10 @@ object Ingest {
       Some("""SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_rt
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => {
+        // dir-tagged so concurrent gates over different fixtures never
+        // overwrite each other's staged lines (same device as q107)
         val out = Paths.get(System.getProperty("java.io.tmpdir"),
-          "graft-stage-text", "documents").toString
+          "graft-stage-text", dir.replaceAll("[^A-Za-z0-9]", "_")).toString
         Tables.load(s, dir, "documents")
           .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
           .write.mode("overwrite").text(out)

@@ -115,15 +115,22 @@ object Similarity {
     s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlArray(hpSigns(j))}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END"
   }.mkString("CAST(", " + ", " AS INT)")
 
+  /** Corpus size per fixture dir, counted once per JVM: the count job
+    * reads no column data (empty-schema parquet scans serve row counts
+    * from footers) but is still a scheduled job, and the corpus size
+    * of a fixture doesn't change under us — so q49/q50 share one
+    * memoized count instead of re-running it per invocation. */
+  private val corpusCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Corpus with per-row norm + LSH bucket, the plane count derived
     * from the corpus size (VERDICT r4 #2: the `nPlanes ≈
     * log2(n/targetBucketSize)` sizing as code, not a comment). The
-    * count is one parquet-metadata job; the Spark side then evaluates
-    * only the chosen prefix of the plane matrix (the oracle evaluates
-    * all 12 and masks — same bits by construction). */
+    * Spark side evaluates only the chosen prefix of the plane matrix
+    * (the oracle evaluates all 12 and masks — same bits by
+    * construction). */
   private def corpus(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(s, dir, "embeddings")
-    val np = autoPlanes(emb.count())
+    val np = autoPlanes(corpusCounts.getOrElseUpdate(dir, emb.count()))
     withNormAndBucket(emb, "embedding", hpSigns.take(np))
   }
 

@@ -119,13 +119,12 @@ object Text {
         min(when(col("rn") === 1, col(scoreCol))).as("kept_score"))
   }
 
-  /** MinHash-LSH candidate edges (q41's generation stage) as an
-    * undirected edge list — shared by q104/q134. The signature frame is
-    * cached + eager: the three band branches and both self-join sides
-    * would otherwise re-run the whole shingle-hash pipeline 6×. */
-  private[ops] def lshBandEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*).cache()
-    sig.count()
+  /** LSH band-bucket candidate pairs (d1 < d2, distinct) from a
+    * signature frame — THE candidate-generation stage every near-dup
+    * variant shares (q41 Jaccard, q143 containment, q104/q134 edges).
+    * One definition so a banding change (k, band layout) can never
+    * make the variants silently diverge. */
+  private def bandPairs(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
       .map { case (b, x, y) =>
         sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
@@ -133,8 +132,65 @@ object Text {
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
           && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
   }
+
+  /** MinHash-LSH candidate edges (q41's generation stage) as an
+    * undirected edge list — shared by q104/q134. The signature frame is
+    * cached + eager: the three band branches and both self-join sides
+    * would otherwise re-run the whole shingle-hash pipeline 6×. */
+  private[ops] def lshBandEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*).cache()
+    sig.count()
+    bandPairs(sig).select(col("d1").as("src"), col("d2").as("dst"))
+  }
+
+  /** Shared q41/q143 verify-stage relation: band candidates with their
+    * shingle-set intersection count and both set sizes — columns
+    * (d1, d2, i, n1, n2). The candidate and size frames broadcast; the
+    * only big shuffle is the shingle self-match. */
+  private def candidateOverlap(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = shingleSets(s, dir).cache()
+    docs.count() // eager: concurrent downstream jobs must not race the cache
+    val cand = bandPairs(docs.select(col("doc_id") +: mhCols: _*))
+    val sh = docs.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val sizes = docs.select(col("doc_id"), col("n"))
+    broadcast(cand)
+      .join(sh.as("x"), col("x.doc_id") === col("d1"))
+      .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.h") === col("y.h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
+      .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), col("i"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"))
+  }
+
+  /** DuckDB copy of the same pipeline (CTE chain ending in `inter` +
+    * `sizes`), shared verbatim by the q41/q143 oracles. */
+  private def duckLshCtes: String =
+    s"""sig AS (
+       |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+       |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+       |        FROM documents WHERE len($duckTokens) >= 3)
+       |), bands AS (
+       |  SELECT doc_id, band, v1, v2 FROM (
+       |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
+       |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
+       |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+       |    AND a.doc_id < b.doc_id
+       |), sh AS (
+       |  SELECT doc_id, unnest($duckShingleHashes) AS h
+       |  FROM documents WHERE len($duckTokens) >= 3
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS i
+       |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.h = y.h
+       |  GROUP BY c.d1, c.d2
+       |)""".stripMargin
 
   /** DuckDB CTE chain sig → bands → edges → reach → comp (recursive
     * reachability closure), shared verbatim by the q104/q134 oracles so
@@ -231,66 +287,17 @@ object Text {
     //       band-key equi-join (no cross join); the verify join is only
     //       over candidate pairs, and every shuffled key is an int. -----
     Q("q41_minhash_lsh_pairs",
-      Some(s"""WITH sig AS (
-              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
-              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
-              |        FROM documents WHERE len($duckTokens) >= 3)
-              |), bands AS (
-              |  SELECT doc_id, band, v1, v2 FROM (
-              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
-              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
-              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
-              |), cand AS (
-              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
-              |    AND a.doc_id < b.doc_id
-              |), sh AS (
-              |  SELECT doc_id, unnest($duckShingleHashes) AS h
-              |  FROM documents WHERE len($duckTokens) >= 3
-              |), sizes AS (
-              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-              |), inter AS (
-              |  SELECT c.d1, c.d2, count(*) AS i
-              |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.h = y.h
-              |  GROUP BY c.d1, c.d2
-              |)
+      Some(s"""WITH $duckLshCtes
               |SELECT d1, d2, round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 4) AS jaccard
               |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
               |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.4
               |ORDER BY d1, d2""".stripMargin),
-      (s, dir) => {
-        // Per-doc DISTINCT shingle-hash set (row-local dedup, hoisted
-        // tokens, one md5 per shingle). Cached: feeds the signature
-        // path, two explode branches, and the size lookups.
-        val docs = shingleSets(s, dir).cache()
-        docs.count() // eager: concurrent downstream jobs must not race the cache
-        val sig = docs.select(col("doc_id") +: mhCols: _*)
-        val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
-          .map { case (b, x, y) =>
-            sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
-          }.reduce(_.unionByName(_))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
-              && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-        // per-doc-distinct explode: no global distinct shuffle needed
-        val sh = docs.select(col("doc_id"), explode(col("hashes")).as("h"))
-        val sizes = docs.select(col("doc_id"), col("n"))
-        // candidate set and per-doc sizes are tiny relative to the
-        // shingle relation — broadcast them so the only big shuffle is
-        // the sh self-match
-        val inter = broadcast(cand)
-          .join(sh.as("x"), col("x.doc_id") === col("d1"))
-          .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.h") === col("y.h"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-        inter
-          .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
-          .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
-          .withColumn("jac", col("i").cast("double") / (col("s1.n") + col("s2.n") - col("i")))
+      (s, dir) =>
+        candidateOverlap(s, dir)
+          .withColumn("jac", col("i").cast("double") / (col("n1") + col("n2") - col("i")))
           .filter(col("jac") >= 0.4)
           .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
-          .orderBy("d1", "d2")
-      }),
+          .orderBy("d1", "d2")),
 
     // ----- SimHash: 64-bit signature from per-token 64-bit hashes; bit b
     //       is set iff sum over tokens of ±1 (by bit b of the token hash)
@@ -687,62 +694,21 @@ object Text {
     //       Same bounded candidate generation as q41 (band equi-join,
     //       int shuffles); only the verify metric changes. -----
     Q("q143_shingle_containment",
-      Some(s"""WITH sig AS (
-              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
-              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
-              |        FROM documents WHERE len($duckTokens) >= 3)
-              |), bands AS (
-              |  SELECT doc_id, band, v1, v2 FROM (
-              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
-              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
-              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
-              |), cand AS (
-              |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
-              |    AND a.doc_id < b.doc_id
-              |), sh AS (
-              |  SELECT doc_id, unnest($duckShingleHashes) AS h
-              |  FROM documents WHERE len($duckTokens) >= 3
-              |), sizes AS (
-              |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-              |), inter AS (
-              |  SELECT c.d1, c.d2, count(*) AS i
-              |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.h = y.h
-              |  GROUP BY c.d1, c.d2
-              |)
+      Some(s"""WITH $duckLshCtes
               |SELECT d1, d2,
               |  round(CAST(i AS DOUBLE) / s1.n, 4) AS cont_in_d1,
               |  round(CAST(i AS DOUBLE) / s2.n, 4) AS cont_in_d2
               |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
               |WHERE greatest(CAST(i AS DOUBLE) / s1.n, CAST(i AS DOUBLE) / s2.n) >= 0.5
               |ORDER BY d1, d2""".stripMargin),
-      (s, dir) => {
-        val docs = shingleSets(s, dir).cache()
-        docs.count() // eager: signature path + explode branches share it
-        val sig = docs.select(col("doc_id") +: mhCols: _*)
-        val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
-          .map { case (b, x, y) =>
-            sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
-          }.reduce(_.unionByName(_))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
-              && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-        val sh = docs.select(col("doc_id"), explode(col("hashes")).as("h"))
-        val sizes = docs.select(col("doc_id"), col("n"))
-        broadcast(cand)
-          .join(sh.as("x"), col("x.doc_id") === col("d1"))
-          .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.h") === col("y.h"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-          .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
-          .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
-          .withColumn("c1", col("i").cast("double") / col("s1.n"))
-          .withColumn("c2", col("i").cast("double") / col("s2.n"))
+      (s, dir) =>
+        candidateOverlap(s, dir)
+          .withColumn("c1", col("i").cast("double") / col("n1"))
+          .withColumn("c2", col("i").cast("double") / col("n2"))
           .filter(greatest(col("c1"), col("c2")) >= 0.5)
           .select(col("d1"), col("d2"),
             round(col("c1"), 4).as("cont_in_d1"), round(col("c2"), 4).as("cont_in_d2"))
-          .orderBy("d1", "d2")
-      }),
+          .orderBy("d1", "d2")),
 
     // ----- per-doc character entropy (gibberish / compression-artifact
     //       gate): Shannon entropy in bits over the doc's character

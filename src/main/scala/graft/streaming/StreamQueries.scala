@@ -85,6 +85,18 @@ object StreamQueries {
     s.readStream.schema(s.read.parquet(staged).schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
 
+  /** Remove a per-invocation scratch dir (sink output, checkpoints) —
+    * repeated gate/bench runs must not accumulate unbounded /tmp data. */
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Run `body` with the shuffle-partition count (= the state-store
     * partition count fixed at stream start) sized for the workload.
     * Stateful micro-batches pay per-partition state commit I/O every
@@ -101,12 +113,19 @@ object StreamQueries {
   }
 
   /** Run a streaming frame to a uniquely-named memory table until all
-    * staged input is consumed; return the materialized table. */
+    * staged input is consumed; return the materialized result. The
+    * memory-sink table is localCheckpoint'ed and DROPPED before
+    * returning — otherwise every invocation (two bench passes × five
+    * streaming queries) pins its full result set in driver memory for
+    * the session lifetime, exactly the cross-query pressure the
+    * round-4 phantom regressions traced to. */
   private def runAppend(s: SparkSession, sdf: DataFrame, tag: String): DataFrame = {
     val name = s"g_stream_${tag}_${ctr.incrementAndGet()}"
     val q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   val queries: Seq[Q] = Seq(
@@ -185,10 +204,13 @@ object StreamQueries {
           try q.processAllAvailable() finally q.stop()
         }
         Streams.writeBatchIdempotent(s.read.parquet(s"$staged/01.parquet"), outDir, 1L)
-        s.read.parquet(outDir)
+        val result = s.read.parquet(outDir)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
           .orderBy("event_type")
+          .localCheckpoint(true) // materialize so the dirs can be deleted now
+        Seq(outDir, ckpt).foreach(deleteRecursively)
+        result
       }),
 
     // ----- arbitrary-state v1 (flatMapGroupsWithState) through real
