@@ -351,6 +351,59 @@ object Training {
             min(col("n_chars")).as("min_chars"),
             max(col("n_chars")).as("max_chars"))
           .orderBy("source", "bin")
+      }),
+
+    // ----- APPLY the q125 mixing weights: materialize a 100-doc
+    //       mixture where each source contributes its temperature-
+    //       weighted quota, selected by HASH RANK (order by salted md5,
+    //       id tiebreak) — the deterministic stand-in for per-source
+    //       random sampling: a pure function of (salt, doc_id), stable
+    //       across runs, partitioning, and cluster size, and exactly
+    //       quota rows per source (Bernoulli sampling only hits the
+    //       quota in expectation). Scale shape: quotas are a tiny
+    //       broadcast; the rank is one per-source window over an
+    //       (id, hash) projection — the text column is never read. -----
+    Q("q148_apply_source_mix",
+      Some("""WITH s AS (
+             |  SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+             |  FROM documents GROUP BY source
+             |), w AS (
+             |  SELECT source,
+             |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 4) AS DECIMAL(18,4)) AS wt
+             |  FROM s
+             |), q AS (
+             |  SELECT source, CAST(round(CAST(round(CAST(wt * 10000 AS DOUBLE) * 10000
+             |    / CAST(sum(wt) OVER () * 10000 AS DOUBLE)) AS BIGINT) / 100.0) AS INT) AS quota
+             |  FROM w
+             |), r AS (
+             |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             |    ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT r.source, r.doc_id, CAST(rn AS INT) AS rn
+             |FROM r JOIN q USING (source) WHERE rn <= quota
+             |ORDER BY source, rn""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val wAll = Window.partitionBy()
+        // same exact-decimal share arithmetic as q125 (docs_per_10k),
+        // scaled to a 100-doc mixture
+        val quotas = docs.groupBy("source")
+          .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+          .withColumn("wt",
+            round(sqrt(col("n_tokens").cast("double")), 4).cast("decimal(18,4)"))
+          .withColumn("docs_per_10k",
+            round((col("wt") * 10000).cast("double") * 10000
+              / (sum(col("wt")).over(wAll) * 10000).cast("double")).cast("long"))
+          .select(col("source"),
+            round(col("docs_per_10k") / 100.0).cast("int").as("quota"))
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+        docs.select(col("source"), col("doc_id"))
+          .withColumn("hk", md5(concat(lit("mix"), col("doc_id").cast("string"))))
+          .withColumn("rn", row_number().over(wSrc))
+          .join(broadcast(quotas), "source")
+          .filter(col("rn") <= col("quota"))
+          .select(col("source"), col("doc_id"), col("rn"))
+          .orderBy("source", "rn")
       })
   )
 
