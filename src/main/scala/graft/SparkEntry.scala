@@ -17,7 +17,7 @@ object SparkEntry {
       Ingest.queries ++ Sql.queries ++ Pipeline.queries ++ Text.queries ++
       Corpus.queries ++ Training.queries ++ Similarity.queries ++
       Windows.queries ++ Multimodal.queries ++ ScaleOps.queries ++
-      Cdc.queries ++ Analytics.queries ++ Quality.queries ++
+      Cdc.queries ++ Analytics.queries ++ Quality.queries ++ Curation.queries ++
       graft.streaming.StreamQueries.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

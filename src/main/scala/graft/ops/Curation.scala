@@ -1,0 +1,260 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Round-5 corpus-curation additions (SURVEY.md §2.9 extensions): the
+  * operators that close the loop between dedup machinery and the
+  * train/eval hygiene a production LLM-data pipeline needs —
+  * content-defined chunking, leakage-safe splits, collocation mining
+  * (PMI), mergeable frequency sketches, and cross-split
+  * decontamination.
+  *
+  * Scale rules carried over from `Text`/`Corpus`:
+  *  - every hash decision bottoms out in md5 (engine-portable,
+  *    partition-independent, pure function of the value);
+  *  - candidate generation is always a keyed equi-join or groupBy,
+  *    never an all-pairs product;
+  *  - joined hash keys are 56-bit BIGINTs (int shuffles), not hex
+  *    strings.
+  */
+object Curation {
+
+  /** 56-bit integer from the first 14 hex chars of md5 — the engine's
+    * standard portable hash key (see Text.duckShingleHashes). */
+  private def duckHash56(sqlExpr: String): String =
+    s"('0x' || substr(md5($sqlExpr), 1, 14))::BIGINT"
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- content-defined chunking (CDC) dedup: chunk boundaries come
+    //       from the CONTENT (a word is a cut point iff the last hex
+    //       nibble of its md5 is '0' ⇒ geometric chunks, mean ~16
+    //       words), not from fixed offsets — so inserting one word near
+    //       the top of a document only perturbs the chunk containing
+    //       it, and every later chunk still dedups against the
+    //       original. Fixed-window chunking (q128) loses ALL alignment
+    //       after an edit; CDC is the rsync/backup-dedup shape applied
+    //       to corpus text. Plan: row-local boundary flags, one per-doc
+    //       window cumsum (docs shard across executors; the window
+    //       never crosses them), then a chunk-keyed groupBy — no
+    //       pairwise join anywhere. -----
+    Q("q149_cdc_chunks",
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, pos, word,
+             |    CASE WHEN substr(md5(word), 32, 1) = '0' THEN 1 ELSE 0 END AS b
+             |  FROM t
+             |), c AS (
+             |  SELECT doc_id, pos, word,
+             |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+             |  FROM f
+             |), ch AS (
+             |  SELECT doc_id, chunk, string_agg(word, ' ' ORDER BY pos) AS chunk_text
+             |  FROM c GROUP BY doc_id, chunk)
+             |SELECT chunk_text, CAST(count(*) AS BIGINT) AS n_occ,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  min(doc_id) AS first_doc
+             |FROM ch GROUP BY chunk_text HAVING count(*) >= 2
+             |ORDER BY n_occ DESC, chunk_text""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .withColumn("b", when(substring(md5(col("word")), 32, 1) === "0", 1).otherwise(0))
+          .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0)))
+          .groupBy(col("doc_id"), col("chunk"))
+          // order within the chunk is recovered by sorting the collected
+          // (pos, word) structs — collect_list order itself is not
+          // deterministic, the sort is what makes this engine-portable
+          .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, word)))," +
+            " x -> x.word))").as("chunk_text"))
+          .groupBy("chunk_text")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .filter(col("n_occ") >= 2)
+          .orderBy(col("n_occ").desc, col("chunk_text"))
+      }),
+
+    // ----- leakage-safe train/val/test split: the q101 hash split
+    //       assigns DOCUMENTS independently, so two near-duplicate docs
+    //       can straddle train and val — the classic eval-leakage bug.
+    //       Here the split key is the doc's near-dup CLUSTER
+    //       representative (min doc_id per 64-bit SimHash signature;
+    //       for transitive clusters substitute the q104
+    //       connected-components label — the split logic is unchanged),
+    //       so an entire duplicate cluster lands in ONE split by
+    //       construction. One signature groupBy-window + a pure hash of
+    //       the representative: no join against a membership table, no
+    //       state. -----
+    Q("q150_leakage_safe_split",
+      Some(s"""WITH sig AS (${Text.duckSimhash}),
+              |rep AS (
+              |  SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS cluster_rep
+              |  FROM sig)
+              |SELECT doc_id, cluster_rep,
+              |  CASE WHEN ('0x' || substr(md5('cls' || CAST(cluster_rep AS VARCHAR)), 1, 14))::BIGINT % 100 < 90
+              |         THEN 'train'
+              |       WHEN ('0x' || substr(md5('cls' || CAST(cluster_rep AS VARCHAR)), 1, 14))::BIGINT % 100 < 95
+              |         THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM rep ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        Text.simhashDF(s, dir)
+          .withColumn("cluster_rep",
+            min(col("doc_id")).over(Window.partitionBy(col("simhash"))))
+          .withColumn("split", Corpus.splitAssign(col("cluster_rep"), salt = "cls"))
+          .select("doc_id", "cluster_rep", "split")
+          .orderBy("doc_id")),
+
+    // ----- PMI collocations: pointwise mutual information
+    //       ln(p(ab) / (p(a)·p(b))) over adjacent token pairs — the
+    //       standard collocation / multi-word-expression miner (and the
+    //       scoring half of a phrase-merging tokenizer pass). Bigrams
+    //       come from one per-doc lead() window; unigram and bigram
+    //       counts are keyed aggs; the vocabulary join is broadcast
+    //       (vocab ≪ corpus — it grows ~Heaps' law, not linearly).
+    //       Ordering and the top-30 cut use the ROUNDED score with a
+    //       (w1, w2) tiebreak so the rank is engine-stable. -----
+    Q("q151_pmi_collocations",
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             |         generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents
+             |), big AS (
+             |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |  FROM t
+             |), bi AS (
+             |  SELECT w1, w2, count(*) AS n_ab FROM big
+             |  WHERE w2 IS NOT NULL GROUP BY w1, w2
+             |), uni AS (SELECT w, count(*) AS n_w FROM t GROUP BY w),
+             |tot AS (
+             |  SELECT (SELECT count(*) FROM t) AS n_tok,
+             |         (SELECT sum(n_ab) FROM bi) AS n_big)
+             |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+             |  round(ln((CAST(n_ab AS DOUBLE) / n_big)
+             |    / ((CAST(a.n_w AS DOUBLE) / n_tok) * (CAST(b.n_w AS DOUBLE) / n_tok))), 4) AS pmi
+             |FROM bi JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
+             |WHERE n_ab >= 5
+             |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin),
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val big = tok
+          .withColumn("w2", lead(col("w"), 1)
+            .over(Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("w2").isNotNull)
+          .select(col("w").as("w1"), col("w2"))
+        val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+        val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        val totals = tok.agg(count(lit(1)).as("n_tok"))
+          .crossJoin(big.agg(count(lit(1)).as("n_big")))
+        bi.filter(col("n_ab") >= 5)
+          .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
+          .crossJoin(broadcast(totals))
+          .withColumn("pmi", round(log(
+            (col("n_ab").cast("double") / col("n_big"))
+              / ((col("n_a").cast("double") / col("n_tok"))
+                 * (col("n_b").cast("double") / col("n_tok")))), 4))
+          .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(30)
+      }),
+
+    // ----- count-min sketch frequency band: the mergeable fixed-memory
+    //       frequency estimator (the heavy-hitter complement of q90's
+    //       HLL cardinality sketch). One pass builds the sketch as a
+    //       partial-aggregable state of eps·e × ln(1/δ) counters — at
+    //       100 TB each executor sketches its partitions and the merge
+    //       is element-wise matrix addition; the corpus never shuffles.
+    //       CMS guarantees est ≥ exact always and est ≤ exact + eps·N
+    //       w.h.p., so the oracle can hash a DETERMINISTIC band flag
+    //       (same device as q90/q145): the query emits exact counts for
+    //       the top-10 keys beside `within_band`, and DuckDB asserts
+    //       the exact counts and flag = 1. The sketch (a few KB) and
+    //       the 10 probe rows are the only driver-side data —
+    //       metadata-scale by design. -----
+    Q("q152_cms_band",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt,
+             |  CAST(1 AS INT) AS within_band
+             |FROM events GROUP BY user_id
+             |ORDER BY exact_cnt DESC, user_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val bytes = ev
+          .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        val slack = math.ceil(1e-4 * ev.count()).toLong // eps · N
+        val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+          .limit(10).collect()
+        val rows = top.map { r =>
+          val (uid, exact) = (r.getLong(0), r.getLong(1))
+          val est = cms.estimateCount(uid)
+          (uid, exact, if (est >= exact && est <= exact + slack) 1 else 0)
+        }.toSeq
+        s.createDataFrame(rows)
+          .toDF("user_id", "exact_cnt", "within_band")
+          .withColumn("within_band", col("within_band").cast("int"))
+      }),
+
+    // ----- cross-split decontamination: after the q101 hash split, an
+    //       8-token shingle shared between a train doc and a val/test
+    //       doc is eval leakage (the industry-standard n-gram
+    //       decontamination screen, run INTERNALLY between splits
+    //       rather than against an external eval suite like q124).
+    //       Grams are 56-bit ints; the train-gram set is DISTINCT'd
+    //       before the join, so the probe is one int-keyed equi-join —
+    //       at 100 TB both sides shard by gram hash and nothing is
+    //       broadcast (unlike q124's fixed-size eval suite, the train
+    //       side here IS the corpus). -----
+    Q("q153_split_decontamination",
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |    CASE WHEN ('0x' || substr(md5('spl' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 90
+              |           THEN 'train'
+              |         WHEN ('0x' || substr(md5('spl' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 95
+              |           THEN 'val'
+              |         ELSE 'test' END AS split,
+              |    string_split(text, ' ') AS toks
+              |  FROM documents
+              |), g AS (
+              |  SELECT DISTINCT doc_id, split,
+              |    ${duckHash56("array_to_string(toks[i:i+7], ' ')")} AS gram
+              |  FROM s, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+              |  WHERE len(toks) >= 8
+              |), tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train')
+              |SELECT g.doc_id, g.split, CAST(count(*) AS BIGINT) AS n_shared
+              |FROM g JOIN tr ON g.gram = tr.gram
+              |WHERE g.split <> 'train'
+              |GROUP BY g.doc_id, g.split ORDER BY g.doc_id""".stripMargin),
+      (s, dir) => {
+        val grams = Tables.load(s, dir, "documents")
+          .withColumn("split", Corpus.splitAssign(col("doc_id")))
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), col("split"), explode(expr(
+            "transform(sequence(0, size(toks) - 8), i -> " +
+              "cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 8))), 1, 14), 16, 10) as bigint))"))
+            .as("gram"))
+          .distinct()
+        val trainGrams = grams.filter(col("split") === "train").select("gram").distinct()
+        grams.filter(col("split") =!= "train")
+          .join(trainGrams, "gram")
+          .groupBy("doc_id", "split")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      })
+  )
+}

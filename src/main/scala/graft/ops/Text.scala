@@ -230,7 +230,7 @@ object Text {
     * bands of 16 bits (65,536 values/band) band-bucket occupancy stays
     * ~n/65536 instead of the old 32-bit 4×8-bit layout's n/256 —
     * the within-bucket candidate join stays near-linear at 100×. */
-  private def simhashDF(s: SparkSession, dir: String) = {
+  private[ops] def simhashDF(s: SparkSession, dir: String) = {
     // md5 is evaluated ONCE per token and both chunks slice the hex —
     // md5 dominates the map stage, so folding it into each chunk
     // expression would double the hashing cost for nothing
@@ -247,7 +247,7 @@ object Text {
   }
 
   /** DuckDB text of the same signature (CTE body). */
-  private val duckSimhash: String = {
+  private[ops] val duckSimhash: String = {
     val duckH = "('0x' || substr(md5(token),1,14))::BIGINT"
     val duckH2 = "('0x' || substr(md5(token),15,2))::BIGINT"
     val bits = (0 until 64).map { b =>

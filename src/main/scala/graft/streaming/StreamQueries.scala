@@ -229,6 +229,48 @@ object StreamQueries {
           .orderBy("user_id")
       }),
 
+    // ----- session windows through REAL streaming execution: gap-based
+    //       sessions merge across micro-batch boundaries (a user active
+    //       on both sides of the file split lands in ONE session iff
+    //       cross-batch session state works), and append-mode emission
+    //       only fires when the watermark passes a session's close —
+    //       the two far-future sentinels force that flush, exactly the
+    //       q136 device. Oracle is the q53 batch sessionization SQL:
+    //       streaming and batch must agree on every (start, end, count). -----
+    Q("q154_stream_session_exec",
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |m AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), g AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events").select(col("user_id"), col("ts"))
+        def sentinel(ts: String) = s.sql(
+          s"SELECT CAST(-1 AS BIGINT) AS user_id, CAST('$ts' AS TIMESTAMP) AS ts")
+        val staged = stageSplit(ev, "ts", "sessw", dir, Seq(
+          sentinel("2024-03-01 00:00:00"), sentinel("2024-03-02 00:00:00")))
+        val sess = fileStream(s, staged)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+        withStatePartitions(s, 8)(runAppend(s, sess, "sessw"))
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "session_start")
+      }),
+
     // ----- arbitrary-state v2 (transformWithState on the RocksDB
     //       store — the scale-grade provider: incremental checkpoint,
     //       changelog, bounded memory) running the same counter; same

@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.{Corpus, Curation}
+import org.apache.spark.sql.functions._
+
+/** Structure checks for the round-5 curation operators (q149–q153).
+  * Oracle-exactness is the driver's job; these pin the PROPERTIES each
+  * op's 100 TB story depends on.
+  */
+class CurationSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    Curation.queries.find(_.name == name).get.fn(spark, sf)
+
+  // Re-implements the q149 chunker over an in-memory doc frame so the
+  // invariance tests can run on crafted inputs, not just the fixture.
+  private def chunksOf(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("b", when(substring(md5(col("word")), 32, 1) === "0", 1).otherwise(0))
+      .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, word)))," +
+        " x -> x.word))").as("chunk_text"))
+  }
+
+  test("q149 CDC chunking is shift-robust: a prepended word only perturbs the first chunk") {
+    // 200 words with content-defined boundaries; doc 2 = doc 1 with one
+    // word prepended. Fixed-offset chunking would misalign every chunk;
+    // CDC must re-sync after the boundary containing the edit.
+    val words = (1 to 200).map(i => s"w$i").mkString(" ")
+    val base = chunksOf(Seq((1L, words))).select("chunk_text")
+      .collect().map(_.getString(0)).toSet
+    val shifted = chunksOf(Seq((2L, s"extra $words"))).select("chunk_text")
+      .collect().map(_.getString(0)).toSet
+    val shared = base.intersect(shifted)
+    // every base chunk except the one containing the edit point dedups
+    assert(shared.size >= base.size - 1,
+      s"expected all but one chunk to survive the shift, got ${shared.size}/${base.size}")
+    // and chunks reassemble the document losslessly
+    val reassembled = chunksOf(Seq((1L, words)))
+      .orderBy("chunk").select("chunk_text")
+      .collect().map(_.getString(0)).mkString(" ")
+    assert(reassembled == words)
+  }
+
+  test("q150 split is constant within a signature cluster and matches the hash rule") {
+    val out = q("q150_leakage_safe_split").cache()
+    // every cluster maps to exactly one split
+    assert(out.groupBy("cluster_rep")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count() == 0)
+    // the split of a cluster is the documented pure hash of its rep
+    val bad = out.withColumn("expect", Corpus.splitAssign(col("cluster_rep"), salt = "cls"))
+      .filter(col("split") =!= col("expect")).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("q151 PMI is symmetric in marginals and highest for deterministic collocations") {
+    import spark.implicits._
+    // crafted corpus: "alpha beta" always co-occur (pmi → ln(N·c_ab/(c_a·c_b)) high),
+    // "x y" independent-ish filler
+    val doc = (("alpha beta " * 10) + ("x y x z y z " * 10)).trim
+    val toks = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val big = toks.withColumn("w2", lead(col("w"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull).select(col("w").as("w1"), col("w2"))
+    val nTok = toks.count().toDouble
+    val nBig = big.count().toDouble
+    def cnt(df: org.apache.spark.sql.DataFrame, cond: org.apache.spark.sql.Column) =
+      df.filter(cond).count().toDouble
+    val pmiAB = math.log((cnt(big, col("w1") === "alpha" && col("w2") === "beta") / nBig) /
+      ((cnt(toks, col("w") === "alpha") / nTok) * (cnt(toks, col("w") === "beta") / nTok)))
+    val pmiXY = math.log((cnt(big, col("w1") === "x" && col("w2") === "y") / nBig) /
+      ((cnt(toks, col("w") === "x") / nTok) * (cnt(toks, col("w") === "y") / nTok)))
+    assert(pmiAB > pmiXY, s"deterministic pair must out-score filler: $pmiAB vs $pmiXY")
+    // and the fixture query emits rounded, rank-stable output
+    val rows = q("q151_pmi_collocations").collect()
+    assert(rows.length <= 30)
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.sameElements(pmis.sortBy(-_)), "output must be sorted by pmi desc")
+  }
+
+  test("q152 CMS estimates are within the guaranteed band (flag always 1)") {
+    val out = q("q152_cms_band")
+    assert(out.filter(col("within_band") =!= 1).count() == 0)
+    assert(out.count() == 10)
+  }
+
+  test("q153 finds planted leakage and ignores sub-8-gram overlap") {
+    import spark.implicits._
+    // doc ids chosen so the q101 hash rule puts 1 in train and the probe
+    // docs out of train is not guaranteed for arbitrary ids — instead
+    // assert on the fixture output's invariants: every reported doc is
+    // non-train and shares at least one 8-gram with some train doc.
+    val out = q("q153_split_decontamination").cache()
+    assert(out.filter(col("split") === "train").count() == 0)
+    assert(out.filter(col("n_shared") < 1).count() == 0)
+    out.unpersist()
+    // planted check, engine-level: two docs sharing an exact 8-token run
+    // produce a shared gram; a 7-token overlap does not
+    def grams(text: String) =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 8)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 8), i -> " +
+            "cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 8))), 1, 14), 16, 10) as bigint))"))
+          .as("gram"))
+        .collect().map(_.getLong(0)).toSet
+    val run8 = "a b c d e f g h"
+    assert(grams(s"$run8 tail1 tail2").intersect(grams(s"lead1 lead2 $run8")).nonEmpty)
+    assert(grams("a b c d e f g x1 x2").intersect(grams("y1 a b c d e f g y2")).isEmpty)
+  }
+}
