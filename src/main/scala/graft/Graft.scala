@@ -160,6 +160,21 @@ object Graft {
                   trainPct: Int = 90, valPct: Int = 5): Column =
     ops.Corpus.splitAssign(keyCol, salt, trainPct, valPct)
 
+  /** Content-defined chunking: variable-length chunks whose boundaries
+    * are a pure function of the content (geometric, mean ~16 words) —
+    * shift-robust chunk dedup where fixed windows lose alignment after
+    * one edit. Returns (id, chunk, chunk_text). */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    ops.Curation.cdcChunks(docs, idCol, textCol)
+
+  /** n-token shingle hashes per document as 56-bit BIGINT keys (one
+    * (id, gram) row each, distinct per doc) — the join currency for
+    * cross-split decontamination and overlap screens. */
+  def gramHashes(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    ops.Curation.gramHashes(docs, n, idCol, textCol)
+
   // ----- pipeline auditing (SURVEY §2.7) -----
 
   /** Write `df` through `sink` with aggregate audit metrics observed on

@@ -28,6 +28,43 @@ object Curation {
   private def duckHash56(sqlExpr: String): String =
     s"('0x' || substr(md5($sqlExpr), 1, 14))::BIGINT"
 
+  /** PUBLIC content-defined chunking: split each document into
+    * variable-length chunks whose boundaries are a pure function of
+    * the CONTENT (a word closes a chunk iff the last md5 nibble is
+    * '0' ⇒ geometric chunks, mean ~16 words). Returns
+    * (id, chunk, chunk_text). Row-local flags + one per-doc window —
+    * documents shard freely across executors. */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .withColumn("b", when(substring(md5(col("word")), 32, 1) === "0", 1).otherwise(0))
+      .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0)))
+      .groupBy(col(idCol), col("chunk"))
+      // order within the chunk is recovered by sorting the collected
+      // (pos, word) structs — collect_list order itself is not
+      // deterministic, the sort is what makes this engine-portable
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, word)))," +
+        " x -> x.word))").as("chunk_text"))
+  }
+
+  /** PUBLIC n-token shingle hash set: one row per (id, gram) with the
+    * gram as the engine's 56-bit portable hash — the key currency for
+    * decontamination screens and overlap joins (int shuffles, never
+    * hex strings). Distinct per document. */
+  def gramHashes(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          s"cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 14), 16, 10) as bigint))"))
+        .as("gram"))
+      .distinct()
+
   val queries: Seq[Q] = Seq(
 
     // ----- content-defined chunking (CDC) dedup: chunk boundaries come
@@ -64,26 +101,14 @@ object Curation {
              |  min(doc_id) AS first_doc
              |FROM ch GROUP BY chunk_text HAVING count(*) >= 2
              |ORDER BY n_occ DESC, chunk_text""".stripMargin),
-      (s, dir) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-          .withColumn("b", when(substring(md5(col("word")), 32, 1) === "0", 1).otherwise(0))
-          .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0)))
-          .groupBy(col("doc_id"), col("chunk"))
-          // order within the chunk is recovered by sorting the collected
-          // (pos, word) structs — collect_list order itself is not
-          // deterministic, the sort is what makes this engine-portable
-          .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, word)))," +
-            " x -> x.word))").as("chunk_text"))
+      (s, dir) =>
+        cdcChunks(Tables.load(s, dir, "documents"))
           .groupBy("chunk_text")
           .agg(count(lit(1)).as("n_occ"),
             countDistinct(col("doc_id")).as("n_docs"),
             min(col("doc_id")).as("first_doc"))
           .filter(col("n_occ") >= 2)
-          .orderBy(col("n_occ").desc, col("chunk_text"))
-      }),
+          .orderBy(col("n_occ").desc, col("chunk_text"))),
 
     // ----- leakage-safe train/val/test split: the q101 hash split
     //       assigns DOCUMENTS independently, so two near-duplicate docs
@@ -240,15 +265,10 @@ object Curation {
               |WHERE g.split <> 'train'
               |GROUP BY g.doc_id, g.split ORDER BY g.doc_id""".stripMargin),
       (s, dir) => {
-        val grams = Tables.load(s, dir, "documents")
+        // split is a pure function of doc_id — computed in place on the
+        // gram rows, no membership join
+        val grams = gramHashes(Tables.load(s, dir, "documents"))
           .withColumn("split", Corpus.splitAssign(col("doc_id")))
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 8)
-          .select(col("doc_id"), col("split"), explode(expr(
-            "transform(sequence(0, size(toks) - 8), i -> " +
-              "cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 8))), 1, 14), 16, 10) as bigint))"))
-            .as("gram"))
-          .distinct()
         val trainGrams = grams.filter(col("split") === "train").select("gram").distinct()
         grams.filter(col("split") =!= "train")
           .join(trainGrams, "gram")

@@ -56,6 +56,21 @@ class GraftFacadeSpec extends SparkSuite {
     assert(kept.toSeq == Seq((1L, 3L, 2L, 0.9), (10L, 2L, 10L, 0.5)))
   }
 
+  test("cdcChunks reassembles each doc losslessly and keys chunks by content") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val back = Graft.cdcChunks(docs).orderBy("chunk")
+      .select("chunk_text").as[String].collect().mkString(" ")
+    assert(back == "alpha beta gamma delta epsilon zeta eta theta")
+  }
+
+  test("gramHashes emits distinct 56-bit keys and respects the n floor") {
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "too short")).toDF("doc_id", "text")
+    val g = Graft.gramHashes(docs)
+    assert(g.filter(col("doc_id") === 2L).count() == 0) // < 8 tokens → no grams
+    assert(g.filter(col("doc_id") === 1L).count() == 2) // 9 tokens → 2 8-grams
+    assert(g.schema("gram").dataType.typeName == "long")
+  }
+
   test("auditedWrite collects metrics on the write pass itself") {
     val df = Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)).toDF("id", "v")
     val m = Graft.auditedWrite(df, Seq(
