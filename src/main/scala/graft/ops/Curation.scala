@@ -275,6 +275,150 @@ object Curation {
           .groupBy("doc_id", "split")
           .agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- incremental delta-dedup: screen a NEW ingest batch (here
+    //       doc_id % 5 = 4 stands in for "today's crawl") against the
+    //       EXISTING corpus — exact content-hash match, then SimHash
+    //       band collision with hamming ≤ 3 — and tag every new doc
+    //       kept / exact_dup / near_dup. This is the steady-state shape
+    //       of corpus ingest at 100 TB: the corpus is never
+    //       self-joined; the batch probes corpus band buckets through a
+    //       (band, value)-keyed equi-join (both sides shard on the band
+    //       key, candidates die on the in-join hamming predicate), and
+    //       the exact screen is one hash-keyed semi join. -----
+    Q("q155_delta_dedup",
+      Some(s"""WITH sig AS (${Text.duckSimhash}),
+              |ck AS (SELECT doc_id, md5(text) AS ck FROM documents),
+              |exact AS (
+              |  SELECT DISTINCT n.doc_id
+              |  FROM ck n JOIN ck c ON n.ck = c.ck AND c.doc_id % 5 <> 4
+              |  WHERE n.doc_id % 5 = 4),
+              |bands AS (
+              |  SELECT doc_id, b, (simhash >> (16 * b)) & 65535 AS val, simhash
+              |  FROM sig, unnest([0,1,2,3]) AS t(b)),
+              |near AS (
+              |  SELECT DISTINCT x.doc_id
+              |  FROM bands x JOIN bands y ON x.b = y.b AND x.val = y.val
+              |    AND y.doc_id % 5 <> 4
+              |    AND bit_count(xor(x.simhash, y.simhash)) <= 3
+              |  WHERE x.doc_id % 5 = 4)
+              |SELECT d.doc_id,
+              |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+              |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+              |       ELSE 'kept' END AS status
+              |FROM documents d
+              |LEFT JOIN exact e ON d.doc_id = e.doc_id
+              |LEFT JOIN near nr ON d.doc_id = nr.doc_id
+              |WHERE d.doc_id % 5 = 4
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val isNew = (col("doc_id") % 5) === 4
+        val ck = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("ck"))
+        val exact = ck.filter(isNew)
+          .join(ck.filter(!isNew).select(col("ck")).distinct(), "ck")
+          .select(col("doc_id")).distinct()
+        val sig = Text.simhashDF(s, dir).cache()
+        sig.count() // eager: probed by both sides of the band join
+        val bands = sig.select(col("doc_id"),
+            explode(expr("sequence(0, 3)")).as("b"), col("simhash"))
+          .withColumn("val", expr("(simhash >> (16 * b)) & 65535"))
+        val near = bands.filter(isNew).as("x")
+          .join(bands.filter(!isNew).as("y"),
+            col("x.b") === col("y.b") && col("x.val") === col("y.val")
+              && expr("bit_count(x.simhash ^ y.simhash) <= 3"))
+          .select(col("x.doc_id")).distinct()
+        sig.filter(isNew).select(col("doc_id"))
+          .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+          .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+          .withColumn("status",
+            when(col("is_exact").isNotNull, "exact_dup")
+              .when(col("is_near").isNotNull, "near_dup")
+              .otherwise("kept"))
+          .select("doc_id", "status")
+          .orderBy("doc_id")
+      }),
+
+    // ----- token-budget selection: greedily fill a fixed per-source
+    //       token budget (1,000) in salted-hash-rank order — the
+    //       "cut a 1T-token mixture from a 10T-token corpus" stage.
+    //       Selection is a pure function of (salt, doc_id): stable
+    //       across runs and partitioning, exact (not in-expectation),
+    //       and each source fills independently — one per-source window
+    //       cumsum, sources shard across executors. The first doc to
+    //       cross the budget line is kept (greedy fill semantics), so
+    //       every source lands within one doc of its budget. -----
+    Q("q157_token_budget",
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('bud' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents
+             |), c AS (
+             |  SELECT source, doc_id, n_tokens, rn,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY rn
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM r)
+             |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(rn AS INT) AS rn,
+             |  CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+             |FROM c WHERE cum_before < 1000
+             |ORDER BY source, rn""".stripMargin),
+      (s, dir) => {
+        val wRank = Window.partitionBy(col("source"))
+          .orderBy(col("hk"), col("doc_id"))
+        val wCum = Window.partitionBy(col("source")).orderBy(col("rn"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            md5(concat(lit("bud"), col("doc_id").cast("string"))).as("hk"))
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wCum), lit(0L)))
+          .filter(col("cum_before") < 1000)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("rn"), (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+          .orderBy("source", "rn")
+      }),
+
+    // ----- corpus datasheet: the one-pass observability report a
+    //       "datasheets for datasets" workflow pins to every corpus
+    //       snapshot — doc/source/language counts, token volume and
+    //       median length, exact-dup rate, mean lexical diversity.
+    //       Single grouped-agg scan (countDistincts expand map-side);
+    //       the mean uses the engine's exact-decimal device so the
+    //       report is bit-stable at any parallelism. -----
+    Q("q158_corpus_datasheet",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  round(quantile_cont(n_tokens, 0.50), 4) AS p50_tokens,
+             |  round(1 - CAST(count(DISTINCT ck) AS DOUBLE) / count(*), 4) AS dup_rate,
+             |  round(CAST(sum(CAST(score AS DECIMAL(8,4))) * 10000 AS DOUBLE)
+             |    / count(*)) / 10000.0 AS mean_diversity
+             |FROM (
+             |  SELECT source, lang, md5(text) AS ck,
+             |    len(string_split(text, ' ')) AS n_tokens,
+             |    round(len(list_distinct(string_split(text, ' ')))
+             |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS score
+             |  FROM documents)""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("source"), col("lang"), md5(col("text")).as("ck"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            round(size(array_distinct(col("toks"))) / size(col("toks")).cast("double"), 4)
+              .as("score"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(expr("percentile(n_tokens, 0.50)"), 4).as("p50_tokens"),
+            round(lit(1) - countDistinct(col("ck")).cast("double") / count(lit(1)), 4)
+              .as("dup_rate"),
+            (round((sum(col("score").cast("decimal(8,4)")) * 10000).cast("double")
+              / count(lit(1))) / 10000.0).as("mean_diversity")))
   )
 }

@@ -170,6 +170,33 @@ object Windows {
           .groupBy(expr("cast(k % 10 as int)").as("k_mod"))
           .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"),
             round(sum(col("value")), 4).as("total"))
-          .orderBy("k_mod"))
+          .orderBy("k_mod")),
+
+    // ----- forward fill (last-observation-carried-forward) via
+    //       IGNORE NULLS: sparse readings ('view' rows masked to NULL
+    //       here) filled from each user's latest non-null value in
+    //       event-time order — the telemetry/feature-store gap-fill
+    //       primitive. One per-user window, (ts, event_id) total order
+    //       for determinism; leading NULLs (no prior reading) stay
+    //       NULL, and the oracle hashes them too. -----
+    Q("q156_forward_fill",
+      Some("""SELECT event_id, user_id,
+             |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |        CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+             |      FROM events)
+             |ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Long.MinValue, 0)
+        Tables.load(s, dir, "events")
+          .withColumn("v", when(col("event_type") === "view", lit(null)).otherwise(col("value")))
+          .withColumn("filled", round(last(col("v"), ignoreNulls = true).over(w), 4))
+          .select("event_id", "user_id", "filled")
+          .orderBy("event_id")
+      })
   )
 }

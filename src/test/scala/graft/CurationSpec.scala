@@ -118,4 +118,42 @@ class CurationSpec extends SparkSuite {
     assert(grams(s"$run8 tail1 tail2").intersect(grams(s"lead1 lead2 $run8")).nonEmpty)
     assert(grams("a b c d e f g x1 x2").intersect(grams("y1 a b c d e f g y2")).isEmpty)
   }
+
+  test("q155 tags every new-batch doc and exact_dups really have an identical corpus text") {
+    val out = q("q155_delta_dedup").cache()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(out.count() == docs.filter(col("doc_id") % 5 === 4).count())
+    assert(out.filter(!col("status").isin("kept", "exact_dup", "near_dup")).count() == 0)
+    // each exact_dup must join an identical corpus text
+    val exact = out.filter(col("status") === "exact_dup")
+      .join(docs, "doc_id").select(col("doc_id"), col("text"))
+    val unmatched = exact.as("e")
+      .join(docs.filter(col("doc_id") % 5 =!= 4).as("c"), col("e.text") === col("c.text"), "left_anti")
+      .count()
+    assert(unmatched == 0)
+    out.unpersist()
+  }
+
+  test("q157 selection is a rank prefix and stops within one doc of the budget") {
+    val out = q("q157_token_budget").cache()
+    // prefix property: selected ranks are exactly 1..n per source
+    val prefixBad = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("max_rn"))
+      .filter(col("n") =!= col("max_rn")).count()
+    assert(prefixBad == 0)
+    // every selected doc started strictly under budget
+    assert(out.filter(col("cum_tokens") - col("n_tokens") >= 1000).count() == 0)
+    out.unpersist()
+  }
+
+  test("q158 datasheet is one row with sane ranges") {
+    val r = q("q158_corpus_datasheet").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") > 0)
+    val dup = row.getAs[Double]("dup_rate")
+    assert(dup >= 0.0 && dup <= 1.0)
+    val div = row.getAs[Double]("mean_diversity")
+    assert(div > 0.0 && div <= 1.0)
+  }
 }

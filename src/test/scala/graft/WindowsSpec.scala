@@ -47,6 +47,22 @@ class WindowsSpec extends SparkSuite {
     assert(out.length == 2) // boundary event goes to the 01:00 window
   }
 
+  test("forward fill carries the last non-null per user and leaves leading gaps null") {
+    // 'view' rows are the masked (null) readings in q156
+    val dir = events(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 9.0),   // leading gap → null
+      (2L, "2024-01-01 00:01:00", 1L, "click", 5.0),
+      (3L, "2024-01-01 00:02:00", 1L, "view", 9.0),   // → 5.0
+      (4L, "2024-01-01 00:03:00", 1L, "click", 7.0),
+      (5L, "2024-01-01 00:04:00", 1L, "view", 9.0),   // → 7.0
+      (6L, "2024-01-01 00:00:30", 2L, "view", 9.0))   // other user: own gap
+    val out = SparkEntry.queries("q156_forward_fill")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out == Map(1L -> None, 2L -> Some(5.0), 3L -> Some(5.0),
+      4L -> Some(7.0), 5L -> Some(7.0), 6L -> None))
+  }
+
   test("daily drift: known distribution shift yields exact TV distance") {
     // day 1: click/view 50/50; day 2: all click → TV = ½(|1−.5|+|0−.5|) = 0.5
     // day 3 ≡ day 2 → TV = 0. A type absent today still contributes
