@@ -196,6 +196,43 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q149: CDC chunking has no join — window + two agg shuffles only") {
+    val p = formatted("q149_cdc_chunks")
+    assert(!p.contains("Join"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q151: vocabulary joins broadcast; totals are 1-row broadcasts") {
+    val p = formatted("q151_pmi_collocations")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+    // the only nested-loop joins are the two single-row totals frames
+    // (count tree lines, not the repeated detail-section headers)
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size <= 2)
+  }
+
+  test("q153/q155: dedup screens are keyed equi-joins, never cartesian") {
+    for (n <- Seq("q153_split_decontamination", "q155_delta_dedup")) {
+      val p = formatted(n)
+      assert(!p.contains("CartesianProduct"), n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), n)
+    }
+  }
+
+  test("q156/q157: window ops are join-free with one hash + one sort exchange") {
+    for (n <- Seq("q156_forward_fill", "q157_token_budget")) {
+      val p = formatted(n)
+      assert(!p.contains("Join"), n)
+      assert("\\bExchange \\(".r.findAllIn(p).size <= 2, n)
+    }
+  }
+
+  test("q158: datasheet is one scan → grouped agg, no join") {
+    val p = formatted("q158_corpus_datasheet")
+    assert(!p.contains("Join"))
+    assert("\\bExchange \\(".r.findAllIn(p).size <= 2, p)
+  }
+
   test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
     import org.apache.spark.sql.functions._
     // Fixture: orders re-laid-out partitioned by month (the production
