@@ -172,17 +172,22 @@ object Curation {
              |WHERE n_ab >= 5
              |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin),
       (s, dir) => {
+        // the tokenize+posexplode lineage feeds both count families —
+        // cache it once (same discipline as Corpus's shared tokenization)
         val tok = Tables.load(s, dir, "documents")
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .cache()
         val big = tok
           .withColumn("w2", lead(col("w"), 1)
             .over(Window.partitionBy("doc_id").orderBy("pos")))
           .filter(col("w2").isNotNull)
           .select(col("w").as("w1"), col("w2"))
         val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-        val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
-        val totals = tok.agg(count(lit(1)).as("n_tok"))
-          .crossJoin(big.agg(count(lit(1)).as("n_big")))
+        val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab")).cache()
+        // totals fold out of the count frames (vocab-sized), so the
+        // corpus is never re-scanned just to count rows
+        val totals = uni.agg(sum(col("n_w")).as("n_tok"))
+          .crossJoin(bi.agg(sum(col("n_ab")).as("n_big")))
         bi.filter(col("n_ab") >= 5)
           .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
           .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
@@ -216,11 +221,13 @@ object Curation {
              |ORDER BY exact_cnt DESC, user_id LIMIT 10""".stripMargin),
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
-        val bytes = ev
-          .agg(expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
-          .head().getAs[Array[Byte]]("sk")
-        val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-        val slack = math.ceil(1e-4 * ev.count()).toLong // eps · N
+        // N rides the sketch pass — one scan builds sketch + row count
+        val skRow = ev.agg(
+          expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n")).head()
+        val cms = CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+        val slack = math.ceil(1e-4 * skRow.getAs[Long]("n")).toLong // eps · N
         val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("user_id"))
           .limit(10).collect()
@@ -229,9 +236,7 @@ object Curation {
           val est = cms.estimateCount(uid)
           (uid, exact, if (est >= exact && est <= exact + slack) 1 else 0)
         }.toSeq
-        s.createDataFrame(rows)
-          .toDF("user_id", "exact_cnt", "within_band")
-          .withColumn("within_band", col("within_band").cast("int"))
+        s.createDataFrame(rows).toDF("user_id", "exact_cnt", "within_band")
       }),
 
     // ----- cross-split decontamination: after the q101 hash split, an
@@ -329,7 +334,10 @@ object Curation {
             col("x.b") === col("y.b") && col("x.val") === col("y.val")
               && expr("bit_count(x.simhash ^ y.simhash) <= 3"))
           .select(col("x.doc_id")).distinct()
-        sig.filter(isNew).select(col("doc_id"))
+        // base frame is documents (like the oracle), NOT the signature
+        // frame — a doc with no tokens has no simhash row and must
+        // still be reported as kept
+        Tables.load(s, dir, "documents").filter(isNew).select(col("doc_id"))
           .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
           .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
           .withColumn("status",

@@ -29,6 +29,27 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** THE gap-based sessionization oracle (30m inactivity per user) —
+    * shared verbatim by batch q53 and streaming-execution q154 so the
+    * two gates can never drift onto different session definitions. */
+  private[graft] val duckSessionOracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), g AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ----- tumbling 1h window agg -----
@@ -62,22 +83,7 @@ object Windows {
 
     // ----- session window: 30m inactivity gap per user -----
     Q("q53_session_window",
-      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-             |m AS (
-             |  SELECT user_id, ts,
-             |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-             |), g AS (
-             |  SELECT user_id, ts,
-             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-             |  FROM m)
-             |SELECT user_id, min(ts) AS session_start,
-             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-             |  CAST(count(*) AS BIGINT) AS n_events
-             |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin),
+      Some(Windows.duckSessionOracle),
       (s, dir) =>
         Tables.load(s, dir, "events")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

@@ -238,22 +238,7 @@ object StreamQueries {
     //       q136 device. Oracle is the q53 batch sessionization SQL:
     //       streaming and batch must agree on every (start, end, count). -----
     Q("q154_stream_session_exec",
-      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-             |m AS (
-             |  SELECT user_id, ts,
-             |    CASE WHEN lag(ts) OVER w IS NULL
-             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-             |), g AS (
-             |  SELECT user_id, ts,
-             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-             |  FROM m)
-             |SELECT user_id, min(ts) AS session_start,
-             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-             |  CAST(count(*) AS BIGINT) AS n_events
-             |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin),
+      Some(graft.ops.Windows.duckSessionOracle),
       (s, dir) => {
         val ev = Tables.load(s, dir, "events").select(col("user_id"), col("ts"))
         def sentinel(ts: String) = s.sql(

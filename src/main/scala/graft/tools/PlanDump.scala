@@ -16,9 +16,12 @@ object PlanDump {
     args.drop(1).foreach { n =>
       val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution
         .explainString(FormattedMode)
-      val joins = "(\\w*Join\\w*) \\(".r.findAllMatchIn(p).map(_.group(1)).toList
+      // count TREE lines only — formatted mode repeats every operator
+      // as a "(n) Name" detail header, which would double-count
+      val tree = p.linesIterator.filterNot(_.trim.startsWith("(")).mkString("\n")
+      val joins = "\\b(\\w+Join)\\b".r.findAllMatchIn(tree).map(_.group(1)).toList
         .groupBy(identity).map { case (k, v) => s"$k x${v.size}" }.mkString(", ")
-      val ex = "\\bExchange \\(".r.findAllIn(p).size
+      val ex = "\\bExchange\\b".r.findAllIn(tree).size
       println(s"== $n: exchanges=$ex joins=[$joins]")
       if (sys.env.contains("PLAN_FULL")) println(p)
     }

@@ -13,20 +13,12 @@ class CurationSpec extends SparkSuite {
   private def q(name: String) =
     Curation.queries.find(_.name == name).get.fn(spark, sf)
 
-  // Re-implements the q149 chunker over an in-memory doc frame so the
-  // invariance tests can run on crafted inputs, not just the fixture.
+  // Crafted-input frames go through the SHIPPED operators — the public
+  // cdcChunks/gramHashes take any DataFrame, so the tests must not
+  // carry a private re-implementation that could drift.
   private def chunksOf(docs: Seq[(Long, String)]) = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.toDF("doc_id", "text")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .withColumn("b", when(substring(md5(col("word")), 32, 1) === "0", 1).otherwise(0))
-      .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0)))
-      .groupBy(col("doc_id"), col("chunk"))
-      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, word)))," +
-        " x -> x.word))").as("chunk_text"))
+    Curation.cdcChunks(docs.toDF("doc_id", "text"))
   }
 
   test("q149 CDC chunking is shift-robust: a prepended word only perturbs the first chunk") {
@@ -103,17 +95,11 @@ class CurationSpec extends SparkSuite {
     assert(out.filter(col("split") === "train").count() == 0)
     assert(out.filter(col("n_shared") < 1).count() == 0)
     out.unpersist()
-    // planted check, engine-level: two docs sharing an exact 8-token run
-    // produce a shared gram; a 7-token overlap does not
+    // planted check, through the SHIPPED gramHashes: two docs sharing an
+    // exact 8-token run produce a shared gram; a 7-token overlap does not
     def grams(text: String) =
-      Seq((1L, text)).toDF("doc_id", "text")
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 8)
-        .select(explode(expr(
-          "transform(sequence(0, size(toks) - 8), i -> " +
-            "cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 8))), 1, 14), 16, 10) as bigint))"))
-          .as("gram"))
-        .collect().map(_.getLong(0)).toSet
+      Curation.gramHashes(Seq((1L, text)).toDF("doc_id", "text"))
+        .select("gram").collect().map(_.getLong(0)).toSet
     val run8 = "a b c d e f g h"
     assert(grams(s"$run8 tail1 tail2").intersect(grams(s"lead1 lead2 $run8")).nonEmpty)
     assert(grams("a b c d e f g x1 x2").intersect(grams("y1 a b c d e f g y2")).isEmpty)
