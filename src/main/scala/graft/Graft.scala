@@ -114,6 +114,17 @@ object Graft {
 
   /** Bounded-heap per-group top-k typed aggregation column (map-side
     * partial: ≤k rows per group per partition cross the shuffle). */
+  /** Left as-of join through the engine's custom physical operator
+    * (`plans.AsOfJoinExec`): each left row gains the latest right row
+    * with the same key at-or-before its timestamp — one co-partitioned
+    * forward merge per partition, no range-join candidate blowup.
+    * Requires `Graft.init(spark)` (registers the planner strategy);
+    * keys BIGINT, timestamps TIMESTAMP, disjoint column names. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String): DataFrame =
+    plans.AsOfJoinApi.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs)
+
   def topK(k: Int): org.apache.spark.sql.TypedColumn[(Long, Double), Seq[(Double, Long)]] =
     functions.TopKAggregator.topK(k)
 

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectOptimizerRule(_ => FuseDotProduct)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -40,5 +41,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(FuseDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseDotProduct
+    // planner strategy for the custom as-of join operator (extension
+    // tier c) — `extraStrategies` is the runtime hook mirroring
+    // injectPlannerStrategy (cf. SNIPPETS.md [1])
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

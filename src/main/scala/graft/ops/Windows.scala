@@ -50,6 +50,22 @@ object Windows {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** THE as-of join oracle (each purchase ↔ latest click at-or-before
+    * it, per user; click ties at equal ts resolve to max event_id) —
+    * shared by the composed form (q54) and the custom physical
+    * operator (q159) so both implementations answer to one definition. */
+  private[graft] val duckAsofOracle: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+      |c AS (
+      |  SELECT user_id, ts, event_id, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM e WHERE event_type = 'click') WHERE rn = 1
+      |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
+      |  c.ts AS click_ts, c.event_id AS click_event_id, round(c.value, 4) AS click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // ----- tumbling 1h window agg -----
@@ -94,16 +110,7 @@ object Windows {
 
     // ----- as-of join: each purchase ↔ latest click at or before it -----
     Q("q54_asof_join",
-      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
-             |c AS (
-             |  SELECT user_id, ts, event_id, value FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-             |    FROM e WHERE event_type = 'click') WHERE rn = 1
-             |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
-             |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
-             |  c.ts AS click_ts, c.event_id AS click_event_id, round(c.value, 4) AS click_value
-             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin),
+      Some(Windows.duckAsofOracle),
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
         val clicks = e.filter(col("event_type") === "click")
@@ -203,6 +210,38 @@ object Windows {
           .withColumn("filled", round(last(col("v"), ignoreNulls = true).over(w), 4))
           .select("event_id", "user_id", "filled")
           .orderBy("event_id")
+      }),
+
+    // ----- as-of join through the CUSTOM PHYSICAL OPERATOR
+    //       (`plans.AsOfJoinExec` — extension tier c: LogicalPlan +
+    //       Strategy + SparkPlan): same semantics and SAME oracle as
+    //       the composed q54, but executed as one co-partitioned
+    //       forward merge per partition — O(|L|+|R|), no range-join
+    //       candidate amplification and no tagged-union window state.
+    //       The click side pre-dedups ties (one row per (user, ts),
+    //       max event_id) so the merge's last-in-order winner is
+    //       deterministic; both sides come from independent reads so
+    //       the self-join lineages stay distinct. -----
+    Q("q159_asof_custom",
+      Some(Windows.duckAsofOracle),
+      (s, dir) => {
+        val wTie = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+        val clicks = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .withColumn("rn", row_number().over(wTie))
+          .filter(col("rn") === 1)
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_event_id"), col("value").as("c_value"))
+        val purchases = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+        graft.plans.AsOfJoinApi
+          .asofJoin(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
+          .select(col("user_id"), col("p_event_id"), col("p_ts"),
+            col("c_ts").as("click_ts"), col("click_event_id"),
+            round(col("c_value"), 4).as("click_value"))
+          .orderBy("user_id", "p_ts", "p_event_id")
       })
   )
 }

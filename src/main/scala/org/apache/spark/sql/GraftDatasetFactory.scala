@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge to `sql`-private internals so the engine can hand a custom
+  * [[graft.plans.AsOfJoinPlan]] logical node to a session's
+  * analyzer/planner pipeline — the standard pattern for extension
+  * libraries that add whole logical operators (cf. SNIPPETS.md [2]/[3]:
+  * the same factory shim in public Spark extension projects).
+  */
+object GraftDatasetFactory {
+
+  /** Wrap a logical plan as a DataFrame (analyzer runs on first use). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The Catalyst expression behind a (classic) Column. */
+  def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
