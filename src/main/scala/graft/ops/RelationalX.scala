@@ -468,6 +468,46 @@ object RelationalX {
               / col("exact_users") <= 0.05).cast("int"))
           .select("event_type", "exact_users", "approx_ok")
           .orderBy("event_type")
+      }),
+
+    // ----- rolling 7-day distinct users from MERGED DAILY SKETCHES —
+    //       the roll-up that makes sketches pay at 100 TB: the raw
+    //       events are scanned ONCE into per-day HLL sketches (one tiny
+    //       row per day), and every 7-day window is answered by
+    //       unioning ≤ 7 sketches instead of re-scanning a week of
+    //       events per window (a naive 7-day DAU over N days rescans
+    //       each event 7×). The day-spine ⋈ daily-sketch range join is
+    //       days × 7 rows — metadata-scale regardless of event volume.
+    //       Oracle device as q90/q145: exact window distincts beside a
+    //       ≤ 5% tolerance flag (default lgConfigK=12 ⇒ ~1.6% rsd). -----
+    Q("q161_sliding_hll",
+      Some("""WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+             |SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_users7,
+             |  CAST(1 AS INT) AS approx_ok
+             |FROM d JOIN events e
+             |  ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+             |GROUP BY d.day ORDER BY d.day""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val daily = ev.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk")).cache()
+        val spine = daily.select(col("day").as("d"))
+        val approx = spine.join(broadcast(daily),
+            col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy(col("d"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("approx7"))
+        // exact side exists only to arm the tolerance gate (the sketch
+        // path never re-touches raw events to answer a window)
+        val exact = spine.join(ev,
+            col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy(col("d"))
+          .agg(countDistinct(col("user_id")).as("exact_users7"))
+        exact.join(approx, "d")
+          .withColumn("approx_ok",
+            (abs(col("approx7") - col("exact_users7")).cast("double")
+              / col("exact_users7") <= 0.05).cast("int"))
+          .select(col("d").as("day"), col("exact_users7"), col("approx_ok"))
+          .orderBy("day")
       })
   )
 }

@@ -398,6 +398,52 @@ object Similarity {
           .select(col("vec_id"), col("dim").cast("int").as("dim"),
             round(col("raw") * 0.25, 4).as("proj"))
           .orderBy("vec_id", "dim")
+      }),
+
+    // ----- SemDeDup-lite semantic dedup: keep one representative per
+    //       semantic-duplicate group. Star-shaped approximation of the
+    //       SemDeDup recipe (cluster → drop members too similar to the
+    //       kept representative): coarse cluster = the corpus-sized
+    //       sign-LSH bucket, representative = min vec_id per bucket, a
+    //       member is dropped iff cos(member, representative) ≥ 0.4.
+    //       One bucket window + one broadcast join of the (tiny)
+    //       representative set — the corpus never self-joins, unlike
+    //       the all-pairs q50 view of the same neighborhoods. Output
+    //       is every vector's disposition, so the survivor set AND the
+    //       removal audit are one result. -----
+    Q("q160_semantic_dedup",
+      Some(s"""WITH p AS ${duckAutoPlanes()},
+              |n AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm,
+              |    $duckBucketFull & ((1 << p.np) - 1) AS bucket FROM embeddings, p
+              |), r AS (
+              |  SELECT vec_id, embedding, nrm, bucket,
+              |    min(vec_id) OVER (PARTITION BY bucket) AS canonical_id
+              |  FROM n)
+              |SELECT r.vec_id, CAST(r.bucket AS BIGINT) AS bucket, r.canonical_id,
+              |  CAST(CASE WHEN r.vec_id = r.canonical_id THEN 1
+              |       WHEN round(list_dot_product(r.embedding::DOUBLE[], c.embedding::DOUBLE[])
+              |                  / (r.nrm * c.nrm), 4) >= 0.4 THEN 0
+              |       ELSE 1 END AS INT) AS keep
+              |FROM r JOIN n c ON c.vec_id = r.canonical_id
+              |ORDER BY r.vec_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val n = corpus(s, dir)
+        val withCanon = n.withColumn("canonical_id",
+          min(col("vec_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+        val canon = withCanon.filter(col("vec_id") === col("canonical_id"))
+          .select(col("canonical_id").as("c_id"), col("embedding").as("c_emb"))
+        withCanon
+          .join(broadcast(canon), col("canonical_id") === col("c_id"))
+          .withColumn("keep",
+            when(col("vec_id") === col("canonical_id"), 1)
+              .when(round(expr("cosine_sim(embedding, c_emb)"), 4) >= 0.4, 0)
+              .otherwise(1).cast("int"))
+          .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+            col("canonical_id"), col("keep"))
+          .orderBy("vec_id")
       })
   )
 }

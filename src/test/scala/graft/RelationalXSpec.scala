@@ -73,4 +73,16 @@ class RelationalXSpec extends SparkSuite {
     assert(out(10L) == 2) // two sessions for user 10
     assert(out(11L) == 1)
   }
+
+  test("q161 rolling 7-day sketch union stays in band and dominates any single day") {
+    val fx = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q161_sliding_hll")(spark, fx).cache()
+    assert(out.filter(col("approx_ok") =!= 1).count() == 0)
+    // window distinct must be ≥ the end day's own distinct users
+    val daily = Tables.load(spark, fx, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("d1"))
+    assert(out.join(daily, "day").filter(col("exact_users7") < col("d1")).count() == 0)
+    out.unpersist()
+  }
 }

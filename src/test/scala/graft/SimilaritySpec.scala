@@ -72,4 +72,25 @@ class SimilaritySpec extends SparkSuite {
       assert(math.abs(rows((1L, j))) == 0.25) // ±1 entry scaled by 1/√16
     }
   }
+
+  test("q160 semantic dedup drops exact copies, keeps canonicals, keeps distinct vectors") {
+    // 1 and 2 are identical (cos = 1 ≥ 0.4 with canonical 1 → 2 dropped);
+    // 5 is orthogonal to every canonical it could share a bucket with
+    val dir = emb(
+      (1L, unit(3), 0),
+      (2L, unit(3), 0),
+      (5L, unit(7), 0))
+    val out = SparkEntry.queries("q160_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out(1L)._2 == 1) // canonical always kept
+    assert(out(2L) == (1L, 0)) // exact copy of its canonical → dropped
+    assert(out(5L)._2 == 1) // either own bucket, or cos 0 < 0.4
+    // fixture-level invariants: every bucket keeps its canonical
+    val fx = SparkEntry.queries("q160_semantic_dedup")(spark, "/root/testdata/sf0.001")
+      .cache()
+    assert(fx.filter(col("vec_id") === col("canonical_id"))
+      .filter(col("keep") =!= 1).count() == 0)
+    assert(fx.filter(!col("keep").isin(0, 1)).count() == 0)
+    fx.unpersist()
+  }
 }
