@@ -112,8 +112,6 @@ object Graft {
                    tracked: Seq[String]): DataFrame =
     ops.Cdc.snapshotDiff(oldSnap, newSnap, key, tracked)
 
-  /** Bounded-heap per-group top-k typed aggregation column (map-side
-    * partial: ≤k rows per group per partition cross the shuffle). */
   /** Left as-of join through the engine's custom physical operator
     * (`plans.AsOfJoinExec`): each left row gains the latest right row
     * with the same key at-or-before its timestamp — one co-partitioned
@@ -125,6 +123,8 @@ object Graft {
                leftTs: String, rightTs: String): DataFrame =
     plans.AsOfJoinApi.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs)
 
+  /** Bounded-heap per-group top-k typed aggregation column (map-side
+    * partial: ≤k rows per group per partition cross the shuffle). */
   def topK(k: Int): org.apache.spark.sql.TypedColumn[(Long, Double), Seq[(Double, Long)]] =
     functions.TopKAggregator.topK(k)
 

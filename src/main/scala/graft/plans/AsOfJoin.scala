@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * with per-key event density and a scan.
   *
   * Scope guard (this is a demo of the extension tier, not a general
-  * join): keys must be BIGINT and timestamps TIMESTAMP, both non-null.
+  * join): keys must be BIGINT and timestamps TIMESTAMP. NULL keys or
+  * timestamps never match (SQL ASOF semantics): a NULL left row
+  * null-pads, a NULL right row is skipped.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -96,28 +98,44 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rWidth)
       val project = UnsafeProjection.create(schema, schema)
       new Iterator[InternalRow] {
-        // rHead is held across next() calls while the underlying
-        // iterator reuses its row object — copy on read, like the
-        // buffered side of SortMergeJoin
+        // rHead is the TRANSIENT row from the child iterator — the
+        // object is stable until the next rIter.next() call, which only
+        // happens when rHead is being discarded or retained. Only the
+        // retained match is copied (like SortMergeJoin's buffered side),
+        // so rows whose key never appears on the left cost no allocation.
         private var rHead: InternalRow = advance()
         private var matchRow: InternalRow = null
         private var matchKey = 0L
         private def advance(): InternalRow =
-          if (rIter.hasNext) rIter.next().copy() else null
+          if (rIter.hasNext) rIter.next() else null
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = lkB.eval(l).asInstanceOf[Long]
-          val t = ltB.eval(l).asInstanceOf[Long]
+          val kAny = lkB.eval(l)
+          val tAny = ltB.eval(l)
+          // SQL ASOF semantics for NULLs: a null key/ts never matches —
+          // emit the null-padded row without consuming the right side
+          // (null-first sort order means no right progress is lost)
+          if (kAny == null || tAny == null)
+            return project(joined(l, nullRight))
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
           if (matchRow != null && matchKey != k) matchRow = null
           var scanning = rHead != null
           while (scanning) {
-            val rk = rkB.eval(rHead).asInstanceOf[Long]
-            if (rk < k || (rk == k && rtB.eval(rHead).asInstanceOf[Long] <= t)) {
-              if (rk == k) { matchRow = rHead; matchKey = k }
+            val rkAny = rkB.eval(rHead)
+            val rtAny = rtB.eval(rHead)
+            if (rkAny == null || rtAny == null) { // null rows match nothing: skip
               rHead = advance()
               scanning = rHead != null
-            } else scanning = false
+            } else {
+              val rk = rkAny.asInstanceOf[Long]
+              if (rk < k || (rk == k && rtAny.asInstanceOf[Long] <= t)) {
+                if (rk == k) { matchRow = rHead.copy(); matchKey = k }
+                rHead = advance()
+                scanning = rHead != null
+              } else scanning = false
+            }
           }
           project(joined(l, if (matchRow != null) matchRow else nullRight))
         }
@@ -136,10 +154,10 @@ object AsOfJoinApi {
   /** Left as-of join: each `left` row gains the latest `right` row with
     * the same key at-or-before its timestamp, null-padded when none.
     *
-    * The two inputs should have disjoint output columns (alias before
-    * joining) and, for a self-join, come from independent reads so the
-    * analyzer can tell the lineages apart. Keys are BIGINT, timestamps
-    * TIMESTAMP, both non-null.
+    * The two inputs must have disjoint output columns (alias before
+    * joining — enforced) and, for a self-join, come from independent
+    * reads so the analyzer can tell the lineages apart. Keys are
+    * BIGINT, timestamps TIMESTAMP; NULLs never match.
     */
   def asofJoin(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
                leftKey: String, rightKey: String,
@@ -147,6 +165,10 @@ object AsOfJoinApi {
     val names = Seq(leftKey, rightKey, leftTs, rightTs)
     require(names.toSet.size == 4,
       s"as-of join needs four distinct column names, got $names (alias before joining)")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"as-of join inputs must have disjoint columns; both sides carry $overlap " +
+        "(alias before joining)")
     import org.apache.spark.sql.GraftDatasetFactory.{expr => cExpr}
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,

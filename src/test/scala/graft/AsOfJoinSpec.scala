@@ -79,5 +79,32 @@ class AsOfJoinSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       AsOfJoinApi.asofJoin(left, renamed, "l_key", "l_key", "l_ts", "r_ts")
     }
+    // overlap in NON-key columns is rejected too (documented contract)
+    intercept[IllegalArgumentException] {
+      AsOfJoinApi.asofJoin(left, right.withColumnRenamed("r_tag", "l_tag"),
+        "l_key", "r_key", "l_ts", "r_ts")
+    }
+  }
+
+  test("NULL keys and timestamps never match (SQL ASOF semantics)") {
+    val left = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), "a"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), "nullkey"),
+      (Option(1L), Option.empty[Timestamp], "nullts"),
+      (Option(0L), Option(ts("2024-01-01 10:00:00")), "zero")
+    ).toDF("l_key", "l_ts", "l_tag")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), "r1"),
+      (Option.empty[Long], Option(ts("2024-01-01 08:00:00")), "rnull"), // matches nothing
+      (Option(0L), Option(ts("2024-01-01 09:30:00")), "r0")
+    ).toDF("r_key", "r_ts", "r_tag")
+    val out = AsOfJoinApi.asofJoin(left, right, "l_key", "r_key", "l_ts", "r_ts")
+      .select(col("l_tag"), col("r_tag")).as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map(
+      "a" -> Some("r1"),
+      "nullkey" -> None, // NOT coerced to key 0 (would wrongly hit r0)
+      "nullts" -> None,
+      "zero" -> Some("r0")))
   }
 }
