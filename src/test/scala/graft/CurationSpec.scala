@@ -105,6 +105,34 @@ class CurationSpec extends SparkSuite {
     assert(grams("a b c d e f g x1 x2").intersect(grams("y1 a b c d e f g y2")).isEmpty)
   }
 
+  test("cdcChunks reassembles 100 random docs losslessly in one job") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val docs = (1L to 100L).map { i =>
+      val n = 1 + rng.nextInt(60)
+      (i, Seq.fill(n)("w" + rng.nextInt(50)).mkString(" "))
+    }
+    val back = Curation.cdcChunks(docs.toDF("doc_id", "text"))
+      .groupBy("doc_id")
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(chunk, chunk_text)))," +
+        " x -> x.chunk_text))").as("rebuilt"))
+      .as[(Long, String)].collect().toMap
+    docs.foreach { case (i, text) => assert(back(i) == text, s"doc $i") }
+  }
+
+  test("gramHashes emits exactly max(0, n-7) grams for distinct-token docs") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to i.toInt).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val counts = Curation.gramHashes(docs.toDF("doc_id", "text"))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    docs.foreach { case (i, _) =>
+      val expected = math.max(0, i.toInt - 7)
+      assert(counts.getOrElse(i, 0L) == expected, s"doc $i")
+    }
+  }
+
   test("q155 tags every new-batch doc and exact_dups really have an identical corpus text") {
     val out = q("q155_delta_dedup").cache()
     val docs = Tables.load(spark, sf, "documents")
