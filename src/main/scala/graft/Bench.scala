@@ -105,7 +105,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$js,""" +
         s""""stream_sec":${fmt(streamSec)},"sf":$sfNum}"""
     }
-    val line = Seq(render(3, jitter), render(2, jitter), render(2, Nil), render(1, Nil))
+    val line = Seq(render(3, jitter), render(2, jitter), render(2, jitter.take(3)),
+        render(2, Nil), render(1, Nil))
       .find(_.length <= 1950).getOrElse(render(1, Nil))
     println(line)
     spark.stop()
