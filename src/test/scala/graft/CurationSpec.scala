@@ -160,6 +160,38 @@ class CurationSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("curation pipeline composes through the public facade: cluster → split → decontaminate") {
+    // the end-to-end shape a training-data pipeline actually runs, built
+    // ONLY from Graft facade ops, as one declarative composition:
+    // near-dup clusters → cluster-keyed split → cross-split 8-gram
+    // decontamination → certified-clean eval set
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val sig = Graft.shingleHashSets(docs, "text", Seq("doc_id"))
+      .select(col("doc_id") +: Graft.minhashCols: _*)
+    val mh = (1 to 6).map(i => col(s"mh$i"))
+    val membership = sig
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(mh: _*)))
+      .select(col("doc_id"), col("rep"))
+    val split = membership.withColumn("split", Graft.splitAssign(col("rep"), salt = "e2e"))
+    // leakage-safety by construction: a cluster never straddles splits
+    assert(split.groupBy("rep").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() == 0)
+    val grams = Graft.gramHashes(docs).join(split.select("doc_id", "split"), "doc_id")
+    val trainGrams = grams.filter(col("split") === "train").select("gram").distinct()
+    val evalDocs = split.filter(col("split") =!= "train").select("doc_id")
+    val contaminated = grams.filter(col("split") =!= "train")
+      .join(trainGrams, "gram").select("doc_id").distinct()
+    val clean = evalDocs.join(contaminated, Seq("doc_id"), "left_anti")
+    // partition property: clean ⊎ contaminated = eval
+    assert(clean.count() + contaminated.count() == evalDocs.count())
+    // certification: the clean eval set shares NO 8-gram with train
+    val residual = Graft.gramHashes(docs.join(clean, "doc_id"))
+      .join(trainGrams, "gram").count()
+    assert(residual == 0, s"clean eval set still shares $residual grams with train")
+  }
+
   test("q158 datasheet is one row with sane ranges") {
     val r = q("q158_corpus_datasheet").collect()
     assert(r.length == 1)
