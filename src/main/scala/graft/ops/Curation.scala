@@ -390,6 +390,90 @@ object Curation {
           .orderBy("source", "rn")
       }),
 
+    // ----- split-balance audit: after the q101 hash split, is each
+    //       eval split DISTRIBUTED like train? Total-variation distance
+    //       between per-source token-share vectors (the q140 drift
+    //       device applied to splits): ½ Σ|share_split − share_train|.
+    //       A sound hash split should be near 0; a skewed one (e.g.
+    //       splitting by doc_id ranges that correlate with source)
+    //       shows up immediately. Two keyed aggs + a source-keyed join
+    //       of two tiny share vectors — corpus-size-independent after
+    //       the first agg. -----
+    Q("q162_split_balance",
+      Some("""WITH t AS (
+             |  SELECT CASE WHEN ('0x' || substr(md5('spl' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 90
+             |           THEN 'train'
+             |         WHEN ('0x' || substr(md5('spl' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 < 95
+             |           THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    source, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents
+             |), s AS (
+             |  SELECT split, source, CAST(sum(n_tokens) AS DOUBLE)
+             |    / sum(sum(n_tokens)) OVER (PARTITION BY split) AS share
+             |  FROM t GROUP BY split, source
+             |), tr AS (SELECT source, share FROM s WHERE split = 'train')
+             |SELECT s.split, round(0.5 * sum(abs(s.share - coalesce(tr.share, 0))), 4) AS tv_vs_train
+             |FROM s LEFT JOIN tr ON s.source = tr.source
+             |WHERE s.split <> 'train'
+             |GROUP BY s.split ORDER BY s.split""".stripMargin),
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(Corpus.splitAssign(col("doc_id")).as("split"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val shares = tok.groupBy("split", "source")
+          .agg(sum(col("n_tokens")).as("tk"))
+          .withColumn("share", col("tk").cast("double")
+            / sum(col("tk")).over(Window.partitionBy(col("split"))))
+        val train = shares.filter(col("split") === "train")
+          .select(col("source"), col("share").as("tr_share"))
+        shares.filter(col("split") =!= "train")
+          .join(broadcast(train), Seq("source"), "left")
+          .groupBy("split")
+          .agg(round(lit(0.5) * sum(abs(col("share") - coalesce(col("tr_share"), lit(0)))), 4)
+            .as("tv_vs_train"))
+          .orderBy("split")
+      }),
+
+    // ----- boilerplate stop-gram mining: the most document-frequent
+    //       8-token shingles ARE the boilerplate (headers, disclaimers,
+    //       navigation junk) — the blocklist a web-scale cleaner feeds
+    //       back into filtering. One explode → (gram)-keyed agg with
+    //       map-side partials; emitted as TEXT (a blocklist must be
+    //       human-auditable), capped to the top 20 by document
+    //       frequency with a text tiebreak. -----
+    Q("q163_stop_grams",
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |       unnest(generate_series(1, len(toks) - 7)) AS u(i)
+             |  WHERE len(toks) >= 8
+             |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+             |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq,
+             |  round(count(*) / n.n_docs, 4) AS doc_frac
+             |FROM g, n GROUP BY gram, n.n_docs
+             |HAVING count(*) >= 2
+             |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 8), i -> concat_ws(' ', slice(toks, i + 1, 8)))"))
+            .as("gram"))
+          .distinct()
+          .groupBy("gram")
+          .agg(count(lit(1)).as("doc_freq"))
+          .filter(col("doc_freq") >= 2)
+          .crossJoin(broadcast(nDocs))
+          .select(col("gram"), col("doc_freq"),
+            round(col("doc_freq") / col("n_docs"), 4).as("doc_frac"))
+          .orderBy(col("doc_freq").desc, col("gram"))
+          .limit(20)
+      }),
+
     // ----- corpus datasheet: the one-pass observability report a
     //       "datasheets for datasets" workflow pins to every corpus
     //       snapshot — doc/source/language counts, token volume and

@@ -192,6 +192,26 @@ class CurationSpec extends SparkSuite {
     assert(residual == 0, s"clean eval set still shares $residual grams with train")
   }
 
+  test("q162 split balance is a valid TV distance for both eval splits") {
+    val rows = q("q162_split_balance").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set("val", "test"))
+    rows.values.foreach(tv => assert(tv >= 0.0 && tv <= 1.0, s"TV out of range: $tv"))
+  }
+
+  test("q163 stop-grams are document-frequency-sorted with consistent fractions") {
+    val docs = Tables.load(spark, sf, "documents").count().toDouble
+    val rows = q("q163_stop_grams").collect()
+    assert(rows.nonEmpty)
+    val freqs = rows.map(_.getAs[Long]("doc_freq"))
+    assert(freqs.sameElements(freqs.sortBy(-_)), "must be sorted by doc_freq desc")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_freq") >= 2)
+      assert(math.abs(r.getAs[Double]("doc_frac")
+        - math.round(r.getAs[Long]("doc_freq") / docs * 10000) / 10000.0) < 1e-9)
+    }
+  }
+
   test("q158 datasheet is one row with sane ranges") {
     val r = q("q158_corpus_datasheet").collect()
     assert(r.length == 1)
