@@ -86,7 +86,7 @@ object Bench {
     def render(dec: Int, jit: Seq[(String, (Double, Double))]): String = {
       // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR)
       // would render "2,36" and corrupt the JSON line. Trailing zeros
-      // are stripped ("0.30" → "0.3") — at 161 queries the line must
+      // are stripped ("0.30" → "0.3") — at 163 queries the line must
       // stay under the driver's 2000-char stdout parse window.
       def fmt(v: Double): String =
         if (v < 0) "-1"
@@ -108,6 +108,14 @@ object Bench {
     val line = Seq(render(3, jitter), render(2, jitter), render(2, jitter.take(3)),
         render(2, Nil), render(1, Nil))
       .find(_.length <= 1950).getOrElse(render(1, Nil))
+    // Loud local signal if even the smallest rendering overflows the
+    // driver's parse window (a front-truncated line parses as null
+    // with NO error — the round-1 failure mode): fails fast here
+    // instead of silently losing the round's bench record.
+    if (line.length > 1950)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars exceeds the " +
+        "~2000-char driver stdout window even at minimum rendering — shorten query keys " +
+        "or split the inventory")
     println(line)
     spark.stop()
   }

@@ -50,19 +50,29 @@ object Curation {
         " x -> x.word))").as("chunk_text"))
   }
 
+  /** PUBLIC n-token shingle TEXT: one row per (id, gram) with the gram
+    * as human-readable text (not distinct — callers dedup to their
+    * need). The single definition of the gram window (sequence bounds,
+    * slice offsets, separator) that both the hashed key path and the
+    * auditable blocklist path derive from. */
+  def textGrams(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+        .as("gram"))
+
   /** PUBLIC n-token shingle hash set: one row per (id, gram) with the
     * gram as the engine's 56-bit portable hash — the key currency for
     * decontamination screens and overlap joins (int shuffles, never
     * hex strings). Distinct per document. */
   def gramHashes(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("toks", split(col(textCol), " "))
-      .filter(size(col("toks")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> " +
-          s"cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, $n))), 1, 14), 16, 10) as bigint))"))
-        .as("gram"))
+    textGrams(docs, n, idCol, textCol)
+      .select(col(idCol), expr(
+        "cast(conv(substring(md5(gram), 1, 14), 16, 10) as bigint)").as("gram"))
       .distinct()
 
   val queries: Seq[Q] = Seq(
@@ -412,11 +422,17 @@ object Curation {
              |  SELECT split, source, CAST(sum(n_tokens) AS DOUBLE)
              |    / sum(sum(n_tokens)) OVER (PARTITION BY split) AS share
              |  FROM t GROUP BY split, source
+             |), grid AS (
+             |  SELECT sp.split, src.source
+             |  FROM (SELECT DISTINCT split FROM s WHERE split <> 'train') sp
+             |  CROSS JOIN (SELECT DISTINCT source FROM t) src
              |), tr AS (SELECT source, share FROM s WHERE split = 'train')
-             |SELECT s.split, round(0.5 * sum(abs(s.share - coalesce(tr.share, 0))), 4) AS tv_vs_train
-             |FROM s LEFT JOIN tr ON s.source = tr.source
-             |WHERE s.split <> 'train'
-             |GROUP BY s.split ORDER BY s.split""".stripMargin),
+             |SELECT g.split,
+             |  round(0.5 * sum(abs(coalesce(s.share, 0) - coalesce(tr.share, 0))), 4) AS tv_vs_train
+             |FROM grid g
+             |LEFT JOIN s ON s.split = g.split AND s.source = g.source
+             |LEFT JOIN tr ON tr.source = g.source
+             |GROUP BY g.split ORDER BY g.split""".stripMargin),
       (s, dir) => {
         val tok = Tables.load(s, dir, "documents")
           .select(Corpus.splitAssign(col("doc_id")).as("split"), col("source"),
@@ -425,13 +441,23 @@ object Curation {
           .agg(sum(col("n_tokens")).as("tk"))
           .withColumn("share", col("tk").cast("double")
             / sum(col("tk")).over(Window.partitionBy(col("split"))))
+          .cache()
+        // densified (eval split × source) grid: a source present in
+        // train but ABSENT from an eval split still contributes its
+        // full |0 − train_share| term — dropping it would underestimate
+        // TV exactly in the worst-skew case
+        val grid = shares.filter(col("split") =!= "train")
+          .select("split").distinct()
+          .crossJoin(tok.select("source").distinct())
         val train = shares.filter(col("split") === "train")
           .select(col("source"), col("share").as("tr_share"))
-        shares.filter(col("split") =!= "train")
+        grid
+          .join(shares.select(col("split"), col("source"), col("share")),
+            Seq("split", "source"), "left")
           .join(broadcast(train), Seq("source"), "left")
           .groupBy("split")
-          .agg(round(lit(0.5) * sum(abs(col("share") - coalesce(col("tr_share"), lit(0)))), 4)
-            .as("tv_vs_train"))
+          .agg(round(lit(0.5) * sum(abs(coalesce(col("share"), lit(0))
+            - coalesce(col("tr_share"), lit(0)))), 4).as("tv_vs_train"))
           .orderBy("split")
       }),
 
@@ -457,12 +483,7 @@ object Curation {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-        docs
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(toks) - 8), i -> concat_ws(' ', slice(toks, i + 1, 8)))"))
-            .as("gram"))
+        textGrams(docs)
           .distinct()
           .groupBy("gram")
           .agg(count(lit(1)).as("doc_freq"))

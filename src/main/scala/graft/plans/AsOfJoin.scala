@@ -124,16 +124,24 @@ case class AsOfJoinExec(
           var scanning = rHead != null
           while (scanning) {
             val rkAny = rkB.eval(rHead)
-            val rtAny = rtB.eval(rHead)
-            if (rkAny == null || rtAny == null) { // null rows match nothing: skip
+            // ts is only evaluated on the rk == k path — the rk < k
+            // fast-skip and the rk > k stop probe never need it (a
+            // null-ts row with a smaller key is skipped either way)
+            if (rkAny == null) { // null keys match nothing: skip
               rHead = advance()
               scanning = rHead != null
             } else {
               val rk = rkAny.asInstanceOf[Long]
-              if (rk < k || (rk == k && rtAny.asInstanceOf[Long] <= t)) {
-                if (rk == k) { matchRow = rHead.copy(); matchKey = k }
+              if (rk < k) {
                 rHead = advance()
                 scanning = rHead != null
+              } else if (rk == k) {
+                val rtAny = rtB.eval(rHead)
+                if (rtAny == null || rtAny.asInstanceOf[Long] <= t) {
+                  if (rtAny != null) { matchRow = rHead.copy(); matchKey = k }
+                  rHead = advance()
+                  scanning = rHead != null
+                } else scanning = false
               } else scanning = false
             }
           }
