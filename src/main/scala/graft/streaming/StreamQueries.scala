@@ -256,6 +256,30 @@ object StreamQueries {
           .orderBy("user_id", "session_start")
       }),
 
+    // ----- stream-static enrichment through real micro-batches: each
+    //       batch of the event stream broadcast-joins a STATIC user
+    //       dimension (derived deterministically from user_id) — the
+    //       streaming star-join shape: the stream never shuffles, only
+    //       the small dim ships, and no join state persists between
+    //       batches (the static side re-resolves per batch). Closes the
+    //       last spec-only §2.8 path with an execution-level oracle. -----
+    Q("q164_stream_static_enrich",
+      Some("""SELECT CAST(user_id % 5 AS BIGINT) AS tier,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+             |FROM events GROUP BY tier ORDER BY tier""".stripMargin),
+      (s, dir) => {
+        val staged = stageSplit(Tables.load(s, dir, "events"), "ts", "events_full", dir)
+        val dim = Tables.load(s, dir, "events")
+          .select((col("user_id") % 5).as("tier"), col("user_id").as("d_user"))
+          .distinct()
+        val enriched = Streams.enrichWithDim(
+          fileStream(s, staged), dim, "user_id", "d_user", joinType = "inner")
+        withStatePartitions(s, 8)(runAppend(s, enriched, "enrich"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+          .orderBy("tier")
+      }),
+
     // ----- arbitrary-state v2 (transformWithState on the RocksDB
     //       store — the scale-grade provider: incremental checkpoint,
     //       changelog, bounded memory) running the same counter; same
