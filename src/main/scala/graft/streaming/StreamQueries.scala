@@ -119,9 +119,18 @@ object StreamQueries {
     * streaming queries) pins its full result set in driver memory for
     * the session lifetime, exactly the cross-query pressure the
     * round-4 phantom regressions traced to. */
-  private def runAppend(s: SparkSession, sdf: DataFrame, tag: String): DataFrame = {
+  private def runAppend(s: SparkSession, sdf: DataFrame, tag: String): DataFrame =
+    runToSink(s, sdf, tag, "append")
+
+  /** Complete-mode variant: for streaming AGGREGATES, where the sink
+    * holds the (small) aggregate state, not the event stream. */
+  private def runComplete(s: SparkSession, sdf: DataFrame, tag: String): DataFrame =
+    runToSink(s, sdf, tag, "complete")
+
+  private def runToSink(s: SparkSession, sdf: DataFrame, tag: String,
+                        mode: String): DataFrame = {
     val name = s"g_stream_${tag}_${ctr.incrementAndGet()}"
-    val q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
+    val q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     val out = s.table(name).localCheckpoint(true)
     s.catalog.dropTempView(name)
@@ -258,10 +267,14 @@ object StreamQueries {
 
     // ----- stream-static enrichment through real micro-batches: each
     //       batch of the event stream broadcast-joins a STATIC user
-    //       dimension (derived deterministically from user_id) — the
-    //       streaming star-join shape: the stream never shuffles, only
-    //       the small dim ships, and no join state persists between
-    //       batches (the static side re-resolves per batch). Closes the
+    //       dimension (derived deterministically from user_id), then
+    //       aggregates INSIDE the stream (complete mode) — the
+    //       streaming star-join + rollup shape: the stream never
+    //       shuffles for the join (only the small dim ships, no join
+    //       state between batches), and the sink holds the |tiers|-row
+    //       aggregate state, never the event stream itself
+    //       (materializing the enriched stream row-by-row into a sink
+    //       is the collect-anti-pattern at 100 TB/day). Closes the
     //       last spec-only §2.8 path with an execution-level oracle. -----
     Q("q164_stream_static_enrich",
       Some("""SELECT CAST(user_id % 5 AS BIGINT) AS tier,
@@ -274,9 +287,10 @@ object StreamQueries {
           .distinct()
         val enriched = Streams.enrichWithDim(
           fileStream(s, staged), dim, "user_id", "d_user", joinType = "inner")
-        withStatePartitions(s, 8)(runAppend(s, enriched, "enrich"))
-          .groupBy("tier")
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        val agged = enriched.groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("raw_total"))
+        withStatePartitions(s, 8)(runComplete(s, agged, "enrich"))
+          .select(col("tier"), col("n"), round(col("raw_total"), 4).as("total"))
           .orderBy("tier")
       }),
 
