@@ -316,6 +316,52 @@ object Corpus {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), round(avg(log(col("p"))), 4).as("avg_logp"))
           .orderBy("doc_id")
+      }),
+
+    // ----- deterministic WEIGHTED sampling (Efraimidis–Spirakis):
+    //       top-3 docs per source where doc i wins with probability ∝
+    //       its weight (here: distinct-token count, the quality proxy),
+    //       via the exponential-race key −ln(u)/w with u drawn from the
+    //       engine's salted 56-bit md5 — so the "random" draw is a pure
+    //       function of (salt, doc_id): reproducible across runs,
+    //       partitioning, and cluster size, and mergeable (the top-k of
+    //       a union is the top-k of per-partition top-ks — the
+    //       distributed weighted-reservoir property). Complements q100
+    //       (uniform stratified) and q148 (exact quotas): this one
+    //       BIASES selection toward quality without abandoning
+    //       determinism. One per-source window over an (id, key)
+    //       projection — the text column feeds only the weight. -----
+    Q("q165_weighted_sample",
+      Some("""WITH k AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS w,
+             |    -ln((('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT + 1)
+             |        / 72057594037927936.0)
+             |      / len(list_distinct(string_split(text, ' '))) AS es_key
+             |  FROM documents
+             |), r AS (
+             |  SELECT source, doc_id, w,
+             |    round(es_key, 6) AS es_key,
+             |    row_number() OVER (PARTITION BY source ORDER BY es_key, doc_id) AS rn
+             |  FROM k)
+             |SELECT source, doc_id, w, es_key, CAST(rn AS INT) AS rn
+             |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin),
+      (s, dir) => {
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("raw_key"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("w"),
+            // u ∈ (0, 1]: 56-bit hash + 1, scaled by 2^56 — never 0, so
+            // ln is defined; the +1 bias is 2^-56, far below rank margins
+            ((conv(substring(md5(concat(lit("es"), col("doc_id").cast("string"))), 1, 14), 16, 10)
+              .cast("long") + 1) / lit(72057594037927936.0)).as("u"))
+          .withColumn("raw_key", -log(col("u")) / col("w"))
+          .withColumn("rn", row_number().over(wRank))
+          .filter(col("rn") <= 3)
+          .select(col("source"), col("doc_id"), col("w"),
+            round(col("raw_key"), 6).as("es_key"), col("rn"))
+          .orderBy("source", "rn")
       })
   )
 }

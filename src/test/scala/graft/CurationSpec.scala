@@ -212,6 +212,35 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q165 weighted sampling: key math is exact and weight biases the race") {
+    import spark.implicits._
+    // crafted corpus in a temp dir so the query runs end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft-es").toString
+    val texts = Seq(
+      (1L, (1 to 100).map(i => s"a$i").mkString(" "), "s"), // w = 100
+      (2L, "one", "s"),                                     // w = 1
+      (3L, "x y z", "s"))                                   // w = 3
+    texts.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q165_weighted_sample")(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // keys equal the manual Efraimidis–Spirakis computation
+    def key(id: Long, w: Long): Double = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"es$id").substring(0, 14), 16)
+      math.round(-math.log((h + 1) / 7.2057594037927936e16) / w * 1e6) / 1e6
+    }
+    texts.foreach { case (id, _, _) =>
+      val (w, k, _) = rows(id)
+      assert(k == key(id, w), s"doc $id: got $k, want ${key(id, w)}")
+    }
+    // the rank follows the race keys ascending
+    val byRank = rows.toSeq.sortBy(_._2._3).map(_._2._2)
+    assert(byRank.sameElements(byRank.sorted))
+  }
+
   test("q158 datasheet is one row with sane ranges") {
     val r = q("q158_corpus_datasheet").collect()
     assert(r.length == 1)
