@@ -222,6 +222,59 @@ object Analytics {
           .withColumn("p", round(col("n").cast("double")
             / sum(col("n")).over(Window.partitionBy(col("event_type"))), 4))
           .orderBy("event_type", "next_type")
+      }),
+
+    // ----- PageRank over the supplier→customer fulfillment graph,
+    //       THREE bounded iterations with dangling-mass redistribution
+    //       (customers have no out-edges — all their mass teleports).
+    //       The oracle unrolls the identical three steps as chained
+    //       CTEs, so every per-round join/agg is hash-checked, not just
+    //       the fixed point. Node namespaces are disjoint by an id
+    //       offset. Same iterative discipline as q104: one keyed
+    //       shuffle per round, O(1) planning via localCheckpoint. -----
+    Q("q166_pagerank",
+      Some(Analytics.duckPagerank),
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").cast("long").as("src"),
+            (col("o_custkey") + 1000000L).cast("long").as("dst"))
+        Graph.pagerank(edges, iters = 3)
+          .select(col("node"), round(col("r"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
       })
   )
+
+  /** DuckDB text of the same three PageRank steps (chained CTEs). */
+  private def duckPagerank: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nd.node,
+         |    -- (1 - 0.85), not the literal 0.15: 1.0-0.85 and 0.15 are
+         |    -- DIFFERENT doubles (2 ulp) and the Spark side subtracts
+         |    (1 - 0.85) / nn.n + 0.85 * (coalesce(inc.s, 0) + dg.m / nn.n) AS r
+         |  FROM nodes nd
+         |  CROSS JOIN nn
+         |  CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS m FROM $prev p
+         |              LEFT JOIN deg ON p.node = deg.src WHERE deg.src IS NULL) dg
+         |  LEFT JOIN (SELECT e.dst AS node, sum(p.r / deg.outdeg) AS s
+         |             FROM e JOIN $prev p ON p.node = e.src
+         |             JOIN deg ON deg.src = e.src GROUP BY e.dst) inc
+         |    ON inc.node = nd.node)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |    CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT node, round(r, 6) AS rank FROM r3
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
 }

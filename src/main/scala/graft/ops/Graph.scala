@@ -71,4 +71,43 @@ object Graph {
     }
     labels
   }
+
+  /** PageRank with a FIXED iteration budget (the bounded-rounds form a
+    * production pipeline schedules; convergence-to-epsilon is the same
+    * loop with the q104-style scalar check). Per round: one keyed join
+    * + one keyed agg for incoming mass, a scalar-sized dangling-mass
+    * frame crossed in by broadcast (never a driver collect), and a
+    * `localCheckpoint` so planning stays O(1) per round regardless of
+    * iteration count — the same iterative-lineage discipline
+    * [[connectedComponents]] established.
+    *
+    * @param edges (src, dst) BIGINT pairs; node ids must be globally
+    *              unique across both roles. Dangling nodes (no
+    *              out-edges) redistribute their mass uniformly.
+    */
+  def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.functions._
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")).cache()
+    val contrib = e.join(deg, "src")
+    var r = nodes.withColumn("r", lit(1.0) / lit(n))
+    for (_ <- 1 to iters) {
+      val dangling = r.join(deg, r("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("m"))
+      val incoming = contrib.join(r, contrib("src") === r("node"))
+        .groupBy(col("dst").as("inode"))
+        .agg(sum(col("r") / col("outdeg")).as("s"))
+      r = nodes.join(incoming, nodes("node") === col("inode"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(nodes("node"),
+          (lit(1.0 - damping) / lit(n)
+            + lit(damping) * (coalesce(col("s"), lit(0.0)) + col("m") / lit(n))).as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
 }

@@ -28,4 +28,16 @@ class GraphSpec extends SparkSuite {
   test("self-loops and duplicate edges are harmless") {
     assert(cc((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)) == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("pagerank conserves mass and ranks the sink of a chain highest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1 → 2, 1 → 3, 2 → 3: node 3 receives from both and must rank top;
+    // 3 is dangling, so its mass teleports and total mass stays 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = graft.ops.Graph.pagerank(edges, iters = 10)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass not conserved: ${r.values.sum}")
+    assert(r(3L) > r(2L) && r(2L) > r(1L), s"expected r3 > r2 > r1, got $r")
+  }
 }
