@@ -31,6 +31,25 @@ import java.time.format.DateTimeFormatter
   */
 object Ingest {
 
+  /** Expected parse of the 2022-07-13 staged file — shared by q35
+    * (plain CSV) and q167 (gzip): compression must not change parse
+    * semantics, so both gates answer to one literal table. */
+  private val duckCopyValues: String =
+    """SELECT CAST(trans_id AS BIGINT) AS trans_id, CAST(order_id AS BIGINT) AS order_id,
+      |  CAST(product_id AS BIGINT) AS product_id, CAST(quantity AS INT) AS quantity,
+      |  CAST(unit_price AS DOUBLE) AS unit_price, currency, trans_ts, note
+      |FROM (VALUES
+      |  (1001,501,9001,2,19.99,'USD',TIMESTAMP '2022-07-13 08:30:00','plain'),
+      |  (1002,502,9002,NULL,4.5,'EUR',TIMESTAMP '2022-07-13 09:00:00','upper null qty'),
+      |  (1003,503,9003,3,NULL,'USD',TIMESTAMP '2022-07-13 09:15:00','lower null price'),
+      |  (1004,504,9004,1,7.25,NULL,TIMESTAMP '2022-07-13 10:00:00','empty currency'),
+      |  (1005,505,9005,5,12.0,'USD',TIMESTAMP '2022-07-13 10:30:00','quoted, with comma'),
+      |  (1006,506,9006,4,3.75,'GBP',TIMESTAMP '2022-07-13 11:00:00','embedded "quote" here'),
+      |  (1007,507,9007,2,8.1,'USD',TIMESTAMP '2022-07-13 11:30:00','back\slash note'),
+      |  (1008,508,NULL,6,2.2,'USD',TIMESTAMP '2022-07-13 12:00:00','missing product')
+      |) AS t(trans_id, order_id, product_id, quantity, unit_price, currency, trans_ts, note)
+      |ORDER BY trans_id""".stripMargin
+
   /** Target schema of `prestg_product_order_trans` (FIXTURES.md B1). */
   val transSchema: StructType = StructType(Seq(
     StructField("trans_id", LongType),
@@ -196,24 +215,31 @@ object Ingest {
 
     // ----- S1-S5 + §2.2.1: single-date COPY, full parsed rows -----
     Q("q35_copy_csv",
-      Some("""SELECT CAST(trans_id AS BIGINT) AS trans_id, CAST(order_id AS BIGINT) AS order_id,
-             |  CAST(product_id AS BIGINT) AS product_id, CAST(quantity AS INT) AS quantity,
-             |  CAST(unit_price AS DOUBLE) AS unit_price, currency, trans_ts, note
-             |FROM (VALUES
-             |  (1001,501,9001,2,19.99,'USD',TIMESTAMP '2022-07-13 08:30:00','plain'),
-             |  (1002,502,9002,NULL,4.5,'EUR',TIMESTAMP '2022-07-13 09:00:00','upper null qty'),
-             |  (1003,503,9003,3,NULL,'USD',TIMESTAMP '2022-07-13 09:15:00','lower null price'),
-             |  (1004,504,9004,1,7.25,NULL,TIMESTAMP '2022-07-13 10:00:00','empty currency'),
-             |  (1005,505,9005,5,12.0,'USD',TIMESTAMP '2022-07-13 10:30:00','quoted, with comma'),
-             |  (1006,506,9006,4,3.75,'GBP',TIMESTAMP '2022-07-13 11:00:00','embedded "quote" here'),
-             |  (1007,507,9007,2,8.1,'USD',TIMESTAMP '2022-07-13 11:30:00','back\slash note'),
-             |  (1008,508,NULL,6,2.2,'USD',TIMESTAMP '2022-07-13 12:00:00','missing product')
-             |) AS t(trans_id, order_id, product_id, quantity, unit_price, currency, trans_ts, note)
-             |ORDER BY trans_id""".stripMargin),
+      Some(Ingest.duckCopyValues),
       (s, _) => {
         val stage = writeStageFixtures()
         copyInto(s, stage, Seq(stagedFileName(backfillStart)))
           .orderBy("trans_id")
+      }),
+
+    // ----- COPY from a COMPRESSED stage file: same CSV content, same
+    //       file_format options, gzip-encoded (Snowflake's COPY
+    //       auto-detects compression; Spark's CSV source decodes by
+    //       extension). Same oracle as q35 — the codec must be
+    //       invisible to parse semantics. At 100 TB stages ARE
+    //       compressed; the one structural caveat is that gzip files
+    //       are non-splittable (one task per file — stage many
+    //       medium files, not one giant one). -----
+    Q("q167_copy_gzip",
+      Some(Ingest.duckCopyValues),
+      (s, _) => {
+        val stage = writeStageFixtures()
+        val gzName = stagedFileName(backfillStart) + ".gz"
+        val target = Paths.get(stage).resolve(gzName)
+        val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(target))
+        try out.write(csvContent(backfillStart, 0).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        copyInto(s, stage, Seq(gzName)).orderBy("trans_id")
       }),
 
     // ----- O8/O9: 3-date backfill loop, per-load_date summary -----
