@@ -252,9 +252,11 @@ object Analytics {
     def step(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT nd.node,
-         |    -- (1 - 0.85), not the literal 0.15: 1.0-0.85 and 0.15 are
-         |    -- DIFFERENT doubles (2 ulp) and the Spark side subtracts
-         |    (1 - 0.85) / nn.n + 0.85 * (coalesce(inc.s, 0) + dg.m / nn.n) AS r
+         |    -- DOUBLE subtraction, matching Spark's lit(1.0 - damping):
+         |    -- a bare (1 - 0.85) is DuckDB DECIMAL arithmetic = the
+         |    -- 0.15 double literal, which is 2 ulp AWAY from 1.0-0.85
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |      + 0.85 * (coalesce(inc.s, 0) + dg.m / nn.n) AS r
          |  FROM nodes nd
          |  CROSS JOIN nn
          |  CROSS JOIN (SELECT coalesce(sum(p.r), 0) AS m FROM $prev p

@@ -24,8 +24,14 @@ object Corpus {
     * layout, and the predicate pushes to the scan. DuckDB-identical
     * ([[duckPctHash]]). */
   def hashPercent(keyCol: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+    hash56(keyCol, salt) % 100
+
+  /** THE engine's salted 56-bit portable hash (first 14 hex chars of
+    * md5 as a BIGINT) — single definition for every Column-level
+    * consumer (percent buckets, sampling draws). */
+  def hash56(keyCol: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
     conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 14), 16, 10)
-      .cast("long") % 100
+      .cast("long")
 
   /** PUBLIC hash-based split assignment: train/val/test by percent-hash
     * bucket (default 90/5/5). */
@@ -347,15 +353,13 @@ object Corpus {
              |SELECT source, doc_id, w, es_key, CAST(rn AS INT) AS rn
              |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin),
       (s, dir) => {
-        val wRank = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("raw_key"), col("doc_id"))
+        val wRank = Window.partitionBy(col("source")).orderBy(col("raw_key"), col("doc_id"))
         Tables.load(s, dir, "documents")
           .select(col("source"), col("doc_id"),
             size(array_distinct(split(col("text"), " "))).cast("long").as("w"),
             // u ∈ (0, 1]: 56-bit hash + 1, scaled by 2^56 — never 0, so
             // ln is defined; the +1 bias is 2^-56, far below rank margins
-            ((conv(substring(md5(concat(lit("es"), col("doc_id").cast("string"))), 1, 14), 16, 10)
-              .cast("long") + 1) / lit(72057594037927936.0)).as("u"))
+            ((hash56(col("doc_id"), "es") + 1) / lit(72057594037927936.0)).as("u"))
           .withColumn("raw_key", -log(col("u")) / col("w"))
           .withColumn("rn", row_number().over(wRank))
           .filter(col("rn") <= 3)

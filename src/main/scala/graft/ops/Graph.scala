@@ -86,8 +86,6 @@ object Graph {
     *              out-edges) redistribute their mass uniformly.
     */
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
-    import org.apache.spark.sql.functions._
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
@@ -108,6 +106,10 @@ object Graph {
             + lit(damping) * (coalesce(col("s"), lit(0.0)) + col("m") / lit(n))).as("r"))
         .localCheckpoint(true)
     }
+    // the result is checkpointed — release the working caches instead of
+    // pinning executor storage for the session lifetime (the cross-query
+    // pressure the bench engineering elsewhere guards against)
+    Seq(e, nodes, deg).foreach(_.unpersist())
     r
   }
 }

@@ -282,9 +282,13 @@ object StreamQueries {
              |FROM events GROUP BY tier ORDER BY tier""".stripMargin),
       (s, dir) => {
         val staged = stageSplit(Tables.load(s, dir, "events"), "ts", "events_full", dir)
+        // stream-static joins RE-RESOLVE the static side every trigger —
+        // materialize the dim once so each micro-batch joins the
+        // checkpointed rows instead of re-running the scan + distinct
         val dim = Tables.load(s, dir, "events")
           .select((col("user_id") % 5).as("tier"), col("user_id").as("d_user"))
           .distinct()
+          .localCheckpoint(true)
         val enriched = Streams.enrichWithDim(
           fileStream(s, staged), dim, "user_id", "d_user", joinType = "inner")
         val agged = enriched.groupBy(col("tier"))

@@ -236,9 +236,13 @@ class CurationSpec extends SparkSuite {
       val (w, k, _) = rows(id)
       assert(k == key(id, w), s"doc $id: got $k, want ${key(id, w)}")
     }
-    // the rank follows the race keys ascending
-    val byRank = rows.toSeq.sortBy(_._2._3).map(_._2._2)
-    assert(byRank.sameElements(byRank.sorted))
+    // the assigned ranks must equal the manually computed race order —
+    // this is what pins window direction and partitioning (a reversed
+    // ORDER BY or wrong partition key would still produce sorted keys)
+    val expectedOrder = texts.map { case (id, _, _) => id }
+      .sortBy(id => key(id, rows(id)._1))
+    val gotOrder = rows.toSeq.sortBy(_._2._3).map(_._1)
+    assert(gotOrder == expectedOrder, s"race order $gotOrder != expected $expectedOrder")
   }
 
   test("q158 datasheet is one row with sane ranges") {
