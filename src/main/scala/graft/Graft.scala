@@ -120,8 +120,9 @@ object Graft {
     * keys BIGINT, timestamps TIMESTAMP, disjoint column names. */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTs: String, rightTs: String): DataFrame =
-    plans.AsOfJoinApi.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs)
+               leftTs: String, rightTs: String,
+               tolerance: Option[java.time.Duration] = None): DataFrame =
+    plans.AsOfJoinApi.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs, tolerance)
 
   /** Bounded-heap per-group top-k typed aggregation column (map-side
     * partial: ≤k rows per group per partition cross the shuffle). */

@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -54,8 +55,8 @@ case class AsOfJoinPlan(
   * `spark.experimental.extraStrategies` (see `GraftExtensions`). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -63,6 +64,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
+    toleranceMicros: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   require(leftKey.dataType == LongType && rightKey.dataType == LongType,
@@ -93,6 +95,7 @@ case class AsOfJoinExec(
     val rtB = BindReferences.bindReference(rightTs, right.output)
     val rWidth = right.output.size
     val schema = output
+    val tol = toleranceMicros // local, so the closure captures a Long option, not the plan
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rWidth)
@@ -106,6 +109,7 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = advance()
         private var matchRow: InternalRow = null
         private var matchKey = 0L
+        private var matchTs = 0L
         private def advance(): InternalRow =
           if (rIter.hasNext) rIter.next() else null
         override def hasNext: Boolean = lIter.hasNext
@@ -138,14 +142,21 @@ case class AsOfJoinExec(
               } else if (rk == k) {
                 val rtAny = rtB.eval(rHead)
                 if (rtAny == null || rtAny.asInstanceOf[Long] <= t) {
-                  if (rtAny != null) { matchRow = rHead.copy(); matchKey = k }
+                  if (rtAny != null) {
+                    matchRow = rHead.copy(); matchKey = k
+                    matchTs = rtAny.asInstanceOf[Long]
+                  }
                   rHead = advance()
                   scanning = rHead != null
                 } else scanning = false
               } else scanning = false
             }
           }
-          project(joined(l, if (matchRow != null) matchRow else nullRight))
+          // tolerance (pandas merge_asof semantics): the match is still
+          // the LATEST at-or-before row — if that one is too stale the
+          // result is null, never an older in-tolerance row
+          val fresh = matchRow != null && tol.forall(t - matchTs <= _)
+          project(joined(l, if (fresh) matchRow else nullRight))
         }
       }
     }
@@ -161,6 +172,9 @@ object AsOfJoinApi {
 
   /** Left as-of join: each `left` row gains the latest `right` row with
     * the same key at-or-before its timestamp, null-padded when none.
+    * With `tolerance`, a match older than the tolerance window is
+    * null-padded instead (pandas `merge_asof` semantics: the match is
+    * always the latest at-or-before row, never an older in-window one).
     *
     * The two inputs must have disjoint output columns (alias before
     * joining — enforced) and, for a self-join, come from independent
@@ -169,7 +183,8 @@ object AsOfJoinApi {
     */
   def asofJoin(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
                leftKey: String, rightKey: String,
-               leftTs: String, rightTs: String): org.apache.spark.sql.DataFrame = {
+               leftTs: String, rightTs: String,
+               tolerance: Option[java.time.Duration] = None): org.apache.spark.sql.DataFrame = {
     val names = Seq(leftKey, rightKey, leftTs, rightTs)
     require(names.toSet.size == 4,
       s"as-of join needs four distinct column names, got $names (alias before joining)")
@@ -177,11 +192,13 @@ object AsOfJoinApi {
     require(overlap.isEmpty,
       s"as-of join inputs must have disjoint columns; both sides carry $overlap " +
         "(alias before joining)")
+    tolerance.foreach(d => require(!d.isNegative, s"tolerance must be non-negative, got $d"))
     import org.apache.spark.sql.GraftDatasetFactory.{expr => cExpr}
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       cExpr(left.col(leftKey)), cExpr(right.col(rightKey)),
-      cExpr(left.col(leftTs)), cExpr(right.col(rightTs)))
+      cExpr(left.col(leftTs)), cExpr(right.col(rightTs)),
+      tolerance.map(d => d.toNanos / 1000L))
     org.apache.spark.sql.GraftDatasetFactory.ofRows(left.sparkSession, plan)
   }
 }

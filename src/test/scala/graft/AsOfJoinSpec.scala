@@ -86,6 +86,33 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("tolerance nulls stale matches without substituting older in-window rows") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),   // match 09:59 (1 min old)
+      (1L, ts("2024-01-01 11:00:00"), "stale"),   // latest is 09:59 (61 min) → null
+      (2L, ts("2024-01-01 10:00:00"), "exact")    // match at 0 staleness
+    ).toDF("l_key", "l_ts", "l_tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "old"),     // older in-window? no — 10:00-09:00=60m > tol anyway
+      (1L, ts("2024-01-01 09:59:00"), "recent"),
+      (2L, ts("2024-01-01 10:00:00"), "now")
+    ).toDF("r_key", "r_ts", "r_tag")
+    val out = AsOfJoinApi.asofJoin(left, right, "l_key", "r_key", "l_ts", "r_ts",
+        tolerance = Some(java.time.Duration.ofMinutes(10)))
+      .select(col("l_tag"), col("r_tag")).as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map(
+      "fresh" -> Some("recent"),
+      "stale" -> None,   // 'recent' is 61 min old; 'old' must NOT substitute
+      "exact" -> Some("now")))
+    // zero tolerance keeps only exact-timestamp matches
+    val strict = AsOfJoinApi.asofJoin(left, right, "l_key", "r_key", "l_ts", "r_ts",
+        tolerance = Some(java.time.Duration.ZERO))
+      .select(col("l_tag"), col("r_tag")).as[(String, Option[String])]
+      .collect().toMap
+    assert(strict == Map("fresh" -> None, "stale" -> None, "exact" -> Some("now")))
+  }
+
   test("NULL keys and timestamps never match (SQL ASOF semantics)") {
     val left = Seq(
       (Option(1L), Option(ts("2024-01-01 10:00:00")), "a"),
