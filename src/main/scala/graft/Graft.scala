@@ -121,8 +121,10 @@ object Graft {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               tolerance: Option[java.time.Duration] = None): DataFrame =
-    plans.AsOfJoinApi.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs, tolerance)
+               tolerance: Option[java.time.Duration] = None,
+               direction: String = "backward"): DataFrame =
+    plans.AsOfJoinApi.asofJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      tolerance, direction)
 
   /** Bounded-heap per-group top-k typed aggregation column (map-side
     * partial: ≤k rows per group per partition cross the shuffle). */

@@ -264,6 +264,45 @@ object Windows {
           .orderBy("user_id", "p_ts", "p_event_id")
       }),
 
+    // ----- FORWARD as-of through the custom operator: each purchase ↔
+    //       the EARLIEST click at-or-after it (post-purchase behavior
+    //       attribution — "did the user come back?"). Same merge exec,
+    //       opposite frontier: the candidate right row is parked, never
+    //       consumed, because one click can be the next-event of many
+    //       purchases. DuckDB's ASOF follows the inequality direction,
+    //       so the oracle is the same shared shape with `<=`. -----
+    Q("q169_asof_forward",
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+             |c AS (
+             |  SELECT user_id, ts, event_id, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM e WHERE event_type = 'click') WHERE rn = 1
+             |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
+             |  c.ts AS click_ts, c.event_id AS click_event_id, round(c.value, 4) AS click_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+             |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin),
+      (s, dir) => {
+        val wTie = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+        val clicks = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "click")
+          .withColumn("rn", row_number().over(wTie))
+          .filter(col("rn") === 1)
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_event_id"), col("value").as("c_value"))
+        val purchases = Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+        graft.plans.AsOfJoinApi
+          .asofJoin(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts",
+            direction = "forward")
+          .select(col("user_id"), col("p_event_id"), col("p_ts"),
+            col("c_ts").as("click_ts"), col("click_event_id"),
+            round(col("c_value"), 4).as("click_value"))
+          .orderBy("user_id", "p_ts", "p_event_id")
+      }),
+
     Q("q159_asof_custom",
       Some(Windows.duckAsofOracle),
       (s, dir) => {

@@ -41,7 +41,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -55,8 +56,8 @@ case class AsOfJoinPlan(
   * `spark.experimental.extraStrategies` (see `GraftExtensions`). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +65,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    toleranceMicros: Option[Long],
+    toleranceMicros: Option[Long], forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   require(leftKey.dataType == LongType && rightKey.dataType == LongType,
@@ -95,7 +96,8 @@ case class AsOfJoinExec(
     val rtB = BindReferences.bindReference(rightTs, right.output)
     val rWidth = right.output.size
     val schema = output
-    val tol = toleranceMicros // local, so the closure captures a Long option, not the plan
+    val tol = toleranceMicros // locals, so the closure captures values, not the plan
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rWidth)
@@ -124,6 +126,7 @@ case class AsOfJoinExec(
             return project(joined(l, nullRight))
           val k = kAny.asInstanceOf[Long]
           val t = tAny.asInstanceOf[Long]
+          if (fwd) return project(joined(l, forwardMatch(k, t)))
           if (matchRow != null && matchKey != k) matchRow = null
           var scanning = rHead != null
           while (scanning) {
@@ -158,6 +161,35 @@ case class AsOfJoinExec(
           val fresh = matchRow != null && tol.forall(t - matchTs <= _)
           project(joined(l, if (fresh) matchRow else nullRight))
         }
+
+        /** Forward direction: the EARLIEST right row of key `k` with
+          * ts ≥ `t`. Rows behind the frontier are never needed again
+          * (left t only grows within a key), so the scan just parks
+          * `rHead` on the candidate — which is NOT consumed: the same
+          * right row may match many left rows. No copy is ever made. */
+        private def forwardMatch(k: Long, t: Long): InternalRow = {
+          var scanning = rHead != null
+          while (scanning) {
+            val rkAny = rkB.eval(rHead)
+            if (rkAny == null) { rHead = advance(); scanning = rHead != null }
+            else {
+              val rk = rkAny.asInstanceOf[Long]
+              if (rk < k) { rHead = advance(); scanning = rHead != null }
+              else if (rk == k) {
+                val rtAny = rtB.eval(rHead)
+                if (rtAny == null || rtAny.asInstanceOf[Long] < t) {
+                  rHead = advance(); scanning = rHead != null
+                } else scanning = false // parked on the earliest ts ≥ t
+              } else scanning = false
+            }
+          }
+          val ok = rHead != null && {
+            val rkAny = rkB.eval(rHead)
+            rkAny != null && rkAny.asInstanceOf[Long] == k &&
+              tol.forall(rtB.eval(rHead).asInstanceOf[Long] - t <= _)
+          }
+          if (ok) rHead else nullRight
+        }
       }
     }
   }
@@ -171,10 +203,12 @@ case class AsOfJoinExec(
 object AsOfJoinApi {
 
   /** Left as-of join: each `left` row gains the latest `right` row with
-    * the same key at-or-before its timestamp, null-padded when none.
-    * With `tolerance`, a match older than the tolerance window is
-    * null-padded instead (pandas `merge_asof` semantics: the match is
-    * always the latest at-or-before row, never an older in-window one).
+    * the same key at-or-before its timestamp (`direction = "backward"`,
+    * the default) or the earliest at-or-after one (`"forward"`),
+    * null-padded when none. With `tolerance`, a match farther than the
+    * tolerance window is null-padded instead (pandas `merge_asof`
+    * semantics: the match is always the closest row in the direction,
+    * never a farther in-window one).
     *
     * The two inputs must have disjoint output columns (alias before
     * joining — enforced) and, for a self-join, come from independent
@@ -184,7 +218,10 @@ object AsOfJoinApi {
   def asofJoin(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               tolerance: Option[java.time.Duration] = None): org.apache.spark.sql.DataFrame = {
+               tolerance: Option[java.time.Duration] = None,
+               direction: String = "backward"): org.apache.spark.sql.DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val names = Seq(leftKey, rightKey, leftTs, rightTs)
     require(names.toSet.size == 4,
       s"as-of join needs four distinct column names, got $names (alias before joining)")
@@ -198,7 +235,7 @@ object AsOfJoinApi {
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       cExpr(left.col(leftKey)), cExpr(right.col(rightKey)),
       cExpr(left.col(leftTs)), cExpr(right.col(rightTs)),
-      tolerance.map(d => d.toNanos / 1000L))
+      tolerance.map(d => d.toNanos / 1000L), direction == "forward")
     org.apache.spark.sql.GraftDatasetFactory.ofRows(left.sparkSession, plan)
   }
 }

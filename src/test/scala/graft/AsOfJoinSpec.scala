@@ -113,6 +113,33 @@ class AsOfJoinSpec extends SparkSuite {
     assert(strict == Map("fresh" -> None, "stale" -> None, "exact" -> Some("now")))
   }
 
+  test("forward direction takes the earliest at-or-after row; one right row serves many lefts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "a"), // both a and b → 10:00 row
+      (1L, ts("2024-01-01 09:30:00"), "b"),
+      (1L, ts("2024-01-01 10:00:00"), "c"), // equal ts included
+      (1L, ts("2024-01-01 10:00:01"), "d"), // past the last right row → null
+      (2L, ts("2024-01-01 09:00:00"), "e")  // no right rows for key 2
+    ).toDF("l_key", "l_ts", "l_tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "early"), // before every left: never a forward match
+      (1L, ts("2024-01-01 10:00:00"), "next")
+    ).toDF("r_key", "r_ts", "r_tag")
+    val out = AsOfJoinApi.asofJoin(left, right, "l_key", "r_key", "l_ts", "r_ts",
+        direction = "forward")
+      .select(col("l_tag"), col("r_tag")).as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map(
+      "a" -> Some("next"), "b" -> Some("next"), "c" -> Some("next"),
+      "d" -> None, "e" -> None))
+    // forward + tolerance: a is 60 min away → null at 45 min tolerance
+    val tight = AsOfJoinApi.asofJoin(left, right, "l_key", "r_key", "l_ts", "r_ts",
+        tolerance = Some(java.time.Duration.ofMinutes(45)), direction = "forward")
+      .select(col("l_tag"), col("r_tag")).as[(String, Option[String])]
+      .collect().toMap
+    assert(tight("a") == None && tight("b") == Some("next") && tight("c") == Some("next"))
+  }
+
   test("NULL keys and timestamps never match (SQL ASOF semantics)") {
     val left = Seq(
       (Option(1L), Option(ts("2024-01-01 10:00:00")), "a"),
