@@ -50,21 +50,57 @@ object Windows {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  /** THE as-of join oracle (each purchase ↔ latest click at-or-before
-    * it, per user; click ties at equal ts resolve to max event_id) —
-    * shared by the composed form (q54) and the custom physical
-    * operator (q159) so both implementations answer to one definition. */
-  private[graft] val duckAsofOracle: String =
-    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
-      |c AS (
-      |  SELECT user_id, ts, event_id, value FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-      |    FROM e WHERE event_type = 'click') WHERE rn = 1
-      |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
-      |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
-      |  c.ts AS click_ts, c.event_id AS click_event_id, round(c.value, 4) AS click_value
-      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-      |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin
+  /** THE as-of join oracle family (each purchase ↔ the closest click in
+    * `ineq`'s direction, per user; click ties at equal ts resolve to
+    * max event_id). One builder parameterized by the inequality
+    * direction and an optional freshness predicate applied to the
+    * matched row — shared by the composed form (q54) and every custom-
+    * operator variant (q159 backward, q168 tolerance, q169 forward) so
+    * all implementations answer to one definition. */
+  private[graft] def duckAsofOracleVariant(ineq: String,
+                                           fresh: Option[String]): String = {
+    def guard(expr: String): String =
+      fresh.fold(expr)(p => s"CASE WHEN $p THEN $expr END")
+    s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+       |c AS (
+       |  SELECT user_id, ts, event_id, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+       |    FROM e WHERE event_type = 'click') WHERE rn = 1
+       |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
+       |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
+       |  ${guard("c.ts")} AS click_ts, ${guard("c.event_id")} AS click_event_id,
+       |  ${guard("round(c.value, 4)")} AS click_value
+       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts $ineq c.ts
+       |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin
+  }
+
+  private[graft] val duckAsofOracle: String = duckAsofOracleVariant(">=", None)
+
+  /** Shared Spark side of the as-of family: tie-deduped clicks ⋈
+    * purchases through the custom operator, with the q54-identical
+    * output shape. */
+  private def asofCustom(s: org.apache.spark.sql.SparkSession, dir: String,
+                         tolerance: Option[java.time.Duration],
+                         direction: String): org.apache.spark.sql.DataFrame = {
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val clicks = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .withColumn("rn", row_number().over(wTie))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_event_id"), col("value").as("c_value"))
+    val purchases = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+    graft.plans.AsOfJoinApi
+      .asofJoin(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts",
+        tolerance, direction)
+      .select(col("user_id"), col("p_event_id"), col("p_ts"),
+        col("c_ts").as("click_ts"), col("click_event_id"),
+        round(col("c_value"), 4).as("click_value"))
+      .orderBy("user_id", "p_ts", "p_event_id")
+  }
 
   val queries: Seq[Q] = Seq(
 
@@ -231,38 +267,10 @@ object Windows {
     //       applied to the matched row (NOT a range join — an older
     //       in-window click must NOT be substituted). -----
     Q("q168_asof_tolerance",
-      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
-             |c AS (
-             |  SELECT user_id, ts, event_id, value FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-             |    FROM e WHERE event_type = 'click') WHERE rn = 1
-             |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
-             |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
-             |  CASE WHEN c.ts >= p.ts - INTERVAL 10 MINUTE THEN c.ts END AS click_ts,
-             |  CASE WHEN c.ts >= p.ts - INTERVAL 10 MINUTE THEN c.event_id END AS click_event_id,
-             |  CASE WHEN c.ts >= p.ts - INTERVAL 10 MINUTE THEN round(c.value, 4) END AS click_value
-             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin),
-      (s, dir) => {
-        val wTie = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
-        val clicks = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "click")
-          .withColumn("rn", row_number().over(wTie))
-          .filter(col("rn") === 1)
-          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-            col("event_id").as("click_event_id"), col("value").as("c_value"))
-        val purchases = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
-        graft.plans.AsOfJoinApi
-          .asofJoin(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts",
-            tolerance = Some(java.time.Duration.ofMinutes(10)))
-          .select(col("user_id"), col("p_event_id"), col("p_ts"),
-            col("c_ts").as("click_ts"), col("click_event_id"),
-            round(col("c_value"), 4).as("click_value"))
-          .orderBy("user_id", "p_ts", "p_event_id")
-      }),
+      Some(Windows.duckAsofOracleVariant(">=",
+        fresh = Some("c.ts >= p.ts - INTERVAL 10 MINUTE"))),
+      (s, dir) => Windows.asofCustom(s, dir,
+        tolerance = Some(java.time.Duration.ofMinutes(10)), direction = "backward")),
 
     // ----- FORWARD as-of through the custom operator: each purchase ↔
     //       the EARLIEST click at-or-after it (post-purchase behavior
@@ -272,57 +280,11 @@ object Windows {
     //       purchases. DuckDB's ASOF follows the inequality direction,
     //       so the oracle is the same shared shape with `<=`. -----
     Q("q169_asof_forward",
-      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
-             |c AS (
-             |  SELECT user_id, ts, event_id, value FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-             |    FROM e WHERE event_type = 'click') WHERE rn = 1
-             |), p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
-             |SELECT p.user_id, p.event_id AS p_event_id, p.ts AS p_ts,
-             |  c.ts AS click_ts, c.event_id AS click_event_id, round(c.value, 4) AS click_value
-             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
-             |ORDER BY p.user_id, p_ts, p_event_id""".stripMargin),
-      (s, dir) => {
-        val wTie = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
-        val clicks = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "click")
-          .withColumn("rn", row_number().over(wTie))
-          .filter(col("rn") === 1)
-          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-            col("event_id").as("click_event_id"), col("value").as("c_value"))
-        val purchases = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
-        graft.plans.AsOfJoinApi
-          .asofJoin(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts",
-            direction = "forward")
-          .select(col("user_id"), col("p_event_id"), col("p_ts"),
-            col("c_ts").as("click_ts"), col("click_event_id"),
-            round(col("c_value"), 4).as("click_value"))
-          .orderBy("user_id", "p_ts", "p_event_id")
-      }),
+      Some(Windows.duckAsofOracleVariant("<=", fresh = None)),
+      (s, dir) => Windows.asofCustom(s, dir, tolerance = None, direction = "forward")),
 
     Q("q159_asof_custom",
       Some(Windows.duckAsofOracle),
-      (s, dir) => {
-        val wTie = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
-        val clicks = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "click")
-          .withColumn("rn", row_number().over(wTie))
-          .filter(col("rn") === 1)
-          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-            col("event_id").as("click_event_id"), col("value").as("c_value"))
-        val purchases = Tables.load(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
-        graft.plans.AsOfJoinApi
-          .asofJoin(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts")
-          .select(col("user_id"), col("p_event_id"), col("p_ts"),
-            col("c_ts").as("click_ts"), col("click_event_id"),
-            round(col("c_value"), 4).as("click_value"))
-          .orderBy("user_id", "p_ts", "p_event_id")
-      })
+      (s, dir) => Windows.asofCustom(s, dir, tolerance = None, direction = "backward"))
   )
 }

@@ -235,7 +235,14 @@ object AsOfJoinApi {
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       cExpr(left.col(leftKey)), cExpr(right.col(rightKey)),
       cExpr(left.col(leftTs)), cExpr(right.col(rightTs)),
-      tolerance.map(d => d.toNanos / 1000L), direction == "forward")
+      tolerance.map(toMicrosSaturating), direction == "forward")
     org.apache.spark.sql.GraftDatasetFactory.ofRows(left.sparkSession, plan)
   }
+
+  /** Duration → micros, saturating at Long.MaxValue — `toNanos` throws
+    * for ≥ ~292-year durations, and a huge tolerance should mean
+    * "effectively unbounded", not a crash. */
+  private def toMicrosSaturating(d: java.time.Duration): Long =
+    if (d.getSeconds > Long.MaxValue / 1000000L - 1) Long.MaxValue
+    else d.getSeconds * 1000000L + d.getNano / 1000L
 }

@@ -293,9 +293,11 @@ object StreamQueries {
           fileStream(s, staged), dim, "user_id", "d_user", joinType = "inner")
         val agged = enriched.groupBy(col("tier"))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("raw_total"))
-        withStatePartitions(s, 8)(runComplete(s, agged, "enrich"))
+        val out = withStatePartitions(s, 8)(runComplete(s, agged, "enrich"))
           .select(col("tier"), col("n"), round(col("raw_total"), 4).as("total"))
           .orderBy("tier")
+        dim.unpersist() // the sink result is checkpointed; release the dim blocks
+        out
       }),
 
     // ----- arbitrary-state v2 (transformWithState on the RocksDB
