@@ -13,6 +13,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotProduct)
+    ext.injectFunction(GraftExtensions.bloomAgg)
+    ext.injectFunction(GraftExtensions.bloomMightContain)
     ext.injectOptimizerRule(_ => FuseDotProduct)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -29,13 +31,35 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     (children: Seq[Expression]) => DotProduct(children.head, children(1)))
 
+  // Spark ships codegen'd bloom expressions (used internally by runtime
+  // row-group filtering) but doesn't expose them in the public registry;
+  // surfacing them here keeps the q111 prefilter in whole-stage codegen
+  // and scan-eligible instead of an opaque Scala-closure UDF.
+  private val bloomAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children.head, children(1), children(2)))
+
+  private val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1)))
+
   /** Idempotent registration on an already-built session (used by the
     * query registry so the driver's stock session gets the function
     * surface, and by the Verify/Bench mains so the fusion rule is on
     * engine-wide). `extraOptimizations` is the runtime hook for
     * optimizer rules — guarded against double-append. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(cosineSim, dotProduct).foreach { f =>
+    Seq(cosineSim, dotProduct, bloomAgg, bloomMightContain).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     if (!spark.experimental.extraOptimizations.contains(FuseDotProduct))

@@ -346,11 +346,10 @@ object Corpus {
              |      / len(list_distinct(string_split(text, ' '))) AS es_key
              |  FROM documents
              |), r AS (
-             |  SELECT source, doc_id, w,
-             |    round(es_key, 6) AS es_key,
+             |  SELECT source, doc_id, w, es_key,
              |    row_number() OVER (PARTITION BY source ORDER BY es_key, doc_id) AS rn
              |  FROM k)
-             |SELECT source, doc_id, w, es_key, CAST(rn AS INT) AS rn
+             |SELECT source, doc_id, w, round(es_key, 6) AS es_key, CAST(rn AS INT) AS rn
              |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin),
       (s, dir) => {
         val wRank = Window.partitionBy(col("source")).orderBy(col("raw_key"), col("doc_id"))

@@ -198,7 +198,7 @@ object Curation {
         // corpus is never re-scanned just to count rows
         val totals = uni.agg(sum(col("n_w")).as("n_tok"))
           .crossJoin(bi.agg(sum(col("n_ab")).as("n_big")))
-        bi.filter(col("n_ab") >= 5)
+        val out = bi.filter(col("n_ab") >= 5)
           .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
           .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
           .crossJoin(broadcast(totals))
@@ -209,6 +209,9 @@ object Curation {
           .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
           .orderBy(col("pmi").desc, col("w1"), col("w2"))
           .limit(30)
+          .localCheckpoint(true) // materialize the 30-row result …
+        Seq(tok, bi).foreach(_.unpersist()) // … then release the caches
+        out
       }),
 
     // ----- count-min sketch frequency band: the mergeable fixed-memory
@@ -231,22 +234,29 @@ object Curation {
              |ORDER BY exact_cnt DESC, user_id LIMIT 10""".stripMargin),
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
-        // N rides the sketch pass — one scan builds sketch + row count
-        val skRow = ev.agg(
+        // N rides the sketch pass — one scan builds sketch + row count.
+        // The sketch stays a ONE-ROW DataFrame broadcast onto the probe
+        // rows; nothing is collected and the result frame never leaves
+        // the executors. estimateCount has no built-in expression form
+        // (unlike bloom's might_contain), so a closure over the
+        // broadcast sketch bytes is the legitimate tier here — it
+        // deserializes once per probe row on a 10-row frame.
+        val sk = ev.agg(
           expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"),
-          count(lit(1)).as("n")).head()
-        val cms = CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
-        val slack = math.ceil(1e-4 * skRow.getAs[Long]("n")).toLong // eps · N
-        val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+          count(lit(1)).as("n"))
+        val cmsEst = udf((bytes: Array[Byte], uid: Long) =>
+          CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+            .estimateCount(uid))
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("user_id"))
-          .limit(10).collect()
-        val rows = top.map { r =>
-          val (uid, exact) = (r.getLong(0), r.getLong(1))
-          val est = cms.estimateCount(uid)
-          (uid, exact, if (est >= exact && est <= exact + slack) 1 else 0)
-        }.toSeq
-        s.createDataFrame(rows).toDF("user_id", "exact_cnt", "within_band")
+          .limit(10)
+          .crossJoin(broadcast(sk))
+          .withColumn("est", cmsEst(col("sk"), col("user_id")))
+          .withColumn("within_band", // CMS guarantee: exact ≤ est ≤ exact + eps·N
+            (col("est") >= col("exact_cnt") &&
+              col("est") <= col("exact_cnt") + ceil(col("n") * 1e-4)).cast("int"))
+          .select(col("user_id"), col("exact_cnt"), col("within_band"))
+          .orderBy(col("exact_cnt").desc, col("user_id"))
       }),
 
     // ----- cross-split decontamination: after the q101 hash split, an
@@ -347,7 +357,7 @@ object Curation {
         // base frame is documents (like the oracle), NOT the signature
         // frame — a doc with no tokens has no simhash row and must
         // still be reported as kept
-        Tables.load(s, dir, "documents").filter(isNew).select(col("doc_id"))
+        val out = Tables.load(s, dir, "documents").filter(isNew).select(col("doc_id"))
           .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
           .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
           .withColumn("status",
@@ -356,6 +366,9 @@ object Curation {
               .otherwise("kept"))
           .select("doc_id", "status")
           .orderBy("doc_id")
+          .localCheckpoint(true) // materialize the batch disposition …
+        sig.unpersist() // … then release the signature cache
+        out
       }),
 
     // ----- token-budget selection: greedily fill a fixed per-source

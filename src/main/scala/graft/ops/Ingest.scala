@@ -109,6 +109,76 @@ object Ingest {
     cleaned.select(transSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  /** ON_ERROR='CONTINUE' COPY (Snowflake's dirty-load semantics,
+    * file_format context `dags/s3_data_copy_test.py:38-40`): parse with
+    * PERMISSIVE + `columnNameOfCorruptRecord`, classify each row as
+    * loaded or rejected, and return BOTH relations. A row is rejected
+    * when the line itself is malformed (token-count mismatch → the
+    * corrupt-record column) or when a typed field fails its cast with
+    * non-null text (Snowflake: "Numeric value 'abc' is not
+    * recognized"). Everything is plain Catalyst — the classification
+    * predicate is codegen'd and the scan still parallelizes per
+    * file/split; the audit is a per-file metadata-sized aggregate.
+    */
+  def copyOnErrorContinue(spark: SparkSession, stageDir: String,
+                          files: Seq[String]): (DataFrame, DataFrame) = {
+    val rawSchema = StructType(
+      transSchema.fields.map(f => StructField(f.name, StringType, nullable = true))
+        :+ StructField("_corrupt", StringType, nullable = true))
+    val raw = spark.read.format("csv")
+      .options(csvOptions)
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(rawSchema)
+      .load(files.map(f => s"$stageDir/$f"): _*)
+      .select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("_src_file"))
+    // NULL_IF normalization on the DATA columns only (the corrupt and
+    // file-name columns must pass through verbatim)
+    val sentinels = Seq("NULL", "null", "").map(lit)
+    val cleaned = raw.select(
+      transSchema.fields.map(f =>
+        when(col(f.name).isin(sentinels: _*), lit(null)).otherwise(col(f.name)).as(f.name)).toSeq
+        ++ Seq(col("_corrupt"), col("_src_file")): _*)
+    val typedCols = transSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    // cast-failure test per typed column: raw text survived NULL_IF but
+    // the cast returned null ⇒ unparseable value ⇒ reject the row
+    val castFailed = transSchema.fields
+      .filter(_.dataType != StringType)
+      .map(f => col(f.name).isNotNull && col(f.name).cast(f.dataType).isNull)
+      .reduce(_ || _)
+    val flagged = cleaned
+      .withColumn("_rejected", col("_corrupt").isNotNull || castFailed)
+    val loaded = flagged.filter(!col("_rejected"))
+      .select(typedCols :+ col("_src_file"): _*)
+    val audit = flagged.groupBy(col("_src_file").as("file_name"))
+      .agg(count(lit(1)).as("rows_parsed"),
+        count(when(!col("_rejected"), 1)).as("rows_loaded"),
+        count(when(col("_rejected"), 1)).as("errors_seen"))
+    (loaded, audit)
+  }
+
+  /** Stage PATTERN= (the other Snowflake COPY file-selection idiom,
+    * beside the reference's explicit `files=` list,
+    * `dags/s3_data_copy_test.py:34`): regex over the staged file names.
+    * Listing a stage prefix is a metadata operation (one name per
+    * file), so the match runs driver-side and delegates to the same
+    * per-file COPY; each matched file is tagged `_src_file` like the
+    * logged path, making the selection auditable.
+    */
+  def stageFiles(spark: SparkSession, stageDir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(path).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+  }
+
+  def copyIntoPattern(spark: SparkSession, stageDir: String, pattern: String): DataFrame = {
+    val matched = stageFiles(spark, stageDir).filter(_.matches(pattern))
+    require(matched.nonEmpty, s"PATTERN '$pattern' matched no staged files in $stageDir")
+    matched.map { f =>
+      copyInto(spark, stageDir, Seq(f)).withColumn("_src_file", lit(f))
+    }.reduce(_.unionByName(_))
+  }
+
   /** catchup=True backfill: one COPY per logical date in [start, end),
     * each tagged with its load_date — the reference's per-DagRun `ds`
     * parameter (`dags/s3_data_copy_test.py:24-29`). Union of per-date
@@ -199,6 +269,37 @@ object Ingest {
     ).mkString("", "\n", "\n")
   }
 
+  // Dirty-stage fixtures for the ON_ERROR='CONTINUE' gate: every
+  // rejection class once — unparseable numeric, token-count mismatch,
+  // unparseable double, unparseable timestamp — interleaved with clean
+  // rows so the classifier must discriminate, not bulk-reject.
+  val dirtyFileA = "product_order_trans_dirty_a.csv"
+  val dirtyFileB = "product_order_trans_dirty_b.csv"
+
+  def writeDirtyStageFixtures(): String = {
+    val dir = Paths.get(stageDir)
+    Files.createDirectories(dir)
+    val a = Seq(
+      "trans_id,order_id,product_id,quantity,unit_price,currency,trans_ts,note",
+      "2001,601,9001,2,19.99,USD,2022-07-20 08:30:00,ok",
+      "2002,602,9002,abc,4.50,EUR,2022-07-20 09:00:00,bad quantity",
+      "2003,603", // token-count mismatch → malformed line
+      "2004,604,9004,1,7.25,USD,2022-07-20 10:00:00,ok",
+      "2005,605,9005,5,12.0.0,USD,2022-07-20 10:30:00,bad price",
+      "2006,606,9006,4,3.75,GBP,2022-07-20 11:00:00,ok"
+    ).mkString("", "\n", "\n")
+    val b = Seq(
+      "trans_id,order_id,product_id,quantity,unit_price,currency,trans_ts,note",
+      "2101,701,9101,2,5.00,USD,2022-07-21 08:00:00,ok",
+      "2102,702,9102,1,6.00,USD,not-a-timestamp,bad ts",
+      "2103,703,9103,3,2.50,EUR,2022-07-21 09:00:00,ok",
+      "2104,704,9104,2,9.99,USD,2022-07-21 10:00:00,ok"
+    ).mkString("", "\n", "\n")
+    Files.write(dir.resolve(dirtyFileA), a.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve(dirtyFileB), b.getBytes(StandardCharsets.UTF_8))
+    stageDir
+  }
+
   /** Write the three staged files (idempotent overwrite). */
   def writeStageFixtures(): String = {
     val dir = Paths.get(stageDir)
@@ -240,6 +341,53 @@ object Ingest {
         try out.write(csvContent(backfillStart, 0).getBytes(StandardCharsets.UTF_8))
         finally out.close()
         copyInto(s, stage, Seq(gzName)).orderBy("trans_id")
+      }),
+
+    // ----- ON_ERROR='CONTINUE' dirty COPY: PERMISSIVE parse +
+    //       corrupt-record audit. The oracle is the literal expected
+    //       per-file load report — Snowflake's COPY result shape
+    //       (rows_parsed / rows_loaded / errors_seen). The loaded
+    //       relation itself is certified by IngestSpec (exact surviving
+    //       trans_ids); here the driver gate hash-checks the audit. -----
+    Q("q170_copy_dirty_audit",
+      Some("""SELECT file_name, CAST(rows_parsed AS BIGINT) AS rows_parsed,
+             |  CAST(rows_loaded AS BIGINT) AS rows_loaded,
+             |  CAST(errors_seen AS BIGINT) AS errors_seen
+             |FROM (VALUES
+             |  ('product_order_trans_dirty_a.csv', 6, 3, 3),
+             |  ('product_order_trans_dirty_b.csv', 4, 3, 1)
+             |) AS t(file_name, rows_parsed, rows_loaded, errors_seen)
+             |ORDER BY file_name""".stripMargin),
+      (s, _) => {
+        val stage = writeDirtyStageFixtures()
+        val (_, audit) = copyOnErrorContinue(s, stage, Seq(dirtyFileA, dirtyFileB))
+        audit.orderBy("file_name")
+      }),
+
+    // ----- stage PATTERN= COPY: regex file selection over the stage
+    //       prefix (the other Snowflake COPY idiom beside files=). The
+    //       stage deliberately holds decoys — the 07/15 backfill file,
+    //       the gzip copy, both dirty fixtures — and the pattern must
+    //       select exactly the two July 13–14 files. -----
+    Q("q171_copy_pattern",
+      Some("""SELECT src_file, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(min_id AS BIGINT) AS min_id, CAST(max_id AS BIGINT) AS max_id,
+             |  CAST(total AS DOUBLE) AS total
+             |FROM (VALUES
+             |  ('product_order_trans_07132022.csv', 8, 1001, 1008, 57.79),
+             |  ('product_order_trans_07142022.csv', 8, 1101, 1108, 57.79)
+             |) AS t(src_file, n_rows, min_id, max_id, total)
+             |ORDER BY src_file""".stripMargin),
+      (s, _) => {
+        val stage = writeStageFixtures()
+        writeDirtyStageFixtures() // decoys share the stage prefix
+        copyIntoPattern(s, stage, """product_order_trans_071[34]2022\.csv""")
+          .groupBy(col("_src_file").as("src_file"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("trans_id")).as("min_id"),
+            max(col("trans_id")).as("max_id"),
+            round(sum(col("unit_price")), 4).as("total"))
+          .orderBy("src_file")
       }),
 
     // ----- O8/O9: 3-date backfill loop, per-load_date summary -----

@@ -158,17 +158,28 @@ object ScaleOps {
              |                    WHERE o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin),
       (s, dir) => {
-        val urgent = Tables.load(s, dir, "orders")
+        // Spark's own codegen'd bloom expressions (surfaced via
+        // GraftExtensions): the sketch is built by a distributed
+        // bloom_filter_agg and delivered to the probe side as a scalar
+        // subquery — the same plan shape Spark's runtime row-group
+        // filtering injects, so the prefilter stays in whole-stage
+        // codegen and scan-eligible (no Scala-closure UDF).
+        graft.functions.GraftExtensions.register(s)
+        Tables.load(s, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_custkey"))
-        val bloom = urgent.stat.bloomFilter("o_custkey", 100000L, 0.01)
-        val bloomB = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
-        Tables.load(s, dir, "customer")
-          .filter(mightContain(col("c_custkey")))
-          .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
-          .select(col("c_custkey"), col("c_name"))
-          .orderBy("c_custkey")
+          .createOrReplaceTempView("q111_urgent")
+        Tables.load(s, dir, "customer").createOrReplaceTempView("q111_customer")
+        // ~959k bits ≈ 1% fpp at 100k keys (n·ln(1/p)/ln²2)
+        s.sql("""SELECT c_custkey, c_name FROM (
+                |  SELECT c_custkey, c_name FROM q111_customer
+                |  WHERE bloom_might_contain(
+                |    (SELECT bloom_filter_agg(o_custkey, 100000L, 959000L)
+                |     FROM q111_urgent),
+                |    c_custkey)
+                |) pre
+                |WHERE c_custkey IN (SELECT o_custkey FROM q111_urgent)
+                |ORDER BY c_custkey""".stripMargin)
       }),
 
     // ----- incremental (algebraic) re-aggregation: monthly revenue

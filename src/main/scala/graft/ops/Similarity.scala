@@ -378,13 +378,20 @@ object Similarity {
     //       row-local map work, no shuffle, codegen'd HOF folds. The
     //       matrix is embedded as literals in both engines (same
     //       device as the LSH planes), emitted EXPLODED (vec_id, dim,
-    //       proj) so the oracle is a scalar compare. -----
+    //       proj) so the oracle is a scalar compare. The comparator is
+    //       the quantized integer floor(raw·2500 + 0.5) (2500 = the
+    //       0.25 JL scale × 10⁴): both engines run the IDENTICAL IEEE
+    //       multiply/add/floor on the same double, so the BIGINT is
+    //       bit-deterministic — unlike round(,4), whose half-way ties
+    //       Spark decides on the exact BigDecimal expansion and DuckDB
+    //       in floating point, flipping cells within an ulp of a
+    //       .00005 boundary. -----
     Q("q138_random_projection",
       Some {
         val rows = projSigns.zipWithIndex
           .map { case (r, j) => s"($j, ${sqlArray(r)}::DOUBLE[])" }.mkString(", ")
         s"""SELECT vec_id, m.j AS dim,
-           |  round(0.25 * list_dot_product(embedding::DOUBLE[], m.v), 4) AS proj
+           |  CAST(floor(list_dot_product(embedding::DOUBLE[], m.v) * 2500.0 + 0.5) AS BIGINT) AS proj_e4
            |FROM embeddings, (VALUES $rows) AS m(j, v)
            |ORDER BY vec_id, dim""".stripMargin
       },
@@ -396,7 +403,7 @@ object Similarity {
         Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), posexplode(array(dots: _*)).as(Seq("dim", "raw")))
           .select(col("vec_id"), col("dim").cast("int").as("dim"),
-            round(col("raw") * 0.25, 4).as("proj"))
+            floor(col("raw") * 2500.0 + 0.5).as("proj_e4"))
           .orderBy("vec_id", "dim")
       }),
 

@@ -80,6 +80,13 @@ class ScaleOpsSpec extends SparkSuite {
     assert(bloomed == plain)
   }
 
+  test("q111 prefilter is the codegen'd bloom expression, not a closure UDF") {
+    val plan = q("q111_bloom_semi_join").queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected might_contain filter in physical plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "bloom prefilter must not be a Scala UDF")
+  }
+
   test("q112 incremental partial-merge equals the single-pass aggregate") {
     val incremental = q("q112_incremental_agg").collect().toSeq
     val direct = Tables.load(spark, sf, "lineitem")
