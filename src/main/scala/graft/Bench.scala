@@ -41,10 +41,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = only.fold(SparkEntry.all)(ps =>
       SparkEntry.all.filter(q => ps.exists(q.name.startsWith)))
+    // Timed action: a noop-sink WRITE, not count() — count() lets
+    // Catalyst prune computed columns (it masked a crash that only the
+    // real materialization hits, and under-measures projection-heavy
+    // queries). The noop sink evaluates every output column and row,
+    // which is what Verify's parquet dump and any real consumer pays.
     def pass(): Map[String, Option[Double]] = selected.map { q =>
       spark.catalog.clearCache() // per-query isolation: no cross-query cache credit
       val t0 = System.nanoTime()
-      val ok = try { q.fn(spark, sfDir).count(); true } catch {
+      val ok = try {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           false

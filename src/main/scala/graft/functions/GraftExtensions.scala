@@ -21,15 +21,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  // Arity guard: a builder that blindly indexes children(2) turns a
+  // 1-arg SQL call into IndexOutOfBoundsException deep in analysis;
+  // fail instead with the function name and the accepted counts.
+  private def requireArity(fn: String, children: Seq[Expression], accepted: Set[Int]): Unit =
+    if (!accepted.contains(children.length))
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $fn: got ${children.length}, " +
+          s"expected ${accepted.toSeq.sorted.mkString(" or ")}")
+
   private val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+    (children: Seq[Expression]) => {
+      requireArity("cosine_sim", children, Set(2))
+      CosineSimilarity(children.head, children(1))
+    })
 
   private val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    (children: Seq[Expression]) => {
+      requireArity("dot_product", children, Set(2))
+      DotProduct(children.head, children(1))
+    })
 
   // Spark ships codegen'd bloom expressions (used internally by runtime
   // row-group filtering) but doesn't expose them in the public registry;
@@ -40,18 +55,26 @@ object GraftExtensions {
     new ExpressionInfo(
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
       "bloom_filter_agg"),
-    (children: Seq[Expression]) =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        children.head, children(1), children(2)))
+    (children: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      requireArity("bloom_filter_agg", children, Set(1, 2, 3))
+      children match {
+        case Seq(c)       => new BloomFilterAggregate(c)
+        case Seq(c, n)    => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+      }
+    })
 
   private val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("bloom_might_contain"),
     new ExpressionInfo(
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
       "bloom_might_contain"),
-    (children: Seq[Expression]) =>
+    (children: Seq[Expression]) => {
+      requireArity("bloom_might_contain", children, Set(2))
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        children.head, children(1)))
+        children.head, children(1))
+    })
 
   /** Idempotent registration on an already-built session (used by the
     * query registry so the driver's stock session gets the function

@@ -183,7 +183,11 @@ object Curation {
              |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin),
       (s, dir) => {
         // the tokenize+posexplode lineage feeds both count families —
-        // cache it once (same discipline as Corpus's shared tokenization)
+        // cache it once (same discipline as Corpus's shared tokenization).
+        // No eager checkpoint here: the caller owns the action, and both
+        // harnesses clearCache() per query — checkpointing inside the
+        // builder would pre-execute the query and hand bench/plan-shape
+        // inspection a materialized-RDD scan instead of the real plan.
         val tok = Tables.load(s, dir, "documents")
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
           .cache()
@@ -198,7 +202,7 @@ object Curation {
         // corpus is never re-scanned just to count rows
         val totals = uni.agg(sum(col("n_w")).as("n_tok"))
           .crossJoin(bi.agg(sum(col("n_ab")).as("n_big")))
-        val out = bi.filter(col("n_ab") >= 5)
+        bi.filter(col("n_ab") >= 5)
           .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), "w1")
           .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), "w2")
           .crossJoin(broadcast(totals))
@@ -209,9 +213,6 @@ object Curation {
           .select(col("w1"), col("w2"), col("n_ab"), col("pmi"))
           .orderBy(col("pmi").desc, col("w1"), col("w2"))
           .limit(30)
-          .localCheckpoint(true) // materialize the 30-row result …
-        Seq(tok, bi).foreach(_.unpersist()) // … then release the caches
-        out
       }),
 
     // ----- count-min sketch frequency band: the mergeable fixed-memory
@@ -357,7 +358,9 @@ object Curation {
         // base frame is documents (like the oracle), NOT the signature
         // frame — a doc with no tokens has no simhash row and must
         // still be reported as kept
-        val out = Tables.load(s, dir, "documents").filter(isNew).select(col("doc_id"))
+        // caches are released by the harness's per-query clearCache();
+        // no builder-side checkpoint (it would pre-run the query)
+        Tables.load(s, dir, "documents").filter(isNew).select(col("doc_id"))
           .join(exact.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
           .join(near.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
           .withColumn("status",
@@ -366,9 +369,6 @@ object Curation {
               .otherwise("kept"))
           .select("doc_id", "status")
           .orderBy("doc_id")
-          .localCheckpoint(true) // materialize the batch disposition …
-        sig.unpersist() // … then release the signature cache
-        out
       }),
 
     // ----- token-budget selection: greedily fill a fixed per-source

@@ -116,22 +116,39 @@ object Ingest {
     * when the line itself is malformed (token-count mismatch → the
     * corrupt-record column) or when a typed field fails its cast with
     * non-null text (Snowflake: "Numeric value 'abc' is not
-    * recognized"). Everything is plain Catalyst — the classification
-    * predicate is codegen'd and the scan still parallelizes per
-    * file/split; the audit is a per-file metadata-sized aggregate.
+    * recognized").
+    *
+    * Parse path is `text` scan + `from_csv`, NOT a csv scan: the csv
+    * scan prunes the parse schema per consuming branch, and a pruned
+    * Univocity parse no longer detects token-count mismatches — the
+    * loaded relation and the audit would classify the SAME line
+    * differently (and a corrupt-only projection over a raw csv scan is
+    * outright disallowed, QUERY_ONLY_CORRUPT_RECORD_COLUMN). from_csv
+    * parses the full record in every branch (the optimizer's CSV-expr
+    * schema pruning stands down when parse options are present), so the
+    * classification is branch-stable. Everything is plain Catalyst —
+    * the predicate is codegen'd, the line scan still parallelizes per
+    * file/split, and the audit is a per-file metadata-sized aggregate.
+    * Precondition (same as the reference's RECORD_DELIMITER='\n'):
+    * records are newline-free, so the line scan is record-exact.
     */
   def copyOnErrorContinue(spark: SparkSession, stageDir: String,
                           files: Seq[String]): (DataFrame, DataFrame) = {
     val rawSchema = StructType(
       transSchema.fields.map(f => StructField(f.name, StringType, nullable = true))
         :+ StructField("_corrupt", StringType, nullable = true))
-    val raw = spark.read.format("csv")
-      .options(csvOptions)
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .schema(rawSchema)
-      .load(files.map(f => s"$stageDir/$f"): _*)
-      .select(col("*"),
+    // header=true is the scan-level option; from_csv sees single records,
+    // so SKIP_HEADER becomes an explicit filter on the known header line
+    val parseOpts = (csvOptions -- Seq("header", "lineSep")) +
+      ("columnNameOfCorruptRecord" -> "_corrupt")
+    val headerLine = transSchema.fields.map(_.name).mkString(csvOptions("sep"))
+    val raw = spark.read.text(files.map(f => s"$stageDir/$f"): _*)
+      .select(col("value"),
         element_at(split(col("_metadata.file_path"), "/"), -1).as("_src_file"))
+      .filter(length(col("value")) > 0 && col("value") =!= headerLine)
+      .withColumn("_p", from_csv(col("value"), rawSchema, parseOpts))
+      .select(transSchema.fields.map(f => col(s"_p.${f.name}").as(f.name))
+        ++ Seq(col("_p._corrupt").as("_corrupt"), col("_src_file")): _*)
     // NULL_IF normalization on the DATA columns only (the corrupt and
     // file-name columns must pass through verbatim)
     val sentinels = Seq("NULL", "null", "").map(lit)
@@ -139,12 +156,15 @@ object Ingest {
       transSchema.fields.map(f =>
         when(col(f.name).isin(sentinels: _*), lit(null)).otherwise(col(f.name)).as(f.name)).toSeq
         ++ Seq(col("_corrupt"), col("_src_file")): _*)
-    val typedCols = transSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    // try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    // THROWS on 'abc'/'not-a-timestamp' instead of returning null — the
+    // whole point here is to classify those rows, not crash on them.
+    val typedCols = transSchema.fields.map(f => col(f.name).try_cast(f.dataType).as(f.name))
     // cast-failure test per typed column: raw text survived NULL_IF but
-    // the cast returned null ⇒ unparseable value ⇒ reject the row
+    // the try_cast returned null ⇒ unparseable value ⇒ reject the row
     val castFailed = transSchema.fields
       .filter(_.dataType != StringType)
-      .map(f => col(f.name).isNotNull && col(f.name).cast(f.dataType).isNull)
+      .map(f => col(f.name).isNotNull && col(f.name).try_cast(f.dataType).isNull)
       .reduce(_ || _)
     val flagged = cleaned
       .withColumn("_rejected", col("_corrupt").isNotNull || castFailed)

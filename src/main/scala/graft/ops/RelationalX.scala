@@ -502,15 +502,15 @@ object RelationalX {
             col("day").between(date_sub(col("d"), 6), col("d")))
           .groupBy(col("d"))
           .agg(countDistinct(col("user_id")).as("exact_users7"))
-        val out = exact.join(approx, "d")
+        // the daily-sketch cache is released by the harness's per-query
+        // clearCache(); no builder-side checkpoint (it would pre-run the
+        // query and skew both bench and plan-shape inspection)
+        exact.join(approx, "d")
           .withColumn("approx_ok",
             (abs(col("approx7") - col("exact_users7")).cast("double")
               / col("exact_users7") <= 0.05).cast("int"))
           .select(col("d").as("day"), col("exact_users7"), col("approx_ok"))
           .orderBy("day")
-          .localCheckpoint(true) // materialize the days×1 result …
-        daily.unpersist() // … then release the sketch cache
-        out
       })
   )
 }

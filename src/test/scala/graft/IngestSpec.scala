@@ -49,6 +49,23 @@ class IngestSpec extends SparkSuite {
     assert(again.count() == 24L)
   }
 
+  test("copyOnErrorContinue loads exactly the clean rows and audits the rest") {
+    val stage = Ingest.writeDirtyStageFixtures()
+    val (loaded, audit) =
+      Ingest.copyOnErrorContinue(spark, stage, Seq(Ingest.dirtyFileA, Ingest.dirtyFileB))
+    // the loaded relation must MATERIALIZE under ANSI mode (a plain cast
+    // on 'abc'/'not-a-timestamp' would throw here, not classify)
+    val rows = loaded.orderBy("trans_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(2001L, 2004L, 2006L, 2101L, 2103L, 2104L))
+    // surviving rows are fully typed (no nulls smuggled in by try_cast)
+    assert(rows.forall(r => !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(6)))
+    val a = audit.orderBy("file_name").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a(Ingest.dirtyFileA) == ((6L, 3L, 3L)))
+    assert(a(Ingest.dirtyFileB) == ((4L, 3L, 1L)))
+  }
+
   test("malformed-record modes: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-badrec")

