@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.TopKAggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-structure operators (SURVEY.md §2.5 scale notes + §4): the
@@ -267,6 +268,59 @@ object ScaleOps {
             round(avg(col("n")), 4).as("avg_n"),
             round(max(col("n")) / avg(col("n")), 4).as("skew_ratio"),
             round(expr("percentile(n, 0.5)"), 4).as("p50"),
-            round(expr("percentile(n, 0.99)"), 4).as("p99")))
+            round(expr("percentile(n, 0.99)"), 4).as("p99"))),
+
+    // ----- dynamic partition pruning: the fact table is laid out
+    //       PARTITIONED BY month (the production layout for a
+    //       date-partitioned 100 TB fact), the filter lives on a dim
+    //       column that is NOT the join key, and only DPP's runtime
+    //       subquery — not static predicate pushdown — can translate
+    //       "m_year = '1995'" into fact partition pruning. The scan
+    //       then touches 12 of the 80 month partitions (plan + pruned
+    //       file count asserted in PlanShapeSpec on THIS builder's
+    //       layout). Layout is written once per fixture and reused —
+    //       the same amortization contract as the q107 buckets. -----
+    Q("q172_dpp_partitioned_join",
+      Some("""SELECT o_month, CAST(count(*) AS BIGINT) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM (SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS o_month,
+             |             o_totalprice FROM orders)
+             |WHERE o_month LIKE '1995-%'
+             |GROUP BY o_month
+             |ORDER BY o_month""".stripMargin),
+      (s, dir) => {
+        val (fact, dim) = dppJoinSides(s, dir)
+        fact.join(dim.select("o_month"), Seq("o_month"))
+          .groupBy("o_month")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+          .orderBy("o_month")
+      })
   )
+
+  /** Month-partitioned orders layout + month dim for the DPP gate —
+    * written once per fixture dir (the `_LAYOUT_DONE` marker makes
+    * re-runs and the bench read-only), shared by q172 and the
+    * PlanShapeSpec DPP assertions so the asserted plan is exactly the
+    * gated query's plan. Returns (fact scan, year-filtered dim). */
+  def dppJoinSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = java.nio.file.Paths.get(s"target/graft-dpp/$tag")
+    val factDir = base.resolve("orders_by_month").toString
+    val dimDir = base.resolve("month_dim").toString
+    val marker = base.resolve("_LAYOUT_DONE")
+    synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        val orders = Tables.load(s, dir, "orders")
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        orders.write.mode("overwrite").partitionBy("o_month").parquet(factDir)
+        orders.select("o_month").distinct()
+          .withColumn("m_year", substring(col("o_month"), 1, 4))
+          .coalesce(1).write.mode("overwrite").parquet(dimDir)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    (s.read.parquet(factDir),
+      s.read.parquet(dimDir).filter(col("m_year") === "1995"))
+  }
 }

@@ -235,22 +235,14 @@ class PlanShapeSpec extends SparkSuite {
 
   test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
     import org.apache.spark.sql.functions._
-    // Fixture: orders re-laid-out partitioned by month (the production
+    // The q172 layout: orders partitioned by month (the production
     // layout for a date-partitioned 100 TB fact), plus a month dim
     // whose FILTER column is not the join key — so only a runtime DPP
     // subquery, not static constraint propagation, can prune the scan.
-    val base = java.nio.file.Files.createTempDirectory("graft-dpp")
-    val factDir = base.resolve("orders_by_month").toString
-    val dimDir = base.resolve("month_dim").toString
-    val orders = Tables.load(spark, dir, "orders")
-      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-    orders.write.mode("overwrite").partitionBy("o_month").parquet(factDir)
-    orders.select("o_month").distinct()
-      .withColumn("m_year", substring(col("o_month"), 1, 4))
-      .write.mode("overwrite").parquet(dimDir)
-    val fact = spark.read.parquet(factDir)
+    // Asserting on the SHARED builder means the plan checked here is
+    // exactly the plan the q172 correctness gate executes.
+    val (fact, dim) = graft.ops.ScaleOps.dppJoinSides(spark, dir)
     val nMonths = fact.select("o_month").distinct().count()
-    val dim = spark.read.parquet(dimDir).filter(col("m_year") === "1995")
     val joined = fact.join(dim, Seq("o_month"))
       .groupBy("o_month").agg(count(lit(1)).as("n"))
     // plan shape: the fact scan's partition filters carry a DPP expression
