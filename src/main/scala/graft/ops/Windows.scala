@@ -82,12 +82,11 @@ object Windows {
   private def asofCustom(s: org.apache.spark.sql.SparkSession, dir: String,
                          tolerance: Option[java.time.Duration],
                          direction: String): org.apache.spark.sql.DataFrame = {
-    val wTie = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    // equal-ts clicks resolve inside the operator (tieBreak = max
+    // event_id wins) — no pre-dedup window, so the clicks side costs
+    // one exchange+sort instead of two exchanges + sort + window
     val clicks = Tables.load(s, dir, "events")
       .filter(col("event_type") === "click")
-      .withColumn("rn", row_number().over(wTie))
-      .filter(col("rn") === 1)
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_event_id"), col("value").as("c_value"))
     val purchases = Tables.load(s, dir, "events")
@@ -95,7 +94,7 @@ object Windows {
       .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("p_ts"))
     graft.plans.AsOfJoinApi
       .asofJoin(purchases, clicks, "user_id", "c_user", "p_ts", "c_ts",
-        tolerance, direction)
+        tolerance, direction, tieBreak = Seq("click_event_id"))
       .select(col("user_id"), col("p_event_id"), col("p_ts"),
         col("c_ts").as("click_ts"), col("click_event_id"),
         round(col("c_value"), 4).as("click_value"))
