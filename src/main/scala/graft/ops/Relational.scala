@@ -331,15 +331,25 @@ object Relational {
     //       0.01, so the band is ~5σ — deterministic for a given
     //       fixture), and the oracle asserts the exact count and
     //       flag=1. A broken estimator now FAILS the hash check rather
-    //       than hiding behind rows-only. -----
+    //       than hiding behind rows-only.
+    //       Plan shape: dedup (flag, partkey) FIRST, then count + sketch
+    //       the deduped set — HLL is duplicate-insensitive, so the
+    //       estimate is bit-identical to sketching the raw rows, while
+    //       mixing countDistinct with a regular agg would plan an Expand
+    //       whose partial phase keeps one ~16 KB rsd=0.01 sketch per
+    //       (flag, partkey) group (~60k sketches at sf0.1; measured 5.3 s
+    //       vs 0.8 s for this shape). The exact count exists only for
+    //       the oracle band — a production caller drops it and the plan
+    //       collapses to a straight sketch agg, the true 100 TB path. -----
     Q("q17_approx_count_distinct",
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
              |  CAST(1 AS INT) AS approx_ok
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_partkey").distinct()
           .groupBy(col("l_returnflag"))
-          .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          .agg(count(lit(1)).as("exact_parts"),
             approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
           .withColumn("approx_ok",
             (abs(col("approx_parts") - col("exact_parts")).cast("double")

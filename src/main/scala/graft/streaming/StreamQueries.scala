@@ -114,8 +114,21 @@ object StreamQueries {
     * point is that it is sized, not inherited. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val valKey = "spark.sql.streaming.stateStore.formatValidation.enabled"
+    val prevVal = s.conf.get(valKey)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // State-format validation re-checks every state row read against the
+    // stored schema — a guard for restarting a query against state an
+    // OLDER binary wrote. These runs create their checkpoint and state
+    // fresh every invocation, so the check can never fire; it is a
+    // measurable per-row tax on every stateful trigger (q136/q154:
+    // ~10-15% of trigger wall). A long-lived production query that
+    // upgrades binaries mid-checkpoint should leave it on.
+    s.conf.set(valKey, "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(valKey, prevVal)
+    }
   }
 
   /** Disable the engine's trailing no-data micro-batch for streams whose
