@@ -21,6 +21,12 @@ object Verify {
     // few queries (the driver sets nothing and gets the full surface).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet).filter(_.nonEmpty)
+    // Failures must stay ON the board: a query that throws writes no
+    // result dir, and a comparator that only walks result dirs would
+    // simply drop the row (how r6's broken q170 "passed" by absence).
+    // Record every failure in _errors.json so the comparator can report
+    // each declared query with no result as an explicit FAIL.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +36,7 @@ object Verify {
         spark.catalog.clearCache() // release per-query cached intermediates
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +54,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -49,6 +49,20 @@ def main():
     result_dirs = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
+    # A query that THREW during Verify writes no result dir and would
+    # otherwise silently vanish from this report (the q170/r6 failure
+    # mode: the driver board simply had no row). Surface every declared
+    # oracle with no result as a FAIL, with the recorded error if
+    # graft.Verify left one in _errors.json.
+    errors_path = os.path.join(out_dir, "_errors.json")
+    verify_errors = {}
+    if os.path.exists(errors_path):
+        with open(errors_path) as f:
+            verify_errors = json.load(f)
+    for name in sorted(set(oracles) - set(result_dirs)):
+        msg = verify_errors.get(name, "no result written (query threw in Verify)")
+        print(f"FAIL  {name}: {msg}")
+        n_fail += 1
     for name in result_dirs:
         spark_glob = os.path.join(out_dir, name, "*.parquet")
         try:
