@@ -79,10 +79,13 @@ object ScaleSmoke {
       buildScaled(spark, srcDir, outDir, factor)
     }
 
+    // Same timed action as Bench: a noop-sink write, not count() —
+    // count() lets Catalyst prune computed columns, so scale ratios for
+    // projection-heavy queries would compare partially-dead plans.
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
