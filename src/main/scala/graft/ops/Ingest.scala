@@ -177,6 +177,30 @@ object Ingest {
     (loaded, audit)
   }
 
+  /** Continuous COPY (the auto-ingest / Snowpipe idiom the reference's
+    * scheduled COPY approximates with daily catchup runs,
+    * `dags/s3_data_copy_test.py:24-29`): the SAME file_format options
+    * as the batch COPY, fed through a file-source STREAM — each staged
+    * file arrives as its own micro-batch and is appended exactly once
+    * (the source's file log is the load history, persisted in the
+    * checkpoint — the streaming-native form of [[copyIntoLogged]]'s
+    * load-log table). `glob` scopes the subscription within a shared
+    * stage prefix, the streaming counterpart of PATTERN=. Parse
+    * semantics are [[copyInto]]'s verbatim: same option block, same
+    * NULL_IF normalization before the same typed casts — compression,
+    * scheduling, and delivery mode must all be invisible to parsing.
+    */
+  def copyStreamSource(spark: SparkSession, stageDir: String, glob: String): DataFrame = {
+    val raw = spark.readStream.format("csv")
+      .options(csvOptions)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", "1")
+      .schema(StructType(transSchema.fields.map(f => StructField(f.name, StringType, nullable = true))))
+      .load(stageDir)
+    val cleaned = nullIf(raw)
+    cleaned.select(transSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
   /** Stage PATTERN= (the other Snowflake COPY file-selection idiom,
     * beside the reference's explicit `files=` list,
     * `dags/s3_data_copy_test.py:34`): regex over the staged file names.

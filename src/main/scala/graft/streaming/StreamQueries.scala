@@ -373,6 +373,48 @@ object StreamQueries {
           }
         out.groupBy("user_id").agg(max(col("count")).as("n_events"))
           .orderBy("user_id")
+      }),
+
+    // ----- continuous COPY (auto-ingest): the reference's staged-CSV
+    //       load as a STREAM — the same file_format option block and
+    //       NULL_IF/cast pipeline as batch q35, but each staged file is
+    //       its own micro-batch, appended exactly once (the source's
+    //       checkpointed file log is the load history). The oracle is a
+    //       per-load-date audit over ALL three backfill files: n=8 rows
+    //       per date and value sums that any parse drift (quote, NULL_IF,
+    //       cast) or double-delivery would break. Delivery mode must be
+    //       invisible: streaming COPY ≡ batch COPY of the same files. -----
+    Q("q173_copy_stream",
+      Some("""SELECT * FROM (VALUES
+             |  (DATE '2022-07-13', CAST(8 AS BIGINT), CAST(8036 AS BIGINT),
+             |   CAST(23 AS BIGINT), CAST(57.79 AS DOUBLE),
+             |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (DATE '2022-07-14', CAST(8 AS BIGINT), CAST(8836 AS BIGINT),
+             |   CAST(23 AS BIGINT), CAST(57.79 AS DOUBLE),
+             |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (DATE '2022-07-15', CAST(8 AS BIGINT), CAST(9636 AS BIGINT),
+             |   CAST(23 AS BIGINT), CAST(57.79 AS DOUBLE),
+             |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+             |  AS t(load_date, n_rows, sum_trans_id, sum_qty, sum_price,
+             |       null_qty, null_ccy, null_product)
+             |ORDER BY load_date""".stripMargin),
+      (s, _) => {
+        val stage = graft.ops.Ingest.writeStageFixtures()
+        // subscription glob: the three dated backfill files only — the
+        // shared stage prefix also holds dirty/pattern fixtures that
+        // belong to other COPY gates
+        val src = graft.ops.Ingest.copyStreamSource(
+          s, stage, "product_order_trans_07??2022.csv")
+        runAppend(s, src, "copystream")
+          .groupBy(to_date(col("trans_ts")).as("load_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("trans_id").as("sum_trans_id"),
+            sum("quantity").as("sum_qty"),
+            round(sum("unit_price"), 4).as("sum_price"),
+            count(when(col("quantity").isNull, 1)).as("null_qty"),
+            count(when(col("currency").isNull, 1)).as("null_ccy"),
+            count(when(col("product_id").isNull, 1)).as("null_product"))
+          .orderBy("load_date")
       })
   )
 }

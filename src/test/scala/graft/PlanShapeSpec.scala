@@ -23,6 +23,15 @@ class PlanShapeSpec extends SparkSuite {
       && read.contains("l_quantity") && read.contains("l_returnflag"))
   }
 
+  test("q17: distinct + sketch aggregate plans without Expand") {
+    // Mixing countDistinct with a regular agg would plan an Expand whose
+    // partial phase keeps one ~16 KB HLL sketch per (flag, partkey)
+    // group; the dedup-then-sketch shape must keep the plan Expand-free
+    // so sketch buffers stay one-per-final-group.
+    val p = formatted("q17_approx_count_distinct")
+    assert(!p.contains("Expand"), p)
+  }
+
   test("q03: dimension joins broadcast, fact side streams") {
     val p = formatted("q03_top_revenue_orders")
     assert(p.contains("BroadcastHashJoin"))
