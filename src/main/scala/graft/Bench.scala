@@ -46,7 +46,7 @@ object Bench {
     // real materialization hits, and under-measures projection-heavy
     // queries). The noop sink evaluates every output column and row,
     // which is what Verify's parquet dump and any real consumer pays.
-    def pass(): Map[String, Option[Double]] = selected.map { q =>
+    def pass(sel: Seq[Q]): Map[String, Option[Double]] = sel.map { q =>
       spark.catalog.clearCache() // per-query isolation: no cross-query cache credit
       val t0 = System.nanoTime()
       val ok = try {
@@ -58,21 +58,35 @@ object Bench {
       }
       q.name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
-    val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) =>
-      k -> (v.toSeq ++ p2(k).toSeq).minOption.getOrElse(-1.0)
+    val p1 = pass(selected); val p2 = pass(selected)
+    // Adaptive third pass: a query whose two timings disagree by ≥1.5×
+    // AND ≥0.2 s was hit by scheduler jitter in one of them — min-of-2
+    // over a bad draw still over-reports. Re-time just those queries
+    // once more (bounded extra wall: only the unstable few re-run) so
+    // the reported min reflects the engine, not the box's worst moment.
+    def unstable(k: String): Boolean = (p1(k), p2(k)) match {
+      case (Some(a), Some(b)) =>
+        math.max(a, b) / math.min(a, b) >= 1.5 && math.max(a, b) - math.min(a, b) >= 0.2
+      case _ => false
     }
-    // Per-query run-to-run spread (VERDICT r4 #3): queries whose two
-    // passes disagree most, as [min,max] — the variance data that lets
-    // the driver tell a plan regression from scheduler jitter. Capped
-    // to the 5 widest spreads to respect the output-size budget.
+    val retry = selected.filter(q => unstable(q.name))
+    val p3: Map[String, Option[Double]] =
+      if (retry.nonEmpty) pass(retry) else Map.empty
+    def samples(k: String): Seq[Double] =
+      (p1(k).toSeq ++ p2(k).toSeq ++ p3.get(k).flatten.toSeq)
+    val results = p1.map { case (k, _) =>
+      k -> samples(k).minOption.getOrElse(-1.0)
+    }
+    // Per-query run-to-run spread (VERDICT r4 #3): queries whose passes
+    // disagree most, as [min,max] over ALL passes — the variance data
+    // that lets the driver tell a plan regression from scheduler
+    // jitter. Capped to the 5 widest spreads to respect the
+    // output-size budget.
     val jitter = p1.keys.toSeq.flatMap { k =>
-      (p1(k), p2(k)) match {
-        case (Some(a), Some(b)) if math.max(a, b) / math.min(a, b) >= 1.5
-          && math.max(a, b) - math.min(a, b) >= 0.2 =>
-          Some(k -> (math.min(a, b), math.max(a, b)))
-        case _ => None
-      }
+      val s = samples(k)
+      if (s.size >= 2 && s.max / s.min >= 1.5 && s.max - s.min >= 0.2)
+        Some(k -> (s.min, s.max))
+      else None
     }.sortBy { case (_, (a, b)) => a - b }.take(5)
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
