@@ -434,6 +434,50 @@ object Ingest {
           .orderBy("src_file")
       }),
 
+    // ----- schema evolution across a table's file history: a column
+    //       added mid-stream (Snowflake tables evolve with ALTER TABLE
+    //       ADD COLUMN; a parquet lake evolves file-by-file). Old files
+    //       lack the column, new files carry it; `mergeSchema` unions
+    //       the footers and old rows read as NULL, projected to an
+    //       explicit default. Scale note: merging footers across the
+    //       whole file set is a listing-time metadata cost — a
+    //       long-lived 100 TB table pins the EVOLVED schema in its
+    //       catalog and passes it as the read schema (footer merge
+    //       off), which reads old and new files identically; the
+    //       mergeSchema path here is the discovery step that derives
+    //       that schema. Values chosen so any old/new row confusion
+    //       (wrong default, dropped file, double read) breaks the sums. -----
+    Q("q174_schema_evolution",
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(3 AS BIGINT), CAST(6006 AS BIGINT), CAST(9 AS BIGINT),
+             |   CAST(0.0 AS DOUBLE), CAST(3 AS BIGINT)),
+             |  (CAST(3 AS BIGINT), CAST(6015 AS BIGINT), CAST(12 AS BIGINT),
+             |   CAST(0.3 AS DOUBLE), CAST(0 AS BIGINT)))
+             |  AS t(n_rows, sum_id, sum_qty, sum_disc, n_defaulted)
+             |ORDER BY sum_id""".stripMargin),
+      (s, _) => {
+        val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-evolve").toString
+        import s.implicits._
+        // epoch 1: pre-evolution schema (no discount column)
+        Seq((2001L, 2), (2002L, 3), (2003L, 4)).toDF("trans_id", "quantity")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/epoch=1")
+        // epoch 2: discount added
+        Seq((2004L, 3, 0.1), (2005L, 4, 0.2), (2006L, 5, 0.0))
+          .toDF("trans_id", "quantity", "discount")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/epoch=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .withColumn("defaulted", col("discount").isNull.cast("int"))
+          .withColumn("discount", coalesce(col("discount"), lit(0.0)))
+          .groupBy(col("epoch"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("trans_id")).as("sum_id"),
+            sum(col("quantity")).cast("long").as("sum_qty"),
+            round(sum(col("discount")), 4).as("sum_disc"),
+            sum(col("defaulted")).cast("long").as("n_defaulted"))
+          .select("n_rows", "sum_id", "sum_qty", "sum_disc", "n_defaulted")
+          .orderBy("sum_id")
+      }),
+
     // ----- O8/O9: 3-date backfill loop, per-load_date summary -----
     Q("q36_backfill_copy",
       Some("""SELECT CAST(load_date AS DATE) AS load_date, CAST(n_rows AS BIGINT) AS n_rows,
