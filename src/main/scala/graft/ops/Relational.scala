@@ -357,6 +357,31 @@ object Relational {
           .select("l_returnflag", "exact_parts", "approx_ok")
           .orderBy("l_returnflag")),
 
+    // ----- exact DECIMAL money aggregation: financial columns cast to
+    //       DECIMAL(12,2) BEFORE aggregating, so sums are exact integer
+    //       arithmetic in cents — the money discipline a revenue
+    //       pipeline needs at any scale (a double accumulator drifts in
+    //       the low bits and the drift depends on partition/merge
+    //       order, i.e. on cluster topology). The oracle is deliberately
+    //       UNROUNDED: both engines sum as decimals and only then cast
+    //       to double, so the hash matches iff both sums are exact —
+    //       float accumulation on either side fails the gate. -----
+    Q("q175_decimal_exact",
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             |  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+             |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("p"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("p")).cast("double").as("revenue"),
+            min(col("p")).cast("double").as("min_price"),
+            max(col("p")).cast("double").as("max_price"))
+          .orderBy("l_returnflag")),
+
     // ----- aggregation: percentiles / median (exact, linear interpolation) -----
     Q("q18_percentiles",
       Some("""SELECT o_orderstatus,
