@@ -375,6 +375,65 @@ object StreamQueries {
           .orderBy("user_id")
       }),
 
+    // ----- checkpoint RESTART recovery: the q135 dedup stream run as
+    //       TWO SEPARATE QUERIES sharing one checkpoint — the first
+    //       consumes file 1 and STOPS; a brand-new query object resumes
+    //       from the checkpoint and consumes file 2. The union of both
+    //       runs' sinks equals global DISTINCT iff BOTH halves of the
+    //       checkpoint survived the restart: the offset log (else run 2
+    //       re-reads file 1 → duplicated rows) and the state store
+    //       (else run 2 re-emits keys run 1 already emitted). This is
+    //       the recovery contract production streaming actually relies
+    //       on — planned upgrades and crash restarts both resume from
+    //       exactly this checkpoint layout. -----
+    Q("q176_stream_restart_recovery",
+      Some("""SELECT user_id, event_type,
+             |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour
+             |FROM events GROUP BY ALL
+             |ORDER BY user_id, event_type, ts_hour""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val staged = stageSplit(ev, "ts", "dedup3col", dir) // shared with q135
+        // a mutable source dir: file 1 visible to run 1, file 2 added
+        // before run 2 — the external world moving on while the query
+        // is down. The sink is the fault-tolerant FILE sink (the memory
+        // sink rightly REFUSES checkpoint recovery): both runs append
+        // to one parquet dir whose _spark_metadata commit log is the
+        // sink half of the exactly-once contract.
+        val src = Files.createTempDirectory("graft-restart-src")
+        val sink = Files.createTempDirectory("graft-restart-sink").toString
+        val ckpt = newCkptDir()
+        def copyIn(name: String): Unit =
+          Files.copy(java.nio.file.Paths.get(staged, name), src.resolve(name),
+            StandardCopyOption.COPY_ATTRIBUTES)
+        def runOnce(): Unit = {
+          val keyed = fileStream(s, src.toString)
+            .withColumn("ts_hour", date_trunc("hour", col("ts")))
+          val deduped = Streams.dedupWithinWatermark(
+            keyed, Seq("user_id", "event_type", "ts_hour"))
+          val q = deduped.select("user_id", "event_type", "ts_hour")
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        withStatePartitions(s, 2)(withoutNoDataBatches(s) {
+          copyIn("00.parquet")
+          runOnce()
+          copyIn("01.parquet") // arrives while the query is down
+          runOnce()            // a NEW query object resumes the checkpoint
+        })
+        // batch read honors the sink's _spark_metadata commit log —
+        // only exactly-once-committed files are visible
+        val out = s.read.parquet(sink)
+          .orderBy("user_id", "event_type", "ts_hour")
+          .localCheckpoint(true) // materialize so the dirs can be deleted now
+        Seq(ckpt, src.toString, sink).foreach(deleteRecursively)
+        out
+      }),
+
     // ----- continuous COPY (auto-ingest): the reference's staged-CSV
     //       load as a STREAM — the same file_format option block and
     //       NULL_IF/cast pipeline as batch q35, but each staged file is
