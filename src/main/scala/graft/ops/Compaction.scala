@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction (OPTIMIZE / bin-pack rewrite) — the routine
+  * maintenance operator every file-accumulating ingest needs. The
+  * reference's daily COPY (`dags/s3_data_copy_test.py:26-29`) lands one
+  * object per run per stage file, and this engine's continuous COPY
+  * (q173) and exactly-once file sinks (q137/q176) land one file per
+  * micro-batch — at auto-ingest rates a 100 TB table degrades into
+  * millions of KB-sized files that pay listing, parquet-footer, and
+  * task-startup cost PER FILE on every read.
+  *
+  * Design (Spark-first):
+  *  - **plan**: one metadata listing (no data read) sizes the job —
+  *    `bins = ceil(dataBytes / targetBytes)` output files;
+  *  - **rewrite**: one distributed `repartitionByRange(bins, partition
+  *    cols ++ sort cols)` + `sortWithinPartitions` pass — range
+  *    partitioning keeps each output task on a contiguous key slice, so
+  *    a task overlaps at most two hive partitions and the output file
+  *    count is bounded by `bins + partitions`; the within-file sort
+  *    tightens parquet row-group min/max stats so post-compaction scans
+  *    prune on the sort key (the same layout contract as Delta's
+  *    OPTIMIZE ... ZORDER, for the 1-D case — see [[Layout]] for 2-D);
+  *  - **commit**: staged write + per-partition-directory rename swap —
+  *    the dynamic-partition-overwrite idiom. Each partition flips with
+  *    one atomic rename; untouched sibling partitions are never
+  *    disturbed. (Cross-partition atomicity needs a table-format commit
+  *    log — Delta/Iceberg — which is exactly what those formats add on
+  *    top of this file layout; on rename-atomic storage the per
+  *    -partition swap is the strongest commit plain directories offer.)
+  *
+  * At 100 TB the rewrite is shuffle-bound but embarrassingly parallel,
+  * prunes to only the partitions you pass (compact last-day partitions
+  * nightly, not the whole table), and the planning cost stays
+  * metadata-sized.
+  */
+object Compaction {
+
+  /** Listing-derived before/after footprint of one compaction run. */
+  final case class Report(filesBefore: Long, bytesBefore: Long,
+                          filesAfter: Long, bytesAfter: Long,
+                          bins: Int, partitionsAfter: Long) {
+    /** Bin-pack success: strictly fewer files, within the range-task
+      * bound (each of `bins` tasks writes ≤ 1 file per partition it
+      * overlaps, and a task overlaps ≤ 2 partitions ⇒ ≤ bins +
+      * partitions files). */
+    def packed: Boolean =
+      filesAfter < filesBefore && filesAfter <= bins + partitionsAfter
+  }
+
+  private def hadoop(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Recursive leaf data-file listing — metadata-only (one RPC per
+    * directory level, no file contents touched). */
+  def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val (fs, p) = hadoop(spark, dir)
+    val it = fs.listFiles(p, true)
+    val buf = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) buf += ((st.getPath.toString, st.getLen))
+    }
+    buf.result()
+  }
+
+  /** Bin-pack rewrite of the (optionally hive-partitioned) parquet
+    * table at `srcDir` into `destDir`: ~`targetBytes` per output file,
+    * rows sorted by `partitionCols ++ sortCols` within each file.
+    * Read-only on the source; see [[compactInPlace]] for the in-place
+    * committed form. */
+  def binPack(spark: SparkSession, srcDir: String, destDir: String,
+              partitionCols: Seq[String], sortCols: Seq[String],
+              targetBytes: Long): Report = {
+    val before = dataFiles(spark, srcDir)
+    val bytesBefore = before.map(_._2).sum
+    val bins = math.max(1, math.ceil(bytesBefore.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(srcDir)
+    val keyCols = (partitionCols ++ sortCols).map(col)
+    val packed =
+      if (keyCols.nonEmpty)
+        df.repartitionByRange(bins, keyCols: _*).sortWithinPartitions(keyCols: _*)
+      else df.repartition(bins)
+    val w = packed.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(destDir)
+    val after = dataFiles(spark, destDir)
+    val partitionsAfter =
+      if (partitionCols.isEmpty) 1L
+      else after.map(f => new Path(f._1).getParent.toString).distinct.size.toLong
+    Report(before.size.toLong, bytesBefore, after.size.toLong,
+      after.map(_._2).sum, bins, partitionsAfter)
+  }
+
+  /** In-place compaction with a dynamic-partition-overwrite commit:
+    * bin-pack into a staging sibling, then swap each partition
+    * directory into the live table with one rename apiece (whole-dir
+    * swap when unpartitioned). Old files go to a trash sibling first
+    * (crash before the final delete leaves data recoverable, never
+    * lost). */
+  def compactInPlace(spark: SparkSession, tableDir: String,
+                     partitionCols: Seq[String], sortCols: Seq[String],
+                     targetBytes: Long): Report = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val stagedDir = s"$tableDir.compact-staged-$runId"
+    val report = binPack(spark, tableDir, stagedDir, partitionCols, sortCols, targetBytes)
+    val (fs, live) = hadoop(spark, tableDir)
+    val staged = new Path(stagedDir)
+    val trash = new Path(s"$tableDir.compact-trash-$runId")
+    if (partitionCols.nonEmpty) {
+      fs.mkdirs(trash)
+      fs.listStatus(staged).filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName // e.g. "event_type=click"
+        val old = new Path(live, name)
+        if (fs.exists(old))
+          require(fs.rename(old, new Path(trash, name)), s"swap-out failed: $old")
+        require(fs.rename(st.getPath, old), s"swap-in failed: $name")
+      }
+    } else {
+      require(fs.rename(live, trash), s"swap-out failed: $live")
+      require(fs.rename(staged, live), s"swap-in failed: $staged")
+    }
+    fs.delete(trash, true)
+    fs.delete(staged, true)
+    report
+  }
+
+  /** Fragmented events layout — the post-auto-ingest state of the
+    * table: partitioned by event_type, deliberately written as ~24
+    * files per partition (one per writer task, the q173/q137 sink
+    * pathology). Staged once per fixture fingerprint, atomically
+    * ([[Staging.ensure]]); every later run is read-only on it. */
+  def fragmentedEvents(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-compact/frag_$fp") { tmp =>
+      Tables.load(s, dir, "events")
+        .repartition(24)
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    }
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- small-file compaction (OPTIMIZE): bin-pack the fragmented
+    //       auto-ingest table, then aggregate the COMPACTED copy. The
+    //       oracle aggregates the original events fixture in DuckDB —
+    //       a differential content-identity proof (any row lost,
+    //       duplicated, or value-mangled by the rewrite breaks n/sum) —
+    //       and pins compact_ok=1: the file count must strictly drop
+    //       AND land within the bin-pack bound (bins + partitions).
+    //       File-count exactness and the in-place swap are asserted in
+    //       CompactionSpec; sortedness tightens row-group stats. -----
+    Q("q177_compaction",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 4) AS total_value, CAST(1 AS INT) AS compact_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val frag = fragmentedEvents(s, dir)
+        val fp = Staging.fingerprintOf(dir, Seq("events"))
+        val dest = s"target/graft-compact/out_$fp"
+        val r = binPack(s, frag, dest,
+          partitionCols = Seq("event_type"), sortCols = Seq("user_id", "ts"),
+          targetBytes = 1L << 20)
+        s.read.parquet(dest)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 4).as("total_value"))
+          .withColumn("compact_ok", lit(if (r.packed) 1 else 0))
+          .orderBy("event_type")
+      })
+  )
+}
