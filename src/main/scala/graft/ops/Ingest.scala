@@ -31,24 +31,31 @@ import java.time.format.DateTimeFormatter
   */
 object Ingest {
 
-  /** Expected parse of the 2022-07-13 staged file — shared by q35
-    * (plain CSV) and q167 (gzip): compression must not change parse
-    * semantics, so both gates answer to one literal table. */
-  private val duckCopyValues: String =
-    """SELECT CAST(trans_id AS BIGINT) AS trans_id, CAST(order_id AS BIGINT) AS order_id,
-      |  CAST(product_id AS BIGINT) AS product_id, CAST(quantity AS INT) AS quantity,
-      |  CAST(unit_price AS DOUBLE) AS unit_price, currency, trans_ts, note
-      |FROM (VALUES
-      |  (1001,501,9001,2,19.99,'USD',TIMESTAMP '2022-07-13 08:30:00','plain'),
-      |  (1002,502,9002,NULL,4.5,'EUR',TIMESTAMP '2022-07-13 09:00:00','upper null qty'),
-      |  (1003,503,9003,3,NULL,'USD',TIMESTAMP '2022-07-13 09:15:00','lower null price'),
-      |  (1004,504,9004,1,7.25,NULL,TIMESTAMP '2022-07-13 10:00:00','empty currency'),
-      |  (1005,505,9005,5,12.0,'USD',TIMESTAMP '2022-07-13 10:30:00','quoted, with comma'),
-      |  (1006,506,9006,4,3.75,'GBP',TIMESTAMP '2022-07-13 11:00:00','embedded "quote" here'),
-      |  (1007,507,9007,2,8.1,'USD',TIMESTAMP '2022-07-13 11:30:00','back\slash note'),
-      |  (1008,508,NULL,6,2.2,'USD',TIMESTAMP '2022-07-13 12:00:00','missing product')
-      |) AS t(trans_id, order_id, product_id, quantity, unit_price, currency, trans_ts, note)
-      |ORDER BY trans_id""".stripMargin
+  /** DuckDB `read_csv` over the SAME staged files the engine copies —
+    * the differential form of the COPY oracles: an independent CSV
+    * parser applying the reference's file_format semantics (header,
+    * quote doubling, literal backslash, multi-valued NULL_IF, typed
+    * casts). Any parse drift between the two engines — or any fixture
+    * bug shared with a hand-written literal — breaks the compare.
+    * `withFilename` adds DuckDB's `filename` column for per-file
+    * grouping (the backfill audit). */
+  def duckReadCsv(files: Seq[String], withFilename: Boolean = false): String = {
+    val list = files.map(f => s"'$stageDir/$f'").mkString("[", ", ", "]")
+    s"""read_csv($list,
+       |  header=true, delim=',', quote='"', escape='"',
+       |  nullstr=['NULL', 'null', ''],${if (withFilename) " filename=true," else ""}
+       |  columns={'trans_id': 'BIGINT', 'order_id': 'BIGINT',
+       |    'product_id': 'BIGINT', 'quantity': 'INT', 'unit_price': 'DOUBLE',
+       |    'currency': 'VARCHAR', 'trans_ts': 'TIMESTAMP', 'note': 'VARCHAR'})""".stripMargin
+  }
+
+  /** Differential parse oracle shared by q35 (plain CSV) and q167
+    * (gzip — DuckDB decodes by extension exactly like Spark, so the
+    * codec must be invisible to parse semantics). */
+  private def duckCopyOracle(file: String): String =
+    s"""SELECT trans_id, order_id, product_id, quantity, unit_price, currency, trans_ts, note
+       |FROM ${duckReadCsv(Seq(file))}
+       |ORDER BY trans_id""".stripMargin
 
   /** Target schema of `prestg_product_order_trans` (FIXTURES.md B1). */
   val transSchema: StructType = StructType(Seq(
@@ -298,6 +305,12 @@ object Ingest {
   def stageDir: String =
     Paths.get(System.getProperty("java.io.tmpdir"), "graft-stage").toString
 
+  /** q174's two-epoch parquet fixture home — content is code-versioned
+    * (bump the suffix when the fixture rows change); built at most once
+    * via [[Staging.ensure]]. */
+  val evolveDir: String =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft-evolve-v2").toString
+
   private def csvContent(ds: LocalDate, off: Int): String = {
     val d = ds.toString
     Seq(
@@ -360,7 +373,7 @@ object Ingest {
 
     // ----- S1-S5 + §2.2.1: single-date COPY, full parsed rows -----
     Q("q35_copy_csv",
-      Some(Ingest.duckCopyValues),
+      Some(Ingest.duckCopyOracle(stagedFileName(backfillStart))),
       (s, _) => {
         val stage = writeStageFixtures()
         copyInto(s, stage, Seq(stagedFileName(backfillStart)))
@@ -376,7 +389,7 @@ object Ingest {
     //       are non-splittable (one task per file — stage many
     //       medium files, not one giant one). -----
     Q("q167_copy_gzip",
-      Some(Ingest.duckCopyValues),
+      Some(Ingest.duckCopyOracle(stagedFileName(backfillStart) + ".gz")),
       (s, _) => {
         val stage = writeStageFixtures()
         val gzName = stagedFileName(backfillStart) + ".gz"
@@ -448,23 +461,34 @@ object Ingest {
     //       that schema. Values chosen so any old/new row confusion
     //       (wrong default, dropped file, double read) breaks the sums. -----
     Q("q174_schema_evolution",
-      Some("""SELECT * FROM (VALUES
-             |  (CAST(3 AS BIGINT), CAST(6006 AS BIGINT), CAST(9 AS BIGINT),
-             |   CAST(0.0 AS DOUBLE), CAST(3 AS BIGINT)),
-             |  (CAST(3 AS BIGINT), CAST(6015 AS BIGINT), CAST(12 AS BIGINT),
-             |   CAST(0.3 AS DOUBLE), CAST(0 AS BIGINT)))
-             |  AS t(n_rows, sum_id, sum_qty, sum_disc, n_defaulted)
+      // Differential oracle: DuckDB union_by_name over the SAME two
+      // parquet epochs — its footer merge must agree with Spark's
+      // mergeSchema on old-rows-read-as-NULL and the explicit default.
+      Some(s"""SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(sum_id AS BIGINT) AS sum_id,
+             |  CAST(sum_qty AS BIGINT) AS sum_qty, CAST(sum_disc AS DOUBLE) AS sum_disc,
+             |  CAST(n_defaulted AS BIGINT) AS n_defaulted
+             |FROM (
+             |  SELECT count(*) AS n_rows, sum(trans_id) AS sum_id,
+             |    sum(quantity) AS sum_qty,
+             |    round(sum(coalesce(discount, 0.0)), 4) AS sum_disc,
+             |    count(CASE WHEN discount IS NULL THEN 1 END) AS n_defaulted
+             |  FROM read_parquet('$evolveDir/epoch=*/*.parquet',
+             |                    union_by_name=true, hive_partitioning=true)
+             |  GROUP BY epoch)
              |ORDER BY sum_id""".stripMargin),
       (s, _) => {
-        val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft-evolve").toString
-        import s.implicits._
-        // epoch 1: pre-evolution schema (no discount column)
-        Seq((2001L, 2), (2002L, 3), (2003L, 4)).toDF("trans_id", "quantity")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/epoch=1")
-        // epoch 2: discount added
-        Seq((2004L, 3, 0.1), (2005L, 4, 0.2), (2006L, 5, 0.0))
-          .toDF("trans_id", "quantity", "discount")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/epoch=2")
+        // Staged once system-wide (atomic publish, ADVICE round-7:
+        // never rewrite a shared fixture inside the timed query).
+        val dir = Staging.ensure(evolveDir) { tmp =>
+          import s.implicits._
+          // epoch 1: pre-evolution schema (no discount column)
+          Seq((2001L, 2), (2002L, 3), (2003L, 4)).toDF("trans_id", "quantity")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/epoch=1")
+          // epoch 2: discount added
+          Seq((2004L, 3, 0.1), (2005L, 4, 0.2), (2006L, 5, 0.0))
+            .toDF("trans_id", "quantity", "discount")
+            .coalesce(1).write.mode("overwrite").parquet(s"$tmp/epoch=2")
+        }
         s.read.option("mergeSchema", "true").parquet(dir)
           .withColumn("defaulted", col("discount").isNull.cast("int"))
           .withColumn("discount", coalesce(col("discount"), lit(0.0)))
@@ -478,15 +502,22 @@ object Ingest {
           .orderBy("sum_id")
       }),
 
-    // ----- O8/O9: 3-date backfill loop, per-load_date summary -----
+    // ----- O8/O9: 3-date backfill loop, per-load_date summary. The
+    //       oracle re-parses the SAME three staged files with DuckDB
+    //       read_csv, deriving each file's logical date from its
+    //       filename exactly like the backfill loop renders it — a
+    //       differential check of both the parse and the
+    //       filename→load_date mapping. -----
     Q("q36_backfill_copy",
-      Some("""SELECT CAST(load_date AS DATE) AS load_date, CAST(n_rows AS BIGINT) AS n_rows,
-             |  CAST(n_qty AS BIGINT) AS n_qty, CAST(total_price AS DOUBLE) AS total_price
-             |FROM (VALUES
-             |  ('2022-07-13', 8, 7, 57.79),
-             |  ('2022-07-14', 8, 7, 57.79),
-             |  ('2022-07-15', 8, 7, 57.79)
-             |) AS t(load_date, n_rows, n_qty, total_price)
+      Some(s"""SELECT CAST(strptime(substr(parse_filename(filename), 21, 8), '%m%d%Y') AS DATE) AS load_date,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(quantity) AS BIGINT) AS n_qty,
+             |  CAST(round(sum(unit_price), 4) AS DOUBLE) AS total_price
+             |FROM ${Ingest.duckReadCsv(
+               Iterator.iterate(backfillStart)(_.plusDays(1))
+                 .takeWhile(_.isBefore(backfillEnd)).map(stagedFileName).toSeq,
+               withFilename = true)}
+             |GROUP BY load_date
              |ORDER BY load_date""".stripMargin),
       (s, _) => {
         val stage = writeStageFixtures()

@@ -439,23 +439,25 @@ object StreamQueries {
     //       NULL_IF/cast pipeline as batch q35, but each staged file is
     //       its own micro-batch, appended exactly once (the source's
     //       checkpointed file log is the load history). The oracle is a
-    //       per-load-date audit over ALL three backfill files: n=8 rows
-    //       per date and value sums that any parse drift (quote, NULL_IF,
-    //       cast) or double-delivery would break. Delivery mode must be
+    //       per-load-date audit over ALL three backfill files, computed
+    //       DIFFERENTIALLY: DuckDB read_csv re-parses the same staged
+    //       files, so any parse drift (quote, NULL_IF, cast) or
+    //       double-delivery breaks the compare. Delivery mode must be
     //       invisible: streaming COPY ≡ batch COPY of the same files. -----
     Q("q173_copy_stream",
-      Some("""SELECT * FROM (VALUES
-             |  (DATE '2022-07-13', CAST(8 AS BIGINT), CAST(8036 AS BIGINT),
-             |   CAST(23 AS BIGINT), CAST(57.79 AS DOUBLE),
-             |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-             |  (DATE '2022-07-14', CAST(8 AS BIGINT), CAST(8836 AS BIGINT),
-             |   CAST(23 AS BIGINT), CAST(57.79 AS DOUBLE),
-             |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
-             |  (DATE '2022-07-15', CAST(8 AS BIGINT), CAST(9636 AS BIGINT),
-             |   CAST(23 AS BIGINT), CAST(57.79 AS DOUBLE),
-             |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
-             |  AS t(load_date, n_rows, sum_trans_id, sum_qty, sum_price,
-             |       null_qty, null_ccy, null_product)
+      Some(s"""SELECT CAST(trans_ts AS DATE) AS load_date,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(trans_id) AS BIGINT) AS sum_trans_id,
+             |  CAST(sum(quantity) AS BIGINT) AS sum_qty,
+             |  CAST(round(sum(unit_price), 4) AS DOUBLE) AS sum_price,
+             |  CAST(count(CASE WHEN quantity IS NULL THEN 1 END) AS BIGINT) AS null_qty,
+             |  CAST(count(CASE WHEN currency IS NULL THEN 1 END) AS BIGINT) AS null_ccy,
+             |  CAST(count(CASE WHEN product_id IS NULL THEN 1 END) AS BIGINT) AS null_product
+             |FROM ${graft.ops.Ingest.duckReadCsv(
+               Iterator.iterate(graft.ops.Ingest.backfillStart)(_.plusDays(1))
+                 .takeWhile(_.isBefore(graft.ops.Ingest.backfillEnd))
+                 .map(graft.ops.Ingest.stagedFileName).toSeq)}
+             |GROUP BY load_date
              |ORDER BY load_date""".stripMargin),
       (s, _) => {
         val stage = graft.ops.Ingest.writeStageFixtures()
