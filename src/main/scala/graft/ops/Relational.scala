@@ -382,6 +382,41 @@ object Relational {
             max(col("p")).cast("double").as("max_price"))
           .orderBy("l_returnflag")),
 
+    // ----- DECIMAL sum OVERFLOW semantics (q175's sequel): Spark gives
+    //       a decimal sum 10 extra digits of headroom (sum(DECIMAL(12,2))
+    //       → DECIMAL(22,2)), so even 10^11 rows of money cannot
+    //       overflow it — but a column already at the 38-digit ceiling
+    //       gets NO headroom, and that is where 100-TB row counts make
+    //       overflow a real event, not a corner case. The engineered
+    //       `big` column (9·10^35 at DECIMAL(38,2)) overflows its sum at
+    //       the second row of every group, proving the production
+    //       discipline: `try_sum` degrades to NULL (never silent wrap —
+    //       the ANSI NUMERIC_VALUE_OUT_OF_RANGE throw is pinned in
+    //       DecimalOverflowSpec),
+    //       and the recovery is to aggregate at a precision with
+    //       headroom — `revenue_widened` sums the same money at
+    //       DECIMAL(20,2) (→ DECIMAL(30,2), exact) and must equal the
+    //       DECIMAL(12,2) sum DuckDB computes independently. -----
+    Q("q178_decimal_overflow",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(1 AS INT) AS overflow_is_null,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue_widened
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("p12"),
+            col("l_extendedprice").cast("decimal(20,2)").as("p20"),
+            lit("900000000000000000000000000000000000.00")
+              .cast("decimal(38,2)").as("big"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            try_sum(col("big")).isNull.cast("int").as("overflow_is_null"),
+            sum(col("p12")).cast("double").as("revenue"),
+            sum(col("p20")).cast("double").as("revenue_widened"))
+          .orderBy("l_returnflag")),
+
     // ----- aggregation: percentiles / median (exact, linear interpolation) -----
     Q("q18_percentiles",
       Some("""SELECT o_orderstatus,
