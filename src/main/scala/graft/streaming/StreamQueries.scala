@@ -476,6 +476,60 @@ object StreamQueries {
             count(when(col("currency").isNull, 1)).as("null_ccy"),
             count(when(col("product_id").isNull, 1)).as("null_product"))
           .orderBy("load_date")
+      }),
+
+    // ----- streaming CDC upsert (continuous keyed MERGE — the
+    //       streams+tasks idiom): each micro-batch of change events
+    //       merges into a versioned keyed table via foreachBatch —
+    //       increments on U, delete/reset on D (see
+    //       Streams.cdcApplyBatch for the MVCC commit protocol). After
+    //       the stream drains, the LAST batch is deliberately REPLAYED
+    //       through the same apply path — foreachBatch's at-least-once
+    //       redelivery window — and because the increment merge is NOT
+    //       value-idempotent, any append-or-read-latest bug
+    //       double-applies and breaks the hash. Oracle: the same CDC
+    //       semantics computed globally by DuckDB (sum/count of U
+    //       events after each key's last D). -----
+    Q("q179_stream_cdc_upsert",
+      Some("""WITH d AS (
+             |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+             |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM events),
+             |lastd AS (
+             |  SELECT user_id, ts AS d_ts, event_id AS d_id FROM (
+             |    SELECT user_id, ts, event_id,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM d WHERE op = 'D') WHERE rn = 1)
+             |SELECT u.user_id, round(sum(u.value), 4) AS total_value,
+             |  CAST(count(*) AS BIGINT) AS n_ups
+             |FROM d u LEFT JOIN lastd l USING (user_id)
+             |WHERE u.op = 'U' AND (l.d_ts IS NULL OR (u.ts, u.event_id) > (l.d_ts, l.d_id))
+             |GROUP BY u.user_id
+             |ORDER BY u.user_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "ts", "value")
+        val staged = stageSplit(ev, "ts", "cdc", dir)
+        val state = Files.createTempDirectory("graft-cdc-state").toString
+        val ckpt = newCkptDir()
+        withStatePartitions(s, 2)(withoutNoDataBatches(s) {
+          val q = fileStream(s, staged).writeStream
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .foreachBatch((b: DataFrame, id: Long) =>
+              Streams.cdcApplyBatch(b, state, id))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        })
+        // at-least-once replay of the final batch (file 01 = batch 1):
+        // must rewrite an IDENTICAL v=1 from the untouched v=0
+        Streams.cdcApplyBatch(s.read.parquet(s"$staged/01.parquet"), state, 1L)
+        val out = s.read.parquet(s"$state/v=1")
+          .select(col("user_id"), round(col("total_value"), 4).as("total_value"),
+            col("n_ups"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+        Seq(state, ckpt).foreach(deleteRecursively)
+        out
       })
   )
 }

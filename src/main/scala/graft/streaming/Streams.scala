@@ -173,6 +173,64 @@ object Streams {
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  /** Streaming CDC apply (the Snowflake streams+tasks idiom): each
+    * micro-batch of keyed change events MERGEs into a versioned state
+    * table. Ops derive from the event: `D` (delete/reset) drops the
+    * key's accumulated state; `U` increments it — an INCREMENTAL merge
+    * (`SET total = total + delta`), deliberately not re-applicable, so
+    * replay correctness must come from the commit protocol, not value
+    * idempotence.
+    *
+    * That protocol is versioned state: batch N reads `v=N-1` and
+    * OVERWRITES `v=N`. foreachBatch is at-least-once (a crash between
+    * sink write and checkpoint commit redelivers the batch), and a
+    * replayed batch N re-reads the untouched `v=N-1` and rewrites an
+    * identical `v=N` — increments can never double-apply. This is the
+    * same MVCC shape a lakehouse table format commits (Delta/Iceberg
+    * snapshot per txn), expressed directly on parquet. At scale the
+    * merge is one keyed shuffle join per batch over state partitioned
+    * the same way — and old versions are pruned after commit.
+    *
+    * Batch semantics (composes to global event order because batches
+    * partition time): per key, the state after a batch is the sum and
+    * count of `U` values AFTER the key's last `D` (events strictly
+    * ordered by (ts, event_id)); a key whose last op is `D` with no
+    * later `U` is deleted. */
+  def cdcApplyBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val stateSchema = StructType.fromDDL(
+      "user_id BIGINT, total_value DOUBLE, n_ups BIGINT")
+    val prev =
+      if (batchId == 0L)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), stateSchema)
+      else spark.read.parquet(s"$stateDir/v=${batchId - 1}")
+    val d = batch.withColumn("op",
+      when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U"))
+    // last delete per key, ordered by (ts, event_id) — struct max is
+    // lexicographic, one map-side-combined agg, no window shuffle
+    val lastD = d.filter(col("op") === "D").groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"))).as("ld"))
+    val upserts = d.filter(col("op") === "U")
+      .join(lastD, Seq("user_id"), "left")
+      .filter(col("ld").isNull || struct(col("ts"), col("event_id")) > col("ld"))
+      .groupBy("user_id")
+      .agg(sum(col("value")).as("incr"), count(lit(1)).as("n_incr"))
+    val summary = upserts
+      .join(lastD.select(col("user_id"), lit(true).as("has_d")), Seq("user_id"), "full_outer")
+    val merged = prev.join(summary, Seq("user_id"), "full_outer")
+      .withColumn("has_d", coalesce(col("has_d"), lit(false)))
+      // MERGE ... WHEN MATCHED AND deleted THEN DELETE
+      .filter(!(col("has_d") && col("n_incr").isNull))
+      .select(col("user_id"),
+        when(col("has_d"), coalesce(col("incr"), lit(0.0)))              // reset
+          .otherwise(coalesce(col("total_value"), lit(0.0))
+            + coalesce(col("incr"), lit(0.0))).as("total_value"),       // increment
+        when(col("has_d"), coalesce(col("n_incr"), lit(0L)))
+          .otherwise(coalesce(col("n_ups"), lit(0L))
+            + coalesce(col("n_incr"), lit(0L))).as("n_ups"))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+  }
+
   /** Exactly-once-style parquet sink via foreachBatch — the canonical
     * production sink for stores without native streaming commit. */
   def foreachBatchSink(sdf: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
