@@ -136,8 +136,17 @@ object Ingest {
     * classification is branch-stable. Everything is plain Catalyst —
     * the predicate is codegen'd, the line scan still parallelizes per
     * file/split, and the audit is a per-file metadata-sized aggregate.
-    * Precondition (same as the reference's RECORD_DELIMITER='\n'):
-    * records are newline-free, so the line scan is record-exact.
+    * Preconditions (same contract family as the reference's
+    * RECORD_DELIMITER='\n'):
+    *  - records are newline-free, so the line scan is record-exact;
+    *  - no DATA row serializes byte-identically to the header line —
+    *    SKIP_HEADER here is a value filter, not a position filter (a
+    *    per-file row ordinal over a parallel text scan would cost a
+    *    window shuffle in the scan path), so such a row would be
+    *    skipped as a header wherever it appears;
+    *  - blank lines are not records: they are dropped before parsing
+    *    and appear in neither rows_parsed nor errors_seen (Snowflake
+    *    likewise skips empty lines rather than rejecting them).
     */
   def copyOnErrorContinue(spark: SparkSession, stageDir: String,
                           files: Seq[String]): (DataFrame, DataFrame) = {

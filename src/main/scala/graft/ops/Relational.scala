@@ -349,7 +349,10 @@ object Relational {
         Tables.load(s, dir, "lineitem")
           .select("l_returnflag", "l_partkey").distinct()
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("exact_parts"),
+          // count(col), not count(*): a NULL partkey would otherwise be
+          // one value per flag, diverging from COUNT(DISTINCT)'s
+          // null-ignoring semantics (ADVICE r7)
+          .agg(count(col("l_partkey")).as("exact_parts"),
             approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
           .withColumn("approx_ok",
             (abs(col("approx_parts") - col("exact_parts")).cast("double")

@@ -235,13 +235,18 @@ object ScaleOps {
       (s, dir) => {
         val support = 0.006
         val events = Tables.load(s, dir, "events")
-        val total = events.count()
         val candidates = events.stat.freqItems(Seq("user_id"), support)
           .head().getSeq[Long](0)
+        // the exact total rides the certify job as a broadcast scalar
+        // (one-row agg subquery) instead of its own count() action —
+        // two actions total: the sketch pass and the certify pass
+        val total = events.agg(count(lit(1)).as("total"))
         events.filter(col("user_id").isin(candidates: _*))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"))
-          .filter(col("n_events") > support * total)
+          .crossJoin(broadcast(total))
+          .filter(col("n_events") > lit(support) * col("total"))
+          .select("user_id", "n_events")
           .orderBy("user_id")
       }),
 
@@ -299,28 +304,24 @@ object ScaleOps {
   )
 
   /** Month-partitioned orders layout + month dim for the DPP gate —
-    * written once per fixture dir (the `_LAYOUT_DONE` marker makes
-    * re-runs and the bench read-only), shared by q172 and the
+    * staged once per fixture FINGERPRINT via [[Staging.ensure]]
+    * (ADVICE r7: a JVM-local marker let two processes race the build
+    * and never invalidated on fixture regeneration; the atomic-publish
+    * + fingerprint-keyed path closes both). Shared by q172 and the
     * PlanShapeSpec DPP assertions so the asserted plan is exactly the
     * gated query's plan. Returns (fact scan, year-filtered dim). */
   def dppJoinSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = java.nio.file.Paths.get(s"target/graft-dpp/$tag")
-    val factDir = base.resolve("orders_by_month").toString
-    val dimDir = base.resolve("month_dim").toString
-    val marker = base.resolve("_LAYOUT_DONE")
-    synchronized {
-      if (!java.nio.file.Files.exists(marker)) {
-        val orders = Tables.load(s, dir, "orders")
-          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-        orders.write.mode("overwrite").partitionBy("o_month").parquet(factDir)
-        orders.select("o_month").distinct()
-          .withColumn("m_year", substring(col("o_month"), 1, 4))
-          .coalesce(1).write.mode("overwrite").parquet(dimDir)
-        java.nio.file.Files.createFile(marker)
-      }
+    val fp = Staging.fingerprintOf(dir, Seq("orders"))
+    val base = Staging.ensure(s"target/graft-dpp/layout_$fp") { tmp =>
+      val orders = Tables.load(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      orders.write.mode("overwrite").partitionBy("o_month")
+        .parquet(s"$tmp/orders_by_month")
+      orders.select("o_month").distinct()
+        .withColumn("m_year", substring(col("o_month"), 1, 4))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/month_dim")
     }
-    (s.read.parquet(factDir),
-      s.read.parquet(dimDir).filter(col("m_year") === "1995"))
+    (s.read.parquet(s"$base/orders_by_month"),
+      s.read.parquet(s"$base/month_dim").filter(col("m_year") === "1995"))
   }
 }
