@@ -1,0 +1,210 @@
+package graft.tools
+
+import graft.Tables
+import graft.ops.{Compaction, ScaleOps, Staging}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 scale measurements behind SCALING.md rows that ScaleSmoke's
+  * generic 1×-vs-N× wall-clock protocol can't express:
+  *
+  *  - `dpp30`: DPP pruned-partition RATIO on a 30× orders replica —
+  *    proves runtime pruning stays proportional (12/~84 months) when
+  *    the per-partition file population grows 30×.
+  *  - `mergeschema`: q174's footer-merge cost as a function of file
+  *    count — DataFrame CREATION time (schema resolution) for
+  *    `mergeSchema=true` vs a catalog-pinned schema over the same
+  *    many-file two-epoch table; the data-read pass is timed
+  *    separately to show parity.
+  *  - `compact10`: q177's file-count bound at 10× — binPack report
+  *    (files/bytes before → after, bins) on a 10× fragmented events
+  *    table.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [dpp1|dpp30|mergeschema|compact10 ...]
+  * (no args = all). Writes only under target/.
+  */
+object ScaleProbe {
+
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def dpp(spark: SparkSession, srcDir: String, factor: Int): Unit = {
+    // factor× orders-only replica (key-shifted copies, same protocol as
+    // ScaleSmoke.buildScaled) — DPP needs no other table
+    val scaled =
+      if (factor == 1) srcDir
+      else Staging.ensure(s"target/graft-probe/orders${factor}x") { tmp =>
+        val base = Tables.load(spark, srcDir, "orders")
+        val span = 10000000L
+        (0 until factor).map(i => base
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * span))
+            .withColumn("o_custkey", col("o_custkey") + lit(i * span)))
+          .reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      }
+    val (fact, dim) = ScaleOps.dppJoinSides(spark, scaled)
+    val joined = fact.join(dim, Seq("o_month"))
+      .groupBy("o_month").agg(count(lit(1)).as("n"))
+    // collect() (12 rows) drives THIS QueryExecution — a write would plan
+    // a fresh one and leave these scan metrics at zero
+    val (_, warm) = time(joined.collect())
+    val joined2 = fact.join(dim, Seq("o_month"))
+      .groupBy("o_month").agg(count(lit(1)).as("n"))
+    val (_, wall) = time(joined2.collect())
+    val _ = warm
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(joined.queryExecution.executedPlan)
+      .find(_.partitionFilters.nonEmpty).get
+    val parts = factScan.metrics("numPartitions").value
+    val files = factScan.metrics("numFiles").value
+    val total = fact.select("o_month").distinct().count()
+    println(s"[probe] dpp${factor}x: wall=${"%.2f".format(wall)}s " +
+      s"partitionsRead=$parts of $total, filesRead=$files")
+  }
+
+  def mergeSchema(spark: SparkSession, srcDir: String): Unit = {
+    // two-epoch events table fragmented to ~nFiles footers (half lack
+    // the added column) — the q174 shape at a production file count
+    val nFiles = 400
+    val dir = Staging.ensure(s"target/graft-probe/evolve$nFiles") { tmp =>
+      val ev = Tables.load(spark, srcDir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      ev.repartition(nFiles / 2).write.mode("overwrite").parquet(s"$tmp/epoch=1")
+      ev.withColumn("quality", col("value") * 2)
+        .repartition(nFiles / 2).write.mode("overwrite").parquet(s"$tmp/epoch=2")
+    }
+    val pinned = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    def create(merge: Boolean): DataFrame =
+      if (merge) spark.read.option("mergeSchema", "true").parquet(dir)
+      else spark.read.schema(pinned).parquet(dir)
+    def probe(merge: Boolean): (Double, Double) = {
+      spark.catalog.clearCache()
+      spark.sessionState.catalog.invalidateAllCachedTables()
+      val (df, tCreate) = time(create(merge))
+      val (_, tAgg) = time(
+        df.agg(count(lit(1)), sum("value"), sum("quality"))
+          .write.format("noop").mode("overwrite").save())
+      (tCreate, tAgg)
+    }
+    probe(merge = true) // warm FS metadata so both timed passes are warm
+    val (mc, ma) = probe(merge = true)
+    val (pc, pa) = probe(merge = false)
+    println(f"[probe] mergeschema files=$nFiles merged: create=$mc%.2fs agg=$ma%.2fs | " +
+      f"pinned: create=$pc%.2fs agg=$pa%.2fs")
+  }
+
+  def compact10(spark: SparkSession, srcDir: String): Unit = {
+    // 10× events, fragmented like the q173 auto-ingest sink (24 writer
+    // tasks per partition), then bin-packed to 4 MiB targets
+    val frag = Staging.ensure("target/graft-probe/frag10x") { tmp =>
+      val base = Tables.load(spark, srcDir, "events")
+      (0 until 10).map(i => base
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+        .reduce(_.unionByName(_))
+        .repartition(24)
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    }
+    val (r, wall) = time(Compaction.binPack(spark, frag,
+      "target/graft-probe/packed10x", Seq("event_type"), Seq("user_id", "ts"),
+      targetBytes = 4L << 20))
+    println(s"[probe] compact10x: wall=${"%.2f".format(wall)}s $r packed=${r.packed}")
+  }
+
+  /** q176's restart contract as a function of RESIDENT STATE SIZE: a
+    * dedup-state stream (same shape as q176 — file source, watermark
+    * dedup, file sink, AvailableNow) checkpoints K distinct keys in run
+    * 1; run 2 is a NEW query object resuming the checkpoint to process
+    * one small batch. Run 2's wall = query start + offset-log resume +
+    * per-partition state RELOAD + one trigger — the part that grows
+    * with K is the default HDFS-backed store re-reading its full
+    * snapshot, which is the number this probe isolates (both runs pay
+    * identical fixed floors). The 100-TB mitigation is q142's
+    * transformWithState-on-RocksDB (incremental snapshots, no full
+    * reload) plus state partitions sized to keyspace.
+    */
+  def restart(spark: SparkSession): Unit = {
+    import java.nio.file.{Files, Paths}
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      // first element is a JVM/streaming-engine warmup, not printed —
+      // the first streaming query in a JVM pays one-time codegen/class
+      // load that would otherwise be charged to the smallest K
+      Seq(100, 1000, 100000, 1000000).foreach { k =>
+        val src = Files.createTempDirectory("graft-probe-restart-src").toString
+        val sink = Files.createTempDirectory("graft-probe-restart-sink").toString
+        val ckpt = Files.createTempDirectory("graft-probe-restart-ckpt").toString
+        def writeBatch(n: Int, keyOffset: Long): Unit =
+          spark.range(n).selectExpr(
+            s"id + $keyOffset AS user_id",
+            "CAST(id % 7 AS STRING) AS event_type",
+            "timestamp'2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id % 3600) AS ts")
+            .coalesce(1).write.mode("append").parquet(src)
+        def runOnce(): Double = {
+          val in = spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+          val (_, w) = time {
+            val q = in.writeStream.format("parquet").outputMode("append")
+              .option("path", sink).option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            try q.awaitTermination() finally q.stop()
+          }
+          w
+        }
+        writeBatch(k, 0L)
+        val run1 = runOnce()
+        writeBatch(100, k + 1000000L) // arrives while the query is down
+        val run2 = runOnce()          // new query object resumes the checkpoint
+        val rows = spark.read.parquet(sink).count()
+        if (k >= 1000)
+          println(f"[probe] restart k=$k run1=$run1%.2fs run2(resume+100rows)=$run2%.2fs rows=$rows")
+        Seq(src, sink, ckpt).foreach(d => Staging.deleteRecursively(Paths.get(d)))
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "target/graft-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+    val wanted =
+      if (args.isEmpty) Seq("dpp1", "dpp30", "mergeschema", "compact10", "restart")
+      else args.toSeq
+    wanted.foreach {
+      case "dpp1"        => dpp(spark, srcDir, 1)
+      case "dpp30"       => dpp(spark, srcDir, 30)
+      case "mergeschema" => mergeSchema(spark, srcDir)
+      case "compact10"   => compact10(spark, srcDir)
+      case "restart"     => restart(spark)
+      case other         => System.err.println(s"[probe] unknown probe: $other")
+    }
+    spark.stop()
+  }
+}
