@@ -378,6 +378,13 @@ object Ingest {
     stageDir
   }
 
+  /** q181's fixed unload stage — content is code-versioned (the q35
+    * relation), so the path carries a version suffix, not a fixture
+    * fingerprint; bump it when the staged rows change. Initialized
+    * before [[queries]]: the oracle SQL interpolates it. */
+  val unloadRtDir: String =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft-unload-rt-v1").toString
+
   val queries: Seq[Q] = Seq(
 
     // ----- S1-S5 + §2.2.1: single-date COPY, full parsed rows -----
@@ -604,6 +611,131 @@ object Ingest {
           .select(col("parts").getItem(0).cast("long").as("doc_id"),
             length(col("parts").getItem(1)).cast("long").as("n_chars_rt"))
           .orderBy("doc_id")
+      }),
+
+    // ----- COPY INTO <location> (UNLOAD): the reverse of q35 — write a
+    //       query result to a stage as gzip CSV under the same
+    //       file_format options, split into N files (the MAX_FILE_SIZE
+    //       analogue; at 100 TB the split count is what parallelizes
+    //       the consumer, and gzip parts must stay medium-sized because
+    //       the codec is non-splittable). The differential chain is a
+    //       full cross-parser round trip of ENGINE-WRITTEN bytes: Spark
+    //       parses the staged files back (returned relation) while
+    //       DuckDB parses the SAME files independently (oracle) — any
+    //       quoting/NULL/typed-format drift between writer and either
+    //       reader breaks the hash. Layout is fingerprint-keyed and
+    //       atomically published once per fixture (Staging.ensure), so
+    //       concurrent gate/bench JVMs race benignly. -----
+    Q("q180_unload_csv",
+      // Table-derived differential (the q172 precedent for
+      // fixture-keyed layouts): DuckDB computes the projection straight
+      // from the parquet it never saw leave — the returned relation
+      // went parquet → CSV.gz → parse, so ANY loss in the unload or
+      // the readback breaks the hash. The engine-written bytes
+      // themselves are DuckDB-parsed by q181 (fixed-path stage).
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+             |  o_orderdate,
+             |  'pri "' || o_orderpriority || '", checked' AS note,
+             |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             |       ELSE o_orderstatus END AS comment_n
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val staged = unloadOrders(s, dir)
+        s.read.format("csv").options(csvOptions)
+          .option("nullValue", "NULL")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+          .schema(unloadSchema)
+          .load(s"$staged/part-*.csv.gz")
+          .orderBy("o_orderkey")
+      }),
+
+    // ----- UNLOAD cross-parser certification: unload the q35 relation
+    //       (fixed content — the §2.2.1 parse-edge rows) to a FIXED
+    //       stage path, return the engine's in-memory relation, and let
+    //       the oracle be DuckDB RE-PARSING THE ENGINE-WRITTEN FILES.
+    //       Chain: reference CSV → Spark parse → Spark gzip-CSV write →
+    //       DuckDB parse; any writer-side quoting/NULL/timestamp drift
+    //       a Spark readback would symmetrically mask breaks this hash.
+    //       (q35 certifies the two PARSERS agree on shared bytes; this
+    //       certifies the WRITER against the foreign parser.) -----
+    Q("q181_unload_reparse",
+      Some(s"""SELECT trans_id, order_id, product_id, quantity, unit_price,
+             |  currency, trans_ts, note
+             |FROM read_csv('$unloadRtDir/part-*.csv.gz',
+             |  header=true, delim=',', quote='"', escape='"', nullstr='NULL',
+             |  columns={'trans_id': 'BIGINT', 'order_id': 'BIGINT',
+             |    'product_id': 'BIGINT', 'quantity': 'INT',
+             |    'unit_price': 'DOUBLE', 'currency': 'VARCHAR',
+             |    'trans_ts': 'TIMESTAMP', 'note': 'VARCHAR'})
+             |ORDER BY trans_id""".stripMargin),
+      (s, _) => {
+        val stage = writeStageFixtures()
+        val files = Iterator.iterate(backfillStart)(_.plusDays(1))
+          .takeWhile(_.isBefore(backfillEnd)).map(stagedFileName).toSeq
+        Staging.ensure(unloadRtDir) { tmp =>
+          copyInto(s, stage, files).coalesce(1).write.mode("overwrite")
+            .options(csvOptions - "mode")
+            .option("compression", "gzip")
+            .option("nullValue", "NULL")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .csv(tmp)
+        }
+        copyInto(s, stage, files).orderBy("trans_id")
       })
   )
+
+
+  /** Unload result schema: decimal money, timestamp, a note engineered
+    * to hold an embedded quote AND delimiter (forces quote-doubling on
+    * write), and a nullable column (forces the NULL sentinel). */
+  val unloadSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DecimalType(12, 2)),
+    // the fixture's o_orderdate is parquet TIMESTAMP(MILLIS) without
+    // UTC adjustment → TIMESTAMP_NTZ in Spark; CSV formats it via
+    // timestampNTZFormat, not timestampFormat
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("note", StringType),
+    StructField("comment_n", StringType)))
+
+  /** The relation q180 unloads: an orders projection with every CSV
+    * write edge in play — quoted delimiter + doubled quote (`note`),
+    * NULL sentinel (`comment_n`, null for every 7th key), exact
+    * decimal, timestamp formatting. */
+  def unloadSource(s: SparkSession, sfDir: String): DataFrame =
+    Tables.load(s, sfDir, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("o_totalprice"),
+      col("o_orderdate"),
+      concat(lit("pri \""), col("o_orderpriority"), lit("\", checked")).as("note"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast(StringType))
+        .otherwise(col("o_orderstatus")).as("comment_n"))
+
+  /** Fingerprint-keyed unload stage for `sfDir`'s orders fixture —
+    * regenerating the fixture invalidates the layout. */
+  def unloadDir(sfDir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-unload-v2-${Staging.fingerprintOf(sfDir, Seq("orders"))}").toString
+
+  /** Perform the unload (at most once system-wide per fixture version):
+    * 4 gzip CSV part files with the q35 file_format options. Returns
+    * the published stage dir. */
+  def unloadOrders(s: SparkSession, sfDir: String): String =
+    Staging.ensure(unloadDir(sfDir)) { tmp =>
+      unloadSource(s, sfDir)
+        .repartition(4)
+        .write.mode("overwrite")
+        .options(csvOptions - "mode")
+        .option("compression", "gzip")
+        .option("nullValue", "NULL")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(tmp)
+    }
 }
