@@ -182,6 +182,42 @@ object ScaleProbe {
     }
   }
 
+  /** Per-query coverage price of the streaming block: TRIGGER COUNT
+    * (completed micro-batches, no-data passes included — counted by a
+    * StreamingQueryListener, the engine's own progress stream) and wall
+    * per oracle-checked streaming query, under the exact bench action.
+    * SCALING.md's regression gate diffs this table: a query growing
+    * >20% wall WITHOUT new triggers is a regression; new triggers are
+    * new coverage, priced at the measured floor.
+    */
+  def streamPrice(spark: SparkSession, srcDir: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val triggers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val _ = triggers.incrementAndGet()
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    val names = graft.SparkEntry.queries.keys.filter(n =>
+      n.contains("_stream") || n.contains("stream_") || n == "q173_copy_stream" ||
+        n == "q137_foreachbatch_sink").toSeq.sorted
+    spark.streams.addListener(listener)
+    try names.foreach { name =>
+      // warmup pass: fixture staging + codegen land outside the timed run
+      graft.SparkEntry.queries(name)(spark, srcDir)
+        .write.format("noop").mode("overwrite").save()
+      triggers.set(0)
+      val (_, wall) = time(
+        graft.SparkEntry.queries(name)(spark, srcDir)
+          .write.format("noop").mode("overwrite").save())
+      // listener events are async — drain before reading the counter
+      Thread.sleep(300)
+      println(f"[probe] streamprice $name triggers=${triggers.get()} wall=$wall%.2fs")
+    } finally spark.streams.removeListener(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -195,7 +231,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
     val wanted =
-      if (args.isEmpty) Seq("dpp1", "dpp30", "mergeschema", "compact10", "restart")
+      if (args.isEmpty) Seq("dpp1", "dpp30", "mergeschema", "compact10", "restart",
+        "streamprice")
       else args.toSeq
     wanted.foreach {
       case "dpp1"        => dpp(spark, srcDir, 1)
@@ -203,6 +240,7 @@ object ScaleProbe {
       case "mergeschema" => mergeSchema(spark, srcDir)
       case "compact10"   => compact10(spark, srcDir)
       case "restart"     => restart(spark)
+      case "streamprice" => streamPrice(spark, srcDir)
       case other         => System.err.println(s"[probe] unknown probe: $other")
     }
     spark.stop()
