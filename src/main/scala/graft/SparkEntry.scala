@@ -18,7 +18,7 @@ object SparkEntry {
       Corpus.queries ++ Training.queries ++ Similarity.queries ++
       Windows.queries ++ Multimodal.queries ++ ScaleOps.queries ++
       Cdc.queries ++ Analytics.queries ++ Quality.queries ++ Curation.queries ++
-      Compaction.queries ++ Lifecycle.queries ++
+      Compaction.queries ++ Lifecycle.queries ++ Stats.queries ++
       graft.streaming.StreamQueries.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

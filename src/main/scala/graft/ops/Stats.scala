@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, IntegerType}
+
+/** ANALYZE — table/column statistics collection, the maintenance pass
+  * that feeds a cost-based optimizer (row counts for join reordering,
+  * NDV for aggregate estimates, min/max for range pruning). Catalog
+  * engines run it as `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS
+  * ...`; this operator is the same computation as a relation, so the
+  * numbers are inspectable and oracle-checkable rather than buried in
+  * catalog metadata.
+  *
+  * Plan shape: ONE scan. All per-column aggregates ride a single
+  * `agg(...)` — Catalyst plans the multiple exact `count(DISTINCT)`s
+  * with one Expand (k+1 projections of the scan, partial-aggregated
+  * map-side), and the single output row is unpivoted to per-column rows
+  * with `stack` (driver-free, 6 rows). At 100 TB the Expand multiplies
+  * the mapper work by k+1 but never shuffles raw rows — each distinct
+  * branch partial-aggregates before the exchange; production ANALYZE
+  * swaps the exact NDV for `approx_count_distinct` (HLL++, one
+  * projection, mergeable sketches — the q17 shape) and keeps everything
+  * else identical. Min/max/null counts are plain one-pass aggregates.
+  *
+  * Numeric min/max are surfaced through `DECIMAL(18,2)` so the stat
+  * table's VARCHAR rendering is engine-independent (raw double→string
+  * formatting differs across engines; decimal does not).
+  */
+object Stats {
+
+  /** Columns q183 profiles (every lineitem type family: integral key,
+    * measure double, low-NDV flag, timestamp). */
+  val profiled: Seq[String] = Seq(
+    "l_orderkey", "l_quantity", "l_extendedprice",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private def asStr(df: DataFrame, c: String)(agg: Column => Column): Column = {
+    val v = agg(col(c))
+    df.schema(c).dataType match {
+      case DoubleType | LongType | IntegerType =>
+        v.cast("decimal(18,2)").cast("string")
+      case _ => v.cast("string")
+    }
+  }
+
+  /** The column-stats relation: one row per profiled column. */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        asStr(df, c)(min).as(s"${c}__min"),
+        asStr(df, c)(max).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows, `${c}__nulls`, `${c}__ndv`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_v, max_v)"))
+  }
+
+  private def duckColStats(c: String, numeric: Boolean): String = {
+    val minV = if (numeric) s"CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR)"
+               else s"CAST(min($c) AS VARCHAR)"
+    val maxV = if (numeric) s"CAST(CAST(max($c) AS DECIMAL(18,2)) AS VARCHAR)"
+               else s"CAST(max($c) AS VARCHAR)"
+    s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  $minV AS min_v, $maxV AS max_v FROM lineitem""".stripMargin
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q183_analyze_stats",
+      Some((Seq(
+        duckColStats("l_orderkey", numeric = true),
+        duckColStats("l_quantity", numeric = true),
+        duckColStats("l_extendedprice", numeric = true),
+        duckColStats("l_returnflag", numeric = false),
+        duckColStats("l_linestatus", numeric = false),
+        duckColStats("l_shipdate", numeric = false))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        columnStats(li, profiled).orderBy("column_name")
+      })
+  )
+}

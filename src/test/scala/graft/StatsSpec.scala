@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SparkPlan}
+
+/** q183's ANALYZE relation: exact stat values on a controlled frame,
+  * and the one-scan plan contract (all per-column aggregates ride a
+  * single Expand over a single file scan — never one scan per column).
+  */
+class StatsSpec extends SparkSuite {
+
+  test("columnStats computes nulls, exact NDV, decimal-rendered min/max") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, null), (null, "a"))
+      .toDF("k", "s")
+    val rows = Stats.columnStats(df, Seq("k", "s"))
+      .orderBy("column_name").collect().toSeq
+    assert(rows == Seq(
+      Row("k", 4L, 1L, 2L, "1.00", "2.00"),
+      Row("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("the stats plan is one file scan through one Expand") {
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec        => flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val all = flatten(
+      Stats.columnStats(li, Stats.profiled).queryExecution.executedPlan)
+    assert(all.count(_.isInstanceOf[FileSourceScanExec]) == 1)
+    assert(all.count(_.isInstanceOf[ExpandExec]) == 1)
+  }
+}
