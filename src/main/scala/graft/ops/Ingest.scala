@@ -320,6 +320,10 @@ object Ingest {
   val evolveDir: String =
     Paths.get(System.getProperty("java.io.tmpdir"), "graft-evolve-v2").toString
 
+  /** The staged-CSV content for one logical date (public for the q184
+    * stage-hygiene fixture, which stages the same parse-edge rows). */
+  def stageCsvContent(ds: LocalDate, off: Int): String = csvContent(ds, off)
+
   private def csvContent(ds: LocalDate, off: Int): String = {
     val d = ds.toString
     Seq(

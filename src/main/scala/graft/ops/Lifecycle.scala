@@ -106,6 +106,14 @@ object Lifecycle {
     }
   }
 
+  /** q184's scratch stage — code-versioned content (four dated CSVs +
+    * manifest), REMOVE applied during the one-time build so the
+    * published dir IS the post-remove state. Initialized before
+    * [[queries]]: the oracle SQL interpolates it. */
+  val removeStageDir: String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-remove-v1").toString
+
   val queries: Seq[Q] = Seq(
 
     // ----- GDPR erasure with measured audit: the oracle recomputes the
@@ -125,6 +133,83 @@ object Lifecycle {
       (s, dir) => {
         val del = deletedLayout(s, dir)
         s.read.parquet(s"$del/_audit").orderBy("u_bucket")
+      }),
+
+    // ----- Stage hygiene: REMOVE @stage with a retention policy.
+    //       Differential by construction: the ORACLE applies the
+    //       retention RULE to the pre-state manifest (remove only files
+    //       both recorded-loaded AND older than the cutoff), while the
+    //       RETURNED relation re-parses whatever ACTUALLY survived on
+    //       disk — if the remove deletes a protected file (never-loaded
+    //       data is unrecoverable!) or keeps an eligible one, plan and
+    //       reality diverge and the hash breaks. -----
+    Q("q184_stage_remove",
+      Some(s"""SELECT file_name, n_rows
+             |FROM read_parquet('$removeStageDir/_manifest.parquet/*.parquet')
+             |WHERE NOT (loaded AND file_date < DATE '2022-07-15')
+             |ORDER BY file_name""".stripMargin),
+      (s, _) => {
+        val stage = ensureRemovedStage(s)
+        s.read.format("csv").options(Ingest.csvOptions)
+          .schema(org.apache.spark.sql.types.StructType(
+            Ingest.transSchema.fields.map(f =>
+              org.apache.spark.sql.types.StructField(f.name,
+                org.apache.spark.sql.types.StringType))))
+          .load(s"$stage/*.csv")
+          .groupBy(col("_metadata.file_name").as("file_name"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy("file_name")
       })
   )
+
+  /** REMOVE @stage: delete files that are recorded-loaded AND whose
+    * filename-embedded date is before `cutoff`. Never touches files
+    * absent from `loaded` — a staged file that was never COPY'd is the
+    * only copy of its data. Listing+delete is driver-side metadata
+    * work, O(|stage files|), exactly like the production object-store
+    * call. */
+  def stageRemove(stageDir: String, loaded: Set[String],
+                  cutoff: java.time.LocalDate): Unit = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("MMddyyyy")
+    val listing = Files.list(Paths.get(stageDir))
+    val files =
+      try listing.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".csv"))
+      finally listing.close()
+    files.foreach { p =>
+      val name = p.getFileName.toString
+      val date = java.time.LocalDate.parse(
+        name.stripPrefix("product_order_trans_").stripSuffix(".csv"), fmt)
+      if (loaded.contains(name) && date.isBefore(cutoff))
+        Files.delete(p)
+    }
+  }
+
+  /** Build the q184 stage once: three loaded backfill files (07-13/14/15),
+    * one never-loaded straggler (07-12 — old enough to be eligible but
+    * protected), a manifest of the PRE-state, then the REMOVE. */
+  def ensureRemovedStage(s: SparkSession): String =
+    Staging.ensure(removeStageDir) { tmp =>
+      import java.nio.charset.StandardCharsets
+      val dates = Seq(
+        (java.time.LocalDate.of(2022, 7, 12), false),
+        (java.time.LocalDate.of(2022, 7, 13), true),
+        (java.time.LocalDate.of(2022, 7, 14), true),
+        (java.time.LocalDate.of(2022, 7, 15), true))
+      val rows = dates.zipWithIndex.map { case ((ds, loaded), i) =>
+        val name = Ingest.stagedFileName(ds)
+        val content = Ingest.stageCsvContent(ds, i * 100)
+        Files.write(Paths.get(tmp).resolve(name),
+          content.getBytes(StandardCharsets.UTF_8))
+        (name, java.sql.Date.valueOf(ds), loaded,
+          content.linesIterator.size - 1L) // minus header
+      }
+      import s.implicits._
+      rows.toDF("file_name", "file_date", "loaded", "n_rows")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/_manifest.parquet")
+      stageRemove(tmp,
+        loaded = rows.collect { case (n, _, true, _) => n }.toSet,
+        cutoff = java.time.LocalDate.of(2022, 7, 15))
+    }
 }

@@ -61,4 +61,22 @@ class LifecycleSpec extends SparkSuite {
     // the fixture actually contains at least one subject — non-vacuous
     assert(audit.map(_.getLong(2)).sum > 0)
   }
+
+  test("REMOVE deletes only loaded-and-expired files; manifest keeps pre-state") {
+    val stage = Lifecycle.ensureRemovedStage(spark)
+    val onDisk = new File(stage).listFiles()
+      .map(_.getName).filter(_.endsWith(".csv")).toSet
+    assert(onDisk == Set(
+      "product_order_trans_07122022.csv", // expired but never loaded → protected
+      "product_order_trans_07152022.csv")) // loaded but within retention
+    val manifest = spark.read.parquet(s"$stage/_manifest.parquet")
+    assert(manifest.count() == 4) // pre-state survives the remove
+    // action derivation matches the rule the oracle applies
+    val removed = manifest
+      .filter(col("loaded") && col("file_date") < lit("2022-07-15").cast("date"))
+      .select("file_name").collect().map(_.getString(0)).toSet
+    assert(removed ==
+      Set("product_order_trans_07132022.csv", "product_order_trans_07142022.csv"))
+    assert(removed.intersect(onDisk).isEmpty)
+  }
 }
