@@ -13,16 +13,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType, IntegerType}
   * numbers are inspectable and oracle-checkable rather than buried in
   * catalog metadata.
   *
-  * Plan shape: ONE scan. All per-column aggregates ride a single
-  * `agg(...)` — Catalyst plans the multiple exact `count(DISTINCT)`s
-  * with one Expand (k+1 projections of the scan, partial-aggregated
-  * map-side), and the single output row is unpivoted to per-column rows
-  * with `stack` (driver-free, 6 rows). At 100 TB the Expand multiplies
-  * the mapper work by k+1 but never shuffles raw rows — each distinct
-  * branch partial-aggregates before the exchange; production ANALYZE
-  * swaps the exact NDV for `approx_count_distinct` (HLL++, one
-  * projection, mergeable sketches — the q17 shape) and keeps everything
-  * else identical. Min/max/null counts are plain one-pass aggregates.
+  * Plan shape — an empirical choice, measured not assumed
+  * (`ScaleProbe.statsShape`, sf0.1): one COLUMN-PRUNED pass per
+  * profiled column, each a single-distinct aggregate (planned without
+  * Expand: map-side partial distinct → tiny exchange), 1-row results
+  * unioned. On columnar storage the k passes together read ≈ one
+  * table's worth of bytes (each pass scans only its column), and each
+  * pass's shuffle carries distinct values only. The textbook
+  * alternative — ONE scan with all k exact `count(DISTINCT)`s in a
+  * single agg — plans as a k+1-way Expand that multiplies mapper rows
+  * by k+1 before aggregating, and measured 9.5× slower (9.3 s vs
+  * 1.0 s) on 600k×6 at sf0.1; it survives as [[columnStats]] with the
+  * probe as the tiebreaker. Production ANALYZE additionally swaps
+  * exact NDV for `approx_count_distinct` (HLL++, mergeable — the q17
+  * shape) when estimates suffice.
   *
   * Numeric min/max are surfaced through `DECIMAL(18,2)` so the stat
   * table's VARCHAR rendering is engine-independent (raw double→string
@@ -45,7 +49,8 @@ object Stats {
     }
   }
 
-  /** The column-stats relation: one row per profiled column. */
+  /** The single-scan shape (one agg, multi-distinct via Expand) — kept
+    * as the measured-slower alternative; see the object doc. */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
@@ -62,6 +67,19 @@ object Stats {
       s"stack(${cols.length}, $stackArgs) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_v, max_v)"))
   }
+
+  /** The default column-stats relation: one column-pruned pass per
+    * column — the measured-faster shape (see the object doc). */
+  def columnStatsUnion(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c)).agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        asStr(df, c)(min).as("min_v"),
+        asStr(df, c)(max).as("max_v"))
+    }.reduce(_.unionByName(_))
 
   private def duckColStats(c: String, numeric: Boolean): String = {
     val minV = if (numeric) s"CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR)"
@@ -87,7 +105,7 @@ object Stats {
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))),
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
-        columnStats(li, profiled).orderBy("column_name")
+        columnStatsUnion(li, profiled).orderBy("column_name")
       })
   )
 }

@@ -218,6 +218,25 @@ object ScaleProbe {
     } finally spark.streams.removeListener(listener)
   }
 
+  /** Plan-shape decision for q183: one scan + one k+1-way Expand (all
+    * exact NDVs in a single agg) vs k column-pruned single-distinct
+    * passes unioned. Columnar scans make the per-column passes read
+    * 1/|table| of the bytes each, while the Expand multiplies mapper
+    * rows by k+1 before the shuffle — which side wins is an empirical
+    * question this probe answers. */
+  def statsShape(spark: SparkSession, srcDir: String): Unit = {
+    import graft.ops.Stats
+    val li = Tables.load(spark, srcDir, "lineitem")
+    li.write.format("noop").mode("overwrite").save() // warm FS cache
+    def run(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      val (_, w1) = time(df.write.format("noop").mode("overwrite").save())
+      val (_, w2) = time(df.write.format("noop").mode("overwrite").save())
+      println(f"[probe] statsshape $label best=${math.min(w1, w2)}%.2fs")
+    }
+    run("expand-1scan", Stats.columnStats(li, Stats.profiled))
+    run("union-percol", Stats.columnStatsUnion(li, Stats.profiled))
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -241,6 +260,7 @@ object ScaleProbe {
       case "compact10"   => compact10(spark, srcDir)
       case "restart"     => restart(spark)
       case "streamprice" => streamPrice(spark, srcDir)
+      case "statsshape"  => statsShape(spark, srcDir)
       case other         => System.err.println(s"[probe] unknown probe: $other")
     }
     spark.stop()

@@ -11,27 +11,41 @@ import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SparkPlan
   */
 class StatsSpec extends SparkSuite {
 
-  test("columnStats computes nulls, exact NDV, decimal-rendered min/max") {
+  test("both stat shapes compute nulls, exact NDV, decimal-rendered min/max") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (2L, null), (null, "a"))
       .toDF("k", "s")
-    val rows = Stats.columnStats(df, Seq("k", "s"))
-      .orderBy("column_name").collect().toSeq
-    assert(rows == Seq(
+    val expect = Seq(
       Row("k", 4L, 1L, 2L, "1.00", "2.00"),
-      Row("s", 4L, 1L, 2L, "a", "b")))
+      Row("s", 4L, 1L, 2L, "a", "b"))
+    assert(Stats.columnStatsUnion(df, Seq("k", "s"))
+      .orderBy("column_name").collect().toSeq == expect)
+    assert(Stats.columnStats(df, Seq("k", "s"))
+      .orderBy("column_name").collect().toSeq == expect)
   }
 
-  test("the stats plan is one file scan through one Expand") {
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec        => flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec        => flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  test("default shape: one column-pruned scan per column, no Expand") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
-    val all = flatten(
-      Stats.columnStats(li, Stats.profiled).queryExecution.executedPlan)
+    val all = flatten(Stats.columnStatsUnion(li, Stats.profiled)
+      .queryExecution.executedPlan)
+    val scans = all.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == Stats.profiled.size)
+    // each scan reads exactly its one profiled column
+    assert(scans.forall(_.requiredSchema.fields.length == 1))
+    assert(all.count(_.isInstanceOf[ExpandExec]) == 0)
+  }
+
+  test("alternative single-scan shape really is one scan through one Expand") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val all = flatten(Stats.columnStats(li, Stats.profiled)
+      .queryExecution.executedPlan)
     assert(all.count(_.isInstanceOf[FileSourceScanExec]) == 1)
     assert(all.count(_.isInstanceOf[ExpandExec]) == 1)
   }
