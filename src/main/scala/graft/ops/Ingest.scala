@@ -725,15 +725,24 @@ object Ingest {
     * regenerating the fixture invalidates the layout. */
   def unloadDir(sfDir: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-unload-v2-${Staging.fingerprintOf(sfDir, Seq("orders"))}").toString
+      s"graft-unload-v4-${Staging.fingerprintOf(sfDir, Seq("orders"))}").toString
 
   /** Perform the unload (at most once system-wide per fixture version):
-    * 4 gzip CSV part files with the q35 file_format options. Returns
-    * the published stage dir. */
+    * gzip CSV part files with the q35 file_format options. The split
+    * count is sized by estimated bytes (the MAX_FILE_SIZE contract,
+    * floor 4) — gzip parts are non-splittable, so the file count must
+    * GROW with the data or every downstream read serializes on a fixed
+    * handful of decode streams (measured 6.1× at 10× with a fixed
+    * split; see SCALING.md round 8). Returns the published stage dir. */
   def unloadOrders(s: SparkSession, sfDir: String): String =
     Staging.ensure(unloadDir(sfDir)) { tmp =>
-      unloadSource(s, sfDir)
-        .repartition(4)
+      val src = unloadSource(s, sfDir)
+      val estBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+      // ~2 MiB gzip parts at fixture scale (gzip-CSV bytes ≈ parquet
+      // bytes); production raises the target (Snowflake defaults 16 MB)
+      // — the invariant is count ∝ bytes, never a fixed split
+      val n = math.max(4L, (estBytes / (2L << 20)).toLong).toInt
+      src.repartition(n)
         .write.mode("overwrite")
         .options(csvOptions - "mode")
         .option("compression", "gzip")
