@@ -86,6 +86,62 @@ object Cdc {
               .otherwise(col("o_totalprice")))
         snapshotDiff(oldSnap, newSnap, "o_orderkey", Seq("o_totalprice"))
           .orderBy("change_type", "o_orderkey")
+      }),
+
+    // ----- Time travel (AS OF version) on the versioned CDC table:
+    //       the MVCC protocol behind q179 (`Streams.cdcApplyBatch`)
+    //       keeps every committed version as an immutable `v=N` dir —
+    //       this query reads v=0 AFTER v=1 has been committed, i.e. a
+    //       historical read concurrent with newer state. Oracle: the
+    //       CDC semantics recomputed by DuckDB over only the
+    //       first-batch window (ts before the split cut), fully
+    //       independent of the versioned build. At scale this is the
+    //       audit/debug/reproducible-training read every lakehouse
+    //       format sells; retention here = keep the last K version
+    //       dirs, and a version read stays O(that version's files). -----
+    Q("q186_time_travel",
+      Some("""WITH d AS (
+             |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+             |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM events
+             |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'),
+             |lastd AS (
+             |  SELECT user_id, ts AS d_ts, event_id AS d_id FROM (
+             |    SELECT user_id, ts, event_id,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM d WHERE op = 'D') WHERE rn = 1)
+             |SELECT u.user_id, round(sum(u.value), 4) AS total_value,
+             |  CAST(count(*) AS BIGINT) AS n_ups
+             |FROM d u LEFT JOIN lastd l USING (user_id)
+             |WHERE u.op = 'U' AND (l.d_ts IS NULL OR (u.ts, u.event_id) > (l.d_ts, l.d_id))
+             |GROUP BY u.user_id
+             |ORDER BY u.user_id""".stripMargin),
+      (s, dir) => {
+        val state = versionedState(s, dir)
+        s.read.parquet(s"$state/v=0")
+          .select(col("user_id"),
+            round(col("total_value"), 4).as("total_value"), col("n_ups"))
+          .orderBy("user_id")
       })
   )
+
+  /** Batch split point shared with the streaming fixtures (events span
+    * 2024-01-01 .. 2024-01-30). */
+  val versionCut = "2024-01-16 00:00:00"
+
+  /** Build the two-version CDC table once per fixture: batch 0 = events
+    * before the cut, batch 1 = the rest, committed through the same
+    * `cdcApplyBatch` MVCC path q179 streams through. Both `v=0` and
+    * `v=1` remain readable — that immutability IS the time-travel
+    * contract. */
+  def versionedState(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-cdc-versions/$fp") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val cutTs = lit(versionCut).cast("timestamp")
+      graft.streaming.Streams.cdcApplyBatch(ev.filter(col("ts") < cutTs), tmp, 0L)
+      graft.streaming.Streams.cdcApplyBatch(ev.filter(col("ts") >= cutTs), tmp, 1L)
+    }
+  }
 }

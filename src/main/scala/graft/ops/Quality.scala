@@ -57,6 +57,58 @@ object Quality {
         Seq((m("n_rows").asInstanceOf[Long], m("n_big").asInstanceOf[Long],
           m("null_priority").asInstanceOf[Long], m("total_rev").asInstanceOf[Double]))
           .toDF("n_rows", "n_big", "null_priority", "total_rev")
+      }),
+
+    // ----- Constraint validation (the dbt-test / informational-
+    //       constraint surface): NOT NULL, composite-key UNIQUE, and
+    //       FK containment, each evaluated as a violation COUNT so the
+    //       report is a tiny relation a scheduler can gate on. The
+    //       fixture makes the report non-vacuous: lineitem's
+    //       (l_orderkey, l_linenumber) is genuinely non-unique while
+    //       the FK and NOT NULL checks pass — a validator that only
+    //       ever sees zeros proves nothing. Plan shapes: NOT NULL =
+    //       one scan of the checked columns; UNIQUE = keyed groupBy
+    //       with map-side partials, violations = Σ(cnt−1) over
+    //       duplicate groups; FK = left-anti join, broadcast when the
+    //       parent side is dimension-sized. -----
+    Q("q185_constraint_check",
+      Some("""SELECT constraint_name, n_violations, passed FROM (
+             |  SELECT 'lineitem.l_orderkey.not_null' AS constraint_name,
+             |    CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+             |      AS n_violations,
+             |    count(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS passed
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.pk.unique',
+             |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             |      AS BIGINT),
+             |    count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.l_orderkey.fk_orders',
+             |    CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT),
+             |    count(*) FILTER (WHERE o_orderkey IS NULL) = 0
+             |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             |ORDER BY constraint_name""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val orders = Tables.load(s, dir, "orders")
+        val notNull = li.agg(
+          lit("lineitem.l_orderkey.not_null").as("constraint_name"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+        val unique = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("cnt"))
+          .agg(lit("lineitem.pk.unique").as("constraint_name"),
+            coalesce(sum(when(col("cnt") > 1, col("cnt") - 1L)), lit(0L))
+              .as("n_violations"))
+        val fk = li.select("l_orderkey")
+          .join(orders.select(col("o_orderkey").as("l_orderkey")),
+            Seq("l_orderkey"), "left_anti")
+          .agg(lit("lineitem.l_orderkey.fk_orders").as("constraint_name"),
+            count(lit(1)).as("n_violations"))
+        notNull.unionByName(unique).unionByName(fk)
+          .withColumn("passed", col("n_violations") === 0L)
+          .orderBy("constraint_name")
       })
   )
 }

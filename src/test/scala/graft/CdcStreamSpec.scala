@@ -3,6 +3,8 @@ package graft
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** q179's apply-protocol pins: the versioned CDC merge must be replay-
   * idempotent BY PROTOCOL (not by value), and deletes must drop keys. */
 class CdcStreamSpec extends SparkSuite {
@@ -54,5 +56,30 @@ class CdcStreamSpec extends SparkSuite {
       (10L, 3L, "2024-01-01 10:00:00", 0.0))), // D, id 10 > 5 → deletes
       dir, 0L)
     assert(state(dir, 0L) === Seq.empty)
+  }
+
+  test("time travel: v=0 stays immutable under v=1, and v=0 + batch1 = v=1") {
+    val sfDir = "/root/testdata/sf0.001"
+    val built = graft.ops.Cdc.versionedState(spark, sfDir)
+    val v0Before = state(built, 0L)
+    val v1 = state(built, 1L)
+    // reading the historical version does not disturb it or the head
+    assert(SparkEntry.queries("q186_time_travel")(spark, sfDir).count() ==
+      v0Before.size)
+    assert(state(built, 0L) === v0Before && state(built, 1L) === v1)
+    // lineage: re-deriving head from (v=0, batch 1 deltas) reproduces it
+    val scratch = java.nio.file.Files.createTempDirectory("graft-tt-spec").toString
+    val copyWalk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$built/v=0"))
+    try copyWalk.iterator().asScala.foreach { p =>
+      val rel = java.nio.file.Paths.get(s"$built/v=0").relativize(p).toString
+      val dest = java.nio.file.Paths.get(s"$scratch/v=0").resolve(rel)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dest)
+      else java.nio.file.Files.copy(p, dest)
+    } finally copyWalk.close()
+    val batch1 = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "value")
+      .filter(col("ts") >= lit(graft.ops.Cdc.versionCut).cast("timestamp"))
+    Streams.cdcApplyBatch(batch1, scratch, 1L)
+    assert(state(scratch, 1L) === v1)
   }
 }
