@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-manifest commit — the minimal table-format commit log this
+  * engine's own docs keep referencing: [[Compaction]]'s per-partition
+  * rename swap is the strongest commit PLAIN directories offer, and
+  * cross-partition / cross-TABLE atomicity is exactly what a manifest
+  * pointer adds (the Delta/Iceberg primitive, reduced to its core).
+  *
+  * Protocol (all on rename-atomic storage):
+  *  1. data files for EVERY table in the snapshot land under a fresh
+  *     `data/v<N>/<table>/` prefix — invisible to readers, because
+  *     readers never list directories;
+  *  2. a manifest (one parquet of `(table, file)` rows) is written for
+  *     the snapshot;
+  *  3. the `_latest` pointer file is swapped with ONE atomic rename.
+  *
+  * Readers resolve pointer → manifest → explicit file list, so:
+  *  - a crashed commit (data written, pointer never swapped) is
+  *    invisible — readers keep serving the previous snapshot;
+  *  - an orphan file from a failed writer sitting in the data prefix is
+  *    invisible — it is in no manifest;
+  *  - a multi-table snapshot is READ-consistent: both tables resolve
+  *    through the same manifest version, never a mix;
+  *  - old versions stay readable (time travel) until retention drops
+  *    their manifests.
+  *
+  * At 100 TB the manifest is metadata-sized (file paths, not data), the
+  * pointer swap is one rename regardless of table count, and reads are
+  * explicit-path parquet scans — no directory listing on the hot path.
+  * What production formats add beyond this core: compare-and-swap on
+  * the pointer for concurrent writers (an object-store conditional
+  * put), manifest compaction, and column stats per file.
+  */
+object Manifest {
+
+  private def pointerPath(root: String): Path = Paths.get(root, "_latest")
+
+  /** Currently-committed snapshot version, 0 if none. */
+  def snapshotVersion(root: String): Long = {
+    val p = pointerPath(root)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  /** Commit every (name → DataFrame) as ONE atomic snapshot; returns
+    * the new version. */
+  def commit(s: SparkSession, root: String, tables: Map[String, DataFrame]): Long = {
+    val version = snapshotVersion(root) + 1
+    Files.createDirectories(Paths.get(root))
+    // manifest paths are ROOT-RELATIVE: the table must survive a move
+    // of its root (staging publish, bucket migration, DR restore)
+    val fileRows = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+      val dataDir = Paths.get(root, "data", s"v$version", name)
+      df.write.mode("overwrite").parquet(dataDir.toString)
+      val listing = Files.list(dataDir)
+      try listing.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (name, s"data/v$version/$name/${p.getFileName}"))
+      finally listing.close()
+    }
+    import s.implicits._
+    fileRows.toDF("table_name", "file")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(root, "manifest", s"v$version").toString)
+    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, pointerPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** Read `table` at `version` (default: the committed pointer) through
+    * its manifest — explicit file paths, never a directory listing. */
+  def readTable(s: SparkSession, root: String, table: String,
+                version: Long = -1L): DataFrame = {
+    val v = if (version > 0) version else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val files = s.read
+      .parquet(Paths.get(root, "manifest", s"v$v").toString)
+      .filter(col("table_name") === table)
+      .select("file").collect().map(r => s"$root/${r.getString(0)}") // metadata-sized
+    require(files.nonEmpty, s"table $table absent from snapshot v$v")
+    s.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** q187's two-table snapshot root, staged once per fixture version:
+    * v1 = pre-cut aggregates, v2 = full-window aggregates, plus a
+    * planted ORPHAN data file readers must never see. */
+  def snapshotRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest/$fp") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      def summaries(df: DataFrame) = Map(
+        "user_totals" -> df.groupBy("user_id")
+          .agg(sum("value").as("total_u"), count(lit(1)).as("n_u")),
+        "type_totals" -> df.groupBy("event_type")
+          .agg(sum("value").as("total_t"), count(lit(1)).as("n_t")))
+      commit(s, tmp, summaries(ev.filter(col("ts") < cutTs)))
+      commit(s, tmp, summaries(ev))
+      // failed concurrent writer: an orphan data file in the live
+      // prefix, in no manifest — must stay invisible to readers
+      ev.limit(7).groupBy("user_id").agg(sum("value").as("total_u"),
+          count(lit(1)).as("n_u"))
+        .write.mode("overwrite")
+        .parquet(s"$tmp/data/v2/user_totals_orphan")
+      val orphanSrc = Files.list(Paths.get(s"$tmp/data/v2/user_totals_orphan"))
+      val part = try orphanSrc.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally orphanSrc.close()
+      Files.move(part, Paths.get(s"$tmp/data/v2/user_totals")
+        .resolve("part-99999-orphan.parquet"))
+      Staging.deleteRecursively(Paths.get(s"$tmp/data/v2/user_totals_orphan"))
+    }
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ----- Atomic multi-table snapshot read: both summary tables
+    //       resolve through the SAME manifest version, and the result
+    //       carries a cross-table consistency proof — the grand total
+    //       from type_totals rides every user row, so serving the two
+    //       tables from different versions (or reading the planted
+    //       orphan file) breaks the hash against the oracle's
+    //       single-source recomputation. Exact DECIMAL sums make the
+    //       cross-check order-independent. -----
+    Q("q187_manifest_snapshot",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST((SELECT sum(CAST(value AS DECIMAL(18,4))) FROM events)
+             |    AS DOUBLE) AS grand_total
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = snapshotRoot(s, dir)
+        val users = readTable(s, root, "user_totals")
+        val grand = readTable(s, root, "type_totals")
+          .agg(sum("total_t").as("grand_total"))
+        users.crossJoin(broadcast(grand))
+          .select(col("user_id"), col("total_u").cast("double").as("total_u"),
+            col("grand_total").cast("double").as("grand_total"))
+          .orderBy("user_id")
+      })
+  )
+}
