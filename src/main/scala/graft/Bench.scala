@@ -104,11 +104,12 @@ object Bench {
     val streamSec = results.collect {
       case (k, v) if streamNames(k) && v >= 0 => v
     }.sum
-    def render(dec: Int, jit: Seq[(String, (Double, Double))]): String = {
+    def render(dec: Int, jit: Seq[(String, (Double, Double))],
+               rollupCheapest: Int = 0): String = {
       // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR)
       // would render "2,36" and corrupt the JSON line. Trailing zeros
-      // are stripped ("0.30" → "0.3") — at 163 queries the line must
-      // stay under the driver's 2000-char stdout parse window.
+      // are stripped ("0.30" → "0.3") — the line must stay under the
+      // driver's 2000-char stdout parse window.
       def fmt(v: Double): String =
         if (v < 0) "-1"
         else {
@@ -117,18 +118,35 @@ object Bench {
           else s
         }
       def key(k: String): String = "\"" + k.takeWhile(_ != '_') + "\""
-      val qs = results.toSeq.sortBy(_._1)
+      // Past ~185 queries even 1-decimal rendering overflows the
+      // window, so the LAST resort folds the N cheapest queries into a
+      // self-describing rollup ("rest_n" queries totalling "rest_sec")
+      // and keeps every expensive query — where the per-query signal
+      // lives — individually listed. Failed queries (-1) are never
+      // folded: a failure must stay visible by name.
+      val (folded, listed) =
+        if (rollupCheapest <= 0) (Nil, results.toSeq)
+        else {
+          val ok = results.toSeq.filter(_._2 >= 0).sortBy(_._2)
+          val cheap = ok.take(rollupCheapest).map(_._1).toSet
+          results.toSeq.partition { case (k, v) => v >= 0 && cheap(k) }
+        }
+      val qs = listed.sortBy(_._1)
         .map { case (k, v) => key(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+      val rest =
+        if (folded.isEmpty) ""
+        else s""","rest_n":${folded.size},"rest_sec":${fmt(folded.map(_._2).sum)}"""
       val js =
         if (jit.isEmpty) ""
         else jit.map { case (k, (a, b)) => s"${key(k)}:[${fmt(a)},${fmt(b)}]" }
           .mkString(""","jitter":{""", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$js,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$js$rest,""" +
         s""""stream_sec":${fmt(streamSec)},"sf":$sfNum}"""
     }
-    val line = Seq(render(3, jitter), render(2, jitter), render(2, jitter.take(3)),
-        render(2, Nil), render(1, Nil))
-      .find(_.length <= 1950).getOrElse(render(1, Nil))
+    val line = (Seq(render(3, jitter), render(2, jitter), render(2, jitter.take(3)),
+        render(2, Nil), render(1, Nil)) ++
+        Seq(20, 40, 60, 90, 120, 150).map(n => render(1, Nil, rollupCheapest = n)))
+      .find(_.length <= 1950).getOrElse(render(1, Nil, rollupCheapest = results.size))
     // Loud local signal if even the smallest rendering overflows the
     // driver's parse window (a front-truncated line parses as null
     // with NO error — the round-1 failure mode): fails fast here
