@@ -90,6 +90,61 @@ object Manifest {
     s.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** APPEND commit: a new snapshot whose manifest = the previous
+    * version's rows (every table) + the new data files for `table`.
+    * Nothing is rewritten — the append is data-write + metadata, which
+    * is what makes daily ingest O(day) on a 100-TB table. Because
+    * readers resolve explicit files, the new files may be GROUPED by a
+    * different key than the old ones (month → week, say): partition-
+    * layout evolution is a non-event under a manifest, where a
+    * directory-scan engine would need a full rewrite or dual reads. */
+  def commitAppend(s: SparkSession, root: String, table: String,
+                   df: DataFrame): Long = {
+    val version = snapshotVersion(root) + 1
+    val dataDir = Paths.get(root, "data", s"v$version", table)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val listing = Files.list(dataDir)
+    val newRows =
+      try listing.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (table, s"data/v$version/$table/${p.getFileName}"))
+      finally listing.close()
+    import s.implicits._
+    val prev =
+      if (version == 1) Seq.empty[(String, String)]
+      else s.read.parquet(Paths.get(root, "manifest", s"v${version - 1}").toString)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    (prev ++ newRows).toDF("table_name", "file")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(root, "manifest", s"v$version").toString)
+    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, pointerPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** q189's evolving-layout root: v1 = pre-cut events with files
+    * GROUPED BY MONTH, v2 = an append of the post-cut window grouped by
+    * WEEK. Grouping keys live as ordinary columns in the files (a
+    * manifest engine prunes from per-file metadata, not directory
+    * names), so the two layouts coexist under one table. */
+  def evolutionRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-evolve/$fp") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .withColumn("week", weekofyear(col("ts")))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppend(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs).repartition(col("month")))
+      commitAppend(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs).repartition(col("week")))
+    }
+  }
+
   /** q187's two-table snapshot root, staged once per fixture version:
     * v1 = pre-cut aggregates, v2 = full-window aggregates, plus a
     * planted ORPHAN data file readers must never see. */
@@ -148,6 +203,28 @@ object Manifest {
           .select(col("user_id"), col("total_u").cast("double").as("total_u"),
             col("grand_total").cast("double").as("grand_total"))
           .orderBy("user_id")
+      }),
+
+    // ----- Append commit + partition-layout evolution: v2 appends a
+    //       week-grouped window onto a month-grouped v1 WITHOUT
+    //       touching v1's files (ManifestSpec proves the old files are
+    //       byte-identical and carried by path into the v2 manifest).
+    //       The read stitches both layouts through one manifest; the
+    //       oracle recomputes the monthly account from the source
+    //       table, so a lost file, double-listed file, or
+    //       window-boundary bug breaks the hash. -----
+    Q("q189_manifest_append_evolve",
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val root = evolutionRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("month")
       })
   )
 }

@@ -52,4 +52,22 @@ class ManifestSpec extends SparkSuite {
       ev.filter(col("ts") < cut).count())
     assert(v2Users.agg(sum("n_u")).head().getLong(0) == ev.count())
   }
+
+  test("append commit carries v1 files by path, untouched, into v2") {
+    val root = Manifest.evolutionRoot(spark, sfDir)
+    def manifestFiles(v: Long): Set[String] =
+      spark.read.parquet(s"$root/manifest/v$v")
+        .collect().map(_.getString(1)).toSet
+    val v1 = manifestFiles(1L)
+    val v2 = manifestFiles(2L)
+    assert(v1.subsetOf(v2) && v2.size > v1.size)
+    // every v1 file still physically present under its original path
+    assert(v1.forall(rel => Files.exists(Paths.get(s"$root/$rel"))))
+    // v1 files all live under the v1 prefix — the append wrote nothing there
+    assert(v1.forall(_.startsWith("data/v1/")))
+    assert((v2 -- v1).forall(_.startsWith("data/v2/")))
+    // the stitched read covers exactly the source row count
+    assert(Manifest.readTable(spark, root, "events_log").count() ==
+      Tables.load(spark, sfDir, "events").count())
+  }
 }
