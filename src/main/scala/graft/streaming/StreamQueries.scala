@@ -530,6 +530,47 @@ object StreamQueries {
           .localCheckpoint(true)
         Seq(state, ckpt).foreach(deleteRecursively)
         out
+      }),
+
+    // ----- Streaming table via manifest commits: every micro-batch
+    //       becomes an atomic snapshot (Streams.commitBatchToManifest),
+    //       so a concurrent reader sees only whole batches and a crash
+    //       between data-write and pointer-swap surfaces as "batch not
+    //       committed", never a partial table. The manifest VERSION is
+    //       the idempotency ledger: after the stream drains, the last
+    //       batch is replayed through the same path and the version
+    //       guard must turn it into a no-op — a double-append breaks
+    //       both n_events and total_v against the oracle. -----
+    Q("q190_stream_manifest_commit",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "ts", "value")
+        val staged = stageSplit(ev, "ts", "mfc", dir)
+        val root = Files.createTempDirectory("graft-stream-manifest").toString
+        val ckpt = newCkptDir()
+        withStatePartitions(s, 2)(withoutNoDataBatches(s) {
+          val q = fileStream(s, staged).writeStream
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .foreachBatch((b: DataFrame, id: Long) =>
+              Streams.commitBatchToManifest(b, root, id))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        })
+        // at-least-once replay of the final batch: the version guard
+        // must make this a no-op
+        Streams.commitBatchToManifest(
+          s.read.parquet(s"$staged/01.parquet"), root, 1L)
+        val out = graft.ops.Manifest.readTable(s, root, "events_log")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("total_v"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+        Seq(root, ckpt).foreach(deleteRecursively)
+        out
       })
   )
 }

@@ -231,6 +231,17 @@ object Streams {
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
   }
 
+  /** Micro-batch → snapshot-manifest commit (q190): batch N is allowed
+    * to commit only when the table's version is exactly N, so
+    * foreachBatch's at-least-once redelivery can never append twice —
+    * the manifest version IS the idempotency ledger (the same role the
+    * replayed-batch guard plays in [[writeBatchIdempotent]], but here
+    * the guard is the table format's own commit counter, and a reader
+    * concurrently sees only whole batches, never a partial append). */
+  def commitBatchToManifest(batch: DataFrame, root: String, batchId: Long): Unit =
+    if (graft.ops.Manifest.snapshotVersion(root) == batchId)
+      graft.ops.Manifest.commitAppend(batch.sparkSession, root, "events_log", batch)
+
   /** Exactly-once-style parquet sink via foreachBatch — the canonical
     * production sink for stores without native streaming commit. */
   def foreachBatchSink(sdf: DataFrame, outDir: String, checkpoint: String): StreamingQuery =

@@ -70,4 +70,19 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "events_log").count() ==
       Tables.load(spark, sfDir, "events").count())
   }
+
+  test("commitBatchToManifest: version guard makes redelivery a no-op") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cbm-spec").toString
+    val b0 = Seq((1L, 10.0)).toDF("k", "v")
+    val b1 = Seq((2L, 20.0)).toDF("k", "v")
+    graft.streaming.Streams.commitBatchToManifest(b0, root, 0L)
+    graft.streaming.Streams.commitBatchToManifest(b1, root, 1L)
+    assert(Manifest.snapshotVersion(root) == 2L)
+    // redeliver both; neither may commit
+    graft.streaming.Streams.commitBatchToManifest(b0, root, 0L)
+    graft.streaming.Streams.commitBatchToManifest(b1, root, 1L)
+    assert(Manifest.snapshotVersion(root) == 2L)
+    assert(Manifest.readTable(spark, root, "events_log").count() == 2L)
+  }
 }
