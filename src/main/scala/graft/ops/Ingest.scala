@@ -389,6 +389,11 @@ object Ingest {
   val unloadRtDir: String =
     Paths.get(System.getProperty("java.io.tmpdir"), "graft-unload-rt-v1").toString
 
+  /** q192's multi-format stage (code-versioned): the q35 relation
+    * serialized as JSON-lines and parquet beside the CSV originals. */
+  val federatedDir: String =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft-federated-v1").toString
+
   val queries: Seq[Q] = Seq(
 
     // ----- S1-S5 + §2.2.1: single-date COPY, full parsed rows -----
@@ -687,8 +692,71 @@ object Ingest {
             .csv(tmp)
         }
         copyInto(s, stage, files).orderBy("trans_id")
+      }),
+
+    // ----- Federated scan (external tables over mixed formats): the
+    //       SAME relation staged as CSV, JSON-lines, and parquet, each
+    //       read through its own source and aggregated identically —
+    //       three rows that must agree with each other AND with
+    //       DuckDB's independent parse of each format. Catches
+    //       format-specific drift (JSON null-field omission, CSV
+    //       NULL_IF, parquet logical types) that single-format
+    //       round-trips can't. At scale each source still prunes and
+    //       parallelizes per file; the union is planning-only. -----
+    Q("q192_federated_scan",
+      Some(s"""SELECT source, n_rows, total_qty, total_price, n_currency FROM (
+             |  SELECT 'csv' AS source, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(quantity) AS BIGINT) AS total_qty,
+             |    round(sum(unit_price), 2) AS total_price,
+             |    CAST(count(DISTINCT currency) AS BIGINT) AS n_currency
+             |  FROM ${duckReadCsv(federatedFileNames)}
+             |  UNION ALL
+             |  SELECT 'json', CAST(count(*) AS BIGINT),
+             |    CAST(sum(quantity) AS BIGINT), round(sum(unit_price), 2),
+             |    CAST(count(DISTINCT currency) AS BIGINT)
+             |  FROM read_json('$federatedDir/jsonl/*.json',
+             |    format='newline_delimited',
+             |    columns={'trans_id': 'BIGINT', 'order_id': 'BIGINT',
+             |      'product_id': 'BIGINT', 'quantity': 'INT',
+             |      'unit_price': 'DOUBLE', 'currency': 'VARCHAR',
+             |      'trans_ts': 'TIMESTAMP', 'note': 'VARCHAR'})
+             |  UNION ALL
+             |  SELECT 'parquet', CAST(count(*) AS BIGINT),
+             |    CAST(sum(quantity) AS BIGINT), round(sum(unit_price), 2),
+             |    CAST(count(DISTINCT currency) AS BIGINT)
+             |  FROM read_parquet('$federatedDir/parquet/*.parquet'))
+             |ORDER BY source""".stripMargin),
+      (s, _) => {
+        val stage = writeStageFixtures()
+        Staging.ensure(federatedDir) { tmp =>
+          val loaded = copyInto(s, stage, federatedFileNames)
+          loaded.coalesce(1).write
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .json(s"$tmp/jsonl")
+          loaded.coalesce(1).write.parquet(s"$tmp/parquet")
+        }
+        def aggOf(df: DataFrame, source: String): DataFrame =
+          df.agg(lit(source).as("source"),
+            count(lit(1)).as("n_rows"),
+            sum("quantity").as("total_qty"),
+            round(sum("unit_price"), 2).as("total_price"),
+            countDistinct("currency").as("n_currency"))
+        val csv = copyInto(s, stage, federatedFileNames)
+        val json = s.read.schema(transSchema)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .json(s"$federatedDir/jsonl/*.json")
+        val parquet = s.read.parquet(s"$federatedDir/parquet/*.parquet")
+        aggOf(csv, "csv").unionByName(aggOf(json, "json"))
+          .unionByName(aggOf(parquet, "parquet"))
+          .orderBy("source")
       })
   )
+
+  /** The three backfill-date file names — q192's CSV leg of the
+    * federated stage. */
+  def federatedFileNames: Seq[String] =
+    Iterator.iterate(backfillStart)(_.plusDays(1))
+      .takeWhile(_.isBefore(backfillEnd)).map(stagedFileName).toSeq
 
 
   /** Unload result schema: decimal money, timestamp, a note engineered
