@@ -124,6 +124,82 @@ object Manifest {
     version
   }
 
+  /** RANGED append commit (q193): data files are range-partitioned and
+    * sorted on `rangeCol`, and the manifest records each file's
+    * [min, max] of that column — the per-file statistics every modern
+    * table format keeps. One extra pass over the just-written files
+    * computes the bounds here (production reads them back from the
+    * parquet footers the write already produced — zero extra I/O; the
+    * contract, not the collection mechanism, is what q193 certifies).
+    * A range-partitioned write makes the per-file intervals nearly
+    * disjoint, which is what gives stats their pruning power. */
+  def commitAppendRanged(s: SparkSession, root: String, table: String,
+                         df: DataFrame, rangeCol: String, nFiles: Int): Long = {
+    val version = snapshotVersion(root) + 1
+    val dataDir = Paths.get(root, "data", s"v$version", table)
+    df.repartitionByRange(nFiles, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode("overwrite").parquet(dataDir.toString)
+    val bounds = s.read.parquet(dataDir.toString)
+      .groupBy(col("_metadata.file_name").as("fname"))
+      .agg(min(col(rangeCol)).as("min_r"), max(col(rangeCol)).as("max_r"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+    val newRows = bounds.toSeq.sortBy(_._1).map { case (fname, (lo, hi)) =>
+      (table, s"data/v$version/$table/$fname", lo, hi)
+    }
+    import s.implicits._
+    val prev =
+      if (version == 1) Seq.empty[(String, String, java.sql.Timestamp, java.sql.Timestamp)]
+      else s.read.parquet(Paths.get(root, "manifest", s"v${version - 1}").toString)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSeq
+    (prev ++ newRows).toDF("table_name", "file", "min_r", "max_r")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(root, "manifest", s"v$version").toString)
+    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, pointerPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** Stats-pruned read: keep only files whose [min_r, max_r] interval
+    * OVERLAPS [lo, hi] — the manifest answers "which files can contain
+    * matching rows" from metadata alone, before any data I/O. Returns
+    * (pruned DataFrame, files read, files total); the caller still
+    * applies the row-level predicate — file stats bound, they don't
+    * filter. */
+  def readTableRange(s: SparkSession, root: String, table: String,
+                     lo: String, hi: String): (DataFrame, Int, Int) = {
+    val v = snapshotVersion(root)
+    val manifest = s.read
+      .parquet(Paths.get(root, "manifest", s"v$v").toString)
+      .filter(col("table_name") === table)
+    val total = manifest.count().toInt
+    val files = manifest
+      .filter(col("max_r") >= lit(lo).cast("timestamp") &&
+        col("min_r") <= lit(hi).cast("timestamp"))
+      .select("file").collect().map(r => s"$root/${r.getString(0)}")
+    (s.read.parquet(files.toIndexedSeq: _*), files.length, total)
+  }
+
+  /** q193's stats-pruned root: two ranged appends of 8 files each, so
+    * a one-week predicate should touch a small fraction of the 16. */
+  def statsRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-stats/$fp") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+    }
+  }
+
   /** q189's evolving-layout root: v1 = pre-cut events with files
     * GROUPED BY MONTH, v2 = an append of the post-cut window grouped by
     * WEEK. Grouping keys live as ordinary columns in the files (a
@@ -225,6 +301,36 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("month")
+      }),
+
+    // ----- Per-file statistics + scan pruning: the manifest's
+    //       [min, max] intervals answer "which files can hold this
+    //       window" before any data I/O — a one-week predicate over 16
+    //       range-partitioned files reads the few that overlap
+    //       (ManifestSpec asserts the count). The row predicate is
+    //       still applied after the file bound; the oracle recomputes
+    //       the window from the raw table, so over-pruning (lost
+    //       rows) or under-filtering (stats treated as a filter) both
+    //       break the hash. -----
+    Q("q193_manifest_stats_prune",
+      Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val root = statsRoot(s, dir)
+        val (pruned, _, _) = readTableRange(s, root, "events_log",
+          "2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        pruned
+          .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("day")
       })
   )
 }

@@ -71,6 +71,21 @@ class ManifestSpec extends SparkSuite {
       Tables.load(spark, sfDir, "events").count())
   }
 
+  test("file stats prune the read set; pruned result equals unpruned") {
+    val root = Manifest.statsRoot(spark, sfDir)
+    val (pruned, read, total) = Manifest.readTableRange(spark, root,
+      "events_log", "2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    assert(total == 16)
+    assert(read < total / 2, s"expected <8 of $total files, read $read")
+    val lo = lit("2024-01-08 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-15 00:00:00").cast("timestamp")
+    val prunedCount = pruned
+      .filter(col("ts") >= lo && col("ts") < hi).count()
+    val fullCount = Manifest.readTable(spark, root, "events_log")
+      .filter(col("ts") >= lo && col("ts") < hi).count()
+    assert(prunedCount == fullCount && fullCount > 0)
+  }
+
   test("commitBatchToManifest: version guard makes redelivery a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cbm-spec").toString
