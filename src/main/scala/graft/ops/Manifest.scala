@@ -221,38 +221,84 @@ object Manifest {
     }
   }
 
-  /** q187's two-table snapshot root, staged once per fixture version:
-    * v1 = pre-cut aggregates, v2 = full-window aggregates, plus a
-    * planted ORPHAN data file readers must never see. */
+  /** Shared two-version fixture builder (q187 + q195): v1 = pre-cut
+    * summaries, v2 = full-window summaries, plus a planted ORPHAN data
+    * file (a failed concurrent writer's leftovers) in the live prefix. */
+  private def buildTwoVersionRoot(s: SparkSession, dir: String, tmp: String): Unit = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("value"), col("ts"))
+    val cutTs = lit(Cdc.versionCut).cast("timestamp")
+    def summaries(df: DataFrame) = Map(
+      "user_totals" -> df.groupBy("user_id")
+        .agg(sum("value").as("total_u"), count(lit(1)).as("n_u")),
+      "type_totals" -> df.groupBy("event_type")
+        .agg(sum("value").as("total_t"), count(lit(1)).as("n_t")))
+    commit(s, tmp, summaries(ev.filter(col("ts") < cutTs)))
+    commit(s, tmp, summaries(ev))
+    ev.limit(7).groupBy("user_id").agg(sum("value").as("total_u"),
+        count(lit(1)).as("n_u"))
+      .write.mode("overwrite")
+      .parquet(s"$tmp/data/v2/user_totals_orphan")
+    val orphanSrc = Files.list(Paths.get(s"$tmp/data/v2/user_totals_orphan"))
+    val part = try orphanSrc.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally orphanSrc.close()
+    Files.move(part, Paths.get(s"$tmp/data/v2/user_totals")
+      .resolve("part-99999-orphan.parquet"))
+    Staging.deleteRecursively(Paths.get(s"$tmp/data/v2/user_totals_orphan"))
+  }
+
+  /** q187's two-table snapshot root, staged once per fixture version —
+    * orphan left in place (readers must ignore it). */
   def snapshotRoot(s: SparkSession, dir: String): String = {
     val fp = Staging.fingerprintOf(dir, Seq("events"))
-    Staging.ensure(s"target/graft-manifest/$fp") { tmp =>
-      val ev = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("event_type"),
-          col("value").cast("decimal(18,4)").as("value"), col("ts"))
-      val cutTs = lit(Cdc.versionCut).cast("timestamp")
-      def summaries(df: DataFrame) = Map(
-        "user_totals" -> df.groupBy("user_id")
-          .agg(sum("value").as("total_u"), count(lit(1)).as("n_u")),
-        "type_totals" -> df.groupBy("event_type")
-          .agg(sum("value").as("total_t"), count(lit(1)).as("n_t")))
-      commit(s, tmp, summaries(ev.filter(col("ts") < cutTs)))
-      commit(s, tmp, summaries(ev))
-      // failed concurrent writer: an orphan data file in the live
-      // prefix, in no manifest — must stay invisible to readers
-      ev.limit(7).groupBy("user_id").agg(sum("value").as("total_u"),
-          count(lit(1)).as("n_u"))
-        .write.mode("overwrite")
-        .parquet(s"$tmp/data/v2/user_totals_orphan")
-      val orphanSrc = Files.list(Paths.get(s"$tmp/data/v2/user_totals_orphan"))
-      val part = try orphanSrc.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-        finally orphanSrc.close()
-      Files.move(part, Paths.get(s"$tmp/data/v2/user_totals")
-        .resolve("part-99999-orphan.parquet"))
-      Staging.deleteRecursively(Paths.get(s"$tmp/data/v2/user_totals_orphan"))
-    }
+    Staging.ensure(s"target/graft-manifest/$fp")(buildTwoVersionRoot(s, dir, _))
   }
+
+  /** Reference-counted VACUUM: retain the newest `keep` manifests,
+    * delete every expired manifest and every data file no retained
+    * manifest references. Liveness comes from the manifests, not from
+    * file age or directory position — so dead overwrite versions AND
+    * orphans from failed writers are collected by the same rule, and a
+    * file carried forward by an append commit stays safe no matter how
+    * old its `v` prefix is. Metadata-sized work: |manifest rows| +
+    * |data files| driver-side, no data read. */
+  def vacuum(s: SparkSession, root: String, keep: Int): (Int, Int) = {
+    val latest = snapshotVersion(root)
+    val retainedVs = math.max(1L, latest - keep + 1) to latest
+    val live = retainedVs.flatMap { v =>
+      s.read.parquet(Paths.get(root, "manifest", s"v$v").toString)
+        .select("file").collect().map(_.getString(0))
+    }.toSet
+    val dataRoot = Paths.get(root, "data")
+    var removed = 0
+    val walk = Files.walk(dataRoot)
+    try walk.iterator().asScala.foreach { p =>
+      if (p.getFileName.toString.endsWith(".parquet") &&
+        !live.contains(Paths.get(root).relativize(p).toString.replace('\\', '/'))) {
+        Files.delete(p); removed += 1
+      }
+    } finally walk.close()
+    (1L until retainedVs.head).foreach(v =>
+      Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
+    (removed, live.size)
+  }
+
+  /** q195's root: the q187 shape (two overwrite versions + orphan),
+    * then vacuumed to the latest version only — staged once at a FIXED
+    * path so the oracle can glob it. The compare is root-internal
+    * (retained-manifest plan vs on-disk reality), so whichever fixture
+    * seeds the build, both sides see the same root. */
+  val vacuumedRootDir: String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-manifest-vac-v1").toString
+
+  def vacuumedRoot(s: SparkSession, dir: String): String =
+    Staging.ensure(vacuumedRootDir) { tmp =>
+      buildTwoVersionRoot(s, dir, tmp)
+      val _ = vacuum(s, tmp, keep = 1)
+    }
 
   val queries: Seq[Q] = Seq(
 
@@ -331,6 +377,37 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("day")
+      }),
+
+    // ----- Retention VACUUM, plan vs reality: the returned relation is
+    //       the PLAN (file and row counts the retained manifest says
+    //       should exist) while the oracle globs the DISK for whatever
+    //       actually survived and re-reads it. Vacuum deleting a live
+    //       file breaks the Spark side (missing input); keeping a dead
+    //       version or the planted orphan breaks the oracle side
+    //       (extra files/rows in the glob). Liveness is manifest
+    //       references, not file age — the one rule that collects both
+    //       dead overwrite versions and failed-writer orphans. -----
+    Q("q195_manifest_vacuum",
+      Some(s"""SELECT 'type_totals' AS table_name,
+             |  CAST((SELECT count(*) FROM glob('$vacuumedRootDir/data/*/type_totals/*.parquet')) AS BIGINT) AS n_files,
+             |  CAST((SELECT count(*) FROM read_parquet('$vacuumedRootDir/data/*/type_totals/*.parquet')) AS BIGINT) AS n_rows
+             |UNION ALL
+             |SELECT 'user_totals',
+             |  CAST((SELECT count(*) FROM glob('$vacuumedRootDir/data/*/user_totals/*.parquet')) AS BIGINT),
+             |  CAST((SELECT count(*) FROM read_parquet('$vacuumedRootDir/data/*/user_totals/*.parquet')) AS BIGINT)
+             |ORDER BY table_name""".stripMargin),
+      (s, dir) => {
+        val root = vacuumedRoot(s, dir)
+        val v = snapshotVersion(root)
+        val manifest = s.read
+          .parquet(Paths.get(root, "manifest", s"v$v").toString)
+        import s.implicits._
+        Seq("type_totals", "user_totals").map { t =>
+          val nFiles = manifest.filter(col("table_name") === t).count()
+          val nRows = readTable(s, root, t).count()
+          (t, nFiles, nRows)
+        }.toDF("table_name", "n_files", "n_rows").orderBy("table_name")
       })
   )
 }

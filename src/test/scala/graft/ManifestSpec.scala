@@ -4,6 +4,7 @@ import graft.ops.Manifest
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The snapshot-manifest commit contract (q187): readers resolve
   * pointer → manifest → explicit files, so orphans and crashed commits
@@ -84,6 +85,30 @@ class ManifestSpec extends SparkSuite {
     val fullCount = Manifest.readTable(spark, root, "events_log")
       .filter(col("ts") >= lo && col("ts") < hi).count()
     assert(prunedCount == fullCount && fullCount > 0)
+  }
+
+  test("vacuum keeps exactly the retained manifest's references") {
+    // assertions are root-internal: the fixed-path fixture may have
+    // been seeded by any sfDir, but plan-vs-reality must hold for all
+    val root = Manifest.vacuumedRoot(spark, sfDir)
+    assert(Manifest.snapshotVersion(root) == 2L)
+    assert(!Files.isDirectory(Paths.get(s"$root/manifest/v1"))) // expired
+    assert(!Files.exists(
+      Paths.get(s"$root/data/v2/user_totals/part-99999-orphan.parquet")))
+    val live = spark.read.parquet(s"$root/manifest/v2")
+      .select("file").collect().map(_.getString(0)).toSet
+    // every live file exists; no parquet on disk outside the live set
+    assert(live.forall(rel => Files.exists(Paths.get(s"$root/$rel"))))
+    val walk = Files.walk(Paths.get(s"$root/data"))
+    val onDisk =
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => Paths.get(root).relativize(p).toString.replace('\\', '/'))
+        .toSet
+      finally walk.close()
+    assert(onDisk == live)
+    // reads through the retained manifest still work
+    assert(Manifest.readTable(spark, root, "user_totals").count() > 0)
   }
 
   test("commitBatchToManifest: version guard makes redelivery a no-op") {
