@@ -76,6 +76,87 @@ object Manifest {
     version
   }
 
+  /** Optimistic-concurrency commit: the VERSION NUMBER is the
+    * compare-and-swap. A committer stages its manifest into a tmp dir
+    * and claims `manifest/v<N>` with an atomic NON-replacing rename —
+    * if another writer claimed N first, the move throws, and the loser
+    * re-reads the current version and retries against the new base.
+    * No lost updates, no locks, and the pointer file is just a cache
+    * of max(version) for readers. (Production object stores expose
+    * the same primitive as a conditional put / if-none-match.)
+    * Returns the version actually won. */
+  def commitCas(s: SparkSession, root: String, tables: Map[String, DataFrame],
+                maxRetries: Int = 5): Long = {
+    // next version = 1 + max(claimed manifests, pointer): a claimer
+    // that crashed before its pointer swap must not deadlock later
+    // writers (its claimed number is simply skipped; readers never see
+    // it because the pointer was never advanced, and vacuum collects it)
+    def nextVersion: Long = {
+      val mdir = Paths.get(root, "manifest")
+      val claimed =
+        if (!Files.isDirectory(mdir)) 0L
+        else {
+          val l = Files.list(mdir)
+          try l.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+            .foldLeft(0L)(math.max)
+          finally l.close()
+        }
+      math.max(claimed, snapshotVersion(root)) + 1
+    }
+    var attempt = 0
+    while (true) {
+      val version = nextVersion
+      Files.createDirectories(Paths.get(root))
+      // data stages under a WRITER-UNIQUE prefix: two racers must never
+      // interleave files in one directory — only the manifest claim
+      // arbitrates, and readers follow explicit paths anyway
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val dataPrefix = s"v$version-$token"
+      val fileRows = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+        val dataDir = Paths.get(root, "data", dataPrefix, name)
+        df.write.mode("overwrite").parquet(dataDir.toString)
+        val listing = Files.list(dataDir)
+        try listing.iterator().asScala.toList
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => (name, s"data/$dataPrefix/$name/${p.getFileName}"))
+        finally listing.close()
+      }
+      import s.implicits._
+      val manifestTmp = Files.createTempDirectory(
+        Paths.get(root), s"manifest-v$version.tmp-")
+      fileRows.toDF("table_name", "file")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(manifestTmp.resolve("m").toString)
+      val target = Paths.get(root, "manifest", s"v$version")
+      Files.createDirectories(target.getParent)
+      try {
+        // the CAS: non-replacing atomic claim of this version number
+        Files.move(manifestTmp.resolve("m"), target,
+          StandardCopyOption.ATOMIC_MOVE)
+        Staging.deleteRecursively(manifestTmp)
+        val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
+        Files.write(tmp, version.toString.getBytes("UTF-8"))
+        Files.move(tmp, pointerPath(root),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        return version
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // lost the race: abandon this attempt's staging (its unique
+          // prefix only — the winner's files are untouched), rebase, retry
+          Staging.deleteRecursively(manifestTmp)
+          Staging.deleteRecursively(Paths.get(root, "data", dataPrefix))
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"commitCas: lost the version race $maxRetries times at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Read `table` at `version` (default: the committed pointer) through
     * its manifest — explicit file paths, never a directory listing. */
   def readTable(s: SparkSession, root: String, table: String,

@@ -111,6 +111,27 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "user_totals").count() > 0)
   }
 
+  test("commitCas: crashed claimer is skipped; committed data never clobbered") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cas-spec").toString
+    val v1 = Manifest.commitCas(spark, root,
+      Map("t" -> Seq((1L, 10.0)).toDF("k", "v")))
+    assert(v1 == 1L)
+    // a claimer that died after claiming v2 but before the pointer swap
+    Files.createDirectories(Paths.get(s"$root/manifest/v2"))
+    // readers still serve v1 (the pointer never advanced)
+    assert(Manifest.snapshotVersion(root) == 1L)
+    assert(Manifest.readTable(spark, root, "t").count() == 1L)
+    // the next committer skips the dead claim instead of deadlocking
+    val v3 = Manifest.commitCas(spark, root,
+      Map("t" -> Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")))
+    assert(v3 == 3L)
+    assert(Manifest.snapshotVersion(root) == 3L)
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+    // v1's committed files are untouched by the later commit
+    assert(Manifest.readTable(spark, root, "t", version = 1L).count() == 1L)
+  }
+
   test("commitBatchToManifest: version guard makes redelivery a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cbm-spec").toString
