@@ -237,6 +237,63 @@ object ScaleProbe {
     run("union-percol", Stats.columnStatsUnion(li, Stats.profiled))
   }
 
+  /** Measured BUILD cost of every once-staged maintenance layout whose
+    * gate query only times the read (the q107 amortization family):
+    * the numbers the "bench charges the read, where's the write?"
+    * question is answered with. Each build runs against a scratch copy
+    * so published layouts stay untouched. */
+  def maintPrice(spark: SparkSession, srcDir: String): Unit = {
+    import graft.ops.{Cdc, Lifecycle, Manifest}
+    import java.nio.file.Files
+    def run(label: String)(body: String => Unit): Unit = {
+      val scratch = Files.createTempDirectory("graft-maint-probe").toString
+      val (_, w) = time(body(scratch))
+      println(f"[probe] maintprice $label build=$w%.2fs")
+      Staging.deleteRecursively(java.nio.file.Paths.get(scratch))
+    }
+    val ev = Tables.load(spark, srcDir, "events")
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("value"), col("ts"))
+    run("gdpr_delete(q182)") { d =>
+      Lifecycle.gdprDelete(spark, Lifecycle.bucketLayout(spark, srcDir), s"$d/events")
+    }
+    run("cdc_versions(q186)") { d =>
+      val base = Tables.load(spark, srcDir, "events")
+        .select("event_id", "user_id", "ts", "value")
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      graft.streaming.Streams.cdcApplyBatch(base.filter(col("ts") < cutTs), d, 0L)
+      graft.streaming.Streams.cdcApplyBatch(base.filter(col("ts") >= cutTs), d, 1L)
+    }
+    run("manifest_commit_2tab(q187)") { d =>
+      Manifest.commit(spark, d, Map(
+        "user_totals" -> ev.groupBy("user_id")
+          .agg(sum("value").as("total_u"), count(lit(1)).as("n_u")),
+        "type_totals" -> ev.groupBy("event_type")
+          .agg(sum("value").as("total_t"), count(lit(1)).as("n_t"))))
+    }
+    run("ranged_append_16f(q193)") { d =>
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      Manifest.commitAppendRanged(spark, d, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      Manifest.commitAppendRanged(spark, d, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+    }
+    run("mv_build(q191)") { d =>
+      Tables.load(spark, srcDir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+          count(lit(1)).as("n_v"))
+        .write.mode("overwrite").parquet(s"$d/mv")
+    }
+    run("vacuum(q195)") { d =>
+      // build the two-version root, then time ONLY the vacuum
+      Manifest.commit(spark, d, Map("t" -> ev.limit(1000)))
+      Manifest.commit(spark, d, Map("t" -> ev.limit(2000)))
+      val (r, w) = time(Manifest.vacuum(spark, d, keep = 1))
+      println(f"[probe] maintprice vacuum_only removed=${r._1} live=${r._2} wall=$w%.2fs")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -261,6 +318,7 @@ object ScaleProbe {
       case "restart"     => restart(spark)
       case "streamprice" => streamPrice(spark, srcDir)
       case "statsshape"  => statsShape(spark, srcDir)
+      case "maintprice"  => maintPrice(spark, srcDir)
       case other         => System.err.println(s"[probe] unknown probe: $other")
     }
     spark.stop()
