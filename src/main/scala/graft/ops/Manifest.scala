@@ -281,6 +281,79 @@ object Manifest {
     }
   }
 
+  /** REPLACE commit: a new snapshot whose manifest carries every OTHER
+    * table's rows forward and swaps `table`'s file set for the new
+    * data — the commit primitive behind compaction and any full-table
+    * rewrite. The old file set stays on disk (time travel) until
+    * retention vacuums it. */
+  def commitReplace(s: SparkSession, root: String, table: String,
+                    df: DataFrame): Long = {
+    val version = snapshotVersion(root) + 1
+    val dataDir = Paths.get(root, "data", s"v$version", table)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val listing = Files.list(dataDir)
+    val newRows =
+      try listing.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (table, s"data/v$version/$table/${p.getFileName}"))
+      finally listing.close()
+    import s.implicits._
+    val carried =
+      if (version == 1) Seq.empty[(String, String)]
+      else s.read.parquet(Paths.get(root, "manifest", s"v${version - 1}").toString)
+        .filter(col("table_name") =!= table)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    (carried ++ newRows).toDF("table_name", "file")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(root, "manifest", s"v$version").toString)
+    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, pointerPath(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
+  /** OPTIMIZE through the commit log (q196): bin-pack `table`'s
+    * current file set into `ceil(bytes / targetBytes)` files and
+    * publish the rewrite as ONE replace-commit. Readers atomically
+    * flip from many-small to few-large; the fragmented version remains
+    * time-travelable until [[vacuum]]. Planning is metadata-only
+    * (manifest rows + file sizes); the rewrite reads exactly the
+    * table once — this is q177's bin-pack with the commit-log
+    * atomicity its scaladoc deferred to table formats. */
+  def compactTable(s: SparkSession, root: String, table: String,
+                   targetBytes: Long): Long = {
+    val v = snapshotVersion(root)
+    val files = s.read
+      .parquet(Paths.get(root, "manifest", s"v$v").toString)
+      .filter(col("table_name") === table)
+      .select("file").collect().map(_.getString(0))
+    val bytes = files.map(f => Files.size(Paths.get(root, f))).sum
+    val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    commitReplace(s, root, table, readTable(s, root, table).repartition(bins))
+  }
+
+  /** q196's fragmented root: six 5-day append commits of 4 files each
+    * (the auto-ingest accumulation shape), then one compaction commit. */
+  def compactedRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-compact/$fp") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      (0 until 6).foreach { w =>
+        val lo = lit(s"2024-01-${"%02d".format(1 + w * 5)} 00:00:00").cast("timestamp")
+        val hi = lit(s"2024-01-${"%02d".format(math.min(31, 6 + w * 5))} 00:00:00").cast("timestamp")
+        val slice =
+          if (w == 5) ev.filter(col("ts") >= lo) // tail takes the rest
+          else ev.filter(col("ts") >= lo && col("ts") < hi)
+        commitAppend(s, tmp, "events_log", slice.repartition(4))
+      }
+      val _ = compactTable(s, tmp, "events_log", 8L << 20)
+    }
+  }
+
   /** q189's evolving-layout root: v1 = pre-cut events with files
     * GROUPED BY MONTH, v2 = an append of the post-cut window grouped by
     * WEEK. Grouping keys live as ordinary columns in the files (a
@@ -489,6 +562,27 @@ object Manifest {
           val nRows = readTable(s, root, t).count()
           (t, nFiles, nRows)
         }.toDF("table_name", "n_files", "n_rows").orderBy("table_name")
+      }),
+
+    // ----- Compaction as a commit: six fragmented append commits
+    //       (24 small files, the auto-ingest accumulation) rewritten
+    //       by ONE replace-commit into the bin-pack bound. The oracle
+    //       recomputes the monthly account from the raw table, so the
+    //       rewrite must be content-lossless across the atomic flip;
+    //       ManifestSpec asserts the file-count drop and that the
+    //       fragmented version still time-travels until vacuumed. -----
+    Q("q196_manifest_compaction",
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val root = compactedRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("month")
       })
   )
 }

@@ -111,6 +111,26 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "user_totals").count() > 0)
   }
 
+  test("compaction commit: file count drops, fragmented version time-travels") {
+    val root = Manifest.compactedRoot(spark, sfDir)
+    val v = Manifest.snapshotVersion(root)
+    assert(v == 7L) // six fragmented appends + one compaction commit
+    def nFiles(ver: Long): Long =
+      spark.read.parquet(s"$root/manifest/v$ver")
+        .filter(col("table_name") === "events_log").count()
+    assert(nFiles(6L) == 24L) // 6 commits x repartition(4)
+    assert(nFiles(7L) < 6L)   // bin-pack bound at fixture scale
+    // the atomic flip lost nothing
+    val before = Manifest.readTable(spark, root, "events_log", version = 6L)
+    val after = Manifest.readTable(spark, root, "events_log", version = 7L)
+    assert(after.count() == before.count())
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // fragmented files survive (time travel) until a vacuum collects them
+    val liveV6 = spark.read.parquet(s"$root/manifest/v6")
+      .select("file").collect().map(_.getString(0))
+    assert(liveV6.forall(rel => Files.exists(Paths.get(s"$root/$rel"))))
+  }
+
   test("commitCas: crashed claimer is skipped; committed data never clobbered") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cas-spec").toString
