@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.Manifest
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Property test for the commit-log invariants: ANY interleaving of
+  * overwrite commits, append commits, replace commits, and vacuums
+  * must keep the table consistent —
+  *  1. the pointer equals the newest manifest;
+  *  2. every file the current manifest references exists on disk;
+  *  3. the readable row count equals the model's expected count
+  *     (overwrite/replace reset it, appends accumulate);
+  *  4. after a vacuum, no data file outside the retained manifests'
+  *     reference set survives.
+  */
+class ManifestPropertySpec extends SparkSuite {
+
+  sealed trait Op
+  case object Commit extends Op      // overwrite: table := batch
+  case object Append extends Op      // table ++= batch
+  case object Replace extends Op     // table := batch (replace-commit path)
+  case object Vacuum extends Op      // retain newest manifest only
+
+  private val opGen: Gen[Op] =
+    Gen.frequency(3 -> Commit, 4 -> Append, 2 -> Replace, 2 -> Vacuum)
+
+  test("property: random commit/append/replace/vacuum sequences stay consistent") {
+    import spark.implicits._
+    val p = Prop.forAll(Gen.listOfN(6, Gen.zip(opGen, Gen.chooseNum(1, 5)))) { ops =>
+      val root = Files.createTempDirectory("graft-manifest-prop").toString
+      var expectedRows = 0L
+      var serial = 0L
+      ops.foreach { case (op, n) =>
+        serial += 1
+        def batch = (1L to n.toLong).map(i => (serial * 100 + i, i * 1.5))
+          .toDF("k", "v")
+        op match {
+          case Commit =>
+            Manifest.commit(spark, root, Map("t" -> batch))
+            expectedRows = n.toLong
+          case Append =>
+            Manifest.commitAppend(spark, root, "t", batch)
+            expectedRows += n.toLong
+          case Replace =>
+            Manifest.commitReplace(spark, root, "t", batch)
+            expectedRows = n.toLong
+          case Vacuum =>
+            if (Manifest.snapshotVersion(root) > 0)
+              Manifest.vacuum(spark, root, keep = 1)
+        }
+        val v = Manifest.snapshotVersion(root)
+        if (v > 0) {
+          // 1. pointer is the newest manifest on disk
+          val listing = Files.list(Paths.get(root, "manifest"))
+          val newest =
+            try listing.iterator().asScala
+              .map(_.getFileName.toString.drop(1).toLong).max
+            finally listing.close()
+          assert(newest == v, s"pointer $v != newest manifest $newest")
+          // 2. + 3. referenced files exist; rows match the model
+          val live = spark.read.parquet(s"$root/manifest/v$v")
+            .select("file").collect().map(_.getString(0)).toSet
+          assert(live.forall(rel => Files.exists(Paths.get(s"$root/$rel"))))
+          assert(Manifest.readTable(spark, root, "t").count() == expectedRows,
+            s"rows after $op")
+          // 4. vacuum leaves nothing unreferenced
+          if (op == Vacuum) {
+            val walk = Files.walk(Paths.get(root, "data"))
+            val onDisk =
+              try walk.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .map(q => Paths.get(root).relativize(q).toString.replace('\\', '/'))
+                .toSet
+              finally walk.close()
+            assert(onDisk == live, s"vacuum left ${onDisk -- live}")
+          }
+        }
+      }
+      graft.ops.Staging.deleteRecursively(Paths.get(root))
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+}
