@@ -276,4 +276,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(partsRead == 12, s"expected 12 pruned partitions, read $partsRead of $nMonths")
     assert(nMonths > 50) // the pruning is real: 12 of ~84
   }
+
+  test("q188: the row-access policy join is a broadcast semi-join") {
+    val plan = formatted("q188_policy_read")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"policy join should broadcast, plan:\n${plan.take(800)}")
+    // no shuffle before the final sort: policy filtering rides the scan
+    assert(!plan.split("Sort").head.contains("Exchange hashpartitioning"))
+  }
+
+  test("q182: the erasure rewrite scans only the subjects' buckets") {
+    import graft.ops.Lifecycle
+    val src = Lifecycle.bucketLayout(spark, dir)
+    val scan = spark.read.parquet(src)
+      .filter(org.apache.spark.sql.functions.col("u_bucket")
+        .isin(Lifecycle.affectedBuckets: _*))
+      .queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.nonEmpty)
+    val sel = scan.selectedPartitions.partitionCount
+    assert(sel <= Lifecycle.affectedBuckets.size,
+      s"read $sel partitions for ${Lifecycle.affectedBuckets.size} affected buckets")
+  }
 }
