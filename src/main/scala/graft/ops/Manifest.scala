@@ -281,6 +281,89 @@ object Manifest {
     }
   }
 
+  /** Schema-enforced append (q197): the manifest layer is also the
+    * SCHEMA REGISTRY — each version records the table's current schema,
+    * and an append must match it: every existing column present with
+    * its exact type, no new columns unless `allowEvolution` (then the
+    * union schema becomes the new registered schema and old files
+    * NULL-fill the added columns at read). This is write-side
+    * enforcement — the q174 lesson ("pin the evolved schema in the
+    * catalog, don't footer-merge per query") with the manifest as the
+    * catalog: [[readTableEvolved]] reads with the REGISTERED schema,
+    * so reads never pay a footer-merge and never depend on file order. */
+  def commitAppendEvolve(s: SparkSession, root: String, table: String,
+                         df: DataFrame, allowEvolution: Boolean = false): Long = {
+    val current = registeredSchema(s, root, table)
+    current.foreach { cur =>
+      cur.fields.foreach { f =>
+        val got = df.schema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema enforcement: append to $table drops column ${f.name}"))
+        if (got.dataType != f.dataType)
+          throw new IllegalArgumentException(
+            s"schema enforcement: column ${f.name} is ${got.dataType}, " +
+              s"table has ${f.dataType}")
+      }
+      val added = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
+      if (added.nonEmpty && !allowEvolution)
+        throw new IllegalArgumentException(
+          s"schema enforcement: append adds ${added.mkString(",")} to $table " +
+            "without allowEvolution")
+    }
+    val version = commitAppend(s, root, table, df)
+    val evolved = current match {
+      case Some(cur) =>
+        org.apache.spark.sql.types.StructType(
+          cur.fields ++ df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name)))
+      case None => df.schema
+    }
+    Files.write(Paths.get(root, "manifest", s"schema_v$version.json"),
+      evolved.json.getBytes("UTF-8"))
+    version
+  }
+
+  /** The schema registered at `version` (default current), if any. */
+  def registeredSchema(s: SparkSession, root: String, table: String,
+                       version: Long = -1L): Option[org.apache.spark.sql.types.StructType] = {
+    val v = if (version > 0) version else snapshotVersion(root)
+    val p = Paths.get(root, "manifest", s"schema_v$v.json")
+    if (!Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Read an evolved table with its REGISTERED schema pinned: files
+    * written before a column existed NULL-fill it — no per-query
+    * footer merge, no file-order dependence. */
+  def readTableEvolved(s: SparkSession, root: String, table: String): DataFrame = {
+    val v = snapshotVersion(root)
+    val schema = registeredSchema(s, root, table).getOrElse(
+      throw new IllegalStateException(s"no registered schema for $table at v$v"))
+    val files = s.read
+      .parquet(Paths.get(root, "manifest", s"v$v").toString)
+      .filter(col("table_name") === table)
+      .select("file").collect().map(r => s"$root/${r.getString(0)}")
+    s.read.schema(schema).parquet(files.toIndexedSeq: _*)
+  }
+
+  /** q197's evolving table: epoch 1 without `quality`, epoch 2 appended
+    * WITH it under allowEvolution — staged once per fixture. */
+  def evolvedSchemaRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-schema/$fp") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendEvolve(s, tmp, "events_log", ev.filter(col("ts") < cutTs))
+      commitAppendEvolve(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs)
+          .withColumn("quality", col("value") * 2),
+        allowEvolution = true)
+    }
+  }
+
   /** REPLACE commit: a new snapshot whose manifest carries every OTHER
     * table's rows forward and swaps `table`'s file set for the new
     * data — the commit primitive behind compaction and any full-table
@@ -583,6 +666,35 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("month")
+      }),
+
+    // ----- Write-side schema contract: epoch 1 lacks `quality`,
+    //       epoch 2 appends it under allowEvolution, and the REGISTERED
+    //       schema (manifest = catalog) pins every read — old files
+    //       NULL-fill the new column with zero footer-merge cost. The
+    //       oracle derives the same null structure from the raw table
+    //       (pre-cut rows have no quality), so a read that dropped the
+    //       column, filled it wrong, or leaked it into old rows breaks
+    //       the hash; ManifestSpec pins the REJECTION side (type drift
+    //       and silent adds refuse to commit). -----
+    Q("q197_schema_enforced_append",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(quality) AS BIGINT) AS n_quality,
+             |  CAST(sum(quality) AS DOUBLE) AS total_quality
+             |FROM (
+             |  SELECT event_type,
+             |    CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |         THEN CAST(value AS DECIMAL(18,4)) * 2 END AS quality
+             |  FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = evolvedSchemaRoot(s, dir)
+        readTableEvolved(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count(col("quality")).as("n_quality"),
+            sum("quality").cast("double").as("total_quality"))
+          .orderBy("event_type")
       })
   )
 }

@@ -152,6 +152,37 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t", version = 1L).count() == 1L)
   }
 
+  test("schema enforcement: drift refuses to commit, evolution registers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-schema-spec").toString
+    Manifest.commitAppendEvolve(spark, root,
+      "t", Seq((1L, "a")).toDF("k", "s"))
+    // dropped column
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppendEvolve(spark, root, "t", Seq(Tuple1(2L)).toDF("k"))
+    }
+    // type drift
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppendEvolve(spark, root, "t",
+        Seq((3, "c")).toDF("k", "s")) // k is Int here, table has Long
+    }
+    // silent add without the evolution flag
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppendEvolve(spark, root, "t",
+        Seq((4L, "d", 1.0)).toDF("k", "s", "x"))
+    }
+    // none of the rejected attempts advanced the table
+    assert(Manifest.snapshotVersion(root) == 1L)
+    assert(Manifest.readTableEvolved(spark, root, "t").count() == 1L)
+    // sanctioned evolution: union schema registers, old rows NULL-fill
+    Manifest.commitAppendEvolve(spark, root, "t",
+      Seq((5L, "e", 9.5)).toDF("k", "s", "x"), allowEvolution = true)
+    val evolved = Manifest.readTableEvolved(spark, root, "t").orderBy("k")
+    assert(evolved.schema.fieldNames.toSeq == Seq("k", "s", "x"))
+    val rows = evolved.collect()
+    assert(rows.length == 2 && rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
+  }
+
   test("commitBatchToManifest: version guard makes redelivery a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cbm-spec").toString
