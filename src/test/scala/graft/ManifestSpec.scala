@@ -152,6 +152,23 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t", version = 1L).count() == 1L)
   }
 
+  test("a relocated root serves identical reads (root-relative paths)") {
+    // the DR-restore / bucket-migration contract: copy the whole root
+    // anywhere and every snapshot read must work unchanged
+    val root = Manifest.snapshotRoot(spark, sfDir)
+    val moved = Files.createTempDirectory("graft-relocate-spec").toString
+    val walk = Files.walk(Paths.get(root))
+    try walk.iterator().asScala.foreach { p =>
+      val dest = Paths.get(moved).resolve(Paths.get(root).relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else Files.copy(p, dest)
+    } finally walk.close()
+    val orig = Manifest.readTable(spark, root, "user_totals").orderBy("user_id")
+    val reloc = Manifest.readTable(spark, moved, "user_totals").orderBy("user_id")
+    assert(reloc.exceptAll(orig).isEmpty && orig.exceptAll(reloc).isEmpty)
+    assert(Manifest.snapshotVersion(moved) == Manifest.snapshotVersion(root))
+  }
+
   test("schema enforcement: drift refuses to commit, evolution registers") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-schema-spec").toString
