@@ -34,24 +34,37 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md §A), which
-    * Spark's vectorized reader rejects outright. Read it as raw
-    * nanos-since-epoch (legacy nanosAsLong mode) and convert to
-    * TimestampType with integer `div` — a double division would lose
-    * precision at 2^63-scale nanos. The fixture has no sub-µs component
-    * (verified), so the truncation is lossless and matches DuckDB's own
-    * ns→µs cast in oracle SQL.
+  /** `events.ts` must surface as TimestampType (event-time semantics —
+    * watermarks and as-of joins reject TIMESTAMP_NTZ), but the driver
+    * fixture's physical annotation has varied across regenerations:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    outright; read as raw nanos-since-epoch (legacy nanosAsLong
+    *    mode) and convert with integer `div` — a double division would
+    *    lose precision at 2^63-scale nanos. No sub-µs component exists
+    *    in the fixture, so the truncation is lossless.
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false: arrives as
+    *    TIMESTAMP_NTZ; the wall-time is UTC by fixture convention and
+    *    every session pins spark.sql.session.timeZone=UTC, so a plain
+    *    cast to TimestampType is the identity on the underlying micros
+    *    and matches DuckDB's naive read in oracle SQL.
+    *
+    * Normalizing HERE (the only events entry point) keeps every
+    * downstream operator vintage-independent.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(dir, "events"))
-    // TIMESTAMP(NANOS) columns arrive as LongType under nanosAsLong;
-    // micro/milli fixtures (e.g. test-written parquet) are already
-    // TimestampType and need no conversion.
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) vintage under nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case TimestampNTZType => // unadjusted-µs vintage
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      case _ => raw
+    }
   }
 
   /** Register every fixture table as a temp view named after the table.

@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // The gate rebuilds every staged fixture layout it touches (once per
+    // JVM): a layout built by older code can never serve stale bytes
+    // against a fresh oracle (the round-8 q180 red row). See
+    // Staging.ensure; each rebuild is sub-second at gate scale.
+    System.setProperty("graft.staging.rebuild", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -314,11 +314,18 @@ object Ingest {
   def stageDir: String =
     Paths.get(System.getProperty("java.io.tmpdir"), "graft-stage").toString
 
-  /** q174's two-epoch parquet fixture home — content is code-versioned
-    * (bump the suffix when the fixture rows change); built at most once
-    * via [[Staging.ensure]]. */
+  /** q174's two-epoch fixture rows — the staged path hashes them, so
+    * editing the fixture re-keys the layout (no hand-bumped tag). */
+  private[ops] val evolveEpoch1: Seq[(Long, Int)] =
+    Seq((2001L, 2), (2002L, 3), (2003L, 4))
+  private[ops] val evolveEpoch2: Seq[(Long, Int, Double)] =
+    Seq((2004L, 3, 0.1), (2005L, 4, 0.2), (2006L, 5, 0.0))
+
+  /** q174's two-epoch parquet fixture home, keyed by a hash of the
+    * fixture rows; built at most once via [[Staging.ensure]]. */
   val evolveDir: String =
-    Paths.get(System.getProperty("java.io.tmpdir"), "graft-evolve-v2").toString
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-evolve-${Staging.contentKey(evolveEpoch1.toString, evolveEpoch2.toString)}").toString
 
   /** The staged-CSV content for one logical date (public for the q184
     * stage-hygiene fixture, which stages the same parse-edge rows). */
@@ -382,17 +389,32 @@ object Ingest {
     stageDir
   }
 
-  /** q181's fixed unload stage — content is code-versioned (the q35
-    * relation), so the path carries a version suffix, not a fixture
-    * fingerprint; bump it when the staged rows change. Initialized
-    * before [[queries]]: the oracle SQL interpolates it. */
-  val unloadRtDir: String =
-    Paths.get(System.getProperty("java.io.tmpdir"), "graft-unload-rt-v1").toString
+  /** Hash of the generated backfill-stage CSV content — the source side
+    * of every code-versioned staged layout below. Editing the fixture
+    * generator re-keys them all. */
+  private def stageContentKey: String = Staging.contentKey(
+    Iterator.iterate(backfillStart)(_.plusDays(1))
+      .takeWhile(_.isBefore(backfillEnd)).zipWithIndex
+      .map { case (ds, i) => csvContent(ds, i * 100) }.toSeq: _*)
 
-  /** q192's multi-format stage (code-versioned): the q35 relation
-    * serialized as JSON-lines and parquet beside the CSV originals. */
+  /** q181's fixed unload stage, keyed by a hash of (staged rows ×
+    * writer options) — any change to either re-keys the layout.
+    * Initialized before [[queries]]: the oracle SQL interpolates it. */
+  val unloadRtDir: String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-unload-rt-" + Staging.contentKey(stageContentKey,
+        Staging.optionsKey(csvOptions - "mode"),
+        "compression=gzip;nullValue=NULL;timestampFormat=yyyy-MM-dd HH:mm:ss",
+        "coalesce=1")).toString
+
+  /** q192's multi-format stage, keyed like [[unloadRtDir]]: the q35
+    * relation serialized as JSON-lines and parquet beside the CSV
+    * originals. */
   val federatedDir: String =
-    Paths.get(System.getProperty("java.io.tmpdir"), "graft-federated-v1").toString
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-federated-" + Staging.contentKey(stageContentKey,
+        "jsonl:timestampFormat=yyyy-MM-dd HH:mm:ss;coalesce=1",
+        "parquet:coalesce=1")).toString
 
   val queries: Seq[Q] = Seq(
 
@@ -507,11 +529,10 @@ object Ingest {
         val dir = Staging.ensure(evolveDir) { tmp =>
           import s.implicits._
           // epoch 1: pre-evolution schema (no discount column)
-          Seq((2001L, 2), (2002L, 3), (2003L, 4)).toDF("trans_id", "quantity")
+          evolveEpoch1.toDF("trans_id", "quantity")
             .coalesce(1).write.mode("overwrite").parquet(s"$tmp/epoch=1")
           // epoch 2: discount added
-          Seq((2004L, 3, 0.1), (2005L, 4, 0.2), (2006L, 5, 0.0))
-            .toDF("trans_id", "quantity", "discount")
+          evolveEpoch2.toDF("trans_id", "quantity", "discount")
             .coalesce(1).write.mode("overwrite").parquet(s"$tmp/epoch=2")
         }
         s.read.option("mergeSchema", "true").parquet(dir)
@@ -789,11 +810,24 @@ object Ingest {
       when(col("o_orderkey") % 7 === 0, lit(null).cast(StringType))
         .otherwise(col("o_orderstatus")).as("comment_n"))
 
-  /** Fingerprint-keyed unload stage for `sfDir`'s orders fixture —
-    * regenerating the fixture invalidates the layout. */
+  /** Canonical writer configuration of the unload stage — every option,
+    * format string, and sizing rule that affects the staged BYTES. Part
+    * of the stage's path key: changing any of these re-keys the layout
+    * (no hand-bumped version tags; the round-8 lesson). */
+  private def unloadConfigKey: String = Staging.contentKey(
+    Staging.optionsKey(csvOptions - "mode"),
+    "compression=gzip", "nullValue=NULL",
+    "timestampFormat=yyyy-MM-dd HH:mm:ss",
+    "timestampNTZFormat=yyyy-MM-dd HH:mm:ss",
+    unloadSchema.json,
+    "split=max(4,bytes/2MiB)")
+
+  /** Unload stage for `sfDir`'s orders fixture, keyed by fixture
+    * fingerprint × writer config — regenerating the fixture OR changing
+    * any writer option invalidates the layout. */
   def unloadDir(sfDir: String): String =
     Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-unload-v4-${Staging.fingerprintOf(sfDir, Seq("orders"))}").toString
+      s"graft-unload-${Staging.fingerprintOf(sfDir, Seq("orders"))}-$unloadConfigKey").toString
 
   /** Perform the unload (at most once system-wide per fixture version):
     * gzip CSV part files with the q35 file_format options. The split

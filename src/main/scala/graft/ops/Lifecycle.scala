@@ -106,13 +106,27 @@ object Lifecycle {
     }
   }
 
-  /** q184's scratch stage — code-versioned content (four dated CSVs +
-    * manifest), REMOVE applied during the one-time build so the
+  /** q184's fixture plan: (logical date, was-COPY'd) for the four staged
+    * files, and the retention cutoff — hashed into the stage path below
+    * so editing the plan re-keys the layout. */
+  private val removeStagePlan: Seq[(java.time.LocalDate, Boolean)] = Seq(
+    (java.time.LocalDate.of(2022, 7, 12), false),
+    (java.time.LocalDate.of(2022, 7, 13), true),
+    (java.time.LocalDate.of(2022, 7, 14), true),
+    (java.time.LocalDate.of(2022, 7, 15), true))
+  private val removeCutoff: java.time.LocalDate =
+    java.time.LocalDate.of(2022, 7, 15)
+
+  /** q184's scratch stage — content keyed by a hash of (file contents ×
+    * plan × cutoff); REMOVE applied during the one-time build so the
     * published dir IS the post-remove state. Initialized before
     * [[queries]]: the oracle SQL interpolates it. */
   val removeStageDir: String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-remove-v1").toString
+      "graft-remove-" + Staging.contentKey(
+        (removeStagePlan.zipWithIndex.map { case ((ds, loaded), i) =>
+          s"$ds|$loaded|" + Ingest.stageCsvContent(ds, i * 100)
+        } :+ s"cutoff=$removeCutoff"): _*)).toString
 
   val queries: Seq[Q] = Seq(
 
@@ -191,12 +205,7 @@ object Lifecycle {
   def ensureRemovedStage(s: SparkSession): String =
     Staging.ensure(removeStageDir) { tmp =>
       import java.nio.charset.StandardCharsets
-      val dates = Seq(
-        (java.time.LocalDate.of(2022, 7, 12), false),
-        (java.time.LocalDate.of(2022, 7, 13), true),
-        (java.time.LocalDate.of(2022, 7, 14), true),
-        (java.time.LocalDate.of(2022, 7, 15), true))
-      val rows = dates.zipWithIndex.map { case ((ds, loaded), i) =>
+      val rows = removeStagePlan.zipWithIndex.map { case ((ds, loaded), i) =>
         val name = Ingest.stagedFileName(ds)
         val content = Ingest.stageCsvContent(ds, i * 100)
         Files.write(Paths.get(tmp).resolve(name),
@@ -210,6 +219,6 @@ object Lifecycle {
         .parquet(s"$tmp/_manifest.parquet")
       stageRemove(tmp,
         loaded = rows.collect { case (n, _, true, _) => n }.toSet,
-        cutoff = java.time.LocalDate.of(2022, 7, 15))
+        cutoff = removeCutoff)
     }
 }

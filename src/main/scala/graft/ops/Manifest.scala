@@ -526,10 +526,13 @@ object Manifest {
     * then vacuumed to the latest version only — staged once at a FIXED
     * path so the oracle can glob it. The compare is root-internal
     * (retained-manifest plan vs on-disk reality), so whichever fixture
-    * seeds the build, both sides see the same root. */
+    * seeds the build, both sides see the same root; the path key is the
+    * build RECIPE (and the Verify gate rebuilds unconditionally anyway,
+    * so even a recipe-key miss cannot serve stale bytes to the gate). */
   val vacuumedRootDir: String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft-manifest-vac-v1").toString
+      "graft-manifest-vac-" + Staging.contentKey(
+        "two-version-root+orphan", "vacuum-keep=1")).toString
 
   def vacuumedRoot(s: SparkSession, dir: String): String =
     Staging.ensure(vacuumedRootDir) { tmp =>

@@ -36,11 +36,44 @@ object Staging {
   def fingerprintOf(sfDir: String, tables: Seq[String]): String =
     fingerprint(tables.map(t => new java.io.File(s"$sfDir/$t.parquet")))
 
+  /** Hash of the CONFIGURATION that produced a staged layout (writer
+    * options, schemas, split policies, format contracts). Staged paths
+    * embed this next to the fixture fingerprint, so a value-affecting
+    * config change re-keys the layout instead of silently serving bytes
+    * written under the old config against a fresh oracle — the round-8
+    * q180 failure mode, where the key was a hand-bumped `v4` tag that a
+    * writer fix could forget to bump. */
+  def contentKey(parts: String*): String = {
+    val md = MessageDigest.getInstance("MD5")
+    parts.foreach(p => md.update((p + "\u0000").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Canonical, order-independent rendering of an options map for
+    * [[contentKey]]. */
+  def optionsKey(opts: Map[String, String]): String =
+    opts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+
+  // The correctness gate must never read a staged layout built by an
+  // older code version: Verify sets this property, and each staged path
+  // is then torn down and rebuilt once per JVM before first use. Config
+  // keys make staleness UNLIKELY (any config change re-keys the path);
+  // rebuild mode makes it IMPOSSIBLE for the gate, closing the residual
+  // "code changed, config didn't" window at ~0.5 s per layout.
+  private def rebuildMode: Boolean =
+    sys.props.get("graft.staging.rebuild").contains("1")
+  private val rebuiltOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Ensure the layout at `dir` exists, building it at most once
     * system-wide: `build` receives a private tmp dir; the result is
-    * atomically renamed into place. Returns `dir`. */
+    * atomically renamed into place. Returns `dir`. Under rebuild mode
+    * (the Verify gate) an existing layout is discarded and rebuilt once
+    * per JVM, so stale bytes can never meet a fresh oracle. */
   def ensure(dir: String)(build: String => Unit): String = {
     val target = Paths.get(dir).toAbsolutePath
+    if (rebuildMode && rebuiltOnce.add(target.toString) && Files.isDirectory(target))
+      deleteRecursively(target)
     if (!Files.isDirectory(target)) {
       Files.createDirectories(target.getParent)
       val tmp = Files.createTempDirectory(

@@ -70,20 +70,21 @@ object StreamQueries {
     * bucketed layout). */
   private def stageSplit(df: DataFrame, tsCol: String, tag: String, srcDir: String,
                          sentinels: Seq[DataFrame] = Nil): String = {
-    val dirTag = srcDir.replaceAll("[^A-Za-z0-9]", "_")
-    val staged = java.nio.file.Paths.get(s"target/stream-stage/${tag}_$dirTag")
-    val complete = Files.isDirectory(staged) && {
-      val l = Files.list(staged)
-      try l.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet")) == 2
-      finally l.close()
-    }
-    if (!complete) {
+    // Path key = fixture fingerprint × staged schema × cut: regenerating
+    // the fixture OR a loader change that alters the staged types (the
+    // round-9 NTZ fixture regeneration) re-keys the layout instead of
+    // serving stale bytes; ops.Staging.ensure adds the atomic publish
+    // and the Verify gate's unconditional rebuild.
+    val key = graft.ops.Staging.contentKey(
+      graft.ops.Staging.fingerprintOf(srcDir, Seq("events")),
+      df.schema.json, cut)
+    graft.ops.Staging.ensure(s"target/stream-stage/$tag-$key") { tmp =>
       val cutTs = lit(cut).cast("timestamp")
-      writeOneFile(df.filter(col(tsCol) < cutTs), staged.resolve("00.parquet"), 1700000000000L)
+      writeOneFile(df.filter(col(tsCol) < cutTs),
+        java.nio.file.Paths.get(tmp).resolve("00.parquet"), 1700000000000L)
       writeOneFile(sentinels.foldLeft(df.filter(col(tsCol) >= cutTs))(_.unionByName(_)),
-        staged.resolve("01.parquet"), 1700000001000L)
+        java.nio.file.Paths.get(tmp).resolve("01.parquet"), 1700000001000L)
     }
-    staged.toString
   }
 
   private def fileStream(s: SparkSession, staged: String): DataFrame =
