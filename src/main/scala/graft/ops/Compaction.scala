@@ -163,17 +163,27 @@ object Compaction {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => {
         val frag = fragmentedEvents(s, dir)
-        val fp = Staging.fingerprintOf(dir, Seq("events"))
-        val dest = s"target/graft-compact/out_$fp"
+        // Run-unique dest: the rewrite IS the measured work, and a
+        // shared fingerprint-keyed dir overwritten non-atomically per
+        // run could be read half-written by a concurrent JVM (bench
+        // racing verify). The content proof is aggregated EAGERLY
+        // (metadata-sized: one row per event_type) so the scratch copy
+        // is deleted before the query returns — no accumulation, no
+        // shared mutable dir anywhere in the query.
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val dest = s"target/graft-compact/out-$runId"
         val r = binPack(s, frag, dest,
           partitionCols = Seq("event_type"), sortCols = Seq("user_id", "ts"),
           targetBytes = 1L << 20)
-        s.read.parquet(dest)
+        val agg = s.read.parquet(dest)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             round(sum(col("value")), 4).as("total_value"))
           .withColumn("compact_ok", lit(if (r.packed) 1 else 0))
           .orderBy("event_type")
+        val rows = agg.collect()
+        Staging.deleteRecursively(java.nio.file.Paths.get(dest))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
       })
   )
 }

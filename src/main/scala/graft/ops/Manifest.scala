@@ -3,8 +3,10 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
 import scala.jdk.CollectionConverters._
 
 /** Snapshot-manifest commit — the minimal table-format commit log this
@@ -14,15 +16,27 @@ import scala.jdk.CollectionConverters._
   * pointer adds (the Delta/Iceberg primitive, reduced to its core).
   *
   * Protocol (all on rename-atomic storage):
-  *  1. data files for EVERY table in the snapshot land under a fresh
-  *     `data/v<N>/<table>/` prefix — invisible to readers, because
-  *     readers never list directories;
-  *  2. a manifest (one parquet of `(table, file)` rows) is written for
-  *     the snapshot;
-  *  3. the `_latest` pointer file is swapped with ONE atomic rename.
+  *  1. data files land under a fresh prefix below `data/` — invisible
+  *     to readers, because readers never list directories;
+  *  2. the manifest (one parquet of `(table_name, file, stats_json)`
+  *     rows) is staged into a tmp dir and CLAIMS `manifest/v<N>` with
+  *     one atomic NON-replacing rename — the claim is the
+  *     compare-and-swap, so EVERY commit path (snapshot overwrite,
+  *     append, replace, compaction, streaming batch) is safe against
+  *     concurrent writers: if another writer claimed N first the move
+  *     throws, and the loser rebases on the new latest claim and
+  *     retries. A claim is complete by construction (the manifest was
+  *     fully written before the rename), so claim == commit;
+  *  3. the `_latest` pointer file is a monotonic CACHE of the newest
+  *     claim, advanced with write-then-verify: after writing, the
+  *     committer re-reads and rewrites until the pointer is >= its
+  *     version — a slower racer can therefore never regress the
+  *     pointer past verification, and because new commits rebase on
+  *     the newest READABLE CLAIM (not the pointer), a lagging pointer
+  *     can never lose an update either.
   *
   * Readers resolve pointer → manifest → explicit file list, so:
-  *  - a crashed commit (data written, pointer never swapped) is
+  *  - a crashed commit (data written, manifest never claimed) is
   *    invisible — readers keep serving the previous snapshot;
   *  - an orphan file from a failed writer sitting in the data prefix is
   *    invisible — it is in no manifest;
@@ -32,130 +46,374 @@ import scala.jdk.CollectionConverters._
   *    their manifests.
   *
   * At 100 TB the manifest is metadata-sized (file paths, not data), the
-  * pointer swap is one rename regardless of table count, and reads are
-  * explicit-path parquet scans — no directory listing on the hot path.
-  * What production formats add beyond this core: compare-and-swap on
-  * the pointer for concurrent writers (an object-store conditional
-  * put), manifest compaction, and column stats per file.
+  * claim and pointer swap are one rename each regardless of table
+  * count, and reads are explicit-path parquet scans — no directory
+  * listing on the hot path. Per-file column stats ride the manifest as
+  * a JSON map (`stats_json`), so multi-predicate scans prune files from
+  * metadata alone — the micro-partition-pruning contract of the
+  * reference's warehouse (Snowflake micro-partition metadata), and of
+  * Delta/Iceberg file stats. Production object stores expose the claim
+  * primitive as a conditional put / if-none-match.
   */
 object Manifest {
 
+  /** The manifest relation every committer writes: root-relative file
+    * paths plus an optional per-column stats map
+    * `{"col":{"min":"…","max":"…"},…}` (values as strings, cast back
+    * at prune time). */
+  private[ops] val manifestDdl =
+    "table_name STRING, file STRING, stats_json STRING"
+
+  /** Content key of the manifest layout contract — embedded in every
+    * staged fixture root's path, so a layout change re-keys the staged
+    * roots instead of serving old-layout bytes to new readers. */
+  private val layoutKey: String =
+    Staging.contentKey(manifestDdl, "claim=cas-v-dir")
+
+  // ---------------------------------------------------------------- pointer
+
   private def pointerPath(root: String): Path = Paths.get(root, "_latest")
 
-  /** Currently-committed snapshot version, 0 if none. */
+  /** Currently-committed snapshot version (the reader entry point),
+    * 0 if none. The pointer is a monotonic cache of max(claim). */
   def snapshotVersion(root: String): Long = {
     val p = pointerPath(root)
     if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
     else 0L
   }
 
-  /** Commit every (name → DataFrame) as ONE atomic snapshot; returns
-    * the new version. */
-  def commit(s: SparkSession, root: String, tables: Map[String, DataFrame]): Long = {
-    val version = snapshotVersion(root) + 1
-    Files.createDirectories(Paths.get(root))
-    // manifest paths are ROOT-RELATIVE: the table must survive a move
-    // of its root (staging publish, bucket migration, DR restore)
-    val fileRows = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
-      val dataDir = Paths.get(root, "data", s"v$version", name)
-      df.write.mode("overwrite").parquet(dataDir.toString)
-      val listing = Files.list(dataDir)
-      try listing.iterator().asScala.toList
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => (name, s"data/v$version/$name/${p.getFileName}"))
-      finally listing.close()
-    }
-    import s.implicits._
-    fileRows.toDF("table_name", "file")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(Paths.get(root, "manifest", s"v$version").toString)
-    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
-    Files.write(tmp, version.toString.getBytes("UTF-8"))
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    version
-  }
-
-  /** Optimistic-concurrency commit: the VERSION NUMBER is the
-    * compare-and-swap. A committer stages its manifest into a tmp dir
-    * and claims `manifest/v<N>` with an atomic NON-replacing rename —
-    * if another writer claimed N first, the move throws, and the loser
-    * re-reads the current version and retries against the new base.
-    * No lost updates, no locks, and the pointer file is just a cache
-    * of max(version) for readers. (Production object stores expose
-    * the same primitive as a conditional put / if-none-match.)
-    * Returns the version actually won. */
-  def commitCas(s: SparkSession, root: String, tables: Map[String, DataFrame],
-                maxRetries: Int = 5): Long = {
-    // next version = 1 + max(claimed manifests, pointer): a claimer
-    // that crashed before its pointer swap must not deadlock later
-    // writers (its claimed number is simply skipped; readers never see
-    // it because the pointer was never advanced, and vacuum collects it)
-    def nextVersion: Long = {
-      val mdir = Paths.get(root, "manifest")
-      val claimed =
-        if (!Files.isDirectory(mdir)) 0L
-        else {
-          val l = Files.list(mdir)
-          try l.iterator().asScala
-            .map(_.getFileName.toString)
-            .collect { case n if n.startsWith("v") => n.drop(1).toLong }
-            .foldLeft(0L)(math.max)
-          finally l.close()
-        }
-      math.max(claimed, snapshotVersion(root)) + 1
-    }
-    var attempt = 0
-    while (true) {
-      val version = nextVersion
-      Files.createDirectories(Paths.get(root))
-      // data stages under a WRITER-UNIQUE prefix: two racers must never
-      // interleave files in one directory — only the manifest claim
-      // arbitrates, and readers follow explicit paths anyway
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val dataPrefix = s"v$version-$token"
-      val fileRows = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
-        val dataDir = Paths.get(root, "data", dataPrefix, name)
-        df.write.mode("overwrite").parquet(dataDir.toString)
-        val listing = Files.list(dataDir)
-        try listing.iterator().asScala.toList
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => (name, s"data/$dataPrefix/$name/${p.getFileName}"))
-        finally listing.close()
-      }
-      import s.implicits._
-      val manifestTmp = Files.createTempDirectory(
-        Paths.get(root), s"manifest-v$version.tmp-")
-      fileRows.toDF("table_name", "file")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(manifestTmp.resolve("m").toString)
-      val target = Paths.get(root, "manifest", s"v$version")
-      Files.createDirectories(target.getParent)
-      try {
-        // the CAS: non-replacing atomic claim of this version number
-        Files.move(manifestTmp.resolve("m"), target,
-          StandardCopyOption.ATOMIC_MOVE)
-        Staging.deleteRecursively(manifestTmp)
+  /** Monotonic pointer advance (write-then-verify): rewrite until the
+    * pointer reads >= `version`. A racer holding a LOWER version that
+    * overwrites ours after our move is detected by the re-read and
+    * corrected; one holding a higher version terminates our loop. This
+    * closes the pointer-regression interleaving (A claims v5, stalls;
+    * B claims v6 and advances; A resumes) without locks. */
+  private def advancePointer(root: String, version: Long): Unit = {
+    var done = false
+    while (!done) {
+      if (snapshotVersion(root) >= version) done = true
+      else {
         val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
         Files.write(tmp, version.toString.getBytes("UTF-8"))
         Files.move(tmp, pointerPath(root),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        return version
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException =>
-          // lost the race: abandon this attempt's staging (its unique
-          // prefix only — the winner's files are untouched), rebase, retry
-          Staging.deleteRecursively(manifestTmp)
-          Staging.deleteRecursively(Paths.get(root, "data", dataPrefix))
-          attempt += 1
-          if (attempt >= maxRetries)
-            throw new IllegalStateException(
-              s"commitCas: lost the version race $maxRetries times at $root")
       }
     }
-    -1L // unreachable
   }
+
+  // ----------------------------------------------------------------- claims
+
+  private val VDir = "^v([0-9]+)$".r
+
+  private def claimedVersions(root: String): Seq[Long] = {
+    val mdir = Paths.get(root, "manifest")
+    if (!Files.isDirectory(mdir)) Seq.empty
+    else {
+      val l = Files.list(mdir)
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case VDir(n) => n.toLong }.toList.sorted
+      finally l.close()
+    }
+  }
+
+  /** A claim is READABLE iff its dir holds a parquet part — true for
+    * every real claim (the dir appears via one atomic rename of a
+    * fully-written manifest); false only for debris of a writer that
+    * died creating a claim by non-atomic means. */
+  private def manifestReadable(root: String, v: Long): Boolean = {
+    val d = Paths.get(root, "manifest", s"v$v")
+    Files.isDirectory(d) && {
+      val l = Files.list(d)
+      try l.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally l.close()
+    }
+  }
+
+  /** Newest claim whose manifest is readable — the REBASE point for
+    * carrying rows forward. Using claims (not the pointer) here is what
+    * makes "claimed but pointer not yet advanced" commits impossible to
+    * lose. 0 if none. */
+  private def latestReadableClaim(root: String): Long =
+    claimedVersions(root).reverseIterator
+      .find(manifestReadable(root, _)).getOrElse(0L)
+
+  /** Next version to attempt: 1 + max(any claim, pointer). A dead
+    * unreadable claim still consumes its number (skipped, vacuumed
+    * later) so later writers never deadlock on it. */
+  private def nextVersion(root: String): Long =
+    math.max(claimedVersions(root).lastOption.getOrElse(0L),
+      snapshotVersion(root)) + 1
+
+  // ---------------------------------------------------------------- staging
+
+  /** Write `df` as parquet and publish it atomically under `data/`:
+    * the deterministic prefix `data/v<hint>/<table>` when free (the
+    * single-writer common case — keeps layouts human-readable), else a
+    * token-suffixed prefix so concurrent writers never interleave
+    * files in one directory. Returns the root-relative file paths. */
+  private def publishData(s: SparkSession, root: String, hint: Long,
+                          table: String, df: DataFrame): Seq[String] = {
+    require(table.matches("[A-Za-z0-9_.-]+"), s"unsafe table name: $table")
+    Files.createDirectories(Paths.get(root))
+    val tmp = Files.createTempDirectory(Paths.get(root), "data-stage.tmp-")
+    df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
+    val preferred = Paths.get(root, "data", s"v$hint", table)
+    Files.createDirectories(preferred.getParent)
+    val dest =
+      try { Files.move(tmp.resolve("d"), preferred,
+        StandardCopyOption.ATOMIC_MOVE); preferred }
+      catch {
+        // FileSystemException covers every contended-rename shape the
+        // JDK emits (FileAlreadyExists, DirectoryNotEmpty, AccessDenied,
+        // and the bare "Directory not empty" variant Linux rename(2)
+        // surfaces) — the loser just takes a token-suffixed prefix
+        case _: java.nio.file.FileSystemException =>
+          val alt = Paths.get(root, "data",
+            s"v$hint-${java.util.UUID.randomUUID().toString.take(8)}", table)
+          Files.createDirectories(alt.getParent)
+          Files.move(tmp.resolve("d"), alt, StandardCopyOption.ATOMIC_MOVE)
+          alt
+      }
+    Staging.deleteRecursively(tmp)
+    val rel = Paths.get(root).relativize(dest).toString.replace('\\', '/')
+    val l = Files.list(dest)
+    try l.iterator().asScala.toList
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .sorted.map(f => s"$rel/$f")
+    finally l.close()
+  }
+
+  /** The CAS itself: stage the manifest rows into a tmp dir and claim
+    * `manifest/v<version>` with one atomic non-replacing rename.
+    * True = this writer owns the version. */
+  private def tryClaim(s: SparkSession, root: String, version: Long,
+                       rows: Seq[(String, String, String)]): Boolean = {
+    import s.implicits._
+    Files.createDirectories(Paths.get(root, "manifest"))
+    val tmp = Files.createTempDirectory(Paths.get(root), s"manifest-v$version.tmp-")
+    rows.toDF("table_name", "file", "stats_json")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("m").toString)
+    val target = Paths.get(root, "manifest", s"v$version")
+    try {
+      Files.move(tmp.resolve("m"), target, StandardCopyOption.ATOMIC_MOVE)
+      Staging.deleteRecursively(tmp)
+      true
+    } catch {
+      // any rename failure = another writer owns this version
+      case _: java.nio.file.FileSystemException =>
+        Staging.deleteRecursively(tmp)
+        false
+    }
+  }
+
+  /** Thrown by a carry function when the claim-time base no longer
+    * matches the state a rewrite was computed from (compaction racing
+    * an append) — the caller recomputes from the new base and retries.
+    * This is snapshot-isolation VALIDATION on top of the version CAS:
+    * the CAS alone serializes manifests, validation keeps a replace
+    * from silently erasing rows a concurrent append added. */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** Shared CAS commit loop: `newRows` reference data published ONCE
+    * before the loop (retries re-claim metadata, never rewrite data);
+    * `carry` recomputes the carried-forward rows against the CURRENT
+    * newest readable claim on every attempt. */
+  private def casCommit(s: SparkSession, root: String,
+                        newRows: Seq[(String, String, String)],
+                        carry: Long => Seq[(String, String, String)],
+                        maxRetries: Int): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val version = nextVersion(root)
+      val rows = carry(latestReadableClaim(root)) ++ newRows
+      if (tryClaim(s, root, version, rows)) {
+        advancePointer(root, version)
+        return version
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit: lost the version race $maxRetries times at $root")
+  }
+
+  private def readManifestRows(s: SparkSession, root: String,
+                               v: Long): Seq[(String, String, String)] = {
+    var df = s.read.parquet(Paths.get(root, "manifest", s"v$v").toString)
+    if (!df.columns.contains("stats_json"))
+      df = df.withColumn("stats_json", lit(null).cast("string"))
+    df.select("table_name", "file", "stats_json")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  // -------------------------------------------------------------- committers
+
+  /** Commit every (name → DataFrame) as ONE atomic snapshot (overwrite
+    * semantics: the manifest is exactly these tables); returns the new
+    * version. Safe under concurrent writers — all committers claim
+    * their version via the CAS. */
+  def commit(s: SparkSession, root: String, tables: Map[String, DataFrame],
+             maxRetries: Int = 5): Long = {
+    val hint = nextVersion(root)
+    val newRows = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
+      publishData(s, root, hint, name, df).map(f => (name, f, null: String))
+    }
+    casCommit(s, root, newRows, _ => Seq.empty, maxRetries)
+  }
+
+  /** Optimistic-concurrency commit — alias of [[commit]], kept for the
+    * original CAS entry point's name: the claim protocol is now the
+    * ONLY commit path, so the two are the same operation. */
+  def commitCas(s: SparkSession, root: String, tables: Map[String, DataFrame],
+                maxRetries: Int = 5): Long =
+    commit(s, root, tables, maxRetries)
+
+  /** APPEND commit: a new snapshot whose manifest = the newest readable
+    * claim's rows (every table) + the new data files for `table`.
+    * Nothing is rewritten — the append is data-write + metadata, which
+    * is what makes daily ingest O(day) on a 100-TB table. Because
+    * readers resolve explicit files, the new files may be GROUPED by a
+    * different key than the old ones (month → week, say): partition-
+    * layout evolution is a non-event under a manifest, where a
+    * directory-scan engine would need a full rewrite or dual reads. */
+  def commitAppend(s: SparkSession, root: String, table: String,
+                   df: DataFrame, maxRetries: Int = 5): Long = {
+    val hint = nextVersion(root)
+    val newRows = publishData(s, root, hint, table, df)
+      .map(f => (table, f, null: String))
+    casCommit(s, root, newRows,
+      base => if (base == 0) Seq.empty else readManifestRows(s, root, base),
+      maxRetries)
+  }
+
+  /** REPLACE commit: carry every OTHER table's rows forward and swap
+    * `table`'s file set for the new data — the commit primitive behind
+    * compaction and any full-table rewrite. The old file set stays on
+    * disk (time travel) until retention vacuums it. When
+    * `expectedFiles` is given, the commit VALIDATES at claim time that
+    * `table`'s current file set is exactly the one the rewrite read —
+    * otherwise a concurrent append's rows would be silently erased —
+    * and throws [[CommitConflict]] for the caller to recompute. */
+  def commitReplace(s: SparkSession, root: String, table: String,
+                    df: DataFrame, maxRetries: Int = 5,
+                    expectedFiles: Option[Set[String]] = None): Long = {
+    val hint = nextVersion(root)
+    val newRows = publishData(s, root, hint, table, df)
+      .map(f => (table, f, null: String))
+    casCommit(s, root, newRows, { base =>
+      val prev = if (base == 0) Seq.empty else readManifestRows(s, root, base)
+      expectedFiles.foreach { exp =>
+        val cur = prev.collect { case (t, f, _) if t == table => f }.toSet
+        if (cur != exp)
+          throw new CommitConflict(
+            s"$table changed under the rewrite: ${cur.size} files at base " +
+              s"v$base, rewrite read ${exp.size}")
+      }
+      prev.filterNot(_._1 == table)
+    }, maxRetries)
+  }
+
+  // ------------------------------------------------------------------ stats
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def statsJsonOf(stats: Seq[(String, (String, String))]): String =
+    stats.map { case (c, (lo, hi)) =>
+      def v(x: String) = if (x == null) "null" else "\"" + jsonEscape(x) + "\""
+      s""""${jsonEscape(c)}":{"min":${v(lo)},"max":${v(hi)}}"""
+    }.mkString("{", ",", "}")
+
+  /** STATS append commit: data files are range-partitioned and sorted
+    * on `rangeCol`, and the manifest records each file's per-column
+    * [min, max] for every column in `statsCols` — the per-file
+    * statistics every modern table format keeps (reference ecosystem:
+    * Snowflake micro-partition metadata). One extra pass over the
+    * just-published files computes the bounds here (production reads
+    * them back from the parquet footers the write already produced —
+    * zero extra I/O; the contract, not the collection mechanism, is
+    * what q193/q198 certify). A range-partitioned write makes the
+    * per-file intervals of `rangeCol` nearly disjoint, which is what
+    * gives stats their pruning power; secondary stats columns prune
+    * when the data is naturally clustered on them. */
+  def commitAppendStats(s: SparkSession, root: String, table: String,
+                        df: DataFrame, statsCols: Seq[String],
+                        rangeCol: String, nFiles: Int,
+                        maxRetries: Int = 5): Long = {
+    val hint = nextVersion(root)
+    val relFiles = publishData(s, root, hint, table,
+      df.repartitionByRange(nFiles, col(rangeCol))
+        .sortWithinPartitions(rangeCol))
+    val dataDir = Paths.get(root, relFiles.head).getParent.toString
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val byFile = s.read.parquet(dataDir)
+      .groupBy(col("_metadata.file_name").as("fname"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getAs[String]("fname") -> statsJsonOf(
+        statsCols.map(c => c ->
+          (r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c")))))
+      .toMap
+    val newRows = relFiles.map { rel =>
+      (table, rel, byFile(rel.substring(rel.lastIndexOf('/') + 1)))
+    }
+    casCommit(s, root, newRows,
+      base => if (base == 0) Seq.empty else readManifestRows(s, root, base),
+      maxRetries)
+  }
+
+  /** Single-column convenience (q193's original surface). */
+  def commitAppendRanged(s: SparkSession, root: String, table: String,
+                         df: DataFrame, rangeCol: String, nFiles: Int): Long =
+    commitAppendStats(s, root, table, df, Seq(rangeCol), rangeCol, nFiles)
+
+  /** One conjunctive prune predicate: keep files whose recorded
+    * [min, max] of `column` (cast to `castType`) OVERLAPS [lo, hi].
+    * Files with no stats for the column are always kept — stats bound,
+    * they never filter. */
+  final case class Pred(column: String, lo: String, hi: String, castType: String)
+
+  private val statsType =
+    MapType(StringType, StructType(Seq(
+      StructField("min", StringType), StructField("max", StringType))))
+
+  /** Stats-pruned read under a CONJUNCTION of range predicates: a file
+    * survives only if every predicate's interval overlaps its recorded
+    * per-column [min, max] — multi-predicate scan pruning from
+    * metadata alone, before any data I/O. Returns (pruned DataFrame,
+    * files read, files total); the caller still applies the row-level
+    * predicate. */
+  def readTablePruned(s: SparkSession, root: String, table: String,
+                      preds: Seq[Pred]): (DataFrame, Int, Int) = {
+    val v = snapshotVersion(root)
+    val manifest = s.read
+      .parquet(Paths.get(root, "manifest", s"v$v").toString)
+      .filter(col("table_name") === table)
+    val total = manifest.count().toInt
+    val withSt = manifest.withColumn("st", from_json(col("stats_json"), statsType))
+    val keep = preds.map { p =>
+      val e = element_at(col("st"), p.column)
+      e.isNull ||
+        (e.getField("max").cast(p.castType) >= lit(p.lo).cast(p.castType) &&
+          e.getField("min").cast(p.castType) <= lit(p.hi).cast(p.castType))
+    }.reduce(_ && _)
+    val files = withSt.filter(keep)
+      .select("file").collect().map(r => s"$root/${r.getString(0)}")
+    (s.read.parquet(files.toIndexedSeq: _*), files.length, total)
+  }
+
+  /** Timestamp-window convenience over [[readTablePruned]] (q193). */
+  def readTableRange(s: SparkSession, root: String, table: String,
+                     lo: String, hi: String): (DataFrame, Int, Int) =
+    readTablePruned(s, root, table, Seq(Pred("ts", lo, hi, "timestamp")))
+
+  // ----------------------------------------------------------------- readers
 
   /** Read `table` at `version` (default: the committed pointer) through
     * its manifest — explicit file paths, never a directory listing. */
@@ -171,126 +429,25 @@ object Manifest {
     s.read.parquet(files.toIndexedSeq: _*)
   }
 
-  /** APPEND commit: a new snapshot whose manifest = the previous
-    * version's rows (every table) + the new data files for `table`.
-    * Nothing is rewritten — the append is data-write + metadata, which
-    * is what makes daily ingest O(day) on a 100-TB table. Because
-    * readers resolve explicit files, the new files may be GROUPED by a
-    * different key than the old ones (month → week, say): partition-
-    * layout evolution is a non-event under a manifest, where a
-    * directory-scan engine would need a full rewrite or dual reads. */
-  def commitAppend(s: SparkSession, root: String, table: String,
-                   df: DataFrame): Long = {
-    val version = snapshotVersion(root) + 1
-    val dataDir = Paths.get(root, "data", s"v$version", table)
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val listing = Files.list(dataDir)
-    val newRows =
-      try listing.iterator().asScala.toList
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => (table, s"data/v$version/$table/${p.getFileName}"))
-      finally listing.close()
-    import s.implicits._
-    val prev =
-      if (version == 1) Seq.empty[(String, String)]
-      else s.read.parquet(Paths.get(root, "manifest", s"v${version - 1}").toString)
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    (prev ++ newRows).toDF("table_name", "file")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(Paths.get(root, "manifest", s"v$version").toString)
-    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
-    Files.write(tmp, version.toString.getBytes("UTF-8"))
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    version
-  }
+  // --------------------------------------------------------- schema registry
 
-  /** RANGED append commit (q193): data files are range-partitioned and
-    * sorted on `rangeCol`, and the manifest records each file's
-    * [min, max] of that column — the per-file statistics every modern
-    * table format keeps. One extra pass over the just-written files
-    * computes the bounds here (production reads them back from the
-    * parquet footers the write already produced — zero extra I/O; the
-    * contract, not the collection mechanism, is what q193 certifies).
-    * A range-partitioned write makes the per-file intervals nearly
-    * disjoint, which is what gives stats their pruning power. */
-  def commitAppendRanged(s: SparkSession, root: String, table: String,
-                         df: DataFrame, rangeCol: String, nFiles: Int): Long = {
-    val version = snapshotVersion(root) + 1
-    val dataDir = Paths.get(root, "data", s"v$version", table)
-    df.repartitionByRange(nFiles, col(rangeCol))
-      .sortWithinPartitions(rangeCol)
-      .write.mode("overwrite").parquet(dataDir.toString)
-    val bounds = s.read.parquet(dataDir.toString)
-      .groupBy(col("_metadata.file_name").as("fname"))
-      .agg(min(col(rangeCol)).as("min_r"), max(col(rangeCol)).as("max_r"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
-    val newRows = bounds.toSeq.sortBy(_._1).map { case (fname, (lo, hi)) =>
-      (table, s"data/v$version/$table/$fname", lo, hi)
-    }
-    import s.implicits._
-    val prev =
-      if (version == 1) Seq.empty[(String, String, java.sql.Timestamp, java.sql.Timestamp)]
-      else s.read.parquet(Paths.get(root, "manifest", s"v${version - 1}").toString)
-        .collect().map(r => (r.getString(0), r.getString(1),
-          r.getTimestamp(2), r.getTimestamp(3))).toSeq
-    (prev ++ newRows).toDF("table_name", "file", "min_r", "max_r")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(Paths.get(root, "manifest", s"v$version").toString)
-    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
-    Files.write(tmp, version.toString.getBytes("UTF-8"))
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    version
-  }
-
-  /** Stats-pruned read: keep only files whose [min_r, max_r] interval
-    * OVERLAPS [lo, hi] — the manifest answers "which files can contain
-    * matching rows" from metadata alone, before any data I/O. Returns
-    * (pruned DataFrame, files read, files total); the caller still
-    * applies the row-level predicate — file stats bound, they don't
-    * filter. */
-  def readTableRange(s: SparkSession, root: String, table: String,
-                     lo: String, hi: String): (DataFrame, Int, Int) = {
-    val v = snapshotVersion(root)
-    val manifest = s.read
-      .parquet(Paths.get(root, "manifest", s"v$v").toString)
-      .filter(col("table_name") === table)
-    val total = manifest.count().toInt
-    val files = manifest
-      .filter(col("max_r") >= lit(lo).cast("timestamp") &&
-        col("min_r") <= lit(hi).cast("timestamp"))
-      .select("file").collect().map(r => s"$root/${r.getString(0)}")
-    (s.read.parquet(files.toIndexedSeq: _*), files.length, total)
-  }
-
-  /** q193's stats-pruned root: two ranged appends of 8 files each, so
-    * a one-week predicate should touch a small fraction of the 16. */
-  def statsRoot(s: SparkSession, dir: String): String = {
-    val fp = Staging.fingerprintOf(dir, Seq("events"))
-    Staging.ensure(s"target/graft-manifest-stats/$fp") { tmp =>
-      val ev = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("event_type"),
-          col("value").cast("decimal(18,4)").as("value"), col("ts"))
-      val cutTs = lit(Cdc.versionCut).cast("timestamp")
-      commitAppendRanged(s, tmp, "events_log",
-        ev.filter(col("ts") < cutTs), "ts", 8)
-      commitAppendRanged(s, tmp, "events_log",
-        ev.filter(col("ts") >= cutTs), "ts", 8)
-    }
-  }
+  private def schemaKey(table: String, v: Long) = s"schema_${table}_v$v.json"
 
   /** Schema-enforced append (q197): the manifest layer is also the
-    * SCHEMA REGISTRY — each version records the table's current schema,
-    * and an append must match it: every existing column present with
-    * its exact type, no new columns unless `allowEvolution` (then the
-    * union schema becomes the new registered schema and old files
-    * NULL-fill the added columns at read). This is write-side
-    * enforcement — the q174 lesson ("pin the evolved schema in the
-    * catalog, don't footer-merge per query") with the manifest as the
-    * catalog: [[readTableEvolved]] reads with the REGISTERED schema,
-    * so reads never pay a footer-merge and never depend on file order. */
+    * SCHEMA REGISTRY — registrations are keyed by (TABLE, version), so
+    * independently-evolving tables in one root never clobber each
+    * other, and resolution falls back to the newest registration at or
+    * below the requested version — a non-evolving commit (append,
+    * replace, compaction) between evolutions therefore never strands
+    * readers. An append must match the registered schema: every
+    * existing column present with its exact type, no new columns
+    * unless `allowEvolution` (then the union schema becomes the new
+    * registration and old files NULL-fill the added columns at read).
+    * This is write-side enforcement — the q174 lesson ("pin the
+    * evolved schema in the catalog, don't footer-merge per query")
+    * with the manifest as the catalog: [[readTableEvolved]] reads with
+    * the REGISTERED schema, so reads never pay a footer-merge and
+    * never depend on file order. */
   def commitAppendEvolve(s: SparkSession, root: String, table: String,
                          df: DataFrame, allowEvolution: Boolean = false): Long = {
     val current = registeredSchema(s, root, table)
@@ -313,24 +470,38 @@ object Manifest {
     val version = commitAppend(s, root, table, df)
     val evolved = current match {
       case Some(cur) =>
-        org.apache.spark.sql.types.StructType(
-          cur.fields ++ df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name)))
+        StructType(cur.fields ++
+          df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name)))
       case None => df.schema
     }
-    Files.write(Paths.get(root, "manifest", s"schema_v$version.json"),
+    Files.write(Paths.get(root, "manifest", schemaKey(table, version)),
       evolved.json.getBytes("UTF-8"))
     version
   }
 
-  /** The schema registered at `version` (default current), if any. */
+  /** The schema registered for `table` at `version` (default current):
+    * the newest registration at or below the version, if any. */
   def registeredSchema(s: SparkSession, root: String, table: String,
-                       version: Long = -1L): Option[org.apache.spark.sql.types.StructType] = {
+                       version: Long = -1L): Option[StructType] = {
     val v = if (version > 0) version else snapshotVersion(root)
-    val p = Paths.get(root, "manifest", s"schema_v$v.json")
-    if (!Files.exists(p)) None
-    else Some(org.apache.spark.sql.types.DataType
-      .fromJson(new String(Files.readAllBytes(p), "UTF-8"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val mdir = Paths.get(root, "manifest")
+    if (!Files.isDirectory(mdir)) return None
+    val re = ("^schema_" + java.util.regex.Pattern.quote(table) +
+      "_v([0-9]+)\\.json$").r
+    val l = Files.list(mdir)
+    val best =
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case re(n) => n.toLong }
+        .filter(_ <= v).maxOption
+      finally l.close()
+    best.map { b =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(new String(
+          Files.readAllBytes(Paths.get(root, "manifest", schemaKey(table, b))),
+          "UTF-8"))
+        .asInstanceOf[StructType]
+    }
   }
 
   /** Read an evolved table with its REGISTERED schema pinned: files
@@ -347,11 +518,177 @@ object Manifest {
     s.read.schema(schema).parquet(files.toIndexedSeq: _*)
   }
 
+  // ------------------------------------------------------------- maintenance
+
+  /** OPTIMIZE through the commit log (q196): bin-pack `table`'s
+    * current file set into `ceil(bytes / targetBytes)` files and
+    * publish the rewrite as ONE replace-commit. Readers atomically
+    * flip from many-small to few-large; the fragmented version remains
+    * time-travelable until [[vacuum]]. Planning is metadata-only
+    * (manifest rows + file sizes); the rewrite reads exactly the table
+    * once. The replace VALIDATES that the file set it read is still
+    * the table's file set at claim time and retries the whole rewrite
+    * otherwise — compaction racing an ingest append (the steady state
+    * of q190's streaming table) can therefore never erase the
+    * append. */
+  def compactTable(s: SparkSession, root: String, table: String,
+                   targetBytes: Long, maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val files = readManifestRows(s, root, base)
+        .collect { case (t, f, _) if t == table => f }
+      val bytes = files.map(f => Files.size(Paths.get(root, f))).sum
+      val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val compacted = s.read
+        .parquet(files.map(f => s"$root/$f").toIndexedSeq: _*)
+        .repartition(bins)
+      try {
+        return commitReplace(s, root, table, compacted, maxRetries,
+          expectedFiles = Some(files.toSet))
+      } catch {
+        case _: CommitConflict =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"compactTable: $table kept changing under the rewrite " +
+                s"($maxRetries attempts) at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Reference-counted VACUUM: retain the newest `keep` READABLE
+    * claims, delete every older manifest (readable or debris) and
+    * every data file no retained manifest references. Liveness comes
+    * from the manifests, not from file age or directory position — so
+    * dead overwrite versions AND orphans from failed writers are
+    * collected by the same rule, and a file carried forward by an
+    * append commit stays safe no matter how old its prefix is. Schema
+    * registrations are kept (metadata-sized; retained versions may
+    * resolve through a registration older than the retention floor).
+    * Metadata-sized work: |manifest rows| + |data files| driver-side,
+    * no data read. */
+  def vacuum(s: SparkSession, root: String, keep: Int): (Int, Int) = {
+    val readable = claimedVersions(root).filter(manifestReadable(root, _))
+    require(readable.nonEmpty, s"no committed snapshot at $root")
+    val retained = readable.takeRight(keep)
+    val live = retained.flatMap(readManifestRows(s, root, _)).map(_._2).toSet
+    val dataRoot = Paths.get(root, "data")
+    var removed = 0
+    if (Files.isDirectory(dataRoot)) {
+      val walk = Files.walk(dataRoot)
+      try walk.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.endsWith(".parquet") &&
+          !live.contains(Paths.get(root).relativize(p).toString.replace('\\', '/'))) {
+          Files.delete(p); removed += 1
+        }
+      } finally walk.close()
+    }
+    claimedVersions(root).filter(_ < retained.head).foreach(v =>
+      Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
+    (removed, live.size)
+  }
+
+  // ---------------------------------------------------------- export/import
+
+  private def md5Of(p: Path): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Export the CURRENT snapshot to `destRoot` and commit it there as
+    * v1 — the DR / environment-promotion path the manifest's
+    * root-relative file paths were designed for (spec'd by the
+    * relocated-root test; this is the operator that SHIPS a snapshot
+    * instead of assuming the whole root was copied). Copies exactly
+    * the files the current manifest references — orphans and expired
+    * versions are excluded by construction — verifying each file's
+    * MD5 after the copy, then claims the manifest at the destination
+    * through the same CAS path (so the destination must be an
+    * uninitialized root) and carries the tables' current schema
+    * registrations. Returns (files copied, bytes copied). Work is
+    * metadata-driven: |files| copies, no data interpretation. */
+  def exportSnapshot(s: SparkSession, root: String, destRoot: String): (Int, Long) = {
+    val v = snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val rows = readManifestRows(s, root, v)
+    Files.createDirectories(Paths.get(destRoot))
+    var bytes = 0L
+    val files = rows.map(_._2).distinct
+    files.foreach { rel =>
+      val src = Paths.get(root, rel)
+      val dst = Paths.get(destRoot, rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      val (a, b) = (md5Of(src), md5Of(dst))
+      if (a != b)
+        throw new IllegalStateException(
+          s"exportSnapshot: checksum mismatch for $rel ($a != $b)")
+      bytes += Files.size(dst)
+    }
+    if (!tryClaim(s, destRoot, 1L, rows))
+      throw new IllegalStateException(
+        s"exportSnapshot: $destRoot already has a v1 claim")
+    rows.map(_._1).distinct.foreach { t =>
+      registeredSchema(s, root, t, v).foreach { sch =>
+        Files.write(Paths.get(destRoot, "manifest", schemaKey(t, 1L)),
+          sch.json.getBytes("UTF-8"))
+      }
+    }
+    advancePointer(destRoot, 1L)
+    (files.size, bytes)
+  }
+
+  // ---------------------------------------------------------------- fixtures
+
+  /** q193's stats-pruned root: two ranged appends of 8 files each, so
+    * a one-week predicate should touch a small fraction of the 16. */
+  def statsRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-stats/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+    }
+  }
+
+  /** q198's multi-stats root: the same two ts epochs, but each epoch's
+    * files are range-partitioned by USER, with per-file stats recorded
+    * for BOTH `ts` and `user_id` — so `ts` prunes across epochs while
+    * `user_id` prunes within one, and a conjunctive predicate
+    * multiplies the two prunes. */
+  def multiStatsRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-stats2/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendStats(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), Seq("ts", "user_id"), "user_id", 8)
+      commitAppendStats(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), Seq("ts", "user_id"), "user_id", 8)
+    }
+  }
+
   /** q197's evolving table: epoch 1 without `quality`, epoch 2 appended
     * WITH it under allowEvolution — staged once per fixture. */
   def evolvedSchemaRoot(s: SparkSession, dir: String): String = {
     val fp = Staging.fingerprintOf(dir, Seq("events"))
-    Staging.ensure(s"target/graft-manifest-schema/$fp") { tmp =>
+    Staging.ensure(s"target/graft-manifest-schema/$fp-$layoutKey") { tmp =>
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           col("value").cast("decimal(18,4)").as("value"), col("ts"))
@@ -364,63 +701,11 @@ object Manifest {
     }
   }
 
-  /** REPLACE commit: a new snapshot whose manifest carries every OTHER
-    * table's rows forward and swaps `table`'s file set for the new
-    * data — the commit primitive behind compaction and any full-table
-    * rewrite. The old file set stays on disk (time travel) until
-    * retention vacuums it. */
-  def commitReplace(s: SparkSession, root: String, table: String,
-                    df: DataFrame): Long = {
-    val version = snapshotVersion(root) + 1
-    val dataDir = Paths.get(root, "data", s"v$version", table)
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val listing = Files.list(dataDir)
-    val newRows =
-      try listing.iterator().asScala.toList
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => (table, s"data/v$version/$table/${p.getFileName}"))
-      finally listing.close()
-    import s.implicits._
-    val carried =
-      if (version == 1) Seq.empty[(String, String)]
-      else s.read.parquet(Paths.get(root, "manifest", s"v${version - 1}").toString)
-        .filter(col("table_name") =!= table)
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    (carried ++ newRows).toDF("table_name", "file")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(Paths.get(root, "manifest", s"v$version").toString)
-    val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
-    Files.write(tmp, version.toString.getBytes("UTF-8"))
-    Files.move(tmp, pointerPath(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    version
-  }
-
-  /** OPTIMIZE through the commit log (q196): bin-pack `table`'s
-    * current file set into `ceil(bytes / targetBytes)` files and
-    * publish the rewrite as ONE replace-commit. Readers atomically
-    * flip from many-small to few-large; the fragmented version remains
-    * time-travelable until [[vacuum]]. Planning is metadata-only
-    * (manifest rows + file sizes); the rewrite reads exactly the
-    * table once — this is q177's bin-pack with the commit-log
-    * atomicity its scaladoc deferred to table formats. */
-  def compactTable(s: SparkSession, root: String, table: String,
-                   targetBytes: Long): Long = {
-    val v = snapshotVersion(root)
-    val files = s.read
-      .parquet(Paths.get(root, "manifest", s"v$v").toString)
-      .filter(col("table_name") === table)
-      .select("file").collect().map(_.getString(0))
-    val bytes = files.map(f => Files.size(Paths.get(root, f))).sum
-    val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    commitReplace(s, root, table, readTable(s, root, table).repartition(bins))
-  }
-
   /** q196's fragmented root: six 5-day append commits of 4 files each
     * (the auto-ingest accumulation shape), then one compaction commit. */
   def compactedRoot(s: SparkSession, dir: String): String = {
     val fp = Staging.fingerprintOf(dir, Seq("events"))
-    Staging.ensure(s"target/graft-manifest-compact/$fp") { tmp =>
+    Staging.ensure(s"target/graft-manifest-compact/$fp-$layoutKey") { tmp =>
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           col("value").cast("decimal(18,4)").as("value"), col("ts"))
@@ -444,7 +729,7 @@ object Manifest {
     * names), so the two layouts coexist under one table. */
   def evolutionRoot(s: SparkSession, dir: String): String = {
     val fp = Staging.fingerprintOf(dir, Seq("events"))
-    Staging.ensure(s"target/graft-manifest-evolve/$fp") { tmp =>
+    Staging.ensure(s"target/graft-manifest-evolve/$fp-$layoutKey") { tmp =>
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           col("value").cast("decimal(18,4)").as("value"), col("ts"))
@@ -458,9 +743,10 @@ object Manifest {
     }
   }
 
-  /** Shared two-version fixture builder (q187 + q195): v1 = pre-cut
-    * summaries, v2 = full-window summaries, plus a planted ORPHAN data
-    * file (a failed concurrent writer's leftovers) in the live prefix. */
+  /** Shared two-version fixture builder (q187 + q195 + q199): v1 =
+    * pre-cut summaries, v2 = full-window summaries, plus a planted
+    * ORPHAN data file (a failed concurrent writer's leftovers) in the
+    * live prefix. */
   private def buildTwoVersionRoot(s: SparkSession, dir: String, tmp: String): Unit = {
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_type"),
@@ -490,36 +776,18 @@ object Manifest {
     * orphan left in place (readers must ignore it). */
   def snapshotRoot(s: SparkSession, dir: String): String = {
     val fp = Staging.fingerprintOf(dir, Seq("events"))
-    Staging.ensure(s"target/graft-manifest/$fp")(buildTwoVersionRoot(s, dir, _))
+    Staging.ensure(s"target/graft-manifest/$fp-$layoutKey")(
+      buildTwoVersionRoot(s, dir, _))
   }
 
-  /** Reference-counted VACUUM: retain the newest `keep` manifests,
-    * delete every expired manifest and every data file no retained
-    * manifest references. Liveness comes from the manifests, not from
-    * file age or directory position — so dead overwrite versions AND
-    * orphans from failed writers are collected by the same rule, and a
-    * file carried forward by an append commit stays safe no matter how
-    * old its `v` prefix is. Metadata-sized work: |manifest rows| +
-    * |data files| driver-side, no data read. */
-  def vacuum(s: SparkSession, root: String, keep: Int): (Int, Int) = {
-    val latest = snapshotVersion(root)
-    val retainedVs = math.max(1L, latest - keep + 1) to latest
-    val live = retainedVs.flatMap { v =>
-      s.read.parquet(Paths.get(root, "manifest", s"v$v").toString)
-        .select("file").collect().map(_.getString(0))
-    }.toSet
-    val dataRoot = Paths.get(root, "data")
-    var removed = 0
-    val walk = Files.walk(dataRoot)
-    try walk.iterator().asScala.foreach { p =>
-      if (p.getFileName.toString.endsWith(".parquet") &&
-        !live.contains(Paths.get(root).relativize(p).toString.replace('\\', '/'))) {
-        Files.delete(p); removed += 1
-      }
-    } finally walk.close()
-    (1L until retainedVs.head).foreach(v =>
-      Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
-    (removed, live.size)
+  /** q199's exported root: the q187 snapshot shipped to a fresh root
+    * via [[exportSnapshot]] — checksummed, orphan-free, v1 there. */
+  def exportedRoot(s: SparkSession, dir: String): String = {
+    val src = snapshotRoot(s, dir)
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-export/$fp-$layoutKey") { tmp =>
+      val _ = exportSnapshot(s, src, tmp)
+    }
   }
 
   /** q195's root: the q187 shape (two overwrite versions + orphan),
@@ -527,12 +795,13 @@ object Manifest {
     * path so the oracle can glob it. The compare is root-internal
     * (retained-manifest plan vs on-disk reality), so whichever fixture
     * seeds the build, both sides see the same root; the path key is the
-    * build RECIPE (and the Verify gate rebuilds unconditionally anyway,
-    * so even a recipe-key miss cannot serve stale bytes to the gate). */
+    * build RECIPE × manifest layout (and the Verify gate rebuilds
+    * unconditionally anyway, so even a recipe-key miss cannot serve
+    * stale bytes to the gate). */
   val vacuumedRootDir: String =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft-manifest-vac-" + Staging.contentKey(
-        "two-version-root+orphan", "vacuum-keep=1")).toString
+        manifestDdl, "two-version-root+orphan", "vacuum-keep=1")).toString
 
   def vacuumedRoot(s: SparkSession, dir: String): String =
     Staging.ensure(vacuumedRootDir) { tmp =>
@@ -619,6 +888,37 @@ object Manifest {
           .orderBy("day")
       }),
 
+    // ----- MULTI-column stats + conjunctive pruning (q198): each
+    //       file's manifest row records [min, max] for ts AND user_id;
+    //       a (time window × user band) predicate keeps only files
+    //       both intervals overlap — ManifestSpec asserts the read set
+    //       is a strict subset. The oracle recomputes the same
+    //       predicate from the raw table, so over-pruning loses rows
+    //       and breaks the hash; treating stats as a row filter
+    //       over-counts and breaks it too. -----
+    Q("q198_manifest_multicol_prune",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+             |  AND user_id BETWEEN 2 AND 5
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = multiStatsRoot(s, dir)
+        val (pruned, _, _) = readTablePruned(s, root, "events_log", Seq(
+          Pred("ts", "2024-01-08 00:00:00", "2024-01-15 00:00:00", "timestamp"),
+          Pred("user_id", "2", "5", "bigint")))
+        pruned
+          .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-15 00:00:00").cast("timestamp") &&
+            col("user_id").between(2, 5))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
+      }),
+
     // ----- Retention VACUUM, plan vs reality: the returned relation is
     //       the PLAN (file and row counts the retained manifest says
     //       should exist) while the oracle globs the DISK for whatever
@@ -698,6 +998,31 @@ object Manifest {
             count(col("quality")).as("n_quality"),
             sum("quality").cast("double").as("total_quality"))
           .orderBy("event_type")
+      }),
+
+    // ----- Snapshot export (q199): the q187 snapshot SHIPPED to a
+    //       fresh root — only manifest-referenced files travel (the
+    //       planted orphan must not), each copy is checksum-verified,
+    //       and the destination serves the same consistent two-table
+    //       read as v1 of its own commit log. The oracle recomputes
+    //       from the raw source table, so a file lost, duplicated, or
+    //       corrupted in transit breaks the hash; ManifestSpec pins
+    //       the orphan exclusion and source-independence. -----
+    Q("q199_snapshot_export",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST((SELECT sum(CAST(value AS DECIMAL(18,4))) FROM events)
+             |    AS DOUBLE) AS grand_total
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = exportedRoot(s, dir)
+        val users = readTable(s, root, "user_totals")
+        val grand = readTable(s, root, "type_totals")
+          .agg(sum("total_t").as("grand_total"))
+        users.crossJoin(broadcast(grand))
+          .select(col("user_id"), col("total_u").cast("double").as("total_u"),
+            col("grand_total").cast("double").as("grand_total"))
+          .orderBy("user_id")
       })
   )
 }

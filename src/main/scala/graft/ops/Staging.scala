@@ -83,10 +83,10 @@ object Staging {
         try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
         catch {
           // another process published first — its layout is equivalent
-          // (same fingerprint-keyed path), keep it and drop ours
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException |
-               _: java.nio.file.AccessDeniedException =>
+          // (same content-keyed path), keep it and drop ours.
+          // FileSystemException covers every contended-rename shape the
+          // JDK emits, including Linux rename(2)'s bare ENOTEMPTY.
+          case _: java.nio.file.FileSystemException if Files.isDirectory(target) =>
             deleteRecursively(tmp)
         }
       } catch {

@@ -237,10 +237,24 @@ object Streams {
     * the manifest version IS the idempotency ledger (the same role the
     * replayed-batch guard plays in [[writeBatchIdempotent]], but here
     * the guard is the table format's own commit counter, and a reader
-    * concurrently sees only whole batches, never a partial append). */
-  def commitBatchToManifest(batch: DataFrame, root: String, batchId: Long): Unit =
-    if (graft.ops.Manifest.snapshotVersion(root) == batchId)
+    * concurrently sees only whole batches, never a partial append).
+    * The guard is three-way, not a silent equality check: version >
+    * batchId is a REDELIVERY (no-op by design), but version < batchId
+    * means a batch-id GAP — an earlier batch never committed (e.g. a
+    * no-data batch when `withoutNoDataBatches` wasn't applied, or a
+    * failed prior commit) — and appending over it would silently
+    * misalign the ledger forever, so it must fail loudly instead. */
+  def commitBatchToManifest(batch: DataFrame, root: String, batchId: Long): Unit = {
+    val v = graft.ops.Manifest.snapshotVersion(root)
+    if (v == batchId)
       graft.ops.Manifest.commitAppend(batch.sparkSession, root, "events_log", batch)
+    else if (v < batchId)
+      throw new IllegalStateException(
+        s"commitBatchToManifest: batch $batchId arrived but the table is at " +
+          s"v$v — batch ${v} never committed (id gap / failed prior commit); " +
+          "refusing to append over the hole")
+    // v > batchId: at-least-once redelivery of an already-committed batch
+  }
 
   /** Exactly-once-style parquet sink via foreachBatch — the canonical
     * production sink for stores without native streaming commit. */

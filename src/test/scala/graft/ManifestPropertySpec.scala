@@ -85,4 +85,47 @@ class ManifestPropertySpec extends SparkSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
     assert(res.passed, res.status.toString)
   }
+
+  test("concurrent appends x compactions lose no update") {
+    // The steady state of a streaming table: ingest appends racing a
+    // maintenance compaction. The version CAS serializes manifests; the
+    // replace-validation forces a compaction that read a stale file set
+    // to recompute — so every appended row must survive, whichever
+    // interleaving the scheduler produces.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-concurrent-spec").toString
+    Manifest.commitAppend(spark, root, "t", Seq((0L, 0.0)).toDF("k", "v"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    val appender = thread {
+      (1 to 5).foreach { i =>
+        Manifest.commitAppend(spark, root, "t",
+          Seq((i.toLong, i * 1.0)).toDF("k", "v"), maxRetries = 64)
+      }
+    }
+    val compactor = thread {
+      (1 to 3).foreach { _ =>
+        Manifest.compactTable(spark, root, "t", 8L << 20, maxRetries = 64)
+        Thread.sleep(20)
+      }
+    }
+    appender.join(120000); compactor.join(120000)
+    assert(failures.isEmpty, s"worker threw: ${failures.asScala.toList}")
+    // no lost updates: all six appended rows present exactly once
+    val rows = Manifest.readTable(spark, root, "t")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(rows == (0L to 5L), s"expected keys 0..5, got $rows")
+    // the pointer landed on the newest manifest (monotonic advance)
+    val listing = Files.list(Paths.get(root, "manifest"))
+    val newest =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString.drop(1).toLong).max
+      finally listing.close()
+    assert(Manifest.snapshotVersion(root) == newest)
+    graft.ops.Staging.deleteRecursively(Paths.get(root))
+  }
 }

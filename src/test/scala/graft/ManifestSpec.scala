@@ -200,6 +200,82 @@ class ManifestSpec extends SparkSuite {
     assert(rows.length == 2 && rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
   }
 
+  test("multi-column stats prune strictly under a conjunctive predicate") {
+    val root = Manifest.multiStatsRoot(spark, sfDir)
+    val preds = Seq(
+      Manifest.Pred("ts", "2024-01-08 00:00:00", "2024-01-15 00:00:00", "timestamp"),
+      Manifest.Pred("user_id", "2", "5", "bigint"))
+    val (pruned, read, total) =
+      Manifest.readTablePruned(spark, root, "events_log", preds)
+    assert(total == 16)
+    // ts kills one epoch (8 files), the user band kills most of the rest
+    assert(read < total / 2, s"expected the conjunction to prune, read $read/$total")
+    // the single-column ts prune alone keeps MORE files than the conjunction
+    val (_, readTsOnly, _) =
+      Manifest.readTablePruned(spark, root, "events_log", preds.take(1))
+    assert(read < readTsOnly, s"user_id stats pruned nothing ($read vs $readTsOnly)")
+    // prune is a bound, not a filter: pruned+predicate == full+predicate
+    val rowPred = col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-15 00:00:00").cast("timestamp") &&
+      col("user_id").between(2, 5)
+    val prunedCount = pruned.filter(rowPred).count()
+    val fullCount = Manifest.readTable(spark, root, "events_log")
+      .filter(rowPred).count()
+    assert(prunedCount == fullCount && fullCount > 0)
+  }
+
+  test("export ships exactly the snapshot: checksummed, orphan-free, source-independent") {
+    val src = Manifest.snapshotRoot(spark, sfDir)
+    val dest = Files.createTempDirectory("graft-export-spec").toString
+    val refs = spark.read.parquet(s"$src/manifest/v${Manifest.snapshotVersion(src)}")
+      .select("file").collect().map(_.getString(0)).toSet
+    val (nFiles, nBytes) = Manifest.exportSnapshot(spark, src, dest)
+    assert(nFiles == refs.size && nBytes > 0)
+    // dest is v1 of its own log and serves the identical relation
+    assert(Manifest.snapshotVersion(dest) == 1L)
+    val orig = Manifest.readTable(spark, src, "user_totals")
+    val copy = Manifest.readTable(spark, dest, "user_totals")
+    assert(copy.exceptAll(orig).isEmpty && orig.exceptAll(copy).isEmpty)
+    // only referenced files traveled: the planted orphan stayed behind
+    val walk = Files.walk(Paths.get(dest))
+    val shipped =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !Paths.get(dest).relativize(p).toString.startsWith("manifest"))
+        .map(p => Paths.get(dest).relativize(p).toString.replace('\\', '/'))
+        .toSet
+      finally walk.close()
+    assert(shipped == refs)
+    assert(!shipped.exists(_.contains("orphan")))
+    // a second export into the same root must refuse (v1 already claimed)
+    intercept[IllegalStateException] {
+      Manifest.exportSnapshot(spark, src, dest)
+    }
+  }
+
+  test("schema registry is per-table; non-evolve commits don't strand readers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-schema2-spec").toString
+    // two tables evolving in ONE root must not clobber each other
+    Manifest.commitAppendEvolve(spark, root, "a", Seq((1L, "x")).toDF("k", "s"))
+    Manifest.commitAppendEvolve(spark, root, "b", Seq((9.5, 7L)).toDF("f", "n"))
+    assert(Manifest.readTableEvolved(spark, root, "a")
+      .schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(Manifest.readTableEvolved(spark, root, "b")
+      .schema.fieldNames.toSeq == Seq("f", "n"))
+    // a NON-evolve commit (plain append) advances the version without a
+    // registration; resolution falls back to the newest one at-or-below
+    Manifest.commitAppend(spark, root, "a", Seq((2L, "y")).toDF("k", "s"))
+    assert(Manifest.readTableEvolved(spark, root, "a").count() == 2L)
+    // evolving one table leaves the other's registration untouched
+    Manifest.commitAppendEvolve(spark, root, "a",
+      Seq((3L, "z", true)).toDF("k", "s", "ok"), allowEvolution = true)
+    assert(Manifest.readTableEvolved(spark, root, "a")
+      .schema.fieldNames.toSeq == Seq("k", "s", "ok"))
+    assert(Manifest.readTableEvolved(spark, root, "b")
+      .schema.fieldNames.toSeq == Seq("f", "n"))
+  }
+
   test("commitBatchToManifest: version guard makes redelivery a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cbm-spec").toString
@@ -213,5 +289,11 @@ class ManifestSpec extends SparkSuite {
     graft.streaming.Streams.commitBatchToManifest(b1, root, 1L)
     assert(Manifest.snapshotVersion(root) == 2L)
     assert(Manifest.readTable(spark, root, "events_log").count() == 2L)
+    // a batch-id GAP (batch 2 missing) must fail loudly, not no-op:
+    // appending batch 3 over the hole would misalign the ledger forever
+    intercept[IllegalStateException] {
+      graft.streaming.Streams.commitBatchToManifest(b1, root, 3L)
+    }
+    assert(Manifest.snapshotVersion(root) == 2L)
   }
 }
