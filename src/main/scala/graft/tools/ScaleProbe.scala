@@ -294,6 +294,39 @@ object ScaleProbe {
     }
   }
 
+  /** Contended-commit price of the CAS protocol (round 9): W writer
+    * threads race A appends each on ONE root — every manifest claim is
+    * a non-replacing rename, losers rebase and retry. Reports total
+    * wall, per-commit mean, and proves no lost updates (rows == W*A+1,
+    * versions dense). The number to watch at 1000 executors is
+    * per-commit METADATA cost (claim + manifest rewrite), which is
+    * O(|manifest rows|), not O(data): the data write happens once per
+    * commit regardless of contention. */
+  def casPrice(spark: SparkSession, writers: Int = 4, appends: Int = 5): Unit = {
+    import graft.ops.Manifest
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cas-probe").toString
+    Manifest.commitAppend(spark, root, "t", Seq((0L, 0.0)).toDF("k", "v"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val (_, wall) = time {
+      val ts = (1 to writers).map { w =>
+        val t = new Thread(() =>
+          try (1 to appends).foreach { i =>
+            Manifest.commitAppend(spark, root, "t",
+              Seq((w * 1000L + i, i * 1.0)).toDF("k", "v"), maxRetries = 256)
+          } catch { case e: Throwable => failures.add(e) })
+        t.start(); t
+      }
+      ts.foreach(_.join(300000))
+    }
+    val n = Manifest.readTable(spark, root, "t").count()
+    val v = Manifest.snapshotVersion(root)
+    val ok = failures.isEmpty && n == writers * appends + 1 && v == writers * appends + 1
+    println(f"[probe] casprice writers=$writers appends=$appends wall=$wall%.2fs " +
+      f"per_commit=${wall / (writers * appends)}%.3fs rows=$n version=$v lost_updates=${!ok}")
+    Staging.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -319,6 +352,7 @@ object ScaleProbe {
       case "streamprice" => streamPrice(spark, srcDir)
       case "statsshape"  => statsShape(spark, srcDir)
       case "maintprice"  => maintPrice(spark, srcDir)
+      case "casprice"    => casPrice(spark)
       case other         => System.err.println(s"[probe] unknown probe: $other")
     }
     spark.stop()
