@@ -18,15 +18,21 @@ import scala.jdk.CollectionConverters._
   * Protocol (all on rename-atomic storage):
   *  1. data files land under a fresh prefix below `data/` — invisible
   *     to readers, because readers never list directories;
-  *  2. the manifest (one parquet of `(table_name, file, stats_json)`
-  *     rows) is staged into a tmp dir and CLAIMS `manifest/v<N>` with
-  *     one atomic NON-replacing rename — the claim is the
+  *  2. the manifest (one parquet ops log of `(op, table_name, file,
+  *     stats_json)` rows, plus an optional `_base` delta marker) is
+  *     staged into a tmp dir and CLAIMS `manifest/v<N>` with one
+  *     atomic NON-replacing rename — the claim is the
   *     compare-and-swap, so EVERY commit path (snapshot overwrite,
   *     append, replace, compaction, streaming batch) is safe against
   *     concurrent writers: if another writer claimed N first the move
   *     throws, and the loser rebases on the new latest claim and
   *     retries. A claim is complete by construction (the manifest was
-  *     fully written before the rename), so claim == commit;
+  *     fully written before the rename), so claim == commit. Appends
+  *     and replaces write DELTAS (drops + adds over the parent claim)
+  *     so daily ingest pays O(delta) metadata, with an automatic FULL
+  *     fold every [[foldEvery]]-th commit bounding chain resolution —
+  *     the manifest-list design of production formats, reduced to its
+  *     core;
   *  3. the `_latest` pointer file is a monotonic CACHE of the newest
   *     claim, advanced with write-then-verify: after writing, the
   *     committer re-reads and rewrites until the pointer is >= its
@@ -57,12 +63,24 @@ import scala.jdk.CollectionConverters._
   */
 object Manifest {
 
-  /** The manifest relation every committer writes: root-relative file
-    * paths plus an optional per-column stats map
-    * `{"col":{"min":"…","max":"…"},…}` (values as strings, cast back
-    * at prune time). */
+  /** The manifest relation every committer writes: an ops log.
+    * `op` is "add" (this file joins the snapshot) or "drop" (every
+    * inherited row of `table_name` leaves it — the replace primitive);
+    * `file` is root-relative; `stats_json` an optional per-column
+    * stats map `{"col":{"min":"…","max":"…"},…}` (values as strings,
+    * cast back at prune time). A claim with no `_base` marker is a
+    * FULL manifest (its adds ARE the snapshot); one with `_base` is a
+    * DELTA over that parent version. */
   private[ops] val manifestDdl =
-    "table_name STRING, file STRING, stats_json STRING"
+    "op STRING, table_name STRING, file STRING, stats_json STRING"
+
+  /** Write a full manifest every `foldEvery`-th commit on a chain —
+    * bounds delta-chain resolution at `foldEvery - 1` hops and
+    * amortizes metadata cost: appends pay O(delta) manifest writes
+    * except for the periodic fold, which pays O(live files) and resets
+    * the chain. This is manifest compaction made automatic — the piece
+    * production formats bolt on as a maintenance job. */
+  private val foldEvery = 8
 
   /** Content key of the manifest layout contract — embedded in every
     * staged fixture root's path, so a layout change re-keys the staged
@@ -184,16 +202,25 @@ object Manifest {
     finally l.close()
   }
 
-  /** The CAS itself: stage the manifest rows into a tmp dir and claim
-    * `manifest/v<version>` with one atomic non-replacing rename.
-    * True = this writer owns the version. */
+  /** One claim's content: the ops log plus the delta parent (None =
+    * full manifest). `ops` rows are (op, table_name, file, stats_json);
+    * drop rows carry a null file. */
+  private final case class Payload(
+      ops: Seq[(String, String, String, String)], base: Option[Long])
+
+  /** The CAS itself: stage the ops log (and the `_base` delta marker,
+    * if any) into a tmp dir and claim `manifest/v<version>` with one
+    * atomic non-replacing rename — marker and rows appear together or
+    * not at all. True = this writer owns the version. */
   private def tryClaim(s: SparkSession, root: String, version: Long,
-                       rows: Seq[(String, String, String)]): Boolean = {
+                       payload: Payload): Boolean = {
     import s.implicits._
     Files.createDirectories(Paths.get(root, "manifest"))
     val tmp = Files.createTempDirectory(Paths.get(root), s"manifest-v$version.tmp-")
-    rows.toDF("table_name", "file", "stats_json")
+    payload.ops.toDF("op", "table_name", "file", "stats_json")
       .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("m").toString)
+    payload.base.foreach(b =>
+      Files.write(tmp.resolve("m").resolve("_base"), b.toString.getBytes("UTF-8")))
     val target = Paths.get(root, "manifest", s"v$version")
     try {
       Files.move(tmp.resolve("m"), target, StandardCopyOption.ATOMIC_MOVE)
@@ -207,7 +234,42 @@ object Manifest {
     }
   }
 
-  /** Thrown by a carry function when the claim-time base no longer
+  /** The delta parent of claim `v`, if it is a delta. */
+  private def baseOf(root: String, v: Long): Option[Long] = {
+    val p = Paths.get(root, "manifest", s"v$v", "_base")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+    else None
+  }
+
+  /** Hops from claim `v` to its full base (0 = `v` is full). */
+  private def chainDepth(root: String, v: Long): Int = {
+    var d = 0
+    var cur = baseOf(root, v)
+    while (cur.isDefined) { d += 1; cur = baseOf(root, cur.get) }
+    d
+  }
+
+  /** Fully-RESOLVED (table, file, stats) rows of snapshot `version`:
+    * walk the delta chain to its full base, replaying each claim's
+    * drops then adds. Chain length is bounded by [[foldEvery]], so
+    * resolution is a handful of metadata-sized parquet reads. */
+  def manifestRows(s: SparkSession, root: String,
+                   version: Long): Seq[(String, String, String)] = {
+    var df = s.read.parquet(Paths.get(root, "manifest", s"v$version").toString)
+    if (!df.columns.contains("op")) // pre-delta vintage: plain full rows
+      df = df.withColumn("op", lit("add"))
+    if (!df.columns.contains("stats_json"))
+      df = df.withColumn("stats_json", lit(null).cast("string"))
+    val ops = df.select("op", "table_name", "file", "stats_json")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val parent = baseOf(root, version)
+      .map(manifestRows(s, root, _)).getOrElse(Seq.empty)
+    val dropped = ops.collect { case ("drop", t, _, _) => t }.toSet
+    parent.filterNot { case (t, _, _) => dropped(t) } ++
+      ops.collect { case ("add", t, f, st) => (t, f, st) }
+  }
+
+  /** Thrown by a payload builder when the claim-time base no longer
     * matches the state a rewrite was computed from (compaction racing
     * an append) — the caller recomputes from the new base and retries.
     * This is snapshot-isolation VALIDATION on top of the version CAS:
@@ -215,35 +277,48 @@ object Manifest {
     * from silently erasing rows a concurrent append added. */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
-  /** Shared CAS commit loop: `newRows` reference data published ONCE
-    * before the loop (retries re-claim metadata, never rewrite data);
-    * `carry` recomputes the carried-forward rows against the CURRENT
-    * newest readable claim on every attempt. */
+  /** Shared CAS commit loop: data files are published ONCE before the
+    * loop (retries re-claim metadata, never rewrite data); `attempt`
+    * rebuilds the claim payload against the CURRENT newest readable
+    * claim on every try. */
   private def casCommit(s: SparkSession, root: String,
-                        newRows: Seq[(String, String, String)],
-                        carry: Long => Seq[(String, String, String)],
+                        attempt: Long => Payload,
                         maxRetries: Int): Long = {
-    var attempt = 0
-    while (attempt < maxRetries) {
+    var tries = 0
+    while (tries < maxRetries) {
       val version = nextVersion(root)
-      val rows = carry(latestReadableClaim(root)) ++ newRows
-      if (tryClaim(s, root, version, rows)) {
+      val payload = attempt(latestReadableClaim(root))
+      if (tryClaim(s, root, version, payload)) {
         advancePointer(root, version)
         return version
       }
-      attempt += 1
+      tries += 1
     }
     throw new IllegalStateException(
       s"commit: lost the version race $maxRetries times at $root")
   }
 
-  private def readManifestRows(s: SparkSession, root: String,
-                               v: Long): Seq[(String, String, String)] = {
-    var df = s.read.parquet(Paths.get(root, "manifest", s"v$v").toString)
-    if (!df.columns.contains("stats_json"))
-      df = df.withColumn("stats_json", lit(null).cast("string"))
-    df.select("table_name", "file", "stats_json")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+  /** Build an append/replace payload against `base`: a DELTA (drops +
+    * adds over the parent) while the chain is short, a FULL fold —
+    * resolved parent minus drops, plus adds — every [[foldEvery]]-th
+    * commit. Appends therefore pay O(delta) manifest metadata except
+    * at the periodic fold; reads never walk more than `foldEvery - 1`
+    * hops. */
+  private def deltaOrFull(s: SparkSession, root: String, base: Long,
+                          drops: Seq[String],
+                          adds: Seq[(String, String, String)]): Payload = {
+    val addOps = adds.map { case (t, f, st) => ("add", t, f, st) }
+    if (base == 0)
+      Payload(addOps, None)
+    else if (chainDepth(root, base) + 1 >= foldEvery) {
+      val dropped = drops.toSet
+      val carried = manifestRows(s, root, base)
+        .filterNot { case (t, _, _) => dropped(t) }
+        .map { case (t, f, st) => ("add", t, f, st) }
+      Payload(carried ++ addOps, None)
+    } else
+      Payload(drops.map(t => ("drop", t, null: String, null: String)) ++ addOps,
+        Some(base))
   }
 
   // -------------------------------------------------------------- committers
@@ -258,7 +333,11 @@ object Manifest {
     val newRows = tables.toSeq.sortBy(_._1).flatMap { case (name, df) =>
       publishData(s, root, hint, name, df).map(f => (name, f, null: String))
     }
-    casCommit(s, root, newRows, _ => Seq.empty, maxRetries)
+    // overwrite semantics: the snapshot IS these tables — always a
+    // full manifest, never a delta
+    casCommit(s, root,
+      _ => Payload(newRows.map { case (t, f, st) => ("add", t, f, st) }, None),
+      maxRetries)
   }
 
   /** Optimistic-concurrency commit — alias of [[commit]], kept for the
@@ -281,9 +360,8 @@ object Manifest {
     val hint = nextVersion(root)
     val newRows = publishData(s, root, hint, table, df)
       .map(f => (table, f, null: String))
-    casCommit(s, root, newRows,
-      base => if (base == 0) Seq.empty else readManifestRows(s, root, base),
-      maxRetries)
+    casCommit(s, root,
+      base => deltaOrFull(s, root, base, Nil, newRows), maxRetries)
   }
 
   /** REPLACE commit: carry every OTHER table's rows forward and swap
@@ -300,16 +378,18 @@ object Manifest {
     val hint = nextVersion(root)
     val newRows = publishData(s, root, hint, table, df)
       .map(f => (table, f, null: String))
-    casCommit(s, root, newRows, { base =>
-      val prev = if (base == 0) Seq.empty else readManifestRows(s, root, base)
+    casCommit(s, root, { base =>
       expectedFiles.foreach { exp =>
-        val cur = prev.collect { case (t, f, _) if t == table => f }.toSet
+        val cur =
+          if (base == 0) Set.empty[String]
+          else manifestRows(s, root, base)
+            .collect { case (t, f, _) if t == table => f }.toSet
         if (cur != exp)
           throw new CommitConflict(
             s"$table changed under the rewrite: ${cur.size} files at base " +
               s"v$base, rewrite read ${exp.size}")
       }
-      prev.filterNot(_._1 == table)
+      deltaOrFull(s, root, base, Seq(table), newRows)
     }, maxRetries)
   }
 
@@ -363,9 +443,8 @@ object Manifest {
     val newRows = relFiles.map { rel =>
       (table, rel, byFile(rel.substring(rel.lastIndexOf('/') + 1)))
     }
-    casCommit(s, root, newRows,
-      base => if (base == 0) Seq.empty else readManifestRows(s, root, base),
-      maxRetries)
+    casCommit(s, root,
+      base => deltaOrFull(s, root, base, Nil, newRows), maxRetries)
   }
 
   /** Single-column convenience (q193's original surface). */
@@ -392,9 +471,10 @@ object Manifest {
   def readTablePruned(s: SparkSession, root: String, table: String,
                       preds: Seq[Pred]): (DataFrame, Int, Int) = {
     val v = snapshotVersion(root)
-    val manifest = s.read
-      .parquet(Paths.get(root, "manifest", s"v$v").toString)
-      .filter(col("table_name") === table)
+    import s.implicits._
+    val manifest = manifestRows(s, root, v)
+      .filter(_._1 == table)
+      .toDF("table_name", "file", "stats_json")
     val total = manifest.count().toInt
     val withSt = manifest.withColumn("st", from_json(col("stats_json"), statsType))
     val keep = preds.map { p =>
@@ -421,10 +501,8 @@ object Manifest {
                 version: Long = -1L): DataFrame = {
     val v = if (version > 0) version else snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
-    val files = s.read
-      .parquet(Paths.get(root, "manifest", s"v$v").toString)
-      .filter(col("table_name") === table)
-      .select("file").collect().map(r => s"$root/${r.getString(0)}") // metadata-sized
+    val files = manifestRows(s, root, v) // metadata-sized
+      .collect { case (t, f, _) if t == table => s"$root/$f" }
     require(files.nonEmpty, s"table $table absent from snapshot v$v")
     s.read.parquet(files.toIndexedSeq: _*)
   }
@@ -511,10 +589,8 @@ object Manifest {
     val v = snapshotVersion(root)
     val schema = registeredSchema(s, root, table).getOrElse(
       throw new IllegalStateException(s"no registered schema for $table at v$v"))
-    val files = s.read
-      .parquet(Paths.get(root, "manifest", s"v$v").toString)
-      .filter(col("table_name") === table)
-      .select("file").collect().map(r => s"$root/${r.getString(0)}")
+    val files = manifestRows(s, root, v)
+      .collect { case (t, f, _) if t == table => s"$root/$f" }
     s.read.schema(schema).parquet(files.toIndexedSeq: _*)
   }
 
@@ -537,7 +613,7 @@ object Manifest {
     while (true) {
       val base = latestReadableClaim(root)
       require(base > 0, s"no committed snapshot at $root")
-      val files = readManifestRows(s, root, base)
+      val files = manifestRows(s, root, base)
         .collect { case (t, f, _) if t == table => f }
       val bytes = files.map(f => Files.size(Paths.get(root, f))).sum
       val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -574,7 +650,7 @@ object Manifest {
     val readable = claimedVersions(root).filter(manifestReadable(root, _))
     require(readable.nonEmpty, s"no committed snapshot at $root")
     val retained = readable.takeRight(keep)
-    val live = retained.flatMap(readManifestRows(s, root, _)).map(_._2).toSet
+    val live = retained.flatMap(manifestRows(s, root, _)).map(_._2).toSet
     val dataRoot = Paths.get(root, "data")
     var removed = 0
     if (Files.isDirectory(dataRoot)) {
@@ -586,8 +662,17 @@ object Manifest {
         }
       } finally walk.close()
     }
-    claimedVersions(root).filter(_ < retained.head).foreach(v =>
-      Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
+    // a retained DELTA still resolves through its chain: its ancestors
+    // must survive the manifest sweep even when they sit below the
+    // retention floor (they are metadata-sized; the periodic fold keeps
+    // chains short, so at most foldEvery-1 extra claims survive)
+    val ancestors = retained.flatMap { v =>
+      Iterator.iterate(baseOf(root, v))(_.flatMap(baseOf(root, _)))
+        .takeWhile(_.isDefined).map(_.get).toSeq
+    }.toSet
+    claimedVersions(root)
+      .filter(v => v < retained.head && !ancestors(v))
+      .foreach(v => Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
     (removed, live.size)
   }
 
@@ -619,7 +704,7 @@ object Manifest {
   def exportSnapshot(s: SparkSession, root: String, destRoot: String): (Int, Long) = {
     val v = snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
-    val rows = readManifestRows(s, root, v)
+    val rows = manifestRows(s, root, v) // resolved: the chain flattens here
     Files.createDirectories(Paths.get(destRoot))
     var bytes = 0L
     val files = rows.map(_._2).distinct
@@ -634,7 +719,10 @@ object Manifest {
           s"exportSnapshot: checksum mismatch for $rel ($a != $b)")
       bytes += Files.size(dst)
     }
-    if (!tryClaim(s, destRoot, 1L, rows))
+    // the destination's v1 is always a FULL manifest — the export is
+    // self-contained no matter how deep the source's delta chain was
+    if (!tryClaim(s, destRoot, 1L,
+      Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None)))
       throw new IllegalStateException(
         s"exportSnapshot: $destRoot already has a v1 claim")
     rows.map(_._1).distinct.foreach { t =>
@@ -740,6 +828,30 @@ object Manifest {
         ev.filter(col("ts") < cutTs).repartition(col("month")))
       commitAppend(s, tmp, "events_log",
         ev.filter(col("ts") >= cutTs).repartition(col("week")))
+    }
+  }
+
+  /** q200's delta-chain root: TEN 3-day append commits — v1 is a full
+    * manifest, v2–v8 are deltas, v9 is the automatic FOLD (chain hit
+    * [[foldEvery]]), v10 a delta over the new full base. The daily
+    * ingest cadence of a 100-TB table, where O(delta) manifest writes
+    * are the difference between metadata-priced appends and rewriting
+    * a multi-million-row file list every day. */
+  def deltaChainRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-delta/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      (0 until 10).foreach { w =>
+        val lo = lit(s"2024-01-${"%02d".format(1 + w * 3)} 00:00:00").cast("timestamp")
+        val hi = lit(s"2024-01-${"%02d".format(4 + w * 3)} 00:00:00").cast("timestamp")
+        val slice =
+          if (w == 9) ev.filter(col("ts") >= lo) // tail takes the rest
+          else ev.filter(col("ts") >= lo && col("ts") < hi)
+        commitAppend(s, tmp, "events_log", slice.repartition(2))
+      }
     }
   }
 
@@ -940,11 +1052,10 @@ object Manifest {
       (s, dir) => {
         val root = vacuumedRoot(s, dir)
         val v = snapshotVersion(root)
-        val manifest = s.read
-          .parquet(Paths.get(root, "manifest", s"v$v").toString)
+        val resolved = manifestRows(s, root, v)
         import s.implicits._
         Seq("type_totals", "user_totals").map { t =>
-          val nFiles = manifest.filter(col("table_name") === t).count()
+          val nFiles = resolved.count(_._1 == t).toLong
           val nRows = readTable(s, root, t).count()
           (t, nFiles, nRows)
         }.toDF("table_name", "n_files", "n_rows").orderBy("table_name")
@@ -1023,6 +1134,29 @@ object Manifest {
           .select(col("user_id"), col("total_u").cast("double").as("total_u"),
             col("grand_total").cast("double").as("grand_total"))
           .orderBy("user_id")
+      }),
+
+    // ----- Delta-manifest chain (q200): ten daily-cadence appends
+    //       where all but the periodic FOLD write O(delta) manifest
+    //       metadata; the read resolves the chain (deltas replayed
+    //       over the last full base) into one explicit file list. The
+    //       oracle recomputes the monthly account from the raw table,
+    //       so a drop/add replayed in the wrong order, a lost delta,
+    //       or a fold that dropped rows all break the hash;
+    //       ManifestSpec pins the chain SHAPE (v1 full, deltas until
+    //       the automatic fold, delta rows == files added). -----
+    Q("q200_manifest_delta_chain",
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val root = deltaChainRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("month")
       })
   )
 }

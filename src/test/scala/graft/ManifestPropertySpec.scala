@@ -61,8 +61,7 @@ class ManifestPropertySpec extends SparkSuite {
             finally listing.close()
           assert(newest == v, s"pointer $v != newest manifest $newest")
           // 2. + 3. referenced files exist; rows match the model
-          val live = spark.read.parquet(s"$root/manifest/v$v")
-            .select("file").collect().map(_.getString(0)).toSet
+          val live = Manifest.manifestRows(spark, root, v).map(_._2).toSet
           assert(live.forall(rel => Files.exists(Paths.get(s"$root/$rel"))))
           assert(Manifest.readTable(spark, root, "t").count() == expectedRows,
             s"rows after $op")

@@ -57,8 +57,7 @@ class ManifestSpec extends SparkSuite {
   test("append commit carries v1 files by path, untouched, into v2") {
     val root = Manifest.evolutionRoot(spark, sfDir)
     def manifestFiles(v: Long): Set[String] =
-      spark.read.parquet(s"$root/manifest/v$v")
-        .collect().map(_.getString(1)).toSet
+      Manifest.manifestRows(spark, root, v).map(_._2).toSet
     val v1 = manifestFiles(1L)
     val v2 = manifestFiles(2L)
     assert(v1.subsetOf(v2) && v2.size > v1.size)
@@ -95,8 +94,7 @@ class ManifestSpec extends SparkSuite {
     assert(!Files.isDirectory(Paths.get(s"$root/manifest/v1"))) // expired
     assert(!Files.exists(
       Paths.get(s"$root/data/v2/user_totals/part-99999-orphan.parquet")))
-    val live = spark.read.parquet(s"$root/manifest/v2")
-      .select("file").collect().map(_.getString(0)).toSet
+    val live = Manifest.manifestRows(spark, root, 2L).map(_._2).toSet
     // every live file exists; no parquet on disk outside the live set
     assert(live.forall(rel => Files.exists(Paths.get(s"$root/$rel"))))
     val walk = Files.walk(Paths.get(s"$root/data"))
@@ -116,8 +114,7 @@ class ManifestSpec extends SparkSuite {
     val v = Manifest.snapshotVersion(root)
     assert(v == 7L) // six fragmented appends + one compaction commit
     def nFiles(ver: Long): Long =
-      spark.read.parquet(s"$root/manifest/v$ver")
-        .filter(col("table_name") === "events_log").count()
+      Manifest.manifestRows(spark, root, ver).count(_._1 == "events_log").toLong
     assert(nFiles(6L) == 24L) // 6 commits x repartition(4)
     assert(nFiles(7L) < 6L)   // bin-pack bound at fixture scale
     // the atomic flip lost nothing
@@ -126,8 +123,7 @@ class ManifestSpec extends SparkSuite {
     assert(after.count() == before.count())
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
     // fragmented files survive (time travel) until a vacuum collects them
-    val liveV6 = spark.read.parquet(s"$root/manifest/v6")
-      .select("file").collect().map(_.getString(0))
+    val liveV6 = Manifest.manifestRows(spark, root, 6L).map(_._2)
     assert(liveV6.forall(rel => Files.exists(Paths.get(s"$root/$rel"))))
   }
 
@@ -200,6 +196,33 @@ class ManifestSpec extends SparkSuite {
     assert(rows.length == 2 && rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
   }
 
+  test("delta chain: O(delta) manifests, automatic fold, lossless resolution") {
+    val root = Manifest.deltaChainRoot(spark, sfDir)
+    assert(Manifest.snapshotVersion(root) == 10L)
+    def isDelta(v: Long): Boolean =
+      Files.exists(Paths.get(s"$root/manifest/v$v/_base"))
+    def rawRows(v: Long): Long =
+      spark.read.parquet(s"$root/manifest/v$v").count()
+    // shape: v1 full, v2..v8 deltas, v9 the automatic fold, v10 delta
+    assert(!isDelta(1L))
+    (2L to 8L).foreach(v => assert(isDelta(v), s"v$v should be a delta"))
+    assert(!isDelta(9L), "v9 should be the automatic fold (full)")
+    assert(isDelta(10L))
+    // a delta claim stores ONLY its added files (2 per append), while
+    // the RESOLVED snapshot keeps growing — the O(delta) contract
+    assert(rawRows(8L) <= 2L)
+    assert(Manifest.manifestRows(spark, root, 8L).size >= 14)
+    // the fold materializes the full list; the next delta is small again
+    assert(rawRows(9L) == Manifest.manifestRows(spark, root, 9L).size.toLong)
+    assert(rawRows(10L) <= 2L)
+    // resolution is lossless: the stitched read equals the source table
+    assert(Manifest.readTable(spark, root, "events_log").count() ==
+      Tables.load(spark, sfDir, "events").count())
+    // time travel through the chain still works mid-chain
+    assert(Manifest.manifestRows(spark, root, 5L).size <
+      Manifest.manifestRows(spark, root, 10L).size)
+  }
+
   test("multi-column stats prune strictly under a conjunctive predicate") {
     val root = Manifest.multiStatsRoot(spark, sfDir)
     val preds = Seq(
@@ -227,8 +250,8 @@ class ManifestSpec extends SparkSuite {
   test("export ships exactly the snapshot: checksummed, orphan-free, source-independent") {
     val src = Manifest.snapshotRoot(spark, sfDir)
     val dest = Files.createTempDirectory("graft-export-spec").toString
-    val refs = spark.read.parquet(s"$src/manifest/v${Manifest.snapshotVersion(src)}")
-      .select("file").collect().map(_.getString(0)).toSet
+    val refs = Manifest
+      .manifestRows(spark, src, Manifest.snapshotVersion(src)).map(_._2).toSet
     val (nFiles, nBytes) = Manifest.exportSnapshot(spark, src, dest)
     assert(nFiles == refs.size && nBytes > 0)
     // dest is v1 of its own log and serves the identical relation
