@@ -423,11 +423,44 @@ object Manifest {
   def commitAppendStats(s: SparkSession, root: String, table: String,
                         df: DataFrame, statsCols: Seq[String],
                         rangeCol: String, nFiles: Int,
-                        maxRetries: Int = 5): Long = {
-    val hint = nextVersion(root)
-    val relFiles = publishData(s, root, hint, table,
+                        maxRetries: Int = 5): Long =
+    commitAppendLaidOut(s, root, table,
       df.repartitionByRange(nFiles, col(rangeCol))
-        .sortWithinPartitions(rangeCol))
+        .sortWithinPartitions(rangeCol),
+      statsCols, maxRetries)
+
+  /** Z-ORDERED stats append: lay the batch on a 2-D Morton curve over
+    * (`aCol`, `bCol`) — [[Layout.zorder2]] over the 16-bit grid, grid
+    * bounds from one metadata-sized min/max pass over the batch — and
+    * record per-file stats for BOTH columns. Range partitioning gives
+    * only its leading column pruning power; the Z-curve keeps every
+    * file to a tile of the 2-D space, so EACH dimension's [min, max]
+    * is tight and a predicate on EITHER column (or both) prunes files.
+    * This is Delta's OPTIMIZE ZORDER composed with micro-partition
+    * stats, as one commit. */
+  def commitAppendZordered(s: SparkSession, root: String, table: String,
+                           df: DataFrame, aCol: String, bCol: String,
+                           nFiles: Int, maxRetries: Int = 5): Long = {
+    val b = df.agg(
+      min(col(aCol).cast("double")), max(col(aCol).cast("double")),
+      min(col(bCol).cast("double")), max(col(bCol).cast("double"))).head()
+    val laid = df
+      .withColumn("__z", Layout.zorder2(
+        Layout.grid16(col(aCol).cast("double"), b.getDouble(0), b.getDouble(1)),
+        Layout.grid16(col(bCol).cast("double"), b.getDouble(2), b.getDouble(3))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commitAppendLaidOut(s, root, table, laid, Seq(aCol, bCol), maxRetries)
+  }
+
+  /** Stats-append core: publish `laidOut` exactly as partitioned and
+    * record per-file [min, max] for `statsCols` in the manifest. */
+  def commitAppendLaidOut(s: SparkSession, root: String, table: String,
+                          laidOut: DataFrame, statsCols: Seq[String],
+                          maxRetries: Int = 5): Long = {
+    val hint = nextVersion(root)
+    val relFiles = publishData(s, root, hint, table, laidOut)
     val dataDir = Paths.get(root, relFiles.head).getParent.toString
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
@@ -469,8 +502,8 @@ object Manifest {
     * files read, files total); the caller still applies the row-level
     * predicate. */
   def readTablePruned(s: SparkSession, root: String, table: String,
-                      preds: Seq[Pred]): (DataFrame, Int, Int) = {
-    val v = snapshotVersion(root)
+                      preds: Seq[Pred], version: Long = -1L): (DataFrame, Int, Int) = {
+    val v = if (version > 0) version else snapshotVersion(root)
     import s.implicits._
     val manifest = manifestRows(s, root, v)
       .filter(_._1 == table)
@@ -831,6 +864,21 @@ object Manifest {
     }
   }
 
+  /** q201's Z-ordered root: the whole window in ONE 16-file append
+    * laid on the (ts × user_id) Morton curve with stats on both — so
+    * EITHER dimension prunes alone, unlike the range layout where only
+    * the leading column has power (the contrast ManifestSpec
+    * asserts). */
+  def zorderRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-zorder/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      commitAppendZordered(s, tmp, "events_log", ev, "ts", "user_id", 16)
+    }
+  }
+
   /** q200's delta-chain root: TEN 3-day append commits — v1 is a full
     * manifest, v2–v8 are deltas, v9 is the automatic FOLD (chain hit
     * [[foldEvery]]), v10 a delta over the new full base. The daily
@@ -1157,6 +1205,38 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("month")
+      }),
+
+    // ----- Z-order layout × per-file stats (q201): one 16-file append
+    //       tiled on the (ts × user_id) Morton curve, stats on both
+    //       dimensions — so a predicate on EITHER column prunes files
+    //       (ManifestSpec asserts both single-dimension prunes are
+    //       strict subsets, which a range layout cannot give its
+    //       trailing column). The row predicate still applies after
+    //       the file bound; the oracle recomputes from the raw table,
+    //       so curve bugs (bad grid bounds, interleave errors) that
+    //       misplace rows break the hash. -----
+    Q("q201_manifest_zorder_prune",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+             |  AND user_id BETWEEN 2 AND 5
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = zorderRoot(s, dir)
+        val (pruned, _, _) = readTablePruned(s, root, "events_log", Seq(
+          Pred("ts", "2024-01-08 00:00:00", "2024-01-15 00:00:00", "timestamp"),
+          Pred("user_id", "2", "5", "bigint")))
+        pruned
+          .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-15 00:00:00").cast("timestamp") &&
+            col("user_id").between(2, 5))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
       })
   )
 }

@@ -247,6 +247,33 @@ class ManifestSpec extends SparkSuite {
     assert(prunedCount == fullCount && fullCount > 0)
   }
 
+  test("z-order layout gives BOTH dimensions pruning power") {
+    val root = Manifest.zorderRoot(spark, sfDir)
+    val tsPred = Manifest.Pred("ts",
+      "2024-01-08 00:00:00", "2024-01-15 00:00:00", "timestamp")
+    val uidPred = Manifest.Pred("user_id", "2", "5", "bigint")
+    val (_, readTs, total) =
+      Manifest.readTablePruned(spark, root, "events_log", Seq(tsPred))
+    val (_, readUid, _) =
+      Manifest.readTablePruned(spark, root, "events_log", Seq(uidPred))
+    val (pruned, readBoth, _) =
+      Manifest.readTablePruned(spark, root, "events_log", Seq(tsPred, uidPred))
+    assert(total == 16)
+    // the Z-curve's whole point: EACH dimension prunes ALONE — a range
+    // layout gives this only to its leading column
+    assert(readTs < total, s"ts prune had no power ($readTs/$total)")
+    assert(readUid < total, s"user_id prune had no power ($readUid/$total)")
+    assert(readBoth <= math.min(readTs, readUid))
+    // bound, not filter: pruned+predicate == full+predicate
+    val rowPred = col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-15 00:00:00").cast("timestamp") &&
+      col("user_id").between(2, 5)
+    val prunedCount = pruned.filter(rowPred).count()
+    val fullCount = Manifest.readTable(spark, root, "events_log")
+      .filter(rowPred).count()
+    assert(prunedCount == fullCount && fullCount > 0)
+  }
+
   test("export ships exactly the snapshot: checksummed, orphan-free, source-independent") {
     val src = Manifest.snapshotRoot(spark, sfDir)
     val dest = Files.createTempDirectory("graft-export-spec").toString
