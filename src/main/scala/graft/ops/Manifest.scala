@@ -64,13 +64,15 @@ import scala.jdk.CollectionConverters._
 object Manifest {
 
   /** The manifest relation every committer writes: an ops log.
-    * `op` is "add" (this file joins the snapshot) or "drop" (every
-    * inherited row of `table_name` leaves it — the replace primitive);
-    * `file` is root-relative; `stats_json` an optional per-column
-    * stats map `{"col":{"min":"…","max":"…"},…}` (values as strings,
-    * cast back at prune time). A claim with no `_base` marker is a
-    * FULL manifest (its adds ARE the snapshot); one with `_base` is a
-    * DELTA over that parent version. */
+    * `op` is "add" (this file joins the snapshot), "drop" (every
+    * inherited row of `table_name` leaves it — the replace primitive),
+    * or "remove" (ONE inherited (table, file) pair leaves it — the
+    * surgical primitive behind stats-pruned DELETE and subset
+    * compaction); `file` is root-relative; `stats_json` an optional
+    * per-column stats map `{"col":{"min":"…","max":"…"},…}` (values as
+    * strings, cast back at prune time). A claim with no `_base` marker
+    * is a FULL manifest (its adds ARE the snapshot); one with `_base`
+    * is a DELTA over that parent version. */
   private[ops] val manifestDdl =
     "op STRING, table_name STRING, file STRING, stats_json STRING"
 
@@ -265,7 +267,8 @@ object Manifest {
     val parent = baseOf(root, version)
       .map(manifestRows(s, root, _)).getOrElse(Seq.empty)
     val dropped = ops.collect { case ("drop", t, _, _) => t }.toSet
-    parent.filterNot { case (t, _, _) => dropped(t) } ++
+    val removed = ops.collect { case ("remove", t, f, _) => (t, f) }.toSet
+    parent.filterNot { case (t, f, _) => dropped(t) || removed((t, f)) } ++
       ops.collect { case ("add", t, f, st) => (t, f, st) }
   }
 
@@ -306,18 +309,21 @@ object Manifest {
     * hops. */
   private def deltaOrFull(s: SparkSession, root: String, base: Long,
                           drops: Seq[String],
-                          adds: Seq[(String, String, String)]): Payload = {
+                          adds: Seq[(String, String, String)],
+                          removes: Seq[(String, String)] = Nil): Payload = {
     val addOps = adds.map { case (t, f, st) => ("add", t, f, st) }
     if (base == 0)
       Payload(addOps, None)
     else if (chainDepth(root, base) + 1 >= foldEvery) {
       val dropped = drops.toSet
+      val removedSet = removes.toSet
       val carried = manifestRows(s, root, base)
-        .filterNot { case (t, _, _) => dropped(t) }
+        .filterNot { case (t, f, _) => dropped(t) || removedSet((t, f)) }
         .map { case (t, f, st) => ("add", t, f, st) }
       Payload(carried ++ addOps, None)
     } else
-      Payload(drops.map(t => ("drop", t, null: String, null: String)) ++ addOps,
+      Payload(drops.map(t => ("drop", t, null: String, null: String)) ++
+        removes.map { case (t, f) => ("remove", t, f, null: String) } ++ addOps,
         Some(base))
   }
 
@@ -454,13 +460,13 @@ object Manifest {
     commitAppendLaidOut(s, root, table, laid, Seq(aCol, bCol), maxRetries)
   }
 
-  /** Stats-append core: publish `laidOut` exactly as partitioned and
-    * record per-file [min, max] for `statsCols` in the manifest. */
-  def commitAppendLaidOut(s: SparkSession, root: String, table: String,
-                          laidOut: DataFrame, statsCols: Seq[String],
-                          maxRetries: Int = 5): Long = {
-    val hint = nextVersion(root)
-    val relFiles = publishData(s, root, hint, table, laidOut)
+  /** Per-file stats rows for freshly-published files — one pass over
+    * the published directory (production reads the parquet footers the
+    * write already produced). Empty `relFiles` → no rows. */
+  private def statsRowsFor(s: SparkSession, root: String, table: String,
+                           relFiles: Seq[String],
+                           statsCols: Seq[String]): Seq[(String, String, String)] = {
+    if (relFiles.isEmpty) return Seq.empty
     val dataDir = Paths.get(root, relFiles.head).getParent.toString
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
@@ -473,9 +479,24 @@ object Manifest {
         statsCols.map(c => c ->
           (r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c")))))
       .toMap
-    val newRows = relFiles.map { rel =>
-      (table, rel, byFile(rel.substring(rel.lastIndexOf('/') + 1)))
+    // a zero-row file (empty write partition) has no agg row: record
+    // explicit null bounds — the overlap filter then prunes it for any
+    // predicate, which is exact (it holds no rows)
+    val emptyStats = statsJsonOf(statsCols.map(c => c -> (null: String, null: String)))
+    relFiles.map { rel =>
+      (table, rel,
+        byFile.getOrElse(rel.substring(rel.lastIndexOf('/') + 1), emptyStats))
     }
+  }
+
+  /** Stats-append core: publish `laidOut` exactly as partitioned and
+    * record per-file [min, max] for `statsCols` in the manifest. */
+  def commitAppendLaidOut(s: SparkSession, root: String, table: String,
+                          laidOut: DataFrame, statsCols: Seq[String],
+                          maxRetries: Int = 5): Long = {
+    val hint = nextVersion(root)
+    val relFiles = publishData(s, root, hint, table, laidOut)
+    val newRows = statsRowsFor(s, root, table, relFiles, statsCols)
     casCommit(s, root,
       base => deltaOrFull(s, root, base, Nil, newRows), maxRetries)
   }
@@ -501,23 +522,33 @@ object Manifest {
     * metadata alone, before any data I/O. Returns (pruned DataFrame,
     * files read, files total); the caller still applies the row-level
     * predicate. */
-  def readTablePruned(s: SparkSession, root: String, table: String,
-                      preds: Seq[Pred], version: Long = -1L): (DataFrame, Int, Int) = {
-    val v = if (version > 0) version else snapshotVersion(root)
+  /** Manifest rows of `table` at `v` whose recorded stats OVERLAP every
+    * predicate (files with no stats for a column always survive —
+    * stats bound, never filter), plus the table's total file count. */
+  private def overlappingRows(s: SparkSession, root: String, table: String,
+                              preds: Seq[Pred],
+                              v: Long): (Seq[(String, String, String)], Int) = {
     import s.implicits._
-    val manifest = manifestRows(s, root, v)
-      .filter(_._1 == table)
-      .toDF("table_name", "file", "stats_json")
-    val total = manifest.count().toInt
-    val withSt = manifest.withColumn("st", from_json(col("stats_json"), statsType))
+    val rows = manifestRows(s, root, v).filter(_._1 == table)
+    val withSt = rows.toDF("table_name", "file", "stats_json")
+      .withColumn("st", from_json(col("stats_json"), statsType))
     val keep = preds.map { p =>
       val e = element_at(col("st"), p.column)
       e.isNull ||
         (e.getField("max").cast(p.castType) >= lit(p.lo).cast(p.castType) &&
           e.getField("min").cast(p.castType) <= lit(p.hi).cast(p.castType))
     }.reduce(_ && _)
-    val files = withSt.filter(keep)
-      .select("file").collect().map(r => s"$root/${r.getString(0)}")
+    val kept = withSt.filter(keep)
+      .select("table_name", "file", "stats_json").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    (kept, rows.size)
+  }
+
+  def readTablePruned(s: SparkSession, root: String, table: String,
+                      preds: Seq[Pred], version: Long = -1L): (DataFrame, Int, Int) = {
+    val v = if (version > 0) version else snapshotVersion(root)
+    val (kept, total) = overlappingRows(s, root, table, preds, v)
+    val files = kept.map { case (_, f, _) => s"$root/$f" }
     (s.read.parquet(files.toIndexedSeq: _*), files.length, total)
   }
 
@@ -662,6 +693,114 @@ object Manifest {
           if (attempt >= maxRetries)
             throw new IllegalStateException(
               s"compactTable: $table kept changing under the rewrite " +
+                s"($maxRetries attempts) at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Stats-pruned DELETE through the commit log: rewrite ONLY the
+    * files whose recorded stats overlap `preds` (the bound on where
+    * matches can live), dropping rows matching `deleteFilter`;
+    * untouched files are inherited by reference, and the commit is a
+    * DELTA of (remove affected, add survivors) — O(affected) data I/O
+    * AND O(affected) metadata, the "DELETE touches only matching
+    * micro-partitions" contract of production formats (here composed
+    * from stats pruning + the ops-log remove primitive). The previous
+    * version still serves the pre-delete state (time travel / audit)
+    * until vacuumed — same copy-on-write story as [[Lifecycle]]'s GDPR
+    * erasure, lifted onto the commit log. Validates at claim time that
+    * every affected file is still current (a racing replace/delete
+    * forces a recompute), and retries the whole rewrite on conflict. */
+  def commitDeleteWhere(s: SparkSession, root: String, table: String,
+                        preds: Seq[Pred], deleteFilter: org.apache.spark.sql.Column,
+                        maxRetries: Int = 5): Long = {
+    var tries = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val (affected, _) = overlappingRows(s, root, table, preds, base)
+      if (affected.isEmpty) return base // no file can hold a match: no-op
+      val survivors = s.read
+        .parquet(affected.map { case (_, f, _) => s"$root/$f" }.toIndexedSeq: _*)
+        .filter(!deleteFilter)
+      val hint = nextVersion(root)
+      val relFiles = publishData(s, root, hint, table, survivors)
+      val newRows = statsRowsFor(s, root, table, relFiles, preds.map(_.column))
+      val removes = affected.map { case (t, f, _) => (t, f) }
+      try {
+        return casCommit(s, root, { b =>
+          val cur = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (!removes.forall { case (_, f) => cur(f) })
+            throw new CommitConflict(
+              s"$table's affected files changed under the delete at base v$b")
+          deltaOrFull(s, root, b, Nil, newRows, removes)
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries)
+            throw new IllegalStateException(
+              s"commitDeleteWhere: $table kept changing under the rewrite " +
+                s"($maxRetries attempts) at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** MERGE upsert through the commit log: rows of `updates` REPLACE
+    * same-key rows and INSERT new keys, in ONE atomic delta commit.
+    * The updates' [min, max] of `keyCol` bounds the affected file set
+    * via per-file stats (a file that could hold a matching key always
+    * overlaps that interval; files without key stats are kept
+    * conservatively), so the rewrite touches O(affected) files: each
+    * is re-written minus the matched keys (left_anti on the update
+    * keys), the update batch lands as fresh files with key stats, and
+    * untouched files are inherited by reference. This is "MERGE INTO
+    * touches only matching micro-partitions", composed from stats
+    * pruning + the ops-log remove primitive; the pre-merge snapshot
+    * time-travels until vacuumed. Claim-time validation + whole-
+    * rewrite retry guard against racing writers, as in
+    * [[commitDeleteWhere]]. */
+  def commitMergeUpsert(s: SparkSession, root: String, table: String,
+                        updates: DataFrame, keyCol: String,
+                        maxRetries: Int = 5): Long = {
+    if (updates.isEmpty) return snapshotVersion(root)
+    val keyType = updates.schema(keyCol).dataType.sql
+    val kb = updates.agg(
+      min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string")).head()
+    val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
+    var tries = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
+      val survivors =
+        if (affected.isEmpty) updates
+        else s.read
+          .parquet(affected.map { case (_, f, _) => s"$root/$f" }.toIndexedSeq: _*)
+          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      val hint = nextVersion(root)
+      val relFiles = publishData(s, root, hint, table, survivors)
+      val newRows = statsRowsFor(s, root, table, relFiles, Seq(keyCol))
+      val removes = affected.map { case (t, f, _) => (t, f) }
+      try {
+        return casCommit(s, root, { b =>
+          val cur = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (!removes.forall { case (_, f) => cur(f) })
+            throw new CommitConflict(
+              s"$table's affected files changed under the merge at base v$b")
+          deltaOrFull(s, root, b, Nil, newRows, removes)
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries)
+            throw new IllegalStateException(
+              s"commitMergeUpsert: $table kept changing under the rewrite " +
                 s"($maxRetries attempts) at $root")
       }
     }
@@ -861,6 +1000,48 @@ object Manifest {
         ev.filter(col("ts") < cutTs).repartition(col("month")))
       commitAppend(s, tmp, "events_log",
         ev.filter(col("ts") >= cutTs).repartition(col("week")))
+    }
+  }
+
+  /** q203's merge root: per-user totals of the PRE-CUT window, 8
+    * user-ranged files with key stats, then one MERGE of the users
+    * 2–5 band recomputed over the FULL window — replaced keys
+    * rewritten, untouched user-range files inherited by reference. */
+  def mergeRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-merge/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      def totals(df: DataFrame) = df.groupBy("user_id")
+        .agg(sum("value").as("total_u"), count(lit(1)).as("n_u"))
+      commitAppendStats(s, tmp, "user_totals",
+        totals(ev.filter(col("ts") < cutTs)), Seq("user_id"), "user_id", 8)
+      val _ = commitMergeUpsert(s, tmp, "user_totals",
+        totals(ev).filter(col("user_id").between(2, 5)), "user_id")
+    }
+  }
+
+  /** q202's delete-where root: the q193 shape (two ranged appends,
+    * 16 ts-ranged files with stats), then one stats-pruned DELETE of
+    * the [Jan 10, Jan 13) window — only the overlapping files are
+    * rewritten; the pre-delete snapshot remains time-travelable. */
+  def deleteWhereRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-delete/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+      val _ = commitDeleteWhere(s, tmp, "events_log",
+        Seq(Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp")),
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
     }
   }
 
@@ -1237,6 +1418,55 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")
+      }),
+
+    // ----- Stats-pruned DELETE (q202): a three-day window is deleted
+    //       by rewriting ONLY the files whose stats overlap it (the
+    //       rest inherited by reference; ManifestSpec pins the
+    //       untouched-file identity, the O(affected) delta metadata,
+    //       and the time-travelable pre-delete version). The oracle
+    //       recomputes the complement from the raw table, so deleting
+    //       too much (over-prune / filter polarity) or too little
+    //       (missed file) breaks the hash. -----
+    Q("q202_manifest_delete_where",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = deleteWhereRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
+      }),
+
+    // ----- MERGE upsert through the commit log (q203): the users-2–5
+    //       band's totals are replaced with full-window recomputations
+    //       in ONE atomic delta commit that rewrites only the files
+    //       whose user_id stats overlap the band (ManifestSpec pins
+    //       untouched-file identity + time travel). The oracle derives
+    //       the merged state from the raw table — for merged keys the
+    //       full window, for the rest the pre-cut window — so a key
+    //       updated twice, lost, or leaked outside the band breaks the
+    //       hash. -----
+    Q("q203_manifest_merge_upsert",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST(count(*) AS BIGINT) AS n_u
+             |FROM events
+             |WHERE user_id BETWEEN 2 AND 5
+             |   OR CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = mergeRoot(s, dir)
+        readTable(s, root, "user_totals")
+          .select(col("user_id"), col("total_u").cast("double").as("total_u"),
+            col("n_u"))
+          .orderBy("user_id")
       })
   )
 }

@@ -247,6 +247,61 @@ class ManifestSpec extends SparkSuite {
     assert(prunedCount == fullCount && fullCount > 0)
   }
 
+  test("delete-where rewrites only overlapping files; pre-delete time-travels") {
+    val root = Manifest.deleteWhereRoot(spark, sfDir)
+    assert(Manifest.snapshotVersion(root) == 3L) // 2 appends + 1 delete
+    val before = Manifest.manifestRows(spark, root, 2L).map(_._2).toSet
+    val after = Manifest.manifestRows(spark, root, 3L).map(_._2).toSet
+    // untouched files inherited BY REFERENCE (same rel paths); some
+    // files removed, survivors re-added under the delete version
+    val untouched = before.intersect(after)
+    assert(untouched.nonEmpty && (before -- after).nonEmpty)
+    assert((after -- before).forall(_.startsWith("data/v3")))
+    // O(affected) delta metadata: the delete claim logs only the
+    // removed + re-added files, far fewer than the 16-file table
+    val deltaRows = spark.read.parquet(s"$root/manifest/v3").count()
+    assert(deltaRows < 16, s"delete claim logged $deltaRows ops")
+    // content: post-delete == raw complement; pre-delete time-travels
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+    val ev = Tables.load(spark, sfDir, "events")
+    val expectDeleted = ev.filter(col("ts") >= lo && col("ts") < hi).count()
+    assert(expectDeleted > 0)
+    assert(Manifest.readTable(spark, root, "events_log").count() ==
+      ev.count() - expectDeleted)
+    assert(Manifest.readTable(spark, root, "events_log", version = 2L).count() ==
+      ev.count())
+    // nothing survives inside the deleted window
+    assert(Manifest.readTable(spark, root, "events_log")
+      .filter(col("ts") >= lo && col("ts") < hi).count() == 0)
+  }
+
+  test("merge upsert rewrites only key-overlapping files; keys replaced exactly once") {
+    val root = Manifest.mergeRoot(spark, sfDir)
+    assert(Manifest.snapshotVersion(root) == 2L) // 1 append + 1 merge
+    val before = Manifest.manifestRows(spark, root, 1L).map(_._2).toSet
+    val after = Manifest.manifestRows(spark, root, 2L).map(_._2).toSet
+    // untouched user-range files inherited by reference
+    assert(before.intersect(after).nonEmpty && (before -- after).nonEmpty)
+    // merged state: band keys carry FULL-window totals, others pre-cut
+    val ev = Tables.load(spark, sfDir, "events")
+    val cut = lit(graft.ops.Cdc.versionCut).cast("timestamp")
+    val merged = Manifest.readTable(spark, root, "user_totals")
+    val bandExpected = ev.filter(col("user_id").between(2, 5)).count()
+    val bandGot = merged.filter(col("user_id").between(2, 5))
+      .agg(sum("n_u")).head().getLong(0)
+    assert(bandGot == bandExpected, s"band rows $bandGot != $bandExpected")
+    val restExpected = ev.filter(!col("user_id").between(2, 5) && col("ts") < cut).count()
+    val restGot = merged.filter(!col("user_id").between(2, 5))
+      .agg(sum("n_u")).head().getLong(0)
+    assert(restGot == restExpected)
+    // each key exactly once (no duplicate from a double-applied update)
+    assert(merged.count() == merged.select("user_id").distinct().count())
+    // pre-merge snapshot time-travels
+    assert(Manifest.readTable(spark, root, "user_totals", version = 1L)
+      .agg(sum("n_u")).head().getLong(0) == ev.filter(col("ts") < cut).count())
+  }
+
   test("z-order layout gives BOTH dimensions pruning power") {
     val root = Manifest.zorderRoot(spark, sfDir)
     val tsPred = Manifest.Pred("ts",
