@@ -292,6 +292,28 @@ object ScaleProbe {
       val (r, w) = time(Manifest.vacuum(spark, d, keep = 1))
       println(f"[probe] maintprice vacuum_only removed=${r._1} live=${r._2} wall=$w%.2fs")
     }
+    run("delete_where(q202)") { d =>
+      // 16-file ranged table, then time ONLY the stats-pruned delete
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      Manifest.commitAppendRanged(spark, d, "t", ev.filter(col("ts") < cutTs), "ts", 8)
+      Manifest.commitAppendRanged(spark, d, "t", ev.filter(col("ts") >= cutTs), "ts", 8)
+      val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+      val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+      val (_, w) = time(Manifest.commitDeleteWhere(spark, d, "t",
+        Seq(Manifest.Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp")),
+        col("ts") >= lo && col("ts") < hi))
+      println(f"[probe] maintprice delete_where_only wall=$w%.2fs")
+    }
+    run("merge_upsert(q203)") { d =>
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      def totals(df: org.apache.spark.sql.DataFrame) = df.groupBy("user_id")
+        .agg(sum("value").as("total_u"), count(lit(1)).as("n_u"))
+      Manifest.commitAppendStats(spark, d, "t",
+        totals(ev.filter(col("ts") < cutTs)), Seq("user_id"), "user_id", 8)
+      val (_, w) = time(Manifest.commitMergeUpsert(spark, d, "t",
+        totals(ev).filter(col("user_id").between(2, 5)), "user_id"))
+      println(f"[probe] maintprice merge_upsert_only wall=$w%.2fs")
+    }
   }
 
   /** Contended-commit price of the CAS protocol (round 9): W writer
