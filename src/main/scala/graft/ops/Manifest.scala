@@ -94,24 +94,34 @@ object Manifest {
 
   private def pointerPath(root: String): Path = Paths.get(root, "_latest")
 
-  /** Currently-committed snapshot version (the reader entry point),
-    * 0 if none. The pointer is a monotonic cache of max(claim). */
-  def snapshotVersion(root: String): Long = {
+  private def pointerVersion(root: String): Long = {
     val p = pointerPath(root)
     if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim.toLong
     else 0L
   }
 
-  /** Monotonic pointer advance (write-then-verify): rewrite until the
-    * pointer reads >= `version`. A racer holding a LOWER version that
-    * overwrites ours after our move is detected by the re-read and
-    * corrected; one holding a higher version terminates our loop. This
-    * closes the pointer-regression interleaving (A claims v5, stalls;
-    * B claims v6 and advances; A resumes) without locks. */
+  /** Currently-committed snapshot version (the reader entry point),
+    * 0 if none: max(pointer file, newest READABLE claim). A claim is
+    * complete by construction (one atomic rename of a fully-written
+    * manifest), so the claims themselves are the source of truth and
+    * the pointer file is only a cache — which makes pointer LAG
+    * harmless (a writer that crashed between claim and pointer swap
+    * still committed) and pointer REGRESSION impossible to observe
+    * (no write-ordering interleaving of the cache can hide a readable
+    * claim). Cost: one directory listing + up to one tail-claim
+    * readability probe — metadata-sized. */
+  def snapshotVersion(root: String): Long =
+    math.max(pointerVersion(root), latestReadableClaim(root))
+
+  /** Best-effort monotonic advance of the pointer CACHE
+    * (write-then-verify). Readers do not trust it alone — see
+    * [[snapshotVersion]] — so a racer interleaving that leaves the
+    * cache one version behind costs at most the claim-listing
+    * fallback, never a stale read. */
   private def advancePointer(root: String, version: Long): Unit = {
     var done = false
     while (!done) {
-      if (snapshotVersion(root) >= version) done = true
+      if (pointerVersion(root) >= version) done = true
       else {
         val tmp = Files.createTempFile(Paths.get(root), "_latest.tmp-", "")
         Files.write(tmp, version.toString.getBytes("UTF-8"))
@@ -174,7 +184,8 @@ object Manifest {
     * files in one directory. Returns the root-relative file paths. */
   private def publishData(s: SparkSession, root: String, hint: Long,
                           table: String, df: DataFrame): Seq[String] = {
-    require(table.matches("[A-Za-z0-9_.-]+"), s"unsafe table name: $table")
+    require(table.matches("[A-Za-z0-9_.-]+") && table.exists(_ != '.'),
+      s"unsafe table name: $table") // pure-dot names ("."/"..") escape the prefix
     Files.createDirectories(Paths.get(root))
     val tmp = Files.createTempDirectory(Paths.get(root), "data-stage.tmp-")
     df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
@@ -277,7 +288,12 @@ object Manifest {
     * an append) — the caller recomputes from the new base and retries.
     * This is snapshot-isolation VALIDATION on top of the version CAS:
     * the CAS alone serializes manifests, validation keeps a replace
-    * from silently erasing rows a concurrent append added. */
+    * from silently erasing rows a concurrent append added. Note the
+    * two retry budgets COMPOSE deliberately: the inner [[casCommit]]
+    * budget covers claim races (cheap: re-claim metadata), the outer
+    * rewrite loops in compact/delete/merge cover conflicts (expensive:
+    * recompute data), so worst case is maxRetries × maxRetries claim
+    * attempts — bounded, and each layer's budget matches its cost. */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
   /** Shared CAS commit loop: data files are published ONCE before the
@@ -548,6 +564,15 @@ object Manifest {
                       preds: Seq[Pred], version: Long = -1L): (DataFrame, Int, Int) = {
     val v = if (version > 0) version else snapshotVersion(root)
     val (kept, total) = overlappingRows(s, root, table, preds, v)
+    if (kept.isEmpty) {
+      // every file pruned: a valid answer (0 rows), not an error — keep
+      // the table's schema by planning over the full file list behind a
+      // constant-false filter (Catalyst folds it to an empty scan)
+      val all = manifestRows(s, root, v)
+        .collect { case (t, f, _) if t == table => s"$root/$f" }
+      require(all.nonEmpty, s"table $table absent from snapshot v$v")
+      return (s.read.parquet(all.toIndexedSeq: _*).filter(lit(false)), 0, total)
+    }
     val files = kept.map { case (_, f, _) => s"$root/$f" }
     (s.read.parquet(files.toIndexedSeq: _*), files.length, total)
   }
@@ -719,6 +744,12 @@ object Manifest {
     while (true) {
       val base = latestReadableClaim(root)
       require(base > 0, s"no committed snapshot at $root")
+      // snapshot-isolation read set: the ENTIRE table file set, not
+      // just the affected files — a concurrent append could land
+      // matching rows in a NEW file the predicate bound would have
+      // selected, so any change to the table forces a recompute
+      val expected = manifestRows(s, root, base)
+        .collect { case (t, f, _) if t == table => f }.toSet
       val (affected, _) = overlappingRows(s, root, table, preds, base)
       if (affected.isEmpty) return base // no file can hold a match: no-op
       val survivors = s.read
@@ -732,9 +763,9 @@ object Manifest {
         return casCommit(s, root, { b =>
           val cur = manifestRows(s, root, b)
             .collect { case (t, f, _) if t == table => f }.toSet
-          if (!removes.forall { case (_, f) => cur(f) })
+          if (cur != expected)
             throw new CommitConflict(
-              s"$table's affected files changed under the delete at base v$b")
+              s"$table changed under the delete (computed at v$base, claiming at v$b)")
           deltaOrFull(s, root, b, Nil, newRows, removes)
         }, maxRetries)
       } catch {
@@ -775,6 +806,14 @@ object Manifest {
     while (true) {
       val base = latestReadableClaim(root)
       require(base > 0, s"no committed snapshot at $root")
+      // full-table read set for the conflict check: MERGE reads the
+      // table (via the key-stats bound), so a concurrent append that
+      // lands a matching key in a new file must force a recompute —
+      // otherwise that key would survive beside the update (the
+      // duplicate-key hazard Delta's ConcurrentAppendException exists
+      // for)
+      val expected = manifestRows(s, root, base)
+        .collect { case (t, f, _) if t == table => f }.toSet
       val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
       val survivors =
         if (affected.isEmpty) updates
@@ -790,9 +829,9 @@ object Manifest {
         return casCommit(s, root, { b =>
           val cur = manifestRows(s, root, b)
             .collect { case (t, f, _) if t == table => f }.toSet
-          if (!removes.forall { case (_, f) => cur(f) })
+          if (cur != expected)
             throw new CommitConflict(
-              s"$table's affected files changed under the merge at base v$b")
+              s"$table changed under the merge (computed at v$base, claiming at v$b)")
           deltaOrFull(s, root, b, Nil, newRows, removes)
         }, maxRetries)
       } catch {
@@ -818,18 +857,29 @@ object Manifest {
     * resolve through a registration older than the retention floor).
     * Metadata-sized work: |manifest rows| + |data files| driver-side,
     * no data read. */
-  def vacuum(s: SparkSession, root: String, keep: Int): (Int, Int) = {
+  def vacuum(s: SparkSession, root: String, keep: Int,
+             graceMs: Long = 0L): (Int, Int) = {
     val readable = claimedVersions(root).filter(manifestReadable(root, _))
     require(readable.nonEmpty, s"no committed snapshot at $root")
     val retained = readable.takeRight(keep)
     val live = retained.flatMap(manifestRows(s, root, _)).map(_._2).toSet
     val dataRoot = Paths.get(root, "data")
+    // In-flight-commit guard: a concurrent writer publishes data files
+    // BEFORE claiming its manifest, and those files are referenced
+    // nowhere until the claim lands — deleting them would corrupt the
+    // winning commit. `graceMs` skips unreferenced files younger than
+    // the window; production sets it above the longest publish→claim
+    // latency (the same age-based guard Delta's VACUUM defaults to
+    // 7 days for). 0 is only safe with no concurrent writers.
+    val cutoffMs = System.currentTimeMillis() - graceMs
+    val dead = (p: Path) =>
+      !live.contains(Paths.get(root).relativize(p).toString.replace('\\', '/')) &&
+        (graceMs <= 0L || Files.getLastModifiedTime(p).toMillis < cutoffMs)
     var removed = 0
     if (Files.isDirectory(dataRoot)) {
       val walk = Files.walk(dataRoot)
       try walk.iterator().asScala.foreach { p =>
-        if (p.getFileName.toString.endsWith(".parquet") &&
-          !live.contains(Paths.get(root).relativize(p).toString.replace('\\', '/'))) {
+        if (p.getFileName.toString.endsWith(".parquet") && dead(p)) {
           Files.delete(p); removed += 1
         }
       } finally walk.close()

@@ -68,12 +68,36 @@ object Staging {
   /** Ensure the layout at `dir` exists, building it at most once
     * system-wide: `build` receives a private tmp dir; the result is
     * atomically renamed into place. Returns `dir`. Under rebuild mode
-    * (the Verify gate) an existing layout is discarded and rebuilt once
-    * per JVM, so stale bytes can never meet a fresh oracle. */
+    * (the Verify gate) an existing layout is replaced once per JVM, so
+    * stale bytes can never meet a fresh oracle — and the replacement
+    * is BUILD-then-SWAP (two renames), not delete-then-rebuild, so a
+    * concurrent JVM reading the published path sees the old layout or
+    * the new one, never a seconds-long absence while the build runs. */
   def ensure(dir: String)(build: String => Unit): String = {
     val target = Paths.get(dir).toAbsolutePath
-    if (rebuildMode && rebuiltOnce.add(target.toString) && Files.isDirectory(target))
-      deleteRecursively(target)
+    if (rebuildMode && rebuiltOnce.add(target.toString) && Files.isDirectory(target)) {
+      val tmp = Files.createTempDirectory(
+        target.getParent, target.getFileName.toString + ".rebuild-")
+      try {
+        build(tmp.toString)
+        val trash = Files.createTempDirectory(
+          target.getParent, target.getFileName.toString + ".trash-")
+        // swap: old aside, new in — the path is unbound only between
+        // two renames (microseconds), not for the whole build
+        Files.move(target, trash.resolve("old"), StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another rebuilder published between our renames — its
+          // layout is equally fresh; keep it and drop ours
+          case _: java.nio.file.FileSystemException if Files.isDirectory(target) =>
+            deleteRecursively(tmp)
+        }
+        deleteRecursively(trash)
+      } catch {
+        case e: Throwable => deleteRecursively(tmp); throw e
+      }
+      return dir
+    }
     if (!Files.isDirectory(target)) {
       Files.createDirectories(target.getParent)
       val tmp = Files.createTempDirectory(

@@ -70,14 +70,17 @@ object StreamQueries {
     * bucketed layout). */
   private def stageSplit(df: DataFrame, tsCol: String, tag: String, srcDir: String,
                          sentinels: Seq[DataFrame] = Nil): String = {
-    // Path key = fixture fingerprint × staged schema × cut: regenerating
-    // the fixture OR a loader change that alters the staged types (the
-    // round-9 NTZ fixture regeneration) re-keys the layout instead of
-    // serving stale bytes; ops.Staging.ensure adds the atomic publish
-    // and the Verify gate's unconditional rebuild.
+    // Path key = fixture fingerprint × staged schema × cut × sentinel
+    // CONTENT: regenerating the fixture, a loader change that alters
+    // the staged types (the round-9 NTZ fixture regeneration), or an
+    // edited sentinel row all re-key the layout instead of serving
+    // stale bytes; ops.Staging.ensure adds the atomic publish and the
+    // Verify gate's unconditional rebuild. Sentinels are one-row
+    // literal frames, so collecting them for the key is driver-cheap.
     val key = graft.ops.Staging.contentKey(
-      graft.ops.Staging.fingerprintOf(srcDir, Seq("events")),
-      df.schema.json, cut)
+      (Seq(graft.ops.Staging.fingerprintOf(srcDir, Seq("events")),
+        df.schema.json, cut) ++
+        sentinels.map(sd => sd.schema.json + sd.collect().mkString("|"))): _*)
     graft.ops.Staging.ensure(s"target/stream-stage/$tag-$key") { tmp =>
       val cutTs = lit(cut).cast("timestamp")
       writeOneFile(df.filter(col(tsCol) < cutTs),

@@ -245,6 +245,11 @@ class ManifestSpec extends SparkSuite {
     val fullCount = Manifest.readTable(spark, root, "events_log")
       .filter(rowPred).count()
     assert(prunedCount == fullCount && fullCount > 0)
+    // a window overlapping NO file is a valid empty answer, not a crash
+    val (none, readNone, _) = Manifest.readTablePruned(spark, root, "events_log",
+      Seq(Manifest.Pred("ts", "2031-01-01 00:00:00", "2031-01-02 00:00:00", "timestamp")))
+    assert(readNone == 0 && none.count() == 0)
+    assert(none.schema.fieldNames.contains("user_id")) // schema preserved
   }
 
   test("delete-where rewrites only overlapping files; pre-delete time-travels") {
