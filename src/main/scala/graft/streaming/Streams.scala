@@ -246,9 +246,17 @@ object Streams {
     * misalign the ledger forever, so it must fail loudly instead. */
   def commitBatchToManifest(batch: DataFrame, root: String, batchId: Long): Unit = {
     val v = graft.ops.Manifest.snapshotVersion(root)
-    if (v == batchId)
-      graft.ops.Manifest.commitAppend(batch.sparkSession, root, "events_log", batch)
-    else if (v < batchId)
+    if (v == batchId) {
+      // event-time batches land as ONE sorted file with [min, max] ts
+      // recorded in the manifest — the streaming table is then
+      // range-prunable like any batch-written one (q193's contract),
+      // and the per-batch file is the compaction unit q196 bin-packs
+      if (batch.columns.contains("ts"))
+        graft.ops.Manifest.commitAppendStats(
+          batch.sparkSession, root, "events_log", batch, Seq("ts"), "ts", 1)
+      else
+        graft.ops.Manifest.commitAppend(batch.sparkSession, root, "events_log", batch)
+    } else if (v < batchId)
       throw new IllegalStateException(
         s"commitBatchToManifest: batch $batchId arrived but the table is at " +
           s"v$v — batch ${v} never committed (id gap / failed prior commit); " +

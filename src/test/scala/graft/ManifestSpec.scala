@@ -389,8 +389,10 @@ class ManifestSpec extends SparkSuite {
   test("commitBatchToManifest: version guard makes redelivery a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cbm-spec").toString
-    val b0 = Seq((1L, 10.0)).toDF("k", "v")
-    val b1 = Seq((2L, 20.0)).toDF("k", "v")
+    val b0 = Seq((1L, 10.0, "2024-01-02 00:00:00"))
+      .toDF("k", "v", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val b1 = Seq((2L, 20.0, "2024-01-20 00:00:00"))
+      .toDF("k", "v", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
     graft.streaming.Streams.commitBatchToManifest(b0, root, 0L)
     graft.streaming.Streams.commitBatchToManifest(b1, root, 1L)
     assert(Manifest.snapshotVersion(root) == 2L)
@@ -405,5 +407,11 @@ class ManifestSpec extends SparkSuite {
       graft.streaming.Streams.commitBatchToManifest(b1, root, 3L)
     }
     assert(Manifest.snapshotVersion(root) == 2L)
+    // event-time batches carry ts stats: the STREAMING table is
+    // range-prunable like a batch-written one
+    val (pruned, read, total) = Manifest.readTableRange(spark, root,
+      "events_log", "2024-01-01 00:00:00", "2024-01-05 00:00:00")
+    assert(total == 2 && read == 1, s"expected 1 of $total files, read $read")
+    assert(pruned.count() == 1L)
   }
 }
