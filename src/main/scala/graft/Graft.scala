@@ -241,4 +241,103 @@ object Graft {
   /** Exactly-once-style parquet sink (idempotent per micro-batch). */
   def foreachBatchSink(sdf: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
     streaming.Streams.foreachBatchSink(sdf, outDir, checkpoint)
+
+  // ----- table format: the snapshot-manifest commit log -----
+  // Every commit claims its version via CAS (atomic non-replacing
+  // rename), appends/replaces write O(delta) ops-log manifests with an
+  // automatic full fold, readers resolve pointer/claims → explicit
+  // file lists. See [[ops.Manifest]] for the protocol doc.
+
+  /** Commit tables as ONE atomic multi-table snapshot (overwrite). */
+  def tableCommit(spark: SparkSession, root: String,
+                  tables: Map[String, DataFrame]): Long =
+    ops.Manifest.commit(spark, root, tables)
+
+  /** Append-commit new data (O(delta) data AND metadata). */
+  def tableAppend(spark: SparkSession, root: String, table: String,
+                  df: DataFrame): Long =
+    ops.Manifest.commitAppend(spark, root, table, df)
+
+  /** Append with per-file [min, max] stats for `statsCols`, files
+    * range-partitioned on `rangeCol` — the prunable-ingest path. */
+  def tableAppendStats(spark: SparkSession, root: String, table: String,
+                       df: DataFrame, statsCols: Seq[String],
+                       rangeCol: String, nFiles: Int): Long =
+    ops.Manifest.commitAppendStats(spark, root, table, df, statsCols, rangeCol, nFiles)
+
+  /** Append laid on the 2-D Morton curve with stats on BOTH columns —
+    * either dimension (or both) prunes subsequent reads. */
+  def tableAppendZordered(spark: SparkSession, root: String, table: String,
+                          df: DataFrame, aCol: String, bCol: String,
+                          nFiles: Int): Long =
+    ops.Manifest.commitAppendZordered(spark, root, table, df, aCol, bCol, nFiles)
+
+  /** Schema-enforced append; `allowEvolution` registers the union
+    * schema (per-table registry, at-or-below fallback). */
+  def tableAppendEvolve(spark: SparkSession, root: String, table: String,
+                        df: DataFrame, allowEvolution: Boolean = false): Long =
+    ops.Manifest.commitAppendEvolve(spark, root, table, df, allowEvolution)
+
+  /** Replace a table's file set in one commit (validated against
+    * `expectedFiles` when the rewrite must not race an append). */
+  def tableReplace(spark: SparkSession, root: String, table: String,
+                   df: DataFrame): Long =
+    ops.Manifest.commitReplace(spark, root, table, df)
+
+  /** OPTIMIZE: bin-pack the table's files as one replace-commit;
+    * concurrent appends force a recompute, never a lost update. */
+  def tableCompact(spark: SparkSession, root: String, table: String,
+                   targetBytes: Long = 128L << 20): Long =
+    ops.Manifest.compactTable(spark, root, table, targetBytes)
+
+  /** Stats-pruned DELETE: rewrite only the files whose stats overlap
+    * `preds`, dropping rows matching `deleteFilter` — O(affected). */
+  def tableDeleteWhere(spark: SparkSession, root: String, table: String,
+                       preds: Seq[ops.Manifest.Pred],
+                       deleteFilter: Column): Long =
+    ops.Manifest.commitDeleteWhere(spark, root, table, preds, deleteFilter)
+
+  /** MERGE upsert: replace same-key rows and insert new keys in one
+    * atomic delta commit, touching only key-stats-overlapping files. */
+  def tableMergeUpsert(spark: SparkSession, root: String, table: String,
+                       updates: DataFrame, keyCol: String): Long =
+    ops.Manifest.commitMergeUpsert(spark, root, table, updates, keyCol)
+
+  /** Read a table at a version (default: current snapshot). */
+  def tableRead(spark: SparkSession, root: String, table: String,
+                version: Long = -1L): DataFrame =
+    ops.Manifest.readTable(spark, root, table, version)
+
+  /** Stats-pruned read under a conjunction of range predicates;
+    * returns (relation, files read, files total). */
+  def tableReadPruned(spark: SparkSession, root: String, table: String,
+                      preds: Seq[ops.Manifest.Pred],
+                      version: Long = -1L): (DataFrame, Int, Int) =
+    ops.Manifest.readTablePruned(spark, root, table, preds, version)
+
+  /** Read with the REGISTERED schema pinned (evolved tables: old files
+    * NULL-fill, no footer merge). */
+  def tableReadEvolved(spark: SparkSession, root: String, table: String): DataFrame =
+    ops.Manifest.readTableEvolved(spark, root, table)
+
+  /** Current committed snapshot version (0 = none). */
+  def tableVersion(root: String): Long = ops.Manifest.snapshotVersion(root)
+
+  /** Retention: keep the newest `keep` snapshots, delete expired
+    * manifests and unreferenced data files; `graceMs` protects
+    * in-flight commits under concurrent writers. */
+  def tableVacuum(spark: SparkSession, root: String, keep: Int,
+                  graceMs: Long = 0L): (Int, Int) =
+    ops.Manifest.vacuum(spark, root, keep, graceMs)
+
+  /** Ship the current snapshot to a fresh root (checksummed, orphans
+    * excluded, committed as v1 there). */
+  def tableExport(spark: SparkSession, root: String, destRoot: String): (Int, Long) =
+    ops.Manifest.exportSnapshot(spark, root, destRoot)
+
+  /** foreachBatch handler: micro-batch → versioned manifest commit
+    * (redelivery no-op, batch-id gap throws; event-time batches record
+    * ts stats so the streaming table is range-prunable). */
+  def streamingTableCommit(batch: DataFrame, root: String, batchId: Long): Unit =
+    streaming.Streams.commitBatchToManifest(batch, root, batchId)
 }

@@ -79,4 +79,30 @@ class GraftFacadeSpec extends SparkSuite {
       round(sum(col("v")), 2).as("total")))
     assert(m("n") == 3L && m("n_big") == 1L && m("total") == 240.0)
   }
+
+  test("table-format facade: append, merge, delete, prune, time travel round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft-facade-table").toString
+    val t1 = Seq((1L, 10.0), (2L, 20.0), (5L, 50.0)).toDF("k", "v")
+    Graft.tableAppendStats(spark, root, "t", t1, Seq("k"), "k", 2)
+    assert(Graft.tableVersion(root) == 1L)
+    // merge: replace k=2, insert k=9
+    Graft.tableMergeUpsert(spark, root, "t",
+      Seq((2L, 22.0), (9L, 90.0)).toDF("k", "v"), "k")
+    val merged = Graft.tableRead(spark, root, "t").orderBy("k").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L, 9L))
+    assert(merged.find(_.getLong(0) == 2L).get.getDouble(1) == 22.0)
+    // stats-pruned read bounds the file set
+    val (pruned, read, total) = Graft.tableReadPruned(spark, root, "t",
+      Seq(ops.Manifest.Pred("k", "1", "1", "bigint")))
+    assert(read <= total && pruned.filter(col("k") === 1L).count() == 1L)
+    // delete k>=5; time travel still serves the pre-delete state
+    Graft.tableDeleteWhere(spark, root, "t",
+      Seq(ops.Manifest.Pred("k", "5", "9", "bigint")), col("k") >= 5L)
+    assert(Graft.tableRead(spark, root, "t").count() == 2L)
+    assert(Graft.tableRead(spark, root, "t", version = 2L).count() == 4L)
+    // vacuum to the newest snapshot; the table still reads
+    val (_, live) = Graft.tableVacuum(spark, root, keep = 1)
+    assert(live > 0 && Graft.tableRead(spark, root, "t").count() == 2L)
+    ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
