@@ -119,21 +119,68 @@ object Text {
         min(when(col("rn") === 1, col(scoreCol))).as("kept_score"))
   }
 
+  /** Band-bucket size cap for LSH candidate generation. A bucket with
+    * B members yields B·(B−1)/2 candidate pairs, so ONE pathological
+    * bucket (every page of a boilerplate-heavy crawl sharing a
+    * template) turns the candidate stage quadratic regardless of
+    * corpus size — the builder's own probe showed candidate wall
+    * tracks duplicate DENSITY, not rows (SCALING.md round 8). Buckets
+    * above the cap are dropped entirely (deterministic, mirrorable in
+    * the oracle SQL — sampling isn't); what was dropped is never
+    * silent: [[lshBucketAudit]] reports skipped bucket/pair counts per
+    * band, and q204 puts those counts on the correctness board. At
+    * fixture scale the largest bucket is 4, so the cap is invisible to
+    * every green oracle; at 100 TB it converts the worst case from
+    * O(dups²) to O(corpus · cap). */
+  private[graft] val lshBucketCap = 64
+
+  /** The 3-band (v1, v2) bucket layout over a signature frame — the
+    * single definition [[bandPairs]] and [[lshBucketAudit]] share. */
+  private def bandLayout(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
+      .map { case (b, x, y) =>
+        sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
+      }.reduce(_.unionByName(_))
+
   /** LSH band-bucket candidate pairs (d1 < d2, distinct) from a
     * signature frame — THE candidate-generation stage every near-dup
     * variant shares (q41 Jaccard, q143 containment, q104/q134 edges).
     * One definition so a banding change (k, band layout) can never
-    * make the variants silently diverge. */
-  private def bandPairs(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bands = Seq((1, "mh1", "mh2"), (2, "mh3", "mh4"), (3, "mh5", "mh6"))
-      .map { case (b, x, y) =>
-        sig.select(col("doc_id"), lit(b).as("band"), col(x).as("v1"), col(y).as("v2"))
-      }.reduce(_.unionByName(_))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.v1") === col("b.v1")
-          && col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-  }
+    * make the variants silently diverge.
+    *
+    * Shape: ONE shuffle (groupBy the band key) collects each bucket's
+    * members, the cap filter drops pathological buckets
+    * ([[lshBucketCap]]), and pairs explode bucket-locally — vs the
+    * former bands⋈bands self-join this halves the shuffled volume and
+    * gives the guard a place to cut BEFORE any pair exists. Bucket
+    * arrays are bounded by the cap, so collect_list is safe at any
+    * corpus size. */
+  private[graft] def bandPairs(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandLayout(sig)
+      .groupBy("band", "v1", "v2")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, lshBucketCap))
+      .select(explode(expr(
+        """filter(flatten(transform(ids, x -> transform(ids, y -> named_struct('d1', x, 'd2', y)))),
+          |       p -> p.d1 < p.d2)""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+
+  /** No-silent-caps observability for [[bandPairs]]: per band, how many
+    * buckets exist, the largest, and exactly how many buckets/pairs the
+    * [[lshBucketCap]] guard dropped. q204 keeps these numbers on the
+    * correctness board (differential vs DuckDB), so a corpus dense
+    * enough to trip the guard shows up as nonzero skip counts — never
+    * as silently-missing near-dup pairs. */
+  def lshBucketAudit(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandLayout(sig)
+      .groupBy("band", "v1", "v2").agg(count(lit(1)).as("bsz"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("bsz")).as("max_bucket"),
+        sum(when(col("bsz") > lshBucketCap, 1L).otherwise(0L)).as("n_skipped_buckets"),
+        sum(when(col("bsz") > lshBucketCap,
+          expr("bsz * (bsz - 1) DIV 2")).otherwise(0L)).as("n_skipped_pairs"))
+      .orderBy("band")
 
   /** MinHash-LSH candidate edges (q41's generation stage) as an
     * undirected edge list — shared by q104/q134. The signature frame is
@@ -155,12 +202,16 @@ object Text {
     val cand = bandPairs(docs.select(col("doc_id") +: mhCols: _*))
     val sh = docs.select(col("doc_id"), explode(col("hashes")).as("h"))
     val sizes = docs.select(col("doc_id"), col("n"))
-    broadcast(cand)
+    // No broadcast hints: cand is data-dependent (dup-density-sized)
+    // and sizes is corpus-cardinality — neither is broadcastable at
+    // 100 TB. AQE broadcasts whichever side is actually small at
+    // runtime, which at fixture scale is all of them.
+    cand
       .join(sh.as("x"), col("x.doc_id") === col("d1"))
       .join(sh.as("y"), col("y.doc_id") === col("d2") && col("x.h") === col("y.h"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
-      .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
+      .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+      .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
       .select(col("d1"), col("d2"), col("i"),
         col("s1.n").as("n1"), col("s2.n").as("n2"))
   }
@@ -177,10 +228,14 @@ object Text {
        |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
        |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
        |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+       |), bsz AS (
+       |  SELECT band, v1, v2, count(*) AS c FROM bands GROUP BY band, v1, v2
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
        |    AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.band = a.band AND s.v1 = a.v1 AND s.v2 = a.v2
+       |    AND s.c <= $lshBucketCap
        |), sh AS (
        |  SELECT doc_id, unnest($duckShingleHashes) AS h
        |  FROM documents WHERE len($duckTokens) >= 3
@@ -205,10 +260,14 @@ object Text {
        |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
        |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
        |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+       |), bsz AS (
+       |  SELECT band, v1, v2, count(*) AS c FROM bands GROUP BY band, v1, v2
        |), edges AS (
        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
        |    AND a.doc_id <> b.doc_id
+       |  JOIN bsz s ON s.band = a.band AND s.v1 = a.v1 AND s.v2 = a.v2
+       |    AND s.c <= $lshBucketCap
        |), reach(src, dst) AS (
        |  SELECT src, dst FROM edges
        |  UNION
@@ -739,6 +798,38 @@ object Text {
           .agg(max(col("n")).as("n_chars_total"),
             round(-sum(col("p") * log(col("p"))) / log(lit(2.0)), 4).as("entropy_bits"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // ----- LSH bucket-cap audit (the no-silent-caps companion to
+    //       q41/q143/q104/q134's shared candidate stage): per band, the
+    //       bucket count, the LARGEST bucket, and exactly how many
+    //       buckets/pairs the lshBucketCap guard dropped — differential
+    //       against DuckDB computing the same histogram, so a corpus
+    //       dense enough to trip the guard surfaces as nonzero skip
+    //       counts on the board rather than as silently-missing
+    //       near-dup pairs. At fixture scale max_bucket ≈ 4 and both
+    //       skip columns are verified ZERO (i.e. the guard provably
+    //       does not perturb the green near-dup oracles). -----
+    Q("q204_lsh_bucket_audit",
+      Some(s"""WITH sig AS (
+              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+              |        FROM documents WHERE len($duckTokens) >= 3)
+              |), bands AS (
+              |  SELECT doc_id, band, v1, v2 FROM (
+              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
+              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
+              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+              |), bsz AS (
+              |  SELECT band, v1, v2, count(*) AS c FROM bands GROUP BY band, v1, v2)
+              |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+              |  CAST(max(c) AS BIGINT) AS max_bucket,
+              |  CAST(sum(CASE WHEN c > $lshBucketCap THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_skipped_buckets,
+              |  CAST(sum(CASE WHEN c > $lshBucketCap THEN (c * (c - 1)) // 2 ELSE 0 END)
+              |    AS BIGINT) AS n_skipped_pairs
+              |FROM bsz GROUP BY band ORDER BY band""".stripMargin),
+      (s, dir) =>
+        lshBucketAudit(shingleSets(s, dir).select(col("doc_id") +: mhCols: _*)))
   )
 }

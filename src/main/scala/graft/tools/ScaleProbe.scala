@@ -349,6 +349,39 @@ object ScaleProbe {
     Staging.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  /** Round-10 guard probe: the LSH candidate stage's wall and pair
+    * count as a function of DUPLICATE DENSITY — the axis the round-5
+    * probe showed the stage actually pays for (5.7× wall at ~100× true
+    * pairs, corpus size flat). A fraction f of docs is rewritten to ONE
+    * shared template, so f·N docs share every band bucket; without the
+    * [[graft.ops.Text.lshBucketCap]] guard the candidate stage is
+    * quadratic in f·N. Reports capped pair count + wall, the audit's
+    * skipped counts, and the pair count the UNCAPPED stage would have
+    * produced (capped + skipped — exact, since skipped buckets
+    * contribute all their pairs). */
+  def lshDensity(spark: SparkSession, srcDir: String): Unit = {
+    import graft.ops.Text
+    val base = Tables.load(spark, srcDir, "documents")
+    val template = (1 to 60).map(i => s"boilerplate${i % 17} nav${i % 5}").mkString(" ")
+    Seq(0.0, 0.02, 0.2).foreach { f =>
+      val docs = base.withColumn("text",
+        when(pmod(col("doc_id"), lit(1000)) < lit((f * 1000).toInt), lit(template))
+          .otherwise(col("text")))
+      val sig = Text.shingleHashSets(docs, "text", Seq("doc_id"))
+        .select(col("doc_id") +: Text.mhCols: _*).cache()
+      sig.count()
+      val (pairs, wall) = time(Text.bandPairs(sig).count())
+      val a = Text.lshBucketAudit(sig)
+        .agg(sum("n_skipped_buckets"), sum("n_skipped_pairs")).collect()(0)
+      // distinct-pair lower bound for the uncapped stage: every skipped
+      // bucket's pair set (same docs share ALL bands here, so /3 dedups)
+      println(f"[probe] lshdensity dupFrac=$f capped_pairs=$pairs wall=$wall%.2fs " +
+        s"skipped_buckets=${a.getLong(0)} skipped_pairs=${a.getLong(1)} " +
+        s"uncapped_pairs>=${pairs + a.getLong(1) / 3}")
+      sig.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -375,6 +408,7 @@ object ScaleProbe {
       case "statsshape"  => statsShape(spark, srcDir)
       case "maintprice"  => maintPrice(spark, srcDir)
       case "casprice"    => casPrice(spark)
+      case "lshdensity"  => lshDensity(spark, srcDir)
       case other         => System.err.println(s"[probe] unknown probe: $other")
     }
     spark.stop()

@@ -77,6 +77,41 @@ class TextSpec extends SparkSuite {
     assert(out(2L) == 0.0)
   }
 
+  test("big-bucket guard: an over-cap band bucket yields no pairs and is audited") {
+    import spark.implicits._
+    // synthetic signature frame: `big` docs all share one signature
+    // (one bucket of cap+6 per band); docs 9001/9002 share a distinct
+    // signature (bucket of 2 — under the cap, must survive)
+    val big = (1L to (Text.lshBucketCap + 6L)).map(i => (i, 7L, 7L, 7L, 7L, 7L, 7L))
+    val small = Seq((9001L, 5L, 5L, 5L, 5L, 5L, 5L), (9002L, 5L, 5L, 5L, 5L, 5L, 5L))
+    val sig = (big ++ small).toDF("doc_id", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6")
+    val pairs = Text.bandPairs(sig).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((9001L, 9002L)),
+      "over-cap bucket must contribute zero pairs; under-cap bucket survives")
+    val audit = Text.lshBucketAudit(sig).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Text.lshBucketCap + 6L
+    assert(audit.length == 3)
+    audit.foreach { case (_, nBuckets, maxBucket, nSkippedBuckets, nSkippedPairs) =>
+      assert(nBuckets == 2L)
+      assert(maxBucket == n)
+      assert(nSkippedBuckets == 1L, "exactly the over-cap bucket is skipped")
+      assert(nSkippedPairs == n * (n - 1) / 2, "skipped pair count is exact")
+    }
+  }
+
+  test("bucket guard does not perturb pairs on an all-small-bucket corpus") {
+    import spark.implicits._
+    val sig = Seq(
+      (1L, 1L, 1L, 2L, 2L, 3L, 3L), (2L, 1L, 1L, 9L, 9L, 8L, 8L),
+      (3L, 4L, 4L, 9L, 9L, 7L, 7L)).toDF("doc_id", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6")
+    // band1 bucket {1,2}; band2 bucket {2,3}; no over-cap buckets
+    val pairs = Text.bandPairs(sig).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+    val audit = Text.lshBucketAudit(sig).collect()
+    assert(audit.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+  }
+
   /** Write the docs DataFrame as a parquet fixture dir so queries that
     * take (spark, sfDir) can run against it. */
   private def withDocs[T](d: org.apache.spark.sql.DataFrame)(f: String => T): T = {

@@ -9,15 +9,53 @@ with the Spark result parquet at <verifyOutDir>/<name>/. Mirrors the
 driver contract: columns sorted by name, rows sorted, exact value match
 (floats must already be rounded identically on both sides).
 """
-import duckdb
+import glob
 import json
 import os
 import sys
 
+import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def hash_hazard_types(result_dir: str):
+    """Physical-schema types in the Spark result parquet that the driver's
+    hasher canonicalizes differently from the DuckDB-oracle side even when
+    every cell value matches. pandas comparison below CANNOT see these —
+    duckdb .df() floats both sides — so they are caught at the schema
+    level. Returns (severity, msg) pairs: decimal128 is FAIL (the exact
+    class that kept q180 driver-red / replica-green for two rounds);
+    TIMESTAMP_NTZ is WARN only — q11/q34 ship NTZ outputs and are
+    driver-green, so NTZ is surfaced but not failed."""
+    parts = sorted(glob.glob(os.path.join(result_dir, "*.parquet")))
+    if not parts:
+        return []
+    schema = pq.read_schema(parts[0])
+    bad = []
+    # Primary signal: Spark's logical schema in the footer — the arrow
+    # view alone can't distinguish TIMESTAMP_NTZ from an INT96-written
+    # LTZ timestamp (both surface tz-less in pyarrow).
+    md = (schema.metadata or {}).get(b"org.apache.spark.sql.parquet.row.metadata")
+    if md:
+        for f in json.loads(md)["fields"]:
+            t = f["type"]
+            if isinstance(t, str) and t.startswith("decimal"):
+                bad.append(("FAIL", f"{f['name']}: {t} (cast to double — q175/q178 convention)"))
+            elif t == "timestamp_ntz":
+                bad.append(("WARN", f"{f['name']}: timestamp_ntz"))
+        return bad
+    for field in schema:
+        ts = str(field.type)
+        if ts.startswith("decimal"):
+            bad.append(("FAIL", f"{field.name}: {ts} (cast to double — q175/q178 convention)"))
+        elif ts == "timestamp[us]" and getattr(field.type, "tz", None) is None:
+            # Spark writes NTZ as tz-less micros; INT96-LTZ shows as ns
+            bad.append(("WARN", f"{field.name}: {ts} NTZ"))
+    return bad
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -85,6 +123,19 @@ def main():
             want = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # Driver-hash hazard gate: schema-level, BEFORE value compare —
+        # value equality through pandas proves nothing about these types.
+        hazards = hash_hazard_types(os.path.join(out_dir, name))
+        fails = [m for sev, m in hazards if sev == "FAIL"]
+        warns = [m for sev, m in hazards if sev == "WARN"]
+        if warns:
+            print(f"WARN  {name}: NTZ in result schema (driver-green class, "
+                  f"watch it): {'; '.join(warns)}")
+        if fails:
+            print(f"FAIL  {name}: driver-hash hazard in result schema: "
+                  f"{'; '.join(fails)}")
             n_fail += 1
             continue
         g, w = norm(got), norm(want)
