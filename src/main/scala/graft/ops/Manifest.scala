@@ -88,7 +88,7 @@ object Manifest {
     * staged fixture root's path, so a layout change re-keys the staged
     * roots instead of serving old-layout bytes to new readers. */
   private val layoutKey: String =
-    Staging.contentKey(manifestDdl, "claim=cas-v-dir")
+    Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema-in-claim")
 
   // ---------------------------------------------------------------- pointer
 
@@ -188,7 +188,14 @@ object Manifest {
       s"unsafe table name: $table") // pure-dot names ("."/"..") escape the prefix
     Files.createDirectories(Paths.get(root))
     val tmp = Files.createTempDirectory(Paths.get(root), "data-stage.tmp-")
-    df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
+    // INT64-micros timestamps, not the INT96 legacy default: INT96
+    // columns carry no usable footer statistics, and the manifest's
+    // per-file stats read those footers ([[FooterStats]]) instead of
+    // paying a read-back pass
+    val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
+    finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
     val preferred = Paths.get(root, "data", s"v$hint", table)
     Files.createDirectories(preferred.getParent)
     val dest =
@@ -216,15 +223,21 @@ object Manifest {
   }
 
   /** One claim's content: the ops log plus the delta parent (None =
-    * full manifest). `ops` rows are (op, table_name, file, stats_json);
-    * drop rows carry a null file. */
+    * full manifest) plus any SIDECAR MARKER files (`_txn_<appId>`
+    * idempotency ledgers, `_schema_<table>.json` registrations) that
+    * must become visible ATOMICALLY with the manifest rows. `ops` rows
+    * are (op, table_name, file, stats_json); drop rows carry a null
+    * file. Marker names must start with `_` so Spark's file listing
+    * treats them as hidden next to the manifest parquet. */
   private final case class Payload(
-      ops: Seq[(String, String, String, String)], base: Option[Long])
+      ops: Seq[(String, String, String, String)], base: Option[Long],
+      extras: Seq[(String, Array[Byte])] = Nil)
 
-  /** The CAS itself: stage the ops log (and the `_base` delta marker,
-    * if any) into a tmp dir and claim `manifest/v<version>` with one
-    * atomic non-replacing rename — marker and rows appear together or
-    * not at all. True = this writer owns the version. */
+  /** The CAS itself: stage the ops log (and the `_base` delta marker
+    * and any sidecar markers) into a tmp dir and claim
+    * `manifest/v<version>` with one atomic non-replacing rename —
+    * markers and rows appear together or not at all. True = this
+    * writer owns the version. */
   private def tryClaim(s: SparkSession, root: String, version: Long,
                        payload: Payload): Boolean = {
     import s.implicits._
@@ -234,6 +247,11 @@ object Manifest {
       .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("m").toString)
     payload.base.foreach(b =>
       Files.write(tmp.resolve("m").resolve("_base"), b.toString.getBytes("UTF-8")))
+    payload.extras.foreach { case (name, bytes) =>
+      require(name.startsWith("_") && name.matches("_[A-Za-z0-9._-]+"),
+        s"unsafe claim marker name: $name")
+      Files.write(tmp.resolve("m").resolve(name), bytes)
+    }
     val target = Paths.get(root, "manifest", s"v$version")
     try {
       Files.move(tmp.resolve("m"), target, StandardCopyOption.ATOMIC_MOVE)
@@ -282,6 +300,49 @@ object Manifest {
     parent.filterNot { case (t, f, _) => dropped(t) || removed((t, f)) } ++
       ops.collect { case ("add", t, f, st) => (t, f, st) }
   }
+
+  // ------------------------------------------------------- txn idempotency
+
+  /** Thrown at claim time when a transactional commit's (appId,
+    * txnVersion) was already committed by a racer — the caller treats
+    * it as a redelivery no-op, never a failure. The published-but-
+    * unclaimed data files of the losing attempt are unreferenced and
+    * collected by [[vacuum]]'s normal liveness rule. */
+  final class TxnAlreadyCommitted(msg: String) extends RuntimeException(msg)
+
+  private def txnMarker(appId: String): String = {
+    require(appId.matches("[A-Za-z0-9._-]+"), s"unsafe txn appId: $appId")
+    s"_txn_$appId"
+  }
+
+  /** Newest committed transaction version for `appId` — the Delta
+    * txn-action idea: each transactional commit stages a `_txn_<appId>`
+    * marker INSIDE its claim dir (atomic with the manifest rows), and
+    * the ledger survives interleaved non-transactional commits
+    * (compaction, vacuum-then-append, manual maintenance) because it is
+    * keyed by appId, not by the table's global version counter. Scan is
+    * newest-claim-first (txn versions are monotone in commit order) and
+    * metadata-sized; [[vacuum]] carries the newest marker past the
+    * retention floor. */
+  def lastCommittedTxn(root: String, appId: String): Option[Long] = {
+    val name = txnMarker(appId)
+    claimedVersions(root).reverseIterator
+      .map(v => Paths.get(root, "manifest", s"v$v", name))
+      .find(Files.exists(_))
+      .map(p => new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  /** Claim-time idempotency guard + the marker bytes for a payload. */
+  private def txnGuard(root: String, txn: Option[(String, Long)]): Unit =
+    txn.foreach { case (app, id) =>
+      lastCommittedTxn(root, app).filter(_ >= id).foreach(last =>
+        throw new TxnAlreadyCommitted(
+          s"txn $app#$id already committed at $root (ledger at #$last)"))
+    }
+
+  private def txnExtras(txn: Option[(String, Long)]): Seq[(String, Array[Byte])] =
+    txn.toSeq.map { case (app, id) =>
+      txnMarker(app) -> id.toString.getBytes("UTF-8") }
 
   /** Thrown by a payload builder when the claim-time base no longer
     * matches the state a rewrite was computed from (compaction racing
@@ -378,12 +439,15 @@ object Manifest {
     * layout evolution is a non-event under a manifest, where a
     * directory-scan engine would need a full rewrite or dual reads. */
   def commitAppend(s: SparkSession, root: String, table: String,
-                   df: DataFrame, maxRetries: Int = 5): Long = {
+                   df: DataFrame, maxRetries: Int = 5,
+                   txn: Option[(String, Long)] = None): Long = {
     val hint = nextVersion(root)
     val newRows = publishData(s, root, hint, table, df)
       .map(f => (table, f, null: String))
-    casCommit(s, root,
-      base => deltaOrFull(s, root, base, Nil, newRows), maxRetries)
+    casCommit(s, root, { base =>
+      txnGuard(root, txn)
+      deltaOrFull(s, root, base, Nil, newRows).copy(extras = txnExtras(txn))
+    }, maxRetries)
   }
 
   /** REPLACE commit: carry every OTHER table's rows forward and swap
@@ -445,11 +509,12 @@ object Manifest {
   def commitAppendStats(s: SparkSession, root: String, table: String,
                         df: DataFrame, statsCols: Seq[String],
                         rangeCol: String, nFiles: Int,
-                        maxRetries: Int = 5): Long =
+                        maxRetries: Int = 5,
+                        txn: Option[(String, Long)] = None): Long =
     commitAppendLaidOut(s, root, table,
       df.repartitionByRange(nFiles, col(rangeCol))
         .sortWithinPartitions(rangeCol),
-      statsCols, maxRetries)
+      statsCols, maxRetries, txn)
 
   /** Z-ORDERED stats append: lay the batch on a 2-D Morton curve over
     * (`aCol`, `bCol`) — [[Layout.zorder2]] over the 16-bit grid, grid
@@ -476,12 +541,33 @@ object Manifest {
     commitAppendLaidOut(s, root, table, laid, Seq(aCol, bCol), maxRetries)
   }
 
-  /** Per-file stats rows for freshly-published files — one pass over
-    * the published directory (production reads the parquet footers the
-    * write already produced). Empty `relFiles` → no rows. */
+  /** Per-file stats rows for freshly-published files. Primary path:
+    * the PARQUET FOOTERS the write just produced ([[FooterStats]] —
+    * zero extra data I/O, driver-side, |files| footer reads). If any
+    * column of any file is not footer-answerable EXACTLY (unsupported
+    * type, missing stats), the whole batch falls back to the one-pass
+    * Spark read-back so the recorded stats stay uniform; parity of the
+    * two paths is spec-pinned (FooterStatsSpec). Empty `relFiles` →
+    * no rows. */
   private def statsRowsFor(s: SparkSession, root: String, table: String,
                            relFiles: Seq[String],
                            statsCols: Seq[String]): Seq[(String, String, String)] = {
+    if (relFiles.isEmpty) return Seq.empty
+    val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+    FooterStats.tryAll(s.sparkContext.hadoopConfiguration,
+      relFiles.map(rel => Paths.get(root, rel).toString), statsCols, zone) match {
+      case Some(perFile) =>
+        relFiles.zip(perFile).map { case (rel, st) => (table, rel, statsJsonOf(st)) }
+      case None => statsRowsForSpark(s, root, table, relFiles, statsCols)
+    }
+  }
+
+  /** Fallback collection mechanism: one Spark pass over the published
+    * directory, min/max per `_metadata.file_name`. Kept callable for
+    * the footer-parity spec. */
+  private[graft] def statsRowsForSpark(s: SparkSession, root: String, table: String,
+                                     relFiles: Seq[String],
+                                     statsCols: Seq[String]): Seq[(String, String, String)] = {
     if (relFiles.isEmpty) return Seq.empty
     val dataDir = Paths.get(root, relFiles.head).getParent.toString
     val aggs = statsCols.flatMap(c => Seq(
@@ -509,12 +595,15 @@ object Manifest {
     * record per-file [min, max] for `statsCols` in the manifest. */
   def commitAppendLaidOut(s: SparkSession, root: String, table: String,
                           laidOut: DataFrame, statsCols: Seq[String],
-                          maxRetries: Int = 5): Long = {
+                          maxRetries: Int = 5,
+                          txn: Option[(String, Long)] = None): Long = {
     val hint = nextVersion(root)
     val relFiles = publishData(s, root, hint, table, laidOut)
     val newRows = statsRowsFor(s, root, table, relFiles, statsCols)
-    casCommit(s, root,
-      base => deltaOrFull(s, root, base, Nil, newRows), maxRetries)
+    casCommit(s, root, { base =>
+      txnGuard(root, txn)
+      deltaOrFull(s, root, base, Nil, newRows).copy(extras = txnExtras(txn))
+    }, maxRetries)
   }
 
   /** Single-column convenience (q193's original surface). */
@@ -598,77 +687,102 @@ object Manifest {
 
   // --------------------------------------------------------- schema registry
 
-  private def schemaKey(table: String, v: Long) = s"schema_${table}_v$v.json"
+  private def schemaMarker(table: String) = s"_schema_$table.json"
 
   /** Schema-enforced append (q197): the manifest layer is also the
-    * SCHEMA REGISTRY — registrations are keyed by (TABLE, version), so
-    * independently-evolving tables in one root never clobber each
-    * other, and resolution falls back to the newest registration at or
-    * below the requested version — a non-evolving commit (append,
-    * replace, compaction) between evolutions therefore never strands
-    * readers. An append must match the registered schema: every
-    * existing column present with its exact type, no new columns
-    * unless `allowEvolution` (then the union schema becomes the new
+    * SCHEMA REGISTRY — each registration is a `_schema_<table>.json`
+    * marker STAGED INSIDE the registering commit's claim dir, so rows
+    * and registration appear in one atomic rename (a crash can never
+    * commit evolved data files without their registration, which would
+    * silently drop the new column at read). Registrations are per
+    * TABLE, and resolution takes the newest registration at or below
+    * the requested version — a non-evolving commit (append, replace,
+    * compaction) between evolutions therefore never strands readers.
+    * An append must match the registered schema: every existing column
+    * present with its exact type, no new columns unless
+    * `allowEvolution` (then the union schema becomes the new
     * registration and old files NULL-fill the added columns at read).
+    * Claim-time VALIDATION re-reads the registration: if a concurrent
+    * evolving append registered first, this commit rebases — re-reads
+    * the new registration, re-enforces, and re-registers the union —
+    * so two concurrent evolutions can never lose each other's columns.
     * This is write-side enforcement — the q174 lesson ("pin the
     * evolved schema in the catalog, don't footer-merge per query")
     * with the manifest as the catalog: [[readTableEvolved]] reads with
     * the REGISTERED schema, so reads never pay a footer-merge and
     * never depend on file order. */
   def commitAppendEvolve(s: SparkSession, root: String, table: String,
-                         df: DataFrame, allowEvolution: Boolean = false): Long = {
-    val current = registeredSchema(s, root, table)
-    current.foreach { cur =>
-      cur.fields.foreach { f =>
-        val got = df.schema.fields.find(_.name == f.name).getOrElse(
+                         df: DataFrame, allowEvolution: Boolean = false,
+                         maxRetries: Int = 5): Long = {
+    def enforceAndUnion(current: Option[StructType]): StructType = {
+      current.foreach { cur =>
+        cur.fields.foreach { f =>
+          val got = df.schema.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema enforcement: append to $table drops column ${f.name}"))
+          if (got.dataType != f.dataType)
+            throw new IllegalArgumentException(
+              s"schema enforcement: column ${f.name} is ${got.dataType}, " +
+                s"table has ${f.dataType}")
+        }
+        val added = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
+        if (added.nonEmpty && !allowEvolution)
           throw new IllegalArgumentException(
-            s"schema enforcement: append to $table drops column ${f.name}"))
-        if (got.dataType != f.dataType)
-          throw new IllegalArgumentException(
-            s"schema enforcement: column ${f.name} is ${got.dataType}, " +
-              s"table has ${f.dataType}")
+            s"schema enforcement: append adds ${added.mkString(",")} to $table " +
+              "without allowEvolution")
       }
-      val added = df.schema.fieldNames.toSet -- cur.fieldNames.toSet
-      if (added.nonEmpty && !allowEvolution)
-        throw new IllegalArgumentException(
-          s"schema enforcement: append adds ${added.mkString(",")} to $table " +
-            "without allowEvolution")
+      current match {
+        case Some(cur) =>
+          StructType(cur.fields ++
+            df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name)))
+        case None => df.schema
+      }
     }
-    val version = commitAppend(s, root, table, df)
-    val evolved = current match {
-      case Some(cur) =>
-        StructType(cur.fields ++
-          df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name)))
-      case None => df.schema
+    // enforce against the registration read NOW; data publishes once —
+    // a registration conflict retries metadata only, never the write
+    var current = registeredSchema(s, root, table)
+    var evolved = enforceAndUnion(current)
+    val hint = nextVersion(root)
+    val newRows = publishData(s, root, hint, table, df)
+      .map(f => (table, f, null: String))
+    var tries = 0
+    while (true) {
+      try {
+        return casCommit(s, root, { base =>
+          if (registeredSchema(s, root, table, base) != current)
+            throw new CommitConflict(
+              s"$table's registered schema changed under the evolving append")
+          deltaOrFull(s, root, base, Nil, newRows)
+            .copy(extras = Seq(schemaMarker(table) -> evolved.json.getBytes("UTF-8")))
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries)
+            throw new IllegalStateException(
+              s"commitAppendEvolve: $table's registration kept changing " +
+                s"($maxRetries attempts) at $root")
+          current = registeredSchema(s, root, table)
+          evolved = enforceAndUnion(current) // may rightly REJECT now
+      }
     }
-    Files.write(Paths.get(root, "manifest", schemaKey(table, version)),
-      evolved.json.getBytes("UTF-8"))
-    version
+    -1L // unreachable
   }
 
   /** The schema registered for `table` at `version` (default current):
-    * the newest registration at or below the version, if any. */
+    * the newest claim at or below the version carrying the table's
+    * registration marker, if any. Claim dirs are the registry —
+    * [[vacuum]] carries the newest marker past the retention floor. */
   def registeredSchema(s: SparkSession, root: String, table: String,
                        version: Long = -1L): Option[StructType] = {
-    val v = if (version > 0) version else snapshotVersion(root)
-    val mdir = Paths.get(root, "manifest")
-    if (!Files.isDirectory(mdir)) return None
-    val re = ("^schema_" + java.util.regex.Pattern.quote(table) +
-      "_v([0-9]+)\\.json$").r
-    val l = Files.list(mdir)
-    val best =
-      try l.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case re(n) => n.toLong }
-        .filter(_ <= v).maxOption
-      finally l.close()
-    best.map { b =>
-      org.apache.spark.sql.types.DataType
-        .fromJson(new String(
-          Files.readAllBytes(Paths.get(root, "manifest", schemaKey(table, b))),
-          "UTF-8"))
-        .asInstanceOf[StructType]
-    }
+    val v = if (version >= 0) version else snapshotVersion(root)
+    claimedVersions(root).reverseIterator
+      .filter(_ <= v)
+      .map(cv => Paths.get(root, "manifest", s"v$cv", schemaMarker(table)))
+      .find(Files.exists(_))
+      .map(p => org.apache.spark.sql.types.DataType
+        .fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+        .asInstanceOf[StructType])
   }
 
   /** Read an evolved table with its REGISTERED schema pinned: files
@@ -752,9 +866,13 @@ object Manifest {
         .collect { case (t, f, _) if t == table => f }.toSet
       val (affected, _) = overlappingRows(s, root, table, preds, base)
       if (affected.isEmpty) return base // no file can hold a match: no-op
+      // SQL DELETE semantics: a row is deleted only when the predicate
+      // is TRUE — a NULL predicate (null in the filter column) must
+      // KEEP the row, so negate coalesce(pred, false), not the bare
+      // predicate (!NULL = NULL would silently delete those rows)
       val survivors = s.read
         .parquet(affected.map { case (_, f, _) => s"$root/$f" }.toIndexedSeq: _*)
-        .filter(!deleteFilter)
+        .filter(!coalesce(deleteFilter, lit(false)))
       val hint = nextVersion(root)
       val relFiles = publishData(s, root, hint, table, survivors)
       val newRows = statsRowsFor(s, root, table, relFiles, preds.map(_.column))
@@ -797,11 +915,35 @@ object Manifest {
   def commitMergeUpsert(s: SparkSession, root: String, table: String,
                         updates: DataFrame, keyCol: String,
                         maxRetries: Int = 5): Long = {
-    if (updates.isEmpty) return snapshotVersion(root)
-    val keyType = updates.schema(keyCol).dataType.sql
-    val kb = updates.agg(
-      min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string")).head()
-    val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
+    // Pin the source batch: a non-deterministic `updates` (sample, rand,
+    // now()) re-evaluated on a conflict retry could drift outside the
+    // key bounds computed here, desyncing the affected-file set from the
+    // rows actually written — cache once, so bounds, dup check, rewrite,
+    // and every retry all see ONE consistent batch.
+    val pinned = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyType = pinned.schema(keyCol).dataType.sql
+      val kb = pinned.agg(
+        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
+        count(lit(1)), count_distinct(col(keyCol))).head()
+      if (kb.getLong(2) == 0L) return snapshotVersion(root)
+      // MERGE rejects multi-match sources: two update rows with one key
+      // would both land, breaking per-key-exactly-once — fail loudly
+      // (ANSI MERGE's "duplicate row in source" error), don't pick one
+      if (kb.getLong(2) != kb.getLong(3))
+        throw new IllegalArgumentException(
+          s"commitMergeUpsert: updates carry duplicate $keyCol values " +
+            s"(${kb.getLong(2)} rows, ${kb.getLong(3)} distinct keys) — " +
+            "MERGE requires at most one source row per key")
+      val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
+      commitMergeUpsertPinned(s, root, table, pinned, keyCol, keyPred, maxRetries)
+    } finally pinned.unpersist()
+  }
+
+  private def commitMergeUpsertPinned(s: SparkSession, root: String,
+                                      table: String, updates: DataFrame,
+                                      keyCol: String, keyPred: Pred,
+                                      maxRetries: Int): Long = {
     var tries = 0
     while (true) {
       val base = latestReadableClaim(root)
@@ -857,8 +999,18 @@ object Manifest {
     * resolve through a registration older than the retention floor).
     * Metadata-sized work: |manifest rows| + |data files| driver-side,
     * no data read. */
+  /** Default in-flight-commit grace window: unreferenced data files
+    * younger than this survive a vacuum, because a concurrent writer
+    * publishes data BEFORE claiming its manifest and a vacuum in that
+    * window would corrupt the winning commit. 10 minutes covers any
+    * realistic publish→claim latency at this engine's commit sizes
+    * (production formats default far higher — Delta: 7 days); callers
+    * that KNOW there are no concurrent writers (tests, single-writer
+    * maintenance windows) opt in to `graceMs = 0` explicitly. */
+  val defaultVacuumGraceMs: Long = 10L * 60L * 1000L
+
   def vacuum(s: SparkSession, root: String, keep: Int,
-             graceMs: Long = 0L): (Int, Int) = {
+             graceMs: Long = defaultVacuumGraceMs): (Int, Int) = {
     val readable = claimedVersions(root).filter(manifestReadable(root, _))
     require(readable.nonEmpty, s"no committed snapshot at $root")
     val retained = readable.takeRight(keep)
@@ -892,9 +1044,34 @@ object Manifest {
       Iterator.iterate(baseOf(root, v))(_.flatMap(baseOf(root, _)))
         .takeWhile(_.isDefined).map(_.get).toSeq
     }.toSet
-    claimedVersions(root)
+    val doomed = claimedVersions(root)
       .filter(v => v < retained.head && !ancestors(v))
-      .foreach(v => Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
+    // claim MARKERS outlive their claims: the newest `_txn_<appId>`
+    // ledger and `_schema_<table>.json` registration below the floor
+    // are copied into the OLDEST surviving claim (copy BEFORE delete,
+    // so a concurrent reader never observes a markerless window) —
+    // every retained version resolves at or above that claim, so the
+    // newest-at-or-below lookup still finds them. A surviving claim's
+    // own marker always shadows the carried copy (it is newer).
+    val survivors = claimedVersions(root).filterNot(doomed.toSet)
+    survivors.headOption.foreach { oldest =>
+      val dest = Paths.get(root, "manifest", s"v$oldest")
+      doomed.sortBy(-_).foreach { v => // newest doomed first: it wins the copy
+        val d = Paths.get(root, "manifest", s"v$v")
+        val l = Files.list(d)
+        val markers =
+          try l.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("_txn_") || n.startsWith("_schema_")).toList
+          finally l.close()
+        markers.foreach { name =>
+          if (!Files.exists(dest.resolve(name)))
+            Files.copy(d.resolve(name), dest.resolve(name),
+              StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    doomed.foreach(v =>
+      Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
     (removed, live.size)
   }
 
@@ -942,17 +1119,32 @@ object Manifest {
       bytes += Files.size(dst)
     }
     // the destination's v1 is always a FULL manifest — the export is
-    // self-contained no matter how deep the source's delta chain was
+    // self-contained no matter how deep the source's delta chain was —
+    // and it carries the tables' current schema registrations plus the
+    // newest txn ledger per appId as claim markers (atomic with the
+    // rows, so a promoted environment resumes streams without replays)
+    val schemaExtras = rows.map(_._1).distinct.sorted.flatMap { t =>
+      registeredSchema(s, root, t, v).map(sch =>
+        schemaMarker(t) -> sch.json.getBytes("UTF-8"))
+    }
+    val txnNames = claimedVersions(root).flatMap { cv =>
+      val d = Paths.get(root, "manifest", s"v$cv")
+      val l = Files.list(d)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_txn_")).toList
+      finally l.close()
+    }.distinct.sorted
+    val txnExtrasOut = txnNames.flatMap { name =>
+      claimedVersions(root).reverseIterator
+        .map(cv => Paths.get(root, "manifest", s"v$cv", name))
+        .find(Files.exists(_))
+        .map(p => name -> Files.readAllBytes(p))
+    }
     if (!tryClaim(s, destRoot, 1L,
-      Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None)))
+      Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None,
+        schemaExtras ++ txnExtrasOut)))
       throw new IllegalStateException(
         s"exportSnapshot: $destRoot already has a v1 claim")
-    rows.map(_._1).distinct.foreach { t =>
-      registeredSchema(s, root, t, v).foreach { sch =>
-        Files.write(Paths.get(destRoot, "manifest", schemaKey(t, 1L)),
-          sch.json.getBytes("UTF-8"))
-      }
-    }
     advancePointer(destRoot, 1L)
     (files.size, bytes)
   }
@@ -1197,7 +1389,9 @@ object Manifest {
   def vacuumedRoot(s: SparkSession, dir: String): String =
     Staging.ensure(vacuumedRootDir) { tmp =>
       buildTwoVersionRoot(s, dir, tmp)
-      val _ = vacuum(s, tmp, keep = 1)
+      // single-writer staging: nothing can be in flight, and the q195
+      // oracle asserts disk == retained plan immediately — opt in to 0
+      val _ = vacuum(s, tmp, keep = 1, graceMs = 0L)
     }
 
   val queries: Seq[Q] = Seq(

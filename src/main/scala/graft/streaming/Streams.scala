@@ -231,37 +231,51 @@ object Streams {
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
   }
 
-  /** Micro-batch → snapshot-manifest commit (q190): batch N is allowed
-    * to commit only when the table's version is exactly N, so
-    * foreachBatch's at-least-once redelivery can never append twice —
-    * the manifest version IS the idempotency ledger (the same role the
-    * replayed-batch guard plays in [[writeBatchIdempotent]], but here
-    * the guard is the table format's own commit counter, and a reader
-    * concurrently sees only whole batches, never a partial append).
-    * The guard is three-way, not a silent equality check: version >
-    * batchId is a REDELIVERY (no-op by design), but version < batchId
-    * means a batch-id GAP — an earlier batch never committed (e.g. a
-    * no-data batch when `withoutNoDataBatches` wasn't applied, or a
-    * failed prior commit) — and appending over it would silently
-    * misalign the ledger forever, so it must fail loudly instead. */
-  def commitBatchToManifest(batch: DataFrame, root: String, batchId: Long): Unit = {
-    val v = graft.ops.Manifest.snapshotVersion(root)
-    if (v == batchId) {
+  /** Micro-batch → snapshot-manifest commit (q190): the batch's id is
+    * recorded as a `_txn_<appId>` marker INSIDE the claim (atomic with
+    * the manifest rows — the Delta txn appId/version action), and
+    * redelivery is gated on that per-app ledger, NOT on the table's
+    * global version counter. The distinction matters the moment any
+    * other committer touches the table: a compaction, vacuum-then-
+    * append, or manual maintenance commit advances the version but not
+    * the ledger, so the next micro-batch still commits (a version-
+    * equality gate would misread it as a redelivery and silently drop
+    * the batch). The guard is three-way: ledger >= batchId is an
+    * at-least-once REDELIVERY (no-op by design — including the racer-
+    * won-the-claim case, which surfaces as TxnAlreadyCommitted at
+    * claim time); batchId > ledger+1 is a batch-id GAP — an earlier
+    * batch never committed (e.g. a no-data batch when
+    * `withoutNoDataBatches` wasn't applied, or a failed prior commit)
+    * — and appending over it would silently misalign the ledger
+    * forever, so it fails loudly instead. */
+  def commitBatchToManifest(batch: DataFrame, root: String, batchId: Long,
+                            appId: String = "stream-events_log"): Unit = {
+    val expected = graft.ops.Manifest.lastCommittedTxn(root, appId)
+      .map(_ + 1).getOrElse(0L)
+    if (batchId < expected) return // redelivery of a committed batch: no-op
+    if (batchId > expected)
+      throw new IllegalStateException(
+        s"commitBatchToManifest: batch $batchId arrived but the $appId ledger " +
+          s"expects batch $expected next (id gap / failed prior commit); " +
+          "refusing to append over the hole")
+    try {
       // event-time batches land as ONE sorted file with [min, max] ts
       // recorded in the manifest — the streaming table is then
       // range-prunable like any batch-written one (q193's contract),
       // and the per-batch file is the compaction unit q196 bin-packs
       if (batch.columns.contains("ts"))
         graft.ops.Manifest.commitAppendStats(
-          batch.sparkSession, root, "events_log", batch, Seq("ts"), "ts", 1)
+          batch.sparkSession, root, "events_log", batch, Seq("ts"), "ts", 1,
+          txn = Some(appId -> batchId))
       else
-        graft.ops.Manifest.commitAppend(batch.sparkSession, root, "events_log", batch)
-    } else if (v < batchId)
-      throw new IllegalStateException(
-        s"commitBatchToManifest: batch $batchId arrived but the table is at " +
-          s"v$v — batch ${v} never committed (id gap / failed prior commit); " +
-          "refusing to append over the hole")
-    // v > batchId: at-least-once redelivery of an already-committed batch
+        graft.ops.Manifest.commitAppend(
+          batch.sparkSession, root, "events_log", batch,
+          txn = Some(appId -> batchId))
+    } catch {
+      // a concurrent instance of the same app committed this batch
+      // between the ledger read and the claim: redelivery, not failure
+      case _: graft.ops.Manifest.TxnAlreadyCommitted => ()
+    }
   }
 
   /** Exactly-once-style parquet sink via foreachBatch — the canonical

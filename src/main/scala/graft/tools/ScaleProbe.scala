@@ -289,7 +289,7 @@ object ScaleProbe {
       // build the two-version root, then time ONLY the vacuum
       Manifest.commit(spark, d, Map("t" -> ev.limit(1000)))
       Manifest.commit(spark, d, Map("t" -> ev.limit(2000)))
-      val (r, w) = time(Manifest.vacuum(spark, d, keep = 1))
+      val (r, w) = time(Manifest.vacuum(spark, d, keep = 1, graceMs = 0L))
       println(f"[probe] maintprice vacuum_only removed=${r._1} live=${r._2} wall=$w%.2fs")
     }
     run("delete_where(q202)") { d =>

@@ -49,7 +49,9 @@ class ManifestPropertySpec extends SparkSuite {
             expectedRows = n.toLong
           case Vacuum =>
             if (Manifest.snapshotVersion(root) > 0)
-              Manifest.vacuum(spark, root, keep = 1)
+              // the property asserts on-disk state right after the sweep
+              // (no concurrent writer in this harness): grace 0 opt-in
+              Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
         }
         val v = Manifest.snapshotVersion(root)
         if (v > 0) {

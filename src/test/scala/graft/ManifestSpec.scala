@@ -414,4 +414,104 @@ class ManifestSpec extends SparkSuite {
     assert(total == 2 && read == 1, s"expected 1 of $total files, read $read")
     assert(pruned.count() == 1L)
   }
+
+  test("commitBatchToManifest: interleaved maintenance commit drops no batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cbm-maint-spec").toString
+    def b(k: Long, day: Int) = Seq((k, k * 10.0, f"2024-01-$day%02d 00:00:00"))
+      .toDF("k", "v", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
+    graft.streaming.Streams.commitBatchToManifest(b(1, 2), root, 0L)
+    graft.streaming.Streams.commitBatchToManifest(b(2, 10), root, 1L)
+    // a MAINTENANCE commit (compaction) advances the version past the
+    // next batch id — the exact interleaving a version-equality gate
+    // silently drops a batch on; the per-app txn ledger must not
+    Manifest.compactTable(spark, root, "events_log", 8L << 20)
+    assert(Manifest.snapshotVersion(root) > 2L)
+    graft.streaming.Streams.commitBatchToManifest(b(3, 20), root, 2L)
+    assert(Manifest.readTable(spark, root, "events_log").count() == 3L,
+      "batch 2 must commit after an interleaved compaction")
+    // redelivery of batch 2 is still a no-op, and the gap guard holds
+    graft.streaming.Streams.commitBatchToManifest(b(3, 20), root, 2L)
+    assert(Manifest.readTable(spark, root, "events_log").count() == 3L)
+    intercept[IllegalStateException] {
+      graft.streaming.Streams.commitBatchToManifest(b(9, 21), root, 4L)
+    }
+    // the ledger survives vacuum: markers are carried past the floor
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(Manifest.lastCommittedTxn(root, "stream-events_log").contains(2L))
+    graft.streaming.Streams.commitBatchToManifest(b(3, 20), root, 2L) // no-op
+    assert(Manifest.readTable(spark, root, "events_log").count() == 3L)
+  }
+
+  test("delete-where keeps rows whose predicate is NULL (SQL DELETE semantics)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-delnull-spec").toString
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)), (4L, None))
+      .toDF("k", "v")
+    Manifest.commitAppendRanged(spark, root, "t", df, "k", 2)
+    Manifest.commitDeleteWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "1", "4", "bigint")), col("v") > 10.0)
+    val left = Manifest.readTable(spark, root, "t")
+      .select("k").as[Long].collect().sorted.toSeq
+    // only k=3 (v=50 > 10) deletes; NULL-predicate rows k=2, k=4 survive
+    assert(left == Seq(1L, 2L, 4L))
+  }
+
+  test("merge upsert rejects duplicate-key update batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-mergedup-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "k", 1)
+    intercept[IllegalArgumentException] {
+      Manifest.commitMergeUpsert(spark, root, "t",
+        Seq((2L, 20.0), (2L, 21.0)).toDF("k", "v"), "k")
+    }
+    // the rejected merge must not have committed anything
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+  }
+
+  test("vacuum grace window protects in-flight (unreferenced, young) files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vacgrace-spec").toString
+    Manifest.commit(spark, root, Map("t" -> Seq((1L, 1.0)).toDF("k", "v")))
+    Manifest.commit(spark, root, Map("t" -> Seq((2L, 2.0)).toDF("k", "v")))
+    // a concurrent writer mid-commit: data published, claim not yet won
+    val inflight = Paths.get(root, "data", "v9", "t")
+    Files.createDirectories(inflight)
+    Seq((9L, 9.0)).toDF("k", "v").write.mode("overwrite")
+      .parquet(inflight.toString)
+    // default grace: the young unreferenced file SURVIVES (v1's dead
+    // files are also young here, so only expired manifests go)
+    Manifest.vacuum(spark, root, keep = 1)
+    assert(Files.list(inflight).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet")),
+      "in-flight file must survive a default-grace vacuum")
+    // grace 0 (explicit single-writer opt-in) collects it
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(!Files.isDirectory(inflight) || !Files.list(inflight).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet")))
+    assert(Manifest.readTable(spark, root, "t").count() == 1L)
+  }
+
+  test("evolving append registers schema atomically and survives vacuum") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-schemavac-spec").toString
+    Manifest.commitAppendEvolve(spark, root, "t", Seq((1L, "a")).toDF("k", "s"))
+    Manifest.commitAppendEvolve(spark, root, "t",
+      Seq((2L, "b", 7.0)).toDF("k", "s", "q"), allowEvolution = true)
+    // the registration lives INSIDE the registering claim (atomic with
+    // the rows — no commit-then-register window)
+    assert(Files.exists(Paths.get(root, "manifest", "v2", "_schema_t.json")))
+    // enough non-evolving commits to cross a FOLD (v9 is a full
+    // manifest with no chain ancestors), then vacuum keep=1: the
+    // registering claim v2 is doomed and the registration must be
+    // CARRIED into the retained claim, not lost with it
+    (3 to 9).foreach(i =>
+      Manifest.commitAppend(spark, root, "t", Seq((i.toLong, "x", 1.0)).toDF("k", "s", "q")))
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(!Files.exists(Paths.get(root, "manifest", "v2", "_schema_t.json")))
+    val sch = Manifest.readTableEvolved(spark, root, "t").schema.fieldNames.toSeq
+    assert(sch == Seq("k", "s", "q"))
+    assert(Manifest.readTableEvolved(spark, root, "t").count() == 9L)
+  }
 }
