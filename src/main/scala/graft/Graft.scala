@@ -325,10 +325,20 @@ object Graft {
 
   /** Retention: keep the newest `keep` snapshots, delete expired
     * manifests and unreferenced data files; `graceMs` protects
-    * in-flight commits under concurrent writers. */
+    * in-flight commits under concurrent writers (safe-by-default: the
+    * 10-minute window — pass 0 only when no writer can be racing). */
   def tableVacuum(spark: SparkSession, root: String, keep: Int,
-                  graceMs: Long = 0L): (Int, Int) =
+                  graceMs: Long = ops.Manifest.defaultVacuumGraceMs): (Int, Int) =
     ops.Manifest.vacuum(spark, root, keep, graceMs)
+
+  /** Expose a manifest table to `spark.sql`: registers `viewName` over
+    * a data-skipping FileIndex, so verbatim SQL text gets file-level
+    * stats pruning inside Catalyst's planning (and optional time
+    * travel via `version`). Returns the index (its `lastPrune` is the
+    * (kept, total) observability hook). */
+  def tableRegisterSql(spark: SparkSession, root: String, table: String,
+                       viewName: String, version: Long = -1L): sources.ManifestFileIndex =
+    sources.ManifestSql.register(spark, root, table, viewName, version)
 
   /** Ship the current snapshot to a fresh root (checksummed, orphans
     * excluded, committed as v1 there). */

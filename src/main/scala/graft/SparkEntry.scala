@@ -19,7 +19,8 @@ object SparkEntry {
       Windows.queries ++ Multimodal.queries ++ ScaleOps.queries ++
       Cdc.queries ++ Analytics.queries ++ Quality.queries ++ Curation.queries ++
       Compaction.queries ++ Lifecycle.queries ++ Stats.queries ++
-      Manifest.queries ++ Governance.queries ++ Views.queries ++
+      Manifest.queries ++ graft.sources.ManifestSql.queries ++
+      Governance.queries ++ Views.queries ++
       graft.streaming.StreamQueries.queries
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

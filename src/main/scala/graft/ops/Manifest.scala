@@ -481,6 +481,60 @@ object Manifest {
 
   // ------------------------------------------------------------------ stats
 
+  /** Decode a `stats_json` map: column → (min, max), None = recorded
+    * null bound. Driver-side (Jackson), metadata-sized. */
+  private[graft] def parseStatsJson(json: String): Map[String, (Option[String], Option[String])] =
+    if (json == null) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val it = node.fields()
+      val out = Map.newBuilder[String, (Option[String], Option[String])]
+      while (it.hasNext) {
+        val e = it.next()
+        def side(k: String): Option[String] = {
+          val v = e.getValue.get(k)
+          if (v == null || v.isNull) None else Some(v.asText())
+        }
+        out += e.getKey -> (side("min"), side("max"))
+      }
+      out.result()
+    }
+
+  /** Typed driver-side compare of two stats-rendered strings under a
+    * `Pred.castType`; None = type (or value) outside the exactness
+    * allowlist — the caller falls back to the Spark-cast evaluation,
+    * so this can never change prune semantics, only their cost. */
+  private[graft] def cmpStatStrings(a: String, b: String, castType: String): Option[Int] = {
+    val t = castType.trim.toLowerCase
+    try {
+      if (t == "bigint" || t == "int" || t == "integer" || t == "smallint" || t == "tinyint")
+        Some(a.toLong.compareTo(b.toLong))
+      else if (t == "double" || t == "float")
+        Some(java.lang.Double.compare(a.toDouble, b.toDouble))
+      else if (t.startsWith("decimal"))
+        Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
+      else if (t == "timestamp")
+        for (x <- parseTsMicros(a); y <- parseTsMicros(b)) yield x.compareTo(y)
+      else if (t == "date")
+        Some(java.time.LocalDate.parse(a).compareTo(java.time.LocalDate.parse(b)))
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  /** "yyyy-MM-dd HH:mm:ss[.f]" (fraction trimmed) → micros since epoch
+    * as a LOCAL datetime — both compared strings render in the same
+    * session zone, so the zone cancels in comparisons. */
+  private def parseTsMicros(s: String): Option[Long] =
+    try {
+      val ldt = java.time.LocalDateTime.parse(s.substring(0, 19),
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val frac =
+        if (s.length > 20 && s.charAt(19) == '.')
+          s.substring(20).padTo(6, '0').take(6).toLong
+        else 0L
+      Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + frac)
+    } catch { case _: Exception => None }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -633,6 +687,49 @@ object Manifest {
   private def overlappingRows(s: SparkSession, root: String, table: String,
                               preds: Seq[Pred],
                               v: Long): (Seq[(String, String, String)], Int) = {
+    val rows = manifestRows(s, root, v).filter(_._1 == table)
+    // Primary path: pure driver-side evaluation — parsing a metadata-
+    // sized row list beats launching a Spark job per pruned read (the
+    // job fixed cost dwarfs the work at any file count that fits a
+    // manifest). Falls back to the Spark-cast evaluation when a
+    // castType (or a malformed bound) is outside the JVM compare's
+    // allowlist, so semantics can never drift; parity of the two paths
+    // is spec-pinned (ManifestSpec).
+    val jvmOk = preds.forall(p => cmpStatStrings(p.lo, p.hi, p.castType).isDefined)
+    if (!jvmOk) return overlappingRowsSpark(s, root, table, preds, v)
+    val kept = rows.filter { case (_, _, statsJson) =>
+      if (statsJson == null) true
+      else {
+        val st = parseStatsJson(statsJson)
+        preds.forall { p =>
+          st.get(p.column) match {
+            case None => true // no stats for the column: keep
+            case Some((Some(mn), Some(mx))) =>
+              (cmpStatStrings(mx, p.lo, p.castType),
+                cmpStatStrings(mn, p.hi, p.castType)) match {
+                case (Some(cx), Some(cn)) => cx >= 0 && cn <= 0
+                // malformed recorded bound: mirror the Spark path,
+                // where a null cast fails the conjunct and drops the
+                // file (it can hold no value the typed predicate
+                // matches)
+                case _ => false
+              }
+            // recorded null bound: no non-null value in the file —
+            // a range predicate cannot match (exact, not heuristic)
+            case Some(_) => false
+          }
+        }
+      }
+    }
+    (kept, rows.size)
+  }
+
+  /** The Spark-cast evaluation of the overlap conjunction — fallback
+    * for castTypes outside [[cmpStatStrings]]' allowlist, and the
+    * reference side of the JVM-path parity spec. */
+  private[graft] def overlappingRowsSpark(s: SparkSession, root: String, table: String,
+                                          preds: Seq[Pred],
+                                          v: Long): (Seq[(String, String, String)], Int) = {
     import s.implicits._
     val rows = manifestRows(s, root, v).filter(_._1 == table)
     val withSt = rows.toDF("table_name", "file", "stats_json")
@@ -683,6 +780,42 @@ object Manifest {
       .collect { case (t, f, _) if t == table => s"$root/$f" }
     require(files.nonEmpty, s"table $table absent from snapshot v$v")
     s.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** Incremental consumption (Delta CDF-lite at FILE granularity): the
+    * rows ADDED to `table` in versions (fromVersion, toVersion]. A
+    * downstream job that processed the table at `fromVersion` reads
+    * exactly the new data — O(delta) I/O, the metadata complement of
+    * the streaming source's per-batch commits. Exactness holds only
+    * for append-only intervals: if any interval commit REWROTE
+    * inherited files (replace / compaction / delete / merge), the
+    * added files double-count surviving rows, so `pureAppend` is
+    * false and the consumer must full-refresh instead (the same
+    * contract Delta's CDC surfaces as a version-gap error). Returns
+    * (added-rows DataFrame, pureAppend). Metadata-sized planning:
+    * two manifest resolutions, a set difference, no listing. */
+  def tableChanges(s: SparkSession, root: String, table: String,
+                   fromVersion: Long, toVersion: Long = -1L): (DataFrame, Boolean) = {
+    val to = if (toVersion > 0) toVersion else snapshotVersion(root)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"tableChanges: bad interval ($fromVersion, $to]")
+    val before =
+      if (fromVersion == 0) Set.empty[String]
+      else manifestRows(s, root, fromVersion)
+        .collect { case (t, f, _) if t == table => f }.toSet
+    val after = manifestRows(s, root, to)
+      .collect { case (t, f, _) if t == table => f }
+    val added = after.filterNot(before)
+    val pureAppend = before.subsetOf(after.toSet)
+    val df =
+      if (added.nonEmpty)
+        s.read.parquet(added.map(f => s"$root/$f").toIndexedSeq: _*)
+      else {
+        require(after.nonEmpty, s"table $table absent from snapshot v$to")
+        s.read.parquet(after.map(f => s"$root/$f").toIndexedSeq: _*)
+          .filter(lit(false)) // empty delta, schema preserved
+      }
+    (df, pureAppend)
   }
 
   // --------------------------------------------------------- schema registry
@@ -1711,6 +1844,34 @@ object Manifest {
           .select(col("user_id"), col("total_u").cast("double").as("total_u"),
             col("n_u"))
           .orderBy("user_id")
+      }),
+
+    // ----- Incremental consumption / CDF-lite (q208): a consumer that
+    //       processed the delta-chain table at v3 reads versions
+    //       (3, 6] as exactly the three appended slices — file-
+    //       granularity change feed, O(delta) I/O, no full rescan.
+    //       The oracle recomputes those slices' window (days 10–19)
+    //       from the raw table, so a missed delta, an inherited file
+    //       misread as new, or wrong interval arithmetic all break
+    //       the hash; ManifestSpec pins the pureAppend=false flag on
+    //       rewrite intervals (where file deltas would double-count).
+    //       -----
+    Q("q208_table_changes",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-19 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = deltaChainRoot(s, dir)
+        val (delta, pureAppend) =
+          tableChanges(s, root, "events_log", fromVersion = 3L, toVersion = 6L)
+        require(pureAppend, "delta-chain interval must be append-only")
+        delta.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
       })
   )
 }

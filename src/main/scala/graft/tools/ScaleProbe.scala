@@ -278,6 +278,22 @@ object ScaleProbe {
       Manifest.commitAppendRanged(spark, d, "events_log",
         ev.filter(col("ts") >= cutTs), "ts", 8)
     }
+    run("stats_footer_vs_readback") { d =>
+      // the round-10 stats-collection swap, measured head-to-head on
+      // one published 16-file batch: footer path (what commits pay
+      // now) vs the Spark read-back pass it replaced
+      val v = Manifest.commitAppendStats(spark, d, "events_log",
+        ev, Seq("ts", "user_id"), "ts", 16)
+      val files = Manifest.manifestRows(spark, d, v).map(_._2)
+      val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+      val (_, wFooter) = time(graft.ops.FooterStats.tryAll(
+        spark.sparkContext.hadoopConfiguration,
+        files.map(f => s"$d/$f"), Seq("ts", "user_id"), zone).get)
+      val (_, wSpark) = time(Manifest.statsRowsForSpark(
+        spark, d, "events_log", files, Seq("ts", "user_id")))
+      println(f"[probe] maintprice stats_collect footer=$wFooter%.3fs " +
+        f"readback=$wSpark%.3fs files=${files.size}")
+    }
     run("mv_build(q191)") { d =>
       Tables.load(spark, srcDir, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))

@@ -493,6 +493,43 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").count() == 1L)
   }
 
+  test("tableChanges: append interval = exactly the delta; rewrite interval flags impure") {
+    val root = Manifest.deltaChainRoot(spark, sfDir)
+    // (3, 6] of the ten-append chain = slices 4..6 and nothing else
+    val (delta, pure) = Manifest.tableChanges(spark, root, "events_log", 3L, 6L)
+    assert(pure)
+    val v3 = Manifest.readTable(spark, root, "events_log", version = 3L).count()
+    val v6 = Manifest.readTable(spark, root, "events_log", version = 6L).count()
+    assert(delta.count() == v6 - v3)
+    // empty interval: zero rows, schema intact
+    val (none, pure2) = Manifest.tableChanges(spark, root, "events_log", 6L, 6L)
+    assert(pure2 && none.count() == 0L &&
+      none.columns.contains("value"))
+    // an interval crossing a REWRITE (compaction) must flag impure —
+    // its file delta would double-count surviving rows
+    val croot = Manifest.compactedRoot(spark, sfDir)
+    val cv = Manifest.snapshotVersion(croot)
+    val (_, pure3) = Manifest.tableChanges(spark, croot, "events_log", cv - 1, cv)
+    assert(!pure3)
+  }
+
+  test("JVM prune evaluation matches the Spark-cast evaluation") {
+    val root = Manifest.multiStatsRoot(spark, sfDir)
+    val v = Manifest.snapshotVersion(root)
+    val predSets = Seq(
+      Seq(Manifest.Pred("ts", "2024-01-08 00:00:00", "2024-01-15 00:00:00", "timestamp")),
+      Seq(Manifest.Pred("user_id", "2", "5", "bigint")),
+      Seq(Manifest.Pred("ts", "2024-01-08 00:00:00", "2024-01-15 00:00:00", "timestamp"),
+        Manifest.Pred("user_id", "2", "5", "bigint")),
+      Seq(Manifest.Pred("ts", "2030-01-01 00:00:00", "2030-01-02 00:00:00", "timestamp")))
+    predSets.foreach { preds =>
+      val jvm = Manifest.readTablePruned(spark, root, "events_log", preds, v)
+      val spk = Manifest.overlappingRowsSpark(spark, root, "events_log", preds, v)
+      assert(jvm._2 == spk._1.size,
+        s"JVM kept ${jvm._2} files, Spark kept ${spk._1.size} for $preds")
+    }
+  }
+
   test("evolving append registers schema atomically and survives vacuum") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-schemavac-spec").toString

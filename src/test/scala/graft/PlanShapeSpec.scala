@@ -299,4 +299,57 @@ class PlanShapeSpec extends SparkSuite {
     assert(sel <= Lifecycle.affectedBuckets.size,
       s"read $sel partitions for ${Lifecycle.affectedBuckets.size} affected buckets")
   }
+
+  test("q205: verbatim SQL over a manifest view prunes files inside the plan") {
+    import graft.ops.Manifest
+    val root = Manifest.statsRoot(spark, dir)
+    val index = graft.sources.ManifestSql.register(
+      spark, root, "events_log", "events_log_mf_spec")
+    val df = spark.sql(
+      """SELECT count(*) AS n FROM events_log_mf_spec
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'""".stripMargin)
+    df.collect()
+    // the scan's own metric proves the prune happened in the PLAN, not
+    // in user code; the index hook pins the exact (kept, total).
+    // (AQE wraps the executed plan: descend through the adaptive root
+    // and materialized query stages to reach the scan)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan):
+        Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case other => other.children.iterator.flatMap(findScan(_)).nextOption()
+    }
+    val scan = findScan(df.queryExecution.executedPlan).get
+    val (kept, total) = index.lastPrune
+    assert(total == 16 && kept < total,
+      s"expected a strict file prune, kept $kept/$total")
+    assert(scan.metrics("numFiles").value == kept)
+    // pruned result must equal the unpruned recomputation (stats bound,
+    // never filter)
+    val direct = Manifest.readTable(spark, root, "events_log")
+      .filter(org.apache.spark.sql.functions.col("ts")
+        .between("2024-01-08 00:00:00", "2024-01-14 23:59:59.999999"))
+      .count()
+    assert(df.collect().head.getLong(0) == direct)
+  }
+
+  test("q206: a trailing-Z-dimension SQL predicate still prunes; unknowns keep files") {
+    import graft.ops.Manifest
+    val root = Manifest.zorderRoot(spark, dir)
+    val index = graft.sources.ManifestSql.register(
+      spark, root, "events_log", "events_zorder_mf_spec")
+    spark.sql(
+      """SELECT count(*) AS n FROM events_zorder_mf_spec
+        |WHERE user_id BETWEEN 2 AND 5""".stripMargin).collect()
+    val (kept, total) = index.lastPrune
+    assert(kept < total, s"user band should prune the Z layout, kept $kept/$total")
+    // a predicate on a column WITHOUT recorded stats keeps every file
+    spark.sql(
+      "SELECT count(*) AS n FROM events_zorder_mf_spec WHERE value > 1").collect()
+    assert(index.lastPrune._1 == total)
+  }
 }
