@@ -177,6 +177,8 @@ object Manifest {
 
   // ---------------------------------------------------------------- staging
 
+  private val publishLock = new Object
+
   /** Write `df` as parquet and publish it atomically under `data/`:
     * the deterministic prefix `data/v<hint>/<table>` when free (the
     * single-writer common case — keeps layouts human-readable), else a
@@ -191,11 +193,19 @@ object Manifest {
     // INT64-micros timestamps, not the INT96 legacy default: INT96
     // columns carry no usable footer statistics, and the manifest's
     // per-file stats read those footers ([[FooterStats]]) instead of
-    // paying a read-back pass
-    val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
-    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
-    finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    // paying a read-back pass. The encoding has no per-write option,
+    // only the session conf, so the set-write-restore is serialized
+    // under a JVM lock: two in-session committers can never interleave
+    // a restore into each other's write (read-prev and restore happen
+    // under the same monitor). An unrelated parquet write on another
+    // thread of the same session during the window sees MICROS — the
+    // modern encoding every reader handles — never a corrupted prev.
+    publishLock.synchronized {
+      val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
+      finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    }
     val preferred = Paths.get(root, "data", s"v$hint", table)
     Files.createDirectories(preferred.getParent)
     val dest =
@@ -324,13 +334,16 @@ object Manifest {
     * newest-claim-first (txn versions are monotone in commit order) and
     * metadata-sized; [[vacuum]] carries the newest marker past the
     * retention floor. */
-  def lastCommittedTxn(root: String, appId: String): Option[Long] = {
-    val name = txnMarker(appId)
+  /** Newest claim's copy of marker file `name`, if any claim has one. */
+  private def newestMarker(root: String, name: String): Option[Array[Byte]] =
     claimedVersions(root).reverseIterator
       .map(v => Paths.get(root, "manifest", s"v$v", name))
       .find(Files.exists(_))
-      .map(p => new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
-  }
+      .map(Files.readAllBytes)
+
+  def lastCommittedTxn(root: String, appId: String): Option[Long] =
+    newestMarker(root, txnMarker(appId))
+      .map(b => new String(b, "UTF-8").trim.toLong)
 
   /** Claim-time idempotency guard + the marker bytes for a payload. */
   private def txnGuard(root: String, txn: Option[(String, Long)]): Unit =
@@ -481,12 +494,24 @@ object Manifest {
 
   // ------------------------------------------------------------------ stats
 
+  /** The session time zone as a ZoneId, resolving the three-letter
+    * aliases Spark itself accepts ("PST" etc. via SHORT_IDS) that a
+    * bare ZoneId.of rejects. */
+  private[graft] def sessionZone(s: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"),
+      java.time.ZoneId.SHORT_IDS)
+
+  // one mapper for every stats parse: construction is the expensive
+  // part of Jackson, and this sits on the per-row prune path (readTree
+  // is thread-safe)
+  private val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Decode a `stats_json` map: column → (min, max), None = recorded
     * null bound. Driver-side (Jackson), metadata-sized. */
   private[graft] def parseStatsJson(json: String): Map[String, (Option[String], Option[String])] =
     if (json == null) Map.empty
     else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val node = statsMapper.readTree(json)
       val it = node.fields()
       val out = Map.newBuilder[String, (Option[String], Option[String])]
       while (it.hasNext) {
@@ -523,8 +548,12 @@ object Manifest {
 
   /** "yyyy-MM-dd HH:mm:ss[.f]" (fraction trimmed) → micros since epoch
     * as a LOCAL datetime — both compared strings render in the same
-    * session zone, so the zone cancels in comparisons. */
-  private def parseTsMicros(s: String): Option[Long] =
+    * session zone, so the zone cancels in comparisons. (Shared with
+    * the SQL FileIndex, which compares in the same local domain: a
+    * local→instant conversion would be ambiguous for the DST fall-back
+    * hour and could over-prune; local-vs-local matches the Spark-cast
+    * evaluation this path is parity-pinned against.) */
+  private[graft] def parseTsMicros(s: String): Option[Long] =
     try {
       val ldt = java.time.LocalDateTime.parse(s.substring(0, 19),
         java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
@@ -607,7 +636,7 @@ object Manifest {
                            relFiles: Seq[String],
                            statsCols: Seq[String]): Seq[(String, String, String)] = {
     if (relFiles.isEmpty) return Seq.empty
-    val zone = java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone"))
+    val zone = sessionZone(s)
     FooterStats.tryAll(s.sparkContext.hadoopConfiguration,
       relFiles.map(rel => Paths.get(root, rel).toString), statsCols, zone) match {
       case Some(perFile) =>
@@ -796,6 +825,11 @@ object Manifest {
     * two manifest resolutions, a set difference, no listing. */
   def tableChanges(s: SparkSession, root: String, table: String,
                    fromVersion: Long, toVersion: Long = -1L): (DataFrame, Boolean) = {
+    // -1 is the only "current snapshot" sentinel; an explicit 0 is a
+    // caller bug (0 means "empty start" on the FROM side only) and
+    // must not silently widen to the whole table
+    require(toVersion == -1L || toVersion > 0,
+      s"tableChanges: toVersion must be a committed version or -1, got $toVersion")
     val to = if (toVersion > 0) toVersion else snapshotVersion(root)
     require(fromVersion >= 0 && fromVersion <= to,
       s"tableChanges: bad interval ($fromVersion, $to]")
@@ -807,12 +841,19 @@ object Manifest {
       .collect { case (t, f, _) if t == table => f }
     val added = after.filterNot(before)
     val pureAppend = before.subsetOf(after.toSet)
+    // pin the REGISTERED schema when the table evolved: an interval
+    // spanning an evolving append mixes old- and new-schema files, and
+    // plain inference from one footer would drop (or nondeterministically
+    // include) the evolved column while still honestly reporting
+    // pureAppend=true
+    val reader = registeredSchema(s, root, table, to)
+      .map(s.read.schema(_)).getOrElse(s.read)
     val df =
       if (added.nonEmpty)
-        s.read.parquet(added.map(f => s"$root/$f").toIndexedSeq: _*)
+        reader.parquet(added.map(f => s"$root/$f").toIndexedSeq: _*)
       else {
         require(after.nonEmpty, s"table $table absent from snapshot v$to")
-        s.read.parquet(after.map(f => s"$root/$f").toIndexedSeq: _*)
+        reader.parquet(after.map(f => s"$root/$f").toIndexedSeq: _*)
           .filter(lit(false)) // empty delta, schema preserved
       }
     (df, pureAppend)
@@ -1058,15 +1099,18 @@ object Manifest {
       val keyType = pinned.schema(keyCol).dataType.sql
       val kb = pinned.agg(
         min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
-        count(lit(1)), count_distinct(col(keyCol))).head()
+        count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol))).head()
       if (kb.getLong(2) == 0L) return snapshotVersion(root)
       // MERGE rejects multi-match sources: two update rows with one key
       // would both land, breaking per-key-exactly-once — fail loudly
-      // (ANSI MERGE's "duplicate row in source" error), don't pick one
-      if (kb.getLong(2) != kb.getLong(3))
+      // (ANSI MERGE's "duplicate row in source" error), don't pick one.
+      // The check is over NON-NULL keys (count(key), not count(*)): a
+      // NULL key matches no target row, so NULL-key rows are plain
+      // inserts, not duplicates of each other
+      if (kb.getLong(3) != kb.getLong(4))
         throw new IllegalArgumentException(
           s"commitMergeUpsert: updates carry duplicate $keyCol values " +
-            s"(${kb.getLong(2)} rows, ${kb.getLong(3)} distinct keys) — " +
+            s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
             "MERGE requires at most one source row per key")
       val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
       commitMergeUpsertPinned(s, root, table, pinned, keyCol, keyPred, maxRetries)
@@ -1233,7 +1277,16 @@ object Manifest {
     * uninitialized root) and carries the tables' current schema
     * registrations. Returns (files copied, bytes copied). Work is
     * metadata-driven: |files| copies, no data interpretation. */
-  def exportSnapshot(s: SparkSession, root: String, destRoot: String): (Int, Long) = {
+  def exportSnapshot(s: SparkSession, root: String, destRoot: String): (Int, Long) =
+    exportSnapshotTxn(s, root, destRoot, None)
+
+  /** `txnApp`: record the EXPORTED source version under this app id in
+    * the destination's v1 claim — the marker value is the version this
+    * call actually resolved and copied (re-reading the pointer for the
+    * marker would race a concurrent source commit and desync the
+    * replica ledger from the shipped bytes). */
+  private def exportSnapshotTxn(s: SparkSession, root: String, destRoot: String,
+                                txnApp: Option[String]): (Int, Long) = {
     val v = snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
     val rows = manifestRows(s, root, v) // resolved: the chain flattens here
@@ -1267,19 +1320,94 @@ object Manifest {
         .filter(_.startsWith("_txn_")).toList
       finally l.close()
     }.distinct.sorted
-    val txnExtrasOut = txnNames.flatMap { name =>
-      claimedVersions(root).reverseIterator
-        .map(cv => Paths.get(root, "manifest", s"v$cv", name))
-        .find(Files.exists(_))
-        .map(p => name -> Files.readAllBytes(p))
-    }
+    val txnExtrasOut = txnNames.flatMap(name =>
+      newestMarker(root, name).map(name -> _))
     if (!tryClaim(s, destRoot, 1L,
       Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None,
-        schemaExtras ++ txnExtrasOut)))
+        schemaExtras ++ txnExtrasOut ++ txnExtras(txnApp.map(_ -> v)))))
       throw new IllegalStateException(
         s"exportSnapshot: $destRoot already has a v1 claim")
     advancePointer(destRoot, 1L)
     (files.size, bytes)
+  }
+
+  /** INCREMENTAL snapshot replication: bring `destRoot` up to the
+    * source's CURRENT snapshot, shipping only what the replica lacks.
+    * [[exportSnapshot]] is the full-copy bootstrap; this is the
+    * steady-state path a DR site actually runs — per sync it copies
+    * the file-set DIFFERENCE between the source snapshot the replica
+    * last applied and the current one (checksummed, stats carried by
+    * reference from the source manifest), and commits ONE delta at
+    * the destination: removes for files that left the source snapshot,
+    * adds for the new ones. Rewrite commits (compaction, DELETE,
+    * MERGE) therefore replicate as exactly their remove+add footprint,
+    * not a full re-copy.
+    *
+    * Exactly-once via the txn ledger: the applied source version rides
+    * the `_replica` marker inside each destination claim, so a
+    * re-driven sync is a no-op ((0, 0)), a racing duplicate dies at
+    * claim time, and the ledger survives destination vacuums. The
+    * destination must be sync-owned: claim-time validation checks the
+    * replica's resolved state still equals the source snapshot it last
+    * applied, so an out-of-band write to the replica fails the sync
+    * loudly instead of silently diverging the mirror.
+    *
+    * Work: O(changed files) copy I/O + metadata; nothing is decoded.
+    * Returns (files copied, bytes copied). */
+  def replicateSnapshot(s: SparkSession, root: String, destRoot: String,
+                        maxRetries: Int = 5): (Int, Long) = {
+    val appId = "replica"
+    val srcV = snapshotVersion(root)
+    require(srcV > 0, s"no committed snapshot at $root")
+    lastCommittedTxn(destRoot, appId) match {
+      case None =>
+        exportSnapshotTxn(s, root, destRoot, Some(appId))
+      case Some(last) if last >= srcV =>
+        (0, 0L) // replica already at (or past) the source snapshot
+      case Some(last) =>
+        // the replica fell behind source retention: the diff base is
+        // gone, so an exact delta is impossible — demand a re-bootstrap
+        // rather than guessing (same failure mode as a CDC consumer
+        // outliving the changelog retention)
+        if (!manifestReadable(root, last))
+          throw new IllegalStateException(
+            s"replicateSnapshot: source no longer retains v$last (the " +
+              s"replica's last applied snapshot) — re-bootstrap to a fresh root")
+        val before = manifestRows(s, root, last)
+        val after = manifestRows(s, root, srcV)
+        val beforeSet = before.map(r => (r._1, r._2)).toSet
+        val afterSet = after.map(r => (r._1, r._2)).toSet
+        val added = after.filterNot(r => beforeSet((r._1, r._2)))
+        val removed = before.collect {
+          case (t, f, _) if !afterSet((t, f)) => (t, f) }
+        var bytes = 0L
+        added.foreach { case (_, rel, _) =>
+          val src = Paths.get(root, rel)
+          val dst = Paths.get(destRoot, rel)
+          Files.createDirectories(dst.getParent)
+          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+          if (md5Of(src) != md5Of(dst))
+            throw new IllegalStateException(
+              s"replicateSnapshot: checksum mismatch for $rel")
+          bytes += Files.size(dst)
+        }
+        val schemaExtras = after.map(_._1).distinct.sorted.flatMap { t =>
+          registeredSchema(s, root, t, srcV).map(sch =>
+            schemaMarker(t) -> sch.json.getBytes("UTF-8"))
+        }
+        casCommit(s, destRoot, { base =>
+          txnGuard(destRoot, Some(appId -> srcV))
+          val destNow = manifestRows(s, destRoot, base).map(r => (r._1, r._2)).toSet
+          if (destNow != beforeSet)
+            throw new CommitConflict(
+              s"replicateSnapshot: $destRoot diverged from the source snapshot " +
+                s"it last applied (v$last) — out-of-band writes on a replica")
+          deltaOrFull(s, destRoot, base, Nil,
+            added.map { case (t, f, st) => (t, f, st) }, removed)
+            .copy(extras = schemaExtras ++ txnExtras(Some(appId -> srcV)))
+        }, maxRetries)
+        (added.size, bytes)
+    }
   }
 
   // ---------------------------------------------------------------- fixtures
@@ -1417,6 +1545,34 @@ object Manifest {
         Seq(Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp")),
         col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
           col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+    }
+  }
+
+  /** q209's replication pair under one staged root: `src/` gets a
+    * pre-cut ranged append, is BOOTSTRAPPED to `dst/` (full export +
+    * replica ledger), then takes a post-cut append AND a stats-pruned
+    * DELETE — so the incremental sync interval contains both an append
+    * and a REWRITE — and one `replicateSnapshot` mirrors both as their
+    * exact remove+add footprint. A final sync proves idempotence
+    * ((0, 0) on the ledger). */
+  def replicatedRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-replica/$fp-$layoutKey") { tmp =>
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, src, "events_log", ev.filter(col("ts") < cutTs), "ts", 8)
+      val _ = replicateSnapshot(s, src, dst) // bootstrap: full export
+      commitAppendRanged(s, src, "events_log", ev.filter(col("ts") >= cutTs), "ts", 8)
+      val _2 = commitDeleteWhere(s, src, "events_log",
+        Seq(Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp")),
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      val _3 = replicateSnapshot(s, src, dst) // incremental: append + rewrite
+      val _4 = replicateSnapshot(s, src, dst) // idempotent no-op
     }
   }
 
@@ -1869,6 +2025,32 @@ object Manifest {
           tableChanges(s, root, "events_log", fromVersion = 3L, toVersion = 6L)
         require(pureAppend, "delta-chain interval must be append-only")
         delta.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
+      }),
+
+    // ----- Incremental replication (q209): the DR replica is
+    //       bootstrapped by full export, then ONE sync ships an
+    //       interval containing both an append and a stats-pruned
+    //       DELETE as its exact remove+add footprint, checksummed,
+    //       exactly-once via the replica txn ledger. The returned
+    //       relation reads the REPLICA; the oracle recomputes the
+    //       post-delete state from the raw source table — a file
+    //       lost/duplicated in transit, a rewrite mirrored as a plain
+    //       append (double rows), or a replayed sync all break the
+    //       hash. -----
+    Q("q209_incremental_replication",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = replicatedRoot(s, dir)
+        readTable(s, s"$root/dst", "events_log")
+          .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")

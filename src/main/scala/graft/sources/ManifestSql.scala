@@ -14,7 +14,6 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.file.{Files, Paths}
 import java.time.{LocalDate, LocalDateTime, ZoneId, ZoneOffset}
-import java.time.format.DateTimeFormatter
 
 /** The manifest table layer exposed to `spark.sql` — file-level
   * data skipping INSIDE Catalyst's planning, not behind a Scala call.
@@ -47,36 +46,34 @@ object ManifestSql {
       path: String, size: Long, modTime: Long,
       stats: Map[String, (Option[String], Option[String])])
 
-  private def parseStats(json: String): Map[String, (Option[String], Option[String])] =
-    Manifest.parseStatsJson(json)
-
-  /** Build the pruning [[FileIndex]] + DataFrame for `table` at
-    * `version` (default: current snapshot). The schema is the
-    * registered one when the table evolved (old files NULL-fill),
-    * else inferred from the committed files. */
+  /** Build the pruning [[FileIndex]] + DataFrame for `table`. With an
+    * explicit `version` the view time-travels (frozen file list);
+    * with the default the view is LIVE — every query resolves the
+    * CURRENT committed snapshot, so commits made after registration
+    * are visible without re-registering (a table, not a frozen file
+    * list). The SCHEMA pins at registration: the registered one when
+    * the table evolved (old files NULL-fill), else inferred from the
+    * committed files — a later evolving append needs a re-register to
+    * surface its new column (same contract as any SQL catalog). */
   def tableDF(spark: SparkSession, root: String, table: String,
               version: Long = -1L): (DataFrame, ManifestFileIndex) = {
     val v = if (version > 0) version else Manifest.snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
-    val rows = Manifest.manifestRows(spark, root, v)
-      .collect { case (t, f, st) if t == table => (s"$root/$f", st) }
-    require(rows.nonEmpty, s"table $table absent from snapshot v$v")
-    val entries = rows.map { case (p, st) =>
-      val np = Paths.get(p)
-      Entry(p, Files.size(np), Files.getLastModifiedTime(np).toMillis,
-        parseStats(st))
-    }
+    val files = Manifest.manifestRows(spark, root, v)
+      .collect { case (t, f, _) if t == table => s"$root/$f" }
+    require(files.nonEmpty, s"table $table absent from snapshot v$v")
     val schema = Manifest.registeredSchema(spark, root, table, v).getOrElse(
-      spark.read.parquet(rows.map(_._1): _*).schema)
-    val zone = ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-    val index = new ManifestFileIndex(new HadoopPath(root), entries, schema, zone)
+      spark.read.parquet(files: _*).schema)
+    val index = new ManifestFileIndex(spark, root, table,
+      if (version > 0) version else -1L, schema, Manifest.sessionZone(spark))
     val relation = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     (spark.baseRelationToDataFrame(relation), index)
   }
 
   /** Register `table` as temp view `viewName`: from here on, plain
-    * `spark.sql` text over the view plans through the pruning index. */
+    * `spark.sql` text over the view plans through the pruning index
+    * (live-tracking unless `version` pins a snapshot). */
   def register(spark: SparkSession, root: String, table: String,
                viewName: String, version: Long = -1L): ManifestFileIndex = {
     val (df, index) = tableDF(spark, root, table, version)
@@ -159,6 +156,40 @@ object ManifestSql {
                 |  CAST(count(*) AS BIGINT) AS n_u
                 |FROM events_log_v1
                 |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      }),
+
+    // ----- LIVE view (q210): the view registers BEFORE the second
+    //       append lands, and the query still sees the full window —
+    //       each query resolves the CURRENT committed snapshot (a
+    //       table, not a frozen file list; the FileIndex re-resolves
+    //       on version change). A frozen-at-registration index would
+    //       miss the post-registration rows and break the hash against
+    //       the full-window oracle. -----
+    Q("q210_manifest_sql_live_view",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST(count(*) AS BIGINT) AS n_u
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cutTs = lit(graft.ops.Cdc.versionCut).cast("timestamp")
+        val root = Files.createTempDirectory("graft-live-view").toString
+        Manifest.commitAppendRanged(s, root, "events_log",
+          ev.filter(col("ts") < cutTs), "ts", 4)
+        register(s, root, "events_log", "events_live_mf")
+        // committed AFTER registration — the live view must see it
+        Manifest.commitAppendRanged(s, root, "events_log",
+          ev.filter(col("ts") >= cutTs), "ts", 4)
+        val out = s.sql(
+          """SELECT user_id, CAST(sum(value) AS DOUBLE) AS total_u,
+            |  CAST(count(*) AS BIGINT) AS n_u
+            |FROM events_live_mf
+            |GROUP BY user_id ORDER BY user_id""".stripMargin)
+          .localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
       })
   )
 }
@@ -174,8 +205,10 @@ object ManifestSql {
   * the listing).
   */
 final class ManifestFileIndex(
-    root: HadoopPath,
-    entries: Seq[ManifestSql.Entry],
+    spark: SparkSession,
+    rootStr: String,
+    table: String,
+    pinnedVersion: Long, // > 0 = time travel; -1 = LIVE (track commits)
     schema: StructType,
     zone: ZoneId) extends FileIndex {
 
@@ -183,7 +216,36 @@ final class ManifestFileIndex(
     * hook PlanShapeSpec asserts pruning through. */
   @volatile var lastPrune: (Int, Int) = (-1, -1)
 
-  override def rootPaths: Seq[HadoopPath] = Seq(root)
+  // A LIVE view (pinnedVersion = -1) re-resolves the manifest whenever
+  // the snapshot version moved — each new QUERY over the view plans
+  // against the current committed snapshot, the way a table (not a
+  // frozen file list) behaves; a pinned view resolves once. The check
+  // is one pointer read + claim listing (metadata-sized); resolution
+  // itself only runs on version change.
+  @volatile private var resolvedAt: Long = -1L
+  @volatile private var cached: Seq[ManifestSql.Entry] = Nil
+
+  private def entries: Seq[ManifestSql.Entry] = {
+    val v =
+      if (pinnedVersion > 0) pinnedVersion
+      else Manifest.snapshotVersion(rootStr)
+    if (v != resolvedAt) synchronized {
+      if (v != resolvedAt) {
+        cached = Manifest.manifestRows(spark, rootStr, v)
+          .collect { case (t, f, st) if t == table => (s"$rootStr/$f", st) }
+          .map { case (p, st) =>
+            val np = Paths.get(p)
+            ManifestSql.Entry(p, Files.size(np),
+              Files.getLastModifiedTime(np).toMillis,
+              Manifest.parseStatsJson(st))
+          }
+        resolvedAt = v
+      }
+    }
+    cached
+  }
+
+  override def rootPaths: Seq[HadoopPath] = Seq(new HadoopPath(rootStr))
 
   override def partitionSchema: StructType = new StructType()
 
@@ -191,12 +253,13 @@ final class ManifestFileIndex(
 
   override def inputFiles: Array[String] = entries.map(_.path).toArray
 
-  override def refresh(): Unit = ()
+  override def refresh(): Unit = resolvedAt = -1L
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = entries.filter(e => dataFilters.forall(f => mayMatch(e, f)))
-    lastPrune = (kept.size, entries.size)
+    val es = entries
+    val kept = es.filter(e => dataFilters.forall(f => mayMatch(e, f)))
+    lastPrune = (kept.size, es.size)
     Seq(PartitionDirectory(InternalRow.empty, kept.map(e =>
       new FileStatus(e.size, false, 1, 128L << 20, e.modTime,
         new HadoopPath(e.path))).toArray))
@@ -251,22 +314,19 @@ final class ManifestFileIndex(
     }
   }
 
-  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-
-  /** Parse the stats rendering "yyyy-MM-dd HH:mm:ss[.f]" (fraction
-    * trimmed of trailing zeros) back to epoch micros. */
-  private def parseMicros(s: String, local: Boolean): Option[Long] =
-    try {
-      val base = LocalDateTime.parse(s.substring(0, 19), tsFmt)
-      val frac =
-        if (s.length > 20 && s.charAt(19) == '.')
-          s.substring(20).padTo(6, '0').take(6).toLong
-        else 0L
-      val secs =
-        if (local) base.toEpochSecond(ZoneOffset.UTC)
-        else base.atZone(zone).toEpochSecond
-      Some(secs * 1000000L + frac)
-    } catch { case _: Exception => None }
+  /** A timestamp literal's instant micros → micros of its LOCAL
+    * rendering in the session zone. Comparisons then run local-vs-
+    * local against [[Manifest.parseTsMicros]]'d stats strings — the
+    * same domain the Spark-cast prune evaluation uses (and the
+    * parity-pinned API path): instant→local is a total function,
+    * where parsing a rendered local back to an instant would be
+    * ambiguous for the DST fall-back hour and could over-prune. */
+  private def literalLocalMicros(micros: Long): Long = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val ldt = LocalDateTime.ofInstant(java.time.Instant.ofEpochSecond(secs), zone)
+    ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + frac
+  }
 
   /** compare(statsString, catalystLiteralValue) in the column's value
     * domain; None when the stats string can't be decoded. */
@@ -280,9 +340,10 @@ final class ManifestFileIndex(
         Some(new java.math.BigDecimal(stat).compareTo(
           lit.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
       case TimestampType =>
-        parseMicros(stat, local = false).map(_.compareTo(lit.asInstanceOf[Long]))
-      case TimestampNTZType =>
-        parseMicros(stat, local = true).map(_.compareTo(lit.asInstanceOf[Long]))
+        Manifest.parseTsMicros(stat)
+          .map(_.compareTo(literalLocalMicros(lit.asInstanceOf[Long])))
+      case TimestampNTZType => // NTZ literal micros ARE local micros
+        Manifest.parseTsMicros(stat).map(_.compareTo(lit.asInstanceOf[Long]))
       case DateType =>
         Some(LocalDate.parse(stat).toEpochDay.toInt.compareTo(lit.asInstanceOf[Int]))
       case StringType =>

@@ -468,6 +468,14 @@ class ManifestSpec extends SparkSuite {
     }
     // the rejected merge must not have committed anything
     assert(Manifest.readTable(spark, root, "t").count() == 2L)
+    // NULL keys are NOT duplicates of each other: a null key matches no
+    // target row (plain inserts), so this batch must commit
+    Manifest.commitMergeUpsert(spark, root, "t",
+      Seq((Some(2L), 20.0), (None, 30.0), (None, 31.0)).toDF("k", "v"), "k")
+    val t = Manifest.readTable(spark, root, "t")
+    assert(t.count() == 4L) // 1,2(updated) + two null-key inserts
+    assert(t.filter(col("k").isNull).count() == 2L)
+    assert(t.filter(col("k") === 2L).select("v").head().getDouble(0) == 20.0)
   }
 
   test("vacuum grace window protects in-flight (unreferenced, young) files") {
@@ -511,6 +519,16 @@ class ManifestSpec extends SparkSuite {
     val cv = Manifest.snapshotVersion(croot)
     val (_, pure3) = Manifest.tableChanges(spark, croot, "events_log", cv - 1, cv)
     assert(!pure3)
+    // explicit toVersion=0 is a caller bug, not "current snapshot"
+    intercept[IllegalArgumentException] {
+      Manifest.tableChanges(spark, root, "events_log", 0L, 0L)
+    }
+    // an interval spanning an evolving append pins the registered
+    // schema: the delta carries the evolved column
+    val eroot = Manifest.evolvedSchemaRoot(spark, sfDir)
+    val (edelta, epure) = Manifest.tableChanges(spark, eroot, "events_log", 1L, 2L)
+    assert(epure && edelta.columns.contains("quality"))
+    assert(edelta.filter(col("quality").isNull).count() == 0L)
   }
 
   test("JVM prune evaluation matches the Spark-cast evaluation") {
@@ -528,6 +546,56 @@ class ManifestSpec extends SparkSuite {
       assert(jvm._2 == spk._1.size,
         s"JVM kept ${jvm._2} files, Spark kept ${spk._1.size} for $preds")
     }
+  }
+
+  test("replicateSnapshot: bootstrap, delta sync, idempotence, divergence guard") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-replica-spec")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    Manifest.commitAppendRanged(spark, src, "t",
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "v"), "k", 2)
+    // bootstrap = full export with the replica ledger in v1
+    val (f1, b1) = Manifest.replicateSnapshot(spark, src, dst)
+    assert(f1 == 2 && b1 > 0L)
+    assert(Manifest.readTable(spark, dst, "t").count() == 4L)
+    assert(Manifest.lastCommittedTxn(dst, "replica").contains(1L))
+    // incremental: one append at the source ships exactly its files
+    Manifest.commitAppendRanged(spark, src, "t",
+      Seq((5L, 5.0), (6L, 6.0)).toDF("k", "v"), "k", 1)
+    val (f2, _) = Manifest.replicateSnapshot(spark, src, dst)
+    assert(f2 == 1, s"expected only the appended file to ship, got $f2")
+    assert(Manifest.readTable(spark, dst, "t").count() == 6L)
+    // re-driven sync: ledger makes it a no-op
+    assert(Manifest.replicateSnapshot(spark, src, dst) == ((0, 0L)))
+    // a rewrite (delete) mirrors as its remove+add footprint
+    Manifest.commitDeleteWhere(spark, src, "t",
+      Seq(Manifest.Pred("k", "5", "6", "bigint")), col("k") >= 5L)
+    val (f3, _) = Manifest.replicateSnapshot(spark, src, dst)
+    assert(Manifest.readTable(spark, dst, "t").count() == 4L)
+    assert(f3 <= 1) // at most the survivor rewrite ships, never a re-copy
+    // out-of-band write on the replica: the next sync must fail loudly
+    Manifest.commitAppend(spark, dst, "t", Seq((99L, 9.9)).toDF("k", "v"))
+    Manifest.commitAppend(spark, src, "t", Seq((7L, 7.0)).toDF("k", "v"))
+    intercept[Manifest.CommitConflict] {
+      Manifest.replicateSnapshot(spark, src, dst, maxRetries = 2)
+    }
+  }
+
+  test("live SQL view tracks commits; pinned view stays frozen") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-liveview-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "k", 1)
+    graft.sources.ManifestSql.register(spark, root, "t", "lv_live")
+    graft.sources.ManifestSql.register(spark, root, "t", "lv_pinned", version = 1L)
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((3L, 3.0), (4L, 4.0), (5L, 5.0)).toDF("k", "v"), "k", 1)
+    assert(spark.sql("SELECT count(*) FROM lv_live").head().getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM lv_pinned").head().getLong(0) == 2L)
+    // and the live view still PRUNES after re-resolution
+    val idx = graft.sources.ManifestSql.register(spark, root, "t", "lv_live2")
+    spark.sql("SELECT count(*) FROM lv_live2 WHERE k >= 4").collect()
+    assert(idx.lastPrune._2 == 2 && idx.lastPrune._1 < 2)
   }
 
   test("evolving append registers schema atomically and survives vacuum") {
