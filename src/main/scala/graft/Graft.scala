@@ -345,6 +345,20 @@ object Graft {
   def tableExport(spark: SparkSession, root: String, destRoot: String): (Int, Long) =
     ops.Manifest.exportSnapshot(spark, root, destRoot)
 
+  /** Incremental DR sync: bring a replica (bootstrapped by
+    * [[tableExport]] semantics on first call) up to the source's
+    * current snapshot, shipping only the changed files — exactly-once
+    * via the replica txn ledger. Returns (files copied, bytes). */
+  def tableReplicate(spark: SparkSession, root: String, destRoot: String): (Int, Long) =
+    ops.Manifest.replicateSnapshot(spark, root, destRoot)
+
+  /** Rows ADDED to `table` in versions (from, to] — incremental
+    * consumption at file granularity. The flag is false when the
+    * interval contains a rewrite (consumer must full-refresh). */
+  def tableChanges(spark: SparkSession, root: String, table: String,
+                   fromVersion: Long, toVersion: Long = -1L): (DataFrame, Boolean) =
+    ops.Manifest.tableChanges(spark, root, table, fromVersion, toVersion)
+
   /** foreachBatch handler: micro-batch → versioned manifest commit
     * (redelivery no-op, batch-id gap throws; event-time batches record
     * ts stats so the streaming table is range-prunable). */

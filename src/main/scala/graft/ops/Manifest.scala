@@ -177,6 +177,17 @@ object Manifest {
 
   // ---------------------------------------------------------------- staging
 
+  // Guards the parquet-timestamp-encoding conf flip around manifest
+  // data writes (below): read-prev and restore happen under one
+  // monitor, so two in-session committers can never interleave a
+  // restore into each other's write. This serializes in-JVM manifest
+  // DATA writes against each other — a deliberate trade: the
+  // alternative, pinning TIMESTAMP_MICROS session-wide, silently
+  // flips every OTHER parquet write in the session from naive INT96
+  // to tz-annotated int64 (measured: it turned the gate's own result
+  // dumps tz-aware and broke the comparator — the q180 hasher class,
+  // session-wide). Cross-JVM committers are unaffected; the CAS is
+  // the real concurrency boundary.
   private val publishLock = new Object
 
   /** Write `df` as parquet and publish it atomically under `data/`:
@@ -191,20 +202,15 @@ object Manifest {
     Files.createDirectories(Paths.get(root))
     val tmp = Files.createTempDirectory(Paths.get(root), "data-stage.tmp-")
     // INT64-micros timestamps, not the INT96 legacy default: INT96
-    // columns carry no usable footer statistics, and the manifest's
-    // per-file stats read those footers ([[FooterStats]]) instead of
-    // paying a read-back pass. The encoding has no per-write option,
-    // only the session conf, so the set-write-restore is serialized
-    // under a JVM lock: two in-session committers can never interleave
-    // a restore into each other's write (read-prev and restore happen
-    // under the same monitor). An unrelated parquet write on another
-    // thread of the same session during the window sees MICROS — the
-    // modern encoding every reader handles — never a corrupted prev.
+    // columns carry no usable footer statistics ([[FooterStats]]).
+    // No per-write option exists, hence the locked set-write-restore
+    // (see [[publishLock]] for the trade-off analysis).
     publishLock.synchronized {
-      val prevTs = s.conf.get("spark.sql.parquet.outputTimestampType")
-      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prevTs = s.conf.get(key)
+      s.conf.set(key, "TIMESTAMP_MICROS")
       try df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
-      finally s.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+      finally s.conf.set(key, prevTs)
     }
     val preferred = Paths.get(root, "data", s"v$hint", table)
     Files.createDirectories(preferred.getParent)
@@ -340,6 +346,28 @@ object Manifest {
       .map(v => Paths.get(root, "manifest", s"v$v", name))
       .find(Files.exists(_))
       .map(Files.readAllBytes)
+
+  /** Every distinct `_txn_*` marker name present in any claim. */
+  private def allTxnMarkerNames(root: String): Seq[String] =
+    claimedVersions(root).flatMap { cv =>
+      val d = Paths.get(root, "manifest", s"v$cv")
+      val l = Files.list(d)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_txn_")).toList
+      finally l.close()
+    }.distinct.sorted
+
+  /** The source's newest txn ledger per appId, as claim extras —
+    * shipped on every replication commit so a writer FAILING OVER to
+    * the replica resumes at the right batch instead of re-committing
+    * (duplicate rows) or aborting on a spurious gap. `exclude` keeps a
+    * replica-chain's own sync ledger from clobbering the
+    * destination's. */
+  private def txnLedgerExtras(root: String,
+                              exclude: String): Seq[(String, Array[Byte])] =
+    allTxnMarkerNames(root)
+      .filterNot(_ == exclude)
+      .flatMap(name => newestMarker(root, name).map(name -> _))
 
   def lastCommittedTxn(root: String, appId: String): Option[Long] =
     newestMarker(root, txnMarker(appId))
@@ -528,8 +556,16 @@ object Manifest {
   /** Typed driver-side compare of two stats-rendered strings under a
     * `Pred.castType`; None = type (or value) outside the exactness
     * allowlist — the caller falls back to the Spark-cast evaluation,
-    * so this can never change prune semantics, only their cost. */
-  private[graft] def cmpStatStrings(a: String, b: String, castType: String): Option[Int] = {
+    * so this can never change prune semantics, only their cost.
+    * `tsOrderExact` must be true only when local rendering preserves
+    * instant order — i.e. the session zone is a FIXED OFFSET (UTC, the
+    * engine default): across a DST fall-back the local clock repeats
+    * an hour, local order diverges from instant order, and a local
+    * comparison could prove a false impossibility. Under a DST zone,
+    * timestamp compares answer None and the caller keeps its fallback
+    * behavior. (TIMESTAMP_NTZ is zone-free: always exact.) */
+  private[graft] def cmpStatStrings(a: String, b: String, castType: String,
+                                    tsOrderExact: Boolean = true): Option[Int] = {
     val t = castType.trim.toLowerCase
     try {
       if (t == "bigint" || t == "int" || t == "integer" || t == "smallint" || t == "tinyint")
@@ -538,8 +574,12 @@ object Manifest {
         Some(java.lang.Double.compare(a.toDouble, b.toDouble))
       else if (t.startsWith("decimal"))
         Some(new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)))
-      else if (t == "timestamp")
+      else if (t == "timestamp_ntz")
         for (x <- parseTsMicros(a); y <- parseTsMicros(b)) yield x.compareTo(y)
+      else if (t == "timestamp") {
+        if (!tsOrderExact) None
+        else for (x <- parseTsMicros(a); y <- parseTsMicros(b)) yield x.compareTo(y)
+      }
       else if (t == "date")
         Some(java.time.LocalDate.parse(a).compareTo(java.time.LocalDate.parse(b)))
       else None
@@ -722,9 +762,12 @@ object Manifest {
     // job fixed cost dwarfs the work at any file count that fits a
     // manifest). Falls back to the Spark-cast evaluation when a
     // castType (or a malformed bound) is outside the JVM compare's
-    // allowlist, so semantics can never drift; parity of the two paths
-    // is spec-pinned (ManifestSpec).
-    val jvmOk = preds.forall(p => cmpStatStrings(p.lo, p.hi, p.castType).isDefined)
+    // allowlist — including timestamps under a DST session zone, where
+    // local order is not instant order — so semantics can never drift;
+    // parity of the two paths is spec-pinned (ManifestSpec).
+    val tsExact = sessionZone(s).getRules.isFixedOffset
+    val jvmOk =
+      preds.forall(p => cmpStatStrings(p.lo, p.hi, p.castType, tsExact).isDefined)
     if (!jvmOk) return overlappingRowsSpark(s, root, table, preds, v)
     val kept = rows.filter { case (_, _, statsJson) =>
       if (statsJson == null) true
@@ -734,8 +777,8 @@ object Manifest {
           st.get(p.column) match {
             case None => true // no stats for the column: keep
             case Some((Some(mn), Some(mx))) =>
-              (cmpStatStrings(mx, p.lo, p.castType),
-                cmpStatStrings(mn, p.hi, p.castType)) match {
+              (cmpStatStrings(mx, p.lo, p.castType, tsExact),
+                cmpStatStrings(mn, p.hi, p.castType, tsExact)) match {
                 case (Some(cx), Some(cn)) => cx >= 0 && cn <= 0
                 // malformed recorded bound: mirror the Spark path,
                 // where a null cast fails the conjunct and drops the
@@ -1254,6 +1297,21 @@ object Manifest {
 
   // ---------------------------------------------------------- export/import
 
+  /** Copy one root-relative file between roots, checksum-verified;
+    * returns its byte size. Shared by bootstrap export and
+    * incremental replication. */
+  private def copyVerified(root: String, destRoot: String, rel: String): Long = {
+    val src = Paths.get(root, rel)
+    val dst = Paths.get(destRoot, rel)
+    Files.createDirectories(dst.getParent)
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    val (a, b) = (md5Of(src), md5Of(dst))
+    if (a != b)
+      throw new IllegalStateException(
+        s"snapshot copy: checksum mismatch for $rel ($a != $b)")
+    Files.size(dst)
+  }
+
   private def md5Of(p: Path): String = {
     val md = MessageDigest.getInstance("MD5")
     val in = Files.newInputStream(p)
@@ -1293,17 +1351,7 @@ object Manifest {
     Files.createDirectories(Paths.get(destRoot))
     var bytes = 0L
     val files = rows.map(_._2).distinct
-    files.foreach { rel =>
-      val src = Paths.get(root, rel)
-      val dst = Paths.get(destRoot, rel)
-      Files.createDirectories(dst.getParent)
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-      val (a, b) = (md5Of(src), md5Of(dst))
-      if (a != b)
-        throw new IllegalStateException(
-          s"exportSnapshot: checksum mismatch for $rel ($a != $b)")
-      bytes += Files.size(dst)
-    }
+    files.foreach(rel => bytes += copyVerified(root, destRoot, rel))
     // the destination's v1 is always a FULL manifest — the export is
     // self-contained no matter how deep the source's delta chain was —
     // and it carries the tables' current schema registrations plus the
@@ -1313,15 +1361,8 @@ object Manifest {
       registeredSchema(s, root, t, v).map(sch =>
         schemaMarker(t) -> sch.json.getBytes("UTF-8"))
     }
-    val txnNames = claimedVersions(root).flatMap { cv =>
-      val d = Paths.get(root, "manifest", s"v$cv")
-      val l = Files.list(d)
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_txn_")).toList
-      finally l.close()
-    }.distinct.sorted
-    val txnExtrasOut = txnNames.flatMap(name =>
-      newestMarker(root, name).map(name -> _))
+    val txnExtrasOut =
+      txnLedgerExtras(root, exclude = txnApp.map(txnMarker).getOrElse(""))
     if (!tryClaim(s, destRoot, 1L,
       Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None,
         schemaExtras ++ txnExtrasOut ++ txnExtras(txnApp.map(_ -> v)))))
@@ -1382,19 +1423,15 @@ object Manifest {
           case (t, f, _) if !afterSet((t, f)) => (t, f) }
         var bytes = 0L
         added.foreach { case (_, rel, _) =>
-          val src = Paths.get(root, rel)
-          val dst = Paths.get(destRoot, rel)
-          Files.createDirectories(dst.getParent)
-          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-          if (md5Of(src) != md5Of(dst))
-            throw new IllegalStateException(
-              s"replicateSnapshot: checksum mismatch for $rel")
-          bytes += Files.size(dst)
-        }
+          bytes += copyVerified(root, destRoot, rel) }
         val schemaExtras = after.map(_._1).distinct.sorted.flatMap { t =>
           registeredSchema(s, root, t, srcV).map(sch =>
             schemaMarker(t) -> sch.json.getBytes("UTF-8"))
         }
+        // carry the SOURCE's txn ledgers too (not just _replica): a
+        // writer failing over to the replica must resume at the batch
+        // the replicated data actually contains
+        val srcLedger = txnLedgerExtras(root, exclude = txnMarker(appId))
         casCommit(s, destRoot, { base =>
           txnGuard(destRoot, Some(appId -> srcV))
           val destNow = manifestRows(s, destRoot, base).map(r => (r._1, r._2)).toSet
@@ -1402,9 +1439,8 @@ object Manifest {
             throw new CommitConflict(
               s"replicateSnapshot: $destRoot diverged from the source snapshot " +
                 s"it last applied (v$last) — out-of-band writes on a replica")
-          deltaOrFull(s, destRoot, base, Nil,
-            added.map { case (t, f, st) => (t, f, st) }, removed)
-            .copy(extras = schemaExtras ++ txnExtras(Some(appId -> srcV)))
+          deltaOrFull(s, destRoot, base, Nil, added, removed)
+            .copy(extras = schemaExtras ++ srcLedger ++ txnExtras(Some(appId -> srcV)))
         }, maxRetries)
         (added.size, bytes)
     }

@@ -59,13 +59,17 @@ object ManifestSql {
               version: Long = -1L): (DataFrame, ManifestFileIndex) = {
     val v = if (version > 0) version else Manifest.snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
-    val files = Manifest.manifestRows(spark, root, v)
-      .collect { case (t, f, _) if t == table => s"$root/$f" }
-    require(files.nonEmpty, s"table $table absent from snapshot v$v")
+    val entries = ManifestFileIndex.resolveEntries(spark, root, table, v)
+    require(entries.nonEmpty, s"table $table absent from snapshot v$v")
     val schema = Manifest.registeredSchema(spark, root, table, v).getOrElse(
-      spark.read.parquet(files: _*).schema)
+      spark.read.parquet(entries.map(_.path): _*).schema)
+    // the registration-time resolution seeds the index cache (valid
+    // for snapshot v): a live view's first query re-resolves only if
+    // the version moved — one manifest walk per change, not two per
+    // registration
     val index = new ManifestFileIndex(spark, root, table,
-      if (version > 0) version else -1L, schema, Manifest.sessionZone(spark))
+      if (version > 0) version else -1L, schema, Manifest.sessionZone(spark),
+      initial = Some(v -> entries))
     val relation = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     (spark.baseRelationToDataFrame(relation), index)
@@ -188,6 +192,9 @@ object ManifestSql {
             |FROM events_live_mf
             |GROUP BY user_id ORDER BY user_id""".stripMargin)
           .localCheckpoint(true)
+        // the root is about to go away: deregister the view too, so no
+        // catalog entry dangles over a deleted path
+        s.catalog.dropTempView("events_live_mf")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })
@@ -204,13 +211,29 @@ object ManifestSql {
   * is |files|; no filesystem listing ever happens (the manifest IS
   * the listing).
   */
+object ManifestFileIndex {
+  /** One snapshot's entries for `table`: manifest rows → (path, size,
+    * mtime, decoded stats). Metadata-sized. */
+  private[sources] def resolveEntries(spark: SparkSession, root: String,
+                                      table: String, v: Long): Seq[ManifestSql.Entry] =
+    Manifest.manifestRows(spark, root, v)
+      .collect { case (t, f, st) if t == table => (s"$root/$f", st) }
+      .map { case (p, st) =>
+        val np = Paths.get(p)
+        ManifestSql.Entry(p, Files.size(np),
+          Files.getLastModifiedTime(np).toMillis,
+          Manifest.parseStatsJson(st))
+      }
+}
+
 final class ManifestFileIndex(
     spark: SparkSession,
     rootStr: String,
     table: String,
     pinnedVersion: Long, // > 0 = time travel; -1 = LIVE (track commits)
     schema: StructType,
-    zone: ZoneId) extends FileIndex {
+    zone: ZoneId,
+    initial: Option[(Long, Seq[ManifestSql.Entry])] = None) extends FileIndex {
 
   /** (kept, total) of the most recent `listFiles` — the observability
     * hook PlanShapeSpec asserts pruning through. */
@@ -221,9 +244,10 @@ final class ManifestFileIndex(
   // against the current committed snapshot, the way a table (not a
   // frozen file list) behaves; a pinned view resolves once. The check
   // is one pointer read + claim listing (metadata-sized); resolution
-  // itself only runs on version change.
-  @volatile private var resolvedAt: Long = -1L
-  @volatile private var cached: Seq[ManifestSql.Entry] = Nil
+  // itself only runs on version change. Registration seeds the cache.
+  @volatile private var resolvedAt: Long = initial.map(_._1).getOrElse(-1L)
+  @volatile private var cached: Seq[ManifestSql.Entry] =
+    initial.map(_._2).getOrElse(Nil)
 
   private def entries: Seq[ManifestSql.Entry] = {
     val v =
@@ -231,14 +255,7 @@ final class ManifestFileIndex(
       else Manifest.snapshotVersion(rootStr)
     if (v != resolvedAt) synchronized {
       if (v != resolvedAt) {
-        cached = Manifest.manifestRows(spark, rootStr, v)
-          .collect { case (t, f, st) if t == table => (s"$rootStr/$f", st) }
-          .map { case (p, st) =>
-            val np = Paths.get(p)
-            ManifestSql.Entry(p, Files.size(np),
-              Files.getLastModifiedTime(np).toMillis,
-              Manifest.parseStatsJson(st))
-          }
+        cached = ManifestFileIndex.resolveEntries(spark, rootStr, table, v)
         resolvedAt = v
       }
     }
@@ -316,11 +333,13 @@ final class ManifestFileIndex(
 
   /** A timestamp literal's instant micros → micros of its LOCAL
     * rendering in the session zone. Comparisons then run local-vs-
-    * local against [[Manifest.parseTsMicros]]'d stats strings — the
-    * same domain the Spark-cast prune evaluation uses (and the
-    * parity-pinned API path): instant→local is a total function,
-    * where parsing a rendered local back to an instant would be
-    * ambiguous for the DST fall-back hour and could over-prune. */
+    * local against [[Manifest.parseTsMicros]]'d stats strings.
+    * SOUND ONLY under a fixed-offset session zone (UTC, the engine
+    * default), where local order == instant order; under a DST zone
+    * the local clock repeats the fall-back hour, no string-rendered
+    * local scheme can prove impossibility, and [[cmp]] refuses
+    * timestamp answers entirely (files are kept — stats bound, never
+    * filter). */
   private def literalLocalMicros(micros: Long): Long = {
     val secs = Math.floorDiv(micros, 1000000L)
     val frac = Math.floorMod(micros, 1000000L)
@@ -340,7 +359,8 @@ final class ManifestFileIndex(
         Some(new java.math.BigDecimal(stat).compareTo(
           lit.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
       case TimestampType =>
-        Manifest.parseTsMicros(stat)
+        if (!zone.getRules.isFixedOffset) None // DST: local ≠ instant order
+        else Manifest.parseTsMicros(stat)
           .map(_.compareTo(literalLocalMicros(lit.asInstanceOf[Long])))
       case TimestampNTZType => // NTZ literal micros ARE local micros
         Manifest.parseTsMicros(stat).map(_.compareTo(lit.asInstanceOf[Long]))

@@ -129,4 +129,57 @@ class ManifestPropertySpec extends SparkSuite {
     assert(Manifest.snapshotVersion(root) == newest)
     graft.ops.Staging.deleteRecursively(Paths.get(root))
   }
+
+  // -------------------------------------------------------------- replication
+
+  sealed trait ROp
+  case object RAppend extends ROp   // ranged append, 1 file
+  case object RDelete extends ROp   // stats-pruned delete of a key band
+  case object RCompact extends ROp  // bin-pack replace-commit
+  case object RSync extends ROp     // replicate mid-sequence
+
+  private val ropGen: Gen[ROp] =
+    Gen.frequency(4 -> RAppend, 2 -> RDelete, 1 -> RCompact, 3 -> RSync)
+
+  test("property: replica mirrors any append/delete/compact/sync interleaving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = Prop.forAll(Gen.listOfN(5, ropGen)) { ops =>
+      val tmp = Files.createTempDirectory("graft-replica-prop")
+      val src = s"$tmp/src"; val dst = s"$tmp/dst"
+      var serial = 0L
+      def appendBatch(): Unit = {
+        serial += 1
+        Manifest.commitAppendRanged(spark, src, "t",
+          (1L to 3L).map(i => (serial * 10 + i, i * 1.5)).toDF("k", "v"), "k", 1)
+      }
+      appendBatch()
+      Manifest.replicateSnapshot(spark, src, dst) // bootstrap
+      ops.foreach {
+        case RAppend => appendBatch()
+        case RDelete =>
+          // delete the newest batch's band (may be a no-op band)
+          val lo = serial * 10; val hi = serial * 10 + 9
+          Manifest.commitDeleteWhere(spark, src, "t",
+            Seq(Manifest.Pred("k", lo.toString, hi.toString, "bigint")),
+            col("k").between(lo, hi))
+        case RCompact =>
+          Manifest.compactTable(spark, src, "t", 8L << 20)
+        case RSync =>
+          Manifest.replicateSnapshot(spark, src, dst)
+      }
+      Manifest.replicateSnapshot(spark, src, dst) // final convergence
+      val srcRows = Manifest.readTable(spark, src, "t")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      val dstRows = Manifest.readTable(spark, dst, "t")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      val ledgerOk =
+        Manifest.lastCommittedTxn(dst, "replica").contains(Manifest.snapshotVersion(src))
+      graft.ops.Staging.deleteRecursively(tmp)
+      Prop(srcRows == dstRows && ledgerOk) :|
+        s"src=$srcRows dst=$dstRows ledgerOk=$ledgerOk ops=$ops"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -559,12 +559,17 @@ class ManifestSpec extends SparkSuite {
     assert(f1 == 2 && b1 > 0L)
     assert(Manifest.readTable(spark, dst, "t").count() == 4L)
     assert(Manifest.lastCommittedTxn(dst, "replica").contains(1L))
-    // incremental: one append at the source ships exactly its files
-    Manifest.commitAppendRanged(spark, src, "t",
-      Seq((5L, 5.0), (6L, 6.0)).toDF("k", "v"), "k", 1)
+    // incremental: one append at the source ships exactly its files —
+    // committed with a stream-style txn marker, which the sync must
+    // carry so a writer failing over to the replica resumes correctly
+    Manifest.commitAppend(spark, src, "t",
+      Seq((5L, 5.0), (6L, 6.0)).toDF("k", "v").coalesce(1),
+      txn = Some("stream-x" -> 7L))
     val (f2, _) = Manifest.replicateSnapshot(spark, src, dst)
     assert(f2 == 1, s"expected only the appended file to ship, got $f2")
     assert(Manifest.readTable(spark, dst, "t").count() == 6L)
+    assert(Manifest.lastCommittedTxn(dst, "stream-x").contains(7L),
+      "the source's txn ledger must replicate with the data")
     // re-driven sync: ledger makes it a no-op
     assert(Manifest.replicateSnapshot(spark, src, dst) == ((0, 0L)))
     // a rewrite (delete) mirrors as its remove+add footprint

@@ -40,6 +40,18 @@ def hash_hazard_types(result_dir: str):
     # view alone can't distinguish TIMESTAMP_NTZ from an INT96-written
     # LTZ timestamp (both surface tz-less in pyarrow).
     md = (schema.metadata or {}).get(b"org.apache.spark.sql.parquet.row.metadata")
+    # tz-AWARE arrow timestamps (int64 micros with isAdjustedToUTC) are a
+    # FAIL regardless of the Spark logical type: the baseline results are
+    # INT96-written (tz-naive in pyarrow/pandas), so a tz-aware column
+    # means the writer's encoding changed under the session — pandas
+    # reads it as datetime64[ns, UTC] and the driver hasher canonicalizes
+    # it differently (the q180 class, and it crashes the naive-dtype
+    # compare path here). Caught once live: a session-wide
+    # outputTimestampType pin leaking into the result dumps.
+    for field in schema:
+        if getattr(field.type, "tz", None):
+            bad.append(("FAIL", f"{field.name}: {field.type} (tz-aware result "
+                        "encoding — outputTimestampType leaked into the dump)"))
     if md:
         for f in json.loads(md)["fields"]:
             t = f["type"]
