@@ -278,6 +278,20 @@ object ScaleProbe {
       Manifest.commitAppendRanged(spark, d, "events_log",
         ev.filter(col("ts") >= cutTs), "ts", 8)
     }
+    run("replicate_price(q209)") { d =>
+      // bootstrap vs steady-state sync: the incremental path must pay
+      // for the delta, not the table
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      Manifest.commitAppendRanged(spark, s"$d/src", "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      val (full, wFull) = time(Manifest.replicateSnapshot(spark, s"$d/src", s"$d/dst"))
+      Manifest.commitAppendRanged(spark, s"$d/src", "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+      val (incr, wIncr) = time(Manifest.replicateSnapshot(spark, s"$d/src", s"$d/dst"))
+      val (_, wNoop) = time(Manifest.replicateSnapshot(spark, s"$d/src", s"$d/dst"))
+      println(f"[probe] maintprice replicate bootstrap=${full._1}f/$wFull%.2fs " +
+        f"incremental=${incr._1}f/$wIncr%.2fs noop=$wNoop%.3fs")
+    }
     run("stats_footer_vs_readback") { d =>
       // the round-10 stats-collection swap, measured head-to-head on
       // one published 16-file batch: footer path (what commits pay
