@@ -160,13 +160,35 @@ object Manifest {
     }
   }
 
-  /** Newest claim whose manifest is readable — the REBASE point for
-    * carrying rows forward. Using claims (not the pointer) here is what
-    * makes "claimed but pointer not yet advanced" commits impossible to
-    * lose. 0 if none. */
+  /** The WAP branch a claim belongs to, if its dir carries a
+    * `_wap_<branch>` sidecar marker (staged atomically with the
+    * manifest rows — see [[commitAppendBranch]]). */
+  private def wapBranchOf(root: String, v: Long): Option[String] = {
+    val d = Paths.get(root, "manifest", s"v$v")
+    if (!Files.isDirectory(d)) None
+    else {
+      val l = Files.list(d)
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .collectFirst { case n if n.startsWith("_wap_") => n.stripPrefix("_wap_") }
+      finally l.close()
+    }
+  }
+
+  /** Newest claim whose manifest is readable AND main-visible — the
+    * REBASE point for carrying rows forward. Using claims (not the
+    * pointer) here is what makes "claimed but pointer not yet
+    * advanced" commits impossible to lose. Claims carrying a `_wap_`
+    * marker for a branch that is neither published nor dropped are
+    * SKIPPED: an open write-audit-publish branch is invisible to main
+    * readers and is never a main rebase point — visibility is decided
+    * by the branch's root-level resolution markers, never by pointer
+    * position, so a later main commit advancing the pointer can
+    * neither publish nor orphan an open branch. 0 if none. */
   private def latestReadableClaim(root: String): Long =
     claimedVersions(root).reverseIterator
-      .find(manifestReadable(root, _)).getOrElse(0L)
+      .find(v => manifestReadable(root, v) &&
+        wapBranchOf(root, v).forall(b => wapIsPublished(root, b)))
+      .getOrElse(0L)
 
   /** Next version to attempt: 1 + max(any claim, pointer). A dead
     * unreadable claim still consumes its number (skipped, vacuumed
@@ -404,13 +426,18 @@ object Manifest {
     * claim on every try. */
   private def casCommit(s: SparkSession, root: String,
                         attempt: Long => Payload,
-                        maxRetries: Int): Long = {
+                        maxRetries: Int,
+                        baseFn: String => Long = latestReadableClaim,
+                        advance: Boolean = true): Long = {
     var tries = 0
     while (tries < maxRetries) {
       val version = nextVersion(root)
-      val payload = attempt(latestReadableClaim(root))
+      val payload = attempt(baseFn(root))
       if (tryClaim(s, root, version, payload)) {
-        advancePointer(root, version)
+        // branch (WAP) commits leave the pointer cache alone: they are
+        // not main history until published, and the cache must never
+        // suggest otherwise
+        if (advance) advancePointer(root, version)
         return version
       }
       tries += 1
@@ -519,6 +546,142 @@ object Manifest {
       deltaOrFull(s, root, base, Seq(table), newRows)
     }, maxRetries)
   }
+
+  // --------------------------------------------- write-audit-publish (WAP)
+
+  private def wapMarkerName(branch: String): String = {
+    require(branch.matches("[A-Za-z0-9.-]+"),
+      s"unsafe branch name: $branch") // no '_': marker names must parse back
+    s"_wap_$branch"
+  }
+  private def wapTombstone(root: String, branch: String): Path =
+    Paths.get(root, wapMarkerName(branch) + ".dropped")
+  private def wapPublishedMarker(root: String, branch: String): Path =
+    Paths.get(root, wapMarkerName(branch) + ".published")
+  private def wapIsPublished(root: String, branch: String): Boolean =
+    Files.exists(wapPublishedMarker(root, branch))
+  private def wapIsDropped(root: String, branch: String): Boolean =
+    Files.exists(wapTombstone(root, branch))
+
+  /** Head of an OPEN branch (newest readable claim carrying its
+    * `_wap_` marker), None once the branch was published or dropped —
+    * branch names are single-use, so resolution markers are final. */
+  def branchHead(root: String, branch: String): Option[Long] = {
+    val _ = wapMarkerName(branch) // name validation
+    if (wapIsPublished(root, branch) || wapIsDropped(root, branch)) None
+    else claimedVersions(root).reverseIterator
+      .find(v => manifestReadable(root, v) &&
+        wapBranchOf(root, v).contains(branch))
+  }
+
+  /** APPEND commit onto a WAP branch — the write-audit-publish staging
+    * pattern (Iceberg's `stage-only` snapshots / branch writes): data
+    * lands and is CAS-committed like any append, but the claim carries
+    * a `_wap_<branch>` sidecar (atomic with the rows, so "staged" is a
+    * property of the claim itself) and the commit is a DELTA whose
+    * parent is the branch head — the current MAIN head on the first
+    * branch commit. Main readers and main committers skip open-branch
+    * claims entirely ([[latestReadableClaim]]), so a bad batch parked
+    * on a branch can never leak into production reads; the version
+    * numbers are shared with main (the same CAS serializes everyone).
+    * Branch claims are always deltas, never the periodic full fold,
+    * so [[publishBranch]] can re-derive the chain's anchor. */
+  def commitAppendBranch(s: SparkSession, root: String, table: String,
+                         df: DataFrame, branch: String,
+                         maxRetries: Int = 5): Long = {
+    val marker = wapMarkerName(branch)
+    require(!wapIsDropped(root, branch) && !wapIsPublished(root, branch),
+      s"branch $branch is resolved; WAP branch names are single-use")
+    val hint = nextVersion(root)
+    val newRows = publishData(s, root, hint, table, df)
+      .map(f => (table, f, null: String))
+    casCommit(s, root, { base =>
+      require(base > 0,
+        "WAP branch on an empty root: commit a main snapshot first")
+      Payload(newRows.map { case (t, f, st) => ("add", t, f, st) },
+        Some(base), extras = Seq(marker -> Array.emptyByteArray))
+    }, maxRetries,
+      baseFn = r => branchHead(r, branch).getOrElse(latestReadableClaim(r)),
+      advance = false)
+  }
+
+  /** Read `table` as the branch's auditor sees it: branch head if the
+    * branch is open, else plain main. */
+  def readTableBranch(s: SparkSession, root: String, table: String,
+                      branch: String): DataFrame =
+    branchHead(root, branch) match {
+      case Some(v) => readTable(s, root, table, v)
+      case None    => readTable(s, root, table)
+    }
+
+  /** PUBLISH: fast-forward main onto the branch head — itself a
+    * CAS-claimed commit (an EMPTY delta whose parent is the branch
+    * head, with no `_wap_` marker), so publication is atomic and
+    * serialized against every other committer by the same version CAS.
+    * Claim-time validation re-derives the branch's ANCHOR (the
+    * main-visible version the chain grew from) and requires it to
+    * still BE the main head: a main commit that landed after the fork
+    * throws [[CommitConflict]] — the branch was audited against a
+    * stale base and must be re-applied and re-audited under a fresh
+    * name, never silently merged. The converse race is safe by
+    * construction: a main committer that loses the claim to the
+    * publish rebases onto the published chain. A publisher that
+    * crashed between its claim and the resolution marker is repaired
+    * on the retry (the already-spliced head is detected by chain
+    * walk). */
+  def publishBranch(s: SparkSession, root: String, branch: String,
+                    maxRetries: Int = 5): Long = {
+    val head = branchHead(root, branch).getOrElse(
+      throw new IllegalArgumentException(s"branch $branch has no open claims"))
+    // crash repair: if main's chain already passes through the head, a
+    // previous publish claimed but died before writing the marker
+    val mainHead = latestReadableClaim(root)
+    def chainHits(from: Long): Boolean =
+      Iterator.iterate(Option(from))(_.flatMap(baseOf(root, _)))
+        .takeWhile(_.exists(_ >= head)).exists(_.contains(head))
+    if (mainHead > head && chainHits(mainHead)) {
+      Files.write(wapPublishedMarker(root, branch), Array.emptyByteArray)
+      return mainHead
+    }
+    // the anchor: the branch chain's first non-branch parent
+    var anchor = baseOf(root, head).getOrElse(0L)
+    while (wapBranchOf(root, anchor).contains(branch))
+      anchor = baseOf(root, anchor).getOrElse(0L)
+    val v = casCommit(s, root, { mainBase =>
+      if (mainBase != anchor)
+        throw new CommitConflict(
+          s"publish $branch: main advanced v$anchor -> v$mainBase since the " +
+            "branch forked; re-apply and re-audit on the new head")
+      Payload(Nil, Some(head))
+    }, maxRetries)
+    Files.write(wapPublishedMarker(root, branch), Array.emptyByteArray)
+    v
+  }
+
+  /** DROP: abandon a branch (failed audit). Metadata-only and
+    * immediate — the tombstone makes the branch unreadable and its
+    * claims and data files collectible by [[vacuum]]; main was never
+    * touched. Tombstoned names cannot be re-branched: re-audit runs
+    * under a fresh name, so "what happened to batch X" always has one
+    * answer. */
+  def dropBranch(root: String, branch: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    Files.write(wapTombstone(root, branch), Array.emptyByteArray)
+  }
+
+  /** The WAP loop in one call: audit the branch's view of `table` with
+    * `check` (None = clean), publish on a clean audit, drop on a
+    * violation. Returns Right(published main version) or
+    * Left(violation). */
+  def auditThenPublish(s: SparkSession, root: String, table: String,
+                       branch: String)(
+      check: DataFrame => Option[String]): Either[String, Long] =
+    check(readTableBranch(s, root, table, branch)) match {
+      case Some(violation) =>
+        dropBranch(root, branch)
+        Left(violation)
+      case None => Right(publishBranch(s, root, branch))
+    }
 
   // ------------------------------------------------------------------ stats
 
@@ -1233,7 +1396,21 @@ object Manifest {
              graceMs: Long = defaultVacuumGraceMs): (Int, Int) = {
     val readable = claimedVersions(root).filter(manifestReadable(root, _))
     require(readable.nonEmpty, s"no committed snapshot at $root")
-    val retained = readable.takeRight(keep)
+    // WAP claims are classified by their branch's resolution markers:
+    // open-branch claims are IN-FLIGHT state, not history — they never
+    // count against the retention window and are retained outright (a
+    // long-lived audit branch must survive any grace window);
+    // dropped-branch claims are collectible at any version; published
+    // ones are ordinary history (protected below as chain ancestors of
+    // the publish claim while it is retained).
+    val (openWap, mainline) = readable.partition(v =>
+      wapBranchOf(root, v).exists(b =>
+        !wapIsPublished(root, b) && !wapIsDropped(root, b)))
+    val droppedWap = mainline.filter(v =>
+      wapBranchOf(root, v).exists(wapIsDropped(root, _))).toSet
+    val history = mainline.filterNot(droppedWap)
+    require(history.nonEmpty, s"no committed snapshot at $root")
+    val retained = history.takeRight(keep) ++ openWap
     val live = retained.flatMap(manifestRows(s, root, _)).map(_._2).toSet
     val dataRoot = Paths.get(root, "data")
     // In-flight-commit guard: a concurrent writer publishes data files
@@ -1264,8 +1441,11 @@ object Manifest {
       Iterator.iterate(baseOf(root, v))(_.flatMap(baseOf(root, _)))
         .takeWhile(_.isDefined).map(_.get).toSeq
     }.toSet
+    val retainedSet = retained.toSet
+    val floor = (history.takeRight(keep)).head
     val doomed = claimedVersions(root)
-      .filter(v => v < retained.head && !ancestors(v))
+      .filter(v => !retainedSet(v) && !ancestors(v) &&
+        (v < floor || droppedWap(v)))
     // claim MARKERS outlive their claims: the newest `_txn_<appId>`
     // ledger and `_schema_<table>.json` registration below the floor
     // are copied into the OLDEST surviving claim (copy BEFORE delete,
@@ -1719,6 +1899,39 @@ object Manifest {
       val _ = vacuum(s, tmp, keep = 1, graceMs = 0L)
     }
 
+  /** q211's WAP root: the full write-audit-publish loop over three ts
+    * windows of `events`. Main commits window A; a CORRUPTED window-B
+    * batch (event_type nulled) is staged on branch `qa-1`, fails its
+    * audit, and is dropped — main never sees it; main then commits
+    * window C directly (the branch never blocked ingest); the corrected
+    * window B is staged on `qa-2`, passes audit, and is published. The
+    * builder asserts both audit outcomes, so the staged fixture cannot
+    * silently degenerate into a plain three-append root. */
+  def wapRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-wap/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutA = lit("2024-01-11 00:00:00").cast("timestamp")
+      val cutB = lit("2024-01-21 00:00:00").cast("timestamp")
+      val winB = ev.filter(col("ts") >= cutA && col("ts") < cutB)
+      commitAppend(s, tmp, "events_log", ev.filter(col("ts") < cutA))
+      val audit: DataFrame => Option[String] = df => {
+        val bad = df.filter(col("event_type").isNull).limit(1).count()
+        if (bad > 0) Some("event_type NOT NULL violated") else None
+      }
+      commitAppendBranch(s, tmp, "events_log",
+        winB.withColumn("event_type", lit(null).cast("string")), "qa-1")
+      val first = auditThenPublish(s, tmp, "events_log", "qa-1")(audit)
+      require(first.isLeft, "staging bug: corrupted batch passed audit")
+      commitAppend(s, tmp, "events_log", ev.filter(col("ts") >= cutB))
+      commitAppendBranch(s, tmp, "events_log", winB, "qa-2")
+      val second = auditThenPublish(s, tmp, "events_log", "qa-2")(audit)
+      require(second.isRight, s"staging bug: clean batch failed audit: $second")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- Atomic multi-table snapshot read: both summary tables
@@ -2086,6 +2299,30 @@ object Manifest {
       (s, dir) => {
         val root = replicatedRoot(s, dir)
         readTable(s, s"$root/dst", "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
+      }),
+
+    // ----- Write-audit-publish (q211): a corrupted batch staged on a
+    //       WAP branch fails audit and is dropped (main never sees
+    //       it); ingest continues on main meanwhile; the corrected
+    //       batch is staged, audited, and published by an atomic
+    //       CAS-claimed fast-forward. Final main = windows A + C +
+    //       corrected B — i.e. exactly the raw table, which is what
+    //       the oracle recomputes: a leaked corrupt batch adds a NULL
+    //       event_type group, a lost publish drops window B, and a
+    //       non-atomic publish tears the totals — all hash breaks.
+    //       WapSpec pins the mechanics (invisibility, drop, conflict,
+    //       vacuum of dropped branches). -----
+    Q("q211_wap_publish",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = wapRoot(s, dir)
+        readTable(s, root, "events_log")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
