@@ -683,6 +683,80 @@ object Manifest {
       case None => Right(publishBranch(s, root, branch))
     }
 
+  // ----------------------------------------------------- bloom point index
+
+  /** APPEND commit that also records a per-file BLOOM FILTER over
+    * `keyCol` — point-lookup pruning for high-cardinality scattered
+    * keys, where [min, max] range stats are useless (every
+    * hash-distributed file spans the whole key range). This is the
+    * role parquet footer blooms / Iceberg puffin sidecars play;
+    * here each filter lands as a SIDECAR file next to its data file
+    * (`<file>.bloom`), so the manifest stays metadata-sized — a bloom
+    * is O(keys) bits and inlining a million of them would turn the
+    * manifest into data. Sidecars are written BEFORE the claim:
+    * readers only ever look for sidecars of manifest-referenced
+    * files, so an unclaimed sidecar is as invisible as its data file,
+    * and [[vacuum]] collects a sidecar with its file.
+    *
+    * The filters are built by ONE column-pruned read-back pass over
+    * the just-written files, grouped by physical file with map-side
+    * OR-merged partials ([[graft.functions.BloomAgg]]) — the same
+    * pass parquet's own bloom writer pays at write time. A missing
+    * sidecar is a conservative KEEP at read time, so mixing bloom and
+    * plain appends on one table stays correct. */
+  def commitAppendBloom(s: SparkSession, root: String, table: String,
+                        df: DataFrame, keyCol: String,
+                        expectedPerFile: Long = 100000L, fpp: Double = 0.01,
+                        maxRetries: Int = 5): Long = {
+    val hint = nextVersion(root)
+    val files = publishData(s, root, hint, table, df)
+    import s.implicits._
+    val absRoot = Paths.get(root).toAbsolutePath.normalize()
+    val blooms = s.read.parquet(files.map(f => s"$root/$f"): _*)
+      .select(input_file_name().as("_1"), col(keyCol).cast("long").as("_2"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.BloomAgg(expectedPerFile, fpp).toColumn)
+      .collect() // one row per new file: metadata-sized
+    blooms.foreach { case (uri, bytes) =>
+      val abs = Paths.get(new java.net.URI(uri).getPath).toAbsolutePath.normalize()
+      val rel = absRoot.relativize(abs).toString.replace('\\', '/')
+      require(files.contains(rel), s"bloom pass read a foreign file: $rel")
+      Files.write(absRoot.resolve(rel + ".bloom"), bytes)
+    }
+    val newRows = files.map(f => (table, f, null: String))
+    casCommit(s, root, base =>
+      deltaOrFull(s, root, base, Nil, newRows), maxRetries)
+  }
+
+  /** Point-lookup read: keep only the manifest files whose bloom
+    * might contain ANY of `keys`, then apply the exact `IN` filter.
+    * Planning is |files| sidecar reads, driver-side — the same
+    * metadata class as stats pruning; data I/O is O(true files +
+    * false positives). Files without a sidecar are kept
+    * (blooms bound, never filter). Returns (result, kept, total). */
+  def readTablePoint(s: SparkSession, root: String, table: String,
+                     keyCol: String, keys: Seq[Long]): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "readTablePoint: empty key set")
+    val v = snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val all = manifestRows(s, root, v)
+      .collect { case (t, f, _) if t == table => f }
+    require(all.nonEmpty, s"table $table absent from snapshot v$v")
+    val kept = all.filter { f =>
+      val bp = Paths.get(root, f + ".bloom")
+      !Files.exists(bp) || {
+        val bloom = graft.functions.BloomAgg.deserialize(Files.readAllBytes(bp))
+        keys.exists(bloom.mightContainLong)
+      }
+    }
+    val base =
+      if (kept.nonEmpty) s.read.parquet(kept.map(f => s"$root/$f").toIndexedSeq: _*)
+      else s.read.parquet(all.map(f => s"$root/$f").toIndexedSeq: _*)
+        .filter(lit(false)) // every bloom said no: empty, schema preserved
+    (base.filter(col(keyCol).isin(keys: _*)), kept.size, all.size)
+  }
+
   // ------------------------------------------------------------------ stats
 
   /** The session time zone as a ZoneId, resolving the three-letter
@@ -1426,12 +1500,20 @@ object Manifest {
         (graceMs <= 0L || Files.getLastModifiedTime(p).toMillis < cutoffMs)
     var removed = 0
     if (Files.isDirectory(dataRoot)) {
+      // materialize BEFORE deleting: removing a sidecar under a live
+      // Files.walk iterator throws NoSuchFile from the tree traversal
       val walk = Files.walk(dataRoot)
-      try walk.iterator().asScala.foreach { p =>
-        if (p.getFileName.toString.endsWith(".parquet") && dead(p)) {
-          Files.delete(p); removed += 1
-        }
-      } finally walk.close()
+      val doomedFiles =
+        try walk.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") && dead(p))
+          .toList
+        finally walk.close()
+      doomedFiles.foreach { p =>
+        Files.delete(p); removed += 1
+        // a bloom sidecar lives and dies with its data file
+        val _ = Files.deleteIfExists(
+          p.resolveSibling(p.getFileName.toString + ".bloom"))
+      }
     }
     // a retained DELTA still resolves through its chain: its ancestors
     // must survive the manifest sweep even when they sit below the
@@ -1932,6 +2014,21 @@ object Manifest {
     }
   }
 
+  /** q212's bloom root: `orders` hash-scattered into 16 files on
+    * `o_orderkey` — every file spans the whole key range, so [min,max]
+    * stats cannot prune a point lookup and the per-file bloom is the
+    * only thing standing between a 5-key lookup and a full scan. */
+  def bloomRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("orders"))
+    Staging.ensure(s"target/graft-manifest-bloom/$fp-$layoutKey") { tmp =>
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(16, col("o_orderkey"))
+      commitAppendBloom(s, tmp, "orders_idx", orders, "o_orderkey",
+        expectedPerFile = 16384L, fpp = 0.01)
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- Atomic multi-table snapshot read: both summary tables
@@ -2327,6 +2424,37 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")
+      }),
+
+    // ----- Bloom point-lookup pruning (q212): five keys looked up in
+    //       a 16-file hash-scattered table — range stats are useless
+    //       here (every file spans the whole key range); the per-file
+    //       bloom sidecars keep ~|keys| files (BloomIndexSpec asserts
+    //       kept < total and zero false negatives). Blooms bound,
+    //       never filter: the exact IN predicate still applies, and
+    //       the oracle recomputes the lookup from the raw table — a
+    //       false-negative prune loses rows and breaks the hash. -----
+    Q("q212_bloom_point_lookup",
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             |  CAST(o_custkey AS BIGINT) AS o_custkey,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+             |FROM orders
+             |WHERE o_orderkey IN (
+             |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+             |  ORDER BY o_orderkey LIMIT 5)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val root = bloomRoot(s, dir)
+        import s.implicits._
+        val keys = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .orderBy("o_orderkey").limit(5)
+          .select(col("o_orderkey").cast("long")).as[Long].collect().toSeq
+        val (hit, _, _) = readTablePoint(s, root, "orders_idx", "o_orderkey", keys)
+        hit.select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+          .orderBy("o_orderkey")
       })
   )
 }
