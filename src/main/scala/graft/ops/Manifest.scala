@@ -528,11 +528,13 @@ object Manifest {
     * and throws [[CommitConflict]] for the caller to recompute. */
   def commitReplace(s: SparkSession, root: String, table: String,
                     df: DataFrame, maxRetries: Int = 5,
-                    expectedFiles: Option[Set[String]] = None): Long = {
+                    expectedFiles: Option[Set[String]] = None,
+                    txn: Option[(String, Long)] = None): Long = {
     val hint = nextVersion(root)
     val newRows = publishData(s, root, hint, table, df)
       .map(f => (table, f, null: String))
     casCommit(s, root, { base =>
+      txnGuard(root, txn)
       expectedFiles.foreach { exp =>
         val cur =
           if (base == 0) Set.empty[String]
@@ -544,6 +546,7 @@ object Manifest {
               s"v$base, rewrite read ${exp.size}")
       }
       deltaOrFull(s, root, base, Seq(table), newRows)
+        .copy(extras = txnExtras(txn))
     }, maxRetries)
   }
 
@@ -1137,6 +1140,54 @@ object Manifest {
           .filter(lit(false)) // empty delta, schema preserved
       }
     (df, pureAppend)
+  }
+
+  /** Exactly-once incremental consumption: maintain `dstTable` (in its
+    * own manifest root) as `transform` of `srcTable`, advancing one
+    * source-log interval per call — the BATCH form of the streaming
+    * sink's ledger loop, and the missing half of [[tableChanges]]
+    * (which discovers the delta but leaves progress tracking to the
+    * caller).
+    *
+    * Progress IS the destination's txn ledger: the applied source
+    * version rides a `_txn_<appId>` marker inside the destination
+    * commit's claim, atomic with the derived rows — so a re-driven
+    * sync is a no-op (claim-time [[TxnAlreadyCommitted]]) and two
+    * racing drivers resolve to exactly one application. Append-only
+    * intervals apply as transform(added rows) appended — O(delta);
+    * an interval containing a REWRITE (compaction / DELETE / MERGE)
+    * applies as transform(full snapshot) replacing the destination
+    * table — the consumer's full-refresh contract, taken
+    * automatically instead of double-counting. `transform` must be
+    * row-local (filter/project) for the append path to be sound;
+    * aggregation consumers belong to [[Views.refreshDaily]].
+    *
+    * Returns (applied source version, destination version, pureAppend)
+    * or None when the ledger is already current. */
+  def consumeInto(s: SparkSession, srcRoot: String, srcTable: String,
+                  dstRoot: String, dstTable: String, appId: String)(
+      transform: DataFrame => DataFrame): Option[(Long, Long, Boolean)] = {
+    val from = lastCommittedTxn(dstRoot, appId).getOrElse(0L)
+    val to = snapshotVersion(srcRoot)
+    require(from <= to,
+      s"consumer ledger at v$from but source only at v$to: " +
+        "the source log was reset under the consumer — re-bootstrap")
+    if (to == from) return None
+    val (delta, pure) = tableChanges(s, srcRoot, srcTable, from, to)
+    try {
+      val dstV =
+        if (pure && from > 0)
+          commitAppend(s, dstRoot, dstTable, transform(delta),
+            txn = Some(appId -> to))
+        else // bootstrap, or an interval with a rewrite: full refresh
+          commitReplace(s, dstRoot, dstTable,
+            transform(readTable(s, srcRoot, srcTable)),
+            txn = Some(appId -> to))
+      Some((to, dstV, pure))
+    } catch {
+      // a racing driver applied this interval first: exactly-once no-op
+      case _: TxnAlreadyCommitted => None
+    }
   }
 
   // --------------------------------------------------------- schema registry
@@ -2029,6 +2080,46 @@ object Manifest {
     }
   }
 
+  /** q213's consumer root: src commit log advanced four times, a
+    * downstream projection table synced by [[consumeInto]] after
+    * commits 1, 2 (with a re-driven duplicate), and 4. Sync 2 must
+    * take the O(delta) append path, the re-drive must no-op, and the
+    * interval spanning commit 4's REWRITE (a purge replacing the
+    * table) must take the full-refresh path — all asserted at build
+    * time so the fixture can't degenerate. */
+  def consumeRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-consume/$fp-$layoutKey") { tmp =>
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutA = lit("2024-01-11 00:00:00").cast("timestamp")
+      val cutB = lit("2024-01-21 00:00:00").cast("timestamp")
+      val purgeLo = lit("2024-01-05 00:00:00").cast("timestamp")
+      val purgeHi = lit("2024-01-08 00:00:00").cast("timestamp")
+      val tr: DataFrame => DataFrame = df =>
+        df.select(col("user_id"),
+          upper(col("event_type")).as("event_type_u"), col("value"), col("ts"))
+      def sync() = consumeInto(s, src, "events_log", dst, "events_mirror",
+        "mirror-app")(tr)
+      commitAppend(s, src, "events_log", ev.filter(col("ts") < cutA))
+      require(sync().isDefined, "staging bug: bootstrap sync skipped")
+      commitAppend(s, src, "events_log",
+        ev.filter(col("ts") >= cutA && col("ts") < cutB))
+      val s2 = sync()
+      require(s2.exists(_._3), s"staging bug: append interval not pure: $s2")
+      require(sync().isEmpty, "staging bug: re-driven sync applied twice")
+      commitAppend(s, src, "events_log", ev.filter(col("ts") >= cutB))
+      // a purge REWRITE: the consumer's next interval is impure
+      commitReplace(s, src, "events_log",
+        ev.filter(!(col("ts") >= purgeLo && col("ts") < purgeHi)))
+      val s3 = sync()
+      require(s3.exists(!_._3), s"staging bug: rewrite interval read as pure: $s3")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- Atomic multi-table snapshot read: both summary tables
@@ -2455,6 +2546,32 @@ object Manifest {
           col("o_custkey").cast("long").as("o_custkey"),
           col("o_totalprice").cast("double").as("o_totalprice"))
           .orderBy("o_orderkey")
+      }),
+
+    // ----- Exactly-once incremental consumption (q213): a downstream
+    //       projection table maintained from the source commit log —
+    //       bootstrap, one O(delta) append sync, a re-driven duplicate
+    //       (no-op via the dest txn ledger), and a purge REWRITE
+    //       interval taken as a full refresh. The oracle recomputes
+    //       the post-purge transform from the raw table: a replayed
+    //       sync double-counts window B, a rewrite consumed as an
+    //       append resurrects purged rows, and a dropped transform
+    //       shows as case drift — all hash breaks. -----
+    Q("q213_incremental_consume",
+      Some("""SELECT UPPER(event_type) AS event_type_u,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val root = consumeRoot(s, dir)
+        readTable(s, s"$root/dst", "events_mirror")
+          .groupBy("event_type_u")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type_u")
       })
   )
 }
