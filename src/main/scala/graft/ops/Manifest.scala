@@ -744,9 +744,9 @@ object Manifest {
     val v = snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
     val all = manifestRows(s, root, v)
-      .collect { case (t, f, _) if t == table => f }
+      .collect { case (t, f, st) if t == table => (f, st) }
     require(all.nonEmpty, s"table $table absent from snapshot v$v")
-    val kept = all.filter { f =>
+    val kept = all.filter { case (f, _) =>
       val bp = Paths.get(root, f + ".bloom")
       !Files.exists(bp) || {
         val bloom = graft.functions.BloomAgg.deserialize(Files.readAllBytes(bp))
@@ -754,8 +754,8 @@ object Manifest {
       }
     }
     val base =
-      if (kept.nonEmpty) s.read.parquet(kept.map(f => s"$root/$f").toIndexedSeq: _*)
-      else s.read.parquet(all.map(f => s"$root/$f").toIndexedSeq: _*)
+      if (kept.nonEmpty) readResolved(s, root, kept)
+      else s.read.parquet(all.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
         .filter(lit(false)) // every bloom said no: empty, schema preserved
     (base.filter(col(keyCol).isin(keys: _*)), kept.size, all.size)
   }
@@ -1071,8 +1071,8 @@ object Manifest {
       require(all.nonEmpty, s"table $table absent from snapshot v$v")
       return (s.read.parquet(all.toIndexedSeq: _*).filter(lit(false)), 0, total)
     }
-    val files = kept.map { case (_, f, _) => s"$root/$f" }
-    (s.read.parquet(files.toIndexedSeq: _*), files.length, total)
+    (readResolved(s, root, kept.map { case (_, f, st) => (f, st) }),
+      kept.length, total)
   }
 
   /** Timestamp-window convenience over [[readTablePruned]] (q193). */
@@ -1080,18 +1080,165 @@ object Manifest {
                      lo: String, hi: String): (DataFrame, Int, Int) =
     readTablePruned(s, root, table, Seq(Pred("ts", lo, hi, "timestamp")))
 
+  // ------------------------------------------------- deletion vectors (DV)
+
+  /** A file's deletion vector, recorded in its manifest row's
+    * stats_json under the reserved `__dv` key (min = sidecar
+    * root-relative path, max = deleted-row count). Reserved keys never
+    * collide with column stats because real predicates query their own
+    * column names, and the pruner treats unknown keys as
+    * "no stats" (conservative keep). */
+  private def dvRefOf(statsJson: String): Option[(String, Long)] =
+    parseStatsJson(statsJson).get("__dv").collect {
+      case (Some(side), n) => (side, n.map(_.toLong).getOrElse(0L))
+    }
+
+  private def writeDvSidecar(root: String, rel: String, positions: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(root, rel))))
+    try positions.foreach(out.writeLong) finally out.close()
+  }
+
+  private def readDvSidecar(root: String, rel: String): Array[Long] = {
+    val bytes = Files.readAllBytes(Paths.get(root, rel))
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    Array.fill(bytes.length / 8)(in.readLong())
+  }
+
+  /** Merge stats_json with a DV reference, preserving existing column
+    * stats (sorted keys for deterministic rendering). */
+  private def statsWithDv(statsJson: String, sidecar: String, n: Long): String = {
+    val kept = parseStatsJson(statsJson).view.filterKeys(_ != "__dv").toMap
+      .map { case (c, (lo, hi)) => (c, (lo.orNull, hi.orNull)) }
+      .toSeq.sortBy(_._1)
+    statsJsonOf(kept :+ ("__dv" -> (sidecar, n.toString)))
+  }
+
+  /** Read a resolved (file, stats_json) set MERGE-ON-READ: files
+    * carrying a deletion vector anti-join their deleted ROW POSITIONS
+    * (`_metadata.row_index`, joined on a scheme-normalized file path);
+    * plain files take the untouched fast path. The positions relation
+    * is O(deleted rows) and broadcast — at production scale each DV is
+    * a roaring bitmap applied inside the scan, but the read contract
+    * is the same: no rewrite ever happened, yet deleted rows are
+    * invisible. Every manifest read path routes through here, so a DV
+    * can never resurrect through a pruned read, a compaction, or a
+    * rewrite's survivor scan. */
+  private def readResolved(s: SparkSession, root: String,
+                           rows: Seq[(String, String)]): DataFrame = {
+    val (dvRows, plain) = rows.partition { case (_, st) => dvRefOf(st).isDefined }
+    def readPaths(fs: Seq[String]): DataFrame =
+      s.read.parquet(fs.map(f => s"$root/$f").toIndexedSeq: _*)
+    if (dvRows.isEmpty) readPaths(rows.map(_._1))
+    else {
+      import s.implicits._
+      val absRoot = Paths.get(root).toAbsolutePath.normalize()
+      val positions = dvRows.flatMap { case (f, st) =>
+        val (side, _) = dvRefOf(st).get
+        val abs = absRoot.resolve(f).normalize().toString
+        readDvSidecar(root, side).map(p => (abs, p))
+      }
+      val posDf = positions.toDF("_p", "_ri")
+      val masked = readPaths(dvRows.map(_._1))
+        .withColumn("_p",
+          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+        .withColumn("_ri", col("_metadata.row_index"))
+        .join(broadcast(posDf), Seq("_p", "_ri"), "left_anti")
+        .drop("_p", "_ri")
+      if (plain.isEmpty) masked
+      else masked.unionByName(readPaths(plain.map(_._1)))
+    }
+  }
+
+  /** DELETE as deletion vectors — merge-on-read, the O(matched rows)
+    * alternative to [[commitDeleteWhere]]'s copy-on-write rewrite
+    * (Delta DVs / Iceberg v3 position deletes). No data file is
+    * rewritten: matching ROW POSITIONS are recorded in one sidecar per
+    * touched file, and the commit is a DELTA that re-adds the same
+    * file paths with a `__dv` stats entry — so the write cost is
+    * O(matched) positions + O(touched) metadata, while a heavy
+    * rewrite is deferred to the next compaction (which reads
+    * merge-on-read and therefore purges the DVs). A second delete on
+    * the same file merges positions into a fresh sidecar (old ones
+    * become garbage for [[vacuum]]). NULL predicates KEEP the row
+    * (SQL DELETE semantics); the pre-delete version time-travels.
+    * Claim-time validation + whole-recompute retry, as in
+    * [[commitDeleteWhere]]. */
+  def commitDeleteVectors(s: SparkSession, root: String, table: String,
+                          deleteFilter: org.apache.spark.sql.Column,
+                          maxRetries: Int = 5): Long = {
+    var tries = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val cur = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      require(cur.nonEmpty, s"table $table absent from snapshot v$base")
+      val expected = cur.map(_._1).toSet
+      val absRoot = Paths.get(root).toAbsolutePath.normalize()
+      // positions of matching rows, per physical file — a RAW scan of
+      // the current files (already-deleted positions may re-match; the
+      // union below makes that idempotent)
+      val hits = s.read
+        .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+        .filter(coalesce(deleteFilter, lit(false)))
+        .select(
+          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
+            .as("_p"),
+          col("_metadata.row_index").as("_ri"))
+        .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+        .collect() // one row per touched file: O(matched) positions
+      if (hits.isEmpty) return base // nothing matches: no-op
+      val perFile = hits.map { r =>
+        val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
+          .toString.replace('\\', '/')
+        rel -> r.getSeq[Long](1).toArray
+      }.toMap
+      val touched = cur.filter { case (f, _) => perFile.contains(f) }
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val newRows = touched.map { case (f, st) =>
+        val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
+          .getOrElse(Array.empty[Long])
+        val merged = (old ++ perFile(f)).distinct.sorted
+        val side = s"$f.dv-$token"
+        writeDvSidecar(root, side, merged)
+        (table, f, statsWithDv(st, side, merged.length.toLong))
+      }
+      val removes = touched.map { case (f, _) => (table, f) }
+      try {
+        return casCommit(s, root, { b =>
+          val now = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (now != expected)
+            throw new CommitConflict(
+              s"$table changed under the DV delete (computed at v$base, claiming at v$b)")
+          deltaOrFull(s, root, b, Nil, newRows, removes)
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries)
+            throw new IllegalStateException(
+              s"commitDeleteVectors: $table kept changing under the delete " +
+                s"($maxRetries attempts) at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
   // ----------------------------------------------------------------- readers
 
   /** Read `table` at `version` (default: the committed pointer) through
-    * its manifest — explicit file paths, never a directory listing. */
+    * its manifest — explicit file paths, never a directory listing;
+    * merge-on-read when any file carries a deletion vector. */
   def readTable(s: SparkSession, root: String, table: String,
                 version: Long = -1L): DataFrame = {
     val v = if (version > 0) version else snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
-    val files = manifestRows(s, root, v) // metadata-sized
-      .collect { case (t, f, _) if t == table => s"$root/$f" }
-    require(files.nonEmpty, s"table $table absent from snapshot v$v")
-    s.read.parquet(files.toIndexedSeq: _*)
+    val rows = manifestRows(s, root, v) // metadata-sized
+      .collect { case (t, f, st) if t == table => (f, st) }
+    require(rows.nonEmpty, s"table $table absent from snapshot v$v")
+    readResolved(s, root, rows)
   }
 
   /** Incremental consumption (Delta CDF-lite at FILE granularity): the
@@ -1116,14 +1263,20 @@ object Manifest {
     val to = if (toVersion > 0) toVersion else snapshotVersion(root)
     require(fromVersion >= 0 && fromVersion <= to,
       s"tableChanges: bad interval ($fromVersion, $to]")
-    val before =
-      if (fromVersion == 0) Set.empty[String]
+    val beforeRows =
+      if (fromVersion == 0) Seq.empty[(String, String)]
       else manifestRows(s, root, fromVersion)
-        .collect { case (t, f, _) if t == table => f }.toSet
-    val after = manifestRows(s, root, to)
-      .collect { case (t, f, _) if t == table => f }
-    val added = after.filterNot(before)
-    val pureAppend = before.subsetOf(after.toSet)
+        .collect { case (t, f, st) if t == table => (f, st) }
+    val afterRows = manifestRows(s, root, to)
+      .collect { case (t, f, st) if t == table => (f, st) }
+    val beforePaths = beforeRows.map(_._1).toSet
+    val after = afterRows.map(_._1)
+    val added = after.filterNot(beforePaths)
+    // purity compares (file, stats) PAIRS, not paths: a deletion-vector
+    // commit re-adds the same path with a changed `__dv` entry, and a
+    // consumer that read the interval as pure-append would keep rows
+    // the DV deleted — pair drift forces the full-refresh contract
+    val pureAppend = beforeRows.toSet.subsetOf(afterRows.toSet)
     // pin the REGISTERED schema when the table evolved: an interval
     // spanning an evolving append mixes old- and new-schema files, and
     // plain inference from one footer would drop (or nondeterministically
@@ -1297,9 +1450,15 @@ object Manifest {
     val v = snapshotVersion(root)
     val schema = registeredSchema(s, root, table).getOrElse(
       throw new IllegalStateException(s"no registered schema for $table at v$v"))
-    val files = manifestRows(s, root, v)
-      .collect { case (t, f, _) if t == table => s"$root/$f" }
-    s.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    val rows = manifestRows(s, root, v)
+      .collect { case (t, f, st) if t == table => (f, st) }
+    // the pinned-schema read below is a plain file scan: refuse DV'd
+    // files rather than resurrect their deleted rows (compact first)
+    require(!rows.exists(r => dvRefOf(r._2).isDefined),
+      s"table $table@v$v carries deletion vectors: compact before an " +
+        "evolved-schema read")
+    s.read.schema(schema)
+      .parquet(rows.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
   }
 
   // ------------------------------------------------------------- maintenance
@@ -1321,13 +1480,13 @@ object Manifest {
     while (true) {
       val base = latestReadableClaim(root)
       require(base > 0, s"no committed snapshot at $root")
-      val files = manifestRows(s, root, base)
-        .collect { case (t, f, _) if t == table => f }
+      val rows = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      val files = rows.map(_._1)
       val bytes = files.map(f => Files.size(Paths.get(root, f))).sum
       val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val compacted = s.read
-        .parquet(files.map(f => s"$root/$f").toIndexedSeq: _*)
-        .repartition(bins)
+      // merge-on-read: compaction purges deletion vectors naturally
+      val compacted = readResolved(s, root, rows).repartition(bins)
       try {
         return commitReplace(s, root, table, compacted, maxRetries,
           expectedFiles = Some(files.toSet))
@@ -1375,9 +1534,9 @@ object Manifest {
       // is TRUE — a NULL predicate (null in the filter column) must
       // KEEP the row, so negate coalesce(pred, false), not the bare
       // predicate (!NULL = NULL would silently delete those rows)
-      val survivors = s.read
-        .parquet(affected.map { case (_, f, _) => s"$root/$f" }.toIndexedSeq: _*)
-        .filter(!coalesce(deleteFilter, lit(false)))
+      val survivors =
+        readResolved(s, root, affected.map { case (_, f, st) => (f, st) })
+          .filter(!coalesce(deleteFilter, lit(false)))
       val hint = nextVersion(root)
       val relFiles = publishData(s, root, hint, table, survivors)
       val newRows = statsRowsFor(s, root, table, relFiles, preds.map(_.column))
@@ -1467,8 +1626,7 @@ object Manifest {
       val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
       val survivors =
         if (affected.isEmpty) updates
-        else s.read
-          .parquet(affected.map { case (_, f, _) => s"$root/$f" }.toIndexedSeq: _*)
+        else readResolved(s, root, affected.map { case (_, f, st) => (f, st) })
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates)
       val hint = nextVersion(root)
@@ -1536,7 +1694,12 @@ object Manifest {
     val history = mainline.filterNot(droppedWap)
     require(history.nonEmpty, s"no committed snapshot at $root")
     val retained = history.takeRight(keep) ++ openWap
-    val live = retained.flatMap(manifestRows(s, root, _)).map(_._2).toSet
+    val retainedRows = retained.flatMap(manifestRows(s, root, _))
+    val live = retainedRows.map(_._2).toSet
+    // deletion-vector sidecars are live while any retained manifest row
+    // references them; superseded DVs (a later delete merged them into
+    // a fresh sidecar) fall dead by the same rule
+    val liveDv = retainedRows.flatMap(r => dvRefOf(r._3).map(_._1)).toSet
     val dataRoot = Paths.get(root, "data")
     // In-flight-commit guard: a concurrent writer publishes data files
     // BEFORE claiming its manifest, and those files are referenced
@@ -1553,18 +1716,25 @@ object Manifest {
     if (Files.isDirectory(dataRoot)) {
       // materialize BEFORE deleting: removing a sidecar under a live
       // Files.walk iterator throws NoSuchFile from the tree traversal
+      val deadDv = (p: Path) => {
+        val rel = Paths.get(root).relativize(p).toString.replace('\\', '/')
+        !liveDv.contains(rel) &&
+          (graceMs <= 0L || Files.getLastModifiedTime(p).toMillis < cutoffMs)
+      }
       val walk = Files.walk(dataRoot)
-      val doomedFiles =
-        try walk.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet") && dead(p))
-          .toList
-        finally walk.close()
+      val (doomedFiles, doomedDvs) =
+        try {
+          val all = walk.iterator().asScala.toList
+          (all.filter(p => p.getFileName.toString.endsWith(".parquet") && dead(p)),
+            all.filter(p => p.getFileName.toString.contains(".dv-") && deadDv(p)))
+        } finally walk.close()
       doomedFiles.foreach { p =>
         Files.delete(p); removed += 1
         // a bloom sidecar lives and dies with its data file
         val _ = Files.deleteIfExists(
           p.resolveSibling(p.getFileName.toString + ".bloom"))
       }
+      doomedDvs.foreach(p => Files.deleteIfExists(p))
     }
     // a retained DELTA still resolves through its chain: its ancestors
     // must survive the manifest sweep even when they sit below the
@@ -2120,6 +2290,32 @@ object Manifest {
     }
   }
 
+  /** q214's deletion-vector root: `events` committed as 8 ts-ranged
+    * files, then a two-day window deleted as deletion vectors — the
+    * builder asserts the data FILE SET is unchanged (no rewrite
+    * happened) and that DV sidecars exist, so the fixture can't
+    * silently degenerate into a copy-on-write delete. */
+  def dvRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-dv/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      commitAppendRanged(s, tmp, "events_log", ev, "ts", 8)
+      val before = manifestRows(s, tmp, snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      commitDeleteVectors(s, tmp, "events_log",
+        col("ts") >= lit("2024-01-12 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-14 00:00:00").cast("timestamp"))
+      val afterRows = manifestRows(s, tmp, snapshotVersion(tmp))
+      val after = afterRows.collect { case (_, f, _) => f }.toSet
+      require(after == before,
+        "staging bug: DV delete rewrote the file set")
+      require(afterRows.exists(r => r._3 != null && r._3.contains("__dv")),
+        "staging bug: no deletion vector recorded")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- Atomic multi-table snapshot read: both summary tables
@@ -2572,6 +2768,32 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type_u")
+      }),
+
+    // ----- Merge-on-read DELETE via deletion vectors (q214): a
+    //       two-day purge recorded as per-file row-position sidecars —
+    //       no data file rewritten (the builder asserts the file set
+    //       is unchanged), deleted rows invisible to every read path.
+    //       The oracle recomputes the post-purge aggregate from the
+    //       raw table: a DV that leaks rows over-counts, one that
+    //       over-deletes under-counts, and a read path that bypasses
+    //       the DV (pruned scan, compaction, rewrite) resurrects the
+    //       window — all hash breaks. DeletionVectorSpec pins the
+    //       mechanics. -----
+    Q("q214_deletion_vectors",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-14 00:00:00')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = dvRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
       })
   )
 }

@@ -219,10 +219,17 @@ object ManifestFileIndex {
     Manifest.manifestRows(spark, root, v)
       .collect { case (t, f, st) if t == table => (s"$root/$f", st) }
       .map { case (p, st) =>
+        val stats = Manifest.parseStatsJson(st)
+        // The plain-file scan below cannot apply merge-on-read deletes;
+        // serving a DV'd file here would RESURRECT deleted rows through
+        // the SQL surface — refuse loudly (compact first, or read via
+        // Manifest.readTable, which is DV-aware)
+        require(!stats.contains("__dv"),
+          s"table $table@v$v carries deletion vectors: not readable through " +
+            "the SQL FileIndex — compact the table or use Manifest.readTable")
         val np = Paths.get(p)
         ManifestSql.Entry(p, Files.size(np),
-          Files.getLastModifiedTime(np).toMillis,
-          Manifest.parseStatsJson(st))
+          Files.getLastModifiedTime(np).toMillis, stats)
       }
 }
 

@@ -1,0 +1,141 @@
+package graft
+
+import graft.ops.Manifest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Merge-on-read DELETE via deletion vectors (q214): matching row
+  * positions land in sidecars instead of rewriting files; every read
+  * path applies them; compaction purges them; the change feed flags
+  * them impure; vacuum collects superseded sidecars.
+  */
+class DeletionVectorSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-dv-spec").toString
+
+  private def kv(rows: (Long, java.lang.Double)*): DataFrame =
+    rows.toDF("k", "v")
+
+  private def keysOf(df: DataFrame): Set[Long] =
+    df.select("k").as[Long].collect().toSet
+
+  private def dataFiles(root: String): Map[String, Long] = {
+    val w = Files.walk(Paths.get(root, "data"))
+    try w.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.size(p)).toMap
+    finally w.close()
+  }
+
+  test("DV delete hides rows without rewriting; NULL predicate keeps") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      kv(1L -> 1.0, 2L -> 2.0, 3L -> null, 4L -> 4.0).repartition(2, col("k")))
+    val before = dataFiles(root)
+    Manifest.commitDeleteVectors(spark, root, "t", col("v") >= 2.0)
+    assert(dataFiles(root) == before, "DV delete must not touch data files")
+    // v=2.0 and v=4.0 deleted; v=null KEPT (SQL DELETE semantics)
+    assert(keysOf(Manifest.readTable(spark, root, "t")) == Set(1L, 3L))
+  }
+
+  test("a second DV delete on the same files composes") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0).coalesce(1))
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 4L)
+    assert(keysOf(Manifest.readTable(spark, root, "t")) == Set(1L, 3L))
+  }
+
+  test("the pre-delete version time-travels with all rows") {
+    val root = freshRoot()
+    val v1 = Manifest.commitAppend(spark, root, "t", kv(1L -> 1.0, 2L -> 2.0))
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    assert(keysOf(Manifest.readTable(spark, root, "t", v1)) == Set(1L, 2L))
+    assert(keysOf(Manifest.readTable(spark, root, "t")) == Set(1L))
+  }
+
+  test("compaction purges DVs; vacuum then collects the sidecars") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v").repartition(4, col("k")))
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") % 2 === 0)
+    Manifest.compactTable(spark, root, "t", targetBytes = 1L << 20)
+    val got = keysOf(Manifest.readTable(spark, root, "t"))
+    assert(got == (1L to 40L).filter(_ % 2 == 1).toSet)
+    // rewritten files carry no DV reference
+    val rows = Manifest.manifestRows(spark, root, Manifest.snapshotVersion(root))
+    assert(!rows.exists(r => r._3 != null && r._3.contains("__dv")))
+    val _ = Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    val w = Files.walk(Paths.get(root, "data"))
+    val dvLeft =
+      try w.iterator().asScala.count(_.getFileName.toString.contains(".dv-"))
+      finally w.close()
+    assert(dvLeft == 0, "superseded DV sidecars must be collected")
+  }
+
+  test("live DV sidecars survive vacuum") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t", kv(1L -> 1.0, 2L -> 2.0).coalesce(1))
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    val _ = Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(keysOf(Manifest.readTable(spark, root, "t")) == Set(1L))
+  }
+
+  test("the change feed flags a DV interval impure; consumers refresh") {
+    val root = freshRoot()
+    val t = Files.createTempDirectory("graft-dv-consume").toString
+    Manifest.commitAppend(spark, root, "t", kv(1L -> 1.0, 2L -> 2.0).coalesce(1))
+    val synced = Manifest.consumeInto(spark, root, "t", t, "m", "app")(identity)
+    assert(synced.isDefined)
+    val v1 = Manifest.snapshotVersion(root)
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    val (_, pure) = Manifest.tableChanges(spark, root, "t", v1)
+    assert(!pure, "a DV commit must not read as pure append")
+    val s2 = Manifest.consumeInto(spark, root, "t", t, "m", "app")(identity)
+    assert(s2.exists(!_._3))
+    assert(keysOf(Manifest.readTable(spark, t, "m")) == Set(1L))
+  }
+
+  test("MERGE on a DV'd table does not resurrect deleted rows") {
+    val root = freshRoot()
+    Manifest.commitAppendStats(spark, root, "t",
+      kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), Seq("k"), "k", 1)
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    Manifest.commitMergeUpsert(spark, root, "t",
+      kv(3L -> 30.0, 9L -> 9.0), "k")
+    val got = Manifest.readTable(spark, root, "t")
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 3L -> 30.0, 9L -> 9.0))
+  }
+
+  test("the SQL FileIndex refuses a DV'd table instead of resurrecting") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t", kv(1L -> 1.0, 2L -> 2.0).coalesce(1))
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    intercept[IllegalArgumentException] {
+      graft.sources.ManifestSql.tableDF(spark, root, "t")._1.count()
+    }
+    // after compaction the DVs are gone and the SQL surface works again
+    Manifest.compactTable(spark, root, "t", targetBytes = 1L << 20)
+    assert(keysOf(graft.sources.ManifestSql.tableDF(spark, root, "t")._1) == Set(1L))
+  }
+
+  test("q214 staged root matches a copy-on-write recompute") {
+    val sfDir = "/root/testdata/sf0.001"
+    val root = Manifest.dvRoot(spark, sfDir)
+    val got = Manifest.readTable(spark, root, "events_log").count()
+    val raw = Tables.load(spark, sfDir, "events")
+    val expected = raw.filter(
+      !(col("ts") >= lit("2024-01-12 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-14 00:00:00").cast("timestamp"))).count()
+    assert(got == expected)
+    assert(got < raw.count(), "fixture purge window must be non-empty")
+  }
+}
