@@ -1226,6 +1226,107 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** UPDATE as deletion vectors — merge-on-read, the O(matched rows)
+    * alternative to [[commitUpdateWhere]]'s copy-on-write rewrite: the
+    * matched rows' OLD positions land in DV sidecars (no data file
+    * rewritten) and their NEW images — `sets` applied against the old
+    * row, one projection, SQL UPDATE semantics — are appended as
+    * fresh files, both in ONE atomic delta commit. Write cost is
+    * O(matched) rows + O(touched) metadata; the heavy rewrite is
+    * deferred to the next compaction, which purges the DVs. The match
+    * scan applies EXISTING deletion vectors first, so an
+    * already-deleted row can never be resurrected as an updated copy.
+    * NULL predicates keep rows untouched; the pre-update version
+    * time-travels; claim-time validation + whole-recompute retry as
+    * in [[commitDeleteVectors]]. */
+  def commitUpdateVectors(s: SparkSession, root: String, table: String,
+                          updateFilter: org.apache.spark.sql.Column,
+                          sets: Map[String, org.apache.spark.sql.Column],
+                          maxRetries: Int = 5): Long = {
+    require(sets.nonEmpty, "commitUpdateVectors: empty SET list")
+    var tries = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val cur = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      require(cur.nonEmpty, s"table $table absent from snapshot v$base")
+      val expected = cur.map(_._1).toSet
+      val absRoot = Paths.get(root).toAbsolutePath.normalize()
+      import s.implicits._
+      // raw scan with positions, then EXISTING DVs applied by hand (the
+      // plain masked read drops the position columns): deleted rows
+      // must neither re-match nor resurrect as updated copies
+      val raw = s.read
+        .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+        .withColumn("_p",
+          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+        .withColumn("_ri", col("_metadata.row_index"))
+      val existingPos = cur.flatMap { case (f, st) =>
+        dvRefOf(st).toSeq.flatMap { case (side, _) =>
+          val abs = absRoot.resolve(f).normalize().toString
+          readDvSidecar(root, side).map(p => (abs, p))
+        }
+      }
+      val masked =
+        if (existingPos.isEmpty) raw
+        else raw.join(broadcast(existingPos.toDF("_p", "_ri")),
+          Seq("_p", "_ri"), "left_anti")
+      val hits = masked.filter(coalesce(updateFilter, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val posRows = hits.select(col("_p"), col("_ri"))
+          .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+          .collect() // one row per touched file: O(matched) positions
+        if (posRows.isEmpty) return base // nothing matches: no-op
+        val perFile = posRows.map { r =>
+          val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
+            .toString.replace('\\', '/')
+          rel -> r.getSeq[Long](1).toArray
+        }.toMap
+        val touched = cur.filter { case (f, _) => perFile.contains(f) }
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val dvRows = touched.map { case (f, st) =>
+          val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
+            .getOrElse(Array.empty[Long])
+          val merged = (old ++ perFile(f)).distinct.sorted
+          val side = s"$f.dv-$token"
+          writeDvSidecar(root, side, merged)
+          (table, f, statsWithDv(st, side, merged.length.toLong))
+        }
+        // new images: every set expression sees the OLD row (one SELECT)
+        val dataCols = hits.columns.filterNot(c => c == "_p" || c == "_ri")
+        val updated = hits.select(dataCols.toIndexedSeq.map { c =>
+          sets.get(c).map(_.cast(hits.schema(c).dataType).as(c)).getOrElse(col(c))
+        }: _*)
+        val unknown = sets.keySet.diff(dataCols.toSet)
+        require(unknown.isEmpty, s"commitUpdateVectors: SET of unknown columns $unknown")
+        val hint = nextVersion(root)
+        val relFiles = publishData(s, root, hint, table, updated)
+        val addRows = statsRowsFor(s, root, table, relFiles, Seq.empty)
+        val removes = touched.map { case (f, _) => (table, f) }
+        try {
+          return casCommit(s, root, { b =>
+            val now = manifestRows(s, root, b)
+              .collect { case (t, f, _) if t == table => f }.toSet
+            if (now != expected)
+              throw new CommitConflict(
+                s"$table changed under the DV update (computed at v$base, claiming at v$b)")
+            deltaOrFull(s, root, b, Nil, dvRows ++ addRows, removes)
+          }, maxRetries)
+        } catch {
+          case _: CommitConflict =>
+            tries += 1
+            if (tries >= maxRetries)
+              throw new IllegalStateException(
+                s"commitUpdateVectors: $table kept changing under the update " +
+                  s"($maxRetries attempts) at $root")
+        }
+      } finally hits.unpersist()
+    }
+    -1L // unreachable
+  }
+
   // ----------------------------------------------------------------- readers
 
   /** Read `table` at `version` (default: the committed pointer) through
@@ -1562,6 +1663,68 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** Stats-pruned UPDATE through the commit log: rewrite ONLY the
+    * files whose recorded stats overlap `preds` (the bound on where
+    * matches can live), applying `sets` to rows where `updateFilter`
+    * is TRUE and carrying every other row of those files unchanged;
+    * untouched files are inherited by reference — O(affected) data
+    * I/O and O(affected) delta metadata, the UPDATE twin of
+    * [[commitDeleteWhere]]. SQL UPDATE semantics throughout: a NULL
+    * predicate keeps the original values, and ALL set expressions
+    * evaluate against the OLD row (one projection — `SET a = b,
+    * b = a` swaps, it does not chain). The pre-update version
+    * time-travels until vacuumed; claim-time validation over the
+    * full-table read set + whole-rewrite retry, as in
+    * [[commitDeleteWhere]] (a concurrent append could land matching
+    * rows in a file the bound would have selected). */
+  def commitUpdateWhere(s: SparkSession, root: String, table: String,
+                        preds: Seq[Pred],
+                        updateFilter: org.apache.spark.sql.Column,
+                        sets: Map[String, org.apache.spark.sql.Column],
+                        maxRetries: Int = 5): Long = {
+    require(sets.nonEmpty, "commitUpdateWhere: empty SET list")
+    var tries = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val expected = manifestRows(s, root, base)
+        .collect { case (t, f, _) if t == table => f }.toSet
+      val (affected, _) = overlappingRows(s, root, table, preds, base)
+      if (affected.isEmpty) return base // no file can hold a match: no-op
+      val current = readResolved(s, root, affected.map { case (_, f, st) => (f, st) })
+      val unknown = sets.keySet.diff(current.columns.toSet)
+      require(unknown.isEmpty, s"commitUpdateWhere: SET of unknown columns $unknown")
+      val hit = coalesce(updateFilter, lit(false))
+      // one SELECT so every set expression sees the pre-update row
+      val rewritten = current.select(current.columns.toIndexedSeq.map { c =>
+        sets.get(c).map(e => when(hit, e).otherwise(col(c)).cast(
+          current.schema(c).dataType).as(c)).getOrElse(col(c))
+      }: _*)
+      val hint = nextVersion(root)
+      val relFiles = publishData(s, root, hint, table, rewritten)
+      val newRows = statsRowsFor(s, root, table, relFiles, preds.map(_.column))
+      val removes = affected.map { case (t, f, _) => (t, f) }
+      try {
+        return casCommit(s, root, { b =>
+          val cur = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (cur != expected)
+            throw new CommitConflict(
+              s"$table changed under the update (computed at v$base, claiming at v$b)")
+          deltaOrFull(s, root, b, Nil, newRows, removes)
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries)
+            throw new IllegalStateException(
+              s"commitUpdateWhere: $table kept changing under the rewrite " +
+                s"($maxRetries attempts) at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** MERGE upsert through the commit log: rows of `updates` REPLACE
     * same-key rows and INSERT new keys, in ONE atomic delta commit.
     * The updates' [min, max] of `keyCol` bounds the affected file set
@@ -1835,6 +1998,17 @@ object Manifest {
     var bytes = 0L
     val files = rows.map(_._2).distinct
     files.foreach(rel => bytes += copyVerified(root, destRoot, rel))
+    // deletion-vector sidecars are referenced from stats_json (`__dv`),
+    // not as manifest rows — a merge-on-read snapshot is UNREADABLE
+    // without them (the masked read opens the sidecar), so they ship
+    // with the files they mask. Bloom sidecars ride along when present:
+    // a missing bloom is only a conservative keep at the destination,
+    // but re-deriving it would cost a data pass the copy avoids.
+    val dvSidecars = rows.flatMap(r => dvRefOf(r._3).map(_._1)).distinct
+    dvSidecars.foreach(rel => bytes += copyVerified(root, destRoot, rel))
+    val bloomSidecars = files.map(_ + ".bloom")
+      .filter(rel => Files.exists(Paths.get(root, rel)))
+    bloomSidecars.foreach(rel => bytes += copyVerified(root, destRoot, rel))
     // the destination's v1 is always a FULL manifest — the export is
     // self-contained no matter how deep the source's delta chain was —
     // and it carries the tables' current schema registrations plus the
@@ -1899,14 +2073,39 @@ object Manifest {
               s"replica's last applied snapshot) — re-bootstrap to a fresh root")
         val before = manifestRows(s, root, last)
         val after = manifestRows(s, root, srcV)
-        val beforeSet = before.map(r => (r._1, r._2)).toSet
-        val afterSet = after.map(r => (r._1, r._2)).toSet
-        val added = after.filterNot(r => beforeSet((r._1, r._2)))
+        val beforeTriples = before.toSet
+        val beforePairs = before.map(r => (r._1, r._2)).toSet
+        val afterPairs = after.map(r => (r._1, r._2)).toSet
+        // diff on full (table, file, stats) TRIPLES, not (table, file)
+        // pairs: a deletion-vector commit re-adds the SAME path with a
+        // changed `__dv` stats entry, and a pair-based diff would skip
+        // it entirely — the mirror would silently keep rows the source
+        // deleted, the exact divergence this sync exists to prevent.
+        val changed = after.filterNot(beforeTriples)
         val removed = before.collect {
-          case (t, f, _) if !afterSet((t, f)) => (t, f) }
+          case (t, f, _) if !afterPairs((t, f)) => (t, f) }
+        // a stats-only change REPLACES its manifest row at the
+        // destination: remove the stale row, re-add the fresh one (the
+        // same remove+re-add shape commitDeleteVectors itself writes)
+        val readds = changed.collect {
+          case (t, f, _) if beforePairs((t, f)) => (t, f) }
         var bytes = 0L
-        added.foreach { case (_, rel, _) =>
-          bytes += copyVerified(root, destRoot, rel) }
+        var copied = 0
+        def ship(rel: String): Unit = {
+          bytes += copyVerified(root, destRoot, rel); copied += 1 }
+        changed.foreach { case (t, rel, st) =>
+          if (!beforePairs((t, rel))) {
+            ship(rel)
+            // bloom sidecars ride along when present (missing bloom =
+            // conservative keep at the replica — opportunistic copy)
+            if (Files.exists(Paths.get(root, rel + ".bloom")))
+              ship(rel + ".bloom")
+          }
+          // the DV sidecar this row's masked read will open; sidecar
+          // names are token-unique, so existence means already shipped
+          dvRefOf(st).foreach { case (side, _) =>
+            if (!Files.exists(Paths.get(destRoot, side))) ship(side) }
+        }
         val schemaExtras = after.map(_._1).distinct.sorted.flatMap { t =>
           registeredSchema(s, root, t, srcV).map(sch =>
             schemaMarker(t) -> sch.json.getBytes("UTF-8"))
@@ -1917,15 +2116,17 @@ object Manifest {
         val srcLedger = txnLedgerExtras(root, exclude = txnMarker(appId))
         casCommit(s, destRoot, { base =>
           txnGuard(destRoot, Some(appId -> srcV))
-          val destNow = manifestRows(s, destRoot, base).map(r => (r._1, r._2)).toSet
-          if (destNow != beforeSet)
+          // triple compare: an out-of-band DV write on the replica
+          // changes stats only — pairs would miss it
+          val destNow = manifestRows(s, destRoot, base).toSet
+          if (destNow != beforeTriples)
             throw new CommitConflict(
               s"replicateSnapshot: $destRoot diverged from the source snapshot " +
                 s"it last applied (v$last) — out-of-band writes on a replica")
-          deltaOrFull(s, destRoot, base, Nil, added, removed)
+          deltaOrFull(s, destRoot, base, Nil, changed, removed ++ readds)
             .copy(extras = schemaExtras ++ srcLedger ++ txnExtras(Some(appId -> srcV)))
         }, maxRetries)
-        (added.size, bytes)
+        (copied, bytes)
     }
   }
 
@@ -2313,6 +2514,61 @@ object Manifest {
         "staging bug: DV delete rewrote the file set")
       require(afterRows.exists(r => r._3 != null && r._3.contains("__dv")),
         "staging bug: no deletion vector recorded")
+    }
+  }
+
+  /** q215's update-where root: the q202 shape (16 ts-ranged files with
+    * stats), then one stats-pruned UPDATE doubling `value` inside the
+    * [Jan 10, Jan 13) window — only overlapping files rewritten; the
+    * builder asserts untouched files are inherited by reference. */
+  def updateWhereRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-update/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+      val before = manifestRows(s, tmp, snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      val _ = commitUpdateWhere(s, tmp, "events_log",
+        Seq(Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp")),
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"),
+        Map("value" -> (col("value") * 2)))
+      val after = manifestRows(s, tmp, snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      require((before intersect after).nonEmpty && before != after,
+        "staging bug: update rewrote everything (or nothing)")
+    }
+  }
+
+  /** q216's merge-on-read update root: 8 ts-ranged files, a two-day
+    * DV delete, then a DV UPDATE negating user 3's `value` — old
+    * images masked by sidecar, new images appended, the original file
+    * set intact (the builder asserts no rewrite happened and that the
+    * update did not resurrect the deleted window). */
+  def dvUpdateRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-dvupd/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      commitAppendRanged(s, tmp, "events_log", ev, "ts", 8)
+      val original = manifestRows(s, tmp, snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      commitDeleteVectors(s, tmp, "events_log",
+        col("ts") >= lit("2024-01-12 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-14 00:00:00").cast("timestamp"))
+      commitUpdateVectors(s, tmp, "events_log",
+        col("user_id") === 3L, Map("value" -> -col("value")))
+      val after = manifestRows(s, tmp, snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      require(original.subsetOf(after) && after.size > original.size,
+        "staging bug: DV update rewrote original files or appended nothing")
     }
   }
 
@@ -2789,6 +3045,56 @@ object Manifest {
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => {
         val root = dvRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
+      }),
+
+    // ----- Stats-pruned UPDATE (q215): `value` doubled inside a
+    //       three-day window by rewriting ONLY the files whose stats
+    //       overlap it (untouched files inherited by reference — the
+    //       staging asserts it). The oracle recomputes with CASE WHEN
+    //       from the raw table: updating too wide (over-prune), too
+    //       narrow (missed file), or resurrecting pre-update images
+    //       all break the hash. ManifestSpec pins NULL-predicate
+    //       keeps, old-row SET evaluation, and time travel. -----
+    Q("q215_manifest_update_where",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
+             |    THEN CAST(value AS DECIMAL(18,4)) * 2
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS total_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = updateWhereRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
+      }),
+
+    // ----- Merge-on-read UPDATE via deletion vectors (q216): user
+    //       3's `value` negated WITHOUT rewriting any original file —
+    //       old images masked by position sidecars, new images
+    //       appended, one atomic commit — after a DV delete already
+    //       masked a two-day window. The oracle recomputes both
+    //       effects from the raw table: an update that resurrects
+    //       deleted rows, double-counts (old image leaks beside the
+    //       new), or misses the append breaks the hash. -----
+    Q("q216_manifest_update_vectors",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN user_id = 3
+             |    THEN -CAST(value AS DECIMAL(18,4))
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-14 00:00:00')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = dvUpdateRoot(s, dir)
         readTable(s, root, "events_log")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),

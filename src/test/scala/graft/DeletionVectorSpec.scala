@@ -127,6 +127,75 @@ class DeletionVectorSpec extends SparkSuite {
     assert(keysOf(graft.sources.ManifestSql.tableDF(spark, root, "t")._1) == Set(1L))
   }
 
+  test("DV update: no rewrite, old image masked, new image appended") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      kv(1L -> 1.0, 2L -> 2.0, 3L -> null, 4L -> 4.0).repartition(2, col("k")))
+    val before = dataFiles(root)
+    val v1 = Manifest.snapshotVersion(root)
+    Manifest.commitUpdateVectors(spark, root, "t",
+      col("v") >= 2.0, Map("v" -> (col("v") * 10)))
+    // original files untouched; new image files appended
+    val after = dataFiles(root)
+    assert(before.forall { case (p, n) => after.get(p).contains(n) },
+      "DV update must not touch original data files")
+    assert(after.size > before.size, "updated images must land as new files")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // k=2,4 matched (×10); k=1 not matched; k=3 NULL predicate kept
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(20.0),
+      3L -> None, 4L -> Some(40.0)))
+    // pre-update version time-travels with original values
+    assert(Manifest.readTable(spark, root, "t", v1)
+      .filter(col("v") === 2.0).count() == 1L)
+  }
+
+  test("DV update after DV delete cannot resurrect deleted rows") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0).coalesce(1))
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    // k=2 is deleted AND would match the update predicate: it must
+    // stay invisible, not come back as an updated copy
+    Manifest.commitUpdateVectors(spark, root, "t",
+      col("v") >= 2.0, Map("v" -> (col("v") + 100)))
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 1.0, 3L -> 103.0, 4L -> 104.0))
+    // compaction purges both the delete and update vectors
+    Manifest.compactTable(spark, root, "t", targetBytes = 1L << 20)
+    val compacted = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(compacted == got)
+    val rows = Manifest.manifestRows(spark, root, Manifest.snapshotVersion(root))
+    assert(!rows.exists(r => r._3 != null && r._3.contains("__dv")))
+  }
+
+  test("DV commits replicate: sidecars ship, stats-only changes mirror") {
+    val tmp = Files.createTempDirectory("graft-dv-replica-spec")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val exp = s"$tmp/exp"
+    Manifest.commitAppend(spark, src, "t",
+      kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0).repartition(2, col("k")))
+    Manifest.replicateSnapshot(spark, src, dst) // bootstrap
+    // a DV delete re-adds the SAME paths with changed stats — the sync
+    // must mirror it (pair-based diffs would silently skip the commit)
+    Manifest.commitDeleteVectors(spark, src, "t", col("k") === 2L)
+    val (copied, bytes) = Manifest.replicateSnapshot(spark, src, dst)
+    assert(copied >= 1 && bytes > 0L, "the DV sidecar must ship")
+    assert(keysOf(Manifest.readTable(spark, dst, "t")) == Set(1L, 3L, 4L))
+    // re-driven sync: ledger no-op
+    assert(Manifest.replicateSnapshot(spark, src, dst) == ((0, 0L)))
+    // a second DV delete merges positions into a fresh sidecar; the
+    // replica follows (remove+re-add of the same manifest row)
+    Manifest.commitDeleteVectors(spark, src, "t", col("k") === 4L)
+    Manifest.replicateSnapshot(spark, src, dst)
+    assert(keysOf(Manifest.readTable(spark, dst, "t")) == Set(1L, 3L))
+    // export of a DV-bearing snapshot is self-contained: the masked
+    // read at the fresh root opens the shipped sidecars
+    Manifest.exportSnapshot(spark, src, exp)
+    assert(keysOf(Manifest.readTable(spark, exp, "t")) == Set(1L, 3L))
+  }
+
   test("q214 staged root matches a copy-on-write recompute") {
     val sfDir = "/root/testdata/sf0.001"
     val root = Manifest.dvRoot(spark, sfDir)

@@ -624,4 +624,72 @@ class ManifestSpec extends SparkSuite {
     assert(sch == Seq("k", "s", "q"))
     assert(Manifest.readTableEvolved(spark, root, "t").count() == 9L)
   }
+
+  test("update-where rewrites only overlapping files; pre-update time-travels") {
+    val root = Manifest.updateWhereRoot(spark, sfDir)
+    assert(Manifest.snapshotVersion(root) == 3L) // 2 appends + 1 update
+    val before = Manifest.manifestRows(spark, root, 2L).map(_._2).toSet
+    val after = Manifest.manifestRows(spark, root, 3L).map(_._2).toSet
+    assert(before.intersect(after).nonEmpty && (before -- after).nonEmpty)
+    assert((after -- before).forall(_.startsWith("data/v3")))
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("value").cast("decimal(18,4)").as("value"), col("ts"))
+    // row count unchanged (UPDATE, not DELETE); windowed sum doubled
+    assert(Manifest.readTable(spark, root, "events_log").count() == ev.count())
+    val inWin = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("ts") >= lo && col("ts") < hi)
+        .agg(sum(col("value")).cast("double")).head().getDouble(0)
+    assert(math.abs(inWin(Manifest.readTable(spark, root, "events_log")) -
+      2.0 * inWin(ev)) < 1e-6)
+    // pre-update version still serves the original values
+    assert(math.abs(inWin(Manifest.readTable(spark, root, "events_log", 2L)) -
+      inWin(ev)) < 1e-6)
+  }
+
+  test("update-where: NULL predicate keeps, SET expressions see the OLD row") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-updnull-spec").toString
+    val df = Seq((1L, Some(5.0), 100.0), (2L, None, 200.0), (3L, Some(50.0), 300.0))
+      .toDF("k", "v", "w")
+    Manifest.commitAppendRanged(spark, root, "t", df, "k", 1)
+    // swap semantics: SET v = w, w = v must evaluate against old row
+    Manifest.commitUpdateWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "1", "3", "bigint")), col("v") > 10.0,
+      Map("v" -> col("w"), "w" -> coalesce(col("v"), lit(-1.0))))
+    val rows = Manifest.readTable(spark, root, "t")
+      .orderBy("k").select("k", "v", "w")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2)))
+    // k=1: v=5 not >10 → untouched; k=2: NULL predicate → untouched;
+    // k=3: v↔w swapped (v=300 from old w, w=50 from old v)
+    assert(rows(0) == ((1L, Some(5.0), 100.0)))
+    assert(rows(1) == ((2L, None, 200.0)))
+    assert(rows(2) == ((3L, Some(300.0), 50.0)))
+  }
+
+  test("refreshAggInto: folds equal a full rebuild; ledger makes re-drives no-ops") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-mvlog-spec")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    def refresh() = graft.ops.Views.refreshAggInto(
+      spark, src, "t", dst, "mv", "spec-mv")(
+      _.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n_v")))(
+      (mv, p) => mv.unionByName(p).groupBy("k")
+        .agg(sum("sum_v").as("sum_v"), sum("n_v").as("n_v")))
+    Manifest.commitAppendRanged(spark, src, "t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "k", 1)
+    assert(refresh().exists(!_._3)) // bootstrap: full build
+    // fold: same key lands again → sums merge, no duplicate key rows
+    Manifest.commitAppendRanged(spark, src, "t",
+      Seq((1L, 1.0), (3L, 3.0)).toDF("k", "v"), "k", 1)
+    assert(refresh().exists(_._3))
+    val mv = Manifest.readTable(spark, dst, "mv")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(mv == Set((1L, 11.0, 2L), (2L, 20.0, 1L), (3L, 3.0, 1L)))
+    // re-driven refresh: ledger no-op, MV version unchanged
+    val vBefore = Manifest.snapshotVersion(dst)
+    assert(refresh().isEmpty)
+    assert(Manifest.snapshotVersion(dst) == vBefore)
+  }
 }
