@@ -87,7 +87,7 @@ object Manifest {
   /** Content key of the manifest layout contract — embedded in every
     * staged fixture root's path, so a layout change re-keys the staged
     * roots instead of serving old-layout bytes to new readers. */
-  private val layoutKey: String =
+  private[graft] val layoutKey: String =
     Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema-in-claim")
 
   // ---------------------------------------------------------------- pointer
@@ -512,6 +512,35 @@ object Manifest {
     val hint = nextVersion(root)
     val newRows = publishData(s, root, hint, table, df)
       .map(f => (table, f, null: String))
+    casCommit(s, root, { base =>
+      txnGuard(root, txn)
+      deltaOrFull(s, root, base, Nil, newRows).copy(extras = txnExtras(txn))
+    }, maxRetries)
+  }
+
+  /** MULTI-TABLE atomic append: every table's batch lands in ONE
+    * claim, so readers either see all of them or none — the
+    * cross-table transaction single-table logs (Delta) cannot give
+    * and catalog-level ones (Nessie, a multi-table Iceberg commit)
+    * sell: a fact batch and its audit/summary row can never be
+    * observed apart, at any version, under any crash. Each batch may
+    * carry statsCols for per-file pruning stats (empty = no stats).
+    * Data publishes per table BEFORE the claim (crashed attempts stay
+    * invisible and vacuum collects them); one CAS claim commits the
+    * union of all manifest rows, with the usual optional txn marker
+    * for exactly-once drivers. */
+  def commitAppendMulti(s: SparkSession, root: String,
+                        batches: Seq[(String, DataFrame, Seq[String])],
+                        maxRetries: Int = 5,
+                        txn: Option[(String, Long)] = None): Long = {
+    require(batches.nonEmpty, "commitAppendMulti: no batches")
+    require(batches.map(_._1).distinct.size == batches.size,
+      "commitAppendMulti: one batch per table")
+    val hint = nextVersion(root)
+    val newRows = batches.flatMap { case (table, df, statsCols) =>
+      val relFiles = publishData(s, root, hint, table, df)
+      statsRowsFor(s, root, table, relFiles, statsCols)
+    }
     casCommit(s, root, { base =>
       txnGuard(root, txn)
       deltaOrFull(s, root, base, Nil, newRows).copy(extras = txnExtras(txn))
@@ -2572,6 +2601,45 @@ object Manifest {
     }
   }
 
+  /** q218's multi-table root: three windows of `events`, each landed
+    * by ONE [[commitAppendMulti]] claim carrying the fact batch
+    * (`events_log`) AND its audit row (`batch_audit`: commit_id, row
+    * count, value total) — the staging asserts the cross-table
+    * invariant (audit totals == fact totals) at EVERY version, which
+    * only an atomic multi-table commit can guarantee. */
+  def multiRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-multi/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val c1 = lit("2024-01-08 00:00:00").cast("timestamp")
+      val c2 = lit("2024-01-16 00:00:00").cast("timestamp")
+      val windows = Seq(
+        ev.filter(col("ts") < c1),
+        ev.filter(col("ts") >= c1 && col("ts") < c2),
+        ev.filter(col("ts") >= c2))
+      windows.zipWithIndex.foreach { case (batch, i) =>
+        val audit = batch.agg(
+            count(lit(1)).as("n_rows"),
+            sum("value").cast("decimal(28,4)").as("total_v"))
+          .withColumn("commit_id", lit(i.toLong))
+          .select("commit_id", "n_rows", "total_v")
+        commitAppendMulti(s, tmp, Seq(
+          ("events_log", batch, Seq("ts")),
+          ("batch_audit", audit, Seq.empty)))
+      }
+      (1L to 3L).foreach { v =>
+        val f = readTable(s, tmp, "events_log", v)
+          .agg(count(lit(1)), sum("value").cast("decimal(28,4)")).head()
+        val a = readTable(s, tmp, "batch_audit", v)
+          .agg(sum("n_rows"), sum("total_v").cast("decimal(28,4)")).head()
+        require(f.getLong(0) == a.getLong(0) && f.getDecimal(1) == a.getDecimal(1),
+          s"staging bug: audit diverges from facts at v$v")
+      }
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- Atomic multi-table snapshot read: both summary tables
@@ -3100,6 +3168,33 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")
+      }),
+
+    // ----- Atomic multi-table commit (q218): each ingest window
+    //       lands the fact batch AND its audit row in ONE claim, so
+    //       no version can show them apart (the staging asserts the
+    //       invariant at every version). The result carries the fact
+    //       aggregate per event_type beside the audit ledger's grand
+    //       totals; the oracle recomputes both from the raw table —
+    //       a torn commit, a lost audit row, or fact/audit drift all
+    //       break the hash. -----
+    Q("q218_multi_table_commit",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v,
+             |  CAST((SELECT count(*) FROM events) AS BIGINT) AS audit_n,
+             |  CAST((SELECT sum(CAST(value AS DECIMAL(18,4))) FROM events)
+             |    AS DOUBLE) AS audit_total
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = multiRoot(s, dir)
+        val facts = readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+        val audit = readTable(s, root, "batch_audit")
+          .agg(sum("n_rows").as("audit_n"),
+            sum("total_v").cast("double").as("audit_total"))
+        facts.crossJoin(broadcast(audit)).orderBy("event_type")
       })
   )
 }

@@ -85,6 +85,116 @@ object ManifestSql {
     index
   }
 
+  // ------------------------------------------------------------------- DML
+
+  /** Character positions of `s` at statement top level: outside string
+    * literals, quoted identifiers, and parentheses — the only places a
+    * DML keyword or separator can legally sit. */
+  private def topLevelMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var depth = 0
+    var state: Char = 'n' // n=normal, q='\'' string, b=`backtick`, d="double"
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      state match {
+        case 'n' => ch match {
+          case '\'' => state = 'q'
+          case '`' => state = 'b'
+          case '"' => state = 'd'
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => if (depth == 0) mask(i) = true
+        }
+        case 'q' => if (ch == '\'') state = 'n'
+        case 'b' => if (ch == '`') state = 'n'
+        case 'd' => if (ch == '"') state = 'n'
+      }
+      i += 1
+    }
+    mask
+  }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val mask = topLevelMask(s)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    for (i <- s.indices if s.charAt(i) == sep && mask(i)) {
+      out += s.substring(start, i); start = i + 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first TOP-LEVEL occurrence of keyword `word`
+    * (case-insensitive, word-bounded), or -1. */
+  private def topLevelKeyword(s: String, word: String): Int = {
+    val mask = topLevelMask(s)
+    val lower = s.toLowerCase
+    var i = lower.indexOf(word)
+    while (i >= 0) {
+      val bounded =
+        (i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))) &&
+          (i + word.length >= s.length ||
+            !Character.isLetterOrDigit(lower.charAt(i + word.length)))
+      if (bounded && mask(i)) return i
+      i = lower.indexOf(word, i + 1)
+    }
+    -1
+  }
+
+  private val DeleteRe =
+    "(?is)^DELETE\\s+FROM\\s+([A-Za-z0-9_.-]+)(?:\\s+(.*))?$".r
+  private val UpdateRe =
+    "(?is)^UPDATE\\s+([A-Za-z0-9_.-]+)\\s+SET\\s+(.*)$".r
+
+  /** Execute a multi-statement SQL script whose DML targets manifest
+    * tables in `root` — the arbitrary-SQL surface extended to writes:
+    * `DELETE FROM t [WHERE p]` routes to
+    * [[Manifest.commitDeleteVectors]] and `UPDATE t SET a = e[, ...]
+    * [WHERE p]` to [[Manifest.commitUpdateVectors]] (both
+    * merge-on-read, O(matched rows), atomic commits with SQL
+    * NULL-predicate semantics); every other statement runs as plain
+    * `spark.sql` over whatever views are registered. WHERE/SET
+    * expression text goes VERBATIM to Spark's expression parser, and
+    * the WHERE/comma/`=` splits are quote- and paren-aware, so string
+    * literals containing keywords parse correctly; statement shapes
+    * beyond these two DML forms (MERGE text, subqueries in DML
+    * predicates) are rejected loudly rather than mis-parsed. Returns
+    * the last statement's DataFrame (empty relation for a script
+    * ending in DML). */
+  def runDml(spark: SparkSession, root: String, script: String): DataFrame = {
+    var last = spark.emptyDataFrame
+    graft.ops.Sql.splitStatements(script).foreach {
+      case DeleteRe(table, rest) =>
+        val pred = Option(rest).map(_.trim).filter(_.nonEmpty) match {
+          case None => lit(true) // unqualified DELETE: all rows
+          case Some(r) =>
+            require(r.toLowerCase.startsWith("where"),
+              s"unsupported DELETE clause: $r")
+            expr(r.substring(5))
+        }
+        Manifest.commitDeleteVectors(spark, root, table, pred)
+        last = spark.emptyDataFrame
+      case UpdateRe(table, rest) =>
+        val wherePos = topLevelKeyword(rest, "where")
+        val (setPart, pred) =
+          if (wherePos < 0) (rest, lit(true))
+          else (rest.substring(0, wherePos),
+            expr(rest.substring(wherePos + 5)))
+        val sets = splitTopLevel(setPart, ',').map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0 && topLevelMask(a)(eq), s"malformed SET clause: $a")
+          a.substring(0, eq).trim -> expr(a.substring(eq + 1))
+        }.toMap
+        Manifest.commitUpdateVectors(spark, root, table, pred, sets)
+        last = spark.emptyDataFrame
+      case other =>
+        last = spark.sql(other)
+    }
+    last
+  }
+
   // --------------------------------------------------------------- queries
 
   val queries: Seq[Q] = Seq(
@@ -197,8 +307,61 @@ object ManifestSql {
         s.catalog.dropTempView("events_live_mf")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- SQL DML over a manifest table (q219): the DELETE and
+    //       UPDATE arrive as VERBATIM SQL text and commit through the
+    //       merge-on-read path — no Scala call sites, completing the
+    //       arbitrary-SQL surface for writes. The oracle recomputes
+    //       both effects (window complement, negated user) from the
+    //       raw table: a mis-parsed WHERE, an update leaking into the
+    //       deleted window, or a SET applied to the wrong rows all
+    //       break the hash. DmlSpec pins the parser edges (quoted
+    //       keywords, multi-assignment, no-WHERE forms). -----
+    Q("q219_manifest_sql_dml",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN user_id = 3
+             |    THEN -CAST(value AS DECIMAL(18,4))
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = dmlRoot(s, dir)
+        Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
       })
   )
+
+  /** q219's DML root: 8 ts-ranged files, then a DELETE and an UPDATE
+    * submitted as one verbatim SQL script through [[runDml]] — both
+    * land as merge-on-read commits (the staging asserts the original
+    * file set survived untouched). */
+  def dmlRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-dml/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      Manifest.commitAppendRanged(s, tmp, "events_log", ev, "ts", 8)
+      val original = Manifest.manifestRows(s, tmp, Manifest.snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      runDml(s, tmp,
+        """DELETE FROM events_log
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-13 00:00:00';
+          |UPDATE events_log SET value = -value WHERE user_id = 3""".stripMargin)
+      val after = Manifest.manifestRows(s, tmp, Manifest.snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      require(original.subsetOf(after),
+        "staging bug: SQL DML rewrote original files instead of merge-on-read")
+    }
+  }
 }
 
 /** Data-skipping [[FileIndex]] over a manifest file list: `listFiles`

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.Manifest
+import graft.sources.ManifestSql
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** SQL DML over manifest tables (q219): verbatim DELETE/UPDATE text
+  * routes to the merge-on-read commit path; the statement splits
+  * (WHERE, comma, `=`) are quote- and paren-aware; everything else
+  * falls through to `spark.sql`.
+  */
+class DmlSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-dml-spec").toString
+
+  test("DELETE and UPDATE text commit merge-on-read with SQL semantics") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None), (4L, Some(4.0)))
+        .toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      "DELETE FROM t WHERE k = 4; UPDATE t SET v = v * 10 WHERE v >= 2.0")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // k=4 deleted; k=2 matched the update; k=3 NULL predicate kept
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(20.0), 3L -> None))
+  }
+
+  test("keywords and separators inside string literals do not split") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      "UPDATE t SET s = 'where x, = (1' WHERE k = 1")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "where x, = (1", 2L -> "b"))
+  }
+
+  test("multi-assignment SET evaluates against the old row (swap)") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0)).toDF("k", "v", "w").coalesce(1))
+    ManifestSql.runDml(spark, root, "UPDATE t SET v = w, w = v WHERE k = 2")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10.0, 100.0), (2L, 200.0, 20.0)))
+  }
+
+  test("unqualified forms hit every row; SELECT passes through") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root, "UPDATE t SET v = v + 1")
+    assert(Manifest.readTable(spark, root, "t")
+      .agg(sum("v")).head().getDouble(0) == 5.0)
+    val out = ManifestSql.runDml(spark, root,
+      "UPDATE t SET v = 0 WHERE k = 1; SELECT 7 AS x")
+    assert(out.head().getInt(0) == 7)
+    ManifestSql.runDml(spark, root, "DELETE FROM t")
+    assert(Manifest.readTable(spark, root, "t").count() == 0L)
+  }
+
+  test("malformed SET is rejected loudly") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "UPDATE t SET v WHERE k = 1")
+    }
+  }
+
+  test("q219 staged root survives with its original files intact") {
+    val sfDir = "/root/testdata/sf0.001"
+    val root = ManifestSql.dmlRoot(spark, sfDir)
+    val raw = Tables.load(spark, sfDir, "events")
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+    val expect = raw.filter(!(col("ts") >= lo && col("ts") < hi)).count()
+    assert(Manifest.readTable(spark, root, "events_log").count() == expect)
+  }
+}

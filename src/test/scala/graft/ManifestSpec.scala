@@ -692,4 +692,26 @@ class ManifestSpec extends SparkSuite {
     assert(refresh().isEmpty)
     assert(Manifest.snapshotVersion(dst) == vBefore)
   }
+
+  test("commitAppendMulti: one claim per batch set, cross-table consistency at every version") {
+    val root = Manifest.multiRoot(spark, sfDir)
+    // three multi-commits → exactly three versions, no intermediate
+    // single-table states anywhere in the timeline
+    assert(Manifest.snapshotVersion(root) == 3L)
+    (1L to 3L).foreach { v =>
+      val f = Manifest.readTable(spark, root, "events_log", v).count()
+      val a = Manifest.readTable(spark, root, "batch_audit", v)
+        .agg(sum("n_rows")).head().getLong(0)
+      assert(f == a, s"audit count diverges from facts at v$v")
+      // audit rows are exactly the commits visible at v
+      assert(Manifest.readTable(spark, root, "batch_audit", v).count() == v)
+    }
+    // duplicate table names in one batch set must be rejected
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppendMulti(spark, root, Seq(
+        ("x", Seq((1L, 1.0)).toDF("k", "v"), Seq.empty),
+        ("x", Seq((2L, 2.0)).toDF("k", "v"), Seq.empty)))
+    }
+  }
 }
