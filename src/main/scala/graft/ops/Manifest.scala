@@ -1356,6 +1356,94 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** Exact DEDUP as deletion vectors: keep, per `key` group, the row
+    * with the smallest `orderCol` (file path + position break residual
+    * ties, so the survivor is deterministic) and mask every other copy
+    * via DV sidecars — deduplicating a corpus WITHOUT rewriting a byte
+    * of it. This fuses the curation tier's exact-dedup shape (q40's
+    * content-hash key) with the commit log: one key-shuffled window
+    * pass finds duplicate positions (the same price any dedup pays),
+    * the write is O(duplicate rows) sidecar bytes + O(touched files)
+    * metadata, the pre-dedup corpus time-travels, and the next
+    * compaction materializes the survivors. NULL keys group together
+    * (SQL GROUP BY convention — q40's md5 key is never null). Existing
+    * DVs are applied before grouping, so a masked row neither survives
+    * nor drags a live duplicate down. Claim-time validation +
+    * whole-recompute retry as in [[commitDeleteVectors]]. */
+  def commitDedupVectors(s: SparkSession, root: String, table: String,
+                         key: org.apache.spark.sql.Column, orderCol: String,
+                         maxRetries: Int = 5): Long = {
+    var tries = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val cur = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      require(cur.nonEmpty, s"table $table absent from snapshot v$base")
+      val expected = cur.map(_._1).toSet
+      val absRoot = Paths.get(root).toAbsolutePath.normalize()
+      import s.implicits._
+      val raw = s.read
+        .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+        .withColumn("_p",
+          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+        .withColumn("_ri", col("_metadata.row_index"))
+      val existingPos = cur.flatMap { case (f, st) =>
+        dvRefOf(st).toSeq.flatMap { case (side, _) =>
+          val abs = absRoot.resolve(f).normalize().toString
+          readDvSidecar(root, side).map(p => (abs, p))
+        }
+      }
+      val masked =
+        if (existingPos.isEmpty) raw
+        else raw.join(broadcast(existingPos.toDF("_p", "_ri")),
+          Seq("_p", "_ri"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key)
+        .orderBy(col(orderCol).asc, col("_p").asc, col("_ri").asc)
+      val posRows = masked
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") > 1)
+        .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+        .collect() // one row per touched file: O(duplicate) positions
+      if (posRows.isEmpty) return base // already duplicate-free: no-op
+      val perFile = posRows.map { r =>
+        val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
+          .toString.replace('\\', '/')
+        rel -> r.getSeq[Long](1).toArray
+      }.toMap
+      val touched = cur.filter { case (f, _) => perFile.contains(f) }
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val newRows = touched.map { case (f, st) =>
+        val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
+          .getOrElse(Array.empty[Long])
+        val merged = (old ++ perFile(f)).distinct.sorted
+        val side = s"$f.dv-$token"
+        writeDvSidecar(root, side, merged)
+        (table, f, statsWithDv(st, side, merged.length.toLong))
+      }
+      val removes = touched.map { case (f, _) => (table, f) }
+      try {
+        return casCommit(s, root, { b =>
+          val now = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (now != expected)
+            throw new CommitConflict(
+              s"$table changed under the dedup (computed at v$base, claiming at v$b)")
+          deltaOrFull(s, root, b, Nil, newRows, removes)
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries)
+            throw new IllegalStateException(
+              s"commitDedupVectors: $table kept changing under the dedup " +
+                s"($maxRetries attempts) at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
   // ----------------------------------------------------------------- readers
 
   /** Read `table` at `version` (default: the committed pointer) through
@@ -2640,6 +2728,35 @@ object Manifest {
     }
   }
 
+  /** q220's dedup root: `documents` plus a doc_id-shifted copy of
+    * every 10th doc (the fixture corpus is exact-duplicate-free, so
+    * the re-crawl is planted deterministically — the oracle mirrors
+    * the same union), committed as 4 doc_id-ranged files, then
+    * deduplicated in place by [[commitDedupVectors]] on q40's
+    * content-normalization key (md5 of the sorted token bag), min
+    * doc_id surviving — the staging asserts no data file was
+    * rewritten and at least one duplicate was masked. */
+  def dedupDvRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("documents"))
+    Staging.ensure(s"target/graft-manifest-dedup/$fp-$layoutKey") { tmp =>
+      val base = Tables.load(s, dir, "documents")
+      val docs = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      commitAppendRanged(s, tmp, "documents", docs, "doc_id", 4)
+      val before = manifestRows(s, tmp, snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      val nBefore = readTable(s, tmp, "documents").count()
+      commitDedupVectors(s, tmp, "documents",
+        expr("md5(concat_ws(' ', array_sort(split(text, ' '))))"), "doc_id")
+      val after = manifestRows(s, tmp, snapshotVersion(tmp))
+        .collect { case (_, f, _) => f }.toSet
+      require(after == before, "staging bug: dedup rewrote the file set")
+      require(readTable(s, tmp, "documents").count() < nBefore,
+        "staging bug: fixture has no duplicates to mask")
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- Atomic multi-table snapshot read: both summary tables
@@ -3195,6 +3312,38 @@ object Manifest {
           .agg(sum("n_rows").as("audit_n"),
             sum("total_v").cast("double").as("audit_total"))
         facts.crossJoin(broadcast(audit)).orderBy("event_type")
+      }),
+
+    // ----- In-place corpus dedup via deletion vectors (q220): q40's
+    //       exact-dedup (md5 of the sorted token bag, min doc_id
+    //       survives) executed against the committed corpus WITHOUT
+    //       rewriting a file — duplicate positions masked by
+    //       sidecars. The oracle recomputes the survivor set from the
+    //       raw table and aggregates it per language: masking a
+    //       survivor, keeping a duplicate, or picking a non-min
+    //       doc_id all shift the counts and char totals — hash
+    //       breaks. -----
+    Q("q220_dedup_vectors",
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, lang, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang, n_chars
+             |  FROM documents WHERE doc_id % 10 = 0)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM corpus d
+             |JOIN (SELECT min(doc_id) AS keep_id
+             |      FROM (SELECT doc_id,
+             |              md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS k
+             |            FROM corpus)
+             |      GROUP BY k) kk ON d.doc_id = kk.keep_id
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val root = dedupDvRoot(s, dir)
+        readTable(s, root, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
       })
   )
 }

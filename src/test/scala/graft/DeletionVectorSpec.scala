@@ -196,6 +196,32 @@ class DeletionVectorSpec extends SparkSuite {
     assert(keysOf(Manifest.readTable(spark, exp, "t")) == Set(1L, 3L))
   }
 
+  test("dedup vectors keep the min-order row per key; no rewrite; idempotent") {
+    import spark.implicits._
+    val root = freshRoot()
+    // key "a" appears in both files; key "b" twice in one file
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, "a"), (3L, "b"), (4L, "b")).toDF("id", "key").coalesce(1))
+    Manifest.commitAppend(spark, root, "t",
+      Seq((2L, "a"), (5L, "c")).toDF("id", "key").coalesce(1))
+    val before = dataFiles(root)
+    Manifest.commitDedupVectors(spark, root, "t", col("key"), "id")
+    assert(dataFiles(root).keySet.filter(_.endsWith(".parquet")) ==
+      before.keySet.filter(_.endsWith(".parquet")))
+    val got = Manifest.readTable(spark, root, "t")
+      .select("id").as[Long].collect().sorted.toSeq
+    // a → min id 1 survives; b → 3; c → 5
+    assert(got == Seq(1L, 3L, 5L))
+    // re-driven dedup: already duplicate-free, version unchanged
+    val v = Manifest.snapshotVersion(root)
+    Manifest.commitDedupVectors(spark, root, "t", col("key"), "id")
+    assert(Manifest.snapshotVersion(root) == v)
+    // compaction materializes the survivors and purges the DVs
+    Manifest.compactTable(spark, root, "t", targetBytes = 1L << 20)
+    assert(Manifest.readTable(spark, root, "t")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
   test("q214 staged root matches a copy-on-write recompute") {
     val sfDir = "/root/testdata/sf0.001"
     val root = Manifest.dvRoot(spark, sfDir)
