@@ -344,6 +344,81 @@ object ScaleProbe {
         totals(ev).filter(col("user_id").between(2, 5)), "user_id"))
       println(f"[probe] maintprice merge_upsert_only wall=$w%.2fs")
     }
+    run("dv_vs_cow(q214-q216)") { d =>
+      // the merge-on-read claim measured head-to-head: DELETE/UPDATE of
+      // the same three-day window on identical 16-file tables — the DV
+      // path pays O(matched positions)+metadata, the CoW path rewrites
+      // the affected files. At 100 TB the gap is the whole point of DVs.
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      def build(sub: String): String = {
+        Manifest.commitAppendRanged(spark, s"$d/$sub", "t",
+          ev.filter(col("ts") < cutTs), "ts", 8)
+        Manifest.commitAppendRanged(spark, s"$d/$sub", "t",
+          ev.filter(col("ts") >= cutTs), "ts", 8)
+        s"$d/$sub"
+      }
+      val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+      val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+      val win = col("ts") >= lo && col("ts") < hi
+      val preds = Seq(
+        Manifest.Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp"))
+      // At fixture scale wall-clock is all fixed cost; the scale-preserving
+      // metric is BYTES WRITTEN by the commit — CoW pays O(affected file
+      // bytes), DV pays O(matched-position bitmap). Measure the table dir's
+      // data-byte growth across each commit (manifests excluded).
+      def dataBytes(root: String): Long = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(root)
+        if (!Files.exists(p)) 0L
+        else {
+          val s = Files.walk(p)
+          try s.iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              !p.relativize(f).toString.replace('\\', '/').startsWith("manifest/"))
+            .map(Files.size).sum
+          finally s.close()
+        }
+      }
+      def priced(sub: String)(commit: String => Unit): (Double, Long) = {
+        val r = build(sub)
+        val before = dataBytes(r)
+        val (_, w) = time(commit(r))
+        (w, dataBytes(r) - before)
+      }
+      val (wCowDel, bCowDel) = priced("cowdel")(r =>
+        Manifest.commitDeleteWhere(spark, r, "t", preds, win))
+      val (wDvDel, bDvDel) = priced("dvdel")(r =>
+        Manifest.commitDeleteVectors(spark, r, "t", win))
+      val (wCowUpd, bCowUpd) = priced("cowupd")(r =>
+        Manifest.commitUpdateWhere(spark, r, "t", preds, win,
+          Map("value" -> (col("value") * 2))))
+      val (wDvUpd, bDvUpd) = priced("dvupd")(r =>
+        Manifest.commitUpdateVectors(spark, r, "t", win,
+          Map("value" -> (col("value") * 2))))
+      println(f"[probe] maintprice dv_vs_cow delete cow=$wCowDel%.2fs/${bCowDel}B " +
+        f"dv=$wDvDel%.2fs/${bDvDel}B update cow=$wCowUpd%.2fs/${bCowUpd}B " +
+        f"dv=$wDvUpd%.2fs/${bDvUpd}B")
+      // the canonical DV win: a SCATTERED ~0.1%-selectivity delete that
+      // no file-level stat can prune — CoW must rewrite every file it
+      // touches (≈ the whole table); DV writes a few positions per file
+      val rare = pmod(hash(col("user_id"), col("ts"), col("value")), lit(1000)) === 0
+      val (wCowSc, bCowSc) = priced("cowscat")(r =>
+        Manifest.commitDeleteWhere(spark, r, "t", Seq.empty, rare))
+      val (wDvSc, bDvSc) = priced("dvscat")(r =>
+        Manifest.commitDeleteVectors(spark, r, "t", rare))
+      println(f"[probe] maintprice dv_vs_cow scattered_delete cow=$wCowSc%.2fs/${bCowSc}B " +
+        f"dv=$wDvSc%.2fs/${bDvSc}B")
+    }
+    run("dedup_vectors(q220)") { d =>
+      val docs = Tables.load(spark, srcDir, "documents")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Manifest.commitAppendRanged(spark, d, "documents", corpus, "doc_id", 4)
+      val (_, w) = time(Manifest.commitDedupVectors(spark, d, "documents",
+        expr("md5(concat_ws(' ', array_sort(split(text, ' '))))"), "doc_id"))
+      println(f"[probe] maintprice dedup_vectors_only wall=$w%.2fs")
+    }
   }
 
   /** Contended-commit price of the CAS protocol (round 9): W writer
