@@ -579,6 +579,56 @@ object Manifest {
     }, maxRetries)
   }
 
+  /** RESTORE `table` to its state at snapshot `toVersion`, as a NEW
+    * commit — the Delta `RESTORE TABLE ... TO VERSION` / Iceberg
+    * rollback analogue, done roll-FORWARD so history is preserved:
+    * the bad commits stay time-travelable, readers atomically flip to
+    * the old file set, and the operation is metadata-priced (the
+    * restored files are re-referenced, never copied — zero data I/O).
+    *
+    * Two loud failure modes, both fatal by design:
+    *  - a restored file (or a DV sidecar its stats reference) was
+    *    VACUUMED since `toVersion` — re-adding a missing path would
+    *     404 at read time, and a missing DV sidecar would RESURRECT
+    *    deleted rows, so both throw with the path named;
+    *  - the table changed under the restore (claim-time full-table
+    *    read-set validation, same as replace) — the caller decided to
+    *    restore based on state that no longer holds.
+    *
+    * Restoring to the current state is a version no-op. */
+  def commitRestore(s: SparkSession, root: String, table: String,
+                    toVersion: Long, maxRetries: Int = 5): Long = {
+    val target = manifestRows(s, root, toVersion)
+      .collect { case (t, f, st) if t == table => (t, f, st) }
+    require(target.nonEmpty,
+      s"commitRestore: table $table absent from snapshot v$toVersion")
+    val absRoot = Paths.get(root).toAbsolutePath.normalize()
+    target.foreach { case (_, f, st) =>
+      require(Files.exists(absRoot.resolve(f)),
+        s"commitRestore: $f of snapshot v$toVersion was vacuumed — " +
+          "the snapshot is no longer restorable")
+      dvRefOf(st).foreach { case (side, _) =>
+        require(Files.exists(absRoot.resolve(side)),
+          s"commitRestore: DV sidecar $side of snapshot v$toVersion was " +
+            "vacuumed — restoring without it would resurrect deleted rows")
+      }
+    }
+    val targetMap = target.map { case (_, f, st) => (f, st) }.toMap
+    try casCommit(s, root, { base =>
+      require(base > 0, s"no committed snapshot at $root")
+      val cur = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      if (cur.toMap == targetMap && cur.size == targetMap.size)
+        throw new RestoreNoop(base) // already at the target state
+      deltaOrFull(s, root, base, Seq(table), target)
+    }, maxRetries)
+    catch { case n: RestoreNoop => n.version }
+  }
+
+  /** Control-flow carrier for [[commitRestore]]'s no-op case. */
+  private final class RestoreNoop(val version: Long)
+    extends RuntimeException(s"restore no-op at v$version")
+
   // --------------------------------------------- write-audit-publish (WAP)
 
   private def wapMarkerName(branch: String): String = {
@@ -2385,6 +2435,30 @@ object Manifest {
     }
   }
 
+  /** q221's restore root: the q202 shape (two ranged appends, then a
+    * stats-pruned DELETE of the [Jan 10, 13) window — the "bad
+    * commit"), then `commitRestore` back to the pre-delete snapshot
+    * v2. Metadata-only: the restored files are re-referenced, never
+    * copied, and the delete remains time-travelable at v3. */
+  def restoreRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-restore/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+      val _ = commitDeleteWhere(s, tmp, "events_log",
+        Seq(Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp")),
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      val _2 = commitRestore(s, tmp, "events_log", toVersion = 2L)
+    }
+  }
+
   /** q209's replication pair under one staged root: `src/` gets a
     * pre-cut ranged append, is BOOTSTRAPPED to `dst/` (full export +
     * replica ledger), then takes a post-cut append AND a stats-pruned
@@ -3344,6 +3418,30 @@ object Manifest {
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
           .orderBy("lang")
+      }),
+
+    // ----- RESTORE to version (q221): a three-day window is DELETEd
+    //       (the bad commit), then the table is restored to the
+    //       pre-delete snapshot as a new, metadata-only commit —
+    //       files re-referenced, zero data I/O, history preserved
+    //       (ManifestSpec pins the roll-forward version, the no-op
+    //       re-restore, and the vacuumed-snapshot refusal). The
+    //       oracle aggregates the FULL raw window: a restore that
+    //       missed a file, kept the deleted state, or resurrected
+    //       the wrong snapshot all shift the counts — hash breaks.
+    //       -----
+    Q("q221_manifest_restore",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = restoreRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
       })
   )
 }

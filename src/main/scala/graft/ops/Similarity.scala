@@ -451,6 +451,85 @@ object Similarity {
           .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
             col("canonical_id"), col("keep"))
           .orderBy("vec_id")
+      }),
+
+    // ----- product-quantization ANN (ADC, inner-product metric): the
+    //       64-dim space splits into M=4 contiguous 16-dim subspaces;
+    //       each subspace's K=8 codebook entries are the slices of the
+    //       first 8 corpus vectors (sampled codebook — the same
+    //       seed-vectors-as-centroids device as q62's IVF, so the
+    //       oracle needs no k-means); every corpus vector ENCODES as 4
+    //       small ints (argmax subspace dot, id tiebreak), and a query
+    //       scores a candidate WITHOUT touching its embedding:
+    //       approx_IP(q,t) = Σ_m dtable[q, m, code(t,m)] — the
+    //       asymmetric-distance trick that makes PQ the 100-TB scan
+    //       path (4 bytes/vector instead of 256, the distance table is
+    //       M×K per query, and the scan is a broadcast-joined int
+    //       lookup, never a float dot against the corpus). Per-
+    //       subspace contributions quantize to e4 BIGINTs BEFORE the
+    //       Σ_m so the sum is order-independent — a raw double sum
+    //       across subspaces would hash-drift on aggregation order.
+    //       Codes via one corpus × 32-row broadcast pass; candidate
+    //       scoring is codes × (5·32)-row broadcast dtable; the corpus
+    //       never self-joins. -----
+    Q("q222_pq_adc_topk",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |sub AS (
+             |  SELECT vec_id, m, emb[m*16+1 : m*16+16] AS s
+             |  FROM e, (VALUES (0),(1),(2),(3)) AS mm(m)),
+             |cents AS (SELECT vec_id AS c_id, m, s AS cs FROM sub WHERE vec_id < 8),
+             |enc AS (
+             |  SELECT vec_id, m, c_id FROM (
+             |    SELECT sub.vec_id, sub.m, c.c_id,
+             |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+             |        ORDER BY list_dot_product(sub.s, c.cs) DESC, c.c_id) AS rn
+             |    FROM sub JOIN cents c ON c.m = sub.m) WHERE rn = 1),
+             |dtab AS (
+             |  SELECT q.vec_id AS q_id, c.m, c.c_id,
+             |    CAST(floor(list_dot_product(q.s, c.cs) * 10000 + 0.5) AS BIGINT) AS d_e4
+             |  FROM sub q JOIN cents c ON c.m = q.m WHERE q.vec_id < 5),
+             |sc AS (
+             |  SELECT d.q_id, enc.vec_id AS cand_id,
+             |    CAST(SUM(d.d_e4) AS BIGINT) AS score_e4
+             |  FROM enc JOIN dtab d ON d.m = enc.m AND d.c_id = enc.c_id
+             |  WHERE enc.vec_id <> d.q_id
+             |  GROUP BY d.q_id, enc.vec_id)
+             |SELECT q_id, cand_id, score_e4, CAST(rn AS INT) AS rn FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS rn FROM sc)
+             |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+        // (vec_id, m, s): each vector exploded into its 4 subspace slices
+        val sub = e.select(col("vec_id"),
+            posexplode(array((0 until 4).map(m =>
+              slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "s")))
+        val cents = sub.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("m").as("cm"), col("s").as("cs"))
+        // encode: corpus × 32 broadcast rows, argmax dot per (vec, m)
+        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(expr("dot_product(s, cs)").desc, col("c_id"))
+        val codes = sub.join(broadcast(cents), col("m") === col("cm"))
+          .withColumn("rn", row_number().over(wEnc))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("c_id"))
+        // per-query distance table: 5 queries × 32 codebook rows
+        val dtab = sub.filter(col("vec_id") < 5)
+          .join(broadcast(cents), col("m") === col("cm"))
+          .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
+            floor(expr("dot_product(s, cs)") * 10000.0 + 0.5).as("d_e4"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("cand_id"))
+        codes.join(broadcast(dtab), Seq("m", "c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id").as("cand_id"))
+          .agg(sum("d_e4").as("score_e4"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"), col("score_e4"),
+            col("rn").cast("int").as("rn"))
+          .orderBy("q_id", "rn")
       })
   )
 }

@@ -714,4 +714,36 @@ class ManifestSpec extends SparkSuite {
         ("x", Seq((2L, 2.0)).toDF("k", "v"), Seq.empty)))
     }
   }
+
+  test("commitRestore: roll-forward to a prior snapshot, no-op, vacuum refusal") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-restore-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "k", 2)          // v1
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((3L, 3.0), (4L, 4.0)).toDF("k", "v"), "k", 2)          // v2
+    Manifest.commitDeleteWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "3", "4", "bigint")), col("k") >= 3L) // v3: bad
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+    // restore rolls FORWARD: a new version whose file set is v2's
+    val v4 = Manifest.commitRestore(spark, root, "t", toVersion = 2L)
+    assert(v4 == 4L)
+    assert(Manifest.readTable(spark, root, "t")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // history preserved: the deleted state still time-travels at v3
+    assert(Manifest.readTable(spark, root, "t", 3L).count() == 2L)
+    // re-restoring the current state is a version no-op
+    assert(Manifest.commitRestore(spark, root, "t", toVersion = 2L) == 4L)
+    assert(Manifest.snapshotVersion(root) == 4L)
+    // a snapshot whose files were vacuumed is not restorable: make the
+    // v3 rewrite the only reference to its files, vacuum it away, then
+    // restoring to v3 must refuse loudly (not 404 later at read time)
+    Manifest.commitDeleteWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "1", "4", "bigint")), col("k") >= 2L) // v5
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.commitRestore(spark, root, "t", toVersion = 3L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }

@@ -100,4 +100,21 @@ class SimilaritySpec extends SparkSuite {
     assert(fx.filter(!col("keep").isin(0, 1)).count() == 0)
     fx.unpersist()
   }
+
+  test("q222 PQ-ADC: exact duplicate of a codebook seed scores 1.0 e4; quantized strangers score 0") {
+    // seeds 0..7 = unit(2i), all inside subspace 0; queries are vec_id<5.
+    // 100 copies seed 0 -> codes (c0, c0, c0, c0); its ADC score against
+    // query 0 is dtable[q0, m0, c0] = 10000 and 0 elsewhere. 101 copies
+    // seed 1 -> subspace-0 code c1, whose q0 table entry is 0.
+    val dir = emb(
+      ((0L until 8L).map(i => (i, unit(2 * i.toInt), 0)) ++
+        Seq((100L, unit(0), 0), (101L, unit(2), 0))): _*)
+    val out = SparkEntry.queries("q222_pq_adc_topk")(spark, dir).collect()
+    assert(out.length == 15) // 5 queries x top-3
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(3))
+    assert(q0.head.getLong(1) == 100L && q0.head.getLong(2) == 10000L)
+    // definitional invariants: no self-match, rn dense 1..3 per query
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(out.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3)))
+  }
 }
