@@ -147,6 +147,36 @@ object ManifestSql {
     "(?is)^DELETE\\s+FROM\\s+([A-Za-z0-9_.-]+)(?:\\s+(.*))?$".r
   private val UpdateRe =
     "(?is)^UPDATE\\s+([A-Za-z0-9_.-]+)\\s+SET\\s+(.*)$".r
+  private val MergeRe =
+    "(?is)^MERGE\\s+INTO\\s+([A-Za-z0-9_.-]+)(?:\\s+AS\\s+\\w+)?\\s+USING\\s+(.*)$".r
+  private val MergeOnRe =
+    "(?is)^\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*$".r
+
+  /** Index of the ')' matching the '(' at `src(0)` (quote-aware),
+    * or -1 if unbalanced. */
+  private def matchingParen(src: String): Int = {
+    var depth = 0
+    var state: Char = 'n'
+    var i = 0
+    while (i < src.length) {
+      val ch = src.charAt(i)
+      state match {
+        case 'n' => ch match {
+          case '\'' => state = 'q'
+          case '`' => state = 'b'
+          case '"' => state = 'd'
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        case 'q' => if (ch == '\'') state = 'n'
+        case 'b' => if (ch == '`') state = 'n'
+        case 'd' => if (ch == '"') state = 'n'
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** Execute a multi-statement SQL script whose DML targets manifest
     * tables in `root` — the arbitrary-SQL surface extended to writes:
@@ -155,11 +185,16 @@ object ManifestSql {
     * [WHERE p]` to [[Manifest.commitUpdateVectors]] (both
     * merge-on-read, O(matched rows), atomic commits with SQL
     * NULL-predicate semantics); every other statement runs as plain
-    * `spark.sql` over whatever views are registered. WHERE/SET
+    * `spark.sql` over whatever views are registered. `MERGE INTO t
+    * USING <view | (subquery)> [AS] s ON t.k = s.k WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (the Delta full-row
+    * shorthand) routes to [[Manifest.commitMergeUpsert]] — matched
+    * keys replace, new keys insert, one atomic commit. WHERE/SET
     * expression text goes VERBATIM to Spark's expression parser, and
-    * the WHERE/comma/`=` splits are quote- and paren-aware, so string
-    * literals containing keywords parse correctly; statement shapes
-    * beyond these two DML forms (MERGE text, subqueries in DML
+    * the WHERE/comma/`=`/ON/WHEN splits are quote- and paren-aware,
+    * so string literals containing keywords parse correctly;
+    * statement shapes beyond these three DML forms (conditional WHEN
+    * clauses, column-wise MERGE SET lists, subqueries in DML
     * predicates) are rejected loudly rather than mis-parsed. Returns
     * the last statement's DataFrame (empty relation for a script
     * ending in DML). */
@@ -188,6 +223,42 @@ object ManifestSql {
           a.substring(0, eq).trim -> expr(a.substring(eq + 1))
         }.toMap
         Manifest.commitUpdateVectors(spark, root, table, pred, sets)
+        last = spark.emptyDataFrame
+      case MergeRe(table, rest) =>
+        // MERGE INTO t USING <view | (subquery)> [AS] s
+        //   ON t.k = s.k
+        //   WHEN MATCHED THEN UPDATE SET *
+        //   WHEN NOT MATCHED THEN INSERT *
+        // — the Delta full-row shorthand, which is exactly
+        // commitMergeUpsert's contract (matched keys replace, new keys
+        // insert, one atomic commit, O(affected files) rewrite bounded
+        // by the source's key stats). Conditional WHEN clauses /
+        // column-wise SET lists are rejected loudly, not mis-parsed.
+        val onPos = topLevelKeyword(rest, "on")
+        require(onPos > 0, s"MERGE without ON clause: $rest")
+        val sourcePart = rest.substring(0, onPos).trim
+        val afterOn = rest.substring(onPos + 2)
+        val whenPos = topLevelKeyword(afterOn, "when")
+        require(whenPos > 0, s"MERGE without WHEN clauses: $afterOn")
+        val onText = afterOn.substring(0, whenPos).trim
+        val whenNorm = afterOn.substring(whenPos)
+          .toLowerCase.trim.replaceAll("\\s+", " ")
+        require(whenNorm ==
+          "when matched then update set * when not matched then insert *",
+          "unsupported MERGE WHEN shape (only the full-row " +
+            s"UPDATE SET * / INSERT * shorthand is supported): $whenNorm")
+        val keyCol = onText match {
+          case MergeOnRe(_, k1, _, k2) if k1.equalsIgnoreCase(k2) => k1
+          case _ => throw new IllegalArgumentException(
+            s"unsupported MERGE ON shape (need t.k = s.k, one shared column): $onText")
+        }
+        val sourceDf =
+          if (sourcePart.startsWith("(")) {
+            val close = matchingParen(sourcePart)
+            require(close > 0, s"unbalanced parens in MERGE source: $sourcePart")
+            spark.sql(sourcePart.substring(1, close))
+          } else spark.table(sourcePart.split("\\s+").head)
+        Manifest.commitMergeUpsert(spark, root, table, sourceDf, keyCol)
         last = spark.emptyDataFrame
       case other =>
         last = spark.sql(other)
@@ -334,8 +405,63 @@ object ManifestSql {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")
+      }),
+
+    // ----- MERGE INTO through the SQL surface (q223): the q203
+    //       upsert arriving as VERBATIM SQL text — subquery source,
+    //       ON t.k = s.k, the Delta full-row UPDATE SET * / INSERT *
+    //       shorthand — routed to the same atomic stats-bounded
+    //       commit. Completes the DML triad (DELETE q219, UPDATE
+    //       q219, MERGE here); DmlSpec pins the parser edges
+    //       (conditional WHEN rejected, ON-shape rejected, view-name
+    //       sources). The oracle derives the merged state from the
+    //       raw table: a mis-parsed ON key, a WHEN clause silently
+    //       ignored, or a source row lost all shift the totals —
+    //       hash breaks. -----
+    Q("q223_manifest_sql_merge",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST(count(*) AS BIGINT) AS n_u
+             |FROM events
+             |WHERE user_id BETWEEN 2 AND 5
+             |   OR CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = mergeSqlRoot(s, dir)
+        Manifest.readTable(s, root, "user_totals")
+          .select(col("user_id"), col("total_u").cast("double").as("total_u"),
+            col("n_u"))
+          .orderBy("user_id")
       })
   )
+
+  /** q223's MERGE-via-SQL root: pre-cut per-user totals appended with
+    * user_id stats, then the users-2–5 full-window recomputation
+    * upserted by ONE verbatim `MERGE INTO ... USING (subquery)`
+    * statement through [[runDml]]. */
+  def mergeSqlRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-mergesql/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+      val cutTs = lit(graft.ops.Cdc.versionCut).cast("timestamp")
+      val pre = ev.filter(col("ts") < cutTs).groupBy("user_id")
+        .agg(sum("value").as("total_u"), count(lit(1)).as("n_u"))
+      Manifest.commitAppendStats(s, tmp, "user_totals", pre,
+        Seq("user_id"), "user_id", 8)
+      ev.createOrReplaceTempView("events_raw_mergesql")
+      runDml(s, tmp,
+        """MERGE INTO user_totals USING (
+          |  SELECT user_id, sum(value) AS total_u, count(1) AS n_u
+          |  FROM events_raw_mergesql
+          |  WHERE user_id BETWEEN 2 AND 5 GROUP BY user_id) AS s
+          |ON user_totals.user_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
 
   /** q219's DML root: 8 ts-ranged files, then a DELETE and an UPDATE
     * submitted as one verbatim SQL script through [[runDml]] — both

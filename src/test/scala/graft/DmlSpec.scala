@@ -84,4 +84,49 @@ class DmlSpec extends SparkSuite {
     val expect = raw.filter(!(col("ts") >= lo && col("ts") < hi)).count()
     assert(Manifest.readTable(spark, root, "events_log").count() == expect)
   }
+
+  test("MERGE INTO text upserts via a subquery or a view-name source") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1))
+    Seq((2L, 200.0), (3L, 300.0)).toDF("k", "v")
+      .createOrReplaceTempView("merge_src_view")
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING merge_src_view AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 200.0, 3L -> 300.0))
+    // subquery source, string literal containing ' on ' and ' when '
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING (
+        |  SELECT k, v * 2 AS v FROM merge_src_view
+        |  WHERE 'x on y when z' = 'x on y when z' AND k = 3) AS s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Manifest.readTable(spark, root, "t")
+      .filter(col("k") === 3L).head().getDouble(1) == 600.0)
+  }
+
+  test("MERGE rejects conditional WHEN clauses and non-equi ON shapes") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("merge_bad_src")
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING merge_bad_src AS s ON t.k = s.k
+          |WHEN MATCHED AND s.v > 1 THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING merge_bad_src AS s ON t.k >= s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // neither rejected statement committed anything
+    assert(Manifest.readTable(spark, root, "t").head().getDouble(1) == 1.0)
+  }
 }
