@@ -81,7 +81,12 @@ object FooterStats {
           case None => return None
         }
       }
-      Some(perCol)
+      // the file's exact row count, free in the same footer — recorded
+      // under the reserved `__nrows` key so COUNT-style queries answer
+      // from the manifest alone (Manifest.countRows); never a prune
+      // column (no schema field is named __nrows)
+      val nRows = blocks.map(_.getRowCount).sum
+      Some(perCol :+ ("__nrows" -> (nRows.toString, nRows.toString)))
     } finally reader.close()
   }
 

@@ -1014,19 +1014,22 @@ object Manifest {
     val dataDir = Paths.get(root, relFiles.head).getParent.toString
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c")))
+      max(col(c)).cast("string").as(s"max_$c"))) :+
+      count(lit(1)).cast("string").as("__n")
     val byFile = s.read.parquet(dataDir)
       .groupBy(col("_metadata.file_name").as("fname"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => r.getAs[String]("fname") -> statsJsonOf(
         statsCols.map(c => c ->
-          (r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c")))))
+          (r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c"))) :+
+          ("__nrows" -> (r.getAs[String]("__n"), r.getAs[String]("__n")))))
       .toMap
     // a zero-row file (empty write partition) has no agg row: record
     // explicit null bounds — the overlap filter then prunes it for any
     // predicate, which is exact (it holds no rows)
-    val emptyStats = statsJsonOf(statsCols.map(c => c -> (null: String, null: String)))
+    val emptyStats = statsJsonOf(statsCols.map(c =>
+      c -> (null: String, null: String)) :+ ("__nrows" -> ("0", "0")))
     relFiles.map { rel =>
       (table, rel,
         byFile.getOrElse(rel.substring(rel.lastIndexOf('/') + 1), emptyStats))
@@ -1507,6 +1510,36 @@ object Manifest {
       .collect { case (t, f, st) if t == table => (f, st) }
     require(rows.nonEmpty, s"table $table absent from snapshot v$v")
     readResolved(s, root, rows)
+  }
+
+  /** Metadata-only COUNT(*): answer `SELECT count(*)` for `table` at
+    * `version` from the manifest alone — Σ per-file `__nrows` (the
+    * exact footer row count every stats commit records) minus each
+    * file's DV'd position count. The aggregate-pushdown shortcut
+    * every production format serves (Delta/Iceberg snapshot row
+    * counts; parquet footer counts): at 100 TB the count is driver-
+    * side metadata arithmetic, zero data I/O, zero Spark jobs. Files
+    * committed WITHOUT a recorded count (plain `commitAppend` vintage)
+    * are counted by scanning exactly those files, DV-aware — the
+    * hybrid can be slower, never wrong. */
+  def countRows(s: SparkSession, root: String, table: String,
+                version: Long = -1L): Long = {
+    val v = if (version > 0) version else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val rows = manifestRows(s, root, v)
+      .collect { case (t, f, st) if t == table => (f, st) }
+    require(rows.nonEmpty, s"table $table absent from snapshot v$v")
+    var total = 0L
+    val unknown = Seq.newBuilder[(String, String)]
+    rows.foreach { case (f, st) =>
+      parseStatsJson(st).get("__nrows").flatMap(_._1) match {
+        case Some(n) => total += n.toLong - dvRefOf(st).map(_._2).getOrElse(0L)
+        case None => unknown += ((f, st))
+      }
+    }
+    val unk = unknown.result()
+    if (unk.nonEmpty) total += readResolved(s, root, unk).count()
+    total
   }
 
   /** Incremental consumption (Delta CDF-lite at FILE granularity): the
@@ -3442,6 +3475,27 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")
+      }),
+
+    // ----- metadata-only COUNT (q224): both counts — the full table
+    //       at v1 and the post-DV-delete state at v2 — answer from
+    //       manifest arithmetic alone (Σ __nrows − Σ DV positions;
+    //       ManifestSpec proves the data files need not even EXIST).
+    //       The oracle recomputes both from the raw table: a footer
+    //       count recorded wrong, a DV position double-counted, or
+    //       version resolution off by one all shift the pair — hash
+    //       breaks. -----
+    Q("q224_metadata_count",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_all,
+             |  CAST(sum(CASE WHEN NOT (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 00:00:00'
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-14 00:00:00')
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val root = dvRoot(s, dir)
+        Seq((countRows(s, root, "events_log", version = 1L),
+          countRows(s, root, "events_log"))).toDF("n_all", "n_after")
       })
   )
 }

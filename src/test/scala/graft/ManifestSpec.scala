@@ -746,4 +746,29 @@ class ManifestSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("vacuumed"))
   }
+
+  test("countRows answers from metadata alone (data files may be gone); hybrid covers stat-less files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-count-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      (1L to 100L).map(k => (k, k * 1.5)).toDF("k", "v"), "k", 4)  // v1
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") <= 10L) // v2
+    assert(Manifest.countRows(spark, root, "t", version = 1L) == 100L)
+    assert(Manifest.countRows(spark, root, "t") == 90L)
+    // metadata-only proof: remove every data file — the count still
+    // answers, because nothing reads them
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(java.nio.file.Paths.get(root, "data"))
+    try walk.iterator().asScala.toSeq.filter(p =>
+      Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .foreach(Files.delete)
+    finally walk.close()
+    assert(Manifest.countRows(spark, root, "t") == 90L)
+    // stat-less vintage (plain commitAppend records no __nrows):
+    // the hybrid counts those files by scanning — slower, never wrong
+    val root2 = Files.createTempDirectory("graft-count2-spec").toString
+    Manifest.commitAppend(spark, root2, "t",
+      (1L to 7L).map(k => (k, k.toDouble)).toDF("k", "v").coalesce(1))
+    assert(Manifest.countRows(spark, root2, "t") == 7L)
+  }
 }
