@@ -81,12 +81,24 @@ object FooterStats {
           case None => return None
         }
       }
+      // per-column exact NULL counts, also free in the footer —
+      // recorded as reserved `__nc_<col>` keys so IS [NOT] NULL
+      // predicates can prune (an all-null file cannot match
+      // IS NOT NULL; a null-free file cannot match IS NULL). Same
+      // all-or-fallback contract as min/max, keeping the recorded
+      // stats uniform with the Spark read-back path.
+      val nulls = cols.map { c =>
+        columnNulls(schema, blocks, c) match {
+          case Some(n) => ("__nc_" + c) -> (n.toString, n.toString)
+          case None => return None
+        }
+      }
       // the file's exact row count, free in the same footer — recorded
       // under the reserved `__nrows` key so COUNT-style queries answer
       // from the manifest alone (Manifest.countRows); never a prune
       // column (no schema field is named __nrows)
       val nRows = blocks.map(_.getRowCount).sum
-      Some(perCol :+ ("__nrows" -> (nRows.toString, nRows.toString)))
+      Some(perCol ++ nulls :+ ("__nrows" -> (nRows.toString, nRows.toString)))
     } finally reader.close()
   }
 
@@ -121,6 +133,24 @@ object FooterStats {
     }
     Some((if (lo == null) null else render(lo),
       if (hi == null) null else render(hi)))
+  }
+
+  /** Exact NULL count of `col` across all row groups, or None when any
+    * chunk's footer cannot answer (missing statistics / numNulls unset)
+    * — the caller then falls back for the whole batch. */
+  private def columnNulls(schema: MessageType,
+                          blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                          col: String): Option[Long] = {
+    if (!schema.containsField(col)) return None
+    var total = 0L
+    blocks.foreach { b =>
+      val chunk = b.getColumns.asScala
+        .find(_.getPath.toDotString == col).getOrElse(return None)
+      val st = chunk.getStatistics
+      if (st == null || !st.isNumNullsSet) return None
+      total += st.getNumNulls
+    }
+    Some(total)
   }
 
   private def ordering(prim: PrimitiveType): Option[Ordering[Any]] =

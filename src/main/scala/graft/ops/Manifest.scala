@@ -1014,22 +1014,27 @@ object Manifest {
     val dataDir = Paths.get(root, relFiles.head).getParent.toString
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c"))) :+
+      max(col(c)).cast("string").as(s"max_$c"),
+      (count(lit(1)) - count(col(c))).cast("string").as(s"nc_$c"))) :+
       count(lit(1)).cast("string").as("__n")
     val byFile = s.read.parquet(dataDir)
       .groupBy(col("_metadata.file_name").as("fname"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => r.getAs[String]("fname") -> statsJsonOf(
-        statsCols.map(c => c ->
-          (r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c"))) :+
+        (statsCols.map(c => c ->
+          (r.getAs[String](s"min_$c"), r.getAs[String](s"max_$c"))) ++
+          statsCols.map(c => ("__nc_" + c) ->
+            (r.getAs[String](s"nc_$c"), r.getAs[String](s"nc_$c")))) :+
           ("__nrows" -> (r.getAs[String]("__n"), r.getAs[String]("__n")))))
       .toMap
     // a zero-row file (empty write partition) has no agg row: record
     // explicit null bounds — the overlap filter then prunes it for any
     // predicate, which is exact (it holds no rows)
-    val emptyStats = statsJsonOf(statsCols.map(c =>
-      c -> (null: String, null: String)) :+ ("__nrows" -> ("0", "0")))
+    val emptyStats = statsJsonOf((statsCols.map(c =>
+      c -> (null: String, null: String)) ++
+      statsCols.map(c => ("__nc_" + c) -> ("0", "0"))) :+
+      ("__nrows" -> ("0", "0")))
     relFiles.map { rel =>
       (table, rel,
         byFile.getOrElse(rel.substring(rel.lastIndexOf('/') + 1), emptyStats))

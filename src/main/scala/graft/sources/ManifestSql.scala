@@ -5,7 +5,7 @@ import graft.ops.Manifest
 import org.apache.hadoop.fs.{FileStatus, Path => HadoopPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
@@ -432,8 +432,64 @@ object ManifestSql {
           .select(col("user_id"), col("total_u").cast("double").as("total_u"),
             col("n_u"))
           .orderBy("user_id")
+      }),
+
+    // ----- NULL-count stats pruning (q225): `value IS NOT NULL`
+    //       arrives as verbatim SQL over the manifest view, and the
+    //       recorded `__nc_<col>`/`__nrows` footer counts drop the
+    //       all-null files from the scan before it starts (Catalyst
+    //       pushes IsNotNull for ANY value predicate too, so ordinary
+    //       WHEREs inherit the same skip; PlanShapeSpec pins kept <
+    //       total and the IS NULL complement). The oracle recomputes
+    //       the same NULL structure from the raw table: a null count
+    //       recorded wrong in either direction over- or under-prunes
+    //       — hash breaks. -----
+    Q("q225_null_stats_prune",
+      Some("""WITH v AS (
+             |  SELECT CASE
+             |    WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00' THEN NULL
+             |    WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00'
+             |      AND user_id % 3 = 0 THEN NULL
+             |    ELSE CAST(value AS DECIMAL(18,4)) END AS value
+             |  FROM events)
+             |SELECT CAST(count(*) AS BIGINT) AS n_notnull,
+             |  CAST(sum(value) AS DOUBLE) AS total_v
+             |FROM v WHERE value IS NOT NULL""".stripMargin),
+      (s, dir) => {
+        val root = nullStatsRoot(s, dir)
+        register(s, root, "events_nulls", "events_nulls_mf")
+        s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_notnull,
+                |  CAST(sum(value) AS DOUBLE) AS total_v
+                |FROM events_nulls_mf WHERE value IS NOT NULL""".stripMargin)
       })
   )
+
+  /** q225's null-stats root: three stats commits of `events` slices
+    * with engineered NULL structure in `value` — days <10 all-NULL,
+    * days 10–20 null-free, days ≥20 nulled for user_id%3=0 — so the
+    * recorded `__nc_<col>`/`__nrows` counts give IS [NOT] NULL real
+    * files to prune (and value predicates skip the all-null files via
+    * the recorded null bounds). */
+  def nullStatsRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-nullstats/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val d10 = col("ts") < lit("2024-01-10 00:00:00").cast("timestamp")
+      val d20 = col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")
+      Manifest.commitAppendStats(s, tmp, "events_nulls",
+        ev.filter(d10).withColumn("value",
+          lit(null).cast("decimal(18,4)")), Seq("ts", "value"), "ts", 2)
+      Manifest.commitAppendStats(s, tmp, "events_nulls",
+        ev.filter(!d10 && d20), Seq("ts", "value"), "ts", 2)
+      Manifest.commitAppendStats(s, tmp, "events_nulls",
+        ev.filter(!d20).withColumn("value",
+          when(col("user_id") % 3 === 0, lit(null).cast("decimal(18,4)"))
+            .otherwise(col("value"))), Seq("ts", "value"), "ts", 2)
+    }
+  }
 
   /** q223's MERGE-via-SQL root: pre-cut per-user totals appended with
     * user_id stats, then the users-2–5 full-window recomputation
@@ -583,10 +639,28 @@ final class ManifestFileIndex(
 
   /** Three-valued "could any row of `e` satisfy `expr`": false only
     * on a PROVEN impossibility from the recorded bounds. */
+  /** A reserved numeric stat of the entry (`__nrows`, `__nc_<col>`),
+    * if recorded and parseable. */
+  private def statLong(e: ManifestSql.Entry, key: String): Option[Long] =
+    e.stats.get(key).flatMap(_._1).flatMap(v =>
+      try Some(v.toLong) catch { case _: NumberFormatException => None })
+
   private def mayMatch(e: ManifestSql.Entry, expr: Expression): Boolean = expr match {
     case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
     case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
-    case IsNotNull(_) => true // stats carry no null counts
+    // null-count pruning from the recorded `__nc_<col>` / `__nrows`
+    // stats: a file whose every row is NULL in the column cannot match
+    // IS NOT NULL (and Catalyst pushes IsNotNull for ANY predicate on
+    // the column, so all-null files drop out of ordinary WHEREs too);
+    // a null-free file cannot match IS NULL. Unknown counts keep the
+    // file — stats bound, never filter.
+    case IsNotNull(a: AttributeReference) =>
+      (statLong(e, "__nc_" + a.name), statLong(e, "__nrows")) match {
+        case (Some(nc), Some(n)) => nc < n
+        case _ => true
+      }
+    case IsNull(a: AttributeReference) =>
+      statLong(e, "__nc_" + a.name).forall(_ > 0L)
     case EqualTo(a: AttributeReference, l: Literal) => cmpRange(e, a.name, l, 0)
     case EqualTo(l: Literal, a: AttributeReference) => cmpRange(e, a.name, l, 0)
     case EqualNullSafe(a: AttributeReference, l: Literal) => cmpRange(e, a.name, l, 0)

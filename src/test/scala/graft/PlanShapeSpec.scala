@@ -352,4 +352,43 @@ class PlanShapeSpec extends SparkSuite {
       "SELECT count(*) AS n FROM events_zorder_mf_spec WHERE value > 1").collect()
     assert(index.lastPrune._1 == total)
   }
+
+  test("q225: IS [NOT] NULL prunes files from recorded null counts") {
+    import graft.ops.Manifest
+    val root = graft.sources.ManifestSql.nullStatsRoot(spark, dir)
+    val index = graft.sources.ManifestSql.register(
+      spark, root, "events_nulls", "events_nulls_prune_spec")
+    val total = {
+      spark.sql("SELECT count(*) FROM events_nulls_prune_spec").collect()
+      index.lastPrune._2
+    }
+    // IS NOT NULL: the two all-null files (days < 10 slice) drop
+    spark.sql(
+      "SELECT count(*) FROM events_nulls_prune_spec WHERE value IS NOT NULL")
+      .collect()
+    val keptNotNull = index.lastPrune._1
+    assert(keptNotNull < total, s"all-null files should prune, kept $keptNotNull/$total")
+    // IS NULL: the null-free middle slice drops
+    spark.sql(
+      "SELECT count(*) FROM events_nulls_prune_spec WHERE value IS NULL")
+      .collect()
+    val keptNull = index.lastPrune._1
+    assert(keptNull < total, s"null-free files should prune, kept $keptNull/$total")
+    // an ordinary value predicate inherits the IsNotNull skip: the
+    // all-null files drop out of a plain range WHERE too
+    spark.sql(
+      "SELECT count(*) FROM events_nulls_prune_spec WHERE value > 1.0")
+      .collect()
+    assert(index.lastPrune._1 <= keptNotNull)
+    // correctness alongside the pruning: counts match an un-pruned read
+    val raw = Manifest.readTable(spark, root, "events_nulls")
+    val nNull = spark.sql(
+      "SELECT count(*) FROM events_nulls_prune_spec WHERE value IS NULL")
+      .head().getLong(0)
+    assert(nNull == raw.filter(raw("value").isNull).count())
+    val nNotNull = spark.sql(
+      "SELECT count(*) FROM events_nulls_prune_spec WHERE value IS NOT NULL")
+      .head().getLong(0)
+    assert(nNotNull == raw.filter(raw("value").isNotNull).count())
+  }
 }
