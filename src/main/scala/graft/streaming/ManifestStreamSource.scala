@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.ops.Manifest
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The commit log as a STRUCTURED STREAMING SOURCE — the Delta/Iceberg
+  * streaming-source analogue: `spark.readStream.format("graft-manifest")
+  * .option("root", …).option("table", …).load()` serves each new
+  * committed version's ADDED files as micro-batch input, exactly once,
+  * resuming from the checkpoint across restarts.
+  *
+  * Offset model: `LongOffset(v)` means "all versions ≤ v served". The
+  * engine polls [[ManifestStreamSource.getOffset]] (one pointer read +
+  * claim listing — metadata-sized), and each batch is the file-set
+  * difference `tableChanges((from, to])` — O(delta) planning and
+  * O(delta) read I/O, never a rescan of table history. At 100 TB the
+  * source's steady-state cost is exactly the new files' bytes, the
+  * same contract as the batch consumer (q213) — this is that loop
+  * expressed as a first-class `readStream` so watermarks, stateful
+  * operators, and checkpointed sinks compose downstream.
+  *
+  * Rewrite intervals: a version span containing a compaction / DELETE /
+  * MERGE / DV commit is NOT append-pure — its added files re-carry
+  * surviving rows, and a consumer that read them as new data would
+  * double-count. Default behavior is to FAIL LOUDLY (the Delta
+  * `ignoreChanges` contract); `option("ignoreChanges", "true")` opts
+  * into serving the interval's added files anyway, documenting that
+  * rewritten survivors re-emit (downstream must be idempotent by key).
+  *
+  * V1 `Source` API by design: `getBatch` answers with a DataFrame over
+  * exactly the delta's parquet files (re-wrapped streaming via
+  * [[org.apache.spark.sql.GraftDatasetFactory.asStreaming]]), so the
+  * scan, filters, and codegen are stock Spark — a DSv2 port would
+  * re-implement the parquet reader for no semantic gain.
+  */
+class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName: String = "graft-manifest"
+
+  private def schemaFor(spark: SparkSession,
+                        parameters: Map[String, String]): StructType = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-manifest source: missing option 'root'"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft-manifest source: missing option 'table'"))
+    val v = Manifest.snapshotVersion(root)
+    require(v > 0, s"graft-manifest source: no committed snapshot at $root")
+    Manifest.readTable(spark, root, table, v).schema
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName, schema.getOrElse(schemaFor(ctx.sparkSession, parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new ManifestStreamSource(ctx.sparkSession,
+      parameters("root"), parameters("table"),
+      schema.getOrElse(schemaFor(ctx.sparkSession, parameters)),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+}
+
+class ManifestStreamSource(spark: SparkSession, root: String, table: String,
+                           override val schema: StructType,
+                           ignoreChanges: Boolean) extends Source {
+
+  private def version(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  /** Newest committed version at which `table` exists — metadata-sized
+    * (pointer read + claim listing + manifest resolution); None while
+    * the table has not yet appeared, so the stream idles instead of
+    * failing. */
+  override def getOffset: Option[OffsetV1] = {
+    val v = Manifest.snapshotVersion(root)
+    if (v <= 0) None
+    else if (Manifest.manifestRows(spark, root, v).exists(_._1 == table))
+      Some(LongOffset(v))
+    else None
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(version).getOrElse(0L)
+    val to = version(end)
+    val (delta, pureAppend) =
+      Manifest.tableChanges(spark, root, table, from, to)
+    if (!pureAppend && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft-manifest source: versions ($from, $to] of $table contain a " +
+          "rewrite (compaction/DELETE/MERGE/DV) — added files would re-emit " +
+          "surviving rows. Full-refresh downstream, or opt in with " +
+          "option(\"ignoreChanges\", \"true\") and make the sink idempotent by key.")
+    // project to the pinned source schema (evolved readers NULL-fill),
+    // then re-wrap streaming — getBatch's contract
+    import org.apache.spark.sql.functions.col
+    org.apache.spark.sql.GraftDatasetFactory.asStreaming(
+      delta.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def commit(end: OffsetV1): Unit = () // checkpoint owns progress
+  override def stop(): Unit = ()
+  override def toString: String = s"ManifestStreamSource[$root::$table]"
+}

@@ -575,6 +575,59 @@ object StreamQueries {
           .localCheckpoint(true)
         Seq(root, ckpt).foreach(deleteRecursively)
         out
+      }),
+
+    // ----- the commit log as a STREAMING SOURCE (q226): the inverse
+    //       of q190 — `readStream.format("graft-manifest")` serves
+    //       each committed version interval as a micro-batch,
+    //       O(delta) planning and I/O, exactly once. Two pre-stream
+    //       appends bootstrap as batch 0; a third append committed
+    //       WHILE the query runs arrives as batch 1 containing only
+    //       the delta. The oracle recomputes both windows from the
+    //       raw table keyed by the batch boundary: a re-served file
+    //       (double rows), a missed delta, or bootstrap/incremental
+    //       misassignment all shift the per-batch aggregates — hash
+    //       breaks. -----
+    Q("q226_stream_manifest_source",
+      Some("""SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |  THEN 0 ELSE 1 END AS batch_id,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut1 = lit("2024-01-08 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-16 00:00:00").cast("timestamp")
+        val root = Files.createTempDirectory("graft-stream-src").toString
+        val sink = Files.createTempDirectory("graft-stream-src-out").toString
+        val ckpt = newCkptDir()
+        graft.ops.Manifest.commitAppendRanged(s, root, "events_log",
+          ev.filter(col("ts") < cut1), "ts", 4)                      // v1
+        graft.ops.Manifest.commitAppendRanged(s, root, "events_log",
+          ev.filter(col("ts") >= cut1 && col("ts") < cut2), "ts", 4) // v2
+        val q = s.readStream.format("graft-manifest")
+          .option("root", root).option("table", "events_log").load()
+          .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+          .foreachBatch((b: DataFrame, id: Long) =>
+            b.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(sink))
+          .start()
+        try {
+          q.processAllAvailable() // batch 0: bootstrap (0, v2]
+          graft.ops.Manifest.commitAppendRanged(s, root, "events_log",
+            ev.filter(col("ts") >= cut2), "ts", 4)                   // v3
+          q.processAllAvailable() // batch 1: the (v2, v3] delta only
+        } finally q.stop()
+        val out = s.read.parquet(sink)
+          .groupBy(col("batch_id").cast("int").as("batch_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("batch_id")
+          .localCheckpoint(true)
+        Seq(root, sink, ckpt).foreach(deleteRecursively)
+        out
       })
   )
 }

@@ -17,4 +17,16 @@ object GraftDatasetFactory {
 
   /** The Catalyst expression behind a (classic) Column. */
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-wrap a batch DataFrame as a STREAMING one (`isStreaming=true`)
+    * — what a V1 streaming `Source.getBatch` must return
+    * (`MicroBatchExecution` asserts it). The physical rows are the
+    * batch plan's own `toRdd`; only the logical flag changes. The
+    * same `internalCreateDataFrame` bridge every out-of-tree V1
+    * source uses (cf. SNIPPETS.md [2]: Bahir-style source shims). */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -212,4 +212,68 @@ class StreamingSpec extends SparkSuite {
       assert(spark.table("t_dedup").count() == 2)
     } finally q.stop()
   }
+
+  test("manifest streaming source: per-version micro-batches, checkpoint restart, rewrite refusal") {
+    import graft.ops.Manifest
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gms-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 2)   // v1
+    Manifest.commitAppendRanged(spark, root, "t",
+      (11L to 20L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 2)  // v2
+    val out = java.nio.file.Files.createTempDirectory("gms-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gms-ck").toString
+    def start() = spark.readStream.format("graft-manifest")
+      .option("root", root).option("table", "t").load()
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch((b: DataFrame, id: Long) =>
+        b.withColumn("batch", lit(id)).write.mode("append").parquet(out))
+      .start()
+    val q = start()
+    q.processAllAvailable()                                         // batch 0 = (0, v2]
+    Manifest.commitAppendRanged(spark, root, "t",
+      (21L to 25L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 1)  // v3
+    q.processAllAvailable(); q.stop()                               // batch 1 = (v2, v3]
+    // restart from checkpoint: nothing new pending -> no re-serve
+    val q2 = start(); q2.processAllAvailable()
+    Manifest.commitAppendRanged(spark, root, "t",
+      (26L to 28L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 1)  // v4
+    q2.processAllAvailable(); q2.stop()                             // batch 2 = (v3, v4]
+    val res = spark.read.parquet(out).cache()
+    // exactly-once across the restart: 28 distinct keys, 28 rows total
+    assert(res.count() == 28L)
+    assert(res.select("k").distinct().count() == 28L)
+    // batch boundaries follow version intervals
+    val byBatch = res.groupBy("batch")
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    res.unpersist()
+    assert(byBatch(0L) == ((1L, 20L, 20L)))
+    assert(byBatch(1L) == ((21L, 25L, 5L)))
+    assert(byBatch(2L) == ((26L, 28L, 3L)))
+    // a rewrite interval (DV delete) refuses loudly without ignoreChanges
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") <= 2L)  // v5
+    val q3 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(e.getMessage.contains("rewrite") || Option(e.getCause).exists(
+      c => String.valueOf(c.getMessage).contains("rewrite")))
+    // ignoreChanges opts in: the interval's added files serve (none
+    // here -- a DV commit adds no data files, so the batch is empty)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("gms-ck2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("gms-out2").toString
+    val q4 = spark.readStream.format("graft-manifest")
+      .option("root", root).option("table", "t")
+      .option("ignoreChanges", "true").load()
+      .writeStream.option("checkpointLocation", ckpt2).outputMode("append")
+      .foreachBatch((b: DataFrame, id: Long) =>
+        b.write.mode("append").parquet(out2))
+      .start()
+    q4.processAllAvailable(); q4.stop()
+    // fresh checkpoint: one bootstrap batch of the CURRENT file set
+    assert(spark.read.parquet(out2).count() == 28L)
+  }
 }
