@@ -629,6 +629,79 @@ object Manifest {
   private final class RestoreNoop(val version: Long)
     extends RuntimeException(s"restore no-op at v$version")
 
+  // ----------------------------------------------------- snapshot tags
+
+  private def tagPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe tag name: $name")
+    Paths.get(root, "manifest", s"tag-$name")
+  }
+
+  /** TAG a snapshot with an immutable name (Iceberg tag / Delta
+    * named ref): `"audit-2024q1" → v17`. Tagged snapshots are
+    * RETENTION ROOTS — [[vacuum]] keeps their files and manifests
+    * regardless of the keep-last-N window, so a tag is the durable
+    * "this exact state matters" handle (training-data provenance,
+    * audit freezes, release pins) that plain time travel loses the
+    * moment retention passes it. Tags are immutable and single-use:
+    * re-tagging an existing name throws (drop it first); creation is
+    * atomic (tmp + ATOMIC_MOVE without replace), so two racers get
+    * one winner and one loud failure. Defaults to the current
+    * snapshot. Returns the tagged version. */
+  def createTag(root: String, name: String, version: Long = -1L): Long = {
+    val v = if (version > 0) version else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    require(manifestReadable(root, v), s"createTag: v$v is not a readable snapshot")
+    val p = tagPath(root, name)
+    val tmp = Files.createTempFile(p.getParent, s".tag-$name", ".tmp")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    // createLink is the atomic NON-replacing publish for files —
+    // rename(2) (ATOMIC_MOVE) silently replaces an existing target, so
+    // a move here would let a re-tag overwrite the immutable ref
+    try Files.createLink(p, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"tag $name already exists (tags are immutable; dropTag first)")
+    } finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** Remove a tag — its snapshot becomes ordinary history at the next
+    * vacuum. Unknown names are a no-op (idempotent cleanup). */
+  def dropTag(root: String, name: String): Unit = {
+    val _ = Files.deleteIfExists(tagPath(root, name))
+  }
+
+  /** The version a tag names, if it exists. */
+  def tagVersion(root: String, name: String): Option[Long] = {
+    val p = tagPath(root, name)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
+  }
+
+  /** All tags of `root`: name → version. Metadata-sized. */
+  def tags(root: String): Map[String, Long] = {
+    val mdir = Paths.get(root, "manifest")
+    if (!Files.isDirectory(mdir)) Map.empty
+    else {
+      val l = Files.list(mdir)
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("tag-") => n.substring(4) }
+        .toList
+        .flatMap(n => tagVersion(root, n).map(n -> _)).toMap
+      finally l.close()
+    }
+  }
+
+  /** Read `table` at the snapshot a tag names. */
+  def readTableTag(s: SparkSession, root: String, table: String,
+                   tag: String): DataFrame =
+    readTable(s, root, table, tagVersion(root, tag).getOrElse(
+      throw new IllegalArgumentException(s"unknown tag: $tag")))
+
   // --------------------------------------------- write-audit-publish (WAP)
 
   private def wapMarkerName(branch: String): String = {
@@ -2061,7 +2134,10 @@ object Manifest {
       wapBranchOf(root, v).exists(wapIsDropped(root, _))).toSet
     val history = mainline.filterNot(droppedWap)
     require(history.nonEmpty, s"no committed snapshot at $root")
-    val retained = history.takeRight(keep) ++ openWap
+    // tagged snapshots are retention roots: their files and manifests
+    // survive any keep-last-N window until the tag is dropped
+    val tagged = tags(root).values.toSeq.distinct.filter(readable.contains)
+    val retained = (history.takeRight(keep) ++ openWap ++ tagged).distinct
     val retainedRows = retained.flatMap(manifestRows(s, root, _))
     val live = retainedRows.map(_._2).toSet
     // deletion-vector sidecars are live while any retained manifest row
@@ -2494,6 +2570,30 @@ object Manifest {
         col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
           col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
       val _2 = commitRestore(s, tmp, "events_log", toVersion = 2L)
+    }
+  }
+
+  /** q227's tag root: two ranged appends (v1, v2), tag `pre-delete`
+    * at v2, a stats-pruned DELETE (v3), then vacuum(keep = 1) — the
+    * sweep that WOULD collect v2's exclusive files if the tag were
+    * not a retention root. */
+  def tagRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-tag/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+      val _ = createTag(tmp, "pre-delete")
+      val _2 = commitDeleteWhere(s, tmp, "events_log",
+        Seq(Pred("ts", "2024-01-10 00:00:00", "2024-01-13 00:00:00", "timestamp")),
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      val _3 = vacuum(s, tmp, keep = 1, graceMs = 0L)
     }
   }
 
@@ -3480,6 +3580,30 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")
+      }),
+
+    // ----- snapshot tag as retention root (q227): v2 (pre-delete) is
+    //       TAGGED, a three-day DELETE lands, and vacuum(keep=1)
+    //       sweeps everything else below the floor — yet the tagged
+    //       snapshot reads back in full, because tags pin files AND
+    //       manifests past any retention window (ManifestSpec pins
+    //       the negative control: the same vacuum without the tag
+    //       makes v2 unreadable). The oracle recomputes the full
+    //       window per user from the raw table: a tag that failed to
+    //       retain (read throws = board FAIL) or resolved to the
+    //       wrong version (post-delete counts) breaks the row. -----
+    Q("q227_snapshot_tag",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = tagRoot(s, dir)
+        readTableTag(s, root, "events_log", "pre-delete")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("user_id")
       }),
 
     // ----- metadata-only COUNT (q224): both counts — the full table

@@ -771,4 +771,45 @@ class ManifestSpec extends SparkSuite {
       (1L to 7L).map(k => (k, k.toDouble)).toDF("k", "v").coalesce(1))
     assert(Manifest.countRows(spark, root2, "t") == 7L)
   }
+
+  test("snapshot tags: immutable named refs that pin files past vacuum retention") {
+    import spark.implicits._
+    def build(): String = {
+      val root = Files.createTempDirectory("graft-tag-spec").toString
+      Manifest.commitAppendRanged(spark, root, "t",
+        Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "k", 2)            // v1
+      Manifest.commitAppendRanged(spark, root, "t",
+        Seq((3L, 3.0), (4L, 4.0)).toDF("k", "v"), "k", 2)            // v2
+      root
+    }
+    // negative control FIRST: without a tag, vacuum(keep=1) collects
+    // the files only v2 references once v3 rewrites them away
+    val bare = build()
+    Manifest.commitDeleteWhere(spark, bare, "t",
+      Seq(Manifest.Pred("k", "1", "4", "bigint")), col("k") >= 2L)   // v3
+    Manifest.vacuum(spark, bare, keep = 1, graceMs = 0L)
+    intercept[Exception] {
+      Manifest.readTable(spark, bare, "t", 2L).count()
+    }
+    // tagged: the same sweep keeps v2 whole
+    val root = build()
+    assert(Manifest.createTag(root, "audit") == 2L)
+    intercept[IllegalStateException] { Manifest.createTag(root, "audit", 1L) }
+    Manifest.commitDeleteWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "1", "4", "bigint")), col("k") >= 2L)   // v3
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(Manifest.readTableTag(spark, root, "t", "audit")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(Manifest.tags(root) == Map("audit" -> 2L))
+    // dropping the tag demotes the snapshot to ordinary history: the
+    // next vacuum collects it
+    Manifest.dropTag(root, "audit")
+    Manifest.dropTag(root, "audit") // idempotent
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    intercept[Exception] {
+      Manifest.readTable(spark, root, "t", 2L).count()
+    }
+    assert(Manifest.readTable(spark, root, "t").select("k")
+      .as[Long].collect().toSeq == Seq(1L)) // current state intact
+  }
 }
