@@ -1674,6 +1674,105 @@ object Manifest {
     (df, pureAppend)
   }
 
+  /** ROW-LEVEL change feed (the Delta CDF analogue, derived post-hoc
+    * from the commit log): every row the interval's commits inserted
+    * or deleted, tagged `_change_type` ('insert' | 'delete') and
+    * `_commit_version` — an UPDATE surfaces as its delete(pre-image) +
+    * insert(post-image) pair, the classic CDC rendering. Unlike
+    * [[tableChanges]] (file granularity, refuses rewrite intervals),
+    * this walks every version STEP and prices each by its commit type:
+    *
+    *  - pure append → inserts are the added files' rows (DV-resolved
+    *    at that version) — O(delta);
+    *  - DV drift (merge-on-read DELETE/UPDATE/dedup) → deletes are
+    *    exactly the positions the step ADDED to each sidecar, read
+    *    back by position join — O(matched rows);
+    *  - CoW rewrite (replace/compaction/copy-on-write DELETE/MERGE) →
+    *    a row-level `exceptAll` diff bounded to the REMOVED and added
+    *    files only (inherited files cancel by construction) — a
+    *    compaction that merely repacks rows therefore yields zero
+    *    change rows, O(affected files) cost, never a table rescan.
+    *
+    * At 100 TB the steady-state (append/DV) steps cost exactly their
+    * delta bytes — the feed a downstream CDC consumer, audit trail, or
+    * incremental MV derives row-level semantics from without the
+    * writer cooperating (no change files needed at commit time). */
+  def readChangeFeed(s: SparkSession, root: String, table: String,
+                     fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val to = if (toVersion > 0) toVersion else snapshotVersion(root)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"readChangeFeed: bad interval ($fromVersion, $to]")
+    val steps = claimedVersions(root)
+      .filter(v => v > fromVersion && v <= to && manifestReadable(root, v))
+    val absRoot = Paths.get(root).toAbsolutePath.normalize()
+    def rowsAt(v: Long): Seq[(String, String)] =
+      if (v == 0) Seq.empty
+      else manifestRows(s, root, v).collect { case (t, f, st) if t == table => (f, st) }
+    def dvPositions(st: String): Map[String, Array[Long]] = // file → positions
+      dvRefOf(st).map { case (side, _) => side -> readDvSidecar(root, side) }.toMap
+    /** Rows of `files` at the given positions — the DV read pattern. */
+    def rowsAtPositions(perFile: Seq[(String, Array[Long])]): DataFrame = {
+      import s.implicits._
+      val pos = perFile.flatMap { case (f, ps) =>
+        val abs = absRoot.resolve(f).normalize().toString
+        ps.map(p => (abs, p))
+      }
+      s.read.parquet(perFile.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+        .withColumn("_p",
+          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+        .withColumn("_ri", col("_metadata.row_index"))
+        .join(bcast(pos.toDF("_p", "_ri")), Seq("_p", "_ri"), "left_semi")
+        .drop("_p", "_ri")
+    }
+    var prev = rowsAt(fromVersion)
+    var out: Option[DataFrame] = None
+    def emit(df: DataFrame, change: String, v: Long): Unit = {
+      val tagged = df
+        .withColumn("_change_type", lit(change))
+        .withColumn("_commit_version", lit(v))
+      out = Some(out.fold(tagged)(_.unionByName(tagged)))
+    }
+    steps.foreach { v =>
+      val cur = rowsAt(v)
+      if (cur != prev) {
+        val prevByPath = prev.toMap
+        val curByPath = cur.toMap
+        val addedFiles = cur.filterNot { case (f, _) => prevByPath.contains(f) }
+        val removedFiles = prev.filterNot { case (f, _) => curByPath.contains(f) }
+        if (removedFiles.nonEmpty) {
+          // CoW rewrite step: row diff bounded to the affected files
+          val before = readResolved(s, root, removedFiles)
+          val after =
+            if (addedFiles.isEmpty) before.filter(lit(false))
+            else readResolved(s, root, addedFiles)
+          emit(before.exceptAll(after), "delete", v)
+          emit(after.exceptAll(before), "insert", v)
+        } else {
+          if (addedFiles.nonEmpty)
+            emit(readResolved(s, root, addedFiles), "insert", v)
+          // DV drift on carried files: the step's NEW positions are its
+          // deleted rows (pre-images)
+          val drift = cur.flatMap { case (f, st) =>
+            prevByPath.get(f).filter(_ != st).flatMap { oldSt =>
+              val oldPos = dvPositions(oldSt).values.flatten.toSet
+              val newPos = dvPositions(st).values.flatten.toArray
+                .filterNot(oldPos)
+              if (newPos.isEmpty) None else Some(f -> newPos)
+            }
+          }
+          if (drift.nonEmpty) emit(rowsAtPositions(drift), "delete", v)
+        }
+      }
+      prev = cur
+    }
+    out.getOrElse {
+      readTable(s, root, table, to).filter(lit(false))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    }
+  }
+
   /** Exactly-once incremental consumption: maintain `dstTable` (in its
     * own manifest root) as `transform` of `srcTable`, advancing one
     * source-log interval per call — the BATCH form of the streaming
@@ -2594,6 +2693,29 @@ object Manifest {
         col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
           col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
       val _3 = vacuum(s, tmp, keep = 1, graceMs = 0L)
+    }
+  }
+
+  /** q228's change-feed root: append (v1) → DV DELETE of the
+    * [Jan 10, 12) window (v2) → DV UPDATE doubling user 3's value
+    * (v3) → post-cut append (v4). All four commit types the row-level
+    * feed prices differently, under one log. */
+  def changeFeedRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-cdf/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      val _ = commitDeleteVectors(s, tmp, "events_log",
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+      val _2 = commitUpdateVectors(s, tmp, "events_log",
+        col("user_id") === 3L, Map("value" -> (col("value") * 2)))
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
     }
   }
 
@@ -3604,6 +3726,47 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("user_id")
+      }),
+
+    // ----- row-level change feed (q228): four commits — append,
+    //       merge-on-read DELETE, merge-on-read UPDATE, append — read
+    //       back as (insert | delete) rows tagged with their commit
+    //       version, derived post-hoc from the log (DV-position drift
+    //       = exact deletes; the UPDATE surfaces as its pre-image
+    //       delete + post-image insert pair). The oracle recomputes
+    //       every (version, change) class from the raw table: a
+    //       pre-image priced with the NEW value, a delete double-
+    //       reported, or an already-deleted row re-matching the
+    //       update all shift the per-class sums — hash breaks. -----
+    Q("q228_change_feed",
+      Some("""WITH ev AS (SELECT user_id, CAST(value AS DECIMAL(18,4)) AS value,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |del2 AS (SELECT * FROM ev
+             |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-12 00:00:00'),
+             |upd3 AS (SELECT * FROM ev
+             |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND user_id = 3
+             |    AND NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |      AND ts < TIMESTAMP '2024-01-12 00:00:00')),
+             |classes AS (
+             |  SELECT 1 AS v, 'insert' AS change, count(*) AS n, sum(value) AS sv
+             |  FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+             |  UNION ALL SELECT 2, 'delete', count(*), sum(value) FROM del2
+             |  UNION ALL SELECT 3, 'delete', count(*), sum(value) FROM upd3
+             |  UNION ALL SELECT 3, 'insert', count(*), sum(value * 2) FROM upd3
+             |  UNION ALL SELECT 4, 'insert', count(*), sum(value)
+             |  FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+             |SELECT CAST(v AS BIGINT) AS v, change,
+             |  CAST(n AS BIGINT) AS n, CAST(sv AS DOUBLE) AS sv
+             |FROM classes ORDER BY v, change""".stripMargin),
+      (s, dir) => {
+        val root = changeFeedRoot(s, dir)
+        readChangeFeed(s, root, "events_log", fromVersion = 0L)
+          .groupBy(col("_commit_version").as("v"),
+            col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n"), sum("value").cast("double").as("sv"))
+          .orderBy("v", "change")
       }),
 
     // ----- metadata-only COUNT (q224): both counts — the full table

@@ -812,4 +812,38 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").select("k")
       .as[Long].collect().toSeq == Seq(1L)) // current state intact
   }
+
+  test("readChangeFeed: row-level insert/delete classes per commit type; compaction nets zero") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cdf-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "v"),
+      "k", 2)                                                        // v1
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)  // v2
+    Manifest.commitUpdateVectors(spark, root, "t",
+      col("k") === 3L, Map("v" -> (col("v") + 5.0)))                 // v3
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((5L, 50.0)).toDF("k", "v"), "k", 1)                        // v4
+    val feed = readFeed(root, 0L)
+    assert(feed == Set(
+      (1L, "insert", 1L, 10.0), (1L, "insert", 2L, 20.0),
+      (1L, "insert", 3L, 30.0), (1L, "insert", 4L, 40.0),
+      (2L, "delete", 2L, 20.0),
+      (3L, "delete", 3L, 30.0), (3L, "insert", 3L, 35.0),
+      (4L, "insert", 5L, 50.0)))
+    // a mid-interval start sees only later steps
+    assert(readFeed(root, 3L) == Set((4L, "insert", 5L, 50.0)))
+    // compaction repacks rows without changing content: zero change rows
+    Manifest.compactTable(spark, root, "t", targetBytes = 1L << 20)  // v5
+    assert(readFeed(root, 4L).isEmpty)
+    // an empty interval yields an empty, correctly-shaped frame
+    val cur = Manifest.snapshotVersion(root)
+    assert(Manifest.readChangeFeed(spark, root, "t", cur).count() == 0L)
+  }
+
+  private def readFeed(root: String, from: Long): Set[(Long, String, Long, Double)] =
+    Manifest.readChangeFeed(spark, root, "t", from)
+      .select(col("_commit_version"), col("_change_type"), col("k"), col("v"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 }
