@@ -254,10 +254,16 @@ object Manifest {
     Staging.deleteRecursively(tmp)
     val rel = Paths.get(root).relativize(dest).toString.replace('\\', '/')
     val l = Files.list(dest)
-    try l.iterator().asScala.toList
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .sorted.map(f => s"$rel/$f")
-    finally l.close()
+    val files =
+      try l.iterator().asScala.toList
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .sorted.map(f => s"$rel/$f")
+      finally l.close()
+    // every write path funnels here, so CHECK constraints guard all of
+    // them: the files are not yet claimed (invisible), so a violation
+    // aborts with nothing to undo but the dir itself
+    enforceChecks(s, root, table, files)
+    files
   }
 
   /** One claim's content: the ops log plus the delta parent (None =
@@ -628,6 +634,141 @@ object Manifest {
   /** Control-flow carrier for [[commitRestore]]'s no-op case. */
   private final class RestoreNoop(val version: Long)
     extends RuntimeException(s"restore no-op at v$version")
+
+  // --------------------------------------------- timestamp time travel
+
+  /** Readable versions with MONOTONIC commit wall-clocks. The raw
+    * signal is each claim dir's mtime (set by the atomic claim
+    * rename); like Delta's commit-file timestamps these can regress
+    * (clock skew, replication re-writing dirs), so each version's
+    * time is adjusted to `max(own, predecessor)` — resolution below
+    * is then well-defined even over a skewed history. */
+  private def versionTimes(root: String): Seq[(Long, Long)] = {
+    val vs = claimedVersions(root).filter(manifestReadable(root, _))
+    var prev = Long.MinValue
+    vs.map { v =>
+      val raw = Files.getLastModifiedTime(
+        Paths.get(root, "manifest", s"v$v")).toMillis
+      prev = math.max(prev, raw)
+      (v, prev)
+    }
+  }
+
+  /** Monotonic-adjusted commit time of version `v`, ms epoch. */
+  def commitTimeMs(root: String, v: Long): Long =
+    versionTimes(root).collectFirst { case (`v`, t) => t }.getOrElse(
+      throw new IllegalArgumentException(s"no readable snapshot v$v at $root"))
+
+  /** `TIMESTAMP AS OF`: the newest version committed at or before
+    * `tsMillis` — Delta/Iceberg timestamp travel. Throws when the
+    * instant predates the first retained commit (the history a vacuum
+    * already collected cannot be resurrected) — same contract as
+    * Delta's `timestampAsOf` below the earliest commit. */
+  def versionAsOf(root: String, tsMillis: Long): Long = {
+    val times = versionTimes(root)
+    require(times.nonEmpty, s"no committed snapshot at $root")
+    times.takeWhile(_._2 <= tsMillis).lastOption.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the earliest retained commit " +
+          s"(v${times.head._1} at ${times.head._2})"))
+  }
+
+  /** Read `table` as of a wall-clock instant. */
+  def readTableAsOf(s: SparkSession, root: String, table: String,
+                    tsMillis: Long): DataFrame =
+    readTable(s, root, table, versionAsOf(root, tsMillis))
+
+  // ------------------------------------------------- CHECK constraints
+
+  private def checkDir(root: String): Path = Paths.get(root, "manifest")
+  private def checkPath(root: String, table: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe constraint name: $name")
+    checkDir(root).resolve(s"check-$table--$name")
+  }
+
+  /** Register a CHECK constraint on `table` (Delta `ALTER TABLE ADD
+    * CONSTRAINT`): from this moment EVERY write path — append, multi-
+    * table, MERGE, UPDATE rewrite, compaction — validates its published
+    * files against the predicate before the claim, so a violating
+    * batch can never become visible (the files stay unclaimed and
+    * vacuum collects them). ANSI CHECK semantics: a NULL predicate
+    * PASSES; a row fails only when the predicate is FALSE. Like
+    * Delta, registration scans the CURRENT table once and refuses if
+    * existing data already violates. Names are immutable —
+    * [[dropCheckConstraint]] first. Enforcement cost is one
+    * column-pruned scan of each commit's OWN files (never the
+    * table). */
+  def addCheckConstraint(s: SparkSession, root: String, table: String,
+                         name: String, exprText: String): Unit = {
+    val p = checkPath(root, table, name)
+    Files.createDirectories(p.getParent)
+    val pred = expr(exprText) // parse errors surface at registration
+    if (snapshotVersion(root) > 0 &&
+        manifestRows(s, root, snapshotVersion(root)).exists(_._1 == table)) {
+      val bad = readTable(s, root, table)
+        .filter(coalesce(pred, lit(true)) === false).count()
+      require(bad == 0L,
+        s"cannot add CHECK $name to $table: $bad existing rows violate '$exprText'")
+    }
+    val tmp = Files.createTempFile(p.getParent, s".check-$name", ".tmp")
+    Files.write(tmp, exprText.getBytes("UTF-8"))
+    try Files.createLink(p, tmp) // atomic non-replacing, same as tags
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"CHECK $name already exists on $table (drop it first)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Remove a CHECK constraint; unknown names are a no-op. */
+  def dropCheckConstraint(root: String, table: String, name: String): Unit = {
+    val _ = Files.deleteIfExists(checkPath(root, table, name))
+  }
+
+  /** Registered CHECK constraints of `table`: name → predicate text. */
+  def checkConstraints(root: String, table: String): Map[String, String] = {
+    val dir = checkDir(root)
+    if (!Files.isDirectory(dir)) Map.empty
+    else {
+      val prefix = s"check-$table--"
+      val l = Files.list(dir)
+      try l.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(prefix))
+        .map(n => n.substring(prefix.length) ->
+          new String(Files.readAllBytes(dir.resolve(n)), "UTF-8"))
+        .toMap
+      finally l.close()
+    }
+  }
+
+  /** Validate just-published files against `table`'s CHECK
+    * constraints — one scan of THIS commit's files, column-pruned to
+    * the predicates' inputs, all constraints in a single agg pass. On
+    * violation the published dir is removed (it was never claimed, so
+    * it was never visible) and the write fails loudly with per-
+    * constraint row counts. */
+  private def enforceChecks(s: SparkSession, root: String, table: String,
+                            relFiles: Seq[String]): Unit = {
+    val checks = checkConstraints(root, table).toSeq.sortBy(_._1)
+    if (checks.isEmpty || relFiles.isEmpty) return
+    val df = s.read.parquet(relFiles.map(f => s"$root/$f"): _*)
+    val aggs = checks.map { case (_, e) =>
+      sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n ('$e': ${row.getLong(i)} rows)"
+    }
+    if (bad.nonEmpty) {
+      relFiles.map(f => Paths.get(root, f).getParent).distinct
+        .foreach(Staging.deleteRecursively)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violation writing $table: ${bad.mkString("; ")}")
+    }
+  }
 
   // ----------------------------------------------------- snapshot tags
 
@@ -2204,7 +2345,9 @@ object Manifest {
     * registrations are kept (metadata-sized; retained versions may
     * resolve through a registration older than the retention floor).
     * Metadata-sized work: |manifest rows| + |data files| driver-side,
-    * no data read. */
+    * no data read. `dryRun = true` reports the (would-remove,
+    * live-file) counts without touching anything — the operational
+    * preflight every destructive sweep deserves. */
   /** Default in-flight-commit grace window: unreferenced data files
     * younger than this survive a vacuum, because a concurrent writer
     * publishes data BEFORE claiming its manifest and a vacuum in that
@@ -2216,7 +2359,8 @@ object Manifest {
   val defaultVacuumGraceMs: Long = 10L * 60L * 1000L
 
   def vacuum(s: SparkSession, root: String, keep: Int,
-             graceMs: Long = defaultVacuumGraceMs): (Int, Int) = {
+             graceMs: Long = defaultVacuumGraceMs,
+             dryRun: Boolean = false): (Int, Int) = {
     val readable = claimedVersions(root).filter(manifestReadable(root, _))
     require(readable.nonEmpty, s"no committed snapshot at $root")
     // WAP claims are classified by their branch's resolution markers:
@@ -2271,13 +2415,16 @@ object Manifest {
           (all.filter(p => p.getFileName.toString.endsWith(".parquet") && dead(p)),
             all.filter(p => p.getFileName.toString.contains(".dv-") && deadDv(p)))
         } finally walk.close()
-      doomedFiles.foreach { p =>
-        Files.delete(p); removed += 1
-        // a bloom sidecar lives and dies with its data file
-        val _ = Files.deleteIfExists(
-          p.resolveSibling(p.getFileName.toString + ".bloom"))
+      if (dryRun) removed = doomedFiles.size
+      else {
+        doomedFiles.foreach { p =>
+          Files.delete(p); removed += 1
+          // a bloom sidecar lives and dies with its data file
+          val _ = Files.deleteIfExists(
+            p.resolveSibling(p.getFileName.toString + ".bloom"))
+        }
+        doomedDvs.foreach(p => Files.deleteIfExists(p))
       }
-      doomedDvs.foreach(p => Files.deleteIfExists(p))
     }
     // a retained DELTA still resolves through its chain: its ancestors
     // must survive the manifest sweep even when they sit below the
@@ -2299,6 +2446,7 @@ object Manifest {
     // every retained version resolves at or above that claim, so the
     // newest-at-or-below lookup still finds them. A surviving claim's
     // own marker always shadows the carried copy (it is newer).
+    if (dryRun) return (removed, live.size) // report only: nothing moved
     val survivors = claimedVersions(root).filterNot(doomed.toSet)
     survivors.headOption.foreach { oldest =>
       val dest = Paths.get(root, "manifest", s"v$oldest")
@@ -2716,6 +2864,57 @@ object Manifest {
         col("user_id") === 3L, Map("value" -> (col("value") * 2)))
       commitAppendRanged(s, tmp, "events_log",
         ev.filter(col("ts") >= cutTs), "ts", 8)
+    }
+  }
+
+  /** q229's constraint root: v1 lands, two CHECKs register (scanning
+    * existing data), a good append lands (v2), and a VIOLATING batch
+    * is rejected — the staging asserts it left no version and no
+    * visible rows. */
+  def checksRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-checks/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 8)
+      addCheckConstraint(s, tmp, "events_log", "nonneg", "value >= 0")
+      addCheckConstraint(s, tmp, "events_log", "known-user", "user_id <= 100000")
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cutTs), "ts", 8)
+      val before = snapshotVersion(tmp)
+      val thrown =
+        try { commitAppend(s, tmp, "events_log",
+          ev.limit(5).withColumn("value",
+            lit(-1).cast("decimal(18,4)"))); false }
+        catch { case e: IllegalArgumentException =>
+          require(e.getMessage.contains("CHECK"), e.getMessage); true }
+      require(thrown, "staging bug: violating batch was accepted")
+      require(snapshotVersion(tmp) == before,
+        "staging bug: violating batch advanced the version")
+    }
+  }
+
+  /** q230's timestamp-travel root: three window appends with real
+    * wall-clock separation (50 ms sleeps — commit times are ms-
+    * granular dir mtimes, and two commits in the same ms would make
+    * "as of t(v2)" resolve to v3). */
+  def asOfRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-asof/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val c1 = lit("2024-01-08 00:00:00").cast("timestamp")
+      val c2 = lit("2024-01-16 00:00:00").cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log", ev.filter(col("ts") < c1), "ts", 4)
+      Thread.sleep(50)
+      commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= c1 && col("ts") < c2), "ts", 4)
+      Thread.sleep(50)
+      commitAppendRanged(s, tmp, "events_log", ev.filter(col("ts") >= c2), "ts", 4)
     }
   }
 
@@ -3767,6 +3966,49 @@ object Manifest {
             col("_change_type").as("change"))
           .agg(count(lit(1)).as("n"), sum("value").cast("double").as("sv"))
           .orderBy("v", "change")
+      }),
+
+    // ----- CHECK constraints at commit (q229): two registered
+    //       predicates validate every write's published files before
+    //       the claim; the fixture's violating batch is REJECTED with
+    //       nothing visible (staging asserts no version advanced).
+    //       The oracle aggregates the raw table incl. min(value): a
+    //       leaked violating row drives min_v to −1, a wrongly-
+    //       rejected good batch shifts the counts — hash breaks. -----
+    Q("q229_check_constraints",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_v
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = checksRoot(s, dir)
+        readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            min("value").cast("double").as("min_v"))
+          .orderBy("event_type")
+      }),
+
+    // ----- TIMESTAMP AS OF time travel (q230): the read resolves a
+    //       wall-clock instant — v2's monotonic-adjusted commit time
+    //       — to the newest version at or before it, then serves that
+    //       snapshot. The oracle recomputes v2's window content from
+    //       the raw table: resolving one version early (missing the
+    //       mid window) or late (including the tail window) shifts
+    //       every aggregate — hash breaks. -----
+    Q("q230_timestamp_as_of",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = asOfRoot(s, dir)
+        readTableAsOf(s, root, "events_log", commitTimeMs(root, 2L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type")
       }),
 
     // ----- metadata-only COUNT (q224): both counts — the full table

@@ -846,4 +846,72 @@ class ManifestSpec extends SparkSuite {
       .select(col("_commit_version"), col("_change_type"), col("k"), col("v"))
       .collect().map(r =>
         (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("CHECK constraints guard every write path; registration scans existing data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-check-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 5.0), (2L, 7.0)).toDF("k", "v"), "k", 1)
+    // registration refuses when existing data violates
+    intercept[IllegalArgumentException] {
+      Manifest.addCheckConstraint(spark, root, "t", "impossible", "v > 100")
+    }
+    Manifest.addCheckConstraint(spark, root, "t", "pos", "v >= 0")
+    intercept[IllegalStateException] {
+      Manifest.addCheckConstraint(spark, root, "t", "pos", "v >= 1") // immutable name
+    }
+    // plain append: violation rejected, version unchanged, files invisible
+    val before = Manifest.snapshotVersion(root)
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, root, "t", Seq((3L, -1.0)).toDF("k", "v"))
+    }
+    assert(Manifest.snapshotVersion(root) == before)
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+    // NULL predicate PASSES (ANSI CHECK)
+    Manifest.commitAppend(spark, root, "t",
+      Seq((4L, Option.empty[Double])).toDF("k", "v"))
+    assert(Manifest.readTable(spark, root, "t").count() == 3L)
+    // UPDATE rewrite paths are guarded too (post-images validate)
+    intercept[IllegalArgumentException] {
+      Manifest.commitUpdateVectors(spark, root, "t",
+        col("k") === 1L, Map("v" -> (col("v") - 100.0)))
+    }
+    assert(Manifest.readTable(spark, root, "t")
+      .filter(col("k") === 1L).head().getDouble(1) == 5.0)
+    // dropping the constraint re-opens the path
+    Manifest.dropCheckConstraint(root, "t", "pos")
+    Manifest.commitAppend(spark, root, "t", Seq((5L, -2.0)).toDF("k", "v"))
+    assert(Manifest.readTable(spark, root, "t").count() == 4L) // {1,2,4,5}
+  }
+
+  test("timestamp time travel resolves monotonic commit times; vacuum dryRun touches nothing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-asof-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v"), "k", 1)                 // v1
+    Thread.sleep(30)
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((2L, 2.0)).toDF("k", "v"), "k", 1)                 // v2
+    Thread.sleep(30)
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((3L, 3.0)).toDF("k", "v"), "k", 1)                 // v3
+    val t2 = Manifest.commitTimeMs(root, 2L)
+    assert(Manifest.versionAsOf(root, t2) == 2L)
+    assert(Manifest.readTableAsOf(spark, root, "t", t2).count() == 2L)
+    assert(Manifest.versionAsOf(root, System.currentTimeMillis() + 60000L) == 3L)
+    intercept[IllegalArgumentException] {
+      Manifest.versionAsOf(root, Manifest.commitTimeMs(root, 1L) - 10000L)
+    }
+    // dryRun reports the sweep without performing it
+    Manifest.commitDeleteWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "1", "3", "bigint")), col("k") === 2L) // v4 rewrite
+    val (would, _) = Manifest.vacuum(spark, root, keep = 1, graceMs = 0L,
+      dryRun = true)
+    assert(would > 0)
+    // nothing was touched: every version still reads
+    (1L to 4L).foreach(v =>
+      assert(Manifest.readTable(spark, root, "t", v).count() > 0))
+    val (did, _) = Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    assert(did == would) // the report was exact
+  }
 }
