@@ -190,6 +190,15 @@ object Manifest {
         wapBranchOf(root, v).forall(b => wapIsPublished(root, b)))
       .getOrElse(0L)
 
+  /** Newest readable MAIN snapshot at or below `v` (0 = none) — the
+    * rounding a rate-limited consumer needs when its cap lands on a
+    * crashed writer's unreadable claim number. */
+  private[graft] def readableAtOrBelow(root: String, v: Long): Long =
+    claimedVersions(root).reverseIterator
+      .find(x => x <= v && manifestReadable(root, x) &&
+        wapBranchOf(root, x).forall(b => wapIsPublished(root, b)))
+      .getOrElse(0L)
+
   /** Next version to attempt: 1 + max(any claim, pointer). A dead
     * unreadable claim still consumes its number (skipped, vacuumed
     * later) so later writers never deadlock on it. */

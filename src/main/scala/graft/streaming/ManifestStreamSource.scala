@@ -2,9 +2,10 @@ package graft.streaming
 
 import graft.ops.Manifest
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The commit log as a STRUCTURED STREAMING SOURCE — the Delta/Iceberg
@@ -37,8 +38,31 @@ import org.apache.spark.sql.types.StructType
   * scan, filters, and codegen are stock Spark — a DSv2 port would
   * re-implement the parquet reader for no semantic gain.
   */
-class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class ManifestSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName: String = "graft-manifest"
+
+  /** The WRITE half of the same format: `writeStream.format(
+    * "graft-manifest")` commits each micro-batch to the table through
+    * the exactly-once ledger ([[Streams.commitBatchToManifest]]:
+    * `_txn_` marker atomic with the rows, redeliveries no-op, id gaps
+    * throw) — so source and sink compose into a commit-log-to-
+    * commit-log pipeline with end-to-end exactly-once and no
+    * foreachBatch user code. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-manifest sink: missing option 'root'"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft-manifest sink: missing option 'table'"))
+    require(partitionColumns.isEmpty,
+      "graft-manifest sink: partitionBy is not supported (layout comes from the table)")
+    require(outputMode == OutputMode.Append(),
+      s"graft-manifest sink: only Append output mode is supported, got $outputMode")
+    val appId = parameters.getOrElse("appId", s"sink-$table")
+    new ManifestStreamSink(root, table, appId)
+  }
 
   private def schemaFor(spark: SparkSession,
                         parameters: Map[String, String]): StructType = {
@@ -62,12 +86,36 @@ class ManifestSourceProvider extends StreamSourceProvider with DataSourceRegiste
     new ManifestStreamSource(ctx.sparkSession,
       parameters("root"), parameters("table"),
       schema.getOrElse(schemaFor(ctx.sparkSession, parameters)),
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
+}
+
+/** V1 sink over [[Streams.commitBatchToManifest]]: each addBatch is
+  * one ledgered manifest commit. */
+class ManifestStreamSink(root: String, table: String, appId: String)
+    extends Sink {
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+    Streams.commitBatchToManifest(
+      org.apache.spark.sql.GraftDatasetFactory.asBatch(data.toDF()),
+      root, batchId, appId, table)
+  override def toString: String = s"ManifestStreamSink[$root::$table]"
 }
 
 class ManifestStreamSource(spark: SparkSession, root: String, table: String,
                            override val schema: StructType,
-                           ignoreChanges: Boolean) extends Source {
+                           ignoreChanges: Boolean,
+                           maxVersionsPerTrigger: Option[Long] = None)
+    extends Source {
+
+  maxVersionsPerTrigger.foreach(n => require(n > 0,
+    s"maxVersionsPerTrigger must be positive, got $n"))
+
+  // Highest version already handed out via getBatch — the anchor the
+  // rate limit caps against. Synced from the checkpoint automatically:
+  // after a restart the engine replays the pending batch through
+  // getBatch before asking for a new offset.
+  @volatile private var served: Long = -1L
 
   private def version(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -77,18 +125,33 @@ class ManifestStreamSource(spark: SparkSession, root: String, table: String,
   /** Newest committed version at which `table` exists — metadata-sized
     * (pointer read + claim listing + manifest resolution); None while
     * the table has not yet appeared, so the stream idles instead of
-    * failing. */
+    * failing. With `maxVersionsPerTrigger` the offset is CAPPED at
+    * served + N, so a backfill over a long history arrives as bounded
+    * micro-batches (Delta's maxFilesPerTrigger, at version
+    * granularity) instead of one giant catch-up batch. */
   override def getOffset: Option[OffsetV1] = {
     val v = Manifest.snapshotVersion(root)
     if (v <= 0) None
-    else if (Manifest.manifestRows(spark, root, v).exists(_._1 == table))
-      Some(LongOffset(v))
-    else None
+    else {
+      val want = maxVersionsPerTrigger match {
+        case Some(n) if served >= 0 => math.min(v, served + n)
+        case Some(n) => math.min(v, n)
+        case None => v
+      }
+      // round DOWN to a readable snapshot: the cap may land on a
+      // crashed writer's unreadable claim number
+      val capped = Manifest.readableAtOrBelow(root, want)
+      if (capped > 0 &&
+          Manifest.manifestRows(spark, root, capped).exists(_._1 == table))
+        Some(LongOffset(capped))
+      else None
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(version).getOrElse(0L)
     val to = version(end)
+    served = math.max(served, to) // rate-limit anchor (checkpoint-synced)
     val (delta, pureAppend) =
       Manifest.tableChanges(spark, root, table, from, to)
     if (!pureAppend && !ignoreChanges)

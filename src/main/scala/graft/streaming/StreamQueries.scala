@@ -628,6 +628,60 @@ object StreamQueries {
           .localCheckpoint(true)
         Seq(root, sink, ckpt).foreach(deleteRecursively)
         out
+      }),
+
+    // ----- commit-log → commit-log pipeline (q231): the source and
+    //       sink halves of `format("graft-manifest")` composed with
+    //       NO foreachBatch user code — `maxVersionsPerTrigger=1`
+    //       makes the two pre-existing source versions arrive as two
+    //       bounded micro-batches (the backfill rate limit), a third
+    //       commits mid-stream, and each batch lands in the
+    //       destination log through the exactly-once ledger. The
+    //       result carries the destination VERSION COUNT beside the
+    //       content aggregate: a rate limit that collapsed the
+    //       backfill into one batch, a re-served version, or a lost
+    //       ledger commit all shift n_versions or the totals — hash
+    //       breaks. -----
+    Q("q231_stream_log_pipeline",
+      Some("""SELECT CAST(3 AS BIGINT) AS n_versions,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut1 = lit("2024-01-08 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-16 00:00:00").cast("timestamp")
+        val src = Files.createTempDirectory("graft-pipe-src").toString
+        val dst = Files.createTempDirectory("graft-pipe-dst").toString
+        val ckpt = newCkptDir()
+        graft.ops.Manifest.commitAppendRanged(s, src, "events_log",
+          ev.filter(col("ts") < cut1), "ts", 4)                      // v1
+        graft.ops.Manifest.commitAppendRanged(s, src, "events_log",
+          ev.filter(col("ts") >= cut1 && col("ts") < cut2), "ts", 4) // v2
+        val q = s.readStream.format("graft-manifest")
+          .option("root", src).option("table", "events_log")
+          .option("maxVersionsPerTrigger", "1").load()
+          .writeStream.format("graft-manifest")
+          .option("root", dst).option("table", "events_log")
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .start()
+        try {
+          q.processAllAvailable() // backfill: v1, v2 as SEPARATE batches
+          graft.ops.Manifest.commitAppendRanged(s, src, "events_log",
+            ev.filter(col("ts") >= cut2), "ts", 4)                   // v3
+          q.processAllAvailable() // live tail
+        } finally q.stop()
+        val nVersions = graft.ops.Manifest.snapshotVersion(dst)
+        val out = graft.ops.Manifest.readTable(s, dst, "events_log")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .withColumn("n_versions", lit(nVersions))
+          .select("n_versions", "n_events", "total_v")
+          .localCheckpoint(true)
+        Seq(src, dst, ckpt).foreach(deleteRecursively)
+        out
       })
   )
 }

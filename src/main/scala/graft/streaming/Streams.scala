@@ -249,7 +249,8 @@ object Streams {
     * — and appending over it would silently misalign the ledger
     * forever, so it fails loudly instead. */
   def commitBatchToManifest(batch: DataFrame, root: String, batchId: Long,
-                            appId: String = "stream-events_log"): Unit = {
+                            appId: String = "stream-events_log",
+                            table: String = "events_log"): Unit = {
     val expected = graft.ops.Manifest.lastCommittedTxn(root, appId)
       .map(_ + 1).getOrElse(0L)
     if (batchId < expected) return // redelivery of a committed batch: no-op
@@ -265,11 +266,11 @@ object Streams {
       // and the per-batch file is the compaction unit q196 bin-packs
       if (batch.columns.contains("ts"))
         graft.ops.Manifest.commitAppendStats(
-          batch.sparkSession, root, "events_log", batch, Seq("ts"), "ts", 1,
+          batch.sparkSession, root, table, batch, Seq("ts"), "ts", 1,
           txn = Some(appId -> batchId))
       else
         graft.ops.Manifest.commitAppend(
-          batch.sparkSession, root, "events_log", batch,
+          batch.sparkSession, root, table, batch,
           txn = Some(appId -> batchId))
     } catch {
       // a concurrent instance of the same app committed this batch

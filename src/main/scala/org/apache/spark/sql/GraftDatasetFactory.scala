@@ -29,4 +29,15 @@ object GraftDatasetFactory {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The reverse: re-wrap the micro-batch DataFrame a V1 streaming
+    * `Sink.addBatch` receives (incremental-execution-planned,
+    * `isStreaming=true`) as a plain BATCH frame so ordinary writers
+    * (`df.write...`) accept it — the same bridge V1 sinks have always
+    * used. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
