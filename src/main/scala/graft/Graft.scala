@@ -364,4 +364,83 @@ object Graft {
     * ts stats so the streaming table is range-prunable). */
   def streamingTableCommit(batch: DataFrame, root: String, batchId: Long): Unit =
     streaming.Streams.commitBatchToManifest(batch, root, batchId)
+
+  /** Every row the interval's commits inserted or deleted, tagged
+    * `_change_type`/`_commit_version` (UPDATE = delete+insert pair) —
+    * the row-level CDC feed, derived from the log with no writer
+    * cooperation. */
+  def tableChangeFeed(spark: SparkSession, root: String, table: String,
+                      fromVersion: Long, toVersion: Long = -1L): DataFrame =
+    ops.Manifest.readChangeFeed(spark, root, table, fromVersion, toVersion)
+
+  /** RESTORE the table to a prior snapshot's file set, as a new
+    * metadata-only commit (history preserved; vacuumed snapshots
+    * refuse loudly). */
+  def tableRestore(spark: SparkSession, root: String, table: String,
+                   toVersion: Long): Long =
+    ops.Manifest.commitRestore(spark, root, table, toVersion)
+
+  /** Metadata-only `count(*)` at any version: Σ footer row counts −
+    * DV'd positions; stat-less vintage files are scanned, never
+    * guessed. */
+  def tableCount(spark: SparkSession, root: String, table: String,
+                 version: Long = -1L): Long =
+    ops.Manifest.countRows(spark, root, table, version)
+
+  /** Immutable named snapshot ref; tagged snapshots survive vacuum
+    * until dropped. */
+  def tableTag(root: String, name: String, version: Long = -1L): Long =
+    ops.Manifest.createTag(root, name, version)
+
+  def tableDropTag(root: String, name: String): Unit =
+    ops.Manifest.dropTag(root, name)
+
+  def tableReadTag(spark: SparkSession, root: String, table: String,
+                   tag: String): DataFrame =
+    ops.Manifest.readTableTag(spark, root, table, tag)
+
+  /** `TIMESTAMP AS OF`: read the newest snapshot committed at or
+    * before a wall-clock instant (ms epoch). */
+  def tableReadAsOf(spark: SparkSession, root: String, table: String,
+                    tsMillis: Long): DataFrame =
+    ops.Manifest.readTableAsOf(spark, root, table, tsMillis)
+
+  /** Register a CHECK constraint; every subsequent write on any path
+    * validates its published files before the claim (ANSI NULL-passes
+    * semantics). */
+  def tableAddCheck(spark: SparkSession, root: String, table: String,
+                    name: String, exprText: String): Unit =
+    ops.Manifest.addCheckConstraint(spark, root, table, name, exprText)
+
+  def tableDropCheck(root: String, table: String, name: String): Unit =
+    ops.Manifest.dropCheckConstraint(root, table, name)
+
+  /** Merge-on-read row DML: O(matched rows) write cost, rewrite
+    * deferred to the next compaction. */
+  def tableDeleteVectors(spark: SparkSession, root: String, table: String,
+                         deleteFilter: Column): Long =
+    ops.Manifest.commitDeleteVectors(spark, root, table, deleteFilter)
+
+  def tableUpdateVectors(spark: SparkSession, root: String, table: String,
+                         updateFilter: Column, sets: Map[String, Column]): Long =
+    ops.Manifest.commitUpdateVectors(spark, root, table, updateFilter, sets)
+
+  /** Verbatim SQL DML (DELETE / UPDATE / MERGE INTO) over manifest
+    * tables — the arbitrary-SQL surface for writes. */
+  def runDml(spark: SparkSession, root: String, script: String): DataFrame =
+    sources.ManifestSql.runDml(spark, root, script)
+
+  /** The commit log as a streaming SOURCE: each committed version
+    * interval arrives as a micro-batch, exactly-once across
+    * restarts; `maxVersionsPerTrigger` bounds backfills. */
+  def readStreamTable(spark: SparkSession, root: String, table: String,
+                      maxVersionsPerTrigger: Option[Long] = None,
+                      ignoreChanges: Boolean = false): DataFrame = {
+    var r = spark.readStream.format("graft-manifest")
+      .option("root", root).option("table", table)
+      .option("ignoreChanges", ignoreChanges.toString)
+    maxVersionsPerTrigger.foreach(n =>
+      r = r.option("maxVersionsPerTrigger", n.toString))
+    r.load()
+  }
 }
