@@ -182,4 +182,69 @@ class ManifestPropertySpec extends SparkSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
     assert(res.passed, res.status.toString)
   }
+
+  // ---------------------------------------------------- change-feed replay
+
+  sealed trait FOp
+  case object FAppend extends FOp    // ranged append
+  case object FDvDelete extends FOp  // merge-on-read delete of a band
+  case object FDvUpdate extends FOp  // merge-on-read update of a band
+  case object FCowDelete extends FOp // copy-on-write delete of a band
+  case object FCompact extends FOp   // bin-pack rewrite (nets zero)
+  case object FRestore extends FOp   // restore to a random earlier version
+
+  private val fopGen: Gen[FOp] =
+    Gen.frequency(4 -> FAppend, 2 -> FDvDelete, 2 -> FDvUpdate,
+      1 -> FCowDelete, 1 -> FCompact, 1 -> FRestore)
+
+  test("property: change-feed replay reconstructs the final state under any interleaving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = Prop.forAll(Gen.zip(Gen.listOfN(5, fopGen), Gen.chooseNum(0, 1000))) {
+      case (ops, seed) =>
+        val root = Files.createTempDirectory("graft-cdfprop").toString
+        var serial = 0L
+        def appendBatch(): Unit = {
+          serial += 1
+          Manifest.commitAppendRanged(spark, root, "t",
+            (1L to 3L).map(i => (serial * 10 + i, i * 1.5)).toDF("k", "v"), "k", 1)
+        }
+        appendBatch()
+        ops.foreach { op =>
+          val band = (seed % serial + 1) * 10 // some existing batch's band
+          op match {
+            case FAppend => appendBatch()
+            case FDvDelete =>
+              Manifest.commitDeleteVectors(spark, root, "t",
+                col("k").between(band, band + 1))
+            case FDvUpdate =>
+              Manifest.commitUpdateVectors(spark, root, "t",
+                col("k").between(band, band + 2), Map("v" -> (col("v") + 0.25)))
+            case FCowDelete =>
+              Manifest.commitDeleteWhere(spark, root, "t",
+                Seq(Manifest.Pred("k", band.toString, (band + 9).toString, "bigint")),
+                col("k").between(band, band + 9))
+            case FCompact =>
+              Manifest.compactTable(spark, root, "t", 8L << 20)
+            case FRestore =>
+              val cur = Manifest.snapshotVersion(root)
+              val _ = Manifest.commitRestore(spark, root, "t",
+                toVersion = seed % cur + 1)
+          }
+        }
+        val feed = Manifest.readChangeFeed(spark, root, "t", fromVersion = 0L)
+        val replayed = feed.filter(col("_change_type") === "insert")
+          .select("k", "v")
+          .exceptAll(feed.filter(col("_change_type") === "delete").select("k", "v"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+        val actual = Manifest.readTable(spark, root, "t")
+          .select("k", "v")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        Prop(replayed == actual) :|
+          s"replayed=$replayed actual=$actual ops=$ops seed=$seed"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.status.toString)
+  }
 }
