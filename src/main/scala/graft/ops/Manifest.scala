@@ -2102,6 +2102,60 @@ object Manifest {
     * otherwise — compaction racing an ingest append (the steady state
     * of q190's streaming table) can therefore never erase the
     * append. */
+  /** INCREMENTAL compaction: bin-pack only the files smaller than
+    * `minBytes`, inheriting every right-sized file by reference — the
+    * production OPTIMIZE shape. [[compactTable]] rewrites the whole
+    * table (right after a streaming backfill that IS the small-file
+    * set, so it's fine there), but a 100-TB table with a daily trickle
+    * of small batch files must pay O(small files), not O(table):
+    * here the rewrite reads and writes only the smalls, the commit is
+    * a delta of (remove smalls, add packed), and a second run is a
+    * version NO-OP because nothing is left under the threshold.
+    * DV-masked smalls resolve through the merge-on-read scan, so
+    * their sidecars purge with them. Returns the new version (or the
+    * current one when no file qualifies). */
+  def compactSmallFiles(s: SparkSession, root: String, table: String,
+                        minBytes: Long, targetBytes: Long,
+                        maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val rows = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      require(rows.nonEmpty, s"table $table absent from snapshot v$base")
+      val smalls = rows.filter { case (f, _) =>
+        Files.size(Paths.get(root, f)) < minBytes }
+      if (smalls.size < 2) return base // nothing worth packing
+      val bytes = smalls.map { case (f, _) => Files.size(Paths.get(root, f)) }.sum
+      val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val packed = readResolved(s, root, smalls).repartition(bins)
+      val hint = nextVersion(root)
+      val newRows = publishData(s, root, hint, table, packed)
+        .map(f => (table, f, null: String))
+      val expected = rows.map(_._1).toSet
+      try {
+        return casCommit(s, root, { b =>
+          val cur = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (cur != expected)
+            throw new CommitConflict(
+              s"$table changed under the compaction: ${cur.size} files at " +
+                s"v$b, compaction read ${expected.size}")
+          deltaOrFull(s, root, b, Nil, newRows,
+            removes = smalls.map { case (f, _) => (table, f) })
+        }, maxRetries = 1)
+      } catch {
+        case _: CommitConflict =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"compactSmallFiles: lost $maxRetries races at $root")
+      }
+    }
+    0L // unreachable
+  }
+
   def compactTable(s: SparkSession, root: String, table: String,
                    targetBytes: Long, maxRetries: Int = 5): Long = {
     var attempt = 0
@@ -2924,6 +2978,48 @@ object Manifest {
         ev.filter(col("ts") >= c1 && col("ts") < c2), "ts", 4)
       Thread.sleep(50)
       commitAppendRanged(s, tmp, "events_log", ev.filter(col("ts") >= c2), "ts", 4)
+    }
+  }
+
+  /** q232's incremental-compaction root: one 8-file right-sized
+    * append plus SIX single-file daily trickle commits, then
+    * `compactSmallFiles` with the threshold measured between the two
+    * size populations — exactly the six smalls pack into one file,
+    * the eight big files are inherited by reference, and a second
+    * run is a version no-op. */
+  def smallFilesRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-smallfiles/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      commitAppendRanged(s, tmp, "events_log", ev.filter(col("ts") < cutTs), "ts", 2)
+      val days = 16 to 29
+      days.foreach { d =>
+        val lo = lit(f"2024-01-$d%02d 00:00:00").cast("timestamp")
+        val slice =
+          if (d == days.last) ev.filter(col("ts") >= lo)
+          else ev.filter(col("ts") >= lo &&
+            col("ts") < lit(f"2024-01-${d + 1}%02d 00:00:00").cast("timestamp"))
+        commitAppendRanged(s, tmp, "events_log", slice, "ts", 1)
+      }
+      def sizes: Map[String, Long] =
+        manifestRows(s, tmp, snapshotVersion(tmp))
+          .collect { case (_, f, _) => f -> Files.size(Paths.get(tmp, f)) }.toMap
+      val byCommit = sizes.keys.groupBy(f => f.split('/')(1)) // data/vN/...
+      require(sizes.size == 16, s"staging bug: expected 16 files, got ${sizes.size}")
+      val bigs = byCommit("v1").map(sizes)
+      val smalls = (sizes.keySet -- byCommit("v1")).map(sizes)
+      require(smalls.max < bigs.min,
+        s"staging bug: size populations overlap (${smalls.max} vs ${bigs.min})")
+      val _ = compactSmallFiles(s, tmp, "events_log",
+        minBytes = bigs.min, targetBytes = 1L << 30)
+      require(sizes.size == 3, s"staging bug: expected 3 files after, got ${sizes.size}")
+      val v = snapshotVersion(tmp)
+      require(compactSmallFiles(s, tmp, "events_log",
+        minBytes = bigs.min, targetBytes = 1L << 30) == v,
+        "staging bug: second compaction was not a no-op")
     }
   }
 
@@ -4018,6 +4114,34 @@ object Manifest {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type")
+      }),
+
+    // ----- incremental OPTIMIZE (q232): six trickle files pack into
+    //       one, eight right-sized files inherit by reference, and
+    //       the result row carries BOTH file counts beside the full
+    //       content aggregate — a compaction that rewrote the bigs
+    //       (wrong cost class), missed a small, or lost rows in the
+    //       pack all shift the row — hash breaks. File counts are
+    //       deterministic constants of the fixture (8+6 → 8+1), so
+    //       the oracle states them literally. -----
+    Q("q232_compact_small_files",
+      Some("""SELECT CAST(16 AS BIGINT) AS n_files_before,
+             |  CAST(3 AS BIGINT) AS n_files_after,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val root = smallFilesRoot(s, dir)
+        val before = manifestRows(s, root, snapshotVersion(root) - 1)
+          .count(_._1 == "events_log")
+        val after = manifestRows(s, root, snapshotVersion(root))
+          .count(_._1 == "events_log")
+        readTable(s, root, "events_log")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .select(lit(before.toLong).as("n_files_before"),
+            lit(after.toLong).as("n_files_after"),
+            col("n_events"), col("total_v"))
       }),
 
     // ----- metadata-only COUNT (q224): both counts — the full table

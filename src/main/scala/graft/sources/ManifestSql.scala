@@ -149,6 +149,10 @@ object ManifestSql {
     "(?is)^UPDATE\\s+([A-Za-z0-9_.-]+)\\s+SET\\s+(.*)$".r
   private val MergeRe =
     "(?is)^MERGE\\s+INTO\\s+([A-Za-z0-9_.-]+)(?:\\s+AS\\s+\\w+)?\\s+USING\\s+(.*)$".r
+  private val InsertRe =
+    "(?is)^INSERT\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
+  private val CtasRe =
+    "(?is)^CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+AS\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
   private val MergeOnRe =
     "(?is)^\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*$".r
 
@@ -259,6 +263,33 @@ object ManifestSql {
             spark.sql(sourcePart.substring(1, close))
           } else spark.table(sourcePart.split("\\s+").head)
         Manifest.commitMergeUpsert(spark, root, table, sourceDf, keyCol)
+        last = spark.emptyDataFrame
+      case InsertRe(table, query) =>
+        // INSERT INTO t <query>: the query text (SELECT/VALUES/WITH)
+        // plans against whatever views are registered; the result
+        // aligns with the TARGET schema BY POSITION (SQL INSERT
+        // semantics — a VALUES row has no column names to match by),
+        // casts to the target types, and appends through the ordinary
+        // atomic commit — CHECK constraints apply like any append
+        val target = Manifest.readTable(spark, root, table).schema
+        val batch = spark.sql(query)
+        require(batch.schema.length == target.length,
+          s"INSERT INTO $table: ${batch.schema.length} columns provided, " +
+            s"table has ${target.length}")
+        val aligned = batch.toDF(target.fieldNames.toIndexedSeq: _*)
+          .select(target.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType)): _*)
+        Manifest.commitAppend(spark, root, table, aligned)
+        last = spark.emptyDataFrame
+      case CtasRe(table, query) =>
+        // CREATE TABLE t AS <query>: first commit of a new table in
+        // this root; an existing table refuses loudly (no silent
+        // replace — that is commitReplace's job)
+        val v = Manifest.snapshotVersion(root)
+        require(v <= 0 ||
+          !Manifest.manifestRows(spark, root, v).exists(_._1 == table),
+          s"CREATE TABLE: $table already exists in $root")
+        Manifest.commitAppend(spark, root, table, spark.sql(query))
         last = spark.emptyDataFrame
       case other =>
         last = spark.sql(other)
@@ -434,6 +465,34 @@ object ManifestSql {
           .orderBy("user_id")
       }),
 
+    // ----- CTAS + INSERT INTO through the SQL surface (q233): a new
+    //       manifest table is CREATED from a SELECT and grown by an
+    //       INSERT — verbatim SQL text, no Scala call sites, closing
+    //       the write surface (CTAS/INSERT/DELETE/UPDATE/MERGE). The
+    //       oracle recomputes both populations from the raw table: a
+    //       CTAS that silently replaced, an INSERT that landed twice,
+    //       or a mis-split statement all shift the union — hash
+    //       breaks. -----
+    Q("q233_manifest_sql_ctas",
+      Some("""WITH pre AS (
+             |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY user_id),
+             |post AS (
+             |  SELECT user_id + 1000 AS user_id,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY user_id)
+             |SELECT user_id, total_u FROM pre
+             |UNION ALL SELECT user_id, total_u FROM post
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = ctasRoot(s, dir)
+        Manifest.readTable(s, root, "user_totals_sql")
+          .select(col("user_id"), col("total_u"))
+          .orderBy("user_id")
+      }),
+
     // ----- NULL-count stats pruning (q225): `value IS NOT NULL`
     //       arrives as verbatim SQL over the manifest view, and the
     //       recorded `__nc_<col>`/`__nrows` footer counts drop the
@@ -488,6 +547,35 @@ object ManifestSql {
         ev.filter(!d20).withColumn("value",
           when(col("user_id") % 3 === 0, lit(null).cast("decimal(18,4)"))
             .otherwise(col("value"))), Seq("ts", "value"), "ts", 2)
+    }
+  }
+
+  /** q233's CTAS root: `CREATE TABLE ... AS SELECT` (pre-cut totals)
+    * then `INSERT INTO ... SELECT` (post-cut totals under shifted
+    * ids), both as one verbatim SQL script; the builder asserts a
+    * re-CTAS refuses. */
+  def ctasRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-ctas/$fp-${Manifest.layoutKey}") { tmp =>
+      graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+        .createOrReplaceTempView("events_raw_ctas")
+      runDml(s, tmp,
+        """CREATE TABLE user_totals_sql AS
+          |  SELECT user_id, CAST(sum(value) AS DOUBLE) AS total_u
+          |  FROM events_raw_ctas
+          |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id;
+          |INSERT INTO user_totals_sql
+          |  SELECT user_id + 1000 AS user_id, CAST(sum(value) AS DOUBLE) AS total_u
+          |  FROM events_raw_ctas
+          |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id""".stripMargin)
+      val refused =
+        try { runDml(s, tmp,
+          "CREATE TABLE user_totals_sql AS SELECT 1 AS x"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "staging bug: re-CTAS silently replaced the table")
     }
   }
 

@@ -129,4 +129,28 @@ class DmlSpec extends SparkSuite {
     // neither rejected statement committed anything
     assert(Manifest.readTable(spark, root, "t").head().getDouble(1) == 1.0)
   }
+
+  test("INSERT INTO and CTAS route to manifest commits; VALUES form works; re-CTAS refuses") {
+    val root = freshRoot()
+    ManifestSql.runDml(spark, root,
+      "CREATE TABLE t AS SELECT 1L AS k, 10.0D AS v")
+    ManifestSql.runDml(spark, root, "INSERT INTO t VALUES (2L, 20.0D)")
+    ManifestSql.runDml(spark, root,
+      "INSERT INTO t SELECT 3L AS k, 30.0D AS v")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // re-CTAS refuses and commits nothing
+    val v = Manifest.snapshotVersion(root)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "CREATE TABLE t AS SELECT 9L AS k, 0.0D AS v")
+    }
+    assert(Manifest.snapshotVersion(root) == v)
+    // INSERTs respect CHECK constraints like any append
+    Manifest.addCheckConstraint(spark, root, "t", "pos", "v >= 0")
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "INSERT INTO t VALUES (4L, -1.0D)")
+    }
+    assert(Manifest.readTable(spark, root, "t").count() == 3L)
+  }
 }
