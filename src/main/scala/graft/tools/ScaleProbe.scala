@@ -409,6 +409,31 @@ object ScaleProbe {
       println(f"[probe] maintprice dv_vs_cow scattered_delete cow=$wCowSc%.2fs/${bCowSc}B " +
         f"dv=$wDvSc%.2fs/${bDvSc}B")
     }
+    run("r10ops(q221-q233)") { d =>
+      // prices of the session's new table-format ops on one shared
+      // 16-file log (+1 DV delete): the metadata ops must be
+      // millisecond-class regardless of data volume
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      Manifest.commitAppendRanged(spark, d, "t", ev.filter(col("ts") < cutTs), "ts", 8)
+      Manifest.commitAppendRanged(spark, d, "t", ev.filter(col("ts") >= cutTs), "ts", 8)
+      Manifest.commitDeleteVectors(spark, d, "t",
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+      val (nAll, wCount) = time(Manifest.countRows(spark, d, "t", version = 2L))
+      val (_, wTag) = time {
+        Manifest.createTag(d, "probe")
+        Manifest.readTableTag(spark, d, "t", "probe").count()
+      }
+      val (_, wRestore) = time(Manifest.commitRestore(spark, d, "t", toVersion = 2L))
+      val (nFeed, wFeed) = time(
+        Manifest.readChangeFeed(spark, d, "t", fromVersion = 0L).count())
+      val (_, wCompact) = time(
+        Manifest.compactSmallFiles(spark, d, "t", minBytes = 1L << 30,
+          targetBytes = 1L << 30))
+      println(f"[probe] maintprice r10ops count=$wCount%.3fs ($nAll rows, " +
+        f"metadata-only) tag+read=$wTag%.2fs restore=$wRestore%.2fs " +
+        f"feed=$wFeed%.2fs ($nFeed change rows) compact_smalls=$wCompact%.2fs")
+    }
     run("dedup_vectors(q220)") { d =>
       val docs = Tables.load(spark, srcDir, "documents")
       val corpus = docs.unionByName(
