@@ -88,7 +88,7 @@ object Manifest {
     * staged fixture root's path, so a layout change re-keys the staged
     * roots instead of serving old-layout bytes to new readers. */
   private[graft] val layoutKey: String =
-    Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema-in-claim")
+    Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema+op-in-claim")
 
   // ---------------------------------------------------------------- pointer
 
@@ -439,15 +439,34 @@ object Manifest {
     * loop (retries re-claim metadata, never rewrite data); `attempt`
     * rebuilds the claim payload against the CURRENT newest readable
     * claim on every try. */
+  /** The public operation behind the current commit, for the claim's
+    * `_op` marker ([[tableHistory]]): the OUTERMOST graft frame whose
+    * method is a commit-family entry point — so a
+    * `commitAppendRanged → commitAppendStats → casCommit` chain
+    * records `commitAppendRanged`, and a streaming batch records
+    * `commitBatchToManifest`. Stack inspection is nanoseconds against
+    * a commit's I/O. */
+  private def currentOpName(): String = {
+    val interesting = "^(commit|compact|replicate|consume|publish|auditThenPublish).*".r
+    Thread.currentThread().getStackTrace.reverseIterator
+      .find(f => f.getClassName.startsWith("graft.") &&
+        !f.getMethodName.contains("$") &&
+        interesting.pattern.matcher(f.getMethodName).matches())
+      .map(_.getMethodName).getOrElse("unknown")
+  }
+
   private def casCommit(s: SparkSession, root: String,
                         attempt: Long => Payload,
                         maxRetries: Int,
                         baseFn: String => Long = latestReadableClaim,
                         advance: Boolean = true): Long = {
+    val op = currentOpName()
     var tries = 0
     while (tries < maxRetries) {
       val version = nextVersion(root)
-      val payload = attempt(baseFn(root))
+      val payload0 = attempt(baseFn(root))
+      val payload = payload0.copy(extras =
+        payload0.extras :+ ("_op" -> op.getBytes("UTF-8")))
       if (tryClaim(s, root, version, payload)) {
         // branch (WAP) commits leave the pointer cache alone: they are
         // not main history until published, and the cache must never
@@ -686,6 +705,25 @@ object Manifest {
   def readTableAsOf(s: SparkSession, root: String, table: String,
                     tsMillis: Long): DataFrame =
     readTable(s, root, table, versionAsOf(root, tsMillis))
+
+  /** DESCRIBE HISTORY: one row per readable commit — (version,
+    * commit_ts, operation) — from the `_op` marker each claim carries
+    * (claims of an older vintage read "unknown"). Driver-side
+    * metadata; the operation names are the public commit methods
+    * (`commitAppendRanged`, `commitDeleteVectors`, `compactTable`,
+    * …), so the log doubles as the audit trail of WHAT maintenance
+    * ran when. */
+  def tableHistory(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    versionTimes(root).map { case (v, t) =>
+      val opFile = Paths.get(root, "manifest", s"v$v", "_op")
+      val op =
+        if (Files.exists(opFile))
+          new String(Files.readAllBytes(opFile), "UTF-8")
+        else "unknown"
+      (v, new java.sql.Timestamp(t), op)
+    }.toDF("version", "commit_ts", "operation")
+  }
 
   // ------------------------------------------------- CHECK constraints
 
@@ -4142,6 +4180,27 @@ object Manifest {
           .select(lit(before.toLong).as("n_files_before"),
             lit(after.toLong).as("n_files_after"),
             col("n_events"), col("total_v"))
+      }),
+
+    // ----- DESCRIBE HISTORY (q234): the change-feed root's four
+    //       commits read back as (version, operation) rows from the
+    //       `_op` markers the claims carry — the audit trail of what
+    //       ran when. Operations are deterministic constants of the
+    //       fixture, so the oracle states them literally; a commit
+    //       path that stopped recording its marker (or recorded the
+    //       wrong outermost name) breaks the hash. -----
+    Q("q234_table_history",
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'commitAppendRanged'),
+             |  (CAST(2 AS BIGINT), 'commitDeleteVectors'),
+             |  (CAST(3 AS BIGINT), 'commitUpdateVectors'),
+             |  (CAST(4 AS BIGINT), 'commitAppendRanged'))
+             |AS h(version, operation) ORDER BY version""".stripMargin),
+      (s, dir) => {
+        val root = changeFeedRoot(s, dir)
+        tableHistory(s, root)
+          .select("version", "operation")
+          .orderBy("version")
       }),
 
     // ----- metadata-only COUNT (q224): both counts — the full table

@@ -914,4 +914,27 @@ class ManifestSpec extends SparkSuite {
     val (did, _) = Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
     assert(did == would) // the report was exact
   }
+
+  test("tableHistory records the outermost operation per commit, surviving vacuum") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-hist-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "k", 1)             // v1
+    Manifest.commitDeleteWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "1", "2", "bigint")), col("k") === 1L) // v2
+    Manifest.compactTable(spark, root, "t", targetBytes = 1L << 20) // v3
+    graft.streaming.Streams.commitBatchToManifest(
+      Seq((9L, 9.0)).toDF("k", "v"), root, 0L, "app-x", "t")        // v4
+    val ops = Manifest.tableHistory(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ops == Map(
+      1L -> "commitAppendRanged", 2L -> "commitDeleteWhere",
+      3L -> "compactTable", 4L -> "commitBatchToManifest"))
+    // vacuum keeps delta-chain ancestors (v4 resolves through them),
+    // so history stays complete here; markers ride the claims
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    val after = Manifest.tableHistory(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(after == ops)
+  }
 }
