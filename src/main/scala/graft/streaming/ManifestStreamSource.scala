@@ -72,7 +72,13 @@ class ManifestSourceProvider extends StreamSourceProvider
       throw new IllegalArgumentException("graft-manifest source: missing option 'table'"))
     val v = Manifest.snapshotVersion(root)
     require(v > 0, s"graft-manifest source: no committed snapshot at $root")
-    Manifest.readTable(spark, root, table, v).schema
+    val base = Manifest.readTable(spark, root, table, v).schema
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      base.add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+        .add("_commit_version", org.apache.spark.sql.types.LongType,
+          nullable = false)
+    else base
   }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
@@ -87,7 +93,8 @@ class ManifestSourceProvider extends StreamSourceProvider
       parameters("root"), parameters("table"),
       schema.getOrElse(schemaFor(ctx.sparkSession, parameters)),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
 }
 
 /** V1 sink over [[Streams.commitBatchToManifest]]: each addBatch is
@@ -105,7 +112,8 @@ class ManifestStreamSink(root: String, table: String, appId: String)
 class ManifestStreamSource(spark: SparkSession, root: String, table: String,
                            override val schema: StructType,
                            ignoreChanges: Boolean,
-                           maxVersionsPerTrigger: Option[Long] = None)
+                           maxVersionsPerTrigger: Option[Long] = None,
+                           readChangeFeed: Boolean = false)
     extends Source {
 
   maxVersionsPerTrigger.foreach(n => require(n > 0,
@@ -152,17 +160,26 @@ class ManifestStreamSource(spark: SparkSession, root: String, table: String,
     val from = start.map(version).getOrElse(0L)
     val to = version(end)
     served = math.max(served, to) // rate-limit anchor (checkpoint-synced)
+    import org.apache.spark.sql.functions.col
+    // CDF mode: serve ROW-LEVEL change rows — rewrites stream as their
+    // exact delete/insert pairs instead of refusing (Delta's
+    // readChangeFeed streaming contract); appends and DV steps stay
+    // O(delta) / O(matched)
+    if (readChangeFeed)
+      return org.apache.spark.sql.GraftDatasetFactory.asStreaming(
+        Manifest.readChangeFeed(spark, root, table, from, to)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*))
     val (delta, pureAppend) =
       Manifest.tableChanges(spark, root, table, from, to)
     if (!pureAppend && !ignoreChanges)
       throw new IllegalStateException(
         s"graft-manifest source: versions ($from, $to] of $table contain a " +
           "rewrite (compaction/DELETE/MERGE/DV) — added files would re-emit " +
-          "surviving rows. Full-refresh downstream, or opt in with " +
+          "surviving rows. Full-refresh downstream, stream the row-level " +
+          "feed with option(\"readChangeFeed\", \"true\"), or opt in with " +
           "option(\"ignoreChanges\", \"true\") and make the sink idempotent by key.")
     // project to the pinned source schema (evolved readers NULL-fill),
     // then re-wrap streaming — getBatch's contract
-    import org.apache.spark.sql.functions.col
     org.apache.spark.sql.GraftDatasetFactory.asStreaming(
       delta.select(schema.fieldNames.toIndexedSeq.map(col): _*))
   }

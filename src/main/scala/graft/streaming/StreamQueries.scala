@@ -682,6 +682,60 @@ object StreamQueries {
           .localCheckpoint(true)
         Seq(src, dst, ckpt).foreach(deleteRecursively)
         out
+      }),
+
+    // ----- streaming CDF (q235): the q228 change classes consumed
+    //       THROUGH the streaming source in CDF mode — rewrites
+    //       stream as row-level delete/insert pairs instead of
+    //       refusing, `maxVersionsPerTrigger=1` forces one micro-
+    //       batch per commit so each version's feed slice is computed
+    //       and served independently. Same oracle as q228: if any
+    //       per-interval slice differs from the all-at-once feed (a
+    //       boundary row double-served or dropped between batches),
+    //       the per-class sums shift — hash breaks. -----
+    Q("q235_stream_change_feed",
+      Some("""WITH ev AS (SELECT user_id, CAST(value AS DECIMAL(18,4)) AS value,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |del2 AS (SELECT * FROM ev
+             |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-12 00:00:00'),
+             |upd3 AS (SELECT * FROM ev
+             |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND user_id = 3
+             |    AND NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |      AND ts < TIMESTAMP '2024-01-12 00:00:00')),
+             |classes AS (
+             |  SELECT 1 AS v, 'insert' AS change, count(*) AS n, sum(value) AS sv
+             |  FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+             |  UNION ALL SELECT 2, 'delete', count(*), sum(value) FROM del2
+             |  UNION ALL SELECT 3, 'delete', count(*), sum(value) FROM upd3
+             |  UNION ALL SELECT 3, 'insert', count(*), sum(value * 2) FROM upd3
+             |  UNION ALL SELECT 4, 'insert', count(*), sum(value)
+             |  FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+             |SELECT CAST(v AS BIGINT) AS v, change,
+             |  CAST(n AS BIGINT) AS n, CAST(sv AS DOUBLE) AS sv
+             |FROM classes ORDER BY v, change""".stripMargin),
+      (s, dir) => {
+        val root = graft.ops.Manifest.changeFeedRoot(s, dir)
+        val sink = Files.createTempDirectory("graft-cdf-stream-out").toString
+        val ckpt = newCkptDir()
+        val q = s.readStream.format("graft-manifest")
+          .option("root", root).option("table", "events_log")
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1").load()
+          .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+          .foreachBatch((b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(sink))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.read.parquet(sink)
+          .groupBy(col("_commit_version").as("v"),
+            col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n"), sum("value").cast("double").as("sv"))
+          .orderBy("v", "change")
+          .localCheckpoint(true)
+        Seq(sink, ckpt).foreach(deleteRecursively)
+        out
       })
   )
 }
