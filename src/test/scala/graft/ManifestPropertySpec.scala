@@ -247,4 +247,65 @@ class ManifestPropertySpec extends SparkSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
     assert(res.passed, res.status.toString)
   }
+
+  // ------------------------------------------------ tag/vacuum safety
+
+  sealed trait TOp
+  case object TAppend extends TOp
+  case object TDelete extends TOp   // CoW rewrite (drops old files)
+  case object TTag extends TOp      // tag the current snapshot
+  case object TDropTag extends TOp  // drop the oldest live tag
+  case object TVacuum extends TOp   // keep=1, grace=0
+
+  private val topGen: Gen[TOp] =
+    Gen.frequency(4 -> TAppend, 2 -> TDelete, 2 -> TTag,
+      1 -> TDropTag, 2 -> TVacuum)
+
+  test("property: tagged snapshots and the head stay readable under any vacuum interleaving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = Prop.forAll(Gen.listOfN(6, topGen)) { ops =>
+      val root = Files.createTempDirectory("graft-tagprop").toString
+      var serial = 0L
+      var tagN = 0
+      var live = List.empty[(String, Long, Long)] // (tag, version, expected count)
+      def append(): Unit = {
+        serial += 1
+        Manifest.commitAppendRanged(spark, root, "t",
+          (1L to 2L).map(i => (serial * 10 + i, i * 1.5)).toDF("k", "v"), "k", 1)
+      }
+      append()
+      ops.foreach {
+        case TAppend => append()
+        case TDelete =>
+          val lo = serial * 10
+          Manifest.commitDeleteWhere(spark, root, "t",
+            Seq(Manifest.Pred("k", lo.toString, (lo + 9).toString, "bigint")),
+            col("k").between(lo, lo + 9))
+        case TTag =>
+          tagN += 1
+          val name = s"t$tagN"
+          val v = Manifest.createTag(root, name)
+          live ::= ((name, v,
+            Manifest.readTable(spark, root, "t", v).count()))
+        case TDropTag =>
+          live.reverse.headOption.foreach { case (name, _, _) =>
+            Manifest.dropTag(root, name)
+            live = live.filterNot(_._1 == name)
+          }
+        case TVacuum =>
+          Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+      }
+      Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+      // the head always reads; every LIVE tag reads its frozen count
+      val headOk = Manifest.readTable(spark, root, "t").count() >= 0
+      val tagsOk = live.forall { case (name, _, n) =>
+        Manifest.readTableTag(spark, root, "t", name).count() == n
+      }
+      graft.ops.Staging.deleteRecursively(Paths.get(root))
+      Prop(headOk && tagsOk) :| s"ops=$ops live=$live"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.status.toString)
+  }
 }
