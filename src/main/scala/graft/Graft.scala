@@ -443,4 +443,12 @@ object Graft {
       r = r.option("maxVersionsPerTrigger", n.toString))
     r.load()
   }
+
+  /** CDC mirror: maintain dst as the key-wise mirror of src, driven
+    * by the change feed — net-per-key, exactly-once across
+    * re-drives. */
+  def applyChangesInto(spark: SparkSession, srcRoot: String, srcTable: String,
+                       dstRoot: String, dstTable: String,
+                       keyCol: String): Option[(Long, Long)] =
+    ops.Manifest.applyChangesInto(spark, srcRoot, srcTable, dstRoot, dstTable, keyCol)
 }

@@ -1514,7 +1514,8 @@ object Manifest {
     * [[commitDeleteWhere]]. */
   def commitDeleteVectors(s: SparkSession, root: String, table: String,
                           deleteFilter: org.apache.spark.sql.Column,
-                          maxRetries: Int = 5): Long = {
+                          maxRetries: Int = 5,
+                          txn: Option[(String, Long)] = None): Long = {
     var tries = 0
     while (true) {
       val base = latestReadableClaim(root)
@@ -1555,12 +1556,14 @@ object Manifest {
       val removes = touched.map { case (f, _) => (table, f) }
       try {
         return casCommit(s, root, { b =>
+          txnGuard(root, txn)
           val now = manifestRows(s, root, b)
             .collect { case (t, f, _) if t == table => f }.toSet
           if (now != expected)
             throw new CommitConflict(
               s"$table changed under the DV delete (computed at v$base, claiming at v$b)")
           deltaOrFull(s, root, b, Nil, newRows, removes)
+            .copy(extras = txnExtras(txn))
         }, maxRetries)
       } catch {
         case _: CommitConflict =>
@@ -1959,6 +1962,76 @@ object Manifest {
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L))
     }
+  }
+
+  /** APPLY CHANGES INTO (the Delta Live Tables CDC-apply pattern):
+    * maintain `dstTable` as the KEY-WISE MIRROR of `srcTable`, driven
+    * by the row-level change feed — the consumer half of CDC that
+    * [[readChangeFeed]] produces and [[consumeInto]] (append-only)
+    * cannot serve. Each sync:
+    *
+    *  1. reads its progress from the destination txn ledger (the
+    *     source version last applied);
+    *  2. nets the interval's feed PER KEY — newest `_commit_version`
+    *     wins; within it an insert image (an UPDATE emits its
+    *     delete+insert pair at one version) beats a delete;
+    *  3. applies net deletes as ONE merge-on-read DV commit
+    *     (`appId-del` ledger) and net upserts as ONE stats-bounded
+    *     MERGE (`appId` ledger, the progress marker) — deletes FIRST,
+    *     so a crash between the two replays the delete (no-op via its
+    *     own ledger) and then completes the merge: exactly-once
+    *     without a cross-commit transaction.
+    *
+    * O(interval feed) read cost; the destination write cost is the
+    * merge/DV cost of the NET changes only. Returns (upserts,
+    * deletes) applied, or None when the source has nothing new. */
+  def applyChangesInto(s: SparkSession, srcRoot: String, srcTable: String,
+                       dstRoot: String, dstTable: String,
+                       keyCol: String): Option[(Long, Long)] = {
+    val appId = s"applychanges-$dstTable"
+    val fromV = lastCommittedTxn(dstRoot, appId).getOrElse(0L)
+    val to = snapshotVersion(srcRoot)
+    if (to <= fromV) return None
+    val feed = readChangeFeed(s, srcRoot, srcTable, fromV, to)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val net = feed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts = net.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version", "_rn")
+      val nUp = upserts.count()
+      val delKeys = net.filter(col("_change_type") === "delete")
+        .select(col(keyCol)).collect().map(_.get(0)).toSeq
+      require(delKeys.size <= 1000000,
+        s"applyChangesInto: ${delKeys.size} net deletes in one interval — " +
+          "split the interval (driver-side key list would not be metadata-sized)")
+      val dstV = snapshotVersion(dstRoot)
+      val dstExists = dstV > 0 &&
+        manifestRows(s, dstRoot, dstV).exists(_._1 == dstTable)
+      if (!dstExists) {
+        // bootstrap: net state IS the table (net-deleted keys never land)
+        commitAppendStats(s, dstRoot, dstTable, upserts, Seq(keyCol),
+          keyCol, 1, txn = Some(appId -> to))
+      } else {
+        if (delKeys.nonEmpty)
+          try commitDeleteVectors(s, dstRoot, dstTable,
+            col(keyCol).isInCollection(delKeys),
+            txn = Some(s"$appId-del" -> to))
+          catch { case _: TxnAlreadyCommitted => () } // crash-replay half
+        try {
+          if (nUp > 0)
+            commitMergeUpsert(s, dstRoot, dstTable, upserts, keyCol,
+              txn = Some(appId -> to))
+          else // advance the progress ledger even on a delete-only interval
+            commitAppend(s, dstRoot, dstTable, upserts,
+              txn = Some(appId -> to))
+        } catch { case _: TxnAlreadyCommitted => () }
+      }
+      Some((nUp, delKeys.size.toLong))
+    } finally net.unpersist()
   }
 
   /** Exactly-once incremental consumption: maintain `dstTable` (in its
@@ -2360,7 +2433,8 @@ object Manifest {
     * [[commitDeleteWhere]]. */
   def commitMergeUpsert(s: SparkSession, root: String, table: String,
                         updates: DataFrame, keyCol: String,
-                        maxRetries: Int = 5): Long = {
+                        maxRetries: Int = 5,
+                        txn: Option[(String, Long)] = None): Long = {
     // Pin the source batch: a non-deterministic `updates` (sample, rand,
     // now()) re-evaluated on a conflict retry could drift outside the
     // key bounds computed here, desyncing the affected-file set from the
@@ -2385,14 +2459,15 @@ object Manifest {
             s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
             "MERGE requires at most one source row per key")
       val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
-      commitMergeUpsertPinned(s, root, table, pinned, keyCol, keyPred, maxRetries)
+      commitMergeUpsertPinned(s, root, table, pinned, keyCol, keyPred, maxRetries, txn)
     } finally pinned.unpersist()
   }
 
   private def commitMergeUpsertPinned(s: SparkSession, root: String,
                                       table: String, updates: DataFrame,
                                       keyCol: String, keyPred: Pred,
-                                      maxRetries: Int): Long = {
+                                      maxRetries: Int,
+                                      txn: Option[(String, Long)] = None): Long = {
     var tries = 0
     while (true) {
       val base = latestReadableClaim(root)
@@ -2417,12 +2492,14 @@ object Manifest {
       val removes = affected.map { case (t, f, _) => (t, f) }
       try {
         return casCommit(s, root, { b =>
+          txnGuard(root, txn)
           val cur = manifestRows(s, root, b)
             .collect { case (t, f, _) if t == table => f }.toSet
           if (cur != expected)
             throw new CommitConflict(
               s"$table changed under the merge (computed at v$base, claiming at v$b)")
           deltaOrFull(s, root, b, Nil, newRows, removes)
+            .copy(extras = txnExtras(txn))
         }, maxRetries)
       } catch {
         case _: CommitConflict =>
@@ -3058,6 +3135,40 @@ object Manifest {
       require(compactSmallFiles(s, tmp, "events_log",
         minBytes = bigs.min, targetBytes = 1L << 30) == v,
         "staging bug: second compaction was not a no-op")
+    }
+  }
+
+  /** q236's CDC-mirror pair: `src/` takes pre-cut per-user totals
+    * (v1), a MERGE rewrite of users 2–5 (v2, CoW step), and a DV
+    * delete of users 7–9 (v3); the mirror bootstraps after v1 and
+    * syncs once over (1, 3] — the builder asserts the incremental
+    * sync reported net changes and a re-drive is a no-op. */
+  def applyChangesRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-apply/$fp-$layoutKey") { tmp =>
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+      val cutTs = lit(Cdc.versionCut).cast("timestamp")
+      def totals(df: DataFrame) = df.groupBy("user_id")
+        .agg(sum("value").as("total_u"), count(lit(1)).as("n_u"))
+      commitAppendStats(s, src, "user_totals",
+        totals(ev.filter(col("ts") < cutTs)), Seq("user_id"), "user_id", 4)
+      require(applyChangesInto(s, src, "user_totals",
+        dst, "user_totals", "user_id").nonEmpty, "bootstrap applied nothing")
+      val _ = commitMergeUpsert(s, src, "user_totals",
+        totals(ev).filter(col("user_id").between(2, 5)), "user_id")
+      val _2 = commitDeleteVectors(s, src, "user_totals",
+        col("user_id").between(7, 9))
+      val r2 = applyChangesInto(s, src, "user_totals",
+        dst, "user_totals", "user_id")
+      require(r2.exists { case (u, d) => u > 0 && d > 0 },
+        s"incremental sync should net upserts AND deletes, got $r2")
+      require(applyChangesInto(s, src, "user_totals",
+        dst, "user_totals", "user_id").isEmpty,
+        "re-driven sync must be a no-op")
     }
   }
 
@@ -4201,6 +4312,32 @@ object Manifest {
         tableHistory(s, root)
           .select("version", "operation")
           .orderBy("version")
+      }),
+
+    // ----- APPLY CHANGES INTO (q236): the destination mirror is
+    //       maintained purely from the row-level change feed — a
+    //       CoW MERGE rewrite nets to its post-images, a DV delete
+    //       to its net deletes, exactly once across re-drives (the
+    //       staging asserts both). The result reads the MIRROR; the
+    //       oracle recomputes the expected key-wise state from the
+    //       raw table: a stale pre-image surviving, a deleted key
+    //       resurrecting, or a double-applied interval all shift the
+    //       per-user totals — hash breaks. -----
+    Q("q236_apply_changes",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST(count(*) AS BIGINT) AS n_u
+             |FROM events
+             |WHERE (user_id BETWEEN 2 AND 5
+             |   OR CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00')
+             |  AND user_id NOT BETWEEN 7 AND 9
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = applyChangesRoot(s, dir)
+        readTable(s, s"$root/dst", "user_totals")
+          .select(col("user_id"), col("total_u").cast("double").as("total_u"),
+            col("n_u"))
+          .orderBy("user_id")
       }),
 
     // ----- metadata-only COUNT (q224): both counts — the full table

@@ -937,4 +937,30 @@ class ManifestSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(after == ops)
   }
+
+  test("applyChangesInto: delete-only interval advances the ledger; deleted keys cannot resurrect") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-apply-spec")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    Manifest.commitAppendRanged(spark, src, "t",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), "k", 1)
+    assert(Manifest.applyChangesInto(spark, src, "t", dst, "t", "k")
+      .contains((3L, 0L)))
+    // delete-only interval
+    Manifest.commitDeleteVectors(spark, src, "t", col("k") === 2L)
+    assert(Manifest.applyChangesInto(spark, src, "t", dst, "t", "k")
+      .contains((0L, 1L)))
+    assert(Manifest.readTable(spark, dst, "t")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the ledger advanced on the empty-upsert path: re-drive is None
+    assert(Manifest.applyChangesInto(spark, src, "t", dst, "t", "k").isEmpty)
+    // a later update of a LIVE key mirrors; the dead key stays dead
+    Manifest.commitUpdateVectors(spark, src, "t",
+      col("k") === 3L, Map("v" -> (col("v") + 1.0)))
+    assert(Manifest.applyChangesInto(spark, src, "t", dst, "t", "k")
+      .contains((1L, 0L)))
+    val got = Manifest.readTable(spark, dst, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 10.0, 3L -> 31.0))
+  }
 }
