@@ -88,7 +88,7 @@ object Manifest {
     * staged fixture root's path, so a layout change re-keys the staged
     * roots instead of serving old-layout bytes to new readers. */
   private[graft] val layoutKey: String =
-    Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema+op-in-claim")
+    Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema+op-in-claim", "stats=bloomcol")
 
   // ---------------------------------------------------------------- pointer
 
@@ -1067,7 +1067,10 @@ object Manifest {
       require(files.contains(rel), s"bloom pass read a foreign file: $rel")
       Files.write(absRoot.resolve(rel + ".bloom"), bytes)
     }
-    val newRows = files.map(f => (table, f, null: String))
+    // record WHICH column the bloom indexes, so the SQL FileIndex can
+    // consult the sidecar for pushed point predicates on that column
+    val st = statsJsonOf(Seq("__bloomcol" -> (keyCol, keyCol)))
+    val newRows = files.map(f => (table, f, st))
     casCommit(s, root, base =>
       deltaOrFull(s, root, base, Nil, newRows), maxRetries)
   }

@@ -493,6 +493,40 @@ object ManifestSql {
           .orderBy("user_id")
       }),
 
+    // ----- bloom point lookup through SQL (q237): q212's point-index
+    //       power surfaced to verbatim SQL text — a pushed IN-list on
+    //       the hash-scattered key consults the per-file bloom
+    //       sidecars via the `__bloomcol` stats tag, keeping ~|keys|
+    //       of 16 files where range stats keep all (PlanShapeSpec
+    //       pins kept < total and the no-stats control). Blooms
+    //       bound, never filter: the exact IN still applies row-wise,
+    //       and the oracle recomputes the lookup from the raw table —
+    //       a false-negative prune loses rows, hash breaks. -----
+    Q("q237_sql_bloom_point",
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             |  CAST(o_custkey AS BIGINT) AS o_custkey,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+             |FROM orders
+             |WHERE o_orderkey IN (
+             |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+             |  ORDER BY o_orderkey LIMIT 5)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val root = Manifest.bloomRoot(s, dir)
+        register(s, root, "orders_idx", "orders_bloom_mf")
+        val keys = graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .orderBy("o_orderkey").limit(5)
+          .select(col("o_orderkey").cast("long")).as[Long].collect().toSeq
+        s.sql(s"""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 |  CAST(o_custkey AS BIGINT) AS o_custkey,
+                 |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                 |FROM orders_bloom_mf
+                 |WHERE o_orderkey IN (${keys.mkString(", ")})
+                 |ORDER BY o_orderkey""".stripMargin)
+      }),
+
     // ----- NULL-count stats pruning (q225): `value IS NOT NULL`
     //       arrives as verbatim SQL over the manifest view, and the
     //       recorded `__nc_<col>`/`__nrows` footer counts drop the
@@ -733,6 +767,35 @@ final class ManifestFileIndex(
     e.stats.get(key).flatMap(_._1).flatMap(v =>
       try Some(v.toLong) catch { case _: NumberFormatException => None })
 
+  // Bloom sidecars deserialize once per (file, index instance) — the
+  // planning path may consult the same file's bloom on every query
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Keep the file unless its bloom sidecar (recorded for `colName`
+    * via the `__bloomcol` stats key) excludes EVERY probe value —
+    * the q212 point-index power surfaced to pushed SQL predicates.
+    * Blooms bound, never filter: missing sidecar, foreign column, or
+    * non-integral values keep the file. */
+  private def bloomMayContain(e: ManifestSql.Entry, colName: String,
+                              values: Seq[Any]): Boolean = {
+    if (!e.stats.get("__bloomcol").flatMap(_._1).contains(colName)) return true
+    val p = java.nio.file.Paths.get(e.path + ".bloom")
+    if (!java.nio.file.Files.exists(p)) return true
+    val bf = bloomCache.computeIfAbsent(e.path, { _ =>
+      val in = java.nio.file.Files.newInputStream(p)
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }).asInstanceOf[org.apache.spark.util.sketch.BloomFilter]
+    values.exists {
+      case l: Long => bf.mightContainLong(l)
+      case i: java.lang.Integer => bf.mightContainLong(i.longValue())
+      case s: java.lang.Short => bf.mightContainLong(s.longValue())
+      case b: java.lang.Byte => bf.mightContainLong(b.longValue())
+      case _ => true // non-integral probe: the bloom cannot answer
+    }
+  }
+
   private def mayMatch(e: ManifestSql.Entry, expr: Expression): Boolean = expr match {
     case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
     case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
@@ -749,8 +812,10 @@ final class ManifestFileIndex(
       }
     case IsNull(a: AttributeReference) =>
       statLong(e, "__nc_" + a.name).forall(_ > 0L)
-    case EqualTo(a: AttributeReference, l: Literal) => cmpRange(e, a.name, l, 0)
-    case EqualTo(l: Literal, a: AttributeReference) => cmpRange(e, a.name, l, 0)
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      cmpRange(e, a.name, l, 0) && bloomMayContain(e, a.name, Seq(l.value))
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      cmpRange(e, a.name, l, 0) && bloomMayContain(e, a.name, Seq(l.value))
     case EqualNullSafe(a: AttributeReference, l: Literal) => cmpRange(e, a.name, l, 0)
     case GreaterThan(a: AttributeReference, l: Literal) => cmpRange(e, a.name, l, 1)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmpRange(e, a.name, l, 1)
@@ -761,7 +826,8 @@ final class ManifestFileIndex(
     case LessThan(l: Literal, a: AttributeReference) => cmpRange(e, a.name, l, 1)
     case LessThanOrEqual(l: Literal, a: AttributeReference) => cmpRange(e, a.name, l, 1)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(v => cmpRange(e, a.name, v.asInstanceOf[Literal], 0))
+      vs.exists(v => cmpRange(e, a.name, v.asInstanceOf[Literal], 0)) &&
+        bloomMayContain(e, a.name, vs.map(_.asInstanceOf[Literal].value))
     case _ => true
   }
 

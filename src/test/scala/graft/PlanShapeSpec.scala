@@ -391,4 +391,31 @@ class PlanShapeSpec extends SparkSuite {
       .head().getLong(0)
     assert(nNotNull == raw.filter(raw("value").isNotNull).count())
   }
+
+  test("q237: a pushed IN-list prunes files through bloom sidecars") {
+    import graft.ops.Manifest
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Manifest.bloomRoot(spark, dir)
+    val index = graft.sources.ManifestSql.register(
+      spark, root, "orders_idx", "orders_bloom_spec")
+    val keys = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .orderBy("o_orderkey").limit(5)
+      .select(col("o_orderkey").cast("long")).as[Long].collect().toSeq
+    val hit = spark.sql(
+      s"SELECT count(*) FROM orders_bloom_spec WHERE o_orderkey IN (${keys.mkString(", ")})")
+      .head().getLong(0)
+    val (kept, total) = index.lastPrune
+    assert(total == 16 && kept < total,
+      s"blooms should prune the hash-scattered layout, kept $kept/$total")
+    // zero false negatives: the pruned scan finds every key
+    assert(hit == keys.size.toLong)
+    // a range predicate cannot use the bloom: every file kept (the
+    // hash layout gives min/max no power, and blooms only answer
+    // point shapes)
+    spark.sql("SELECT count(*) FROM orders_bloom_spec WHERE o_orderkey > 0")
+      .collect()
+    assert(index.lastPrune._1 == total)
+  }
 }
