@@ -94,7 +94,8 @@ class ManifestSourceProvider extends StreamSourceProvider
       schema.getOrElse(schemaFor(ctx.sparkSession, parameters)),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
+      metadataPath = metadataPath)
 }
 
 /** V1 sink over [[Streams.commitBatchToManifest]]: each addBatch is
@@ -113,17 +114,39 @@ class ManifestStreamSource(spark: SparkSession, root: String, table: String,
                            override val schema: StructType,
                            ignoreChanges: Boolean,
                            maxVersionsPerTrigger: Option[Long] = None,
-                           readChangeFeed: Boolean = false)
+                           readChangeFeed: Boolean = false,
+                           metadataPath: String = "")
     extends Source {
 
   maxVersionsPerTrigger.foreach(n => require(n > 0,
     s"maxVersionsPerTrigger must be positive, got $n"))
 
   // Highest version already handed out via getBatch — the anchor the
-  // rate limit caps against. Synced from the checkpoint automatically:
-  // after a restart the engine replays the pending batch through
-  // getBatch before asking for a new offset.
-  @volatile private var served: Long = -1L
+  // rate limit caps against. PERSISTED under the source's own
+  // checkpoint dir (the FileStreamSource pattern): after a restart
+  // whose last batch COMMITTED, the engine asks getOffset before any
+  // getBatch, and an unpersisted anchor would cap BELOW the
+  // checkpointed start — an inverted interval. An anchor slightly
+  // ahead of the checkpoint (crash between anchor write and offset
+  // commit) only widens one batch, never loses data.
+  private def anchorFile: Option[java.nio.file.Path] =
+    if (metadataPath.isEmpty) None
+    else Some(java.nio.file.Paths.get(
+      java.net.URI.create(metadataPath).getPath match {
+        case p if p.nonEmpty => p
+        case _ => metadataPath
+      }).resolve("_graft_served"))
+  @volatile private var served: Long = {
+    val fromDisk = anchorFile.filter(java.nio.file.Files.exists(_)).map(p =>
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+    fromDisk.getOrElse(-1L)
+  }
+  private def persistServed(v: Long): Unit = anchorFile.foreach { p =>
+    try {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, v.toString.getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () } // best-effort cache
+  }
 
   private def version(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -159,7 +182,7 @@ class ManifestStreamSource(spark: SparkSession, root: String, table: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(version).getOrElse(0L)
     val to = version(end)
-    served = math.max(served, to) // rate-limit anchor (checkpoint-synced)
+    if (to > served) { served = to; persistServed(to) } // rate-limit anchor
     import org.apache.spark.sql.functions.col
     // CDF mode: serve ROW-LEVEL change rows — rewrites stream as their
     // exact delete/insert pairs instead of refusing (Delta's
