@@ -731,6 +731,8 @@ object Manifest {
   private def checkPath(root: String, table: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"unsafe constraint name: $name")
+    require(table.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe table name: $table") // the marker filename embeds it
     checkDir(root).resolve(s"check-$table--$name")
   }
 
