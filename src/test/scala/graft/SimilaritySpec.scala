@@ -117,4 +117,21 @@ class SimilaritySpec extends SparkSuite {
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
     assert(out.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3)))
   }
+
+  test("q238 IVF-PQ: candidates come only from probed cells; exact dup of a seed wins") {
+    // seeds 0..7 = unit(2i): each is its own cell AND its own PQ
+    // codebook row. 100 copies seed 0 -> same cell as 0, codes c0 ->
+    // ADC score 10000 for query 0. 101 copies seed 4 -> a DIFFERENT
+    // cell that query 0 does not probe, so 101 is not even a
+    // candidate despite sharing the quantized subspaces 1-3.
+    val dir = emb(
+      ((0L until 8L).map(i => (i, unit(2 * i.toInt), 0)) ++
+        Seq((100L, unit(0), 0), (101L, unit(8), 0))): _*)
+    val out = SparkEntry.queries("q238_ivfpq_topk")(spark, dir).collect()
+    val q0 = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(3))
+    assert(q0.head.getLong(1) == 100L && q0.head.getLong(2) == 10000L)
+    assert(!q0.map(_.getLong(1)).contains(101L),
+      "a vector outside the probed cells must not be a candidate")
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
 }
