@@ -190,6 +190,24 @@ object Manifest {
         wapBranchOf(root, v).forall(b => wapIsPublished(root, b)))
       .getOrElse(0L)
 
+  /** Is claim `v` readable MAIN history — not a crashed writer's
+    * debris, and not an open/dropped WAP branch claim (staged data
+    * must stay invisible to every main-history surface: reads, time
+    * travel, history, the change feed)? */
+  private def mainVisible(root: String, v: Long): Boolean =
+    manifestReadable(root, v) &&
+      wapBranchOf(root, v).forall(b => wapIsPublished(root, b))
+
+  /** First MAIN-visible version strictly above `after` whose snapshot
+    * contains `table` — the forward jump a rate-limited streaming
+    * consumer needs when the table first appears above its cap
+    * (earlier versions consumed by other tables' commits). */
+  private[graft] def firstVersionWith(s: SparkSession, root: String,
+                                      table: String, after: Long): Option[Long] =
+    claimedVersions(root)
+      .find(v => v > after && mainVisible(root, v) &&
+        manifestRows(s, root, v).exists(_._1 == table))
+
   /** Newest readable MAIN snapshot at or below `v` (0 = none) — the
     * rounding a rate-limited consumer needs when its cap lands on a
     * crashed writer's unreadable claim number. */
@@ -672,7 +690,7 @@ object Manifest {
     * time is adjusted to `max(own, predecessor)` — resolution below
     * is then well-defined even over a skewed history. */
   private def versionTimes(root: String): Seq[(Long, Long)] = {
-    val vs = claimedVersions(root).filter(manifestReadable(root, _))
+    val vs = claimedVersions(root).filter(mainVisible(root, _))
     var prev = Long.MinValue
     vs.map { v =>
       val raw = Files.getLastModifiedTime(
@@ -1899,8 +1917,11 @@ object Manifest {
     val to = if (toVersion > 0) toVersion else snapshotVersion(root)
     require(fromVersion >= 0 && fromVersion <= to,
       s"readChangeFeed: bad interval ($fromVersion, $to]")
+    // MAIN-visible steps only: open/dropped WAP branch claims must not
+    // leak staged (never-published) rows into the feed as phantom
+    // insert/delete pairs
     val steps = claimedVersions(root)
-      .filter(v => v > fromVersion && v <= to && manifestReadable(root, v))
+      .filter(v => v > fromVersion && v <= to && mainVisible(root, v))
     val absRoot = Paths.get(root).toAbsolutePath.normalize()
     def rowsAt(v: Long): Seq[(String, String)] =
       if (v == 0) Seq.empty
@@ -2078,7 +2099,10 @@ object Manifest {
             txn = Some(appId -> to))
         else // bootstrap, or an interval with a rewrite: full refresh
           commitReplace(s, dstRoot, dstTable,
-            transform(readTable(s, srcRoot, srcTable)),
+            // PINNED at `to`: the ledger records `to`, so absorbing a
+            // concurrent commit past it here would replay that commit
+            // on the next sync (double-apply)
+            transform(readTable(s, srcRoot, srcTable, to)),
             txn = Some(appId -> to))
       Some((to, dstV, pure))
     } catch {
@@ -2260,7 +2284,7 @@ object Manifest {
                 s"v$b, compaction read ${expected.size}")
           deltaOrFull(s, root, b, Nil, newRows,
             removes = smalls.map { case (f, _) => (table, f) })
-        }, maxRetries = 1)
+        }, maxRetries) // benign claim races retry inside; CommitConflict escapes
       } catch {
         case _: CommitConflict =>
           attempt += 1
@@ -2633,6 +2657,11 @@ object Manifest {
     val survivors = claimedVersions(root).filterNot(doomed.toSet)
     survivors.headOption.foreach { oldest =>
       val dest = Paths.get(root, "manifest", s"v$oldest")
+      // marker copies touch the surviving claim DIR's mtime, which is
+      // the commit-time signal versionTimes/tableHistory/TIMESTAMP AS
+      // OF read — capture and restore it, or every later version's
+      // monotonic-adjusted time becomes "vacuum o'clock"
+      val destMtime = Files.getLastModifiedTime(dest)
       doomed.sortBy(-_).foreach { v => // newest doomed first: it wins the copy
         val d = Paths.get(root, "manifest", s"v$v")
         val l = Files.list(d)
@@ -2646,6 +2675,7 @@ object Manifest {
               StandardCopyOption.REPLACE_EXISTING)
         }
       }
+      Files.setLastModifiedTime(dest, destMtime)
     }
     doomed.foreach(v =>
       Staging.deleteRecursively(Paths.get(root, "manifest", s"v$v")))
@@ -2700,6 +2730,26 @@ object Manifest {
     * call actually resolved and copied (re-reading the pointer for the
     * marker would race a concurrent source commit and desync the
     * replica ledger from the shipped bytes). */
+  /** Mirror the root-level CHECK-constraint markers to the
+    * destination — a promoted replica that silently stopped enforcing
+    * registered constraints would accept batches the source rejects.
+    * (Tags are deliberately NOT shipped: a tag names a version in its
+    * own root's history, and replica/export version spaces differ.) */
+  private def shipCheckMarkers(root: String, destRoot: String): Unit = {
+    val dir = checkDir(root)
+    if (!Files.isDirectory(dir)) return
+    val l = Files.list(dir)
+    val names =
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("check-")).toList
+      finally l.close()
+    if (names.nonEmpty) Files.createDirectories(checkDir(destRoot))
+    names.foreach { n =>
+      Files.copy(dir.resolve(n), checkDir(destRoot).resolve(n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private def exportSnapshotTxn(s: SparkSession, root: String, destRoot: String,
                                 txnApp: Option[String]): (Int, Long) = {
     val v = snapshotVersion(root)
@@ -2737,6 +2787,7 @@ object Manifest {
       throw new IllegalStateException(
         s"exportSnapshot: $destRoot already has a v1 claim")
     advancePointer(destRoot, 1L)
+    shipCheckMarkers(root, destRoot)
     (files.size, bytes)
   }
 
@@ -2837,6 +2888,9 @@ object Manifest {
           deltaOrFull(s, destRoot, base, Nil, changed, removed ++ readds)
             .copy(extras = schemaExtras ++ srcLedger ++ txnExtras(Some(appId -> srcV)))
         }, maxRetries)
+        // constraint markers mirror with every sync: a promoted replica
+        // must enforce what the source enforces
+        shipCheckMarkers(root, destRoot)
         (copied, bytes)
     }
   }

@@ -101,7 +101,9 @@ object Views {
       val next =
         if (pure && from > 0)
           merge(Manifest.readTable(s, dstRoot, dstTable), partial(delta))
-        else partial(Manifest.readTable(s, srcRoot, srcTable))
+        else partial(Manifest.readTable(s, srcRoot, srcTable, to)) // pinned:
+          // the ledger records `to`; an unpinned read would absorb a
+          // concurrent commit and replay it next sync
       val dstV = Manifest.commitReplace(s, dstRoot, dstTable, next,
         txn = Some(appId -> to))
       Some((to, dstV, pure && from > 0))

@@ -175,6 +175,12 @@ class ManifestStreamSource(spark: SparkSession, root: String, table: String,
       if (capped > 0 &&
           Manifest.manifestRows(spark, root, capped).exists(_._1 == table))
         Some(LongOffset(capped))
+      else if (capped > 0)
+        // the table first appears ABOVE the cap (earlier versions
+        // belong to other tables): jump forward to its first
+        // appearance, else the cap never rises and the stream stalls
+        Manifest.firstVersionWith(spark, root, table, capped)
+          .filter(_ <= v).map(LongOffset.apply)
       else None
     }
   }

@@ -963,4 +963,45 @@ class ManifestSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(got == Map(1L -> 10.0, 3L -> 31.0))
   }
+
+  test("review fixes: WAP claims invisible to feed/history/asOf; vacuum preserves commit times; replicas enforce checks") {
+    import spark.implicits._
+    // --- open-branch claims must not leak into main-history surfaces
+    val root = Files.createTempDirectory("graft-wapvis-spec").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v"), "k", 1)                        // v1 main
+    Manifest.commitAppendBranch(spark, root, "t",
+      Seq((99L, 99.0)).toDF("k", "v"), "qa")                        // v2 branch
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((2L, 2.0)).toDF("k", "v"), "k", 1)                        // v3 main
+    val feed = Manifest.readChangeFeed(spark, root, "t", 0L)
+      .select("k").as[Long].collect().toSet
+    assert(feed == Set(1L, 2L), s"branch rows leaked into the feed: $feed")
+    assert(!Manifest.tableHistory(spark, root)
+      .select("version").as[Long].collect().contains(2L))
+    assert(Manifest.versionAsOf(root,
+      System.currentTimeMillis() + 60000L) == 3L)
+    // --- vacuum's marker carry must not clobber commit times
+    val r2 = Files.createTempDirectory("graft-vactime-spec").toString
+    Manifest.commitAppend(spark, r2, "t",
+      Seq((1L, 1.0)).toDF("k", "v"), txn = Some("app" -> 0L))       // v1
+    Thread.sleep(30)
+    Manifest.commitAppend(spark, r2, "t",
+      Seq((2L, 2.0)).toDF("k", "v"), txn = Some("app" -> 1L))       // v2
+    val t1 = Manifest.commitTimeMs(r2, 1L)
+    Thread.sleep(30)
+    Manifest.commitReplace(spark, r2, "t", Seq((9L, 9.0)).toDF("k", "v")) // v3
+    Manifest.vacuum(spark, r2, keep = 1, graceMs = 0L) // carries _txn_ markers
+    assert(Manifest.commitTimeMs(r2, 3L) > t1,
+      "marker carry reset the surviving claim's commit time")
+    // --- replicas enforce the source's CHECK constraints
+    val pair = Files.createTempDirectory("graft-chkrep-spec")
+    val src = s"$pair/src"; val dst = s"$pair/dst"
+    Manifest.commitAppend(spark, src, "t", Seq((1L, 1.0)).toDF("k", "v"))
+    Manifest.addCheckConstraint(spark, src, "t", "pos", "v >= 0")
+    Manifest.replicateSnapshot(spark, src, dst)
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, dst, "t", Seq((2L, -1.0)).toDF("k", "v"))
+    }
+  }
 }

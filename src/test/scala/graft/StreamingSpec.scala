@@ -334,4 +334,29 @@ class StreamingSpec extends SparkSuite {
     // the backlog was still rate-limited: one version per batch
     assert(res.groupBy("batch").count().collect().forall(_.getLong(1) == 1L))
   }
+
+  test("rate-limited source jumps to a table appearing above its cap") {
+    import graft.ops.Manifest
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gms-jump").toString
+    // versions 1..3 belong to ANOTHER table; 't' first appears at v4
+    (1 to 3).foreach(i => Manifest.commitAppendRanged(spark, root, "other",
+      Seq((i.toLong, 1.0)).toDF("k", "v"), "k", 1))
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((10L, 10.0)).toDF("k", "v"), "k", 1)                      // v4
+    val out = java.nio.file.Files.createTempDirectory("gms-jump-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gms-jump-ck").toString
+    val q = spark.readStream.format("graft-manifest")
+      .option("root", root).option("table", "t")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+      .foreachBatch((b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // without the forward jump the cap sat at v1 forever and nothing
+    // was ever served
+    assert(spark.read.parquet(out).count() == 1L)
+  }
 }
