@@ -1957,28 +1957,44 @@ object Manifest {
         val curByPath = cur.toMap
         val addedFiles = cur.filterNot { case (f, _) => prevByPath.contains(f) }
         val removedFiles = prev.filterNot { case (f, _) => curByPath.contains(f) }
-        if (removedFiles.nonEmpty) {
-          // CoW rewrite step: row diff bounded to the affected files
-          val before = readResolved(s, root, removedFiles)
-          val after =
-            if (addedFiles.isEmpty) before.filter(lit(false))
-            else readResolved(s, root, addedFiles)
-          emit(before.exceptAll(after), "delete", v)
-          emit(after.exceptAll(before), "insert", v)
-        } else {
+        val drifted = cur.filter { case (f, st) =>
+          prevByPath.get(f).exists(_ != st) }
+        // Fast path — the common merge-on-read step: no file left, and
+        // every stats drift only ADDS DV positions. Then inserts are
+        // exactly the added files' rows and deletes exactly the new
+        // positions, O(delta + matched). A RESTORE (or any step that
+        // REMOVES positions — resurrected rows!) fails this test and
+        // takes the general diff below; the replay property pins both.
+        val additiveDv = removedFiles.isEmpty && drifted.forall {
+          case (f, st) =>
+            val oldPos = dvPositions(prevByPath(f)).values.flatten.toSet
+            oldPos.subsetOf(dvPositions(st).values.flatten.toSet)
+        }
+        if (additiveDv) {
           if (addedFiles.nonEmpty)
             emit(readResolved(s, root, addedFiles), "insert", v)
-          // DV drift on carried files: the step's NEW positions are its
-          // deleted rows (pre-images)
-          val drift = cur.flatMap { case (f, st) =>
-            prevByPath.get(f).filter(_ != st).flatMap { oldSt =>
-              val oldPos = dvPositions(oldSt).values.flatten.toSet
-              val newPos = dvPositions(st).values.flatten.toArray
-                .filterNot(oldPos)
-              if (newPos.isEmpty) None else Some(f -> newPos)
-            }
+          val drift = drifted.flatMap { case (f, st) =>
+            val oldPos = dvPositions(prevByPath(f)).values.flatten.toSet
+            val newPos = dvPositions(st).values.flatten.toArray
+              .filterNot(oldPos)
+            if (newPos.isEmpty) None else Some(f -> newPos)
           }
           if (drift.nonEmpty) emit(rowsAtPositions(drift), "delete", v)
+        } else {
+          // General step (CoW rewrite, restore, position removal): row
+          // diff bounded to the files that left, arrived, or drifted —
+          // inherited untouched files cancel by construction
+          val affPrev = prev.filter { case (f, st) =>
+            !curByPath.contains(f) || curByPath(f) != st }
+          val affCur = cur.filter { case (f, st) =>
+            !prevByPath.contains(f) || prevByPath(f) != st }
+          def readOrEmpty(rows: Seq[(String, String)], like: Seq[(String, String)]) =
+            if (rows.nonEmpty) readResolved(s, root, rows)
+            else readResolved(s, root, like).filter(lit(false))
+          val before = readOrEmpty(affPrev, affCur)
+          val after = readOrEmpty(affCur, affPrev)
+          emit(before.exceptAll(after), "delete", v)
+          emit(after.exceptAll(before), "insert", v)
         }
       }
       prev = cur
