@@ -105,4 +105,33 @@ class GraftFacadeSpec extends SparkSuite {
     assert(live > 0 && Graft.tableRead(spark, root, "t").count() == 2L)
     ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
   }
+
+  test("round-10 facade: restore/tag/count/feed/checks/stream round-trip") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-facade10").toString
+    Graft.tableAppendStats(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Seq("k"), "k", 1)
+    Graft.tableAddCheck(spark, root, "t", "pos", "v >= 0")
+    intercept[IllegalArgumentException] {
+      Graft.tableAppend(spark, root, "t", Seq((3L, -1.0)).toDF("k", "v"))
+    }
+    Graft.tableDeleteVectors(spark, root, "t", col("k") === 2L)
+    assert(Graft.tableCount(spark, root, "t") == 1L)
+    val tagV = Graft.tableTag(root, "pin")
+    val restored = Graft.tableRestore(spark, root, "t", toVersion = 1L)
+    assert(restored > tagV)
+    assert(Graft.tableReadTag(spark, root, "t", "pin").count() == 1L)
+    assert(Graft.tableCount(spark, root, "t") == 2L)
+    val feed = Graft.tableChangeFeed(spark, root, "t", 0L)
+    assert(feed.columns.contains("_change_type"))
+    // streaming facade: the reader wires root/table/options through
+    val sdf = Graft.readStreamTable(spark, root, "t",
+      maxVersionsPerTrigger = Some(1L))
+    assert(sdf.isStreaming && sdf.columns.sameElements(Array("k", "v")))
+    val hist = Graft.runDml(spark, root,
+      "INSERT INTO t VALUES (7L, 7.0D); SELECT 1 AS one")
+    assert(hist.count() == 1L)
+    assert(Graft.tableCount(spark, root, "t") == 3L)
+    ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
+  }
 }
