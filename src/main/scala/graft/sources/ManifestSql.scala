@@ -153,6 +153,11 @@ object ManifestSql {
     "(?is)^INSERT\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
   private val CtasRe =
     "(?is)^CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+AS\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
+  private val AddCheckRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ADD\\s+CONSTRAINT\\s+" +
+      "([A-Za-z0-9._-]+)\\s+CHECK\\s*\\((.*)\\)\\s*$").r
+  private val DropCheckRe =
+    "(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9._-]+)\\s*$".r
   private val MergeOnRe =
     "(?is)^\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*$".r
 
@@ -290,6 +295,14 @@ object ManifestSql {
           !Manifest.manifestRows(spark, root, v).exists(_._1 == table),
           s"CREATE TABLE: $table already exists in $root")
         Manifest.commitAppend(spark, root, table, spark.sql(query))
+        last = spark.emptyDataFrame
+      case AddCheckRe(table, name, pred) =>
+        // ALTER TABLE t ADD CONSTRAINT n CHECK (p): registration scans
+        // existing data and refuses if it violates (Delta semantics)
+        Manifest.addCheckConstraint(spark, root, table, name, pred)
+        last = spark.emptyDataFrame
+      case DropCheckRe(table, name) =>
+        Manifest.dropCheckConstraint(root, table, name)
         last = spark.emptyDataFrame
       case other =>
         last = spark.sql(other)
@@ -527,6 +540,29 @@ object ManifestSql {
                  |ORDER BY o_orderkey""".stripMargin)
       }),
 
+    // ----- constraint lifecycle through SQL (q239): CREATE TABLE AS,
+    //       ADD CONSTRAINT (scanning existing data), a PASSING insert,
+    //       a REJECTED violating insert (staging asserts it left
+    //       nothing), DROP CONSTRAINT, and a post-drop insert that
+    //       lands — all verbatim SQL text. The oracle recomputes the
+    //       final population incl. the sentinel negative row: a
+    //       constraint that kept enforcing after DROP (missing
+    //       sentinel), or a violating batch that leaked while it was
+    //       registered, both shift the totals — hash breaks. -----
+    Q("q239_sql_constraint_lifecycle",
+      Some("""WITH t AS (
+             |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v FROM events
+             |  UNION ALL SELECT 9999, CAST(-1.0 AS DECIMAL(18,4)))
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(v) AS DOUBLE) AS total_v
+             |FROM t""".stripMargin),
+      (s, dir) => {
+        val root = sqlChecksRoot(s, dir)
+        Manifest.readTable(s, root, "evsql")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("v").cast("double").as("total_v"))
+      }),
+
     // ----- NULL-count stats pruning (q225): `value IS NOT NULL`
     //       arrives as verbatim SQL over the manifest view, and the
     //       recorded `__nc_<col>`/`__nrows` footer counts drop the
@@ -581,6 +617,41 @@ object ManifestSql {
         ev.filter(!d20).withColumn("value",
           when(col("user_id") % 3 === 0, lit(null).cast("decimal(18,4)"))
             .otherwise(col("value"))), Seq("ts", "value"), "ts", 2)
+    }
+  }
+
+  /** q239's SQL constraint-lifecycle root: CTAS the pre-cut slice,
+    * ADD CONSTRAINT, a passing INSERT (post-cut), a violating INSERT
+    * rejected with nothing visible, DROP CONSTRAINT, then the
+    * sentinel negative row lands. */
+  def sqlChecksRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-sqlchecks/$fp-${Manifest.layoutKey}") { tmp =>
+      graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+        .createOrReplaceTempView("events_raw_sqlchecks")
+      runDml(s, tmp,
+        """CREATE TABLE evsql AS
+          |  SELECT user_id, value AS v FROM events_raw_sqlchecks
+          |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00';
+          |ALTER TABLE evsql ADD CONSTRAINT nonneg CHECK (v >= 0);
+          |INSERT INTO evsql
+          |  SELECT user_id, value AS v FROM events_raw_sqlchecks
+          |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""".stripMargin)
+      val before = Manifest.snapshotVersion(tmp)
+      val refused =
+        try { runDml(s, tmp,
+          "INSERT INTO evsql VALUES (9998L, -5.0D)"); false }
+        catch { case e: IllegalArgumentException =>
+          require(e.getMessage.contains("CHECK"), e.getMessage); true }
+      require(refused, "staging bug: violating INSERT was accepted")
+      require(Manifest.snapshotVersion(tmp) == before,
+        "staging bug: violating INSERT advanced the version")
+      runDml(s, tmp,
+        """ALTER TABLE evsql DROP CONSTRAINT nonneg;
+          |INSERT INTO evsql VALUES (9999L, -1.0D)""".stripMargin)
     }
   }
 

@@ -153,4 +153,23 @@ class DmlSpec extends SparkSuite {
     }
     assert(Manifest.readTable(spark, root, "t").count() == 3L)
   }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT as SQL text") {
+    val root = freshRoot()
+    ManifestSql.runDml(spark, root,
+      "CREATE TABLE t AS SELECT 1L AS k, 5.0D AS v")
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t ADD CONSTRAINT pos CHECK (v >= 0)")
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "INSERT INTO t VALUES (2L, -1.0D)")
+    }
+    // registration scans existing data: an impossible predicate refuses
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "ALTER TABLE t ADD CONSTRAINT impossible CHECK (v > 100)")
+    }
+    ManifestSql.runDml(spark, root, "ALTER TABLE t DROP CONSTRAINT pos")
+    ManifestSql.runDml(spark, root, "INSERT INTO t VALUES (2L, -1.0D)")
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+  }
 }
