@@ -191,11 +191,12 @@ class ManifestPropertySpec extends SparkSuite {
   case object FDvUpdate extends FOp  // merge-on-read update of a band
   case object FCowDelete extends FOp // copy-on-write delete of a band
   case object FCompact extends FOp   // bin-pack rewrite (nets zero)
+  case object FCompactSm extends FOp // incremental small-file pack (nets zero)
   case object FRestore extends FOp   // restore to a random earlier version
 
   private val fopGen: Gen[FOp] =
     Gen.frequency(4 -> FAppend, 2 -> FDvDelete, 2 -> FDvUpdate,
-      1 -> FCowDelete, 1 -> FCompact, 1 -> FRestore)
+      1 -> FCowDelete, 1 -> FCompact, 1 -> FCompactSm, 1 -> FRestore)
 
   test("property: change-feed replay reconstructs the final state under any interleaving") {
     import spark.implicits._
@@ -226,6 +227,9 @@ class ManifestPropertySpec extends SparkSuite {
                 col("k").between(band, band + 9))
             case FCompact =>
               Manifest.compactTable(spark, root, "t", 8L << 20)
+            case FCompactSm =>
+              Manifest.compactSmallFiles(spark, root, "t",
+                minBytes = 1L << 30, targetBytes = 1L << 30)
             case FRestore =>
               val cur = Manifest.snapshotVersion(root)
               val _ = Manifest.commitRestore(spark, root, "t",
