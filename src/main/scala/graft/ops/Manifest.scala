@@ -724,6 +724,24 @@ object Manifest {
                     tsMillis: Long): DataFrame =
     readTable(s, root, table, versionAsOf(root, tsMillis))
 
+  /** SHOW TABLES: every table in the snapshot with its file count and
+    * row count — metadata arithmetic ([[countRows]] per table: footer
+    * counts minus DV positions; stat-less vintages scan only their
+    * own files). The catalog-listing surface a root needs once it
+    * holds more than one table. */
+  def listTables(s: SparkSession, root: String,
+                 version: Long = -1L): DataFrame = {
+    import s.implicits._
+    val v = if (version > 0) version else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    manifestRows(s, root, v)
+      .groupBy(_._1).toSeq
+      .map { case (t, rows) =>
+        (t, rows.size.toLong, countRows(s, root, t, v)) }
+      .sortBy(_._1)
+      .toDF("table_name", "n_files", "n_rows")
+  }
+
   /** DESCRIBE HISTORY: one row per readable commit — (version,
     * commit_ts, operation) — from the `_op` marker each claim carries
     * (claims of an older vintage read "unknown"). Driver-side
@@ -3247,6 +3265,24 @@ object Manifest {
     }
   }
 
+  /** q240's listing root: ONE atomic multi-table commit — events in 8
+    * ts-ranged files, the per-type summary in 1. */
+  def showTablesRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-show/$fp-$layoutKey") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val _ = commitAppendMulti(s, tmp, Seq(
+        ("events_log",
+          ev.repartitionByRange(8, col("ts")).sortWithinPartitions("ts"),
+          Seq("ts")),
+        ("type_summary",
+          ev.groupBy("event_type").agg(count(lit(1)).as("n")).coalesce(1),
+          Seq.empty)))
+    }
+  }
+
   /** q209's replication pair under one staged root: `src/` gets a
     * pre-cut ranged append, is BOOTSTRAPPED to `dst/` (full export +
     * replica ledger), then takes a post-cut append AND a stats-pruned
@@ -4413,6 +4449,25 @@ object Manifest {
           .select(col("user_id"), col("total_u").cast("double").as("total_u"),
             col("n_u"))
           .orderBy("user_id")
+      }),
+
+    // ----- SHOW TABLES (q240): one atomic two-table commit, listed
+    //       back as (table, n_files, n_rows) from manifest metadata —
+    //       row counts via the q224 arithmetic per table. File counts
+    //       are deterministic constants of the fixture layout, stated
+    //       literally by the oracle; the row counts recompute from the
+    //       raw table — a miscounted DV, a table dropped from the
+    //       listing, or file-count drift all break the hash. -----
+    Q("q240_show_tables",
+      Some("""SELECT 'events_log' AS table_name, CAST(8 AS BIGINT) AS n_files,
+             |  CAST(count(*) AS BIGINT) AS n_rows FROM events
+             |UNION ALL
+             |SELECT 'type_summary', CAST(1 AS BIGINT),
+             |  CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+             |ORDER BY table_name""".stripMargin),
+      (s, dir) => {
+        val root = showTablesRoot(s, dir)
+        listTables(s, root).orderBy("table_name")
       }),
 
     // ----- metadata-only COUNT (q224): both counts — the full table
