@@ -1004,4 +1004,17 @@ class ManifestSpec extends SparkSuite {
       Manifest.commitAppend(spark, dst, "t", Seq((2L, -1.0)).toDF("k", "v"))
     }
   }
+
+  test("listTables reports DV-masked row counts per table") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-show-spec").toString
+    Manifest.commitAppendRanged(spark, root, "a",
+      (1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 2)
+    Manifest.commitAppendRanged(spark, root, "b",
+      (1L to 4L).map(k => (k, k * 1.0)).toDF("k", "v"), "k", 1)
+    Manifest.commitDeleteVectors(spark, root, "a", col("k") <= 3L)
+    val got = Manifest.listTables(spark, root)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((2L, 7L)), "b" -> ((1L, 4L))))
+  }
 }
