@@ -313,7 +313,14 @@ object Corpus {
               "i -> struct(tk[i-1] AS w1, concat(tk[i-1], ' ', tk[i]) AS bg))"))
             .as(Seq("pos", "b")))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
-          .cache() // three consumers (c12, c1, scoring join) — one tokenize+explode
+          // three consumers (c12, c1, scoring join) — one tokenize+
+          // explode. Eager localCheckpoint, NOT .cache(): a cached
+          // frame re-computes per consumer on block eviction, and
+          // under box contention the three consumers thrash the
+          // spill path (the r10 driver board charged this query 10×
+          // its quiet-box wall). The checkpoint materializes ONCE,
+          // truncates lineage, and every consumer reads stored blocks.
+          .localCheckpoint(true)
         val c12 = bb.groupBy("w1", "bg").agg(count(lit(1)).as("c12"))
         val c1 = bb.groupBy("w1").agg(count(lit(1)).as("c1"))
         val lm = c12.join(c1, "w1")

@@ -52,7 +52,7 @@ object Ingest {
   /** Differential parse oracle shared by q35 (plain CSV) and q167
     * (gzip — DuckDB decodes by extension exactly like Spark, so the
     * codec must be invisible to parse semantics). */
-  private def duckCopyOracle(file: String): String =
+  private[graft] def duckCopyOracle(file: String): String =
     s"""SELECT trans_id, order_id, product_id, quantity, unit_price, currency, trans_ts, note
        |FROM ${duckReadCsv(Seq(file))}
        |ORDER BY trans_id""".stripMargin
@@ -107,13 +107,34 @@ object Ingest {
     * the call site when materialization is wanted; the DataFrame itself
     * is the loaded relation.
     */
-  def copyInto(spark: SparkSession, stageDir: String, files: Seq[String]): DataFrame = {
+  def copyInto(spark: SparkSession, stageDir: String, files: Seq[String]): DataFrame =
+    copyIntoOptions(spark, stageDir, files)
+
+  /** [[copyInto]] with an explicit option block — the engine side of
+    * `COPY INTO` arriving as verbatim SQL text
+    * ([[graft.sources.ManifestSql.runDml]]): `opts` is the CSV option
+    * map the SQL parser derived from the statement's FILE_FORMAT
+    * block, `nullVals` its NULL_IF list, and `tagSrcFile` adds the
+    * staged file's NAME as `_src_file` for the per-file load report
+    * (projected from scan metadata — it must be captured here,
+    * because `_metadata` only resolves on the scan itself). */
+  def copyIntoOptions(spark: SparkSession, stageDir: String, files: Seq[String],
+                      opts: Map[String, String] = csvOptions,
+                      nullVals: Seq[String] = Seq("NULL", "null", ""),
+                      tagSrcFile: Boolean = false): DataFrame = {
     val raw = spark.read.format("csv")
-      .options(csvOptions)
+      .options(opts)
       .schema(StructType(transSchema.fields.map(f => StructField(f.name, StringType, nullable = true))))
       .load(files.map(f => s"$stageDir/$f"): _*)
-    val cleaned = nullIf(raw)
-    cleaned.select(transSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val tagged =
+      if (tagSrcFile)
+        raw.withColumn("_src_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+      else raw
+    val cleaned = nullIf(tagged, nullVals)
+    cleaned.select(transSchema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq
+      ++ (if (tagSrcFile) Seq(col("_src_file")) else Nil): _*)
   }
 
   /** ON_ERROR='CONTINUE' COPY (Snowflake's dirty-load semantics,

@@ -88,7 +88,8 @@ object Manifest {
     * staged fixture root's path, so a layout change re-keys the staged
     * roots instead of serving old-layout bytes to new readers. */
   private[graft] val layoutKey: String =
-    Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema+op-in-claim", "stats=bloomcol")
+    Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema+op-in-claim", "stats=bloomcol",
+      "check-marker=eq-separator")
 
   // ---------------------------------------------------------------- pointer
 
@@ -764,12 +765,18 @@ object Manifest {
   // ------------------------------------------------- CHECK constraints
 
   private def checkDir(root: String): Path = Paths.get(root, "manifest")
+  // '=' separates table from constraint name in the marker filename:
+  // it is the one byte EXCLUDED from both identifier charsets below,
+  // so the split is unambiguous. A '-'-family separator is not
+  // ('check-a--b--c' parses as both table 'a'/constraint 'b--c' and
+  // table 'a--b'/constraint 'c', cross-enforcing constraints between
+  // the two tables). layoutKey carries this contract.
   private def checkPath(root: String, table: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"unsafe constraint name: $name")
     require(table.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"unsafe table name: $table") // the marker filename embeds it
-    checkDir(root).resolve(s"check-$table--$name")
+    checkDir(root).resolve(s"check-$table=$name")
   }
 
   /** Register a CHECK constraint on `table` (Delta `ALTER TABLE ADD
@@ -783,7 +790,21 @@ object Manifest {
     * existing data already violates. Names are immutable —
     * [[dropCheckConstraint]] first. Enforcement cost is one
     * column-pruned scan of each commit's OWN files (never the
-    * table). */
+    * table).
+    *
+    * Concurrency window (documented, accepted): registration's
+    * validate-then-link is NOT serialized with the commit CAS. A
+    * writer whose publish funnel read [[checkConstraints]] before
+    * this link lands commits WITHOUT the new constraint's check, and
+    * symmetrically the existing-data scan here can miss a violating
+    * commit that claims between the scan and the link — either way a
+    * violating row can coexist with a registered constraint when
+    * registration races an in-flight write. Same exposure as Delta's
+    * ADD CONSTRAINT against a concurrent blind append; the fix —
+    * registering through a claim sidecar so registration serializes
+    * with commits — costs every constraint DDL a full commit.
+    * Operational rule: quiesce writers for the registration instant,
+    * or re-validate (one scan) after registering. */
   def addCheckConstraint(s: SparkSession, root: String, table: String,
                          name: String, exprText: String): Unit = {
     val p = checkPath(root, table, name)
@@ -817,7 +838,7 @@ object Manifest {
     val dir = checkDir(root)
     if (!Files.isDirectory(dir)) Map.empty
     else {
-      val prefix = s"check-$table--"
+      val prefix = s"check-$table="
       val l = Files.list(dir)
       try l.iterator().asScala
         .map(_.getFileName.toString)
@@ -1556,7 +1577,39 @@ object Manifest {
   def commitDeleteVectors(s: SparkSession, root: String, table: String,
                           deleteFilter: org.apache.spark.sql.Column,
                           maxRetries: Int = 5,
-                          txn: Option[(String, Long)] = None): Long = {
+                          txn: Option[(String, Long)] = None): Long =
+    deleteVectorsBy(s, root, table,
+      df => df.filter(coalesce(deleteFilter, lit(false))), maxRetries, txn)
+
+  /** DELETE-by-keys as deletion vectors: [[commitDeleteVectors]] with
+    * the match driven by a SEMI-JOIN against a keys DataFrame instead
+    * of a predicate Column. This is the scale path when the doomed
+    * keys are themselves the result of a distributed computation (a
+    * change feed's net deletes, an anti-join, a dedup verdict): the
+    * key set never visits the driver — no collected `isin` list, no
+    * million-literal Catalyst `In` expression, no interval-size cap —
+    * Spark plans an ordinary join (AQE broadcasts a small key side on
+    * its own). Duplicate keys in `keys` are harmless (distinct'd);
+    * NULL keys match nothing (semi-join null semantics = SQL `IN`). */
+  def commitDeleteKeys(s: SparkSession, root: String, table: String,
+                       keys: DataFrame, keyCol: String,
+                       maxRetries: Int = 5,
+                       txn: Option[(String, Long)] = None): Long =
+    deleteVectorsBy(s, root, table,
+      df => df.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"),
+      maxRetries, txn)
+
+  /** Shared DV-delete core: `matcher` narrows the raw scan (data
+    * columns + precomputed `__graft_p`/`__graft_ri` position columns)
+    * to the rows to delete — a predicate filter or a keys semi-join;
+    * everything after the match is identical. The position columns
+    * are projected BEFORE the matcher runs because `_metadata` only
+    * resolves on the scan relation itself — a matcher that joins
+    * could not recover them afterwards. */
+  private def deleteVectorsBy(s: SparkSession, root: String, table: String,
+                              matcher: DataFrame => DataFrame,
+                              maxRetries: Int,
+                              txn: Option[(String, Long)]): Long = {
     var tries = 0
     while (true) {
       val base = latestReadableClaim(root)
@@ -1569,13 +1622,14 @@ object Manifest {
       // positions of matching rows, per physical file — a RAW scan of
       // the current files (already-deleted positions may re-match; the
       // union below makes that idempotent)
-      val hits = s.read
+      val scanned = s.read
         .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
-        .filter(coalesce(deleteFilter, lit(false)))
-        .select(
+        .select(col("*"),
           expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
-            .as("_p"),
-          col("_metadata.row_index").as("_ri"))
+            .as("__graft_p"),
+          col("_metadata.row_index").as("__graft_ri"))
+      val hits = matcher(scanned)
+        .select(col("__graft_p").as("_p"), col("__graft_ri").as("_ri"))
         .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
         .collect() // one row per touched file: O(matched) positions
       if (hits.isEmpty) return base // nothing matches: no-op
@@ -2063,11 +2117,14 @@ object Manifest {
       val upserts = net.filter(col("_change_type") === "insert")
         .drop("_change_type", "_commit_version", "_rn")
       val nUp = upserts.count()
-      val delKeys = net.filter(col("_change_type") === "delete")
-        .select(col(keyCol)).collect().map(_.get(0)).toSeq
-      require(delKeys.size <= 1000000,
-        s"applyChangesInto: ${delKeys.size} net deletes in one interval — " +
-          "split the interval (driver-side key list would not be metadata-sized)")
+      // net deletes stay a DATAFRAME end to end: the delete lands via
+      // a semi-join ([[commitDeleteKeys]]) against the destination
+      // scan, so an interval's delete volume is unbounded — no
+      // driver-side key list, no giant Catalyst `In` literal (a
+      // 1M-literal In is a planner hazard far below any collect guard)
+      val dels = net.filter(col("_change_type") === "delete")
+        .select(col(keyCol))
+      val nDel = dels.count()
       val dstV = snapshotVersion(dstRoot)
       val dstExists = dstV > 0 &&
         manifestRows(s, dstRoot, dstV).exists(_._1 == dstTable)
@@ -2076,9 +2133,8 @@ object Manifest {
         commitAppendStats(s, dstRoot, dstTable, upserts, Seq(keyCol),
           keyCol, 1, txn = Some(appId -> to))
       } else {
-        if (delKeys.nonEmpty)
-          try commitDeleteVectors(s, dstRoot, dstTable,
-            col(keyCol).isInCollection(delKeys),
+        if (nDel > 0)
+          try commitDeleteKeys(s, dstRoot, dstTable, dels, keyCol,
             txn = Some(s"$appId-del" -> to))
           catch { case _: TxnAlreadyCommitted => () } // crash-replay half
         try {
@@ -2090,7 +2146,7 @@ object Manifest {
               txn = Some(appId -> to))
         } catch { case _: TxnAlreadyCommitted => () }
       }
-      Some((nUp, delKeys.size.toLong))
+      Some((nUp, nDel))
     } finally net.unpersist()
   }
 

@@ -443,9 +443,15 @@ object Text {
               && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .agg(count(lit(1)).as("i"))
+        // NO broadcast hint on `sizes`: it is one row per DOCUMENT —
+        // corpus cardinality, not a bounded dimension — so a forced
+        // broadcast is an OOM at 100× corpus scale. AQE picks a
+        // broadcast join on its own at fixture scale (the frame is
+        // under the threshold) and degrades to shuffle join at scale;
+        // same discipline as the candidate stage above.
         inter
-          .join(broadcast(sizes.as("s1")), col("s1.doc_id") === col("d1"))
-          .join(broadcast(sizes.as("s2")), col("s2.doc_id") === col("d2"))
+          .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+          .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
           .withColumn("jac", col("i").cast("double") / (col("s1.n") + col("s2.n") - col("i")))
           .filter(col("jac") >= 0.2)
           .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))

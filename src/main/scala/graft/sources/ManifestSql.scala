@@ -127,16 +127,21 @@ object ManifestSql {
   }
 
   /** Index of the first TOP-LEVEL occurrence of keyword `word`
-    * (case-insensitive, word-bounded), or -1. */
+    * (case-insensitive, word-bounded), or -1. `_` and `.` count as
+    * word characters — a snake_case or qualified identifier that
+    * EMBEDS a keyword (`totals_on_hand`, `my_where_col`, `t.on`) must
+    * not split at the embedded fragment. */
   private def topLevelKeyword(s: String, word: String): Int = {
     val mask = topLevelMask(s)
     val lower = s.toLowerCase
+    def wordChar(ch: Char): Boolean =
+      Character.isLetterOrDigit(ch) || ch == '_' || ch == '.'
     var i = lower.indexOf(word)
     while (i >= 0) {
       val bounded =
-        (i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))) &&
+        (i == 0 || !wordChar(lower.charAt(i - 1))) &&
           (i + word.length >= s.length ||
-            !Character.isLetterOrDigit(lower.charAt(i + word.length)))
+            !wordChar(lower.charAt(i + word.length)))
       if (bounded && mask(i)) return i
       i = lower.indexOf(word, i + 1)
     }
@@ -304,10 +309,294 @@ object ManifestSql {
       case DropCheckRe(table, name) =>
         Manifest.dropCheckConstraint(root, table, name)
         last = spark.emptyDataFrame
+      case CopyRe(table, stage, clauses) =>
+        last = sqlCopyInto(spark, root, table, stage, clauses)
       case other =>
-        last = spark.sql(other)
+        // plain SQL text — after resolving any `t VERSION AS OF n` /
+        // `t TIMESTAMP AS OF '...'` time-travel clauses against the
+        // manifest root (Delta's SQL travel syntax, register-time
+        // version pinning under the hood)
+        last = spark.sql(rewriteTimeTravel(spark, root, other))
     }
     last
+  }
+
+  // ------------------------------------------------------ COPY INTO (SQL)
+
+  private val CopyRe =
+    "(?is)^COPY\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+'([^']+)'\\s*(.*)$".r
+
+  /** Strip one level of single quotes and unescape the two sequences
+    * Snowflake option strings use (`\\n`, `\\t`); a bare token passes
+    * through verbatim. */
+  private def unquoteOpt(v0: String): String = {
+    val v = v0.trim
+    val body =
+      if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+        v.substring(1, v.length - 1)
+      else v
+    body.replace("\\n", "\n").replace("\\t", "\t")
+  }
+
+  /** Parse the clause tail of a COPY statement: `FILES = (...)`,
+    * `PATTERN = '...'`, `FILE_FORMAT = (...)` in any order. Unknown
+    * clauses are rejected loudly — a silently ignored ON_ERROR would
+    * load with the wrong semantics. */
+  private def parseCopyClauses(rest0: String)
+      : (Option[Seq[String]], Option[String], Map[String, String]) = {
+    var files: Option[Seq[String]] = None
+    var pattern: Option[String] = None
+    var fmt = Map.empty[String, String]
+    var rest = rest0.trim
+    val KeyRe = "(?is)^([A-Za-z_]+)\\s*=\\s*(.*)$".r
+    while (rest.nonEmpty) {
+      rest = rest match {
+        case KeyRe(key, tail0) =>
+          val tail = tail0.trim
+          key.toUpperCase(java.util.Locale.ROOT) match {
+            case "FILES" =>
+              require(tail.startsWith("("),
+                s"COPY INTO: FILES expects a parenthesized list, got: $tail")
+              val close = matchingParen(tail)
+              require(close > 0, s"COPY INTO: unbalanced parens in FILES: $tail")
+              files = Some(splitTopLevel(tail.substring(1, close), ',')
+                .map(unquoteOpt))
+              tail.substring(close + 1).trim
+            case "PATTERN" =>
+              require(tail.startsWith("'"),
+                s"COPY INTO: PATTERN expects a quoted regex, got: $tail")
+              val close = tail.indexOf('\'', 1)
+              require(close > 0, s"COPY INTO: unterminated PATTERN: $tail")
+              pattern = Some(tail.substring(1, close))
+              tail.substring(close + 1).trim
+            case "FILE_FORMAT" =>
+              require(tail.startsWith("("),
+                s"COPY INTO: FILE_FORMAT expects a parenthesized block, got: $tail")
+              val close = matchingParen(tail)
+              require(close > 0,
+                s"COPY INTO: unbalanced parens in FILE_FORMAT: $tail")
+              fmt = parseFormatBlock(tail.substring(1, close))
+              tail.substring(close + 1).trim
+            case other =>
+              throw new IllegalArgumentException(
+                s"COPY INTO: unsupported clause '$other'")
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"COPY INTO: malformed clause text: $other")
+      }
+    }
+    (files, pattern, fmt)
+  }
+
+  /** Parse a FILE_FORMAT block's `KEY = value` pairs. Values are a
+    * quoted string, a parenthesized list (kept verbatim for the
+    * caller to split), or a bare token; keys are uppercased. */
+  private def parseFormatBlock(src0: String): Map[String, String] = {
+    var src = src0.trim
+    var out = Map.empty[String, String]
+    val KeyRe = "(?is)^([A-Za-z_]+)\\s*=\\s*(.*)$".r
+    while (src.nonEmpty) {
+      src = src match {
+        case KeyRe(key, tail0) =>
+          val tail = tail0.trim
+          val (value, rest) =
+            if (tail.startsWith("(")) {
+              val close = matchingParen(tail)
+              require(close > 0,
+                s"FILE_FORMAT: unbalanced parens in value of $key: $tail")
+              (tail.substring(0, close + 1), tail.substring(close + 1))
+            } else if (tail.startsWith("'")) {
+              val close = tail.indexOf('\'', 1)
+              require(close > 0, s"FILE_FORMAT: unterminated string for $key")
+              (tail.substring(0, close + 1), tail.substring(close + 1))
+            } else {
+              val end = tail.indexWhere(ch => ch.isWhitespace)
+              if (end < 0) (tail, "") else tail.splitAt(end)
+            }
+          out += key.toUpperCase(java.util.Locale.ROOT) -> value.trim
+          rest.trim
+        case other =>
+          throw new IllegalArgumentException(
+            s"FILE_FORMAT: malformed option text: $other")
+      }
+    }
+    out
+  }
+
+  /** Map a parsed FILE_FORMAT block onto Spark CSV reader options +
+    * the NULL_IF list, starting from the engine defaults
+    * ([[graft.ops.Ingest.csvOptions]] — the reference's option block,
+    * `dags/s3_data_copy_test.py:38-40`). Every supported key maps
+    * onto the documented Spark equivalent; an unknown key or an
+    * unsupported value fails loudly — COPY must never silently parse
+    * with different semantics than the statement asked for. */
+  private[sources] def copyFormatOptions(fmt: Map[String, String])
+      : (Map[String, String], Seq[String]) = {
+    var opts = graft.ops.Ingest.csvOptions
+    var nullVals = Seq("NULL", "null", "")
+    fmt.foreach { case (k, raw) =>
+      val v = unquoteOpt(raw)
+      k match {
+        case "TYPE" =>
+          require(v.equalsIgnoreCase("CSV"),
+            s"COPY INTO: only TYPE = CSV is supported, got $v")
+        case "FIELD_DELIMITER" => opts += "sep" -> v
+        case "RECORD_DELIMITER" => opts += "lineSep" -> v
+        case "SKIP_HEADER" =>
+          require(v == "0" || v == "1",
+            s"COPY INTO: SKIP_HEADER must be 0 or 1, got $v")
+          opts += "header" -> (v == "1").toString
+        case "FIELD_OPTIONALLY_ENCLOSED_BY" =>
+          opts += "quote" -> v
+          // quote-doubling escape rides the quote char (the
+          // ESCAPE_UNENCLOSED_FIELD = NONE convention)
+          opts += "escape" -> v
+        case "ESCAPE_UNENCLOSED_FIELD" =>
+          require(v.equalsIgnoreCase("NONE"),
+            s"COPY INTO: only ESCAPE_UNENCLOSED_FIELD = NONE is supported, got $v")
+        case "NULL_IF" =>
+          require(raw.startsWith("(") && raw.endsWith(")"),
+            s"COPY INTO: NULL_IF expects a parenthesized list, got $raw")
+          nullVals = splitTopLevel(raw.substring(1, raw.length - 1), ',')
+            .map(unquoteOpt)
+        case "EMPTY_FIELD_AS_NULL" =>
+          v.toUpperCase(java.util.Locale.ROOT) match {
+            case "TRUE" => if (!nullVals.contains("")) nullVals :+= ""
+            case "FALSE" => nullVals = nullVals.filter(_.nonEmpty)
+            case other => throw new IllegalArgumentException(
+              s"COPY INTO: EMPTY_FIELD_AS_NULL must be TRUE/FALSE, got $other")
+          }
+        case "COMPRESSION" =>
+          require(Seq("AUTO", "GZIP", "NONE").exists(v.equalsIgnoreCase),
+            s"COPY INTO: unsupported COMPRESSION $v")
+        // compression is extension-detected by the scan — no option
+        case other =>
+          throw new IllegalArgumentException(
+            s"COPY INTO: unsupported FILE_FORMAT key '$other'")
+      }
+    }
+    (opts, nullVals)
+  }
+
+  /** `COPY INTO <table> FROM '<stage>' [FILES = (...)] [PATTERN =
+    * '...'] [FILE_FORMAT = (...)]` as verbatim SQL text — the
+    * reference's one real data-movement operator
+    * (`dags/s3_data_copy_test.py:32-41`) reachable from the same
+    * any-statement surface as every other statement. File selection:
+    * explicit FILES list, PATTERN regex over the staged names (a
+    * driver-side metadata listing), or the whole stage; the load is
+    * ONE scan of the selected files with the mapped option block +
+    * NULL_IF normalization + typed casts ([[graft.ops.Ingest
+    * .copyIntoOptions]]), committed atomically to the manifest table
+    * (creating it on first load, appending after — Snowflake COPY
+    * appends; use [[graft.ops.Ingest.copyIntoLogged]]'s load-history
+    * idiom for skip-already-loaded semantics). Returns Snowflake's
+    * load-report shape, one row per staged file: (file, rows_loaded,
+    * status). The report is a per-file count aggregate — a second
+    * pass over the stage; a single-pass variant would stage to
+    * parquet once and serve both the commit and the report from the
+    * staged copy, which is exactly what the manifest commit's own
+    * files provide if the report is computed AFTER commit — kept as
+    * two passes here so the report never reads back what it just
+    * wrote. */
+  def sqlCopyInto(spark: SparkSession, root: String, table: String,
+                  stage: String, clauses: String): DataFrame = {
+    val (files, pattern, fmt) = parseCopyClauses(clauses)
+    require(files.isEmpty || pattern.isEmpty,
+      "COPY INTO: FILES and PATTERN are mutually exclusive")
+    val (opts, nullVals) = copyFormatOptions(fmt)
+    val names = files.getOrElse {
+      val staged = graft.ops.Ingest.stageFiles(spark, stage)
+      val m = pattern.fold(staged)(p => staged.filter(_.matches(p)))
+      require(m.nonEmpty, pattern.fold(s"COPY INTO: empty stage $stage")(p =>
+        s"COPY INTO: PATTERN '$p' matched no staged files in $stage"))
+      m
+    }
+    val loaded = graft.ops.Ingest.copyIntoOptions(
+      spark, stage, names, opts, nullVals, tagSrcFile = true)
+    Manifest.commitAppend(spark, root, table, loaded.drop("_src_file"))
+    loaded.groupBy(col("_src_file").as("file"))
+      .agg(count(lit(1)).as("rows_loaded"))
+      .withColumn("status", lit("LOADED"))
+      .orderBy("file")
+  }
+
+  // ------------------------------------------------- time travel (SQL)
+
+  /** True at positions OUTSIDE string literals and quoted
+    * identifiers. Unlike [[topLevelMask]], parens do NOT mask — a
+    * time-travel clause inside a subquery must still rewrite. */
+  private def quoteMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var state: Char = 'n'
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      state match {
+        case 'n' => ch match {
+          case '\'' => state = 'q'
+          case '`' => state = 'b'
+          case '"' => state = 'd'
+          case _ => mask(i) = true
+        }
+        case 'q' => if (ch == '\'') state = 'n'
+        case 'b' => if (ch == '`') state = 'n'
+        case 'd' => if (ch == '"') state = 'n'
+      }
+      i += 1
+    }
+    mask
+  }
+
+  private val VersionAsOfRe =
+    "(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+VERSION\\s+AS\\s+OF\\s+([0-9]+)".r
+  private val TimestampAsOfRe =
+    "(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+
+  private def parseTsMillis(spark: SparkSession, text: String): Long = {
+    val fmt = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .optionalEnd()
+      .toFormatter(java.util.Locale.ROOT)
+    val ldt =
+      try LocalDateTime.parse(text, fmt)
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"TIMESTAMP AS OF: cannot parse '$text' " +
+              "(expected yyyy-MM-dd HH:mm:ss[.fraction], session zone)", e)
+      }
+    ldt.atZone(Manifest.sessionZone(spark)).toInstant.toEpochMilli
+  }
+
+  /** Resolve `t VERSION AS OF n` / `t TIMESTAMP AS OF 'ts'` clauses
+    * in a SQL statement against manifest root `root`: each occurrence
+    * registers a version-PINNED view of manifest table `t` (the q207
+    * register-time pinning; timestamps resolve through
+    * [[Manifest.versionAsOf]] — newest commit at or before the
+    * instant, in the session zone) and the clause text is replaced by
+    * the pinned view's name. Quote-aware (a clause-shaped string
+    * literal is left alone) and subquery-transparent. Statements
+    * without a travel clause pass through byte-identical. */
+  def rewriteTimeTravel(spark: SparkSession, root: String, sql: String): String = {
+    def rewrite(s0: String, re: scala.util.matching.Regex,
+                resolve: String => Long): String = {
+      val mask = quoteMask(s0)
+      re.findAllMatchIn(s0).filter(m => mask(m.start)).toList.reverse
+        .foldLeft(s0) { (acc, m) =>
+          val table = m.group(1)
+          val v = resolve(m.group(2))
+          val view = s"${table.replace('.', '_')}__asof_v$v"
+          register(spark, root, table, view, version = v)
+          acc.substring(0, m.start) + view + acc.substring(m.end)
+        }
+    }
+    val afterV = rewrite(sql, VersionAsOfRe, _.toLong)
+    rewrite(afterV, TimestampAsOfRe,
+      ts => Manifest.versionAsOf(root, parseTsMillis(spark, ts)))
   }
 
   // --------------------------------------------------------------- queries
@@ -590,6 +879,115 @@ object ManifestSql {
         s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_notnull,
                 |  CAST(sum(value) AS DOUBLE) AS total_v
                 |FROM events_nulls_mf WHERE value IS NOT NULL""".stripMargin)
+      }),
+
+    // ----- COPY INTO as verbatim SQL text (q241): the reference's
+    //       one real data-movement operator (s3_data_copy_test.py:
+    //       32-41) submitted as a STATEMENT — FILES list + the full
+    //       reference FILE_FORMAT block parse from text, route
+    //       through the same scan/NULL_IF/cast pipeline as q35, and
+    //       the load commits atomically to a manifest table whose
+    //       SQL read-back must match q35's DuckDB parse oracle
+    //       byte-for-byte: any drift between the parsed option block
+    //       and the executed one breaks the hash. -----
+    Q("q241_sql_copy_into",
+      Some(graft.ops.Ingest.duckCopyOracle(
+        graft.ops.Ingest.stagedFileName(graft.ops.Ingest.backfillStart))),
+      (s, _) => {
+        val stage = graft.ops.Ingest.writeStageFixtures()
+        val f = graft.ops.Ingest.stagedFileName(graft.ops.Ingest.backfillStart)
+        val root = Files.createTempDirectory("graft-sql-copy").toString
+        runDml(s, root,
+          s"""COPY INTO prestg_product_order_trans FROM '$stage'
+             |FILES = ('$f')
+             |FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = ','
+             |  SKIP_HEADER = 1 FIELD_OPTIONALLY_ENCLOSED_BY = '"'
+             |  ESCAPE_UNENCLOSED_FIELD = NONE RECORD_DELIMITER = '\\n'
+             |  NULL_IF = ('NULL', 'null', '') EMPTY_FIELD_AS_NULL = TRUE)"""
+            .stripMargin)
+        register(s, root, "prestg_product_order_trans", "sql_copied_trans")
+        val out = s.sql(
+          "SELECT * FROM sql_copied_trans ORDER BY trans_id")
+          .localCheckpoint(true)
+        s.catalog.dropTempView("sql_copied_trans")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- COPY INTO ... PATTERN= through SQL (q242): regex file
+    //       selection from statement text over a stage holding
+    //       decoys (the 07/15 backfill file, the gzip copy, both
+    //       dirty fixtures) — must select exactly the two July 13-14
+    //       files, and the statement's RESULT is Snowflake's load
+    //       report (file, rows_loaded, status), pinned literally.
+    //       Default FILE_FORMAT block (the reference's) applies when
+    //       the statement carries none. -----
+    Q("q242_sql_copy_pattern",
+      Some("""SELECT file, CAST(rows_loaded AS BIGINT) AS rows_loaded, status
+             |FROM (VALUES
+             |  ('product_order_trans_07132022.csv', 8, 'LOADED'),
+             |  ('product_order_trans_07142022.csv', 8, 'LOADED')
+             |) AS t(file, rows_loaded, status)
+             |ORDER BY file""".stripMargin),
+      (s, _) => {
+        val stage = graft.ops.Ingest.writeStageFixtures()
+        graft.ops.Ingest.writeDirtyStageFixtures() // decoys share the prefix
+        val root = Files.createTempDirectory("graft-sql-copy-pat").toString
+        val report = runDml(s, root,
+          s"""COPY INTO trans_pat FROM '$stage'
+             |PATTERN = 'product_order_trans_071[34]2022\\.csv'""".stripMargin)
+          .localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        report
+      }),
+
+    // ----- VERSION AS OF as SQL syntax (q243): the q207 pinning
+    //       reached from STATEMENT TEXT — `FROM events_log VERSION
+    //       AS OF 1` resolves to a version-pinned registration inside
+    //       the SQL path, no register-time argument in sight. The
+    //       oracle recomputes v1's window (pre-cut) from the raw
+    //       table: resolving to the wrong snapshot (or reading the
+    //       live one) shifts every group — hash breaks. -----
+    Q("q243_sql_version_as_of",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST(count(*) AS BIGINT) AS n_u
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = Manifest.statsRoot(s, dir)
+        runDml(s, root,
+          """SELECT user_id, CAST(sum(value) AS DOUBLE) AS total_u,
+            |  CAST(count(*) AS BIGINT) AS n_u
+            |FROM events_log VERSION AS OF 1
+            |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      }),
+
+    // ----- TIMESTAMP AS OF as SQL syntax (q244): wall-clock travel
+    //       from statement text against the q230 fixture (three
+    //       commits with real ms separation) — the instant of v2's
+    //       commit, rendered as a session-zone literal, must resolve
+    //       to exactly v2 (the first two windows). Off-by-one version
+    //       resolution in either direction changes the event counts —
+    //       hash breaks. -----
+    Q("q244_sql_timestamp_as_of",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = Manifest.asOfRoot(s, dir)
+        val lit2 = java.time.Instant.ofEpochMilli(Manifest.commitTimeMs(root, 2L))
+          .atZone(Manifest.sessionZone(s)).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS", java.util.Locale.ROOT))
+        runDml(s, root,
+          s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(value) AS DOUBLE) AS total_v
+             |FROM events_log TIMESTAMP AS OF '$lit2'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
       })
   )
 

@@ -253,6 +253,23 @@ object Streams {
                             table: String = "events_log"): Unit = {
     val expected = graft.ops.Manifest.lastCommittedTxn(root, appId)
       .map(_ + 1).getOrElse(0L)
+    // batch 0 against a ledger already past batch 1 is NOT a
+    // redelivery — it is a restart from a FRESH checkpoint (batch ids
+    // restart at 0), and its batch spans ALL currently-available
+    // input including versions the ledger never saw. Treating it as a
+    // redelivery no-op would silently drop that data forever, so it
+    // fails loudly instead: resume the original checkpoint, or start
+    // a new appId (new ledger) for a genuinely new pipeline. The one
+    // ambiguous point — batch 0 arriving with the ledger at exactly 1
+    // — stays a no-op: that is the at-least-once redelivery crash
+    // recovery depends on (first batch committed to the ledger, crash
+    // before the checkpoint recorded it, restart re-runs batch 0).
+    if (batchId == 0L && expected > 1L)
+      throw new IllegalStateException(
+        s"commitBatchToManifest: batch 0 arrived but the $appId ledger " +
+          s"already expects batch $expected — a fresh checkpoint against an " +
+          "existing ledger would silently drop data; resume the original " +
+          "checkpoint or use a new appId")
     if (batchId < expected) return // redelivery of a committed batch: no-op
     if (batchId > expected)
       throw new IllegalStateException(

@@ -394,11 +394,24 @@ class ManifestSpec extends SparkSuite {
     val b1 = Seq((2L, 20.0, "2024-01-20 00:00:00"))
       .toDF("k", "v", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
     graft.streaming.Streams.commitBatchToManifest(b0, root, 0L)
+    // genuine batch-0 redelivery (ledger at exactly 1: first batch
+    // committed, checkpoint never recorded it, restart re-runs it) —
+    // the crash-recovery case, MUST stay a silent no-op
+    graft.streaming.Streams.commitBatchToManifest(b0, root, 0L)
+    assert(Manifest.snapshotVersion(root) == 1L)
     graft.streaming.Streams.commitBatchToManifest(b1, root, 1L)
     assert(Manifest.snapshotVersion(root) == 2L)
-    // redeliver both; neither may commit
-    graft.streaming.Streams.commitBatchToManifest(b0, root, 0L)
+    // redeliver the LAST batch (what Spark actually replays after a
+    // crash-before-checkpoint-commit); it may not commit again
     graft.streaming.Streams.commitBatchToManifest(b1, root, 1L)
+    assert(Manifest.snapshotVersion(root) == 2L)
+    // batch 0 against a ledger already past 1 is NOT a redelivery —
+    // it is a FRESH checkpoint whose batch 0 spans all available
+    // input; a no-op here would silently drop the unseen versions,
+    // so it must fail loudly instead
+    intercept[IllegalStateException] {
+      graft.streaming.Streams.commitBatchToManifest(b0, root, 0L)
+    }
     assert(Manifest.snapshotVersion(root) == 2L)
     assert(Manifest.readTable(spark, root, "events_log").count() == 2L)
     // a batch-id GAP (batch 2 missing) must fail loudly, not no-op:
