@@ -117,7 +117,12 @@ object Bench {
           if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
           else s
         }
-      def key(k: String): String = "\"" + k.takeWhile(_ != '_') + "\""
+      // Key = the query NUMBER alone ("q139_bigram_lm_score" → "139"):
+      // at 240+ queries the "q" prefix alone costs ~240 chars of the
+      // ~2000-char window — dropping it lets ~2 more rollup rungs
+      // stay unfolded (more per-query signal on the driver board).
+      def key(k: String): String =
+        "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\""
       // Past ~185 queries even 1-decimal rendering overflows the
       // window, so the LAST resort folds the N cheapest queries into a
       // self-describing rollup ("rest_n" queries totalling "rest_sec")
@@ -145,8 +150,27 @@ object Bench {
     }
     val line = (Seq(render(3, jitter), render(2, jitter), render(2, jitter.take(3)),
         render(2, Nil), render(1, Nil)) ++
-        Seq(20, 40, 60, 90, 120, 150).map(n => render(1, Nil, rollupCheapest = n)))
+        Seq(10, 20, 30, 40, 50, 60, 75, 90, 120, 150)
+          .map(n => render(1, Nil, rollupCheapest = n)))
       .find(_.length <= 1950).getOrElse(render(1, Nil, rollupCheapest = results.size))
+    // Full-resolution per-query record, UN-capped: the driver line
+    // above folds the cheapest queries into a rollup to fit its
+    // ~2000-char stdout window, which loses their per-query
+    // regression signal — this file keeps every query at 3 decimals.
+    // Written into the repo working dir so the round commit snapshots
+    // it next to BENCH_r{N}.json.
+    locally {
+      def f3(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val full = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL_latest.json"),
+        (s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+          s""""sf":$sfNum,"cpus":$cpus,"stream_sec":${f3(streamSec)},""" +
+          s""""queries":$full}""" + "\n").getBytes("UTF-8"))
+    }
     // Loud local signal if even the smallest rendering overflows the
     // driver's parse window (a front-truncated line parses as null
     // with NO error — the round-1 failure mode): fails fast here

@@ -428,6 +428,17 @@ object Ingest {
         "compression=gzip;nullValue=NULL;timestampFormat=yyyy-MM-dd HH:mm:ss",
         "coalesce=1")).toString
 
+  /** q251's SQL-statement unload stage, keyed like [[unloadRtDir]]:
+    * same staged rows, but the WRITER is driven entirely by verbatim
+    * `COPY INTO '<location>' FROM <view>` text through
+    * [[graft.sources.ManifestSql.runDml]]. */
+  val sqlUnloadDir: String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-unload-sqlstmt-" + Staging.contentKey(stageContentKey,
+        Staging.optionsKey(csvOptions - "mode"),
+        "compression=gzip;nullValue=NULL;timestampFormat=yyyy-MM-dd HH:mm:ss",
+        "split=max(4,bytes/16MiB)")).toString
+
   /** q192's multi-format stage, keyed like [[unloadRtDir]]: the q35
     * relation serialized as JSON-lines and parquet beside the CSV
     * originals. */
@@ -741,6 +752,41 @@ object Ingest {
             .option("nullValue", "NULL")
             .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
             .csv(tmp)
+        }
+        copyInto(s, stage, files).orderBy("trans_id")
+      }),
+
+    // ----- UNLOAD through the SQL surface (q251): `COPY INTO
+    //       '<location>' FROM <view>` as verbatim STATEMENT text —
+    //       the q181 cross-parser chain with the writer driven
+    //       entirely by the parsed FILE_FORMAT block (gzip, NULL
+    //       sentinel, enclosure conventions), and the statement's own
+    //       unload report asserted in staging (24 rows = 3 staged
+    //       files × 8). Oracle = DuckDB RE-PARSING the engine-written
+    //       bytes: any drift between statement options and executed
+    //       writer breaks the hash. -----
+    Q("q251_sql_unload",
+      Some(s"""SELECT trans_id, order_id, product_id, quantity, unit_price,
+             |  currency, trans_ts, note
+             |FROM read_csv('$sqlUnloadDir/part-*.csv.gz',
+             |  header=true, delim=',', quote='"', escape='"', nullstr='NULL',
+             |  columns={'trans_id': 'BIGINT', 'order_id': 'BIGINT',
+             |    'product_id': 'BIGINT', 'quantity': 'INT',
+             |    'unit_price': 'DOUBLE', 'currency': 'VARCHAR',
+             |    'trans_ts': 'TIMESTAMP', 'note': 'VARCHAR'})
+             |ORDER BY trans_id""".stripMargin),
+      (s, _) => {
+        val stage = writeStageFixtures()
+        val files = Iterator.iterate(backfillStart)(_.plusDays(1))
+          .takeWhile(_.isBefore(backfillEnd)).map(stagedFileName).toSeq
+        copyInto(s, stage, files).createOrReplaceTempView("trans_rt_sqlunload")
+        Staging.ensure(sqlUnloadDir) { tmp =>
+          val rep = graft.sources.ManifestSql.runDml(s, tmp,
+            s"""COPY INTO '$tmp' FROM trans_rt_sqlunload
+               |FILE_FORMAT = (TYPE = CSV COMPRESSION = GZIP
+               |  NULL_IF = ('NULL'))""".stripMargin).collect()(0)
+          require(rep.getLong(0) == 24L,
+            s"staging bug: unload statement reported $rep, expected 24 rows")
         }
         copyInto(s, stage, files).orderBy("trans_id")
       }),

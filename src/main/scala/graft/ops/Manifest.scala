@@ -632,6 +632,31 @@ object Manifest {
     }, maxRetries)
   }
 
+  /** DROP TABLE: one atomic commit whose manifest carries no rows for
+    * `table` — METADATA-only (the data files stay on disk serving
+    * time travel; vacuum collects them once every manifest that
+    * references them ages out of retention, the same lifecycle as a
+    * replace's old file set). Other tables in the root are untouched.
+    * An absent table refuses loudly — a typo'd DROP must not
+    * "succeed". */
+  def commitDropTable(s: SparkSession, root: String, table: String,
+                      maxRetries: Int = 5): Long =
+    casCommit(s, root, { base =>
+      require(base > 0 && manifestRows(s, root, base).exists(_._1 == table),
+        s"DROP TABLE: $table absent from snapshot v$base at $root")
+      deltaOrFull(s, root, base, Seq(table), Nil)
+    }, maxRetries)
+
+  /** TRUNCATE TABLE: replace `table`'s content with zero rows, SCHEMA
+    * PRESERVED — a [[commitReplace]] of an empty frame with the
+    * table's own schema, so the table stays registered/queryable and
+    * the pre-truncate state time-travels. Metadata + one empty-file
+    * write; never a data rewrite. */
+  def commitTruncate(s: SparkSession, root: String, table: String,
+                     maxRetries: Int = 5): Long =
+    commitReplace(s, root, table,
+      readTable(s, root, table).limit(0), maxRetries)
+
   /** RESTORE `table` to its state at snapshot `toVersion`, as a NEW
     * commit — the Delta `RESTORE TABLE ... TO VERSION` / Iceberg
     * rollback analogue, done roll-FORWARD so history is preserved:

@@ -158,6 +158,8 @@ object ManifestSql {
     "(?is)^INSERT\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
   private val CtasRe =
     "(?is)^CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+AS\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
+  private val CreateOrReplaceRe =
+    "(?is)^CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+AS\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
   private val AddCheckRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ADD\\s+CONSTRAINT\\s+" +
       "([A-Za-z0-9._-]+)\\s+CHECK\\s*\\((.*)\\)\\s*$").r
@@ -291,6 +293,11 @@ object ManifestSql {
             col(f.name).cast(f.dataType)): _*)
         Manifest.commitAppend(spark, root, table, aligned)
         last = spark.emptyDataFrame
+      case CreateOrReplaceRe(table, query) =>
+        // CREATE OR REPLACE TABLE t AS <query>: atomic replace (the
+        // old file set survives for time travel); creates on first use
+        Manifest.commitReplace(spark, root, table, spark.sql(query))
+        last = spark.emptyDataFrame
       case CtasRe(table, query) =>
         // CREATE TABLE t AS <query>: first commit of a new table in
         // this root; an existing table refuses loudly (no silent
@@ -309,8 +316,59 @@ object ManifestSql {
       case DropCheckRe(table, name) =>
         Manifest.dropCheckConstraint(root, table, name)
         last = spark.emptyDataFrame
+      case UnloadRe(dest, rest) =>
+        last = sqlCopyUnload(spark, dest, rest)
       case CopyRe(table, stage, clauses) =>
         last = sqlCopyInto(spark, root, table, stage, clauses)
+      case OptimizeRe(table, minS, targetS) =>
+        // OPTIMIZE t [MIN <bytes>] [TARGET <bytes>]: with MIN, the
+        // incremental small-file pass (files under MIN bin-pack,
+        // right-sized files inherit by reference — the daily
+        // maintenance verb); without, the full bin-pack rewrite.
+        // Result is the maintenance report a scheduler acts on.
+        val target = Option(targetS).map(_.toLong).getOrElse(128L << 20)
+        val before = Manifest.snapshotVersion(root)
+        val nBefore = Manifest.manifestRows(spark, root, before)
+          .count(_._1 == table).toLong
+        val v = Option(minS).map(_.toLong) match {
+          case Some(min) =>
+            Manifest.compactSmallFiles(spark, root, table, min, target)
+          case None => Manifest.compactTable(spark, root, table, target)
+        }
+        val nAfter = Manifest.manifestRows(spark, root, v)
+          .count(_._1 == table).toLong
+        last = { import spark.implicits._
+          Seq((v, nBefore, nAfter))
+            .toDF("version", "n_files_before", "n_files_after") }
+      case VacuumRe(keepS, graceS, dry) =>
+        // VACUUM RETAIN n VERSIONS [GRACE <ms>] [DRY RUN]: root-level
+        // retention sweep; GRACE overrides the in-flight-commit
+        // window (0 only with no concurrent writers); DRY RUN reports
+        // without deleting.
+        val isDry = dry != null
+        val (removed, live) = Manifest.vacuum(spark, root, keepS.toInt,
+          Option(graceS).map(_.toLong)
+            .getOrElse(Manifest.defaultVacuumGraceMs),
+          dryRun = isDry)
+        last = { import spark.implicits._
+          Seq((removed.toLong, live.toLong,
+            if (isDry) "DRY RUN" else "EXECUTED"))
+            .toDF("deleted_files", "live_files", "mode") }
+      case RestoreRe(table, toV) =>
+        // matched BEFORE the generic statement fallthrough, so the
+        // time-travel rewrite never sees RESTORE's own AS OF clause
+        Manifest.commitRestore(spark, root, table, toV.toLong)
+        last = spark.emptyDataFrame
+      case HistoryRe(_) =>
+        last = Manifest.tableHistory(spark, root)
+      case ShowTablesRe() =>
+        last = Manifest.listTables(spark, root)
+      case DropTableRe(table) =>
+        Manifest.commitDropTable(spark, root, table)
+        last = spark.emptyDataFrame
+      case TruncateRe(table) =>
+        Manifest.commitTruncate(spark, root, table)
+        last = spark.emptyDataFrame
       case other =>
         // plain SQL text — after resolving any `t VERSION AS OF n` /
         // `t TIMESTAMP AS OF '...'` time-travel clauses against the
@@ -325,6 +383,25 @@ object ManifestSql {
 
   private val CopyRe =
     "(?is)^COPY\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+'([^']+)'\\s*(.*)$".r
+  // unload direction: the TARGET is the quoted location
+  private val UnloadRe =
+    "(?is)^COPY\\s+INTO\\s+'([^']+)'\\s+FROM\\s+(.*)$".r
+
+  // -------------------------------------------- maintenance verbs (SQL)
+
+  private val OptimizeRe =
+    "(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)(?:\\s+MIN\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?\\s*$".r
+  private val VacuumRe =
+    "(?is)^VACUUM\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(?:\\s+GRACE\\s+(\\d+))?(\\s+DRY\\s+RUN)?\\s*$".r
+  private val RestoreRe =
+    "(?is)^RESTORE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$".r
+  private val HistoryRe =
+    "(?is)^DESCRIBE\\s+HISTORY(?:\\s+([A-Za-z0-9_.-]+))?\\s*$".r
+  private val ShowTablesRe = "(?is)^SHOW\\s+TABLES\\s*$".r
+  private val DropTableRe =
+    "(?is)^DROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val TruncateRe =
+    "(?is)^TRUNCATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
 
   /** Strip one level of single quotes and unescape the two sequences
     * Snowflake option strings use (`\\n`, `\\t`); a bare token passes
@@ -520,6 +597,78 @@ object ManifestSql {
       .agg(count(lit(1)).as("rows_loaded"))
       .withColumn("status", lit("LOADED"))
       .orderBy("file")
+  }
+
+  /** `COPY INTO '<location>' FROM <view | (subquery)> [FILE_FORMAT =
+    * (...)]` — the UNLOAD direction (reference S17) as verbatim SQL
+    * text. The source plans like any statement (a registered view —
+    * including a manifest view, so unloads prune through the
+    * FileIndex — or an inline subquery); the writer maps the
+    * FILE_FORMAT block onto Spark's CSV writer with the engine's
+    * canonical unload conventions (quote-doubling enclosure, NULL
+    * sentinel, pinned timestamp formats). Split count GROWS with
+    * estimated bytes over MAX_FILE_SIZE (floor 4) — gzip parts are
+    * non-splittable, so a fixed split would serialize every
+    * downstream reader (the round-8 unload lesson). The row count
+    * rides an `observe` metric on the SAME write pass — no second
+    * scan. Returns Snowflake's unload report (rows_unloaded,
+    * n_files). */
+  def sqlCopyUnload(spark: SparkSession, dest: String, rest0: String): DataFrame = {
+    val rest = rest0.trim
+    val (src, clauses) =
+      if (rest.startsWith("(")) {
+        val close = matchingParen(rest)
+        require(close > 0, s"COPY INTO location: unbalanced subquery: $rest")
+        (spark.sql(rest.substring(1, close)), rest.substring(close + 1))
+      } else {
+        val end = rest.indexWhere(_.isWhitespace)
+        val (name, tail) = if (end < 0) (rest, "") else rest.splitAt(end)
+        (spark.table(name), tail)
+      }
+    val (files, pattern, fmt) = parseCopyClauses(clauses)
+    require(files.isEmpty && pattern.isEmpty,
+      "COPY INTO location: FILES/PATTERN do not apply to an unload")
+    var opts = graft.ops.Ingest.csvOptions - "mode"
+    opts += "nullValue" -> "NULL"
+    opts += "timestampFormat" -> "yyyy-MM-dd HH:mm:ss"
+    opts += "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss"
+    var compression = "gzip"
+    var maxFileSize = 16L << 20 // the Snowflake MAX_FILE_SIZE default
+    fmt.foreach { case (k, raw) =>
+      val v = unquoteOpt(raw)
+      k match {
+        case "TYPE" => require(v.equalsIgnoreCase("CSV"),
+          s"COPY INTO location: only TYPE = CSV is supported, got $v")
+        case "FIELD_DELIMITER" => opts += "sep" -> v
+        case "RECORD_DELIMITER" => opts += "lineSep" -> v
+        case "HEADER" => opts += "header" -> v.toLowerCase(java.util.Locale.ROOT)
+        case "COMPRESSION" =>
+          require(Seq("GZIP", "NONE", "AUTO").exists(v.equalsIgnoreCase),
+            s"COPY INTO location: unsupported COMPRESSION $v")
+          compression = if (v.equalsIgnoreCase("NONE")) "none" else "gzip"
+        case "NULL_IF" =>
+          // writer side: the FIRST sentinel is what NULLs serialize as
+          val vs = splitTopLevel(raw.stripPrefix("(").stripSuffix(")"), ',')
+            .map(unquoteOpt)
+          require(vs.nonEmpty, "COPY INTO location: empty NULL_IF")
+          opts += "nullValue" -> vs.head
+        case "MAX_FILE_SIZE" => maxFileSize = v.toLong
+        case other => throw new IllegalArgumentException(
+          s"COPY INTO location: unsupported FILE_FORMAT key '$other'")
+      }
+    }
+    val estBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(4L, (estBytes / maxFileSize).toLong).toInt
+    val obs = org.apache.spark.sql.Observation()
+    src.observe(obs, count(lit(1)).as("n"))
+      .repartition(n)
+      .write.mode("overwrite")
+      .options(opts)
+      .option("compression", compression)
+      .csv(dest)
+    val rows = obs.get("n").asInstanceOf[Long]
+    import spark.implicits._
+    Seq((rows, n.toLong)).toDF("rows_unloaded", "n_files")
   }
 
   // ------------------------------------------------- time travel (SQL)
@@ -988,6 +1137,180 @@ object ManifestSql {
              |  CAST(sum(value) AS DOUBLE) AS total_v
              |FROM events_log TIMESTAMP AS OF '$lit2'
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      }),
+
+    // ----- OPTIMIZE as SQL text (q245): the q232 incremental
+    //       small-file pass driven by a STATEMENT — `OPTIMIZE
+    //       events_log MIN <thr> TARGET <max>` packs exactly the 14
+    //       trickle files into one, the two right-sized files inherit
+    //       by reference (staging asserts the 16→3 report the
+    //       statement returned). File counts are fixture constants,
+    //       stated literally; the content aggregate recomputes from
+    //       the raw table — a pack that lost or doubled rows breaks
+    //       the hash. -----
+    Q("q245_sql_optimize",
+      Some("""SELECT CAST(16 AS BIGINT) AS n_files_before,
+             |  CAST(3 AS BIGINT) AS n_files_after,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        val root = sqlMaintRoot(s, dir)
+        val v = Manifest.snapshotVersion(root)
+        val before = Manifest.manifestRows(s, root, v - 1)
+          .count(_._1 == "events_log")
+        val after = Manifest.manifestRows(s, root, v)
+          .count(_._1 == "events_log")
+        Manifest.readTable(s, root, "events_log")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .select(lit(before.toLong).as("n_files_before"),
+            lit(after.toLong).as("n_files_after"),
+            col("n_events"), col("total_v"))
+      }),
+
+    // ----- VACUUM DRY RUN as SQL text (q246): the retention sweep's
+    //       report form — `VACUUM RETAIN 1 VERSIONS GRACE 0 DRY RUN`
+    //       against the maintenance root prices exactly the 14
+    //       packed-away trickle files as dead and the 3 current files
+    //       as live, and MUTATES NOTHING (which is also what makes
+    //       the query idempotent across bench passes). Counts are
+    //       fixture constants. -----
+    Q("q246_sql_vacuum_dry",
+      Some("""SELECT CAST(14 AS BIGINT) AS deleted_files,
+             |  CAST(3 AS BIGINT) AS live_files, 'DRY RUN' AS mode"""
+        .stripMargin),
+      (s, dir) => {
+        val root = sqlMaintRoot(s, dir)
+        runDml(s, root, "VACUUM RETAIN 1 VERSIONS GRACE 0 DRY RUN")
+      }),
+
+    // ----- SHOW TABLES as SQL text (q247): the q240 catalog listing
+    //       reached from a statement; same multi-table fixture, same
+    //       oracle (file counts literal, row counts recomputed). -----
+    Q("q247_sql_show_tables",
+      Some("""SELECT 'events_log' AS table_name, CAST(8 AS BIGINT) AS n_files,
+             |  CAST(count(*) AS BIGINT) AS n_rows FROM events
+             |UNION ALL
+             |SELECT 'type_summary', CAST(1 AS BIGINT),
+             |  CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+             |ORDER BY table_name""".stripMargin),
+      (s, dir) => {
+        val root = Manifest.showTablesRoot(s, dir)
+        runDml(s, root, "SHOW TABLES").orderBy("table_name")
+      }),
+
+    // ----- DESCRIBE HISTORY as SQL text (q248): the maintenance
+    //       root's full operation log — 15 ranged appends then the
+    //       OPTIMIZE's compaction — read back from a statement.
+    //       Operations are fixture constants (the `_op` markers the
+    //       claims carry); commit wall-times are projected away
+    //       (non-deterministic). -----
+    Q("q248_sql_describe_history",
+      Some("""SELECT CAST(v AS BIGINT) AS version,
+             |  CASE WHEN v <= 15 THEN 'commitAppendRanged'
+             |       ELSE 'compactSmallFiles' END AS operation
+             |FROM (SELECT CAST(range AS BIGINT) AS v FROM range(1, 17))
+             |ORDER BY version""".stripMargin),
+      (s, dir) => {
+        val root = sqlMaintRoot(s, dir)
+        runDml(s, root, "DESCRIBE HISTORY events_log")
+          .select(col("version"), col("operation"))
+          .orderBy("version")
+      }),
+
+    // ----- RESTORE as SQL text (q249): Delta's `RESTORE TABLE t TO
+    //       VERSION AS OF n` verbatim — roll-forward to the v1 file
+    //       set (metadata-priced, nothing copied), leaving v2 time-
+    //       travelable. The clause is matched BEFORE the time-travel
+    //       rewrite, so RESTORE's own AS OF text never registers a
+    //       view. Oracle recomputes v1's window from the raw table:
+    //       restoring to the wrong version (or not restoring) shifts
+    //       every group — hash breaks. -----
+    Q("q249_sql_restore",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST(count(*) AS BIGINT) AS n_u
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val root = Files.createTempDirectory("graft-sql-restore").toString
+        Manifest.commitAppendRanged(s, root, "events_log",
+          ev.filter(col("ts") < cut), "ts", 2)
+        Manifest.commitAppendRanged(s, root, "events_log",
+          ev.filter(col("ts") >= cut), "ts", 2)
+        runDml(s, root, "RESTORE TABLE events_log TO VERSION AS OF 1")
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("user_id")
+          .agg(sum("value").cast("double").as("total_u"),
+            count(lit(1)).as("n_u"))
+          .orderBy("user_id").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- TRUNCATE + DROP TABLE as SQL text (q250): the remaining
+    //       lifecycle verbs — TRUNCATE keeps the table registered
+    //       with zero rows (schema-preserving empty replace), DROP
+    //       removes its manifest rows entirely (metadata-only; files
+    //       stay for time travel until vacuum) — verified through the
+    //       SHOW TABLES statement in the same script. A TRUNCATE that
+    //       dropped the table, or a DROP that left it listed, breaks
+    //       the literal oracle. -----
+    Q("q250_sql_drop_truncate",
+      Some("SELECT 'user_totals' AS table_name, CAST(0 AS BIGINT) AS n_rows"),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"))
+        val root = Files.createTempDirectory("graft-sql-droptrunc").toString
+        Manifest.commitAppend(s, root, "user_totals",
+          ev.groupBy("user_id").agg(sum("value").as("total")).coalesce(1))
+        Manifest.commitAppend(s, root, "scratch", ev.limit(10).coalesce(1))
+        val out = runDml(s, root,
+          "TRUNCATE TABLE user_totals; DROP TABLE scratch; SHOW TABLES")
+          .select(col("table_name"), col("n_rows"))
+          .orderBy("table_name").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- CREATE OR REPLACE TABLE AS through SQL (q252): the
+    //       replace verb CTAS deliberately refuses — an atomic
+    //       content swap whose old file set stays time-travelable.
+    //       The script creates with FULL counts then replaces with
+    //       the user_id<=5 window; the oracle recomputes the WINDOW,
+    //       so a replace that appended, no-op'd, or half-applied
+    //       serves stale full counts — hash breaks. -----
+    Q("q252_sql_create_or_replace",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id <= 5
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"))
+          .createOrReplaceTempView("events_corr_src")
+        val root = Files.createTempDirectory("graft-sql-corr").toString
+        runDml(s, root,
+          """CREATE TABLE t AS
+            |SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            |FROM events_corr_src GROUP BY event_type;
+            |CREATE OR REPLACE TABLE t AS
+            |SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            |FROM events_corr_src WHERE user_id <= 5
+            |GROUP BY event_type""".stripMargin)
+        register(s, root, "t", "corr_t")
+        val out = s.sql("SELECT event_type, n FROM corr_t ORDER BY event_type")
+          .localCheckpoint(true)
+        s.catalog.dropTempView("corr_t")
+        s.catalog.dropTempView("events_corr_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
       })
   )
 
@@ -1133,6 +1456,51 @@ object ManifestSql {
         .collect { case (_, f, _) => f }.toSet
       require(original.subsetOf(after),
         "staging bug: SQL DML rewrote original files instead of merge-on-read")
+    }
+  }
+
+  /** q245/q246/q248's maintenance root: two right-sized ranged files
+    * (v1), 14 single-file daily trickle commits (v2–v15), then
+    * `OPTIMIZE events_log MIN <thr> TARGET <max>` through the SQL
+    * TEXT path (v16) — the staging asserts the statement's own 16→3
+    * report, so the packed shape the queries assume is proven at
+    * build time. VACUUM stays QUERY-time (dry run mutates nothing, so
+    * the query is idempotent across bench passes). */
+  def sqlMaintRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-sqlmaint/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cutTs = lit(graft.ops.Cdc.versionCut).cast("timestamp")
+      Manifest.commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cutTs), "ts", 2)
+      val days = 16 to 29
+      days.foreach { d =>
+        val lo = lit(f"2024-01-$d%02d 00:00:00").cast("timestamp")
+        val slice =
+          if (d == days.last) ev.filter(col("ts") >= lo)
+          else ev.filter(col("ts") >= lo &&
+            col("ts") < lit(f"2024-01-${d + 1}%02d 00:00:00").cast("timestamp"))
+        Manifest.commitAppendRanged(s, tmp, "events_log", slice, "ts", 1)
+      }
+      val sizes = Manifest
+        .manifestRows(s, tmp, Manifest.snapshotVersion(tmp))
+        .collect { case (_, f, _) => f -> Files.size(Paths.get(tmp, f)) }
+        .toMap
+      require(sizes.size == 16,
+        s"staging bug: expected 16 files, got ${sizes.size}")
+      val byCommit = sizes.keys.groupBy(f => f.split('/')(1)) // data/vN/...
+      val bigs = byCommit("v1").map(sizes)
+      val smalls = (sizes.keySet -- byCommit("v1")).map(sizes)
+      require(smalls.max < bigs.min,
+        s"staging bug: size populations overlap (${smalls.max} vs ${bigs.min})")
+      val rep = runDml(s, tmp,
+        s"OPTIMIZE events_log MIN ${bigs.min} TARGET ${1L << 30}")
+        .collect()(0)
+      require(rep.getLong(1) == 16L && rep.getLong(2) == 3L,
+        s"staging bug: OPTIMIZE reported $rep, expected 16 -> 3")
     }
   }
 }

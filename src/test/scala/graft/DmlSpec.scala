@@ -172,4 +172,194 @@ class DmlSpec extends SparkSuite {
     ManifestSql.runDml(spark, root, "INSERT INTO t VALUES (2L, -1.0D)")
     assert(Manifest.readTable(spark, root, "t").count() == 2L)
   }
+
+  test("identifiers embedding keywords do not mis-split") {
+    val root = freshRoot()
+    // SET expression referencing a column whose name embeds 'where'
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0))
+        .toDF("k", "v", "my_where_col").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      "UPDATE t SET v = my_where_col WHERE k = 1")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 2.0))
+    // MERGE source view whose name embeds 'on' — the ON split must
+    // find the clause keyword, not the fragment inside the identifier
+    Manifest.commitAppend(spark, root, "totals",
+      Seq((1L, 5.0)).toDF("k", "x").coalesce(1))
+    Seq((1L, 50.0), (3L, 30.0)).toDF("k", "x")
+      .createOrReplaceTempView("totals_on_hand")
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO totals USING totals_on_hand
+        |ON totals.k = totals_on_hand.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val tot = Manifest.readTable(spark, root, "totals")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(tot == Map(1L -> 50.0, 3L -> 30.0))
+  }
+
+  test("COPY INTO as SQL text: FILES + FILE_FORMAT block, load report, NULL_IF") {
+    val root = freshRoot()
+    val stage = graft.ops.Ingest.writeStageFixtures()
+    val f = graft.ops.Ingest.stagedFileName(graft.ops.Ingest.backfillStart)
+    val rep = ManifestSql.runDml(spark, root,
+      s"""COPY INTO t FROM '$stage' FILES = ('$f')
+         |FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = ',' SKIP_HEADER = 1
+         |  FIELD_OPTIONALLY_ENCLOSED_BY = '"' ESCAPE_UNENCLOSED_FIELD = NONE
+         |  NULL_IF = ('NULL', 'null') EMPTY_FIELD_AS_NULL = TRUE)"""
+        .stripMargin).collect()
+    assert(rep.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq((f, 8L, "LOADED")))
+    val rows = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 8)
+    // NULL_IF applied before the typed casts: 'NULL' quantity, 'null'
+    // price, and (EMPTY_FIELD_AS_NULL) empty currency are SQL NULL
+    assert(rows(1002L).isNullAt(3))
+    assert(rows(1003L).isNullAt(4))
+    assert(rows(1004L).isNullAt(5))
+    // quoted comma and doubled quote survive the enclosure options
+    assert(rows(1005L).getString(7) == "quoted, with comma")
+    assert(rows(1006L).getString(7) == "embedded \"quote\" here")
+    // a second COPY appends (Snowflake COPY semantics; load-history
+    // skip is copyIntoLogged's contract, not the plain statement's)
+    ManifestSql.runDml(spark, root, s"COPY INTO t FROM '$stage' FILES = ('$f')")
+    assert(Manifest.readTable(spark, root, "t").count() == 16L)
+  }
+
+  test("COPY INTO rejects malformed statements loudly") {
+    val root = freshRoot()
+    // unsupported clause
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "COPY INTO t FROM '/nope' ON_ERROR = 'CONTINUE'")
+    }
+    // unsupported format type
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "COPY INTO t FROM '/nope' FILE_FORMAT = (TYPE = JSON)")
+    }
+    // FILES and PATTERN are mutually exclusive
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "COPY INTO t FROM '/nope' FILES = ('a.csv') PATTERN = 'a.*'")
+    }
+    // unknown FILE_FORMAT key must not be silently ignored
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "COPY INTO t FROM '/nope' FILE_FORMAT = (VALIDATE_UTF8 = TRUE)")
+    }
+    // out-of-range SKIP_HEADER
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "COPY INTO t FROM '/nope' FILE_FORMAT = (SKIP_HEADER = 2)")
+    }
+  }
+
+  test("maintenance verbs as SQL text: OPTIMIZE, VACUUM, RESTORE, DROP, TRUNCATE") {
+    val root = freshRoot()
+    // three single-file commits → OPTIMIZE packs them into one
+    (1 to 3).foreach { i =>
+      Manifest.commitAppend(spark, root, "t",
+        Seq((i.toLong, i * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val rep = ManifestSql.runDml(spark, root, "OPTIMIZE t TARGET 1073741824")
+      .collect()(0)
+    assert(rep.getLong(1) == 3L && rep.getLong(2) == 1L,
+      s"OPTIMIZE report: $rep")
+    assert(Manifest.readTable(spark, root, "t").count() == 3L)
+    // VACUUM DRY RUN prices the three packed-away files, moves nothing
+    val dry = ManifestSql.runDml(spark, root,
+      "VACUUM RETAIN 1 VERSIONS GRACE 0 DRY RUN").collect()(0)
+    assert(dry.getLong(0) == 3L && dry.getLong(1) == 1L &&
+      dry.getString(2) == "DRY RUN")
+    assert(Manifest.readTable(spark, root, "t", 1L).count() == 1L) // intact
+    // RESTORE rolls forward to the v2 file set
+    ManifestSql.runDml(spark, root, "RESTORE TABLE t TO VERSION AS OF 2")
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+    // TRUNCATE keeps the table listed with zero rows; DROP unlists
+    Manifest.commitAppend(spark, root, "u",
+      Seq((9L, 9.0)).toDF("k", "v").coalesce(1))
+    val listed = ManifestSql.runDml(spark, root,
+      "TRUNCATE TABLE t; SHOW TABLES")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(listed == Map("t" -> 0L, "u" -> 1L), listed.toString)
+    ManifestSql.runDml(spark, root, "DROP TABLE u")
+    val after = ManifestSql.runDml(spark, root, "SHOW TABLES")
+      .collect().map(_.getString(0)).toSet
+    assert(after == Set("t"))
+    // pre-drop state time-travels (metadata-only drop)
+    val preDrop = Manifest.snapshotVersion(root) - 1
+    assert(Manifest.readTable(spark, root, "u", preDrop).count() == 1L)
+    // absent table refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "DROP TABLE nope")
+    }
+    // DESCRIBE HISTORY surfaces the maintenance operations by name
+    val ops = ManifestSql.runDml(spark, root, "DESCRIBE HISTORY t")
+      .collect().map(_.getString(2)).toSet
+    assert(Set("commitAppend", "compactTable", "commitRestore",
+      "commitTruncate", "commitDropTable").subsetOf(ops), ops.toString)
+  }
+
+  test("COPY INTO location (unload) and CREATE OR REPLACE TABLE as SQL text") {
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c,d"))
+      .toDF("k", "s").createOrReplaceTempView("unload_src_spec")
+    val dest = Files.createTempDirectory("graft-unload-spec").toString + "/out"
+    val rep = ManifestSql.runDml(spark, root,
+      s"""COPY INTO '$dest' FROM unload_src_spec
+         |FILE_FORMAT = (TYPE = CSV COMPRESSION = NONE NULL_IF = ('NULL'))"""
+        .stripMargin).collect()(0)
+    assert(rep.getLong(0) == 3L, s"unload report: $rep")
+    val back = spark.read.format("csv")
+      .options(graft.ops.Ingest.csvOptions).option("nullValue", "NULL")
+      .schema("k LONG, s STRING").load(dest)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(back == Set((1L, Some("a")), (2L, None), (3L, Some("c,d"))))
+    // CREATE OR REPLACE swaps content atomically; plain CTAS refuses
+    ManifestSql.runDml(spark, root, "CREATE TABLE t AS SELECT 1L AS k")
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "CREATE TABLE t AS SELECT 2L AS k")
+    }
+    ManifestSql.runDml(spark, root,
+      "CREATE OR REPLACE TABLE t AS SELECT 2L AS k UNION ALL SELECT 3L AS k")
+    assert(Manifest.readTable(spark, root, "t")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // the replaced content time-travels
+    assert(Manifest.readTable(spark, root, "t", 1L)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve as SQL text") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Thread.sleep(50) // commit times are ms-granular dir mtimes
+    Manifest.commitAppend(spark, root, "t",
+      Seq((2L, 2.0)).toDF("k", "v").coalesce(1))
+    def n(sql: String): Long =
+      ManifestSql.runDml(spark, root, sql).collect()(0).getLong(0)
+    assert(n("SELECT count(*) AS n FROM t VERSION AS OF 1") == 1L)
+    assert(n("SELECT count(*) AS n FROM t VERSION AS OF 2") == 2L)
+    // subquery-transparent (the clause sits below top level)
+    assert(n("SELECT count(*) AS n FROM (SELECT * FROM t VERSION AS OF 1)") == 1L)
+    // wall-clock travel through the same text path
+    val lit1 = java.time.Instant.ofEpochMilli(Manifest.commitTimeMs(root, 1L))
+      .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      .toLocalDateTime.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS", java.util.Locale.ROOT))
+    assert(n(s"SELECT count(*) AS n FROM t TIMESTAMP AS OF '$lit1'") == 1L)
+    // a clause-shaped STRING LITERAL is left alone
+    val s0 = ManifestSql.runDml(spark, root,
+      "SELECT 'x VERSION AS OF 1' AS s").collect()(0).getString(0)
+    assert(s0 == "x VERSION AS OF 1")
+    // an instant before the first commit refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "SELECT count(*) AS n FROM t TIMESTAMP AS OF '1999-01-01 00:00:00'")
+    }
+  }
 }

@@ -386,6 +386,28 @@ class ManifestSpec extends SparkSuite {
       .schema.fieldNames.toSeq == Seq("f", "n"))
   }
 
+  test("commitDeleteKeys: join-driven DV delete, no driver-side key list") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-delkeys-spec").toString
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 100L).toDF("k").withColumn("v", col("k") * 2).repartition(4))
+    // duplicate and absent keys are harmless; the delete is a semi-join
+    val doomed = Seq(3L, 7L, 7L, 999L).toDF("k")
+    Manifest.commitDeleteKeys(spark, root, "t", doomed, "k")
+    assert(Manifest.readTable(spark, root, "t").count() == 98L)
+    assert(Manifest.readTable(spark, root, "t")
+      .filter(col("k").isin(3L, 7L)).count() == 0L)
+    // NULL keys match nothing (semi-join null semantics = SQL IN)
+    Manifest.commitDeleteKeys(spark, root, "t",
+      Seq[Option[Long]](None).toDF("k"), "k")
+    assert(Manifest.readTable(spark, root, "t").count() == 98L)
+    // merge-on-read: the original files survive; pre-delete time-travels
+    assert(Manifest.readTable(spark, root, "t", 1L).count() == 100L)
+    // the DV commit stacks with a second keyed delete (position merge)
+    Manifest.commitDeleteKeys(spark, root, "t", Seq(8L).toDF("k"), "k")
+    assert(Manifest.readTable(spark, root, "t").count() == 97L)
+  }
+
   test("commitBatchToManifest: version guard makes redelivery a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cbm-spec").toString
