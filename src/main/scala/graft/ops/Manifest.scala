@@ -1331,6 +1331,50 @@ object Manifest {
     commitAppendLaidOut(s, root, table, laid, Seq(aCol, bCol), maxRetries)
   }
 
+  /** OPTIMIZE ... ZORDER BY: rewrite `table`'s CURRENT content onto
+    * the 2-D Morton curve with per-file stats on BOTH dimensions —
+    * Delta's `OPTIMIZE t ZORDER BY (a, b)` as one atomic replace.
+    * This is the maintenance path that turns a range-laid (or
+    * unorganized) table into one where a predicate on EITHER
+    * dimension prunes files; [[commitAppendZordered]] is the
+    * write-time form for fresh batches. The read is DV-aware
+    * (merge-on-read deletes purge through the rewrite, like any
+    * compaction); claim-time read-set validation refuses if the
+    * table changed under the rewrite; the pre-rewrite layout stays
+    * time-travelable. */
+  def compactZorder(s: SparkSession, root: String, table: String,
+                    aCol: String, bCol: String, nFiles: Int,
+                    maxRetries: Int = 5): Long = {
+    val v = snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val expected = manifestRows(s, root, v)
+      .collect { case (t, f, _) if t == table => f }.toSet
+    require(expected.nonEmpty, s"OPTIMIZE ZORDER: $table absent at v$v")
+    val df = readTable(s, root, table, v)
+    val b = df.agg(
+      min(col(aCol).cast("double")), max(col(aCol).cast("double")),
+      min(col(bCol).cast("double")), max(col(bCol).cast("double"))).head()
+    val laid = df
+      .withColumn("__z", Layout.zorder2(
+        Layout.grid16(col(aCol).cast("double"), b.getDouble(0), b.getDouble(1)),
+        Layout.grid16(col(bCol).cast("double"), b.getDouble(2), b.getDouble(3))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val hint = nextVersion(root)
+    val relFiles = publishData(s, root, hint, table, laid)
+    val newRows = statsRowsFor(s, root, table, relFiles, Seq(aCol, bCol))
+    casCommit(s, root, { base =>
+      val cur = manifestRows(s, root, base)
+        .collect { case (t, f, _) if t == table => f }.toSet
+      if (cur != expected)
+        throw new CommitConflict(
+          s"$table changed under the ZORDER rewrite (read at v$v, " +
+            s"claiming at v$base)")
+      deltaOrFull(s, root, base, Seq(table), newRows)
+    }, maxRetries)
+  }
+
   /** Per-file stats rows for freshly-published files. Primary path:
     * the PARQUET FOOTERS the write just produced ([[FooterStats]] —
     * zero extra data I/O, driver-side, |files| footer reads). If any

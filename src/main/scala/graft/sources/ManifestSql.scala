@@ -283,7 +283,11 @@ object ManifestSql {
         // semantics — a VALUES row has no column names to match by),
         // casts to the target types, and appends through the ordinary
         // atomic commit — CHECK constraints apply like any append
-        val target = Manifest.readTable(spark, root, table).schema
+        // an evolved table's REGISTERED schema is the insert target
+        // (it is what the SQL read path serves); un-evolved tables
+        // keep the inferred file schema
+        val reg = Manifest.registeredSchema(spark, root, table)
+        val target = reg.getOrElse(Manifest.readTable(spark, root, table).schema)
         val batch = spark.sql(query)
         require(batch.schema.length == target.length,
           s"INSERT INTO $table: ${batch.schema.length} columns provided, " +
@@ -291,7 +295,12 @@ object ManifestSql {
         val aligned = batch.toDF(target.fieldNames.toIndexedSeq: _*)
           .select(target.fields.toIndexedSeq.map(f =>
             col(f.name).cast(f.dataType)): _*)
-        Manifest.commitAppend(spark, root, table, aligned)
+        // through the evolve path when registered: the append is
+        // enforced against the registration (and re-pins it)
+        if (reg.isDefined)
+          Manifest.commitAppendEvolve(spark, root, table, aligned)
+        else
+          Manifest.commitAppend(spark, root, table, aligned)
         last = spark.emptyDataFrame
       case CreateOrReplaceRe(table, query) =>
         // CREATE OR REPLACE TABLE t AS <query>: atomic replace (the
@@ -320,6 +329,36 @@ object ManifestSql {
         last = sqlCopyUnload(spark, dest, rest)
       case CopyRe(table, stage, clauses) =>
         last = sqlCopyInto(spark, root, table, stage, clauses)
+      case ZorderRe(table, aCol, bCol, splitS) =>
+        // OPTIMIZE t ZORDER BY (a, b) [SPLIT n]: rewrite the current
+        // content onto the 2-D Morton curve (both dimensions get
+        // pruning power); SPLIT defaults to the current file count
+        val before = Manifest.snapshotVersion(root)
+        val nBefore = Manifest.manifestRows(spark, root, before)
+          .count(_._1 == table)
+        val n = Option(splitS).map(_.toInt).getOrElse(math.max(1, nBefore))
+        val v = Manifest.compactZorder(spark, root, table, aCol, bCol, n)
+        val nAfter = Manifest.manifestRows(spark, root, v)
+          .count(_._1 == table).toLong
+        last = { import spark.implicits._
+          Seq((v, nBefore.toLong, nAfter))
+            .toDF("version", "n_files_before", "n_files_after") }
+      case AddColumnRe(table, colName, typeDdl) =>
+        // ALTER TABLE t ADD COLUMN c <type>: metadata DDL — registers
+        // the evolved schema atomically (an empty evolving append);
+        // existing files NULL-fill the column on read, and the SQL
+        // register path pins the registered schema automatically
+        val cur = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        require(!cur.fieldNames.contains(colName),
+          s"ALTER TABLE $table: column $colName already exists")
+        val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(cur.fields :+ StructField(colName, dt, nullable = true)))
+        Manifest.commitAppendEvolve(spark, root, table, empty,
+          allowEvolution = true)
+        last = spark.emptyDataFrame
       case OptimizeRe(table, minS, targetS) =>
         // OPTIMIZE t [MIN <bytes>] [TARGET <bytes>]: with MIN, the
         // incremental small-file pass (files under MIN bin-pack,
@@ -391,6 +430,13 @@ object ManifestSql {
 
   private val OptimizeRe =
     "(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)(?:\\s+MIN\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?\\s*$".r
+  private val ZorderRe =
+    ("(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)\\s+ZORDER\\s+BY\\s*\\(\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
+      "(?:\\s+SPLIT\\s+(\\d+))?\\s*$").r
+  private val AddColumnRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ADD\\s+COLUMN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9_(),\\s]+?)\\s*$").r
   private val VacuumRe =
     "(?is)^VACUUM\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(?:\\s+GRACE\\s+(\\d+))?(\\s+DRY\\s+RUN)?\\s*$".r
   private val RestoreRe =
@@ -1311,6 +1357,82 @@ object ManifestSql {
         s.catalog.dropTempView("events_corr_src")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- OPTIMIZE ... ZORDER BY through SQL (q253): the
+    //       maintenance rewrite that RE-ORGANIZES an existing
+    //       range-laid table onto the 2-D Morton curve — Delta's
+    //       `OPTIMIZE t ZORDER BY (ts, user_id)` as statement text.
+    //       Staging asserts the statement's 8→16 report AND that
+    //       every rewritten file records BOTH dimensions' bounds (the
+    //       pruning power a range layout cannot give its trailing
+    //       column — q206/q201 prove the mayMatch side; DmlSpec pins
+    //       kept < total through the registered view). The oracle
+    //       recomputes the trailing-dimension band from the raw
+    //       table: a rewrite that lost or doubled rows breaks the
+    //       hash. -----
+    Q("q253_sql_optimize_zorder",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events WHERE user_id BETWEEN 2 AND 5
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = sqlZorderRoot(s, dir)
+        register(s, root, "events_log", "events_zorder_rw_mf")
+        s.sql("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                |  CAST(sum(value) AS DOUBLE) AS total_v
+                |FROM events_zorder_rw_mf WHERE user_id BETWEEN 2 AND 5
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      }),
+
+    // ----- ALTER TABLE ADD COLUMN through SQL (q254): schema
+    //       evolution as metadata DDL — the statement registers the
+    //       evolved schema atomically (empty evolving append), the
+    //       next INSERT targets the REGISTERED schema, and the SQL
+    //       read path NULL-fills the column on pre-evolution files
+    //       automatically (the register path pins registered schemas
+    //       by design). The oracle recomputes the union: old rows
+    //       with NULL score + one scored row per distinct user —
+    //       wrong NULL-fill, a dropped registration, or an INSERT
+    //       against the stale 2-column schema all shift the counts —
+    //       hash breaks. -----
+    Q("q254_sql_add_column",
+      Some("""WITH ins AS (SELECT DISTINCT user_id FROM events)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(score) AS BIGINT) AS n_scored,
+             |  CAST(sum(score) AS DOUBLE) AS total_score,
+             |  CAST(sum(v) AS DOUBLE) AS total_v
+             |FROM (
+             |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+             |    CAST(NULL AS DOUBLE) AS score FROM events
+             |  UNION ALL
+             |  SELECT user_id, CAST(1.0 AS DECIMAL(18,4)),
+             |    CAST(user_id % 7 AS DOUBLE) FROM ins)""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("v"))
+        ev.createOrReplaceTempView("addcol_src_q254")
+        val root = Files.createTempDirectory("graft-sql-addcol").toString
+        Manifest.commitAppend(s, root, "t", ev)
+        runDml(s, root,
+          """ALTER TABLE t ADD COLUMN score DOUBLE;
+            |INSERT INTO t
+            |SELECT user_id, CAST(1.0 AS DECIMAL(18,4)),
+            |  CAST(user_id % 7 AS DOUBLE)
+            |FROM (SELECT DISTINCT user_id FROM addcol_src_q254)"""
+            .stripMargin)
+        register(s, root, "t", "addcol_t")
+        val out = s.sql(
+          """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(count(score) AS BIGINT) AS n_scored,
+            |  CAST(sum(score) AS DOUBLE) AS total_score,
+            |  CAST(sum(v) AS DOUBLE) AS total_v
+            |FROM addcol_t""".stripMargin).localCheckpoint(true)
+        s.catalog.dropTempView("addcol_t")
+        s.catalog.dropTempView("addcol_src_q254")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
       })
   )
 
@@ -1501,6 +1623,34 @@ object ManifestSql {
         .collect()(0)
       require(rep.getLong(1) == 16L && rep.getLong(2) == 3L,
         s"staging bug: OPTIMIZE reported $rep, expected 16 -> 3")
+    }
+  }
+
+  /** q253's Z-order-rewrite root: a RANGE-laid table (8 ts-ranged
+    * files — only the leading dimension prunes) rewritten onto the
+    * Morton curve by `OPTIMIZE events_log ZORDER BY (ts, user_id)
+    * SPLIT 16` as statement text. Staging asserts the statement's
+    * 8→16 report and that EVERY rewritten file records bounds for
+    * BOTH dimensions — the property the trailing-column pruning
+    * stands on. */
+  def sqlZorderRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-sqlzorder/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      Manifest.commitAppendRanged(s, tmp, "events_log", ev, "ts", 8)
+      val rep = runDml(s, tmp,
+        "OPTIMIZE events_log ZORDER BY (ts, user_id) SPLIT 16")
+        .collect()(0)
+      require(rep.getLong(1) == 8L && rep.getLong(2) == 16L,
+        s"staging bug: ZORDER reported $rep, expected 8 -> 16")
+      val rows = Manifest.manifestRows(s, tmp, Manifest.snapshotVersion(tmp))
+      require(rows.forall { case (_, _, st) =>
+        val m = Manifest.parseStatsJson(st)
+        m.contains("ts") && m.contains("user_id")
+      }, "staging bug: a rewritten file is missing a dimension's bounds")
     }
   }
 }

@@ -333,6 +333,44 @@ class DmlSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("OPTIMIZE ZORDER BY and ALTER TABLE ADD COLUMN as SQL text") {
+    val root = freshRoot()
+    // 1024 rows over a 32x32 grid, range-committed by `a` — only the
+    // leading dimension has pruning power before the rewrite
+    val df = spark.range(1024).selectExpr(
+      "id DIV 32 AS a", "id % 32 AS b", "CAST(id AS DOUBLE) AS v")
+    Manifest.commitAppendStats(spark, root, "t", df, Seq("a"), "a", 4)
+    val rep = ManifestSql.runDml(spark, root,
+      "OPTIMIZE t ZORDER BY (a, b) SPLIT 16").collect()(0)
+    assert(rep.getLong(1) == 4L && rep.getLong(2) == 16L, s"report: $rep")
+    // a TRAILING-dimension predicate through the registered view now
+    // prunes files (the property a range layout cannot provide)
+    val idx = ManifestSql.register(spark, root, "t", "zorder_spec_t")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM zorder_spec_t WHERE b = 0")
+      .collect()(0).getLong(0)
+    assert(n == 32L)
+    assert(idx.lastPrune._1 < idx.lastPrune._2,
+      s"trailing-dimension predicate pruned nothing: ${idx.lastPrune}")
+    // content preserved exactly; pre-rewrite layout time-travels
+    assert(Manifest.readTable(spark, root, "t")
+      .agg(sum(col("v"))).head().getDouble(0) == 523776.0)
+    assert(Manifest.readTable(spark, root, "t", 1L).count() == 1024L)
+    spark.catalog.dropTempView("zorder_spec_t")
+    // ADD COLUMN registers the evolved schema; INSERT targets it;
+    // old files NULL-fill on the evolved read
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t ADD COLUMN tag STRING; " +
+        "INSERT INTO t VALUES (99L, 99L, 0.5D, 'new')")
+    intercept[IllegalArgumentException] { // duplicate column refuses
+      ManifestSql.runDml(spark, root, "ALTER TABLE t ADD COLUMN tag STRING")
+    }
+    val evolved = Manifest.readTableEvolved(spark, root, "t")
+    assert(evolved.schema.fieldNames.toSeq == Seq("a", "b", "v", "tag"))
+    assert(evolved.count() == 1025L)
+    assert(evolved.filter(col("tag").isNotNull).count() == 1L)
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF resolve as SQL text") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
