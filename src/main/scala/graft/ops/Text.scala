@@ -836,6 +836,62 @@ object Text {
               |    AS BIGINT) AS n_skipped_pairs
               |FROM bsz GROUP BY band ORDER BY band""".stripMargin),
       (s, dir) =>
-        lshBucketAudit(shingleSets(s, dir).select(col("doc_id") +: mhCols: _*)))
+        lshBucketAudit(shingleSets(s, dir).select(col("doc_id") +: mhCols: _*))),
+
+    // ----- repetition signals (q255): the Gopher-rule quality
+    //       filters n-gram DOMINANCE measures — the fraction of a
+    //       document's bigrams/trigrams accounted for by its single
+    //       most common one. Complements q45 (distinct-token ratio —
+    //       global diversity) and q139 (cross-corpus LM score): a doc
+    //       that loops one phrase scores fine on both but spikes
+    //       here, which is exactly what the filter exists to catch.
+    //       Shape: two keyed two-stage aggregations (count per
+    //       (doc, gram) → max/sum per doc) — map-side combinable, no
+    //       window, no shuffle beyond the doc_id keys. -----
+    Q("q255_repetition_signals",
+      Some(s"""WITH tt AS (
+              |  SELECT doc_id, $duckTokens AS l FROM documents
+              |  WHERE len($duckTokens) >= 3),
+              |bg AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+              |    i -> array_to_string(l[i:i+1], ' '))) AS g FROM tt),
+              |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+              |bgs AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+              |  FROM bgc GROUP BY 1),
+              |tg AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+              |    i -> array_to_string(l[i:i+2], ' '))) AS g FROM tt),
+              |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+              |tgs AS (
+              |  SELECT doc_id,
+              |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_trigram_frac
+              |  FROM tgc GROUP BY 1)
+              |SELECT doc_id, n_bigrams, top_bigram_frac, top_trigram_frac
+              |FROM bgs JOIN tgs USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tt = graft.Tables.load(s, dir, "documents")
+          .withColumn("tk", split(col("text"), " "))
+          .filter(size(col("tk")) >= 3)
+        val bg = tt.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(tk[i-1], ' ', tk[i]))")).as("g"))
+        val tg = tt.select(col("doc_id"), explode(expr(
+          "transform(sequence(2, size(tk) - 1), " +
+            "i -> concat(tk[i-2], ' ', tk[i-1], ' ', tk[i]))")).as("g"))
+        val b = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bigrams"),
+            round(max("c").cast("double") / sum("c"), 4).as("top_bigram_frac"))
+        val t3 = tg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max("c").cast("double") / sum("c"), 4)
+            .as("top_trigram_frac"))
+        b.join(t3, "doc_id")
+          .select(col("doc_id"), col("n_bigrams"),
+            col("top_bigram_frac"), col("top_trigram_frac"))
+          .orderBy("doc_id")
+      })
   )
 }
