@@ -1648,7 +1648,12 @@ object Manifest {
                           maxRetries: Int = 5,
                           txn: Option[(String, Long)] = None): Long =
     deleteVectorsBy(s, root, table,
-      df => df.filter(coalesce(deleteFilter, lit(false))), maxRetries, txn)
+      // plain .filter, no coalesce wrapper: NULL predicates drop out
+      // of the match either way (SQL DELETE keeps the row), and the
+      // unwrapped predicate stays PUSHABLE to the parquet row-group
+      // filter — a coalesce around the comparison blocks pushdown
+      // (PlanShapeSpec pins PushedFilters on this scan shape)
+      df => df.filter(deleteFilter), maxRetries, txn)
 
   /** DELETE-by-keys as deletion vectors: [[commitDeleteVectors]] with
     * the match driven by a SEMI-JOIN against a keys DataFrame instead
@@ -1787,7 +1792,10 @@ object Manifest {
         if (existingPos.isEmpty) raw
         else raw.join(broadcast(existingPos.toDF("_p", "_ri")),
           Seq("_p", "_ri"), "left_anti")
-      val hits = masked.filter(coalesce(updateFilter, lit(false)))
+      // plain .filter (no coalesce): NULL predicates drop out of the
+      // match either way (SQL UPDATE leaves the row untouched), and
+      // the unwrapped predicate stays pushable to the parquet scan
+      val hits = masked.filter(updateFilter)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val posRows = hits.select(col("_p"), col("_ri"))

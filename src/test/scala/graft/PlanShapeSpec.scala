@@ -418,4 +418,31 @@ class PlanShapeSpec extends SparkSuite {
       .collect()
     assert(index.lastPrune._1 == total)
   }
+
+  test("DV-delete scan: the predicate pushes past the metadata projection") {
+    import org.apache.spark.sql.functions._
+    // mirror Manifest.deleteVectorsBy's scan shape exactly: project
+    // data columns + the two computed position columns, THEN the
+    // matcher filter. The predicate must still reach the parquet scan
+    // as a pushed filter — a wrapper (the old coalesce) or a
+    // projection that blocked pushdown would make every DV delete a
+    // full-table row scan regardless of selectivity.
+    val tdir = java.nio.file.Files.createTempDirectory("graft-dvplan")
+      .toString + "/t"
+    spark.range(10000).selectExpr("id AS k", "id * 2 AS v")
+      .write.parquet(tdir)
+    val scanned = spark.read.parquet(tdir)
+      .select(col("*"),
+        expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
+          .as("__graft_p"),
+        col("_metadata.row_index").as("__graft_ri"))
+    val hits = scanned.filter(col("k") > 9990)
+      .select(col("__graft_p").as("_p"), col("__graft_ri").as("_ri"))
+      .groupBy("_p").agg(count(lit(1)))
+    val plan = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,9990)]"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("; "))
+    graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(tdir))
+  }
 }
