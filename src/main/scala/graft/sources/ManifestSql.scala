@@ -209,11 +209,32 @@ object ManifestSql {
     * expression text goes VERBATIM to Spark's expression parser, and
     * the WHERE/comma/`=`/ON/WHEN splits are quote- and paren-aware,
     * so string literals containing keywords parse correctly;
-    * statement shapes beyond these three DML forms (conditional WHEN
+    * statement shapes beyond these DML forms (conditional WHEN
     * clauses, column-wise MERGE SET lists, subqueries in DML
-    * predicates) are rejected loudly rather than mis-parsed. Returns
-    * the last statement's DataFrame (empty relation for a script
-    * ending in DML). */
+    * predicates) are rejected loudly rather than mis-parsed.
+    *
+    * Beyond the DML triad, the statement surface covers the table
+    * format's whole verb set:
+    *  - data movement: `COPY INTO t FROM '<stage>'` (FILES=/PATTERN=/
+    *    FILE_FORMAT= → [[sqlCopyInto]]) and the unload direction
+    *    `COPY INTO '<location>' FROM <view|(subquery)>`
+    *    ([[sqlCopyUnload]]);
+    *  - DDL/lifecycle: `CREATE TABLE AS` (refuses existing),
+    *    `CREATE OR REPLACE TABLE AS`, `INSERT INTO` (positional,
+    *    registered-schema-aware), `ALTER TABLE ADD/DROP CONSTRAINT`,
+    *    `ALTER TABLE ADD COLUMN`, `DROP TABLE`, `TRUNCATE TABLE`;
+    *  - maintenance: `OPTIMIZE t [MIN n] [TARGET n]`,
+    *    `OPTIMIZE t ZORDER BY (a, b) [SPLIT n]`,
+    *    `VACUUM RETAIN n VERSIONS [GRACE ms] [DRY RUN]`,
+    *    `RESTORE TABLE t TO VERSION AS OF n`;
+    *  - catalog reads: `DESCRIBE HISTORY`, `SHOW TABLES`;
+    *  - time travel in plain SELECT text: `FROM t VERSION AS OF n` /
+    *    `TIMESTAMP AS OF '<ts>'` ([[rewriteTimeTravel]] — applied to
+    *    every fall-through statement, quote-aware,
+    *    subquery-transparent).
+    *
+    * Returns the last statement's DataFrame (maintenance verbs return
+    * their reports; DML returns an empty relation). */
   def runDml(spark: SparkSession, root: String, script: String): DataFrame = {
     var last = spark.emptyDataFrame
     graft.ops.Sql.splitStatements(script).foreach {

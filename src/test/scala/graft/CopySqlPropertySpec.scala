@@ -75,4 +75,22 @@ class CopySqlPropertySpec extends SparkSuite {
       ok
     })
   }
+
+  test("property: time-travel rewrite is the identity on clause-free statements") {
+    // statements WITHOUT a travel clause — including ones whose string
+    // LITERALS contain clause-shaped text — must pass through
+    // byte-identical (the rewrite must not touch, trim, or re-space
+    // anything it does not resolve). The root is irrelevant on the
+    // identity path: no clause ⇒ no registration ⇒ no filesystem read.
+    val ident = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    val lit = Gen.oneOf(
+      "plain text", "x VERSION AS OF 1", "TIMESTAMP AS OF '2024-01-01 00:00:00'",
+      "where, = (")
+    val stmt = for {
+      t <- ident; c <- ident; l <- lit
+    } yield s"SELECT $c, '$l' AS s FROM $t WHERE $c > 0 ORDER BY $c"
+    check(Prop.forAll(stmt) { sql =>
+      ManifestSql.rewriteTimeTravel(spark, "/nonexistent-root", sql) == sql
+    })
+  }
 }
