@@ -150,6 +150,9 @@ object ManifestSql {
 
   private val DeleteRe =
     "(?is)^DELETE\\s+FROM\\s+([A-Za-z0-9_.-]+)(?:\\s+(.*))?$".r
+  // WHERE <col> IN (SELECT ...) — the whole clause, nothing trailing
+  private val DeleteInSubRe =
+    "(?is)^([A-Za-z0-9_.]+)\\s+IN\\s*\\((\\s*SELECT\\b.*)\\)\\s*$".r
   private val UpdateRe =
     "(?is)^UPDATE\\s+([A-Za-z0-9_.-]+)\\s+SET\\s+(.*)$".r
   private val MergeRe =
@@ -239,14 +242,32 @@ object ManifestSql {
     var last = spark.emptyDataFrame
     graft.ops.Sql.splitStatements(script).foreach {
       case DeleteRe(table, rest) =>
-        val pred = Option(rest).map(_.trim).filter(_.nonEmpty) match {
-          case None => lit(true) // unqualified DELETE: all rows
+        Option(rest).map(_.trim).filter(_.nonEmpty) match {
+          case None => // unqualified DELETE: all rows
+            Manifest.commitDeleteVectors(spark, root, table, lit(true))
           case Some(r) =>
             require(r.toLowerCase.startsWith("where"),
               s"unsupported DELETE clause: $r")
-            expr(r.substring(5))
+            val w = r.substring(5).trim
+            w match {
+              case DeleteInSubRe(keyCol, sub) =>
+                // WHERE k IN (SELECT ...): the bulk-erasure form (a
+                // GDPR request list, a dedup verdict) — the subquery
+                // plans like any statement and the delete lands
+                // through the SEMI-JOIN DV path, so the key set never
+                // visits the driver and its size is unbounded. SQL IN
+                // NULL semantics hold on both sides (a NULL key row
+                // is kept; NULL subquery values match nothing).
+                val keys = spark.sql(sub)
+                require(keys.schema.length == 1,
+                  s"DELETE ... IN (subquery): subquery must return " +
+                    s"exactly one column, got ${keys.schema.length}")
+                Manifest.commitDeleteKeys(spark, root, table,
+                  keys.toDF(keyCol), keyCol)
+              case _ =>
+                Manifest.commitDeleteVectors(spark, root, table, expr(w))
+            }
         }
-        Manifest.commitDeleteVectors(spark, root, table, pred)
         last = spark.emptyDataFrame
       case UpdateRe(table, rest) =>
         val wherePos = topLevelKeyword(rest, "where")
@@ -1336,8 +1357,12 @@ object ManifestSql {
           .select(col("user_id"),
             col("value").cast("decimal(18,4)").as("value"))
         val root = Files.createTempDirectory("graft-sql-droptrunc").toString
+        // content is irrelevant here (the oracle pins the TRUNCATED
+        // listing) — a bounded slice keeps the per-run fixture commits
+        // scan-cheap at bench SF
         Manifest.commitAppend(s, root, "user_totals",
-          ev.groupBy("user_id").agg(sum("value").as("total")).coalesce(1))
+          ev.limit(100).groupBy("user_id").agg(sum("value").as("total"))
+            .coalesce(1))
         Manifest.commitAppend(s, root, "scratch", ev.limit(10).coalesce(1))
         val out = runDml(s, root,
           "TRUNCATE TABLE user_totals; DROP TABLE scratch; SHOW TABLES")
@@ -1452,6 +1477,41 @@ object ManifestSql {
             |FROM addcol_t""".stripMargin).localCheckpoint(true)
         s.catalog.dropTempView("addcol_t")
         s.catalog.dropTempView("addcol_src_q254")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- DELETE ... WHERE k IN (SELECT ...) (q256): the bulk-
+    //       erasure statement (a GDPR request list, a dedup verdict)
+    //       — the subquery's key set flows into the SEMI-JOIN DV
+    //       delete (`commitDeleteKeys`) without ever visiting the
+    //       driver, so the erasure list's size is unbounded; the
+    //       q182 erasure flow as one line of SQL text. Oracle
+    //       recomputes the surviving complement: over- or under-
+    //       deletion shifts every group — hash breaks. -----
+    Q("q256_sql_delete_in_subquery",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events WHERE user_id % 4 <> 1
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-delsub").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        ev.filter(col("user_id") % 4 === 1).select("user_id").distinct()
+          .createOrReplaceTempView("erasure_q256")
+        runDml(s, root,
+          """DELETE FROM events_log
+            |WHERE user_id IN (SELECT user_id FROM erasure_q256)"""
+            .stripMargin)
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type").localCheckpoint(true)
+        s.catalog.dropTempView("erasure_q256")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

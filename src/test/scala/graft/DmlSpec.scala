@@ -371,6 +371,31 @@ class DmlSpec extends SparkSuite {
     assert(evolved.filter(col("tag").isNotNull).count() == 1L)
   }
 
+  test("DELETE WHERE k IN (SELECT ...) routes through the semi-join DV path") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 10L).toDF("k").withColumn("v", col("k") * 2.0).coalesce(1))
+    Seq(2L, 4L, 999L).toDF("k").createOrReplaceTempView("doomed_spec")
+    ManifestSql.runDml(spark, root,
+      "DELETE FROM t WHERE k IN (SELECT k FROM doomed_spec)")
+    assert(Manifest.readTable(spark, root, "t")
+      .collect().map(_.getLong(0)).toSet == (1L to 10L).toSet -- Set(2L, 4L))
+    // pre-delete state time-travels (merge-on-read)
+    assert(Manifest.readTable(spark, root, "t", 1L).count() == 10L)
+    // a multi-column subquery refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "DELETE FROM t WHERE k IN (SELECT k, k FROM doomed_spec)")
+    }
+    // a literal IN-list still takes the ordinary expression path
+    ManifestSql.runDml(spark, root, "DELETE FROM t WHERE k IN (9, 10)")
+    assert(Manifest.readTable(spark, root, "t").count() == 6L)
+    // the two paths record their own operations in the history
+    val ops = ManifestSql.runDml(spark, root, "DESCRIBE HISTORY t")
+      .collect().map(_.getString(2)).toSet
+    assert(Set("commitDeleteKeys", "commitDeleteVectors").subsetOf(ops), ops)
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF resolve as SQL text") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
