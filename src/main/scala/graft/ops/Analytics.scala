@@ -74,7 +74,12 @@ object Analytics {
         val events = Tables.load(s, dir, "events")
         val firstTouch = events.groupBy("user_id")
           .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
-        events.join(broadcast(firstTouch), "user_id")
+        // NO broadcast hint: firstTouch is one row per USER — entity
+        // cardinality that grows with the corpus, not a bounded
+        // dimension. AQE broadcasts it at fixture scale on its own
+        // and degrades to a shuffle join when users outgrow the
+        // threshold (the q41 sizes-frame discipline).
+        events.join(firstTouch, "user_id")
           .withColumn("k",
             (datediff(to_date(date_trunc("week", col("ts"))), col("cohort_week")) / 7)
               .cast("int"))
