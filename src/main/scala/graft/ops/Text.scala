@@ -892,6 +892,60 @@ object Text {
           .select(col("doc_id"), col("n_bigrams"),
             col("top_bigram_frac"), col("top_trigram_frac"))
           .orderBy("doc_id")
+      }),
+
+    // ----- cross-document duplicated-span fraction (q257): the
+    //       exact-substring dedup SIGNAL (Lee et al. 2022,
+    //       suffix-array span dedup) approximated by 5-gram
+    //       membership — a gram position is "duplicated" when its
+    //       5-gram occurs in ≥2 DISTINCT documents, and each doc
+    //       reports the fraction of its positions that are. This is
+    //       what separates boilerplate-heavy docs (high fraction —
+    //       candidates for span REMOVAL, not whole-doc dedup) from
+    //       merely similar ones; complements q41 (whole-doc Jaccard)
+    //       and q143 (containment). Shape: one (gram)-keyed distinct-
+    //       doc agg, one semi-join back on the gram key, two doc-
+    //       keyed counts — all map-side combinable; at 100 TB the
+    //       gram STRING becomes a 64-bit hash before the shuffle
+    //       (same cost class, collision-negligible), and the gram
+    //       frame never collects. -----
+    Q("q257_dup_span_fraction",
+      Some(s"""WITH tt AS (
+              |  SELECT doc_id, $duckTokens AS l FROM documents
+              |  WHERE len($duckTokens) >= 5),
+              |g AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 3),
+              |    i -> array_to_string(l[i:i+4], ' '))) AS g FROM tt),
+              |dup AS (
+              |  SELECT g FROM (
+              |    SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+              |  WHERE nd >= 2),
+              |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+              |dupc AS (
+              |  SELECT doc_id, count(*) AS n_dup FROM g
+              |  WHERE g IN (SELECT g FROM dup) GROUP BY doc_id)
+              |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+              |  round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams, 4) AS dup_frac
+              |FROM tot LEFT JOIN dupc USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tt = graft.Tables.load(s, dir, "documents")
+          .withColumn("tk", split(col("text"), " "))
+          .filter(size(col("tk")) >= 5)
+        val g = tt.select(col("doc_id"), explode(expr(
+          "transform(sequence(4, size(tk) - 1), i -> concat_ws(' ', " +
+            "tk[i-4], tk[i-3], tk[i-2], tk[i-1], tk[i]))")).as("g"))
+        val dup = g.groupBy("g")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("g")
+        val tot = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val dupc = g.join(dup, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        tot.join(dupc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            round(coalesce(col("n_dup"), lit(0L)).cast("double")
+              / col("n_grams"), 4).as("dup_frac"))
+          .orderBy("doc_id")
       })
   )
 }
