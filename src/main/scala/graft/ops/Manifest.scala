@@ -1762,7 +1762,32 @@ object Manifest {
   def commitUpdateVectors(s: SparkSession, root: String, table: String,
                           updateFilter: org.apache.spark.sql.Column,
                           sets: Map[String, org.apache.spark.sql.Column],
-                          maxRetries: Int = 5): Long = {
+                          maxRetries: Int = 5): Long =
+    updateVectorsBy(s, root, table,
+      // plain .filter (no coalesce): NULL predicates drop out of the
+      // match either way (SQL UPDATE leaves the row untouched), and
+      // the unwrapped predicate stays pushable to the parquet scan
+      df => df.filter(updateFilter), sets, maxRetries)
+
+  /** UPDATE-by-keys as deletion vectors: [[commitUpdateVectors]] with
+    * the match driven by a SEMI-JOIN against a keys DataFrame — the
+    * corrections-list form (apply `sets` to every row whose key
+    * appears in a distributed key set) mirroring
+    * [[commitDeleteKeys]]: no driver-side key list, no Catalyst `In`
+    * literal, unbounded key-set size. Duplicate keys are distinct'd;
+    * NULL keys match nothing. */
+  def commitUpdateKeys(s: SparkSession, root: String, table: String,
+                       keys: DataFrame, keyCol: String,
+                       sets: Map[String, org.apache.spark.sql.Column],
+                       maxRetries: Int = 5): Long =
+    updateVectorsBy(s, root, table,
+      df => df.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"),
+      sets, maxRetries)
+
+  private def updateVectorsBy(s: SparkSession, root: String, table: String,
+                              matcher: DataFrame => DataFrame,
+                              sets: Map[String, org.apache.spark.sql.Column],
+                              maxRetries: Int): Long = {
     require(sets.nonEmpty, "commitUpdateVectors: empty SET list")
     var tries = 0
     while (true) {
@@ -1792,10 +1817,7 @@ object Manifest {
         if (existingPos.isEmpty) raw
         else raw.join(broadcast(existingPos.toDF("_p", "_ri")),
           Seq("_p", "_ri"), "left_anti")
-      // plain .filter (no coalesce): NULL predicates drop out of the
-      // match either way (SQL UPDATE leaves the row untouched), and
-      // the unwrapped predicate stays pushable to the parquet scan
-      val hits = masked.filter(updateFilter)
+      val hits = matcher(masked)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val posRows = hits.select(col("_p"), col("_ri"))
@@ -1817,8 +1839,11 @@ object Manifest {
           writeDvSidecar(root, side, merged)
           (table, f, statsWithDv(st, side, merged.length.toLong))
         }
-        // new images: every set expression sees the OLD row (one SELECT)
-        val dataCols = hits.columns.filterNot(c => c == "_p" || c == "_ri")
+        // new images: every set expression sees the OLD row (one
+        // SELECT). Column order comes from the PRE-matcher scan — a
+        // semi-join matcher moves its join key first, and the new
+        // files must keep the table's column order
+        val dataCols = masked.columns.filterNot(c => c == "_p" || c == "_ri")
         val updated = hits.select(dataCols.toIndexedSeq.map { c =>
           sets.get(c).map(_.cast(hits.schema(c).dataType).as(c)).getOrElse(col(c))
         }: _*)

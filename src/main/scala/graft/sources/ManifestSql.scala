@@ -271,16 +271,31 @@ object ManifestSql {
         last = spark.emptyDataFrame
       case UpdateRe(table, rest) =>
         val wherePos = topLevelKeyword(rest, "where")
-        val (setPart, pred) =
-          if (wherePos < 0) (rest, lit(true))
+        val (setPart, whereText) =
+          if (wherePos < 0) (rest, None)
           else (rest.substring(0, wherePos),
-            expr(rest.substring(wherePos + 5)))
+            Some(rest.substring(wherePos + 5).trim))
         val sets = splitTopLevel(setPart, ',').map { a =>
           val eq = a.indexOf('=')
           require(eq > 0 && topLevelMask(a)(eq), s"malformed SET clause: $a")
           a.substring(0, eq).trim -> expr(a.substring(eq + 1))
         }.toMap
-        Manifest.commitUpdateVectors(spark, root, table, pred, sets)
+        whereText match {
+          case Some(DeleteInSubRe(keyCol, sub)) =>
+            // WHERE k IN (SELECT ...): the corrections-list form —
+            // same semi-join path as the keyed DELETE (q256), key set
+            // never visits the driver
+            val keys = spark.sql(sub)
+            require(keys.schema.length == 1,
+              s"UPDATE ... IN (subquery): subquery must return " +
+                s"exactly one column, got ${keys.schema.length}")
+            Manifest.commitUpdateKeys(spark, root, table,
+              keys.toDF(keyCol), keyCol, sets)
+          case Some(w) =>
+            Manifest.commitUpdateVectors(spark, root, table, expr(w), sets)
+          case None =>
+            Manifest.commitUpdateVectors(spark, root, table, lit(true), sets)
+        }
         last = spark.emptyDataFrame
       case MergeRe(table, rest) =>
         // MERGE INTO t USING <view | (subquery)> [AS] s
@@ -1512,6 +1527,45 @@ object ManifestSql {
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type").localCheckpoint(true)
         s.catalog.dropTempView("erasure_q256")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- UPDATE ... SET ... WHERE k IN (SELECT ...) (q258): the
+    //       corrections-list statement — apply a SET to every row
+    //       whose key appears in a computed key set (a re-score, a
+    //       currency fix, a label correction). The subquery drives a
+    //       SEMI-JOIN into the DV update (`commitUpdateKeys`): the
+    //       key set never visits the driver, matched files get a
+    //       deletion vector + corrected re-images, untouched files
+    //       are never rewritten. Oracle recomputes the post-fix state
+    //       with a CASE: a missed or extra match shifts its group's
+    //       sum — hash breaks. -----
+    Q("q258_sql_update_in_subquery",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN user_id % 5 = 2
+             |    THEN CAST(CAST(value AS DECIMAL(18,4)) * 2 AS DECIMAL(18,4))
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS total_v
+             |FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-updsub").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        ev.filter(col("user_id") % 5 === 2).select("user_id").distinct()
+          .createOrReplaceTempView("fixups_q258")
+        runDml(s, root,
+          """UPDATE events_log SET value = value * 2
+            |WHERE user_id IN (SELECT user_id FROM fixups_q258)"""
+            .stripMargin)
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type").localCheckpoint(true)
+        s.catalog.dropTempView("fixups_q258")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

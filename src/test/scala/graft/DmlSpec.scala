@@ -396,6 +396,29 @@ class DmlSpec extends SparkSuite {
     assert(Set("commitDeleteKeys", "commitDeleteVectors").subsetOf(ops), ops)
   }
 
+  test("UPDATE WHERE k IN (SELECT ...) routes through the semi-join DV path") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 10L).toDF("k").withColumn("v", col("k") * 1.0).coalesce(1))
+    Seq(3L, 5L, 999L).toDF("k").createOrReplaceTempView("fixups_spec")
+    ManifestSql.runDml(spark, root,
+      "UPDATE t SET v = v + 100 WHERE k IN (SELECT k FROM fixups_spec)")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) == 103.0 && got(5L) == 105.0 && got(1L) == 1.0
+      && got.size == 10, got.toString)
+    // column ORDER of the new images matches the table (the semi-join
+    // moves its key first internally; the rewrite must not)
+    assert(Manifest.readTable(spark, root, "t")
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+    // pre-update state time-travels; history names the keyed op
+    assert(Manifest.readTable(spark, root, "t", 1L)
+      .filter(col("v") > 100).count() == 0L)
+    val ops = ManifestSql.runDml(spark, root, "DESCRIBE HISTORY t")
+      .collect().map(_.getString(2)).toSet
+    assert(ops.contains("commitUpdateKeys"), ops)
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF resolve as SQL text") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
