@@ -2734,6 +2734,266 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** Selective overwrite — Delta's `replaceWhere` / the partition-
+    * overwrite idiom generalized to any predicate: atomically DELETE
+    * every current row matching `replaceFilter` and INSERT `batch`,
+    * as ONE commit. The restatement-of-a-slice operation (re-land one
+    * day after an upstream correction, swap out one source's shard):
+    * readers flip from old-slice to new-slice with no window where
+    * both or neither are visible.
+    *
+    * Merge-on-read deletes: matched rows land in deletion-vector
+    * sidecars (no survivor rewrite — O(matched files) sidecar writes,
+    * the [[commitDeleteVectors]] cost model), the batch lands as
+    * fresh stat-carrying files, both under one claim. The overwrite
+    * CONTRACT is validated: every batch row must satisfy
+    * `replaceFilter` (else "replace where" silently widens into
+    * "insert anywhere" — Delta rejects this too; fail loudly before
+    * touching anything). The pre-replace version time-travels until
+    * vacuumed. Claim-time validation over the full-table read set +
+    * whole-rewrite retry, as in [[commitDeleteWhere]]. */
+  def commitReplaceWhere(s: SparkSession, root: String, table: String,
+                         replaceFilter: org.apache.spark.sql.Column,
+                         batch: DataFrame, maxRetries: Int = 5): Long = {
+    // pin the batch: bounds, contract check, publish, and every retry
+    // must see ONE consistent frame (same rationale as MERGE's pin)
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bad = pinned.filter(!coalesce(replaceFilter, lit(false))).count()
+      require(bad == 0L,
+        s"commitReplaceWhere: $bad batch rows violate the replace " +
+          s"predicate — every inserted row must satisfy it")
+      // stat columns for the new files: the predicate's inputs, so the
+      // slice this commit lands stays prunable by the same predicate
+      val statCols = pinned.select(replaceFilter.as("__replace_pred"))
+        .queryExecution.analyzed.expressions
+        .flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+        })
+        .distinct.filter(c => pinned.columns.contains(c))
+      var tries = 0
+      while (true) {
+        val base = latestReadableClaim(root)
+        require(base > 0, s"no committed snapshot at $root")
+        val cur = manifestRows(s, root, base)
+          .collect { case (t, f, st) if t == table => (f, st) }
+        require(cur.nonEmpty, s"table $table absent from snapshot v$base")
+        val expected = cur.map(_._1).toSet
+        val absRoot = Paths.get(root).toAbsolutePath.normalize()
+        // positions of doomed rows, per physical file (raw scan — the
+        // unwrapped predicate stays pushable to the parquet filter)
+        val scanned = s.read
+          .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+          .select(col("*"),
+            expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
+              .as("__graft_p"),
+            col("_metadata.row_index").as("__graft_ri"))
+        val hits = scanned.filter(replaceFilter)
+          .select(col("__graft_p").as("_p"), col("__graft_ri").as("_ri"))
+          .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+          .collect() // one row per touched file: O(matched) positions
+        val perFile = hits.map { r =>
+          val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
+            .toString.replace('\\', '/')
+          rel -> r.getSeq[Long](1).toArray
+        }.toMap
+        val touched = cur.filter { case (f, _) => perFile.contains(f) }
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val dvRows = touched.map { case (f, st) =>
+          val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
+            .getOrElse(Array.empty[Long])
+          val merged = (old ++ perFile(f)).distinct.sorted
+          val side = s"$f.dv-$token"
+          writeDvSidecar(root, side, merged)
+          (table, f, statsWithDv(st, side, merged.length.toLong))
+        }
+        val removes = touched.map { case (f, _) => (table, f) }
+        val hint = nextVersion(root)
+        val relFiles = publishData(s, root, hint, table, pinned)
+        val addRows = statsRowsFor(s, root, table, relFiles, statCols)
+        try {
+          return casCommit(s, root, { b =>
+            val now = manifestRows(s, root, b)
+              .collect { case (t, f, _) if t == table => f }.toSet
+            if (now != expected)
+              throw new CommitConflict(
+                s"$table changed under the replace (computed at v$base, claiming at v$b)")
+            deltaOrFull(s, root, b, Nil, dvRows ++ addRows, removes)
+          }, maxRetries)
+        } catch {
+          case _: CommitConflict =>
+            tries += 1
+            if (tries >= maxRetries)
+              throw new IllegalStateException(
+                s"commitReplaceWhere: $table kept changing under the replace " +
+                  s"($maxRetries attempts) at $root")
+        }
+      }
+      -1L // unreachable
+    } finally pinned.unpersist()
+  }
+
+  /** FULL-SYNC MERGE — [[commitMergeUpsert]] plus the `WHEN NOT
+    * MATCHED BY SOURCE` clause: matched keys are replaced by their
+    * source row, unmatched source keys insert, and target rows whose
+    * key is ABSENT from the source are DELETED when `deleteFilter`
+    * passes (`lit(true)` = unconditional — the mirror-a-snapshot
+    * sync; a condition = the retention-boundary sync, e.g. "drop
+    * unmatched rows older than the sync horizon", Delta's
+    * `whenNotMatchedBySourceDelete(condition)`). One atomic commit.
+    *
+    * Pruning: a file can need rewriting only if it may hold a source
+    * key (the source's [min, max] key bound) OR a row passing the
+    * delete condition (`deletePreds` — the caller's bound on where
+    * the condition can match; pass Nil when the condition is
+    * unbounded, which rewrites the whole table, exactly what an
+    * unconditional sync must do). Files overlapping neither are
+    * inherited by reference: their rows have no matching key and
+    * cannot satisfy the delete condition, so they survive verbatim.
+    * Duplicate source keys are rejected as in [[commitMergeUpsert]];
+    * NULL-predicate rows are KEPT (SQL DELETE semantics). */
+  def commitMergeFull(s: SparkSession, root: String, table: String,
+                      updates: DataFrame, keyCol: String,
+                      deleteFilter: org.apache.spark.sql.Column = lit(true),
+                      deletePreds: Seq[Pred] = Nil,
+                      maxRetries: Int = 5): Long = {
+    val pinned = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyType = pinned.schema(keyCol).dataType.sql
+      val kb = pinned.agg(
+        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
+        count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol))).head()
+      if (kb.getLong(3) != kb.getLong(4))
+        throw new IllegalArgumentException(
+          s"commitMergeFull: updates carry duplicate $keyCol values " +
+            s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
+            "MERGE requires at most one source row per key")
+      val keyPred =
+        if (kb.getLong(3) == 0L) None
+        else Some(Pred(keyCol, kb.getString(0), kb.getString(1), keyType))
+      var tries = 0
+      while (true) {
+        val base = latestReadableClaim(root)
+        require(base > 0, s"no committed snapshot at $root")
+        val expected = manifestRows(s, root, base)
+          .collect { case (t, f, _) if t == table => f }.toSet
+        require(expected.nonEmpty, s"table $table absent from snapshot v$base")
+        val byKey = keyPred
+          .map(p => overlappingRows(s, root, table, Seq(p), base)._1)
+          .getOrElse(Nil)
+        val byDel = overlappingRows(s, root, table, deletePreds, base)._1
+        val affected = (byKey ++ byDel).distinctBy(_._2)
+        val survivors =
+          if (affected.isEmpty) pinned
+          else {
+            val current = readResolved(s, root,
+              affected.map { case (_, f, st) => (f, st) })
+            val order = current.columns
+            current
+              .join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .filter(!coalesce(deleteFilter, lit(false)))
+              .select(order.toIndexedSeq.map(col): _*)
+              .unionByName(pinned)
+          }
+        val hint = nextVersion(root)
+        val relFiles = publishData(s, root, hint, table, survivors)
+        val newRows = statsRowsFor(s, root, table, relFiles,
+          (keyCol +: deletePreds.map(_.column)).distinct)
+        val removes = affected.map { case (t, f, _) => (t, f) }
+        try {
+          return casCommit(s, root, { b =>
+            val cur = manifestRows(s, root, b)
+              .collect { case (t, f, _) if t == table => f }.toSet
+            if (cur != expected)
+              throw new CommitConflict(
+                s"$table changed under the sync merge (computed at v$base, claiming at v$b)")
+            deltaOrFull(s, root, b, Nil, newRows, removes)
+          }, maxRetries)
+        } catch {
+          case _: CommitConflict =>
+            tries += 1
+            if (tries >= maxRetries)
+              throw new IllegalStateException(
+                s"commitMergeFull: $table kept changing under the rewrite " +
+                  s"($maxRetries attempts) at $root")
+        }
+      }
+      -1L // unreachable
+    } finally pinned.unpersist()
+  }
+
+  /** ZERO-COPY CLONE: register `dstTable` as a new table whose
+    * content is `srcTable`'s snapshot at `version` (default: current)
+    * — ONE metadata commit, no data read, no data written. The
+    * manifest rows are re-keyed to the new table name but point at
+    * the SAME files (stats, deletion-vector refs, bloom sidecars ride
+    * along by reference), so a 100 TB clone costs what a commit
+    * costs. Divergence is free-by-construction: every write path
+    * publishes fresh files and removes by (table, file), so writes to
+    * either table never touch the other's rows, and [[vacuum]]'s
+    * liveness rule (a file lives while ANY retained manifest
+    * references it) keeps shared files until BOTH tables drop them.
+    * The dev-branch / experiment / pre-migration-backup verb
+    * (Snowflake zero-copy clone, Delta shallow clone — except files
+    * live inside the root, so there is no external-file fragility).
+    *
+    * The source's registered schema and CHECK constraints are copied
+    * (constraint registration is outside the claim CAS — the
+    * [[addCheckConstraint]] window applies). Cloning a WAP-invisible
+    * or vacuumed version is refused. `dstTable` must not exist. */
+  def commitClone(s: SparkSession, root: String, srcTable: String,
+                  dstTable: String, version: Long = -1L,
+                  maxRetries: Int = 5): Long = {
+    require(srcTable != dstTable,
+      s"commitClone: source and destination are both $srcTable")
+    val v =
+      if (version >= 0L) {
+        require(manifestReadable(root, version) && mainVisible(root, version),
+          s"commitClone: version $version is not a readable main-visible " +
+            s"snapshot at $root")
+        version
+      } else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val srcRows = manifestRows(s, root, v)
+      .collect { case (t, f, st) if t == srcTable => (dstTable, f, st) }
+    val srcSchema = registeredSchema(s, root, srcTable, v)
+    require(srcRows.nonEmpty || srcSchema.isDefined,
+      s"commitClone: unknown source table $srcTable at v$v")
+    val schemaExtras = srcSchema.toSeq.map(sch =>
+      schemaMarker(dstTable) -> sch.json.getBytes("UTF-8"))
+    val newV = casCommit(s, root, { b =>
+      // existence check INSIDE the claim: two racing clones to the
+      // same name serialize through the CAS, exactly one wins
+      if (manifestRows(s, root, b).exists(_._1 == dstTable) ||
+          registeredSchema(s, root, dstTable, b).isDefined)
+        throw new IllegalArgumentException(
+          s"commitClone: $dstTable already exists at $root")
+      deltaOrFull(s, root, b, Nil, srcRows, Nil).copy(extras = schemaExtras)
+    }, maxRetries)
+    checkConstraints(root, srcTable).foreach { case (n, ex) =>
+      try addCheckConstraintUnchecked(root, dstTable, n, ex)
+      catch { case _: IllegalStateException => () } // already present
+    }
+    newV
+  }
+
+  /** Constraint marker write without the existing-data scan — the
+    * clone path copies constraints whose data, by construction, was
+    * validated on the source. */
+  private def addCheckConstraintUnchecked(root: String, table: String,
+                                          name: String, exprText: String): Unit = {
+    val p = checkPath(root, table, name)
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, s".check-$name", ".tmp")
+    Files.write(tmp, exprText.getBytes("UTF-8"))
+    try Files.createLink(p, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"CHECK $name already exists on $table (drop it first)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
   /** Reference-counted VACUUM: retain the newest `keep` READABLE
     * claims, delete every older manifest (readable or debris) and
     * every data file no retained manifest references. Liveness comes

@@ -170,6 +170,18 @@ object ManifestSql {
     "(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9._-]+)\\s*$".r
   private val MergeOnRe =
     "(?is)^\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*$".r
+  // the full-sync tail: WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+  // DELETE — split off the ORIGINAL text (the condition keeps its
+  // case; string literals survive), head re-checked as the standard
+  // two-clause shorthand
+  private val MergeSyncTailRe =
+    ("(?is)^(.*?)\\s+WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE" +
+      "(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$").r
+  private val CloneRe =
+    ("(?is)^CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+(?:SHALLOW\\s+)?CLONE\\s+" +
+      "([A-Za-z0-9_.-]+)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*$").r
+  private val ReplaceWhereRe =
+    "(?is)^INSERT\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+REPLACE\\s+WHERE\\s+(.*)$".r
 
   /** Index of the ')' matching the '(' at `src(0)` (quote-aware),
     * or -1 if unbalanced. */
@@ -208,7 +220,10 @@ object ManifestSql {
     * USING <view | (subquery)> [AS] s ON t.k = s.k WHEN MATCHED THEN
     * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (the Delta full-row
     * shorthand) routes to [[Manifest.commitMergeUpsert]] — matched
-    * keys replace, new keys insert, one atomic commit. WHERE/SET
+    * keys replace, new keys insert, one atomic commit; appending
+    * `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE` routes to
+    * [[Manifest.commitMergeFull]] (the full-sync form — unmatched
+    * target rows delete where the condition passes). WHERE/SET
     * expression text goes VERBATIM to Spark's expression parser, and
     * the WHERE/comma/`=`/ON/WHEN splits are quote- and paren-aware,
     * so string literals containing keywords parse correctly;
@@ -223,8 +238,12 @@ object ManifestSql {
     *    `COPY INTO '<location>' FROM <view|(subquery)>`
     *    ([[sqlCopyUnload]]);
     *  - DDL/lifecycle: `CREATE TABLE AS` (refuses existing),
-    *    `CREATE OR REPLACE TABLE AS`, `INSERT INTO` (positional,
-    *    registered-schema-aware), `ALTER TABLE ADD/DROP CONSTRAINT`,
+    *    `CREATE OR REPLACE TABLE AS`,
+    *    `CREATE TABLE d [SHALLOW] CLONE s [VERSION AS OF n]`
+    *    (zero-copy), `INSERT INTO` (positional,
+    *    registered-schema-aware),
+    *    `INSERT INTO t REPLACE WHERE <pred> <query>` (selective
+    *    overwrite), `ALTER TABLE ADD/DROP CONSTRAINT`,
     *    `ALTER TABLE ADD COLUMN`, `DROP TABLE`, `TRUNCATE TABLE`;
     *  - maintenance: `OPTIMIZE t [MIN n] [TARGET n]`,
     *    `OPTIMIZE t ZORDER BY (a, b) [SPLIT n]`,
@@ -314,8 +333,14 @@ object ManifestSql {
         val whenPos = topLevelKeyword(afterOn, "when")
         require(whenPos > 0, s"MERGE without WHEN clauses: $afterOn")
         val onText = afterOn.substring(0, whenPos).trim
-        val whenNorm = afterOn.substring(whenPos)
-          .toLowerCase.trim.replaceAll("\\s+", " ")
+        // full-sync tail first: WHEN NOT MATCHED BY SOURCE [AND c]
+        // THEN DELETE peels off the original text (condition keeps
+        // its case); the head must still be the standard shorthand
+        val (coreWhen, syncDelete) = afterOn.substring(whenPos) match {
+          case MergeSyncTailRe(head, cond) => (head, Some(Option(cond)))
+          case w => (w, None)
+        }
+        val whenNorm = coreWhen.toLowerCase.trim.replaceAll("\\s+", " ")
         require(whenNorm ==
           "when matched then update set * when not matched then insert *",
           "unsupported MERGE WHEN shape (only the full-row " +
@@ -331,7 +356,50 @@ object ManifestSql {
             require(close > 0, s"unbalanced parens in MERGE source: $sourcePart")
             spark.sql(sourcePart.substring(1, close))
           } else spark.table(sourcePart.split("\\s+").head)
-        Manifest.commitMergeUpsert(spark, root, table, sourceDf, keyCol)
+        syncDelete match {
+          case Some(cond) =>
+            // sync merge: target rows whose key is absent from the
+            // source are deleted (unconditionally, or where the AND
+            // condition passes — unqualified target columns)
+            Manifest.commitMergeFull(spark, root, table, sourceDf, keyCol,
+              cond.map(expr).getOrElse(lit(true)))
+          case None =>
+            Manifest.commitMergeUpsert(spark, root, table, sourceDf, keyCol)
+        }
+        last = spark.emptyDataFrame
+      case ReplaceWhereRe(table, rest) =>
+        // INSERT INTO t REPLACE WHERE <pred> <query>: selective
+        // overwrite (Delta's replaceWhere) — atomically DV-delete the
+        // matching slice and land the query's rows, ONE commit; every
+        // inserted row must satisfy the predicate (validated). The
+        // predicate/query split is the first TOP-LEVEL query keyword,
+        // so `IN (SELECT ...)` subqueries stay inside the predicate.
+        val starts = Seq("select", "values", "with", "table")
+          .map(k => topLevelKeyword(rest, k)).filter(_ >= 0)
+        require(starts.nonEmpty,
+          s"INSERT ... REPLACE WHERE without a query: $rest")
+        val cut = starts.min
+        require(cut > 0, s"INSERT ... REPLACE WHERE with an empty predicate")
+        val predText = rest.substring(0, cut).trim
+        // the query aligns with the target schema BY POSITION, as
+        // INSERT INTO does (a VALUES row has no column names)
+        val rwTarget = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        val rwBatch = spark.sql(rest.substring(cut))
+        require(rwBatch.schema.length == rwTarget.length,
+          s"INSERT ... REPLACE WHERE $table: ${rwBatch.schema.length} " +
+            s"columns provided, table has ${rwTarget.length}")
+        val rwAligned = rwBatch.toDF(rwTarget.fieldNames.toIndexedSeq: _*)
+          .select(rwTarget.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType)): _*)
+        Manifest.commitReplaceWhere(spark, root, table, expr(predText), rwAligned)
+        last = spark.emptyDataFrame
+      case CloneRe(dst, src, verS) =>
+        // CREATE TABLE d [SHALLOW] CLONE s [VERSION AS OF n]: the
+        // zero-copy metadata commit — shared files, independent
+        // divergence, schema + constraints ride along
+        Manifest.commitClone(spark, root, src, dst,
+          Option(verS).map(_.toLong).getOrElse(-1L))
         last = spark.emptyDataFrame
       case InsertRe(table, query) =>
         // INSERT INTO t <query>: the query text (SELECT/VALUES/WITH)
@@ -1566,6 +1634,141 @@ object ManifestSql {
             sum("value").cast("double").as("total_v"))
           .orderBy("event_type").localCheckpoint(true)
         s.catalog.dropTempView("fixups_q258")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- CREATE TABLE ... CLONE (q259): the zero-copy branch verb
+    //       — one metadata commit registers the dev table over the
+    //       SAME files, then the two tables diverge independently (a
+    //       DV delete on main leaves the clone whole). Oracle
+    //       recomputes both ends from raw events: any sharing
+    //       violation in either direction shifts a group — hash
+    //       breaks. TableCloneSpec pins the zero-data-file cost. -----
+    Q("q259_sql_clone",
+      Some("""SELECT 'dev' AS tbl, event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY 1, 2
+             |UNION ALL
+             |SELECT 'main' AS tbl, event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events WHERE user_id % 3 <> 0 GROUP BY 1, 2
+             |ORDER BY tbl, event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-clone").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        runDml(s, root,
+          """CREATE TABLE events_dev SHALLOW CLONE events_log;
+            |DELETE FROM events_log WHERE user_id % 3 = 0""".stripMargin)
+        def aggOf(t: String, label: String) =
+          Manifest.readTable(s, root, t)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("double").as("total_v"))
+            .select(lit(label).as("tbl"), col("event_type"),
+              col("n_events"), col("total_v"))
+        val out = aggOf("events_dev", "dev")
+          .unionByName(aggOf("events_log", "main"))
+          .orderBy("tbl", "event_type").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- INSERT INTO ... REPLACE WHERE (q260): the restatement-of-
+    //       a-slice statement — re-land the corrected tail of the
+    //       table (value × 3 for the last third of the window) in ONE
+    //       commit: DV-delete of the matching slice + the corrected
+    //       batch, no survivor rewrite. Oracle recomputes the post-
+    //       restatement state with a CASE on the cut: a row replaced
+    //       twice, missed, or leaked outside the slice shifts its
+    //       group — hash breaks. -----
+    Q("q260_sql_replace_where",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00'
+             |    THEN CAST(CAST(value AS DECIMAL(18,4)) * 3 AS DECIMAL(18,4))
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS total_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-rw").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        ev.createOrReplaceTempView("events_raw_q260")
+        runDml(s, root,
+          """INSERT INTO events_log
+            |REPLACE WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+            |SELECT user_id, event_type,
+            |  CAST(value * 3 AS DECIMAL(18,4)) AS value, ts
+            |FROM events_raw_q260
+            |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type").localCheckpoint(true)
+        s.catalog.dropTempView("events_raw_q260")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- MERGE ... WHEN NOT MATCHED BY SOURCE (q261): the full-
+    //       sync statement — a per-user state table synced to the
+    //       second-half snapshot, where users absent from the new
+    //       snapshot are dropped ONLY below an activity floor (the
+    //       conditional by-source delete, Delta's
+    //       whenNotMatchedBySourceDelete(cond)). Oracle recomputes
+    //       the three-way outcome (replaced / inserted / conditionally
+    //       retained) from raw events — any mis-routed row shifts the
+    //       per-user state. -----
+    Q("q261_sql_merge_sync",
+      Some("""WITH firsth AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY user_id),
+             |secondh AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |    AND user_id % 4 <> 0
+             |  GROUP BY user_id)
+             |SELECT user_id, n_events, CAST(tv AS DOUBLE) AS total_v FROM (
+             |  SELECT * FROM secondh
+             |  UNION ALL
+             |  SELECT * FROM firsth f WHERE NOT EXISTS
+             |    (SELECT 1 FROM secondh s WHERE s.user_id = f.user_id)
+             |    AND f.n_events >= 37)
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-sync").toString
+        Manifest.commitAppend(s, root, "user_state",
+          stateOf(ev.filter(col("ts") < cut)).coalesce(2))
+        stateOf(ev.filter(col("ts") >= cut && col("user_id") % 4 =!= 0))
+          .createOrReplaceTempView("sync_src_q261")
+        runDml(s, root,
+          """MERGE INTO user_state USING sync_src_q261 s
+            |ON user_state.user_id = s.user_id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND n_events < 37 THEN DELETE"""
+            .stripMargin)
+        val out = Manifest.readTable(s, root, "user_state")
+          .select(col("user_id"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
+          .orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView("sync_src_q261")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

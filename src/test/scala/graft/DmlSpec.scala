@@ -419,6 +419,72 @@ class DmlSpec extends SparkSuite {
     assert(ops.contains("commitUpdateKeys"), ops)
   }
 
+  test("CREATE TABLE ... CLONE as SQL text — zero-copy, version-pinnable") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 6L).toDF("k").coalesce(1))                    // v1
+    Manifest.commitAppend(spark, root, "t",
+      (7L to 9L).toDF("k").coalesce(1))                    // v2
+    ManifestSql.runDml(spark, root, "CREATE TABLE dev SHALLOW CLONE t")
+    ManifestSql.runDml(spark, root,
+      "CREATE TABLE old CLONE t VERSION AS OF 1")
+    assert(Manifest.readTable(spark, root, "dev").count() == 9L)
+    assert(Manifest.readTable(spark, root, "old").count() == 6L)
+    // divergence: DELETE on the clone leaves the source whole
+    ManifestSql.runDml(spark, root, "DELETE FROM dev WHERE k > 3")
+    assert(Manifest.readTable(spark, root, "dev").count() == 3L)
+    assert(Manifest.readTable(spark, root, "t").count() == 9L)
+    val ops = ManifestSql.runDml(spark, root, "DESCRIBE HISTORY dev")
+      .collect().map(_.getString(2)).toSet
+    assert(ops.contains("commitClone"), ops)
+  }
+
+  test("INSERT INTO ... REPLACE WHERE as SQL text swaps the slice atomically") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 8L).toDF("k").withColumn("v", lit(1.0)).coalesce(2))
+    ManifestSql.runDml(spark, root,
+      "INSERT INTO t REPLACE WHERE k <= 2 SELECT * FROM VALUES " +
+        "(CAST(1 AS BIGINT), 50.0D), (CAST(2 AS BIGINT), 50.0D)")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 50.0 && got(2L) == 50.0 && got(3L) == 1.0
+      && got.size == 8, got.toString)
+    // contract: a batch row OUTSIDE the predicate refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "INSERT INTO t REPLACE WHERE k <= 2 SELECT * FROM VALUES " +
+          "(CAST(99 AS BIGINT), 1.0D)")
+    }
+    assert(Manifest.readTable(spark, root, "t").count() == 8L)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE as SQL text") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v").coalesce(1))
+    Seq((2L, 20.0), (9L, 9.0)).toDF("k", "v")
+      .createOrReplaceTempView("sync_src_spec")
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING sync_src_spec s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(2L -> 20.0, 9L -> 9.0), got.toString)
+    // conditional delete: unmatched rows failing the condition survive
+    Seq((2L, 21.0)).toDF("k", "v").createOrReplaceTempView("sync_src_spec")
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING sync_src_spec s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND v > 100 THEN DELETE""".stripMargin)
+    val got2 = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 == Map(2L -> 21.0, 9L -> 9.0), got2.toString)
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF resolve as SQL text") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
