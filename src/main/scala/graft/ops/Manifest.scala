@@ -1604,10 +1604,26 @@ object Manifest {
     * can never resurrect through a pruned read, a compaction, or a
     * rewrite's survivor scan. */
   private def readResolved(s: SparkSession, root: String,
-                           rows: Seq[(String, String)]): DataFrame = {
+                           rows: Seq[(String, String)],
+                           pin: Option[StructType] = None): DataFrame = {
     val (dvRows, plain) = rows.partition { case (_, st) => dvRefOf(st).isDefined }
-    def readPaths(fs: Seq[String]): DataFrame =
-      s.read.parquet(fs.map(f => s"$root/$f").toIndexedSeq: _*)
+    // `pin` = the table's registered schema, when the caller serves a
+    // registered table: the read NULL-fills pre-evolution files and
+    // coalesces rename aliases (readPinned); unpinned reads keep the
+    // plain footer-schema scan, byte-identical to before
+    def readPaths(fs: Seq[String], pos: Boolean = false): DataFrame = {
+      val paths = fs.map(f => s"$root/$f").toIndexedSeq
+      pin match {
+        case Some(sc) =>
+          readPinned(s, sc, paths, if (pos) Some(("_p", "_ri")) else None)
+        case None =>
+          val df = s.read.parquet(paths: _*)
+          if (!pos) df
+          else df.withColumn("_p",
+              expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+            .withColumn("_ri", col("_metadata.row_index"))
+      }
+    }
     if (dvRows.isEmpty) readPaths(rows.map(_._1))
     else {
       import s.implicits._
@@ -1618,10 +1634,7 @@ object Manifest {
         readDvSidecar(root, side).map(p => (abs, p))
       }
       val posDf = positions.toDF("_p", "_ri")
-      val masked = readPaths(dvRows.map(_._1))
-        .withColumn("_p",
-          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
-        .withColumn("_ri", col("_metadata.row_index"))
+      val masked = readPaths(dvRows.map(_._1), pos = true)
         .join(broadcast(posDf), Seq("_p", "_ri"), "left_anti")
         .drop("_p", "_ri")
       if (plain.isEmpty) masked
@@ -1696,12 +1709,17 @@ object Manifest {
       // positions of matching rows, per physical file — a RAW scan of
       // the current files (already-deleted positions may re-match; the
       // union below makes that idempotent)
-      val scanned = s.read
-        .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
-        .select(col("*"),
-          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
-            .as("__graft_p"),
-          col("_metadata.row_index").as("__graft_ri"))
+      val scanned = registeredSchema(s, root, table, base) match {
+        case Some(sc) => readPinned(s, sc,
+          cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq,
+          Some(("__graft_p", "__graft_ri")))
+        case None => s.read
+          .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+          .select(col("*"),
+            expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
+              .as("__graft_p"),
+            col("_metadata.row_index").as("__graft_ri"))
+      }
       val hits = matcher(scanned)
         .select(col("__graft_p").as("_p"), col("__graft_ri").as("_ri"))
         .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
@@ -1802,11 +1820,16 @@ object Manifest {
       // raw scan with positions, then EXISTING DVs applied by hand (the
       // plain masked read drops the position columns): deleted rows
       // must neither re-match nor resurrect as updated copies
-      val raw = s.read
-        .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
-        .withColumn("_p",
-          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
-        .withColumn("_ri", col("_metadata.row_index"))
+      val raw = registeredSchema(s, root, table, base) match {
+        case Some(sc) => readPinned(s, sc,
+          cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq,
+          Some(("_p", "_ri")))
+        case None => s.read
+          .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+          .withColumn("_p",
+            expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+          .withColumn("_ri", col("_metadata.row_index"))
+      }
       val existingPos = cur.flatMap { case (f, st) =>
         dvRefOf(st).toSeq.flatMap { case (side, _) =>
           val abs = absRoot.resolve(f).normalize().toString
@@ -1902,11 +1925,16 @@ object Manifest {
       val expected = cur.map(_._1).toSet
       val absRoot = Paths.get(root).toAbsolutePath.normalize()
       import s.implicits._
-      val raw = s.read
-        .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
-        .withColumn("_p",
-          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
-        .withColumn("_ri", col("_metadata.row_index"))
+      val raw = registeredSchema(s, root, table, base) match {
+        case Some(sc) => readPinned(s, sc,
+          cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq,
+          Some(("_p", "_ri")))
+        case None => s.read
+          .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+          .withColumn("_p",
+            expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+          .withColumn("_ri", col("_metadata.row_index"))
+      }
       val existingPos = cur.flatMap { case (f, st) =>
         dvRefOf(st).toSeq.flatMap { case (side, _) =>
           val abs = absRoot.resolve(f).normalize().toString
@@ -1975,7 +2003,9 @@ object Manifest {
     val rows = manifestRows(s, root, v) // metadata-sized
       .collect { case (t, f, st) if t == table => (f, st) }
     require(rows.nonEmpty, s"table $table absent from snapshot v$v")
-    readResolved(s, root, rows)
+    // registered tables read through their registration AT v: evolved
+    // columns NULL-fill, renamed columns resolve through aliases
+    readResolved(s, root, rows, registeredSchema(s, root, table, v))
   }
 
   /** Metadata-only COUNT(*): answer `SELECT count(*)` for `table` at
@@ -2096,6 +2126,11 @@ object Manifest {
     // insert/delete pairs
     val steps = claimedVersions(root)
       .filter(v => v > fromVersion && v <= to && mainVisible(root, v))
+    // ONE schema for the whole feed — the to-version registration:
+    // rows from before a RENAME project through the aliases, so every
+    // emitted frame carries the current column names and the
+    // cross-version unions/diffs stay coherent
+    val pin = registeredSchema(s, root, table, to)
     val absRoot = Paths.get(root).toAbsolutePath.normalize()
     def rowsAt(v: Long): Seq[(String, String)] =
       if (v == 0) Seq.empty
@@ -2109,11 +2144,15 @@ object Manifest {
         val abs = absRoot.resolve(f).normalize().toString
         ps.map(p => (abs, p))
       }
-      s.read.parquet(perFile.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
-        .withColumn("_p",
-          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
-        .withColumn("_ri", col("_metadata.row_index"))
-        .join(bcast(pos.toDF("_p", "_ri")), Seq("_p", "_ri"), "left_semi")
+      val paths = perFile.map { case (f, _) => s"$root/$f" }.toIndexedSeq
+      val scan = pin match {
+        case Some(sc) => readPinned(s, sc, paths, Some(("_p", "_ri")))
+        case None => s.read.parquet(paths: _*)
+          .withColumn("_p",
+            expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+          .withColumn("_ri", col("_metadata.row_index"))
+      }
+      scan.join(bcast(pos.toDF("_p", "_ri")), Seq("_p", "_ri"), "left_semi")
         .drop("_p", "_ri")
     }
     var prev = rowsAt(fromVersion)
@@ -2146,7 +2185,7 @@ object Manifest {
         }
         if (additiveDv) {
           if (addedFiles.nonEmpty)
-            emit(readResolved(s, root, addedFiles), "insert", v)
+            emit(readResolved(s, root, addedFiles, pin), "insert", v)
           val drift = drifted.flatMap { case (f, st) =>
             val oldPos = dvPositions(prevByPath(f)).values.flatten.toSet
             val newPos = dvPositions(st).values.flatten.toArray
@@ -2163,8 +2202,8 @@ object Manifest {
           val affCur = cur.filter { case (f, st) =>
             !prevByPath.contains(f) || prevByPath(f) != st }
           def readOrEmpty(rows: Seq[(String, String)], like: Seq[(String, String)]) =
-            if (rows.nonEmpty) readResolved(s, root, rows)
-            else readResolved(s, root, like).filter(lit(false))
+            if (rows.nonEmpty) readResolved(s, root, rows, pin)
+            else readResolved(s, root, like, pin).filter(lit(false))
           val before = readOrEmpty(affPrev, affCur)
           val after = readOrEmpty(affCur, affPrev)
           emit(before.exceptAll(after), "delete", v)
@@ -2250,6 +2289,96 @@ object Manifest {
       }
       Some((nUp, nDel))
     } finally net.unpersist()
+  }
+
+  /** SCD TYPE 2 APPLY CHANGES — maintain `dstTable` as the FULL
+    * HISTORY of `srcTable`'s keyed rows: one row per (key, validity
+    * interval), the source columns plus `__start_v` / `__end_v`
+    * (source commit versions; `__end_v` NULL = currently open) and
+    * the surrogate `__hkey = key:start_v` (each history row's
+    * identity). The `apply_changes(..., stored_as_scd_type = 2)`
+    * shape, derived from the row-level change feed without writer
+    * cooperation.
+    *
+    * Incremental + exactly-once like [[applyChangesInto]]: each call
+    * advances one source interval; the applied source version rides
+    * the destination txn ledger atomically with the derived rows, so
+    * re-drives and crash replays are no-ops.
+    *
+    * Per interval: events collapse to one per (key, version) (an
+    * UPDATE's delete+insert pair nets to its insert image, a pure
+    * delete keeps its tombstone); each insert OPENS an interval that
+    * the key's next event CLOSES (`lead` over the key's timeline);
+    * and the destination's currently-open rows of AFFECTED keys close
+    * at their key's first event version. Open-row closes and new
+    * intervals land as ONE merge keyed by `__hkey` — O(interval
+    * delta) feed work plus a merge whose dst I/O is bounded by the
+    * affected keys' files via the key-stats bound. Returns (intervals
+    * opened, rows closed). */
+  def applyChangesScd2(s: SparkSession, srcRoot: String, srcTable: String,
+                       dstRoot: String, dstTable: String,
+                       keyCol: String): Option[(Long, Long)] = {
+    val appId = s"applyscd2-$dstTable"
+    val fromV = lastCommittedTxn(dstRoot, appId).getOrElse(0L)
+    val to = snapshotVersion(srcRoot)
+    if (to <= fromV) return None
+    val feed = readChangeFeed(s, srcRoot, srcTable, fromV, to)
+    val wKV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("_commit_version"))
+      .orderBy(when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val kv = feed.withColumn("_rn", row_number().over(wKV))
+      .filter(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dataCols = kv.columns
+        .filterNot(c => c == "_change_type" || c == "_commit_version")
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col("_commit_version"))
+      val timeline = kv
+        .withColumn("__end_v", lead(col("_commit_version"), 1).over(wK))
+        .withColumn("_firstv", min(col("_commit_version")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      val hkey = concat(col(keyCol).cast("string"), lit(":"),
+        col("__start_v").cast("string"))
+      val newRows = timeline.filter(col("_change_type") === "insert")
+        .select(dataCols.toIndexedSeq.map(col) :+
+          col("_commit_version").as("__start_v") :+ col("__end_v"): _*)
+        .withColumn("__hkey", hkey)
+      val firstPerKey = timeline.select(col(keyCol), col("_firstv")).distinct()
+      val dstV = snapshotVersion(dstRoot)
+      val dstExists = dstV > 0 &&
+        manifestRows(s, dstRoot, dstV).exists(_._1 == dstTable)
+      if (!dstExists) {
+        val nNew = newRows.count()
+        try commitAppendStats(s, dstRoot, dstTable, newRows,
+          Seq("__hkey", keyCol), "__hkey", 1, txn = Some(appId -> to))
+        catch { case _: TxnAlreadyCommitted => () }
+        Some((nNew, 0L))
+      } else {
+        // close the open rows of affected keys at their first event
+        // version; the closed images REPLACE the open rows (same
+        // __hkey) in the same merge that lands the new intervals
+        val closed = readTable(s, dstRoot, dstTable)
+          .filter(col("__end_v").isNull)
+          .join(firstPerKey, Seq(keyCol), "inner")
+          .withColumn("__end_v", col("_firstv")).drop("_firstv")
+        val batch = closed.unionByName(newRows)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nNew = newRows.count()
+          val nClosed = closed.count()
+          try {
+            if (nNew + nClosed > 0)
+              commitMergeUpsert(s, dstRoot, dstTable, batch, "__hkey",
+                txn = Some(appId -> to))
+            else // still advance the ledger on a no-change interval
+              commitAppend(s, dstRoot, dstTable, batch,
+                txn = Some(appId -> to))
+          } catch { case _: TxnAlreadyCommitted => () }
+          Some((nNew, nClosed))
+        } finally batch.unpersist()
+      }
+    } finally kv.unpersist()
   }
 
   /** Exactly-once incremental consumption: maintain `dstTable` (in its
@@ -2348,6 +2477,15 @@ object Manifest {
           throw new IllegalArgumentException(
             s"schema enforcement: append adds ${added.mkString(",")} to $table " +
               "without allowEvolution")
+        // a name DROPPED or RENAMED AWAY is reserved: old files still
+        // physically store it, and a schema-pinned read maps by name —
+        // re-adding would resurrect their values under the new column
+        val resurrected = added.intersect(reservedNames(root, table))
+        if (resurrected.nonEmpty)
+          throw new IllegalArgumentException(
+            s"schema evolution: ${resurrected.mkString(",")} previously " +
+              s"existed on $table — old files still store the name; " +
+              "re-adding would resurrect their values")
       }
       current match {
         case Some(cur) =>
@@ -2417,8 +2555,212 @@ object Manifest {
     require(!rows.exists(r => dvRefOf(r._2).isDefined),
       s"table $table@v$v carries deletion vectors: compact before an " +
         "evolved-schema read")
-    s.read.schema(schema)
-      .parquet(rows.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+    readPinned(s, schema,
+      rows.map { case (f, _) => s"$root/$f" }.toIndexedSeq)
+  }
+
+  // ---------------------------------------------------- schema DDL (metadata)
+
+  /** Field-metadata key carrying a renamed column's FORMER physical
+    * names, oldest first — files written before a rename still store
+    * the old name, and the alias-aware read coalesces across the
+    * chain. */
+  private val aliasKey = "graft.aliases"
+
+  private[graft] def aliasesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(aliasKey)) f.metadata.getStringArray(aliasKey).toSeq
+    else Nil
+
+  /** Field-metadata key carrying the table's DROPPED-name tombstones
+    * (rides the first field — StructType has no table-level metadata
+    * slot). The NEWEST registration is self-contained: the guard
+    * survives vacuum, which always carries the newest marker. */
+  private val droppedKey = "graft.dropped"
+
+  private def droppedOf(schema: StructType): Seq[String] =
+    schema.fields.toSeq.flatMap(f =>
+      if (f.metadata.contains(droppedKey)) f.metadata.getStringArray(droppedKey).toSeq
+      else Nil)
+
+  /** Every name ever registered for `table` across the RETAINED claim
+    * history (current fields, renamed-away physical names, dropped
+    * columns): the RESERVED set. A once-stored name cannot be
+    * (re)introduced — files written before the drop/rename physically
+    * carry it, and a schema-pinned read maps by name, so a
+    * re-registration would RESURRECT the old files' values under the
+    * new column. Metadata-sized (one small JSON per retained marker);
+    * tombstones live exactly as long as the markers — [[vacuum]]
+    * carries the newest marker, so the guard holds while any file
+    * predating the drop can still be referenced. */
+  private def reservedNames(root: String, table: String): Set[String] =
+    claimedVersions(root).flatMap { cv =>
+      val p = Paths.get(root, "manifest", s"v$cv", schemaMarker(table))
+      if (!Files.exists(p)) Nil
+      else {
+        val sc = org.apache.spark.sql.types.DataType
+          .fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+          .asInstanceOf[StructType]
+        sc.fields.toSeq.flatMap(f => f.name +: aliasesOf(f)) ++ droppedOf(sc)
+      }
+    }.toSet
+
+  /** Refuse a schema DDL whose column is referenced by a registered
+    * CHECK constraint (word-bounded text match — conservative: a
+    * literal containing the name also refuses). */
+  private def guardConstraintRefs(root: String, table: String,
+                                  colName: String, verb: String): Unit = {
+    val re = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(colName) + "(?![A-Za-z0-9_])").r
+    val hits = checkConstraints(root, table)
+      .filter { case (_, ex) => re.findFirstIn(ex).isDefined }
+    require(hits.isEmpty,
+      s"$verb $colName on $table: CHECK constraint(s) " +
+        s"${hits.keys.mkString(", ")} reference it — drop them first")
+  }
+
+  /** Shared metadata-only schema-DDL commit: claim a no-op delta
+    * whose schema extra registers `xform(current)`; the registration
+    * serializes with every other commit through the CAS (a racing
+    * evolve retries, as in [[commitAppendEvolve]]). */
+  private def commitSchemaChange(s: SparkSession, root: String, table: String,
+                                 maxRetries: Int)
+                                (xform: StructType => StructType): Long = {
+    var tries = 0
+    while (true) {
+      val reg = registeredSchema(s, root, table)
+      val v = snapshotVersion(root)
+      require(v > 0 && (reg.isDefined ||
+          manifestRows(s, root, v).exists(_._1 == table)),
+        s"unknown table $table at $root")
+      val current = reg.getOrElse(readTable(s, root, table).schema)
+      val next = xform(current)
+      try {
+        return casCommit(s, root, { base =>
+          if (registeredSchema(s, root, table, base) != reg)
+            throw new CommitConflict(
+              s"$table's registered schema changed under the DDL")
+          deltaOrFull(s, root, base, Nil, Nil)
+            .copy(extras = Seq(schemaMarker(table) -> next.json.getBytes("UTF-8")))
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries)
+            throw new IllegalStateException(
+              s"schema DDL: $table's registration kept changing " +
+                s"($maxRetries attempts) at $root")
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** DROP COLUMN as metadata DDL — registers the narrowed schema,
+    * touches no data: every registered-schema read (the evolved API
+    * read, the SQL view, INSERT's positional target) stops serving
+    * the column NOW; old files keep the bytes until a rewrite
+    * retires them (invisible — reads project the registration). The
+    * name becomes RESERVED ([[reservedNames]]): re-adding it would
+    * resurrect the old files' values. Refuses while a CHECK
+    * constraint references the column. */
+  def commitDropColumn(s: SparkSession, root: String, table: String,
+                       colName: String, maxRetries: Int = 5): Long = {
+    guardConstraintRefs(root, table, colName, "DROP COLUMN")
+    commitSchemaChange(s, root, table, maxRetries) { cur =>
+      require(cur.fieldNames.contains(colName),
+        s"DROP COLUMN: no column $colName on $table " +
+          s"(has ${cur.fieldNames.mkString(", ")})")
+      require(cur.length > 1,
+        s"DROP COLUMN: cannot drop $table's only column")
+      val victim = cur.fields.find(_.name == colName).get
+      // the tombstone list: prior drops + this name + its rename
+      // aliases (files may store any of them), re-attached to the
+      // narrowed schema's first field so the NEWEST marker alone
+      // carries the full guard
+      val dropped = (droppedOf(cur) ++ aliasesOf(victim) :+ colName).distinct
+      val remaining = cur.fields.filterNot(_.name == colName).map { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        mb.remove(droppedKey)
+        StructField(f.name, f.dataType, f.nullable, mb.build())
+      }
+      val mb0 = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(remaining.head.metadata)
+        .putStringArray(droppedKey, dropped.toArray)
+      StructType(remaining.head.copy(metadata = mb0.build()) +: remaining.tail)
+    }
+  }
+
+  /** RENAME COLUMN as metadata DDL — registers the renamed schema
+    * with the former name carried as a read ALIAS in field metadata:
+    * no data moves; alias-aware reads coalesce (new name, …former
+    * names) per file, so files from before the rename serve their
+    * values under the new name. Writes always use the CURRENT name,
+    * so rewrites normalize opportunistically. The old name stays
+    * RESERVED. Refuses while a CHECK constraint references the
+    * column, and refuses a target name that was ever registered. */
+  def commitRenameColumn(s: SparkSession, root: String, table: String,
+                         from: String, to: String,
+                         maxRetries: Int = 5): Long = {
+    require(from != to, s"RENAME COLUMN: $from to itself")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"RENAME COLUMN: unsafe target name $to")
+    guardConstraintRefs(root, table, from, "RENAME COLUMN")
+    val reserved = reservedNames(root, table)
+    commitSchemaChange(s, root, table, maxRetries) { cur =>
+      require(cur.fieldNames.contains(from),
+        s"RENAME COLUMN: no column $from on $table")
+      require(!cur.fieldNames.contains(to),
+        s"RENAME COLUMN: $table already has a column $to")
+      require(!reserved.contains(to) || cur.fieldNames.contains(to),
+        s"RENAME COLUMN: $to was previously a column of $table — old " +
+          "files still store it; a re-registration would resurrect them")
+      StructType(cur.fields.map { f =>
+        if (f.name != from) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(aliasKey, (aliasesOf(f) :+ from).toArray)
+          StructField(to, f.dataType, f.nullable, mb.build())
+        }
+      })
+    }
+  }
+
+  /** Alias-aware schema-pinned read: files are scanned with the
+    * PHYSICAL union schema (current names + every rename alias, each
+    * NULL-filled where absent) and projected back to the logical
+    * schema by per-field `coalesce(current, …aliases)` — exactly one
+    * physical column is present per file, so the coalesce picks the
+    * stored values regardless of which side of a rename the file was
+    * written on. Alias-free schemas take the plain pinned read
+    * (byte-identical behavior). */
+  private def readPinned(s: SparkSession, schema: StructType,
+                         paths: Seq[String],
+                         posNames: Option[(String, String)] = None): DataFrame = {
+    // position columns ride the SCAN relation (hidden `_metadata` only
+    // resolves there, never after a projection)
+    def posCols = posNames.toSeq.flatMap { case (p, ri) => Seq(
+      expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
+        .as(p),
+      col("_metadata.row_index").as(ri))
+    }
+    val aliased = schema.fields.exists(f => aliasesOf(f).nonEmpty)
+    if (!aliased) {
+      val df = s.read.schema(schema).parquet(paths: _*)
+      if (posNames.isEmpty) df
+      else df.select(schema.fieldNames.toIndexedSeq.map(col) ++ posCols: _*)
+    } else {
+      val phys = StructType(schema.fields.flatMap { f =>
+        StructField(f.name, f.dataType, nullable = true) +:
+          aliasesOf(f).map(a => StructField(a, f.dataType, nullable = true))
+      })
+      s.read.schema(phys).parquet(paths: _*)
+        .select(schema.fields.toIndexedSeq.map { f =>
+          val alts = aliasesOf(f)
+          if (alts.isEmpty) col(f.name)
+          else coalesce((f.name +: alts.reverse).map(col): _*).as(f.name)
+        } ++ posCols: _*)
+    }
   }
 
   // ------------------------------------------------------------- maintenance
@@ -2461,7 +2803,8 @@ object Manifest {
       if (smalls.size < 2) return base // nothing worth packing
       val bytes = smalls.map { case (f, _) => Files.size(Paths.get(root, f)) }.sum
       val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val packed = readResolved(s, root, smalls).repartition(bins)
+      val packed = readResolved(s, root, smalls,
+        registeredSchema(s, root, table, base)).repartition(bins)
       val hint = nextVersion(root)
       val newRows = publishData(s, root, hint, table, packed)
         .map(f => (table, f, null: String))
@@ -2500,7 +2843,10 @@ object Manifest {
       val bytes = files.map(f => Files.size(Paths.get(root, f))).sum
       val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       // merge-on-read: compaction purges deletion vectors naturally
-      val compacted = readResolved(s, root, rows).repartition(bins)
+      // (and, pinned, rewrites renamed columns under their CURRENT
+      // name — the opportunistic normalization pass)
+      val compacted = readResolved(s, root, rows,
+        registeredSchema(s, root, table, base)).repartition(bins)
       try {
         return commitReplace(s, root, table, compacted, maxRetries,
           expectedFiles = Some(files.toSet))
@@ -2549,7 +2895,8 @@ object Manifest {
       // KEEP the row, so negate coalesce(pred, false), not the bare
       // predicate (!NULL = NULL would silently delete those rows)
       val survivors =
-        readResolved(s, root, affected.map { case (_, f, st) => (f, st) })
+        readResolved(s, root, affected.map { case (_, f, st) => (f, st) },
+          registeredSchema(s, root, table, base))
           .filter(!coalesce(deleteFilter, lit(false)))
       val hint = nextVersion(root)
       val relFiles = publishData(s, root, hint, table, survivors)
@@ -2604,7 +2951,9 @@ object Manifest {
         .collect { case (t, f, _) if t == table => f }.toSet
       val (affected, _) = overlappingRows(s, root, table, preds, base)
       if (affected.isEmpty) return base // no file can hold a match: no-op
-      val current = readResolved(s, root, affected.map { case (_, f, st) => (f, st) })
+      val current = readResolved(s, root,
+        affected.map { case (_, f, st) => (f, st) },
+        registeredSchema(s, root, table, base))
       val unknown = sets.keySet.diff(current.columns.toSet)
       require(unknown.isEmpty, s"commitUpdateWhere: SET of unknown columns $unknown")
       val hit = coalesce(updateFilter, lit(false))
@@ -2704,7 +3053,8 @@ object Manifest {
       val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
       val survivors =
         if (affected.isEmpty) updates
-        else readResolved(s, root, affected.map { case (_, f, st) => (f, st) })
+        else readResolved(s, root, affected.map { case (_, f, st) => (f, st) },
+            registeredSchema(s, root, table, base))
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates)
       val hint = nextVersion(root)
@@ -2782,12 +3132,17 @@ object Manifest {
         val absRoot = Paths.get(root).toAbsolutePath.normalize()
         // positions of doomed rows, per physical file (raw scan — the
         // unwrapped predicate stays pushable to the parquet filter)
-        val scanned = s.read
-          .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
-          .select(col("*"),
-            expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
-              .as("__graft_p"),
-            col("_metadata.row_index").as("__graft_ri"))
+        val scanned = registeredSchema(s, root, table, base) match {
+          case Some(sc) => readPinned(s, sc,
+            cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq,
+            Some(("__graft_p", "__graft_ri")))
+          case None => s.read
+            .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+            .select(col("*"),
+              expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
+                .as("__graft_p"),
+              col("_metadata.row_index").as("__graft_ri"))
+        }
         val hits = scanned.filter(replaceFilter)
           .select(col("__graft_p").as("_p"), col("__graft_ri").as("_ri"))
           .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
@@ -2887,7 +3242,8 @@ object Manifest {
           if (affected.isEmpty) pinned
           else {
             val current = readResolved(s, root,
-              affected.map { case (_, f, st) => (f, st) })
+              affected.map { case (_, f, st) => (f, st) },
+              registeredSchema(s, root, table, base))
             val order = current.columns
             current
               .join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti")
@@ -3680,6 +4036,40 @@ object Manifest {
       require(applyChangesInto(s, src, "user_totals",
         dst, "user_totals", "user_id").isEmpty,
         "re-driven sync must be a no-op")
+    }
+  }
+
+  /** q264's SCD2 root: src `acct` evolves over three commits — full
+    * per-user state (v1), a restatement of `user_id % 3 = 0` with
+    * their [A, B) window state (v2, CoW merge), a DV erasure of
+    * `user_id % 5 = 0` (v3) — mirrored into `acct_hist` by TWO
+    * [[applyChangesScd2]] calls (bootstrap, then one interval covering
+    * v2+v3), with the re-drive asserted a no-op. */
+  def scd2Root(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-manifest-scd2/$fp-$layoutKey") { tmp =>
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+      val a = lit("2024-01-11 00:00:00").cast("timestamp")
+      val b = lit("2024-01-21 00:00:00").cast("timestamp")
+      def st(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").cast("decimal(18,4)").as("tv"))
+      commitAppendStats(s, src, "acct", st(ev.filter(col("ts") < a)),
+        Seq("user_id"), "user_id", 4)
+      require(applyChangesScd2(s, src, "acct", dst, "acct_hist", "user_id")
+        .exists(_._1 > 0), "scd2 bootstrap applied nothing")
+      val _ = commitMergeUpsert(s, src, "acct",
+        st(ev.filter(col("ts") >= a && col("ts") < b &&
+          col("user_id") % 3 === 0)), "user_id")
+      val _2 = commitDeleteVectors(s, src, "acct", col("user_id") % 5 === 0)
+      val r2 = applyChangesScd2(s, src, "acct", dst, "acct_hist", "user_id")
+      require(r2.exists { case (o, c) => o > 0 && c > 0 },
+        s"scd2 incremental should open AND close intervals, got $r2")
+      require(applyChangesScd2(s, src, "acct", dst, "acct_hist", "user_id")
+        .isEmpty, "re-driven scd2 sync must be a no-op")
     }
   }
 
@@ -4866,6 +5256,45 @@ object Manifest {
         readTable(s, s"$root/dst", "user_totals")
           .select(col("user_id"), col("total_u").cast("double").as("total_u"),
             col("n_u"))
+          .orderBy("user_id")
+      }),
+
+    // ----- APPLY CHANGES, SCD TYPE 2 (q264): the history-keeping
+    //       CDC mirror — three source commits (full state, a %3
+    //       restatement, a %5 DV erasure) become one validity-interval
+    //       row per (user, state); fixture drives TWO incremental
+    //       syncs + a no-op re-drive through the txn ledger. The
+    //       oracle derives the interval algebra (row count, open flag,
+    //       current value) from raw events: a missed close, a phantom
+    //       open, or an unchanged row emitting a spurious interval all
+    //       shift a user's triple — hash breaks. -----
+    Q("q264_apply_changes_scd2",
+      Some("""WITH u1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00'
+             |  GROUP BY user_id),
+             |u2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-11 00:00:00'
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-21 00:00:00'
+             |    AND user_id % 3 = 0 GROUP BY user_id)
+             |SELECT coalesce(u1.user_id, u2.user_id) AS user_id,
+             |  CAST(CASE WHEN u1.user_id IS NOT NULL AND u2.user_id IS NOT NULL
+             |    AND (u1.n <> u2.n OR u1.tv <> u2.tv) THEN 2 ELSE 1 END AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN coalesce(u1.user_id, u2.user_id) % 5 = 0
+             |    THEN 0 ELSE 1 END AS BIGINT) AS has_open,
+             |  CAST(CASE WHEN coalesce(u1.user_id, u2.user_id) % 5 = 0 THEN -1
+             |    ELSE CAST(coalesce(u2.tv, u1.tv) AS DOUBLE) END AS DOUBLE) AS cur_tv
+             |FROM u1 FULL OUTER JOIN u2 ON u1.user_id = u2.user_id
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = scd2Root(s, dir)
+        readTable(s, s"$root/dst", "acct_hist")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_rows"),
+            max(when(col("__end_v").isNull, 1L).otherwise(0L)).as("has_open"),
+            coalesce(max(when(col("__end_v").isNull, col("tv"))).cast("double"),
+              lit(-1.0)).as("cur_tv"))
           .orderBy("user_id")
       }),
 

@@ -63,16 +63,37 @@ object ManifestSql {
     require(entries.nonEmpty, s"table $table absent from snapshot v$v")
     val schema = Manifest.registeredSchema(spark, root, table, v).getOrElse(
       spark.read.parquet(entries.map(_.path): _*).schema)
+    // RENAME aliases: the relation scans the PHYSICAL union schema
+    // (current + former names, NULL-filled where absent) and the view
+    // projects back per-field coalesce(current, …aliases) — files
+    // from either side of a rename serve their values under the
+    // current name; alias-free tables keep the plain pinned relation
+    val hasAliases = schema.fields.exists(f => Manifest.aliasesOf(f).nonEmpty)
+    val physSchema =
+      if (!hasAliases) schema
+      else StructType(schema.fields.flatMap { f =>
+        StructField(f.name, f.dataType, nullable = true) +:
+          Manifest.aliasesOf(f).map(a =>
+            StructField(a, f.dataType, nullable = true))
+      })
     // the registration-time resolution seeds the index cache (valid
     // for snapshot v): a live view's first query re-resolves only if
     // the version moved — one manifest walk per change, not two per
     // registration
     val index = new ManifestFileIndex(spark, root, table,
-      if (version > 0) version else -1L, schema, Manifest.sessionZone(spark),
+      if (version > 0) version else -1L, physSchema, Manifest.sessionZone(spark),
       initial = Some(v -> entries))
-    val relation = HadoopFsRelation(index, new StructType(), schema, None,
+    val relation = HadoopFsRelation(index, new StructType(), physSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
-    (spark.baseRelationToDataFrame(relation), index)
+    val df0 = spark.baseRelationToDataFrame(relation)
+    val df =
+      if (!hasAliases) df0
+      else df0.select(schema.fields.toIndexedSeq.map { f =>
+        val alts = Manifest.aliasesOf(f)
+        if (alts.isEmpty) col(f.name)
+        else coalesce((f.name +: alts.reverse).map(col): _*).as(f.name)
+      }: _*)
+    (df, index)
   }
 
   /** Register `table` as temp view `viewName`: from here on, plain
@@ -244,7 +265,9 @@ object ManifestSql {
     *    registered-schema-aware),
     *    `INSERT INTO t REPLACE WHERE <pred> <query>` (selective
     *    overwrite), `ALTER TABLE ADD/DROP CONSTRAINT`,
-    *    `ALTER TABLE ADD COLUMN`, `DROP TABLE`, `TRUNCATE TABLE`;
+    *    `ALTER TABLE ADD/DROP/RENAME COLUMN` (metadata DDL — drop
+    *    narrows the registration, rename carries the old name as a
+    *    read alias), `DROP TABLE`, `TRUNCATE TABLE`;
     *  - maintenance: `OPTIMIZE t [MIN n] [TARGET n]`,
     *    `OPTIMIZE t ZORDER BY (a, b) [SPLIT n]`,
     *    `VACUUM RETAIN n VERSIONS [GRACE ms] [DRY RUN]`,
@@ -484,6 +507,17 @@ object ManifestSql {
         Manifest.commitAppendEvolve(spark, root, table, empty,
           allowEvolution = true)
         last = spark.emptyDataFrame
+      case DropColumnRe(table, colName) =>
+        // ALTER TABLE t DROP COLUMN c: metadata DDL — registers the
+        // narrowed schema; old files keep the bytes invisibly, the
+        // name becomes reserved (re-adding would resurrect old values)
+        Manifest.commitDropColumn(spark, root, table, colName)
+        last = spark.emptyDataFrame
+      case RenameColumnRe(table, from, to) =>
+        // ALTER TABLE t RENAME COLUMN a TO b: metadata DDL — the old
+        // name rides as a read alias; no data moves
+        Manifest.commitRenameColumn(spark, root, table, from, to)
+        last = spark.emptyDataFrame
       case OptimizeRe(table, minS, targetS) =>
         // OPTIMIZE t [MIN <bytes>] [TARGET <bytes>]: with MIN, the
         // incremental small-file pass (files under MIN bin-pack,
@@ -562,6 +596,12 @@ object ManifestSql {
   private val AddColumnRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ADD\\s+COLUMN\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9_(),\\s]+?)\\s*$").r
+  private val DropColumnRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+DROP\\s+COLUMN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+  private val RenameColumnRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+RENAME\\s+COLUMN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
   private val VacuumRe =
     "(?is)^VACUUM\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(?:\\s+GRACE\\s+(\\d+))?(\\s+DRY\\s+RUN)?\\s*$".r
   private val RestoreRe =
@@ -1769,6 +1809,76 @@ object ManifestSql {
             col("tv").cast("double").as("total_v"))
           .orderBy("user_id").localCheckpoint(true)
         s.catalog.dropTempView("sync_src_q261")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- ALTER TABLE RENAME COLUMN (q262): metadata rename — the
+    //       old name rides as a read alias, NO data moves — followed
+    //       by an UPDATE addressed entirely through the NEW name: the
+    //       DV-update scan must resolve the alias on pre-rename files
+    //       (they physically store `value`) or every match misses.
+    //       Oracle recomputes the post-update state from raw events —
+    //       a missed alias zeroes the doubled half and every group
+    //       shifts. -----
+    Q("q262_sql_rename_column",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN user_id % 2 = 0
+             |    THEN CAST(CAST(value AS DECIMAL(18,4)) * 2 AS DECIMAL(18,4))
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS total_amount
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-rename").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        runDml(s, root,
+          """ALTER TABLE events_log RENAME COLUMN value TO amount;
+            |UPDATE events_log SET amount = amount * 2 WHERE user_id % 2 = 0"""
+            .stripMargin)
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("amount").cast("double").as("total_amount"))
+          .orderBy("event_type").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- ALTER TABLE DROP COLUMN (q263): metadata narrow — every
+    //       read stops serving the column NOW, old files keep the
+    //       bytes invisibly, and the narrowed registration is the
+    //       positional INSERT target from the next statement on (the
+    //       3-column re-insert below lands against it). Oracle
+    //       recomputes the doubled day-1 slice without the dropped
+    //       column. SchemaDdlSpec pins the resurrection guard. -----
+    Q("q263_sql_drop_column",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM (SELECT event_type, user_id FROM events
+             |      UNION ALL
+             |      SELECT event_type, user_id FROM events
+             |      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02 00:00:00')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-dropcol").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        ev.createOrReplaceTempView("events_raw_q263")
+        runDml(s, root,
+          """ALTER TABLE events_log DROP COLUMN value;
+            |INSERT INTO events_log
+            |SELECT user_id, event_type, ts FROM events_raw_q263
+            |WHERE ts < TIMESTAMP '2024-01-02 00:00:00'""".stripMargin)
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("event_type").localCheckpoint(true)
+        s.catalog.dropTempView("events_raw_q263")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

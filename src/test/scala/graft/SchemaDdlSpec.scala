@@ -1,0 +1,137 @@
+package graft
+
+import graft.ops.Manifest
+import graft.sources.ManifestSql
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** DROP COLUMN and RENAME COLUMN as metadata DDL (q262/q263): the
+  * narrowed/renamed registration serves every read path (API read,
+  * SQL view, change feed), writes use current names only, DML on
+  * renamed tables resolves aliases, and once-stored names are
+  * RESERVED against resurrection.
+  */
+class SchemaDdlSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-schemaddl-spec").toString
+
+  test("DROP COLUMN narrows every read NOW; old files keep bytes invisibly") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "s", "v").coalesce(1))
+    Manifest.commitDropColumn(spark, root, "t", "s")
+    assert(Manifest.readTable(spark, root, "t").columns.toSeq == Seq("k", "v"))
+    // SQL view excludes it too
+    ManifestSql.register(spark, root, "t", "t_dropped_view")
+    assert(spark.table("t_dropped_view").columns.toSeq == Seq("k", "v"))
+    // appends now carry the narrowed shape (positional INSERT)
+    ManifestSql.runDml(spark, root, "INSERT INTO t VALUES (CAST(3 AS BIGINT), 3.0D)")
+    assert(Manifest.readTable(spark, root, "t").count() == 3L)
+    // pre-drop time travel still serves the column
+    assert(Manifest.readTable(spark, root, "t", 1L).columns.contains("s"))
+  }
+
+  test("a dropped name is reserved: re-ADD refuses (resurrection guard)") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, "x", 1.0)).toDF("k", "s", "v").coalesce(1))
+    Manifest.commitDropColumn(spark, root, "t", "s")
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "ALTER TABLE t ADD COLUMN s STRING")
+    }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+  }
+
+  test("DROP COLUMN refuses while a CHECK constraint references it") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Manifest.addCheckConstraint(spark, root, "t", "nonneg", "v >= 0")
+    intercept[IllegalArgumentException] {
+      Manifest.commitDropColumn(spark, root, "t", "v")
+    }
+    Manifest.dropCheckConstraint(root, "t", "nonneg")
+    Manifest.commitDropColumn(spark, root, "t", "v") // now fine
+    assert(Manifest.readTable(spark, root, "t").columns.toSeq == Seq("k"))
+  }
+
+  test("RENAME COLUMN: old files serve values under the new name everywhere") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amount").coalesce(1))
+    ManifestSql.runDml(spark, root, "ALTER TABLE t RENAME COLUMN amount TO total")
+    // API read
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0), got.toString)
+    assert(Manifest.readTable(spark, root, "t").columns.toSeq == Seq("k", "total"))
+    // SQL view, with a predicate on the renamed column
+    ManifestSql.register(spark, root, "t", "t_renamed_view")
+    assert(spark.sql(
+      "SELECT k FROM t_renamed_view WHERE total > 15").collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    // appends land under the NEW name; mixed files both resolve
+    ManifestSql.runDml(spark, root, "INSERT INTO t VALUES (CAST(3 AS BIGINT), 30.0D)")
+    val all = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0), all.toString)
+  }
+
+  test("DML on a renamed table resolves aliases: UPDATE/DELETE by new name") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "amount").coalesce(1))
+    Manifest.commitRenameColumn(spark, root, "t", "amount", "total")
+    ManifestSql.runDml(spark, root,
+      "UPDATE t SET total = total * 10 WHERE total >= 2; DELETE FROM t WHERE total = 30.0")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 2 updated to 20 via the alias-resolved scan; 3 (→30) deleted
+    assert(got == Map(1L -> 1.0, 2L -> 20.0), got.toString)
+  }
+
+  test("compaction normalizes renamed columns; change feed serves current names") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "amount").coalesce(1))
+    Manifest.commitRenameColumn(spark, root, "t", "amount", "total")
+    Manifest.commitAppend(spark, root, "t", Seq((3L, 3.0)).toDF("k", "total"))
+    // feed across the rename boundary carries the CURRENT name
+    val feed = Manifest.readChangeFeed(spark, root, "t", 0L)
+    assert(feed.columns.contains("total") && !feed.columns.contains("amount"))
+    assert(feed.filter(col("_change_type") === "insert").count() == 3L)
+    // compaction rewrites under the current name: the physical footer
+    // of the compacted table has no 'amount' anywhere
+    Manifest.compactTable(spark, root, "t", targetBytes = 1L << 30)
+    val v = Manifest.snapshotVersion(root)
+    val files = Manifest.manifestRows(spark, root, v)
+      .collect { case (tb, f, _) if tb == "t" => s"$root/$f" }
+    assert(files.forall(p =>
+      spark.read.parquet(p).columns.toSeq == Seq("k", "total")), files)
+    assert(Manifest.readTable(spark, root, "t").count() == 3L)
+  }
+
+  test("rename chain a→b→c resolves all vintages; old names stay reserved") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "a").coalesce(1))
+    Manifest.commitRenameColumn(spark, root, "t", "a", "b")
+    Manifest.commitAppend(spark, root, "t", Seq((2L, 2.0)).toDF("k", "b"))
+    Manifest.commitRenameColumn(spark, root, "t", "b", "c")
+    Manifest.commitAppend(spark, root, "t", Seq((3L, 3.0)).toDF("k", "c"))
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), got.toString)
+    // both former names refuse re-introduction
+    intercept[IllegalArgumentException] {
+      Manifest.commitRenameColumn(spark, root, "t", "c", "a")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "ALTER TABLE t ADD COLUMN b DOUBLE")
+    }
+  }
+}
