@@ -2038,6 +2038,54 @@ object Manifest {
     total
   }
 
+  /** Metadata-only MIN/MAX — `SELECT min(c), max(c)` answered from the
+    * manifest's per-file stats (the aggregate pushdown every
+    * production format serves; at 100 TB: driver-side arithmetic over
+    * a metadata-sized row list, zero data I/O). EXACT from metadata
+    * only for a file with recorded stats for `column` and NO deletion
+    * vector — a DV may have deleted precisely the extreme row, so
+    * DV'd files are scanned (merge-on-read-masked) instead, as are
+    * stat-less vintages; the hybrid can be slower, never wrong. Files
+    * with a recorded NULL bound (no non-null values) contribute
+    * nothing, exactly like SQL MIN/MAX. Comparison is the pruner's
+    * typed stat-string compare (`castType` as in [[Pred]]). Returns
+    * None for an empty or all-NULL column. */
+  def columnBounds(s: SparkSession, root: String, table: String,
+                   column: String, castType: String,
+                   version: Long = -1L): Option[(String, String)] = {
+    val v = if (version > 0) version else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val rows = manifestRows(s, root, v)
+      .collect { case (t, f, st) if t == table => (f, st) }
+    require(rows.nonEmpty, s"table $table absent from snapshot v$v")
+    val tsExact = sessionZone(s).getRules.isFixedOffset
+    def cmp(a: String, b: String): Int =
+      cmpStatStrings(a, b, castType, tsExact).getOrElse(
+        throw new IllegalArgumentException(
+          s"columnBounds: cannot compare $castType stat strings ('$a', '$b')"))
+    val (statted, scan) = rows.partition { case (_, st) =>
+      st != null && dvRefOf(st).isEmpty && parseStatsJson(st).contains(column) }
+    val metaBounds = statted.flatMap { case (_, st) =>
+      parseStatsJson(st)(column) match {
+        case (Some(mn), Some(mx)) => Some((mn, mx))
+        case _ => None // recorded null bound: file holds no non-null value
+      }
+    }
+    val scanBounds: Option[(String, String)] =
+      if (scan.isEmpty) None
+      else {
+        val r = readResolved(s, root, scan, registeredSchema(s, root, table, v))
+          .agg(min(col(column)).cast("string"),
+            max(col(column)).cast("string")).head()
+        if (r.isNullAt(0)) None else Some((r.getString(0), r.getString(1)))
+      }
+    val all = metaBounds ++ scanBounds
+    if (all.isEmpty) None
+    else Some((
+      all.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+      all.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+  }
+
   /** Incremental consumption (Delta CDF-lite at FILE granularity): the
     * rows ADDED to `table` in versions (fromVersion, toVersion]. A
     * downstream job that processed the table at `fromVersion` reads

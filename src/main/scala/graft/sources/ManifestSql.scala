@@ -1881,6 +1881,39 @@ object ManifestSql {
         s.catalog.dropTempView("events_raw_q263")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- metadata-only MIN/MAX (q265): the aggregate-pushdown
+    //       complement of q224's count — both bounds answer from the
+    //       manifest's per-file stats alone (the q225 root: every file
+    //       stat-covered, no DVs; BoundsSpec proves the data files
+    //       need not even exist and pins the DV/stat-less hybrid).
+    //       The all-NULL-value files contribute nothing, exactly like
+    //       SQL MIN/MAX — a null bound misread as a value would shift
+    //       min_v. Oracle recomputes all four bounds from raw events
+    //       with the engineered null structure. -----
+    Q("q265_metadata_minmax",
+      Some("""SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS min_ts,
+             |  CAST(max(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS max_ts,
+             |  CAST(min(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00' THEN NULL
+             |    WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' AND user_id % 3 = 0 THEN NULL
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS min_v,
+             |  CAST(max(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00' THEN NULL
+             |    WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' AND user_id % 3 = 0 THEN NULL
+             |    ELSE CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS max_v
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val root = nullStatsRoot(s, dir)
+        val (minTs, maxTs) = Manifest.columnBounds(s, root, "events_nulls",
+          "ts", "timestamp").get
+        val (minV, maxV) = Manifest.columnBounds(s, root, "events_nulls",
+          "value", "decimal(18,4)").get
+        Seq((minTs, maxTs, minV, maxV)).toDF("a", "b", "c", "d")
+          .select(col("a").cast("timestamp").as("min_ts"),
+            col("b").cast("timestamp").as("max_ts"),
+            col("c").cast("double").as("min_v"),
+            col("d").cast("double").as("max_v"))
       })
   )
 
