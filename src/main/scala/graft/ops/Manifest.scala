@@ -644,7 +644,13 @@ object Manifest {
     casCommit(s, root, { base =>
       require(base > 0 && manifestRows(s, root, base).exists(_._1 == table),
         s"DROP TABLE: $table absent from snapshot v$base at $root")
+      // an EMPTY marker UNREGISTERS the schema atomically with the
+      // drop: a later CREATE TABLE of the same name must not inherit
+      // the dead table's registration (NULL-filling or alias-mapping
+      // the new files against the old shape); UNDROP re-registers
       deltaOrFull(s, root, base, Seq(table), Nil)
+        .copy(extras = Seq(schemaMarker(table) ->
+          StructType(Nil).json.getBytes("UTF-8")))
     }, maxRetries)
 
   /** TRUNCATE TABLE: replace `table`'s content with zero rows, SCHEMA
@@ -2587,6 +2593,9 @@ object Manifest {
       .map(p => org.apache.spark.sql.types.DataType
         .fromJson(new String(Files.readAllBytes(p), "UTF-8"))
         .asInstanceOf[StructType])
+      // an EMPTY marker is DROP TABLE's unregistration sentinel: the
+      // NEWEST marker wins outright (no fallback to an older one)
+      .filter(_.fields.nonEmpty)
   }
 
   /** Read an evolved table with its REGISTERED schema pinned: files
@@ -3379,6 +3388,62 @@ object Manifest {
       catch { case _: IllegalStateException => () } // already present
     }
     newV
+  }
+
+  /** UNDROP TABLE — Snowflake's recovery verb: restore `table` to its
+    * state at the newest main-visible version where it existed, as
+    * ONE metadata commit re-adding that snapshot's rows (DROP is
+    * metadata, so the files are still on disk until [[vacuum]]
+    * collects them — every referenced file is existence-checked and a
+    * vacuumed table refuses loudly rather than resurrecting a hole).
+    * The registered schema at that version rides the claim. Refuses
+    * while the table currently exists. */
+  def commitUndropTable(s: SparkSession, root: String, table: String,
+                        maxRetries: Int = 5): Long = {
+    val vs = claimedVersions(root)
+      .filter(v => manifestReadable(root, v) && mainVisible(root, v))
+      .sorted.reverse
+    require(vs.nonEmpty, s"no committed snapshot at $root")
+    val lastWith = vs.find(v =>
+      manifestRows(s, root, v).exists(_._1 == table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"UNDROP $table: no retained version of $root ever held it"))
+    val rows = manifestRows(s, root, lastWith)
+      .collect { case (t, f, st) if t == table => (t, f, st) }
+    val gone = rows.collect { case (_, f, _)
+      if !Files.exists(Paths.get(root, f)) => f }
+    require(gone.isEmpty,
+      s"UNDROP $table: ${gone.size} data files of v$lastWith were " +
+        s"vacuumed (${gone.take(3).mkString(", ")}…) — beyond recovery")
+    val schemaExtras = registeredSchema(s, root, table, lastWith).toSeq
+      .map(sch => schemaMarker(table) -> sch.json.getBytes("UTF-8"))
+    casCommit(s, root, { b =>
+      if (manifestRows(s, root, b).exists(_._1 == table))
+        throw new IllegalArgumentException(
+          s"UNDROP $table: the table currently exists at $root")
+      deltaOrFull(s, root, b, Nil, rows, Nil).copy(extras = schemaExtras)
+    }, maxRetries)
+  }
+
+  /** DESCRIBE DETAIL — the one-row operational summary every format
+    * serves: current (or pinned) version, file count, exact row count
+    * ([[countRows]]: footer counts minus DV positions), on-disk bytes,
+    * DV'd file count, and whether a schema registration governs reads.
+    * Metadata arithmetic + one `stat` per file; no data I/O. */
+  def describeDetail(s: SparkSession, root: String, table: String,
+                     version: Long = -1L): DataFrame = {
+    import s.implicits._
+    val v = if (version > 0) version else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val rows = manifestRows(s, root, v)
+      .collect { case (t, f, st) if t == table => (f, st) }
+    require(rows.nonEmpty, s"table $table absent from snapshot v$v")
+    val bytes = rows.map { case (f, _) => Files.size(Paths.get(root, f)) }.sum
+    val nDv = rows.count { case (_, st) => dvRefOf(st).isDefined }
+    Seq((table, v, rows.size.toLong, countRows(s, root, table, v), bytes,
+      nDv.toLong, registeredSchema(s, root, table, v).isDefined))
+      .toDF("table_name", "version", "n_files", "n_rows", "size_bytes",
+        "n_dv_files", "schema_registered")
   }
 
   /** Constraint marker write without the existing-data scan — the

@@ -267,12 +267,14 @@ object ManifestSql {
     *    overwrite), `ALTER TABLE ADD/DROP CONSTRAINT`,
     *    `ALTER TABLE ADD/DROP/RENAME COLUMN` (metadata DDL — drop
     *    narrows the registration, rename carries the old name as a
-    *    read alias), `DROP TABLE`, `TRUNCATE TABLE`;
+    *    read alias), `DROP TABLE`, `UNDROP TABLE` (metadata restore
+    *    of the newest pre-drop state), `TRUNCATE TABLE`;
     *  - maintenance: `OPTIMIZE t [MIN n] [TARGET n]`,
     *    `OPTIMIZE t ZORDER BY (a, b) [SPLIT n]`,
     *    `VACUUM RETAIN n VERSIONS [GRACE ms] [DRY RUN]`,
     *    `RESTORE TABLE t TO VERSION AS OF n`;
-    *  - catalog reads: `DESCRIBE HISTORY`, `SHOW TABLES`;
+    *  - catalog reads: `DESCRIBE HISTORY`, `DESCRIBE DETAIL`,
+    *    `SHOW TABLES`;
     *  - time travel in plain SELECT text: `FROM t VERSION AS OF n` /
     *    `TIMESTAMP AS OF '<ts>'` ([[rewriteTimeTravel]] — applied to
     *    every fall-through statement, quote-aware,
@@ -564,6 +566,13 @@ object ManifestSql {
       case DropTableRe(table) =>
         Manifest.commitDropTable(spark, root, table)
         last = spark.emptyDataFrame
+      case UndropTableRe(table) =>
+        // UNDROP TABLE t: restore the newest main-visible pre-drop
+        // state — metadata only (drop never deleted the files)
+        Manifest.commitUndropTable(spark, root, table)
+        last = spark.emptyDataFrame
+      case DescribeDetailRe(table) =>
+        last = Manifest.describeDetail(spark, root, table)
       case TruncateRe(table) =>
         Manifest.commitTruncate(spark, root, table)
         last = spark.emptyDataFrame
@@ -611,6 +620,10 @@ object ManifestSql {
   private val ShowTablesRe = "(?is)^SHOW\\s+TABLES\\s*$".r
   private val DropTableRe =
     "(?is)^DROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val UndropTableRe =
+    "(?is)^UNDROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val DescribeDetailRe =
+    "(?is)^DESCRIBE\\s+DETAIL\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val TruncateRe =
     "(?is)^TRUNCATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
 
@@ -1914,6 +1927,55 @@ object ManifestSql {
             col("b").cast("timestamp").as("max_ts"),
             col("c").cast("double").as("min_v"),
             col("d").cast("double").as("max_v"))
+      }),
+
+    // ----- UNDROP TABLE (q266): the fat-finger recovery verb — DROP
+    //       is metadata, so UNDROP is one metadata commit re-adding
+    //       the newest pre-drop file set (existence-checked: a
+    //       vacuumed table refuses rather than resurrecting a hole).
+    //       An unrelated commit lands BETWEEN drop and undrop, so the
+    //       restore provably searches history rather than "previous
+    //       version". Oracle recomputes the original aggregate: a
+    //       stale or partial restore shifts every group. -----
+    Q("q266_sql_undrop",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-undrop").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        runDml(s, root, "DROP TABLE events_log")
+        // an unrelated commit between drop and undrop
+        Manifest.commitAppend(s, root, "audit",
+          Seq(("drop", 1L)).toDF("op", "n").coalesce(1))
+        runDml(s, root, "UNDROP TABLE events_log")
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- DESCRIBE DETAIL (q267): the one-row operational summary —
+    //       version, file count, exact row count (footer counts minus
+    //       DV positions), DV'd-file count — all metadata arithmetic
+    //       over the q240 two-table atomic commit (version and file
+    //       counts are fixture constants the oracle states literally;
+    //       the row count recomputes from raw events). -----
+    Q("q267_sql_describe_detail",
+      Some("""SELECT 'events_log' AS table_name, CAST(1 AS BIGINT) AS version,
+             |  CAST(8 AS BIGINT) AS n_files, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(0 AS BIGINT) AS n_dv_files FROM events""".stripMargin),
+      (s, dir) => {
+        val root = Manifest.showTablesRoot(s, dir)
+        runDml(s, root, "DESCRIBE DETAIL events_log")
+          .select("table_name", "version", "n_files", "n_rows", "n_dv_files")
       })
   )
 

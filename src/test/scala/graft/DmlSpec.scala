@@ -485,6 +485,62 @@ class DmlSpec extends SparkSuite {
     assert(got2 == Map(2L -> 21.0, 9L -> 9.0), got2.toString)
   }
 
+  test("UNDROP TABLE restores the newest pre-drop state; guards hold") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 6L).toDF("k").coalesce(2))
+    Manifest.commitAppend(spark, root, "other",
+      Seq(1L).toDF("x").coalesce(1))
+    ManifestSql.runDml(spark, root, "DROP TABLE t")
+    intercept[Exception] { Manifest.readTable(spark, root, "t") }
+    // unrelated commit between drop and undrop
+    Manifest.commitAppend(spark, root, "other", Seq(2L).toDF("x").coalesce(1))
+    ManifestSql.runDml(spark, root, "UNDROP TABLE t")
+    assert(Manifest.readTable(spark, root, "t").count() == 6L)
+    // refuse while the table exists; refuse a name that never existed
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "UNDROP TABLE t")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "UNDROP TABLE ghost")
+    }
+    // vacuumed beyond recovery refuses loudly instead of resurrecting
+    ManifestSql.runDml(spark, root, "DROP TABLE t")
+    Manifest.vacuum(spark, root, keep = 1, graceMs = 0L)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "UNDROP TABLE t")
+    }
+  }
+
+  test("DROP TABLE unregisters the schema: a recreated table starts fresh") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root, "ALTER TABLE t ADD COLUMN extra BIGINT")
+    assert(Manifest.registeredSchema(spark, root, "t").exists(_.length == 3))
+    ManifestSql.runDml(spark, root, "DROP TABLE t")
+    assert(Manifest.registeredSchema(spark, root, "t").isEmpty)
+    // recreate with a DIFFERENT shape: no stale registration leaks
+    ManifestSql.runDml(spark, root,
+      "CREATE TABLE t AS SELECT * FROM VALUES ('a', 1) AS v(s, n)")
+    assert(Manifest.readTable(spark, root, "t").columns.toSeq == Seq("s", "n"))
+    // UNDROP re-registers: drop the new one, restore the OLD t
+    ManifestSql.runDml(spark, root, "DROP TABLE t; UNDROP TABLE t")
+    assert(Manifest.readTable(spark, root, "t").columns.toSeq == Seq("s", "n"))
+  }
+
+  test("DESCRIBE DETAIL reports metadata-exact counts, DV-aware") {
+    val root = freshRoot()
+    Manifest.commitAppendStats(spark, root, "t",
+      (1L to 100L).toDF("k"), Seq("k"), "k", 4)
+    ManifestSql.runDml(spark, root, "DELETE FROM t WHERE k <= 10")
+    val d = ManifestSql.runDml(spark, root, "DESCRIBE DETAIL t").head()
+    assert(d.getString(0) == "t")
+    assert(d.getLong(2) == 4L, s"n_files: $d")      // DV delete rewrites nothing
+    assert(d.getLong(3) == 90L, s"n_rows: $d")
+    assert(d.getLong(5) >= 1L, s"n_dv_files: $d")
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF resolve as SQL text") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
