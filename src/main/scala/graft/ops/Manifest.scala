@@ -262,23 +262,7 @@ object Manifest {
       try df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
       finally s.conf.set(key, prevTs)
     }
-    val preferred = Paths.get(root, "data", s"v$hint", table)
-    Files.createDirectories(preferred.getParent)
-    val dest =
-      try { Files.move(tmp.resolve("d"), preferred,
-        StandardCopyOption.ATOMIC_MOVE); preferred }
-      catch {
-        // FileSystemException covers every contended-rename shape the
-        // JDK emits (FileAlreadyExists, DirectoryNotEmpty, AccessDenied,
-        // and the bare "Directory not empty" variant Linux rename(2)
-        // surfaces) — the loser just takes a token-suffixed prefix
-        case _: java.nio.file.FileSystemException =>
-          val alt = Paths.get(root, "data",
-            s"v$hint-${java.util.UUID.randomUUID().toString.take(8)}", table)
-          Files.createDirectories(alt.getParent)
-          Files.move(tmp.resolve("d"), alt, StandardCopyOption.ATOMIC_MOVE)
-          alt
-      }
+    val dest = claimDataDir(root, hint, table, tmp.resolve("d"))
     Staging.deleteRecursively(tmp)
     val rel = Paths.get(root).relativize(dest).toString.replace('\\', '/')
     val l = Files.list(dest)
@@ -292,6 +276,28 @@ object Manifest {
     // aborts with nothing to undo but the dir itself
     enforceChecks(s, root, table, files)
     files
+  }
+
+  /** Move a fully-staged data dir into its claimed slot under
+    * `root/data`. */
+  private def claimDataDir(root: String, hint: Long, table: String,
+                           staged: Path): Path = {
+    val preferred = Paths.get(root, "data", s"v$hint", table)
+    Files.createDirectories(preferred.getParent)
+    try { Files.move(staged, preferred,
+      StandardCopyOption.ATOMIC_MOVE); preferred }
+    catch {
+      // FileSystemException covers every contended-rename shape the
+      // JDK emits (FileAlreadyExists, DirectoryNotEmpty, AccessDenied,
+      // and the bare "Directory not empty" variant Linux rename(2)
+      // surfaces) — the loser just takes a token-suffixed prefix
+      case _: java.nio.file.FileSystemException =>
+        val alt = Paths.get(root, "data",
+          s"v$hint-${java.util.UUID.randomUUID().toString.take(8)}", table)
+        Files.createDirectories(alt.getParent)
+        Files.move(staged, alt, StandardCopyOption.ATOMIC_MOVE)
+        alt
+    }
   }
 
   /** One claim's content: the ops log plus the delta parent (None =
@@ -3444,6 +3450,67 @@ object Manifest {
       nDv.toLong, registeredSchema(s, root, table, v).isDefined))
       .toDF("table_name", "version", "n_files", "n_rows", "size_bytes",
         "n_dv_files", "schema_registered")
+  }
+
+  /** CONVERT TO — register an EXISTING parquet directory as a
+    * manifest table with ZERO data movement (Delta's `CONVERT TO
+    * DELTA`, Iceberg's `add_files`): each source file is HARDLINKED
+    * under the table root (same inode — not one data byte is copied
+    * or rewritten; a cross-filesystem source refuses loudly rather
+    * than silently degrading to a 100-TB copy), per-file
+    * [min, max] / null-count / row-count stats for `statsCols` come
+    * from the parquet FOOTERS (one footer read per file — the import
+    * is metadata work at any scale; files whose footers can't answer
+    * fall back to the one-pass Spark read like every stats append),
+    * and the whole file set becomes ONE atomic commit. CREATE
+    * semantics: refuses if the table already exists (append-import =
+    * CONVERT into a fresh name + MERGE/INSERT). The source dir stays
+    * untouched and readable — hardlinks mean vacuum later unlinks
+    * only the table's name for the bytes, never the source's. */
+  def commitImportDir(s: SparkSession, root: String, table: String,
+                      srcDir: String, statsCols: Seq[String] = Nil,
+                      maxRetries: Int = 5): Long = {
+    require(table.matches("[A-Za-z0-9_.-]+") && table.exists(_ != '.'),
+      s"unsafe table name: $table")
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src), s"CONVERT: $srcDir is not a directory")
+    val l = Files.list(src)
+    val srcFiles =
+      try l.iterator().asScala.toList
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .sortBy(_.getFileName.toString)
+      finally l.close()
+    require(srcFiles.nonEmpty, s"CONVERT: no parquet files under $srcDir")
+    Files.createDirectories(Paths.get(root))
+    val hint = nextVersion(root)
+    val tmp = Files.createTempDirectory(Paths.get(root), "import-stage.tmp-")
+    val dest = try {
+      val d = tmp.resolve("d")
+      Files.createDirectories(d)
+      srcFiles.foreach { f =>
+        try Files.createLink(d.resolve(f.getFileName.toString), f)
+        catch {
+          case e: java.nio.file.FileSystemException =>
+            throw new IllegalArgumentException(
+              s"CONVERT: cannot hardlink $f under $root (cross-filesystem " +
+                s"source?) — stage the files onto the table's filesystem " +
+                s"first; refusing to silently copy data", e)
+        }
+      }
+      claimDataDir(root, hint, table, d)
+    } finally Staging.deleteRecursively(tmp)
+    val rel = Paths.get(root).relativize(dest).toString.replace('\\', '/')
+    val relFiles = srcFiles.map(f => s"$rel/${f.getFileName.toString}")
+    enforceChecks(s, root, table, relFiles)
+    val newRows = statsRowsFor(s, root, table, relFiles, statsCols)
+    casCommit(s, root, { base =>
+      if (base > 0 && manifestRows(s, root, base).exists(_._1 == table))
+        throw new IllegalArgumentException(
+          s"CONVERT: $table already exists at $root")
+      deltaOrFull(s, root, base, Nil, newRows)
+    }, maxRetries)
   }
 
   /** Constraint marker write without the existing-data scan — the

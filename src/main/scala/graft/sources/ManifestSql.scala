@@ -573,6 +573,18 @@ object ManifestSql {
         last = spark.emptyDataFrame
       case DescribeDetailRe(table) =>
         last = Manifest.describeDetail(spark, root, table)
+      case ConvertRe(table, dir, statsOpt) =>
+        // CONVERT TO t FROM '<dir>' [STATS (a, b)]: zero-copy import
+        // of an existing parquet directory — hardlinks + footer
+        // stats, one atomic commit; not a byte of data moves
+        val cols = Option(statsOpt).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val v = Manifest.commitImportDir(spark, root, table, dir, cols)
+        val n = Manifest.manifestRows(spark, root, v)
+          .count(_._1 == table).toLong
+        last = { import spark.implicits._
+          Seq((table, v, n, Manifest.countRows(spark, root, table, v)))
+            .toDF("table_name", "version", "n_files", "n_rows") }
       case TruncateRe(table) =>
         Manifest.commitTruncate(spark, root, table)
         last = spark.emptyDataFrame
@@ -624,6 +636,9 @@ object ManifestSql {
     "(?is)^UNDROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val DescribeDetailRe =
     "(?is)^DESCRIBE\\s+DETAIL\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val ConvertRe =
+    ("(?is)^CONVERT\\s+TO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*$").r
   private val TruncateRe =
     "(?is)^TRUNCATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
 
@@ -1976,6 +1991,44 @@ object ManifestSql {
         val root = Manifest.showTablesRoot(s, dir)
         runDml(s, root, "DESCRIBE DETAIL events_log")
           .select("table_name", "version", "n_files", "n_rows", "n_dv_files")
+      }),
+
+    // ----- CONVERT TO (q268): zero-copy import of an existing
+    //       parquet directory — every file HARDLINKS under the table
+    //       root (no byte copied; at 100 TB the import is one footer
+    //       read per file plus one commit), per-file stats come from
+    //       the footers, and the converted table immediately serves
+    //       the pruning SQL surface. Oracle recomputes the filtered
+    //       aggregate from the raw source: a lost/duplicated file or
+    //       a wrong prune shifts the groups. -----
+    Q("q268_sql_convert",
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem WHERE l_orderkey <= 3000
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val li = graft.Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(18,4)")
+              .as("l_extendedprice"))
+        val src = Files.createTempDirectory("graft-convert-src").toString
+        li.repartitionByRange(6, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey")
+          .write.mode("overwrite").parquet(src)
+        val root = Files.createTempDirectory("graft-sql-convert").toString
+        runDml(s, root, s"CONVERT TO li FROM '$src' STATS (l_orderkey)")
+        register(s, root, "li", "converted_li")
+        val out = s.sql(
+          """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+            |  CAST(sum(l_extendedprice) AS DOUBLE) AS revenue
+            |FROM converted_li WHERE l_orderkey <= 3000
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("converted_li")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        graft.ops.Staging.deleteRecursively(Paths.get(src))
+        out
       })
   )
 

@@ -5,6 +5,7 @@ import graft.sources.ManifestSql
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** SQL DML over manifest tables (q219): verbatim DELETE/UPDATE text
   * routes to the merge-on-read commit path; the statement splits
@@ -527,6 +528,52 @@ class DmlSpec extends SparkSuite {
     // UNDROP re-registers: drop the new one, restore the OLD t
     ManifestSql.runDml(spark, root, "DROP TABLE t; UNDROP TABLE t")
     assert(Manifest.readTable(spark, root, "t").columns.toSeq == Seq("s", "n"))
+  }
+
+  test("CONVERT TO imports a parquet dir zero-copy with footer stats") {
+    val root = freshRoot()
+    val src = Files.createTempDirectory("graft-convert-spec")
+    (1L to 100L).toDF("k").repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(src.toString)
+    val rep = ManifestSql.runDml(spark, root,
+      s"CONVERT TO t FROM '$src' STATS (k)").head()
+    assert(rep.getLong(2) == 4L, rep.toString)   // n_files
+    assert(rep.getLong(3) == 100L, rep.toString) // n_rows (footer-exact)
+    // ZERO-COPY: every table data file shares an inode with a source
+    // file — hardlinks, not copies
+    def inodes(dir: java.nio.file.Path): Set[Any] = {
+      val l = Files.list(dir)
+      try l.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.getAttribute(_, "unix:ino")).toSet
+      finally l.close()
+    }
+    val srcIno = inodes(src)
+    val tblIno = Manifest.manifestRows(spark, root,
+      Manifest.snapshotVersion(root))
+      .collect { case ("t", f, _) =>
+        Files.getAttribute(java.nio.file.Paths.get(root, f), "unix:ino") }
+      .toSet
+    assert(tblIno == srcIno, s"expected shared inodes, got $tblIno vs $srcIno")
+    // the footer stats prune inside the SQL plan
+    val index = ManifestSql.register(spark, root, "t", "conv_t_spec")
+    spark.sql("SELECT count(*) AS n FROM conv_t_spec WHERE k <= 25").collect()
+    val (kept, total) = index.lastPrune
+    assert(total == 4 && kept < total, s"kept $kept/$total")
+    spark.catalog.dropTempView("conv_t_spec")
+    // CREATE semantics + bad-source refusals; source stays readable
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, s"CONVERT TO t FROM '$src'")
+    }
+    val empty = Files.createTempDirectory("graft-convert-empty")
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, s"CONVERT TO t2 FROM '$empty'")
+    }
+    assert(spark.read.parquet(src.toString).count() == 100L)
+    // the converted table is a full citizen: DML lands on it
+    ManifestSql.runDml(spark, root, "DELETE FROM t WHERE k <= 10")
+    assert(Manifest.readTable(spark, root, "t").count() == 90L)
   }
 
   test("DESCRIBE DETAIL reports metadata-exact counts, DV-aware") {
