@@ -284,7 +284,7 @@ object ManifestSql {
     * their reports; DML returns an empty relation). */
   def runDml(spark: SparkSession, root: String, script: String): DataFrame = {
     var last = spark.emptyDataFrame
-    graft.ops.Sql.splitStatements(script).foreach {
+    val exec: String => Unit = {
       case DeleteRe(table, rest) =>
         Option(rest).map(_.trim).filter(_.nonEmpty) match {
           case None => // unqualified DELETE: all rows
@@ -595,7 +595,77 @@ object ManifestSql {
         // version pinning under the hood)
         last = spark.sql(rewriteTimeTravel(spark, root, other))
     }
+    // BEGIN [TRANSACTION] ... COMMIT spans fold into ONE atomic
+    // multi-table commit; ROLLBACK discards the span (every effect is
+    // deferred to COMMIT, so rollback has nothing to undo). Every
+    // statement outside a span commits atomically on its own, as
+    // before.
+    val stmts = graft.ops.Sql.splitStatements(script).toIndexedSeq
+    var i = 0
+    while (i < stmts.length) {
+      stmts(i) match {
+        case st if BeginRe.matches(st) =>
+          val end = stmts.indexWhere(t =>
+            CommitTxnRe.matches(t) || RollbackRe.matches(t), i + 1)
+          require(end > 0,
+            s"BEGIN without a matching COMMIT/ROLLBACK in the script")
+          val body = stmts.slice(i + 1, end)
+          require(!body.exists(BeginRe.matches),
+            "nested BEGIN: transactions do not nest")
+          if (CommitTxnRe.matches(stmts(end)))
+            last = commitTxn(spark, root, body)
+          i = end + 1
+        case st if CommitTxnRe.matches(st) || RollbackRe.matches(st) =>
+          throw new IllegalArgumentException(s"$st without BEGIN")
+        case st =>
+          exec(st)
+          i += 1
+      }
+    }
     last
+  }
+
+  /** `BEGIN; INSERT INTO a ...; INSERT INTO b ...; COMMIT` — the span
+    * lands as ONE claim ([[Manifest.commitAppendMulti]]): a fact batch
+    * and its audit/summary rows can never be observed apart, at any
+    * version, under any crash — and a failure ANYWHERE in the span
+    * (analysis error, CHECK violation on the last batch) leaves
+    * NOTHING visible; already-published files stay unclaimed and
+    * vacuum collects them. Supported verb inside a span: `INSERT INTO`
+    * (multi-table atomic ingest — the transaction every warehouse
+    * actually runs); every other verb is already a single atomic
+    * commit on its own and refuses loudly inside a span. Reads inside
+    * the span see the PRE-transaction state (effects defer to
+    * COMMIT). Returns the commit report. */
+  private def commitTxn(spark: SparkSession, root: String,
+                        body: Seq[String]): DataFrame = {
+    require(body.nonEmpty, "empty transaction: nothing to commit")
+    val parsed = body.map {
+      case InsertRe(table, query) => (table, query)
+      case other => throw new IllegalArgumentException(
+        "only INSERT INTO is supported inside BEGIN...COMMIT (every " +
+          s"other verb is its own atomic commit): $other")
+    }
+    val batches = parsed.map { case (table, query) =>
+      val target = Manifest.registeredSchema(spark, root, table)
+        .getOrElse(Manifest.readTable(spark, root, table).schema)
+      val batch = spark.sql(query)
+      require(batch.schema.length == target.length,
+        s"INSERT INTO $table: ${batch.schema.length} columns provided, " +
+          s"table has ${target.length}")
+      table -> batch.toDF(target.fieldNames.toIndexedSeq: _*)
+        .select(target.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType)): _*)
+    }
+    // several INSERTs into the same table union into one batch (the
+    // multi-commit takes one batch per table)
+    val merged = batches.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, bs) => (t, bs.map(_._2).reduce(_ union _), Seq.empty[String])
+    }
+    val v = Manifest.commitAppendMulti(spark, root, merged)
+    import spark.implicits._
+    Seq((v, body.size.toLong, merged.size.toLong))
+      .toDF("version", "n_statements", "n_tables")
   }
 
   // ------------------------------------------------------ COPY INTO (SQL)
@@ -636,6 +706,9 @@ object ManifestSql {
     "(?is)^UNDROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val DescribeDetailRe =
     "(?is)^DESCRIBE\\s+DETAIL\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val BeginRe = "(?is)^BEGIN(?:\\s+TRANSACTION)?\\s*$".r
+  private val CommitTxnRe = "(?is)^COMMIT\\s*$".r
+  private val RollbackRe = "(?is)^ROLLBACK\\s*$".r
   private val ConvertRe =
     ("(?is)^CONVERT\\s+TO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+'([^']+)'" +
       "(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*$").r
@@ -2028,6 +2101,63 @@ object ManifestSql {
         s.catalog.dropTempView("converted_li")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         graft.ops.Staging.deleteRecursively(Paths.get(src))
+        out
+      }),
+
+    // ----- BEGIN ... COMMIT (q269): the multi-statement transaction
+    //       as verbatim text — a fact batch and its audit row land as
+    //       ONE claim (the q218 atomic multi-table commit reached
+    //       from SQL). Oracle recomputes the post-txn state of BOTH
+    //       tables from raw events: a half-applied transaction (facts
+    //       without audit or vice versa) breaks one branch of the
+    //       union. Atomicity-under-failure is DmlSpec's pin. -----
+    Q("q269_sql_transaction",
+      Some("""WITH f AS (SELECT event_type,
+             |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+             |SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(v) AS DOUBLE) AS total
+             |FROM f GROUP BY event_type
+             |UNION ALL
+             |SELECT 'audit:init', (SELECT CAST(count(*) AS BIGINT)
+             |  FROM events
+             |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'),
+             |  CAST(NULL AS DOUBLE)
+             |UNION ALL
+             |SELECT 'audit:w2', (SELECT CAST(count(*) AS BIGINT)
+             |  FROM events
+             |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'),
+             |  CAST(NULL AS DOUBLE)
+             |ORDER BY k""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-txn").toString
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val w1 = ev.filter(col("ts") < cut)
+        Manifest.commitAppend(s, root, "facts",
+          w1.select("event_type", "value").coalesce(2))
+        Manifest.commitAppend(s, root, "audit",
+          w1.agg(count(lit(1)).as("n"))
+            .select(lit("init").as("op"), col("n")).coalesce(1))
+        ev.createOrReplaceTempView("txn_ev_src")
+        runDml(s, root,
+          """BEGIN;
+            |INSERT INTO facts SELECT event_type, value FROM txn_ev_src
+            |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00';
+            |INSERT INTO audit SELECT 'w2', count(*) FROM txn_ev_src
+            |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00';
+            |COMMIT""".stripMargin)
+        val facts = Manifest.readTable(s, root, "facts")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value").cast("double").as("total"))
+          .select(col("event_type").as("k"), col("n"), col("total"))
+        val audit = Manifest.readTable(s, root, "audit")
+          .select(concat(lit("audit:"), col("op")).as("k"), col("n"),
+            lit(null).cast("double").as("total"))
+        val out = facts.union(audit).orderBy("k").localCheckpoint(true)
+        s.catalog.dropTempView("txn_ev_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })
   )

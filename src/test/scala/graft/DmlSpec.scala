@@ -530,6 +530,60 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").columns.toSeq == Seq("s", "n"))
   }
 
+  test("BEGIN...COMMIT lands the span as ONE atomic commit") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "a", Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "b", Seq(("x", 1L)).toDF("s", "n").coalesce(1))
+    val before = Manifest.snapshotVersion(root)
+    val rep = ManifestSql.runDml(spark, root,
+      """BEGIN TRANSACTION;
+        |INSERT INTO a VALUES (2, 2.0);
+        |INSERT INTO a VALUES (3, 3.0);
+        |INSERT INTO b VALUES ('y', 2);
+        |COMMIT""".stripMargin).head()
+    // one claim for three statements across two tables
+    assert(Manifest.snapshotVersion(root) == before + 1)
+    assert(rep.getLong(1) == 3L && rep.getLong(2) == 2L, rep.toString)
+    assert(Manifest.readTable(spark, root, "a").count() == 3L)
+    assert(Manifest.readTable(spark, root, "b").count() == 2L)
+  }
+
+  test("a failure anywhere in a transaction leaves NOTHING visible") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "a", Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "b", Seq(("x", 1L)).toDF("s", "n").coalesce(1))
+    Manifest.addCheckConstraint(spark, root, "b", "n_pos", "n > 0")
+    val before = Manifest.snapshotVersion(root)
+    // the FIRST batch is fine; the SECOND violates b's CHECK — the
+    // already-published first batch must stay unclaimed (invisible)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |INSERT INTO a VALUES (2, 2.0);
+          |INSERT INTO b VALUES ('bad', -5);
+          |COMMIT""".stripMargin)
+    }
+    assert(Manifest.snapshotVersion(root) == before)
+    assert(Manifest.readTable(spark, root, "a").count() == 1L)
+    assert(Manifest.readTable(spark, root, "b").count() == 1L)
+    // ROLLBACK discards the span (effects defer to COMMIT)
+    ManifestSql.runDml(spark, root,
+      "BEGIN; INSERT INTO a VALUES (9, 9.0); ROLLBACK")
+    assert(Manifest.snapshotVersion(root) == before)
+    // guards: non-INSERT verbs, bare COMMIT, unterminated BEGIN
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "BEGIN; DELETE FROM a WHERE k = 1; COMMIT")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "COMMIT")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "BEGIN; INSERT INTO a VALUES (9, 9.0)")
+    }
+    assert(Manifest.readTable(spark, root, "a").count() == 1L)
+  }
+
   test("CONVERT TO imports a parquet dir zero-copy with footer stats") {
     val root = freshRoot()
     val src = Files.createTempDirectory("graft-convert-spec")
