@@ -89,7 +89,7 @@ object Manifest {
     * roots instead of serving old-layout bytes to new readers. */
   private[graft] val layoutKey: String =
     Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema+op-in-claim", "stats=bloomcol",
-      "check-marker=eq-separator")
+      "check-marker=eq-separator", "evolve-rows=nrows-stats")
 
   // ---------------------------------------------------------------- pointer
 
@@ -2050,6 +2050,38 @@ object Manifest {
     total
   }
 
+  /** Metadata-only COUNT(column) — the non-null count answered from
+    * the manifest's per-file stats (`__nrows - __nc_<col>`), the
+    * third member of the aggregate-pushdown family ([[countRows]],
+    * [[columnBounds]]). EXACT from metadata only for a stat-covered
+    * file with NO deletion vector — a DV may have deleted null and
+    * non-null rows in any mix, so DV'd files take the masked scan, as
+    * do stat-less vintages; the hybrid can be slower, never wrong. */
+  def columnNonNullCount(s: SparkSession, root: String, table: String,
+                         column: String, version: Long = -1L): Long = {
+    val v = if (version > 0) version else snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val rows = manifestRows(s, root, v)
+      .collect { case (t, f, st) if t == table => (f, st) }
+    require(rows.nonEmpty, s"table $table absent from snapshot v$v")
+    var total = 0L
+    val unknown = Seq.newBuilder[(String, String)]
+    rows.foreach { case (f, st) =>
+      val m = parseStatsJson(st)
+      (m.get("__nrows").flatMap(_._1), m.get("__nc_" + column).flatMap(_._1)) match {
+        case (Some("0"), _) => // zero-row file: nothing to count
+        case (Some(n), Some(nc)) if dvRefOf(st).isEmpty =>
+          total += n.toLong - nc.toLong
+        case _ => unknown += ((f, st))
+      }
+    }
+    val unk = unknown.result()
+    if (unk.nonEmpty)
+      total += readResolved(s, root, unk, registeredSchema(s, root, table, v))
+        .agg(count(col(column))).head().getLong(0)
+    total
+  }
+
   /** Metadata-only MIN/MAX — `SELECT min(c), max(c)` answered from the
     * manifest's per-file stats (the aggregate pushdown every
     * production format serves; at 100 TB: driver-side arithmetic over
@@ -2075,7 +2107,12 @@ object Manifest {
       cmpStatStrings(a, b, castType, tsExact).getOrElse(
         throw new IllegalArgumentException(
           s"columnBounds: cannot compare $castType stat strings ('$a', '$b')"))
-    val (statted, scan) = rows.partition { case (_, st) =>
+    // a recorded zero-row file contributes nothing to any aggregate
+    // (exact: it holds no rows — and a DV on zero rows cannot exist)
+    val nonEmpty = rows.filterNot { case (_, st) =>
+      st != null &&
+        parseStatsJson(st).get("__nrows").flatMap(_._1).contains("0") }
+    val (statted, scan) = nonEmpty.partition { case (_, st) =>
       st != null && dvRefOf(st).isEmpty && parseStatsJson(st).contains(column) }
     val metaBounds = statted.flatMap { case (_, st) =>
       parseStatsJson(st)(column) match {
@@ -2559,8 +2596,11 @@ object Manifest {
     var current = registeredSchema(s, root, table)
     var evolved = enforceAndUnion(current)
     val hint = nextVersion(root)
-    val newRows = publishData(s, root, hint, table, df)
-      .map(f => (table, f, null: String))
+    // footer stats with no stat columns still record `__nrows`, so
+    // evolve appends stay metadata-countable (and a zero-row
+    // registration-only append never forces a scan)
+    val newRows = statsRowsFor(s, root, table,
+      publishData(s, root, hint, table, df), Nil)
     var tries = 0
     while (true) {
       try {

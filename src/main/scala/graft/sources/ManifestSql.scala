@@ -592,8 +592,11 @@ object ManifestSql {
         // plain SQL text — after resolving any `t VERSION AS OF n` /
         // `t TIMESTAMP AS OF '...'` time-travel clauses against the
         // manifest root (Delta's SQL travel syntax, register-time
-        // version pinning under the hood)
-        last = spark.sql(rewriteTimeTravel(spark, root, other))
+        // version pinning under the hood). Whole-table COUNT/MIN/MAX
+        // statements over a manifest table answer from metadata first
+        // (the Snowflake/Delta aggregate pushdown — zero data I/O).
+        last = metaAggAnswer(spark, root, other).getOrElse(
+          spark.sql(rewriteTimeTravel(spark, root, other)))
     }
     // BEGIN [TRANSACTION] ... COMMIT spans fold into ONE atomic
     // multi-table commit; ROLLBACK discards the span (every effect is
@@ -706,6 +709,89 @@ object ManifestSql {
     "(?is)^UNDROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val DescribeDetailRe =
     "(?is)^DESCRIBE\\s+DETAIL\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  // ------------------------- metadata-only aggregate statements ----
+
+  private val MetaAggRe =
+    ("(?is)^SELECT\\s+(.+?)\\s+FROM\\s+([A-Za-z0-9_.-]+)" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*$").r
+  private val MetaAggItemRe =
+    ("(?is)^(count|min|max)\\s*\\(\\s*(\\*|[A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
+      "(?:\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*))?$").r
+
+  /** Whole-table `SELECT count(*) | count(c) | min(c) | max(c) [AS a],
+    * ... FROM <manifest table> [VERSION AS OF n]` answers from the
+    * per-file metadata ([[Manifest.countRows]],
+    * [[Manifest.columnNonNullCount]], [[Manifest.columnBounds]]) —
+    * the aggregate pushdown every warehouse serves: at 100 TB these
+    * are driver-side arithmetic over the manifest row list, zero data
+    * I/O for stat-covered DV-free files (the hybrid scans exactly the
+    * files metadata can't answer — slower, never wrong). Returns None
+    * — fall through to the ordinary plan — for any other statement
+    * shape, a non-manifest name, a same-named temp view (view
+    * semantics win), or a column type the typed stat compare doesn't
+    * order. */
+  private def metaAggAnswer(spark: SparkSession, root: String,
+                            sql: String): Option[DataFrame] = sql match {
+    case MetaAggRe(items, table, verS) =>
+      val sv = Manifest.snapshotVersion(root)
+      if (sv <= 0 || spark.catalog.tableExists(table)) return None
+      val v = Option(verS).map(_.toLong).getOrElse(sv)
+      val present =
+        try Manifest.manifestRows(spark, root, v).exists(_._1 == table)
+        catch { case _: Exception => false }
+      if (!present) return None
+      val parsedOpt = splitTopLevel(items, ',').map(_.trim).map {
+        case MetaAggItemRe(fn, arg, alias) =>
+          Some((fn.toLowerCase, arg, Option(alias)))
+        case _ => None
+      }
+      if (parsedOpt.exists(_.isEmpty) || parsedOpt.isEmpty) return None
+      val parsed = parsedOpt.flatten
+      lazy val schema = Manifest.registeredSchema(spark, root, table, v)
+        .getOrElse(Manifest.readTable(spark, root, table, v).schema)
+      def fieldOf(c: String) = schema.fields.find(_.name == c)
+      def statType(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case LongType => Some("bigint")
+          case IntegerType => Some("int")
+          case ShortType => Some("smallint")
+          case ByteType => Some("tinyint")
+          case DoubleType => Some("double")
+          case FloatType => Some("float")
+          case d: DecimalType => Some(d.sql.toLowerCase)
+          case TimestampType => Some("timestamp")
+          case TimestampNTZType => Some("timestamp_ntz")
+          case DateType => Some("date")
+          case _ => None
+        }
+      }
+      val cols = parsed.map { case (fn, arg, alias) =>
+        // default names mirror spark.sql's, so swapping the answer
+        // path never changes the result schema
+        val name = alias.getOrElse(
+          if (arg == "*") s"$fn(1)" else s"$fn($arg)")
+        (fn, arg) match {
+          case ("count", "*") =>
+            Some(lit(Manifest.countRows(spark, root, table, v)).as(name))
+          case ("count", c) if fieldOf(c).isDefined =>
+            Some(lit(Manifest.columnNonNullCount(spark, root, table, c, v))
+              .as(name))
+          case (mm, c) if (mm == "min" || mm == "max") && fieldOf(c).isDefined =>
+            val dt = fieldOf(c).get.dataType
+            statType(dt).map { t =>
+              val b = Manifest.columnBounds(spark, root, table, c, t, v)
+              val raw = b.map(p => if (mm == "min") p._1 else p._2).orNull
+              lit(raw).cast(dt).as(name)
+            }
+          case _ => None
+        }
+      }
+      if (cols.exists(_.isEmpty)) None
+      else Some(spark.range(1).select(cols.flatten.toIndexedSeq: _*))
+    case _ => None
+  }
+
   private val BeginRe = "(?is)^BEGIN(?:\\s+TRANSACTION)?\\s*$".r
   private val CommitTxnRe = "(?is)^COMMIT\\s*$".r
   private val RollbackRe = "(?is)^ROLLBACK\\s*$".r
@@ -2159,6 +2245,35 @@ object ManifestSql {
         s.catalog.dropTempView("txn_ev_src")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- metadata aggregate statements (q270): whole-table
+    //       COUNT(*)/COUNT(c)/MIN/MAX as verbatim SQL text answered
+    //       from per-file stats — countRows + the new non-null counts
+    //       (__nrows - __nc) + columnBounds behind one statement
+    //       rewrite; at 100 TB these are driver-side arithmetic, zero
+    //       data I/O (BoundsSpec proves it with the files deleted).
+    //       Over the q225 engineered-null root, so COUNT(value) has
+    //       real per-file null structure to get wrong. -----
+    Q("q270_metadata_agg_sql",
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |  CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00' THEN NULL
+             |    WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00' AND user_id % 3 = 0 THEN NULL
+             |    ELSE CAST(value AS DECIMAL(18,4)) END AS v
+             |  FROM events)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(v) AS BIGINT) AS n_vals,
+             |  CAST(min(v) AS DOUBLE) AS min_v,
+             |  CAST(max(ts) AS TIMESTAMP) AS max_ts
+             |FROM e""".stripMargin),
+      (s, dir) => {
+        val root = nullStatsRoot(s, dir)
+        runDml(s, root,
+          """SELECT count(*) AS n_rows, count(value) AS n_vals,
+            |  min(value) AS min_v, max(ts) AS max_ts
+            |FROM events_nulls""".stripMargin)
+          .select(col("n_rows"), col("n_vals"),
+            col("min_v").cast("double").as("min_v"), col("max_ts"))
       })
   )
 

@@ -42,6 +42,63 @@ class BoundsSpec extends SparkSuite {
       .contains(("1", "9")))
   }
 
+  test("metadata COUNT(col): exact from __nc stats; DV'd files scan") {
+    val root = freshRoot()
+    Manifest.commitAppendStats(spark, root, "t",
+      (1L to 100L).toDF("k").withColumn("v",
+        when(col("k") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("k").cast("double"))),
+      Seq("k", "v"), "k", 4)
+    assert(Manifest.columnNonNullCount(spark, root, "t", "v") == 80L)
+    assert(Manifest.columnNonNullCount(spark, root, "t", "k") == 100L)
+    // a DV may remove null and non-null rows in any mix — masked scan
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") <= 10L)
+    assert(Manifest.columnNonNullCount(spark, root, "t", "v") == 72L)
+  }
+
+  test("SQL metadata aggregates answer with the data files DELETED") {
+    import graft.sources.ManifestSql
+    val root = freshRoot()
+    val df = (1L to 100L).toDF("k").withColumn("v",
+      when(col("k") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("k").cast("double")))
+    Manifest.commitAppendStats(spark, root, "t", df, Seq("k", "v"), "k", 4)
+    // register the schema (a metadata marker; the 0-partition empty
+    // frame publishes no files), then delete every data file: the
+    // statement must answer without opening anything
+    Manifest.commitAppendEvolve(spark, root, "t",
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema))
+    Manifest.manifestRows(spark, root, Manifest.snapshotVersion(root))
+      .foreach { case (_, f, _) => Files.delete(Paths.get(root, f)) }
+    val r = ManifestSql.runDml(spark, root,
+      """SELECT count(*) AS n, count(v) AS nv, min(k) AS mn,
+        |  max(v) AS mx FROM t""".stripMargin).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 80L, r.toString)
+    assert(r.getLong(2) == 1L, r.toString)
+    assert(r.getDouble(3) == 99.0, r.toString)
+    // shape discipline: a WHERE clause is NOT metadata-answerable —
+    // it must fall through to the ordinary plan (and here fail: no
+    // such temp view, and the files are gone)
+    intercept[Exception] {
+      ManifestSql.runDml(spark, root, "SELECT count(*) FROM t WHERE k > 0")
+        .collect()
+    }
+  }
+
+  test("a same-named temp view wins over the metadata answer") {
+    import graft.sources.ManifestSql
+    val root = freshRoot()
+    Manifest.commitAppendStats(spark, root, "tv",
+      (1L to 50L).toDF("k"), Seq("k"), "k", 2)
+    Seq(7L).toDF("k").createOrReplaceTempView("tv")
+    try {
+      val n = ManifestSql.runDml(spark, root, "SELECT count(*) AS n FROM tv")
+        .head().getLong(0)
+      assert(n == 1L, s"view semantics must win, got $n")
+    } finally spark.catalog.dropTempView("tv")
+  }
+
   test("stat-less vintages scan; all-NULL columns yield None") {
     val root = freshRoot()
     // plain append: no stats recorded at all
