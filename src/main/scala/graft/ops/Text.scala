@@ -500,6 +500,50 @@ object Text {
               s" + 0.5 * least(1.0, size($tokens) / 100.0)"), 4).as("quality"))
           .orderBy("doc_id")),
 
+    // ----- filter-threshold sweep (q271): the calibration curve a
+    //       100-TB filter run is planned from — docs and tokens
+    //       retained at EVERY candidate quality threshold, from ONE
+    //       corpus pass: per-doc scores quantize to integer bins
+    //       (round(q*10000) — integer compare, no float-boundary
+    //       hazard at the cut points), one keyed partial+final agg
+    //       over ≤11 bins, then pure arithmetic (an 11-row broadcast
+    //       join) answers all 10 thresholds. The naive shape — one
+    //       filtered scan per threshold — is 10 corpus passes. Oracle
+    //       IS that naive shape, so the histogram must agree with the
+    //       direct recomputation at every cut. -----
+    Q("q271_filter_sweep",
+      Some(s"""WITH d AS (SELECT
+              |    round(0.5 * (CAST(len(list_distinct($duckTokens)) AS DOUBLE) / len($duckTokens))
+              |      + 0.5 * least(1.0, len($duckTokens) / 100.0), 4) AS q,
+              |    CAST(len($duckTokens) AS BIGINT) AS nt
+              |  FROM documents),
+              |g AS (SELECT * FROM (VALUES (0.0),(0.1),(0.2),(0.3),(0.4),
+              |  (0.5),(0.6),(0.7),(0.8),(0.9)) t(thr))
+              |SELECT CAST(g.thr AS DOUBLE) AS thr,
+              |  CAST(count(d.q) AS BIGINT) AS n_docs,
+              |  CAST(coalesce(sum(d.nt), 0) AS BIGINT) AS n_tokens
+              |FROM g LEFT JOIN d ON d.q >= g.thr
+              |GROUP BY g.thr ORDER BY thr""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(
+            expr(s"cast(size($tokens) as bigint)").as("nt"),
+            round(expr(s"0.5 * (cast(size(array_distinct($tokens)) as double) / size($tokens))" +
+              s" + 0.5 * least(1.0, size($tokens) / 100.0)"), 4).as("q"))
+        val binned = docs
+          .withColumn("qi", round(col("q") * 10000).cast("long"))
+          .withColumn("bin", expr("qi DIV 1000"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("nd"), sum("nt").as("ntok"))
+        val grid = s.range(10)
+          .select(col("id"), (col("id").cast("double") / 10.0).as("thr"))
+        grid.join(broadcast(binned), col("bin") >= col("id"), "left")
+          .groupBy("thr")
+          .agg(coalesce(sum("nd"), lit(0L)).as("n_docs"),
+            coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
+          .orderBy("thr")
+      }),
+
     // ----- token counting: corpus-level top-20 (explode → keyed agg →
     //       top-k; partial aggregation makes the shuffle tiny). -----
     Q("q46_token_counts",
