@@ -44,6 +44,38 @@ object Layout {
     least(lit(65535), greatest(lit(0),
       ((c - lo) / (hi - lo) * 65535).cast("int")))
 
+  /** Min-max scale to a `bits`-bit grid (the N-dim companion of
+    * [[grid16]]). */
+  def gridBits(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val max = (1L << bits) - 1L
+    least(lit(max), greatest(lit(0L),
+      ((c - lo) / (hi - lo) * max).cast("long")))
+  }
+
+  /** N-dim Morton key: interleave `bits` bits of each of k columns
+    * (already scaled to the grid) — bit i of dim j lands at position
+    * i*k + j. k*bits must stay under the long sign bit. Built as a
+    * flat OR of shift/mask terms: pure Column arithmetic, stays
+    * inside whole-stage codegen (the cost of a Z-rewrite is the
+    * shuffle, never the key). [[zorder2]] keeps the 2-D magic-number
+    * fast path. */
+  def zorderN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"zorderN: need at least 2 dims, got $k")
+    require(k * bits <= 62, s"zorderN: $k dims x $bits bits overflow a long")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Per-dim grid resolution for k dims: 16 bits through 3 dims, then
+    * whatever fits (4 dims → 15 bits — a 32768-cell axis still prunes
+    * far finer than any file count). */
+  def bitsFor(k: Int): Int = math.min(16, 62 / k)
+
   /** Compact a parquet directory's small files into ~`targetBytes`
     * files: one distributed read, one round-robin repartition to
     * ceil(dataBytes / target), one rewrite, then a directory swap.

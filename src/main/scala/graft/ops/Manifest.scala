@@ -1356,26 +1356,44 @@ object Manifest {
     * time-travelable. */
   def compactZorder(s: SparkSession, root: String, table: String,
                     aCol: String, bCol: String, nFiles: Int,
-                    maxRetries: Int = 5): Long = {
+                    maxRetries: Int = 5): Long =
+    compactZorderCols(s, root, table, Seq(aCol, bCol), nFiles, maxRetries)
+
+  /** N-dimension OPTIMIZE ZORDER BY (a, b, c[, d]): the same atomic
+    * relayout over a k-dim Morton curve — bit i of dim j lands at
+    * i*k + j ([[Layout.zorderN]]; identical keys to the 2-D fast path
+    * at k=2), per-dim grid resolution [[Layout.bitsFor]] (16 bits
+    * through 3 dims, 15 at 4 — still 32768 cells per axis), and
+    * per-file stats recorded on EVERY dimension, so a predicate on
+    * ANY of them (including the trailing one) prunes files. */
+  def compactZorderCols(s: SparkSession, root: String, table: String,
+                        cols: Seq[String], nFiles: Int,
+                        maxRetries: Int = 5): Long = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"OPTIMIZE ZORDER: 2-4 dimensions, got ${cols.size} (${cols.mkString(",")})")
+    require(cols.distinct.size == cols.size,
+      s"OPTIMIZE ZORDER: duplicate dimension in ${cols.mkString(",")}")
     val v = snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
     val expected = manifestRows(s, root, v)
       .collect { case (t, f, _) if t == table => f }.toSet
     require(expected.nonEmpty, s"OPTIMIZE ZORDER: $table absent at v$v")
     val df = readTable(s, root, table, v)
-    val b = df.agg(
-      min(col(aCol).cast("double")), max(col(aCol).cast("double")),
-      min(col(bCol).cast("double")), max(col(bCol).cast("double"))).head()
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = Layout.bitsFor(cols.size)
+    val gridded = cols.zipWithIndex.map { case (c, j) =>
+      Layout.gridBits(col(c).cast("double"),
+        b.getDouble(2 * j), b.getDouble(2 * j + 1), bits) }
     val laid = df
-      .withColumn("__z", Layout.zorder2(
-        Layout.grid16(col(aCol).cast("double"), b.getDouble(0), b.getDouble(1)),
-        Layout.grid16(col(bCol).cast("double"), b.getDouble(2), b.getDouble(3))))
+      .withColumn("__z", Layout.zorderN(gridded, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
     val hint = nextVersion(root)
     val relFiles = publishData(s, root, hint, table, laid)
-    val newRows = statsRowsFor(s, root, table, relFiles, Seq(aCol, bCol))
+    val newRows = statsRowsFor(s, root, table, relFiles, cols)
     casCommit(s, root, { base =>
       val cur = manifestRows(s, root, base)
         .collect { case (t, f, _) if t == table => f }.toSet

@@ -479,15 +479,17 @@ object ManifestSql {
         last = sqlCopyUnload(spark, dest, rest)
       case CopyRe(table, stage, clauses) =>
         last = sqlCopyInto(spark, root, table, stage, clauses)
-      case ZorderRe(table, aCol, bCol, splitS) =>
-        // OPTIMIZE t ZORDER BY (a, b) [SPLIT n]: rewrite the current
-        // content onto the 2-D Morton curve (both dimensions get
-        // pruning power); SPLIT defaults to the current file count
+      case ZorderRe(table, colsS, splitS) =>
+        // OPTIMIZE t ZORDER BY (a, b[, c[, d]]) [SPLIT n]: rewrite
+        // the current content onto the k-dim Morton curve (EVERY
+        // dimension gets pruning power); SPLIT defaults to the
+        // current file count
+        val zCols = colsS.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val before = Manifest.snapshotVersion(root)
         val nBefore = Manifest.manifestRows(spark, root, before)
           .count(_._1 == table)
         val n = Option(splitS).map(_.toInt).getOrElse(math.max(1, nBefore))
-        val v = Manifest.compactZorder(spark, root, table, aCol, bCol, n)
+        val v = Manifest.compactZorderCols(spark, root, table, zCols, n)
         val nAfter = Manifest.manifestRows(spark, root, v)
           .count(_._1 == table).toLong
         last = { import spark.implicits._
@@ -685,7 +687,7 @@ object ManifestSql {
     "(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)(?:\\s+MIN\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?\\s*$".r
   private val ZorderRe =
     ("(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)\\s+ZORDER\\s+BY\\s*\\(\\s*" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
+      "([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)+)\\s*\\)" +
       "(?:\\s+SPLIT\\s+(\\d+))?\\s*$").r
   private val AddColumnRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ADD\\s+COLUMN\\s+" +
@@ -2274,6 +2276,38 @@ object ManifestSql {
             |FROM events_nulls""".stripMargin)
           .select(col("n_rows"), col("n_vals"),
             col("min_v").cast("double").as("min_v"), col("max_ts"))
+      }),
+
+    // ----- 3-dimension Z-order (q272): `OPTIMIZE t ZORDER BY
+    //       (ts, user_id, value)` as verbatim text — the k-dim Morton
+    //       relayout gives EVERY dimension tight per-file bounds, so
+    //       a predicate on the TRAILING dimension alone prunes files
+    //       (asserted on the scan's own FileIndex — a range layout
+    //       would keep all 27). Oracle recomputes the band aggregate
+    //       from raw events: a row misplaced by the relayout or a
+    //       file wrongly pruned shifts the groups. -----
+    Q("q272_sql_zorder3",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(value AS DECIMAL(18,4)) >= 10.0
+             |  AND CAST(value AS DECIMAL(18,4)) < 20.0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val root = sqlZorder3Root(s, dir)
+        val index = register(s, root, "events3", "events_zorder3_mf")
+        val out = s.sql(
+          """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+            |  CAST(sum(value) AS DOUBLE) AS total_v
+            |FROM events_zorder3_mf
+            |WHERE value >= 10.0 AND value < 20.0
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+          .localCheckpoint(true)
+        val (kept, total) = index.lastPrune
+        require(kept < total,
+          s"trailing-dimension predicate kept $kept/$total — no prune")
+        s.catalog.dropTempView("events_zorder3_mf")
+        out
       })
   )
 
@@ -2474,6 +2508,31 @@ object ManifestSql {
     * 8→16 report and that EVERY rewritten file records bounds for
     * BOTH dimensions — the property the trailing-column pruning
     * stands on. */
+  /** q272's 3-dim Z-order root: events range-laid on ts, then
+    * `OPTIMIZE ... ZORDER BY (ts, user_id, value)` as verbatim text —
+    * staging pins the 8→27 report and ALL THREE dimensions' bounds on
+    * every rewritten file. */
+  def sqlZorder3Root(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-manifest-sqlzorder3/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      Manifest.commitAppendRanged(s, tmp, "events3", ev, "ts", 8)
+      val rep = runDml(s, tmp,
+        "OPTIMIZE events3 ZORDER BY (ts, user_id, value) SPLIT 27")
+        .collect()(0)
+      require(rep.getLong(1) == 8L && rep.getLong(2) == 27L,
+        s"staging bug: 3-D ZORDER reported $rep, expected 8 -> 27")
+      val rows = Manifest.manifestRows(s, tmp, Manifest.snapshotVersion(tmp))
+      require(rows.forall { case (_, _, st) =>
+        val m = Manifest.parseStatsJson(st)
+        m.contains("ts") && m.contains("user_id") && m.contains("value")
+      }, "staging bug: a rewritten file is missing a dimension's bounds")
+    }
+  }
+
   def sqlZorderRoot(s: SparkSession, dir: String): String = {
     val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
     graft.ops.Staging.ensure(

@@ -26,6 +26,35 @@ class ZorderSpec extends SparkSuite {
     assert(rows == Seq(0L, 1L, 2L, 0xFFFFFFFFL))
   }
 
+  test("zorderN at k=2 reproduces the 2-D fast path bit-for-bit") {
+    import spark.implicits._
+    val df = spark.range(500).select(
+      pmod(hash(col("id")), lit(65536)).cast("long").as("a"),
+      pmod(hash(col("id") * 13 + 3), lit(65536)).cast("long").as("b"))
+    val mismatch = df.select(
+      Layout.zorder2(col("a"), col("b")).as("z2"),
+      Layout.zorderN(Seq(col("a"), col("b")), 16).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(mismatch == 0L)
+  }
+
+  test("3-dim morton key places bit i of dim j at position i*3+j") {
+    import spark.implicits._
+    val z = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (2L, 0L, 0L))
+      .toDF("a", "b", "c")
+      .select(Layout.zorderN(Seq(col("a"), col("b"), col("c")), 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(z == Seq(1L, 2L, 4L, 8L))
+    // guards: dimension count and duplicate dims refuse loudly
+    intercept[IllegalArgumentException] {
+      Layout.zorderN(Seq(col("a")), 16)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderN(Seq.fill(5)(col("a")), 16) // 5*16 > 62
+    }
+    assert(Layout.bitsFor(3) == 16 && Layout.bitsFor(4) == 15)
+  }
+
   test("z-order layout prunes on the non-leading dimension; linear sort cannot") {
     val n = 100000L
     val base = spark.range(n).select(
