@@ -109,6 +109,105 @@ object Quality {
         notNull.unionByName(unique).unionByName(fk)
           .withColumn("passed", col("n_violations") === 0L)
           .orderBy("constraint_name")
+      }),
+
+    // ----- DLT-style expectations (q273): the data-quality gate with
+    //       a POLICY per rule — warn (count, keep), drop (count,
+    //       filter out), fail (count, abort the batch) — plus a
+    //       quarantine stream carrying each rejected row's failed
+    //       rule names. Distinct from CHECK constraints (hard refusal
+    //       at commit): expectations let the batch land while routing
+    //       bad rows aside, which is how a 100-TB ingest actually
+    //       survives dirty data. Metrics are ONE column-pruned agg
+    //       pass. Oracle recomputes every violation count and the
+    //       kept total with the same NULL-fails-the-rule semantics. -----
+    Q("q273_expectations",
+      Some("""SELECT expectation, policy, n FROM (
+             |  SELECT 'positive_value' AS expectation, 'drop' AS policy,
+             |    CAST(count(*) FILTER (WHERE NOT coalesce(value >= 0.5, false)) AS BIGINT) AS n
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'user_not_banned', 'drop',
+             |    CAST(count(*) FILTER (WHERE NOT coalesce(user_id % 50 != 49, false)) AS BIGINT)
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'value_in_band', 'warn',
+             |    CAST(count(*) FILTER (WHERE NOT coalesce(value < 400.0, false)) AS BIGINT)
+             |  FROM events
+             |  UNION ALL
+             |  SELECT '__kept__', 'rows',
+             |    CAST(count(*) FILTER (WHERE coalesce(value >= 0.5, false)
+             |      AND coalesce(user_id % 50 != 49, false)) AS BIGINT)
+             |  FROM events)
+             |ORDER BY expectation""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val (kept, _, metrics) = expect(ev, Seq(
+          Expectation("positive_value", "value >= 0.5", ExpectDrop),
+          Expectation("user_not_banned", "user_id % 50 != 49", ExpectDrop),
+          Expectation("value_in_band", "value < 400.0", ExpectWarn)))
+        metrics
+          .union(Seq(("__kept__", "rows")).toDF("expectation", "policy")
+            .withColumn("n", lit(kept.count())))
+          .orderBy("expectation")
       })
   )
+
+  // ---------------- DLT-style expectations --------------------------
+
+  sealed trait ExpectPolicy { def label: String }
+  case object ExpectWarn extends ExpectPolicy { val label = "warn" }
+  case object ExpectDrop extends ExpectPolicy { val label = "drop" }
+  case object ExpectFail extends ExpectPolicy { val label = "fail" }
+  final case class Expectation(name: String, predicate: String,
+                               policy: ExpectPolicy)
+
+  /** Evaluate `exps` over a batch — Delta Live Tables' expectation
+    * semantics: every rule is COUNTED; `warn` rules never filter,
+    * `drop` rules route failing rows to the quarantine stream, and a
+    * violated `fail` rule aborts the batch before anything is
+    * returned. A NULL predicate FAILS the rule (the conservative
+    * reading a quality gate wants — deliberately unlike CHECK's ANSI
+    * NULL-passes, which guards writes, not content).
+    *
+    * Returns (kept, quarantine, metrics): kept = rows passing every
+    * drop/fail rule; quarantine = the complement, each row tagged
+    * with its `_failed_expectations` names; metrics = one row per
+    * rule (expectation, policy, n). The metrics are ONE column-pruned
+    * aggregate pass over the batch; kept/quarantine are lazy filters
+    * the caller's own writes will scan (cache the input if both sides
+    * land). */
+  def expect(df: org.apache.spark.sql.DataFrame, exps: Seq[Expectation])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    require(exps.nonEmpty, "expect: no expectations given")
+    require(exps.map(_.name).distinct.size == exps.size,
+      s"expect: duplicate expectation name in ${exps.map(_.name).mkString(",")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def pass(e: Expectation) = coalesce(expr(e.predicate), lit(false))
+    val aggs = exps.map(e =>
+      sum(when(pass(e), 0L).otherwise(1L)).as(e.name))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val counts = exps.zipWithIndex.map { case (e, i) =>
+      (e, if (row.isNullAt(i)) 0L else row.getLong(i)) }
+    val failed = counts.collect {
+      case (e, n) if e.policy == ExpectFail && n > 0 => s"${e.name} ($n rows)" }
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"expectation failure aborts the batch: ${failed.mkString("; ")}")
+    val metrics = counts.map { case (e, n) => (e.name, e.policy.label, n) }
+      .toDF("expectation", "policy", "n")
+    val gating = exps.filterNot(_.policy == ExpectWarn)
+    val keepCond = gating.map(pass).reduceOption(_ && _).getOrElse(lit(true))
+    val kept = df.filter(keepCond)
+    val quarantine =
+      if (gating.isEmpty) df.filter(lit(false))
+        .withColumn("_failed_expectations", array().cast("array<string>"))
+      else df.filter(!keepCond).withColumn("_failed_expectations",
+        array_compact(array(gating.map(e =>
+          when(!pass(e), lit(e.name))): _*)))
+    (kept, quarantine, metrics)
+  }
 }
