@@ -633,6 +633,133 @@ object Similarity {
           .select(col("q_id"), col("cand_id"), col("score_e4"),
             col("rn").cast("int").as("rn"))
           .orderBy("q_id", "rn")
+      }),
+
+    // ----- ANN refine (q274): FAISS's IndexRefine composed on q238 —
+    //       the compressed index picks a SHORTLIST (top-10 by ADC over
+    //       the probed cells), then EXACT cosine re-ranks only those
+    //       10 per query. At 100 TB this is the standard
+    //       recall-repair step: the exact pass touches O(queries x
+    //       shortlist) embeddings — a broadcast join against the
+    //       corpus by vec_id, never a corpus self-join — so final
+    //       ranks use true distances while the index bounds what is
+    //       read. Oracle re-derives shortlist AND re-rank, so an ADC
+    //       ordering leaking into the final ranks (or a shortlist
+    //       computed on exact scores) breaks the hash. -----
+    Q("q274_ann_refine",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT e.vec_id, c.c_id,
+              |    round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+              |          / (e.nrm * c.c_nrm), 4) AS rcos
+              |  FROM e CROSS JOIN c),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg),
+              |cells AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+              |cand AS (
+              |  SELECT p.q_id, t.vec_id AS cand_id
+              |  FROM probes p JOIN cells t ON t.cell = p.cell AND t.vec_id <> p.q_id),
+              |sub AS (
+              |  SELECT vec_id, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
+              |  FROM e, (VALUES (0),(1),(2),(3)) AS mm(m)),
+              |pcent AS (SELECT vec_id AS pc, m, s AS cs FROM sub WHERE vec_id < 8),
+              |enc AS (
+              |  SELECT vec_id, m, pc FROM (
+              |    SELECT sub.vec_id, sub.m, p.pc,
+              |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              |        ORDER BY list_dot_product(sub.s, p.cs) DESC, p.pc) AS prn
+              |    FROM sub JOIN pcent p ON p.m = sub.m) WHERE prn = 1),
+              |dtab AS (
+              |  SELECT q.vec_id AS q_id, p.m, p.pc,
+              |    CAST(floor(list_dot_product(q.s, p.cs) * 10000 + 0.5) AS BIGINT) AS d_e4
+              |  FROM sub q JOIN pcent p ON p.m = q.m WHERE q.vec_id < 5),
+              |sc AS (
+              |  SELECT cand.q_id, cand.cand_id,
+              |    CAST(SUM(d.d_e4) AS BIGINT) AS score_e4
+              |  FROM cand
+              |  JOIN enc ON enc.vec_id = cand.cand_id
+              |  JOIN dtab d ON d.q_id = cand.q_id AND d.m = enc.m AND d.pc = enc.pc
+              |  GROUP BY cand.q_id, cand.cand_id),
+              |shortlist AS (
+              |  SELECT q_id, cand_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS arn FROM sc)
+              |  WHERE arn <= 10),
+              |ref AS (
+              |  SELECT s.q_id, s.cand_id,
+              |    round(list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[])
+              |          / (eq.nrm * ec.nrm), 4) AS cos_exact
+              |  FROM shortlist s
+              |  JOIN e eq ON eq.vec_id = s.q_id
+              |  JOIN e ec ON ec.vec_id = s.cand_id)
+              |SELECT q_id, cand_id, cos_exact, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY cos_exact DESC, cand_id) AS rn FROM ref)
+              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val asg = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+          .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
+        val wAsg = Window.partitionBy(col("vec_id"))
+          .orderBy(col("rcos").desc, col("c_id"))
+        val ranked = asg.withColumn("rn", row_number().over(wAsg))
+          .select("vec_id", "c_id", "rn").cache()
+        ranked.count() // eager: cells + probes both scan it
+        val cells = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id").as("cell"))
+        val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+        val cand = broadcast(probes).join(cells, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"))
+        val sub = e.select(col("vec_id"),
+          posexplode(array((0 until 4).map(m =>
+            slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "s")))
+        val pcent = sub.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("pc"), col("m").as("cm"), col("s").as("cs"))
+        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(expr("dot_product(s, cs)").desc, col("pc"))
+        val codes = sub.join(broadcast(pcent), col("m") === col("cm"))
+          .withColumn("prn", row_number().over(wEnc))
+          .filter(col("prn") === 1)
+          .select(col("vec_id").as("cand_id"), col("m"), col("pc"))
+        val dtab = sub.filter(col("vec_id") < 5)
+          .join(broadcast(pcent), col("m") === col("cm"))
+          .select(col("vec_id").as("q_id"), col("m"), col("pc"),
+            floor(expr("dot_product(s, cs)") * 10000.0 + 0.5).as("d_e4"))
+        val wAdc = Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("cand_id"))
+        // ADC shortlist: top-10 per query by compressed score
+        val shortlist = cand.join(codes, Seq("cand_id"))
+          .join(broadcast(dtab), Seq("q_id", "m", "pc"))
+          .groupBy("q_id", "cand_id")
+          .agg(sum("d_e4").as("score_e4"))
+          .withColumn("arn", row_number().over(wAdc))
+          .filter(col("arn") <= 10)
+          .select("q_id", "cand_id")
+        // EXACT re-rank of the shortlist only: a broadcast of O(q x 10)
+        // pairs against the corpus by key — never a corpus self-join
+        val qEmb = e.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"))
+        val cEmb = e.select(col("vec_id").as("cand_id"),
+          col("embedding").as("c_emb2"))
+        val wRef = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_exact").desc, col("cand_id"))
+        broadcast(shortlist)
+          .join(qEmb, Seq("q_id")).join(cEmb, Seq("cand_id"))
+          .withColumn("cos_exact",
+            round(expr("cosine_sim(q_emb, c_emb2)"), 4))
+          .withColumn("rn", row_number().over(wRef))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"), col("cos_exact"),
+            col("rn").cast("int").as("rn"))
+          .orderBy("q_id", "rn")
       })
   )
 }
