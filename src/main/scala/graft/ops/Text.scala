@@ -544,6 +544,46 @@ object Text {
           .orderBy("thr")
       }),
 
+    // ----- per-source quality-gate normalization (q275): keep the
+    //       top 60% of docs WITHIN each source — an absolute quality
+    //       cut lets one clean source drown the mixture; per-source
+    //       percent_rank preserves the mix by construction. One
+    //       sort-based window per source partition (the same shuffle
+    //       class as a keyed agg), then a keyed rollup; retained
+    //       quality is carried as an e4-quantized BIGINT sum, so the
+    //       result is aggregation-order independent on both engines.
+    //       percent_rank gives tied scores identical ranks, so the
+    //       60% boundary is engine-order-proof too. -----
+    Q("q275_source_quality_gate",
+      Some(s"""WITH d AS (SELECT source,
+              |    round(0.5 * (CAST(len(list_distinct($duckTokens)) AS DOUBLE) / len($duckTokens))
+              |      + 0.5 * least(1.0, len($duckTokens) / 100.0), 4) AS q
+              |  FROM documents),
+              |r AS (SELECT source, q,
+              |    percent_rank() OVER (PARTITION BY source ORDER BY q DESC) AS pr
+              |  FROM d)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+              |  CAST(count(*) FILTER (WHERE pr <= 0.6) AS BIGINT) AS n_kept,
+              |  CAST(coalesce(sum(CAST(round(q * 10000) AS BIGINT))
+              |    FILTER (WHERE pr <= 0.6), 0) AS BIGINT) AS kept_q_sum_e4
+              |FROM r GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("q").desc)
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            round(expr(s"0.5 * (cast(size(array_distinct($tokens)) as double) / size($tokens))" +
+              s" + 0.5 * least(1.0, size($tokens) / 100.0)"), 4).as("q"))
+          .withColumn("pr", percent_rank().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("pr") <= 0.6, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("pr") <= 0.6,
+              round(col("q") * 10000).cast("long")).otherwise(0L))
+              .as("kept_q_sum_e4"))
+          .orderBy("source")
+      }),
+
     // ----- token counting: corpus-level top-20 (explode → keyed agg →
     //       top-k; partial aggregation makes the shuffle tiny). -----
     Q("q46_token_counts",
