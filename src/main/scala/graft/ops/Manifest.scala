@@ -2952,6 +2952,65 @@ object Manifest {
     0L // unreachable
   }
 
+  /** REORG TABLE ... APPLY (PURGE) — Delta's deletion-vector
+    * hardening pass: rewrite ONLY the files that carry a DV,
+    * physicalizing their soft deletes, and inherit every clean file
+    * by reference. Merge-on-read keeps deletes O(matched files) at
+    * write time; this is the matching maintenance verb that bounds
+    * read-time DV masking — rewrite cost is O(DV'd files), never the
+    * table. Returns (newVersion, nPurgedFiles); no commit at all when
+    * no file carries a DV. Claim-time read-set validation refuses if
+    * the table changed under the rewrite; the pre-purge state stays
+    * time-travelable. */
+  def compactPurgeDv(s: SparkSession, root: String, table: String,
+                     maxRetries: Int = 5): (Long, Int) = {
+    var attempt = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val rows = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      require(rows.nonEmpty, s"table $table absent from snapshot v$base")
+      val dvd = rows.filter { case (_, st) => dvRefOf(st).isDefined }
+      if (dvd.isEmpty) return (base, 0) // nothing to harden
+      // stats parity: re-record whatever prune columns the doomed
+      // files carried (schema fields only — reserved __ keys regrow
+      // from the footers)
+      val statsCols = {
+        val sch = registeredSchema(s, root, table, base)
+          .getOrElse(readTable(s, root, table, base).schema).fieldNames.toSet
+        dvd.flatMap { case (_, st) =>
+          parseStatsJson(st).keys.filter(sch) }.distinct
+      }
+      val packed = readResolved(s, root, dvd,
+        registeredSchema(s, root, table, base))
+        .repartition(dvd.size)
+      val hint = nextVersion(root)
+      val newRows = statsRowsFor(s, root, table,
+        publishData(s, root, hint, table, packed), statsCols)
+      val expected = rows.map(_._1).toSet
+      try {
+        return (casCommit(s, root, { b =>
+          val cur = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (cur != expected)
+            throw new CommitConflict(
+              s"$table changed under the DV purge: ${cur.size} files at " +
+                s"v$b, purge read ${expected.size}")
+          deltaOrFull(s, root, b, Nil, newRows,
+            removes = dvd.map { case (f, _) => (table, f) })
+        }, maxRetries), dvd.size)
+      } catch {
+        case _: CommitConflict =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"compactPurgeDv: lost $maxRetries races at $root")
+      }
+    }
+    (0L, 0) // unreachable
+  }
+
   def compactTable(s: SparkSession, root: String, table: String,
                    targetBytes: Long, maxRetries: Int = 5): Long = {
     var attempt = 0

@@ -575,6 +575,13 @@ object ManifestSql {
         last = spark.emptyDataFrame
       case DescribeDetailRe(table) =>
         last = Manifest.describeDetail(spark, root, table)
+      case ReorgRe(table) =>
+        // REORG TABLE t APPLY (PURGE): rewrite ONLY the DV-carrying
+        // files (physicalize soft deletes); clean files inherit by
+        // reference — O(DV'd files), never the table
+        val (v, n) = Manifest.compactPurgeDv(spark, root, table)
+        last = { import spark.implicits._
+          Seq((v, n.toLong)).toDF("version", "n_purged_files") }
       case ConvertRe(table, dir, statsOpt) =>
         // CONVERT TO t FROM '<dir>' [STATS (a, b)]: zero-copy import
         // of an existing parquet directory — hardlinks + footer
@@ -800,6 +807,9 @@ object ManifestSql {
   private val ConvertRe =
     ("(?is)^CONVERT\\s+TO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+'([^']+)'" +
       "(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*$").r
+  private val ReorgRe =
+    ("(?is)^REORG\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+APPLY\\s*" +
+      "\\(\\s*PURGE\\s*\\)\\s*$").r
   private val TruncateRe =
     "(?is)^TRUNCATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
 
@@ -2307,6 +2317,42 @@ object ManifestSql {
         require(kept < total,
           s"trailing-dimension predicate kept $kept/$total — no prune")
         s.catalog.dropTempView("events_zorder3_mf")
+        out
+      }),
+
+    // ----- REORG TABLE ... APPLY (PURGE) (q276): the DV-hardening
+    //       maintenance verb as verbatim text — merge-on-read keeps
+    //       DELETE O(matched files); this bounds the read-time DV
+    //       masking by rewriting ONLY the DV-carrying files (clean
+    //       files inherit by reference, asserted via the report and
+    //       a DV-free DESCRIBE DETAIL). Oracle recomputes the
+    //       post-delete state: a purge that loses or resurrects one
+    //       masked row shifts the groups. -----
+    Q("q276_sql_reorg_purge",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-reorg").toString
+        Manifest.commitAppendRanged(s, root, "events_log", ev, "ts", 4)
+        runDml(s, root,
+          "DELETE FROM events_log WHERE ts < TIMESTAMP '2024-01-08 00:00:00'")
+        val rep = runDml(s, root,
+          "REORG TABLE events_log APPLY (PURGE)").head()
+        require(rep.getLong(1) >= 1L, s"REORG purged no files: $rep")
+        val d = Manifest.describeDetail(s, root, "events_log").head()
+        require(d.getLong(5) == 0L, s"DVs survived the purge: $d")
+        val out = Manifest.readTable(s, root, "events_log")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("event_type").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })
   )

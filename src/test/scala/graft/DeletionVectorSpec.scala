@@ -222,6 +222,37 @@ class DeletionVectorSpec extends SparkSuite {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("REORG APPLY PURGE rewrites only DV'd files; clean files inherit") {
+    import graft.sources.ManifestSql
+    val root = freshRoot()
+    Manifest.commitAppendStats(spark, root, "t",
+      (1L to 100L).toDF("k"), Seq("k"), "k", 4)
+    ManifestSql.runDml(spark, root, "DELETE FROM t WHERE k <= 10")
+    val preV = Manifest.snapshotVersion(root)
+    val before = Manifest.manifestRows(spark, root, preV)
+      .collect { case ("t", f, _) => f }.toSet
+    val rep = ManifestSql.runDml(spark, root,
+      "REORG TABLE t APPLY (PURGE)").head()
+    assert(rep.getLong(1) == 1L, s"expected exactly the k<=25 file: $rep")
+    val afterV = Manifest.snapshotVersion(root)
+    val after = Manifest.manifestRows(spark, root, afterV)
+      .collect { case ("t", f, _) => f }.toSet
+    // the three clean files keep their exact paths; one file replaced
+    assert((before intersect after).size == 3, s"$before vs $after")
+    assert(after.size == 4)
+    // DVs are gone; content and counts preserved; pre-purge state
+    // stays time-travelable (still DV-masked there)
+    assert(Manifest.describeDetail(spark, root, "t").head().getLong(5) == 0L)
+    assert(Manifest.readTable(spark, root, "t").count() == 90L)
+    assert(Manifest.readTable(spark, root, "t", preV).count() == 90L)
+    // the rewritten file re-records stats: bounds answer pure-metadata
+    assert(Manifest.columnBounds(spark, root, "t", "k", "bigint")
+      .contains(("11", "100")))
+    // idempotent: a DV-free table is a no-op, no commit
+    val (v2, n2) = Manifest.compactPurgeDv(spark, root, "t")
+    assert(v2 == afterV && n2 == 0)
+  }
+
   test("q214 staged root matches a copy-on-write recompute") {
     val sfDir = "/root/testdata/sf0.001"
     val root = Manifest.dvRoot(spark, sfDir)
