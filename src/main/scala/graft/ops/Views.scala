@@ -112,6 +112,55 @@ object Views {
     }
   }
 
+  /** ROW-LEVEL incremental view maintenance: fold ANY source interval
+    * — appends, DV deletes, updates, even compactions — into a
+    * (sum, count) MV through the row-level change feed, O(changed
+    * rows + |MV|) always. This is the counting algorithm of classic
+    * IVM: an insert weighs +1, a delete −1, an UPDATE is its
+    * delete+insert pair (the pre-image cancels, the post-image
+    * lands), a compaction's relocate pairs cancel outright, and a
+    * group whose count reaches zero drops out of the view. Where
+    * [[refreshAggInto]] (file-granular) must FULL-refresh any rewrite
+    * interval, this path stays incremental through them — at 100 TB
+    * that is the difference between touching the delta and rescanning
+    * the lake because one DELETE landed.
+    *
+    * `prep` receives the signed feed (row columns plus `_w` = ±1) and
+    * must return (key columns..., `v`, `_w`); the maintained view is
+    * per-key (`sum_v` = Σ v·w, `n_v` = Σ w). Exactly-once via the
+    * destination txn ledger, like every consumer. Returns
+    * (sourceVersion, dstVersion), or None when already current. */
+  def refreshAggFromFeed(s: SparkSession, srcRoot: String, srcTable: String,
+                         dstRoot: String, dstTable: String, appId: String,
+                         keyCols: Seq[String])(
+      prep: DataFrame => DataFrame): Option[(Long, Long)] = {
+    val from = Manifest.lastCommittedTxn(dstRoot, appId).getOrElse(0L)
+    val to = Manifest.snapshotVersion(srcRoot)
+    require(from <= to,
+      s"MV ledger at v$from but source only at v$to: " +
+        "the source log was reset under the view — re-bootstrap")
+    if (to == from) return None
+    val signed = Manifest.readChangeFeed(s, srcRoot, srcTable, from, to)
+      .withColumn("_w",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+    val keyed = prep(signed)
+    val delta = keyed.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("v") * col("_w")).as("sum_v"), sum(col("_w")).as("n_v"))
+    val next = (if (from > 0)
+        Manifest.readTable(s, dstRoot, dstTable).unionByName(delta)
+      else delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("sum_v").as("sum_v"), sum("n_v").as("n_v"))
+      .filter(col("n_v") > 0)
+    try {
+      val dstV = Manifest.commitReplace(s, dstRoot, dstTable, next,
+        txn = Some(appId -> to))
+      Some((to, dstV))
+    } catch {
+      case _: Manifest.TxnAlreadyCommitted => None // racing refresh won
+    }
+  }
+
   /** q217's MV-over-the-log pair: `src/` takes three ranged appends
     * and one stats-pruned DELETE; after each commit one
     * [[refreshAggInto]] advances `dst/`'s per-(user, day) MV — the
@@ -155,6 +204,40 @@ object Views {
       val r4 = refresh() // rewrite interval: full refresh, not a fold
       require(r4.exists(!_._3), s"staging bug: rewrite interval folded: $r4")
       require(refresh().isEmpty, "staging bug: re-driven refresh not a no-op")
+    }
+  }
+
+  /** q277's row-level IVM pair: `src/` takes a build append, then an
+    * append + DV DELETE + DV UPDATE stretch; the MV refreshes through
+    * the ROW-LEVEL feed after the build and ONCE across the whole
+    * rewrite stretch — the interval a file-granular consumer must
+    * full-refresh, folded here as O(changed rows). A third refresh is
+    * a ledger no-op (staging asserts all three). */
+  def mvFeedRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-mv-feed/$fp-${Manifest.layoutKey}") { tmp =>
+      val src = s"$tmp/src"
+      val dst = s"$tmp/dst"
+      val ev = Tables.load(s, dir, "events").select(col("user_id"),
+        col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      def refresh() = refreshAggFromFeed(s, src, "events_log",
+        dst, "mv_user_day", "mv-feed", Seq("user_id", "day"))(f =>
+        f.select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").as("v"), col("_w")))
+      Manifest.commitAppendRanged(s, src, "events_log",
+        ev.filter(col("ts") < cut), "ts", 2)
+      require(refresh().isDefined, "staging bug: build refresh was a no-op")
+      Manifest.commitAppendRanged(s, src, "events_log",
+        ev.filter(col("ts") >= cut), "ts", 2)
+      Manifest.commitDeleteVectors(s, src, "events_log",
+        expr("value < 1.0"))
+      Manifest.commitUpdateVectors(s, src, "events_log",
+        expr("user_id % 10 = 3"),
+        Map("value" -> expr("CAST(value + 7.5 AS DECIMAL(18,4))")))
+      require(refresh().isDefined,
+        "staging bug: the rewrite-stretch refresh was a no-op")
+      require(refresh().isEmpty, "staging bug: ledger should be current")
     }
   }
 
@@ -225,6 +308,37 @@ object Views {
           .select(col("user_id"), col("day"),
             col("sum_v").cast("double").as("sum_v"), col("n_v"))
           .orderBy("user_id", "day")
+      }),
+
+    // ----- row-level IVM (q277): the MV maintained through the
+    //       CHANGE FEED with counting-algorithm algebra — insert +1,
+    //       delete −1, an UPDATE's pair nets to its correction, a
+    //       zero-count group vanishes. The maintained interval spans
+    //       an append + DV DELETE + DV UPDATE: exactly the rewrite
+    //       stretch the file-granular q217 path must full-refresh,
+    //       folded here as O(changed rows). Oracle recomputes the
+    //       post-everything per-user rollup from raw events — a
+    //       pre-image that failed to cancel, a vanished group that
+    //       lingers, or a day split error all shift the rollup. -----
+    Q("q277_mv_feed_refresh",
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(value AS DECIMAL(18,4)) AS v,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |t AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CASE WHEN user_id % 10 = 3 THEN CAST(v + 7.5 AS DECIMAL(18,4))
+             |         ELSE v END AS v
+             |  FROM e WHERE NOT (v < 1.0))
+             |SELECT user_id, CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(v) AS DOUBLE) AS total_v
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = mvFeedRoot(s, dir)
+        Manifest.readTable(s, s"$root/dst", "mv_user_day")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"), sum("n_v").as("n_events"),
+            sum("sum_v").cast("double").as("total_v"))
+          .orderBy("user_id")
       })
   )
 }
