@@ -575,6 +575,17 @@ object ManifestSql {
         last = spark.emptyDataFrame
       case DescribeDetailRe(table) =>
         last = Manifest.describeDetail(spark, root, table)
+      case DescribeTableRe(table) =>
+        // DESCRIBE TABLE t: the column listing every catalog serves —
+        // the REGISTERED schema when one governs reads (evolved /
+        // renamed / narrowed tables), the inferred file schema
+        // otherwise; pure metadata either way
+        val sch = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        last = { import spark.implicits._
+          sch.fields.toSeq
+            .map(f => (f.name, f.dataType.sql.toLowerCase, f.nullable))
+            .toDF("col_name", "data_type", "nullable") }
       case ReorgRe(table) =>
         // REORG TABLE t APPLY (PURGE): rewrite ONLY the DV-carrying
         // files (physicalize soft deletes); clean files inherit by
@@ -807,6 +818,8 @@ object ManifestSql {
   private val ConvertRe =
     ("(?is)^CONVERT\\s+TO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+'([^']+)'" +
       "(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*$").r
+  private val DescribeTableRe =
+    "(?is)^DESCRIBE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val ReorgRe =
     ("(?is)^REORG\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+APPLY\\s*" +
       "\\(\\s*PURGE\\s*\\)\\s*$").r
@@ -2354,6 +2367,25 @@ object ManifestSql {
           .orderBy("event_type").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- DESCRIBE TABLE (q278): the column listing as text — the
+    //       registered schema governs when present, the inferred file
+    //       schema otherwise; pure metadata. The oracle states the
+    //       q240 fixture's shape literally: a type drift (decimal
+    //       widened, timestamp downgraded) or a leaked internal
+    //       column breaks it. -----
+    Q("q278_sql_describe_table",
+      Some("""SELECT * FROM (VALUES
+             |  ('event_type', 'string', true),
+             |  ('ts', 'timestamp', true),
+             |  ('user_id', 'bigint', true),
+             |  ('value', 'decimal(18,4)', true))
+             |  t(col_name, data_type, nullable)
+             |ORDER BY col_name""".stripMargin),
+      (s, dir) => {
+        val root = Manifest.showTablesRoot(s, dir)
+        runDml(s, root, "DESCRIBE TABLE events_log").orderBy("col_name")
       })
   )
 
