@@ -76,6 +76,18 @@ object Layout {
     * far finer than any file count). */
   def bitsFor(k: Int): Int = math.min(16, 62 / k)
 
+  /** EQUI-DEPTH grid: bucket index = how many quantile boundaries the
+    * value exceeds. A skewed dimension makes a LINEAR (min-max) grid
+    * collapse — most mass lands in a few cells, every Z-tile spans
+    * the hot band, and no predicate inside it prunes; rank-gridding
+    * is what Delta's OPTIMIZE ZORDER does (per-column range ids).
+    * Repeated boundaries (extreme skew) merge cells harmlessly; a
+    * NULL value lands in cell 0. Flat comparison chain — stays in
+    * whole-stage codegen. */
+  def equiDepthGrid(c: Column, boundaries: Seq[Double]): Column =
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(c > lit(b), 1).otherwise(0) }
+
   /** Compact a parquet directory's small files into ~`targetBytes`
     * files: one distributed read, one round-robin repartition to
     * ceil(dataBytes / target), one rewrite, then a directory swap.

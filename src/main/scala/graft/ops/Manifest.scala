@@ -1361,11 +1361,12 @@ object Manifest {
 
   /** N-dimension OPTIMIZE ZORDER BY (a, b, c[, d]): the same atomic
     * relayout over a k-dim Morton curve — bit i of dim j lands at
-    * i*k + j ([[Layout.zorderN]]; identical keys to the 2-D fast path
-    * at k=2), per-dim grid resolution [[Layout.bitsFor]] (16 bits
-    * through 3 dims, 15 at 4 — still 32768 cells per axis), and
-    * per-file stats recorded on EVERY dimension, so a predicate on
-    * ANY of them (including the trailing one) prunes files. */
+    * i*k + j ([[Layout.zorderN]]) over EQUI-DEPTH per-dim grids
+    * ([[Layout.equiDepthGrid]] — rank cells from one
+    * approximate-quantile pass, skew-proof where a min-max grid
+    * collapses), and per-file stats recorded on EVERY dimension, so a
+    * predicate on ANY of them (including the trailing one) prunes
+    * files. */
   def compactZorderCols(s: SparkSession, root: String, table: String,
                         cols: Seq[String], nFiles: Int,
                         maxRetries: Int = 5): Long = {
@@ -1379,13 +1380,19 @@ object Manifest {
       .collect { case (t, f, _) if t == table => f }.toSet
     require(expected.nonEmpty, s"OPTIMIZE ZORDER: $table absent at v$v")
     val df = readTable(s, root, table, v)
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-    val b = df.agg(aggs.head, aggs.tail: _*).head()
-    val bits = Layout.bitsFor(cols.size)
+    // EQUI-DEPTH grids (Delta's range-id approach), not min-max: a
+    // skewed dimension collapses a linear grid — most mass in a few
+    // cells means every Z-tile spans the hot band and predicates
+    // inside it stop pruning. One approximate-quantile pass covers
+    // all dimensions; 2^8 cells per axis is already far finer than
+    // any realistic file count.
+    val bits = math.min(8, Layout.bitsFor(cols.size))
+    val nb = (1 << bits) - 1
+    val probs = (1 to nb).map(_.toDouble / (nb + 1)).toArray
+    val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = casted.stat.approxQuantile(cols.toArray, probs, 0.001)
     val gridded = cols.zipWithIndex.map { case (c, j) =>
-      Layout.gridBits(col(c).cast("double"),
-        b.getDouble(2 * j), b.getDouble(2 * j + 1), bits) }
+      Layout.equiDepthGrid(col(c).cast("double"), bounds(j).toSeq) }
     val laid = df
       .withColumn("__z", Layout.zorderN(gridded, bits))
       .repartitionByRange(nFiles, col("__z"))

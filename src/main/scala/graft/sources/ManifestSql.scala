@@ -2592,8 +2592,10 @@ object ManifestSql {
     * every rewritten file. */
   def sqlZorder3Root(s: SparkSession, dir: String): String = {
     val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    // -eqd: the relayout algorithm changed to equi-depth grids; the
+    // extra token retires fixtures laid out by the min-max grid
     graft.ops.Staging.ensure(
-      s"target/graft-manifest-sqlzorder3/$fp-${Manifest.layoutKey}") { tmp =>
+      s"target/graft-manifest-sqlzorder3/$fp-${Manifest.layoutKey}-eqd") { tmp =>
       val ev = graft.Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           col("value").cast("decimal(18,4)").as("value"), col("ts"))
