@@ -131,6 +131,36 @@ object Multimodal {
             round(expr("features[2] * n_chars"), 0).cast("int").as("bin2_count"),
             size(col("features")).as("n_features"))
           .orderBy("doc_id")
+      }),
+
+    // ----- exact media dedup (q279): the first pass of every
+    //       multimodal pipeline — group by payload DIGEST, keep the
+    //       min-id copy. The digest is computed map-side, so only
+    //       (16-byte hash, id) ever shuffles — the payloads
+    //       themselves never move, which is what makes exact image
+    //       dedup tractable at 100 TB. Fixture injects known
+    //       duplicates (doc_id % 7 re-keyed +100000) on top of the
+    //       corpus's own exact-text dups; oracle groups by md5 of the
+    //       same bytes. -----
+    Q("q279_media_dedup",
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |dup AS (SELECT doc_id + 100000 AS doc_id, text FROM base
+             |        WHERE doc_id % 7 = 0),
+             |m AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+             |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  CAST(count(*) AS BIGINT) AS n_copies
+             |FROM m GROUP BY md5(text) HAVING count(*) > 1
+             |ORDER BY keep_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+        val dups = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+        attachBinary(docs.union(dups))
+          .groupBy(md5(col("payload")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("keep_id", "n_copies")
+          .orderBy("keep_id")
       })
   )
 }
