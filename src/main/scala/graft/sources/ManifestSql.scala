@@ -2139,10 +2139,15 @@ object ManifestSql {
     Q("q266_sql_undrop",
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+             |FROM events WHERE user_id < 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => {
         import s.implicits._
+        // user_id < 50 on BOTH sides: the verb flow (drop, interleaved
+        // commit, undrop) is what's priced — it needs a real multi-file
+        // table, not the whole fixture
         val ev = graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50)
           .select(col("user_id"), col("event_type"),
             col("value").cast("decimal(18,4)").as("value"), col("ts"))
         val root = Files.createTempDirectory("graft-sql-undrop").toString
@@ -2224,23 +2229,27 @@ object ManifestSql {
     //       union. Atomicity-under-failure is DmlSpec's pin. -----
     Q("q269_sql_transaction",
       Some("""WITH f AS (SELECT event_type,
-             |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+             |    CAST(value AS DECIMAL(18,4)) AS v FROM events
+             |  WHERE user_id < 50)
              |SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(v) AS DOUBLE) AS total
              |FROM f GROUP BY event_type
              |UNION ALL
              |SELECT 'audit:init', (SELECT CAST(count(*) AS BIGINT)
-             |  FROM events
-             |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'),
+             |  FROM events WHERE user_id < 50
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'),
              |  CAST(NULL AS DOUBLE)
              |UNION ALL
              |SELECT 'audit:w2', (SELECT CAST(count(*) AS BIGINT)
-             |  FROM events
-             |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'),
+             |  FROM events WHERE user_id < 50
+             |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'),
              |  CAST(NULL AS DOUBLE)
              |ORDER BY k""".stripMargin),
       (s, dir) => {
+        // user_id < 50 on BOTH sides: the transaction machinery is
+        // what's priced, not the fixture volume
         val ev = graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50)
           .select(col("event_type"),
             col("value").cast("decimal(18,4)").as("value"), col("ts"))
         val root = Files.createTempDirectory("graft-sql-txn").toString
@@ -2345,10 +2354,14 @@ object ManifestSql {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
              |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
              |FROM events
-             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+             |WHERE user_id < 50
+             |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, dir) => {
+        // user_id < 50 on BOTH sides: the DELETE -> REORG -> verify
+        // flow is what's priced, over a real 4-file table
         val ev = graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50)
           .select(col("user_id"), col("event_type"),
             col("value").cast("decimal(18,4)").as("value"), col("ts"))
         val root = Files.createTempDirectory("graft-sql-reorg").toString
