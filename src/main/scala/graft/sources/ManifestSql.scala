@@ -575,6 +575,12 @@ object ManifestSql {
         last = spark.emptyDataFrame
       case DescribeDetailRe(table) =>
         last = Manifest.describeDetail(spark, root, table)
+      case ShowConstraintsRe(table) =>
+        // SHOW CONSTRAINTS t: the registered CHECK constraints every
+        // write path enforces — name + predicate text, pure metadata
+        last = { import spark.implicits._
+          Manifest.checkConstraints(root, table).toSeq.sorted
+            .toDF("name", "expression") }
       case DescribeTableRe(table) =>
         // DESCRIBE TABLE t: the column listing every catalog serves —
         // the REGISTERED schema when one governs reads (evolved /
@@ -820,6 +826,8 @@ object ManifestSql {
       "(?:\\s+STATS\\s*\\(([^)]*)\\))?\\s*$").r
   private val DescribeTableRe =
     "(?is)^DESCRIBE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val ShowConstraintsRe =
+    "(?is)^SHOW\\s+CONSTRAINTS\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val ReorgRe =
     ("(?is)^REORG\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+APPLY\\s*" +
       "\\(\\s*PURGE\\s*\\)\\s*$").r
@@ -2399,6 +2407,37 @@ object ManifestSql {
       (s, dir) => {
         val root = Manifest.showTablesRoot(s, dir)
         runDml(s, root, "DESCRIBE TABLE events_log").orderBy("col_name")
+      }),
+
+    // ----- SHOW CONSTRAINTS (q280): the governance listing — which
+    //       CHECK predicates every write path enforces, as text. The
+    //       flow is the full DDL lifecycle in one script: two ADDs, a
+    //       DROP, one listing; the oracle states the surviving pair
+    //       literally, so a dropped constraint that lingers (or a
+    //       kept one that vanishes) breaks it. -----
+    Q("q280_sql_show_constraints",
+      Some("""SELECT * FROM (VALUES
+             |  ('uid_nonneg', 'user_id >= 0'),
+             |  ('v_band', 'v BETWEEN -1000 AND 1000'))
+             |  t(name, expression)
+             |ORDER BY name""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-showcon").toString
+        graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("value").as("v"))
+          .createOrReplaceTempView("showcon_src")
+        val out = runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM showcon_src;
+            |ALTER TABLE t ADD CONSTRAINT uid_nonneg CHECK (user_id >= 0);
+            |ALTER TABLE t ADD CONSTRAINT v_band CHECK (v BETWEEN -1000 AND 1000);
+            |ALTER TABLE t ADD CONSTRAINT doomed CHECK (v >= -9999);
+            |ALTER TABLE t DROP CONSTRAINT doomed;
+            |SHOW CONSTRAINTS t""".stripMargin)
+          .orderBy("name").localCheckpoint(true)
+        s.catalog.dropTempView("showcon_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
       })
   )
 
