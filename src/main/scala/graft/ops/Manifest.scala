@@ -2128,6 +2128,16 @@ object Manifest {
       .collect { case (t, f, st) if t == table => (f, st) }
     require(rows.nonEmpty, s"table $table absent from snapshot v$v")
     val tsExact = sessionZone(s).getRules.isFixedOffset
+    // Can this (castType, zone) compare stat strings at all? Under a
+    // DST zone, timestamp stat ordering is undefined (cmpStatStrings
+    // returns None) — DEGRADE to the scan branch for every file, like
+    // overlappingRows does, instead of throwing: the hybrid is slower,
+    // never wrong, and `SELECT min(ts)` keeps working in any zone.
+    val cmpDefined =
+      cmpStatStrings("1970-01-02 00:00:00", "1970-01-02 00:00:00",
+        castType, tsExact).isDefined ||
+        cmpStatStrings("1970-01-02", "1970-01-02", castType, tsExact).isDefined ||
+        cmpStatStrings("1", "1", castType, tsExact).isDefined
     def cmp(a: String, b: String): Int =
       cmpStatStrings(a, b, castType, tsExact).getOrElse(
         throw new IllegalArgumentException(
@@ -2138,7 +2148,8 @@ object Manifest {
       st != null &&
         parseStatsJson(st).get("__nrows").flatMap(_._1).contains("0") }
     val (statted, scan) = nonEmpty.partition { case (_, st) =>
-      st != null && dvRefOf(st).isEmpty && parseStatsJson(st).contains(column) }
+      cmpDefined &&
+        st != null && dvRefOf(st).isEmpty && parseStatsJson(st).contains(column) }
     val metaBounds = statted.flatMap { case (_, st) =>
       parseStatsJson(st)(column) match {
         case (Some(mn), Some(mx)) => Some((mn, mx))

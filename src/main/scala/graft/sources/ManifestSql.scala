@@ -14,6 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.file.{Files, Paths}
 import java.time.{LocalDate, LocalDateTime, ZoneId, ZoneOffset}
+import scala.jdk.CollectionConverters._
 
 /** The manifest table layer exposed to `spark.sql` — file-level
   * data skipping INSIDE Catalyst's planning, not behind a Scala call.
@@ -1023,10 +1024,23 @@ object ManifestSql {
     }
     val loaded = graft.ops.Ingest.copyIntoOptions(
       spark, stage, names, opts, nullVals, tagSrcFile = true)
-    Manifest.commitAppend(spark, root, table, loaded.drop("_src_file"))
-    loaded.groupBy(col("_src_file").as("file"))
-      .agg(count(lit(1)).as("rows_loaded"))
-      .withColumn("status", lit("LOADED"))
+    // The load report rides `observe` metrics on the SAME pass that
+    // feeds the commit (one conditional sum per selected file — the
+    // FILES/PATTERN list is statement-sized): no second stage scan to
+    // diverge from the committed rows if the stage mutates, and a
+    // selected file that yielded ZERO rows still reports (Snowflake
+    // lists it with 0) because the report is built from the selected
+    // NAME LIST, not from grouping the rows that happened to exist.
+    val obs = org.apache.spark.sql.Observation()
+    val perFile = names.zipWithIndex.map { case (f, i) =>
+      sum(when(col("_src_file") === f, 1L).otherwise(0L)).as(s"f$i") }
+    val observed = loaded.observe(obs, perFile.head, perFile.tail: _*)
+    Manifest.commitAppend(spark, root, table, observed.drop("_src_file"))
+    val counts = obs.get
+    import spark.implicits._
+    names.zipWithIndex
+      .map { case (f, i) => (f, counts(s"f$i").asInstanceOf[Long], "LOADED") }
+      .toDF("file", "rows_loaded", "status")
       .orderBy("file")
   }
 
@@ -1098,8 +1112,20 @@ object ManifestSql {
       .option("compression", compression)
       .csv(dest)
     val rows = obs.get("n").asInstanceOf[Long]
+    // n_files reports what actually landed, not the requested split:
+    // Spark's writer skips empty partitions, so an empty or skewed
+    // source writes fewer parts than the repartition count (an empty
+    // unload writes ZERO) — list the destination like any consumer
+    // of the report would
+    val written = {
+      val l = Files.list(Paths.get(dest))
+      try l.iterator().asScala.count { p =>
+        val nm = p.getFileName.toString
+        nm.startsWith("part-") && !nm.endsWith(".crc")
+      } finally l.close()
+    }
     import spark.implicits._
-    Seq((rows, n.toLong)).toDF("rows_unloaded", "n_files")
+    Seq((rows, written.toLong)).toDF("rows_unloaded", "n_files")
   }
 
   // ------------------------------------------------- time travel (SQL)
@@ -2667,8 +2693,12 @@ object ManifestSql {
 
   def sqlZorderRoot(s: SparkSession, dir: String): String = {
     val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    // -eqd: same re-key as sqlZorder3Root — the relayout algorithm
+    // changed to equi-depth grids, and a fixture staged under the old
+    // min-max grid would keep serving a layout the pruning claims
+    // (q253, DmlSpec) no longer describe
     graft.ops.Staging.ensure(
-      s"target/graft-manifest-sqlzorder/$fp-${Manifest.layoutKey}") { tmp =>
+      s"target/graft-manifest-sqlzorder/$fp-${Manifest.layoutKey}-eqd") { tmp =>
       val ev = graft.Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           col("value").cast("decimal(18,4)").as("value"), col("ts"))
