@@ -89,7 +89,7 @@ object Manifest {
     * roots instead of serving old-layout bytes to new readers. */
   private[graft] val layoutKey: String =
     Staging.contentKey(manifestDdl, "claim=cas-v-dir", "markers=txn+schema+op-in-claim", "stats=bloomcol",
-      "check-marker=eq-separator", "evolve-rows=nrows-stats")
+      "check-marker=claim-sidecar", "evolve-rows=nrows-stats")
 
   // ---------------------------------------------------------------- pointer
 
@@ -274,9 +274,32 @@ object Manifest {
     // every write path funnels here, so CHECK constraints guard all of
     // them: the files are not yet claimed (invisible), so a violation
     // aborts with nothing to undo but the dir itself
-    enforceChecks(s, root, table, files)
+    val fp = enforceChecks(s, root, table, files)
+    // record WHAT was enforced (and under WHICH registry state) so the
+    // claim loop can re-validate if a constraint registers between this
+    // publish and the claim — the writer half of the registration race
+    val buf = pendingChecks.get()
+    buf.filterInPlace(e => !(e.root == root && e.table == table))
+    buf += new PendingChecks(root, table, files, fp)
+    if (buf.size > 16) buf.remove(0, buf.size - 16) // abandoned-publish cap
     files
   }
+
+  /** One published-but-unclaimed batch awaiting its claim, with the
+    * CHECK-registry fingerprint it was validated under. Thread-local:
+    * every committer publishes and claims on one thread. */
+  private final class PendingChecks(val root: String, val table: String,
+                                    val files: Seq[String], var fp: String)
+  private val pendingChecks =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[PendingChecks]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[PendingChecks]
+    }
+
+  /** Test seam: runs between a claim attempt's payload build and its
+    * CAS rename — a spec interleaves a racing commit here to prove the
+    * registration/write fences. No-op in production. */
+  private[graft] var preClaimTestHook: () => Unit = () => ()
 
   /** Move a fully-staged data dir into its claimed slot under
     * `root/data`. */
@@ -326,6 +349,9 @@ object Manifest {
     payload.base.foreach(b =>
       Files.write(tmp.resolve("m").resolve("_base"), b.toString.getBytes("UTF-8")))
     payload.extras.foreach { case (name, bytes) =>
+      // NB: '=' must never appear in a marker name — Spark's hidden-
+      // file filter exempts `_x=y` names (partition-style), so the
+      // manifest read would try to parse the marker as parquet
       require(name.startsWith("_") && name.matches("_[A-Za-z0-9._-]+"),
         s"unsafe claim marker name: $name")
       Files.write(tmp.resolve("m").resolve(name), bytes)
@@ -472,7 +498,9 @@ object Manifest {
     * `commitBatchToManifest`. Stack inspection is nanoseconds against
     * a commit's I/O. */
   private def currentOpName(): String = {
-    val interesting = "^(commit|compact|replicate|consume|publish|auditThenPublish).*".r
+    val interesting = ("^(commit|compact|replicate|consume|publish|" +
+      "auditThenPublish|addCheckConstraint|dropCheckConstraint|" +
+      "analyzeTable|createPolicy|attachPolicy|detachPolicy).*").r
     Thread.currentThread().getStackTrace.reverseIterator
       .find(f => f.getClassName.startsWith("graft.") &&
         !f.getMethodName.contains("$") &&
@@ -490,9 +518,40 @@ object Manifest {
     while (tries < maxRetries) {
       val version = nextVersion(root)
       val payload0 = attempt(baseFn(root))
+      preClaimTestHook()
+      // Writer half of the CHECK-registration fence: if the registry
+      // changed since this thread's publish validated its files (a
+      // constraint claimed in the publish→claim window, or this claim
+      // lost a race to a registration and is retrying), re-validate the
+      // published files under the CURRENT registry before claiming —
+      // one column-pruned scan of this commit's own files, only when
+      // the fingerprint moved. Entries whose files vanished (a prior
+      // aborted attempt cleaned them) are dropped, never re-read.
+      locally {
+        val buf = pendingChecks.get()
+        buf.filterInPlace(e => e.root != root ||
+          e.files.forall(f => Files.exists(Paths.get(e.root, f))))
+        buf.foreach { e =>
+          if (e.root == root) {
+            val fpNow = checkFingerprint(e.root, e.table)
+            if (fpNow != e.fp) {
+              val _ = enforceChecks(s, e.root, e.table, e.files)
+              e.fp = fpNow
+            }
+          }
+        }
+      }
       val payload = payload0.copy(extras =
         payload0.extras :+ ("_op" -> op.getBytes("UTF-8")))
       if (tryClaim(s, root, version, payload)) {
+        // a pending entry is discharged when ITS files get claimed —
+        // never by commit boundaries (a registration claim nested
+        // between another commit's publish and claim must not wipe
+        // that commit's pending validation)
+        val claimed = payload.ops.collect {
+          case ("add", t, f, _) if f != null => (t, f) }.toSet
+        pendingChecks.get().filterInPlace(e => !(e.root == root &&
+          e.files.forall(f => claimed((e.table, f)))))
         // branch (WAP) commits leave the pointer cache alone: they are
         // not main history until published, and the cache must never
         // suggest otherwise
@@ -808,13 +867,58 @@ object Manifest {
   // ('check-a--b--c' parses as both table 'a'/constraint 'b--c' and
   // table 'a--b'/constraint 'c', cross-enforcing constraints between
   // the two tables). layoutKey carries this contract.
-  private def checkPath(root: String, table: String, name: String): Path = {
+  private def checkIdents(table: String, name: String): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"unsafe constraint name: $name")
     require(table.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
       s"unsafe table name: $table") // the marker filename embeds it
-    checkDir(root).resolve(s"check-$table=$name")
   }
+
+  /** Claim-sidecar marker name of one registered CHECK constraint.
+    * `=` — the one byte excluded from both identifier charsets — can't
+    * be used here (Spark's hidden-file filter exempts `_x=y` names),
+    * so the table/name split is length-prefixed instead:
+    * `_check_<len(table)>.<table>.<name>` parses unambiguously for any
+    * legal identifiers. */
+  private def checkMarkerName(table: String, name: String): String = {
+    checkIdents(table, name)
+    s"_check_${table.length}.$table.$name"
+  }
+
+  /** The marker-name prefix every constraint of `table` shares. */
+  private def checkMarkerPrefix(table: String): String =
+    s"_check_${table.length}.$table."
+
+  /** Resolve every claim-sidecar marker under `prefix` to its NEWEST
+    * bytes — the registry read shared by CHECK constraints (and any
+    * later marker-registered metadata): newest claim wins per name, so
+    * a re-registration or tombstone in a later claim shadows the
+    * original, and [[vacuum]]'s marker carry keeps the resolution
+    * intact below the retention floor. Cost: one directory listing per
+    * retained claim — metadata-sized, bounded by vacuum. */
+  private def claimMarkers(root: String,
+                           prefix: String): Map[String, Array[Byte]] = {
+    val seen = scala.collection.mutable.HashMap[String, Array[Byte]]()
+    claimedVersions(root).reverseIterator.foreach { v =>
+      val d = Paths.get(root, "manifest", s"v$v")
+      if (Files.isDirectory(d)) {
+        val l = Files.list(d)
+        try l.iterator().asScala.foreach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix) && !seen.contains(n))
+            seen(n) = Files.readAllBytes(p)
+        } finally l.close()
+      }
+    }
+    seen.toMap
+  }
+
+  /** Order-stable fingerprint of `table`'s effective CHECK registry —
+    * what the claim loop compares to decide whether a published batch
+    * must re-validate before claiming. */
+  private def checkFingerprint(root: String, table: String): String =
+    checkConstraints(root, table).toSeq.sorted
+      .map { case (n, e) => s"$n=$e" }.mkString(" ")
 
   /** Register a CHECK constraint on `table` (Delta `ALTER TABLE ADD
     * CONSTRAINT`): from this moment EVERY write path — append, multi-
@@ -829,62 +933,99 @@ object Manifest {
     * column-pruned scan of each commit's OWN files (never the
     * table).
     *
-    * Concurrency window (documented, accepted): registration's
-    * validate-then-link is NOT serialized with the commit CAS. A
-    * writer whose publish funnel read [[checkConstraints]] before
-    * this link lands commits WITHOUT the new constraint's check, and
-    * symmetrically the existing-data scan here can miss a violating
-    * commit that claims between the scan and the link — either way a
-    * violating row can coexist with a registered constraint when
-    * registration races an in-flight write. Same exposure as Delta's
-    * ADD CONSTRAINT against a concurrent blind append; the fix —
-    * registering through a claim sidecar so registration serializes
-    * with commits — costs every constraint DDL a full commit.
-    * Operational rule: quiesce writers for the registration instant,
-    * or re-validate (one scan) after registering. */
+    * Registration is a METADATA COMMIT, serialized with every data
+    * commit by the version CAS (the `_schema_`/`_txn_` sidecar idiom):
+    * the existing-data scan validates the attempt's claim BASE, and
+    * winning the claim proves nothing committed between that scan and
+    * the registration becoming visible — a racing append forces a
+    * retry that re-validates against the new base, so a violating
+    * commit can never slip between scan and link. The other direction
+    * is fenced in [[casCommit]]: a writer whose publish validated
+    * under the OLD registry re-validates its published files at claim
+    * time when the registry fingerprint moved. Cost: one commit claim
+    * per constraint DDL — the price of never coexisting with an
+    * unvalidated row. */
   def addCheckConstraint(s: SparkSession, root: String, table: String,
-                         name: String, exprText: String): Unit = {
-    val p = checkPath(root, table, name)
-    Files.createDirectories(p.getParent)
+                         name: String, exprText: String,
+                         maxRetries: Int = 5): Unit = {
+    val marker = checkMarkerName(table, name)
+    require(exprText.trim.nonEmpty, "empty CHECK predicate")
     val pred = expr(exprText) // parse errors surface at registration
-    if (snapshotVersion(root) > 0 &&
-        manifestRows(s, root, snapshotVersion(root)).exists(_._1 == table)) {
-      val bad = readTable(s, root, table)
-        .filter(coalesce(pred, lit(true)) === false).count()
-      require(bad == 0L,
-        s"cannot add CHECK $name to $table: $bad existing rows violate '$exprText'")
-    }
-    val tmp = Files.createTempFile(p.getParent, s".check-$name", ".tmp")
-    Files.write(tmp, exprText.getBytes("UTF-8"))
-    try Files.createLink(p, tmp) // atomic non-replacing, same as tags
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
+    val _ = casCommit(s, root, { base =>
+      if (checkConstraints(root, table).contains(name))
+        throw new IllegalStateException( // immutable names, as before
           s"CHECK $name already exists on $table (drop it first)")
-    } finally Files.deleteIfExists(tmp)
+      if (base > 0 && manifestRows(s, root, base).exists(_._1 == table)) {
+        val bad = readTable(s, root, table, base)
+          .filter(coalesce(pred, lit(true)) === false).count()
+        require(bad == 0L,
+          s"cannot add CHECK $name to $table: $bad existing rows violate '$exprText'")
+      }
+      deltaOrFull(s, root, base, Nil, Nil)
+        .copy(extras = Seq(marker -> exprText.getBytes("UTF-8")))
+    }, maxRetries)
   }
 
-  /** Remove a CHECK constraint; unknown names are a no-op. */
+  /** Remove a CHECK constraint — a tombstone claim (empty marker
+    * bytes) that shadows the registration; unknown names are a no-op.
+    * Legacy loose-file markers (pre-sidecar roots) are deleted in
+    * place. Uses the thread's active session for the tombstone commit
+    * (the signature predates the claim-sidecar registry). */
   def dropCheckConstraint(root: String, table: String, name: String): Unit = {
-    val _ = Files.deleteIfExists(checkPath(root, table, name))
+    checkIdents(table, name)
+    // legacy loose files: current '=' separator and the pre-r11 '--'
+    val _ = Files.deleteIfExists(checkDir(root).resolve(s"check-$table=$name"))
+    val _2 = Files.deleteIfExists(checkDir(root).resolve(s"check-$table--$name"))
+    val live = claimMarkers(root, checkMarkerPrefix(table))
+      .get(checkMarkerName(table, name)).exists(_.nonEmpty)
+    if (live) {
+      val s = SparkSession.active
+      val _3 = casCommit(s, root, { base =>
+        deltaOrFull(s, root, base, Nil, Nil)
+          .copy(extras = Seq(checkMarkerName(table, name) -> Array.empty[Byte]))
+      }, 5)
+    }
   }
 
-  /** Registered CHECK constraints of `table`: name → predicate text. */
+  /** Registered CHECK constraints of `table`: name → predicate text.
+    * Claim-sidecar markers are authoritative (newest wins; empty bytes
+    * = dropped); loose `manifest/check-<table>=<name>` files — and the
+    * pre-r11 `check-<table>--<name>` form — are honored as LEGACY
+    * registrations from older roots (a constraint persisted by an
+    * earlier build must not silently stop enforcing), shadowed by any
+    * sidecar entry of the same name. */
   def checkConstraints(root: String, table: String): Map[String, String] = {
-    val dir = checkDir(root)
-    if (!Files.isDirectory(dir)) Map.empty
-    else {
-      val prefix = s"check-$table="
-      val l = Files.list(dir)
-      try l.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith(prefix))
-        .map(n => n.substring(prefix.length) ->
-          new String(Files.readAllBytes(dir.resolve(n)), "UTF-8"))
-        .toMap
-      finally l.close()
+    val legacy: Map[String, String] = {
+      val dir = checkDir(root)
+      if (!Files.isDirectory(dir)) Map.empty
+      else {
+        val eq = s"check-$table="
+        val dashes = s"check-$table--"
+        val l = Files.list(dir)
+        try l.iterator().asScala
+          .map(_.getFileName.toString)
+          .flatMap { n =>
+            // '=' files can't collide ('=' excluded from identifiers);
+            // '--' is ambiguous by construction — parse it only when no
+            // '=' is present, at the FIRST '--' (the historical writer)
+            if (n.startsWith(eq)) Some(n.substring(eq.length) -> n)
+            else if (!n.contains("=") && n.startsWith(dashes))
+              Some(n.substring(dashes.length) -> n)
+            else None
+          }
+          .map { case (name, n) =>
+            name -> new String(Files.readAllBytes(dir.resolve(n)), "UTF-8") }
+          .toMap
+        finally l.close()
+      }
     }
+    val prefix = checkMarkerPrefix(table)
+    val sidecar = claimMarkers(root, prefix).map { case (n, bytes) =>
+      n.substring(prefix.length) ->
+        (if (bytes.isEmpty) None else Some(new String(bytes, "UTF-8")))
+    }
+    val dropped = sidecar.collect { case (n, None) => n }.toSet
+    (legacy -- dropped) ++ sidecar.collect { case (n, Some(e)) => n -> e }
   }
 
   /** Validate just-published files against `table`'s CHECK
@@ -894,9 +1035,10 @@ object Manifest {
     * it was never visible) and the write fails loudly with per-
     * constraint row counts. */
   private def enforceChecks(s: SparkSession, root: String, table: String,
-                            relFiles: Seq[String]): Unit = {
+                            relFiles: Seq[String]): String = {
     val checks = checkConstraints(root, table).toSeq.sortBy(_._1)
-    if (checks.isEmpty || relFiles.isEmpty) return
+    val fp = checks.map { case (n, e) => s"$n=$e" }.mkString(" ")
+    if (checks.isEmpty || relFiles.isEmpty) return fp
     val df = s.read.parquet(relFiles.map(f => s"$root/$f"): _*)
     val aggs = checks.map { case (_, e) =>
       sum(when(coalesce(expr(e), lit(true)) === false, 1L).otherwise(0L)) }
@@ -911,6 +1053,7 @@ object Manifest {
       throw new IllegalArgumentException(
         s"CHECK constraint violation writing $table: ${bad.mkString("; ")}")
     }
+    fp
   }
 
   // ----------------------------------------------------- snapshot tags
@@ -3515,20 +3658,23 @@ object Manifest {
       s"commitClone: unknown source table $srcTable at v$v")
     val schemaExtras = srcSchema.toSeq.map(sch =>
       schemaMarker(dstTable) -> sch.json.getBytes("UTF-8"))
-    val newV = casCommit(s, root, { b =>
+    // the source's constraints ride the clone claim itself — atomic
+    // with the rows (no scan needed: the data was validated on the
+    // source), and no post-claim window where the clone exists
+    // unguarded
+    val checkExtras = checkConstraints(root, srcTable).toSeq.sorted
+      .map { case (n, ex) =>
+        checkMarkerName(dstTable, n) -> ex.getBytes("UTF-8") }
+    casCommit(s, root, { b =>
       // existence check INSIDE the claim: two racing clones to the
       // same name serialize through the CAS, exactly one wins
       if (manifestRows(s, root, b).exists(_._1 == dstTable) ||
           registeredSchema(s, root, dstTable, b).isDefined)
         throw new IllegalArgumentException(
           s"commitClone: $dstTable already exists at $root")
-      deltaOrFull(s, root, b, Nil, srcRows, Nil).copy(extras = schemaExtras)
+      deltaOrFull(s, root, b, Nil, srcRows, Nil)
+        .copy(extras = schemaExtras ++ checkExtras)
     }, maxRetries)
-    checkConstraints(root, srcTable).foreach { case (n, ex) =>
-      try addCheckConstraintUnchecked(root, dstTable, n, ex)
-      catch { case _: IllegalStateException => () } // already present
-    }
-    newV
   }
 
   /** UNDROP TABLE — Snowflake's recovery verb: restore `table` to its
@@ -3646,23 +3792,6 @@ object Manifest {
           s"CONVERT: $table already exists at $root")
       deltaOrFull(s, root, base, Nil, newRows)
     }, maxRetries)
-  }
-
-  /** Constraint marker write without the existing-data scan — the
-    * clone path copies constraints whose data, by construction, was
-    * validated on the source. */
-  private def addCheckConstraintUnchecked(root: String, table: String,
-                                          name: String, exprText: String): Unit = {
-    val p = checkPath(root, table, name)
-    Files.createDirectories(p.getParent)
-    val tmp = Files.createTempFile(p.getParent, s".check-$name", ".tmp")
-    Files.write(tmp, exprText.getBytes("UTF-8"))
-    try Files.createLink(p, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"CHECK $name already exists on $table (drop it first)")
-    } finally Files.deleteIfExists(tmp)
   }
 
   /** Reference-counted VACUUM: retain the newest `keep` READABLE
@@ -3790,7 +3919,9 @@ object Manifest {
         val l = Files.list(d)
         val markers =
           try l.iterator().asScala.map(_.getFileName.toString)
-            .filter(n => n.startsWith("_txn_") || n.startsWith("_schema_")).toList
+            .filter(n => n.startsWith("_txn_") || n.startsWith("_schema_") ||
+              n.startsWith("_check_") || n.startsWith("_policy") ||
+              n.startsWith("_stats_")).toList
           finally l.close()
         markers.foreach { name =>
           if (!Files.exists(dest.resolve(name)))
@@ -3853,26 +3984,6 @@ object Manifest {
     * call actually resolved and copied (re-reading the pointer for the
     * marker would race a concurrent source commit and desync the
     * replica ledger from the shipped bytes). */
-  /** Mirror the root-level CHECK-constraint markers to the
-    * destination — a promoted replica that silently stopped enforcing
-    * registered constraints would accept batches the source rejects.
-    * (Tags are deliberately NOT shipped: a tag names a version in its
-    * own root's history, and replica/export version spaces differ.) */
-  private def shipCheckMarkers(root: String, destRoot: String): Unit = {
-    val dir = checkDir(root)
-    if (!Files.isDirectory(dir)) return
-    val l = Files.list(dir)
-    val names =
-      try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("check-")).toList
-      finally l.close()
-    if (names.nonEmpty) Files.createDirectories(checkDir(destRoot))
-    names.foreach { n =>
-      Files.copy(dir.resolve(n), checkDir(destRoot).resolve(n),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
   private def exportSnapshotTxn(s: SparkSession, root: String, destRoot: String,
                                 txnApp: Option[String]): (Int, Long) = {
     val v = snapshotVersion(root)
@@ -3902,15 +4013,21 @@ object Manifest {
       registeredSchema(s, root, t, v).map(sch =>
         schemaMarker(t) -> sch.json.getBytes("UTF-8"))
     }
+    // the source's effective CHECK registry rides the v1 claim itself —
+    // a promoted environment enforces from its first visible instant
+    val checkExtrasOut = rows.map(_._1).distinct.sorted.flatMap { t =>
+      checkConstraints(root, t).toSeq.sorted.map { case (n, ex) =>
+        checkMarkerName(t, n) -> ex.getBytes("UTF-8") }
+    }
     val txnExtrasOut =
       txnLedgerExtras(root, exclude = txnApp.map(txnMarker).getOrElse(""))
     if (!tryClaim(s, destRoot, 1L,
       Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None,
-        schemaExtras ++ txnExtrasOut ++ txnExtras(txnApp.map(_ -> v)))))
+        schemaExtras ++ checkExtrasOut ++ txnExtrasOut ++
+          txnExtras(txnApp.map(_ -> v)))))
       throw new IllegalStateException(
         s"exportSnapshot: $destRoot already has a v1 claim")
     advancePointer(destRoot, 1L)
-    shipCheckMarkers(root, destRoot)
     (files.size, bytes)
   }
 
@@ -3999,6 +4116,20 @@ object Manifest {
         // writer failing over to the replica must resume at the batch
         // the replicated data actually contains
         val srcLedger = txnLedgerExtras(root, exclude = txnMarker(appId))
+        // the CHECK registry mirrors INSIDE the sync claim: additions
+        // ride as sidecar markers, source-side drops as tombstones —
+        // a promoted replica enforces exactly what the source enforces,
+        // atomically with the rows of the sync that made it so
+        val checkDelta = after.map(_._1).distinct.sorted.flatMap { t =>
+          val srcChecks = checkConstraints(root, t)
+          val dstChecks = checkConstraints(destRoot, t)
+          val adds = srcChecks.toSeq.sorted
+            .filter { case (n, ex) => !dstChecks.get(n).contains(ex) }
+            .map { case (n, ex) => checkMarkerName(t, n) -> ex.getBytes("UTF-8") }
+          val drops = (dstChecks.keySet -- srcChecks.keySet).toSeq.sorted
+            .map(n => checkMarkerName(t, n) -> Array.empty[Byte])
+          adds ++ drops
+        }
         casCommit(s, destRoot, { base =>
           txnGuard(destRoot, Some(appId -> srcV))
           // triple compare: an out-of-band DV write on the replica
@@ -4009,11 +4140,9 @@ object Manifest {
               s"replicateSnapshot: $destRoot diverged from the source snapshot " +
                 s"it last applied (v$last) — out-of-band writes on a replica")
           deltaOrFull(s, destRoot, base, Nil, changed, removed ++ readds)
-            .copy(extras = schemaExtras ++ srcLedger ++ txnExtras(Some(appId -> srcV)))
+            .copy(extras = schemaExtras ++ checkDelta ++ srcLedger ++
+              txnExtras(Some(appId -> srcV)))
         }, maxRetries)
-        // constraint markers mirror with every sync: a promoted replica
-        // must enforce what the source enforces
-        shipCheckMarkers(root, destRoot)
         (copied, bytes)
     }
   }

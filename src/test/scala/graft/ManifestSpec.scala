@@ -919,6 +919,90 @@ class ManifestSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").count() == 4L) // {1,2,4,5}
   }
 
+  test("CHECK registration rebases over a racing append (validate-then-claim is CAS-serialized)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-check-race").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 5.0)).toDF("k", "v"), "k", 1)
+    // arm: between the registration's existing-data scan (clean at its
+    // base) and its claim, a VIOLATING append claims the contended
+    // version — the registration must lose the CAS, re-validate at the
+    // new base, and refuse loudly; it must never register beside rows
+    // it did not scan
+    var fired = false
+    Manifest.preClaimTestHook = () => {
+      Manifest.preClaimTestHook = () => () // disarm before the nested commit
+      fired = true
+      Manifest.commitAppend(spark, root, "t", Seq((2L, -9.0)).toDF("k", "v"))
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Manifest.addCheckConstraint(spark, root, "t", "pos", "v >= 0")
+      }
+      assert(e.getMessage.contains("violate"))
+    } finally Manifest.preClaimTestHook = () => ()
+    assert(fired)
+    // the registration never became visible; the racing append (which
+    // legitimately won) is committed
+    assert(Manifest.checkConstraints(root, "t").isEmpty)
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+  }
+
+  test("a write whose publish predates a registration re-validates at claim time") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-check-race2").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 5.0)).toDF("k", "v"), "k", 1)
+    // arm: a constraint registers between the append's publish (which
+    // validated under the EMPTY registry) and its claim — the claim
+    // loop must notice the registry fingerprint moved, re-validate the
+    // published files, and fail loudly instead of committing rows the
+    // new constraint never saw
+    var fired = false
+    Manifest.preClaimTestHook = () => {
+      Manifest.preClaimTestHook = () => ()
+      fired = true
+      Manifest.addCheckConstraint(spark, root, "t", "pos", "v >= 0")
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Manifest.commitAppend(spark, root, "t", Seq((2L, -9.0)).toDF("k", "v"))
+      }
+      assert(e.getMessage.contains("CHECK"))
+    } finally Manifest.preClaimTestHook = () => ()
+    assert(fired)
+    // no unvalidated row is visible, the registration is live, and the
+    // rejected batch's files were cleaned up (nothing for vacuum)
+    assert(Manifest.readTable(spark, root, "t").count() == 1L)
+    assert(Manifest.checkConstraints(root, "t") == Map("pos" -> "v >= 0"))
+    Manifest.commitAppend(spark, root, "t", Seq((3L, 4.0)).toDF("k", "v"))
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+  }
+
+  test("legacy loose check markers ('=' and pre-r11 '--' separators) are honored and droppable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-check-legacy").toString
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 5.0)).toDF("k", "v"), "k", 1)
+    val dir = Paths.get(root, "manifest")
+    Files.write(dir.resolve("check-t=pos"), "v >= 0".getBytes("UTF-8"))
+    Files.write(dir.resolve("check-t--cap"), "v <= 100".getBytes("UTF-8"))
+    assert(Manifest.checkConstraints(root, "t") ==
+      Map("pos" -> "v >= 0", "cap" -> "v <= 100"))
+    // enforcement sees BOTH legacy registrations
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, root, "t", Seq((2L, -1.0)).toDF("k", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.commitAppend(spark, root, "t", Seq((2L, 101.0)).toDF("k", "v"))
+    }
+    // drop removes the legacy marker (either separator)
+    Manifest.dropCheckConstraint(root, "t", "cap")
+    assert(Manifest.checkConstraints(root, "t") == Map("pos" -> "v >= 0"))
+    Manifest.commitAppend(spark, root, "t", Seq((3L, 101.0)).toDF("k", "v"))
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+  }
+
   test("timestamp time travel resolves monotonic commit times; vacuum dryRun touches nothing") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-asof-spec").toString
