@@ -2545,6 +2545,14 @@ object Manifest {
       val dstV = snapshotVersion(dstRoot)
       val dstExists = dstV > 0 &&
         manifestRows(s, dstRoot, dstV).exists(_._1 == dstTable)
+      // an interval that nets NO changes for the source table (other
+      // tables committed, or src and dst share one root and the
+      // interval holds only this mirror's own commits) applies as a
+      // PURE no-op: no empty commit, ledger untouched — the next sync
+      // rescans the same (cheap, metadata-sized) interval. This is
+      // what makes a re-driven statement quiesce instead of minting
+      // one empty version per drive.
+      if (dstExists && nUp == 0L && nDel == 0L) return Some((0L, 0L))
       if (!dstExists) {
         // bootstrap: net state IS the table (net-deleted keys never land)
         commitAppendStats(s, dstRoot, dstTable, upserts, Seq(keyCol),
@@ -2624,6 +2632,9 @@ object Manifest {
       val dstV = snapshotVersion(dstRoot)
       val dstExists = dstV > 0 &&
         manifestRows(s, dstRoot, dstV).exists(_._1 == dstTable)
+      // empty-feed interval → pure no-op (see applyChangesInto): no
+      // empty commit, ledger untouched, statement re-drives quiesce
+      if (dstExists && kv.isEmpty) return Some((0L, 0L))
       if (!dstExists) {
         val nNew = newRows.count()
         try commitAppendStats(s, dstRoot, dstTable, newRows,

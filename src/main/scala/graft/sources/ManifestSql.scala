@@ -615,6 +615,49 @@ object ManifestSql {
       case TruncateRe(table) =>
         Manifest.commitTruncate(spark, root, table)
         last = spark.emptyDataFrame
+      case ApplyChangesRe(dst, src, keyCol, scdType) =>
+        // APPLY CHANGES INTO: the CDC-mirror verb family as statement
+        // text — TYPE 1 (default) keeps dst the key-wise mirror of
+        // src's change feed; TYPE 2 keeps the full validity-interval
+        // history. Both are incremental and exactly-once through the
+        // destination txn ledger, so re-driving the SAME statement is
+        // a NOOP report, never a double-apply. The result is the sync
+        // report a scheduler acts on.
+        val (dstRoot, dstTable) = resolveQualified(root, dst)
+        val (srcRoot, srcTable) = resolveQualified(root, src)
+        val srcV = Manifest.snapshotVersion(srcRoot)
+        require(srcV > 0,
+          s"APPLY CHANGES: no committed snapshot at source '$src'")
+        require(Manifest.manifestRows(spark, srcRoot, srcV)
+          .exists(_._1 == srcTable),
+          s"APPLY CHANGES: unknown source table '$src' (snapshot v$srcV)")
+        import spark.implicits._
+        last = Option(scdType).map(_.toInt).getOrElse(1) match {
+          case 1 =>
+            Manifest.applyChangesInto(spark, srcRoot, srcTable,
+              dstRoot, dstTable, keyCol)
+              .map { case (u, d) =>
+                Seq((u, d, if (u == 0L && d == 0L) "NOOP" else "APPLIED")) }
+              .getOrElse(Seq((0L, 0L, "NOOP")))
+              .toDF("rows_upserted", "rows_deleted", "status")
+          case 2 =>
+            Manifest.applyChangesScd2(spark, srcRoot, srcTable,
+              dstRoot, dstTable, keyCol)
+              .map { case (o, c) =>
+                Seq((o, c, if (o == 0L && c == 0L) "NOOP" else "APPLIED")) }
+              .getOrElse(Seq((0L, 0L, "NOOP")))
+              .toDF("intervals_opened", "rows_closed", "status")
+          case n => throw new IllegalArgumentException(
+            s"APPLY CHANGES: unsupported SCD TYPE $n (1 and 2 are supported)")
+        }
+      case st if st.trim.toUpperCase(java.util.Locale.ROOT)
+          .startsWith("APPLY CHANGES") =>
+        // refuse loudly instead of falling through to the SQL parser:
+        // a malformed KEYS clause or missing INTO must never plan as a
+        // (nonsensical) SELECT
+        throw new IllegalArgumentException(
+          "malformed APPLY CHANGES statement (expected: APPLY CHANGES " +
+            "INTO <dst> FROM <src> KEYS (<key>) [STORED AS SCD TYPE 1|2]): " + st)
       case other =>
         // plain SQL text — after resolving any `t VERSION AS OF n` /
         // `t TIMESTAMP AS OF '...'` time-travel clauses against the
@@ -834,6 +877,28 @@ object ManifestSql {
       "\\(\\s*PURGE\\s*\\)\\s*$").r
   private val TruncateRe =
     "(?is)^TRUNCATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  // APPLY CHANGES INTO <dst> FROM <src> KEYS (<k>) [STORED AS SCD
+  // TYPE n] — the DLT statement shape for the CDC mirror. Either side
+  // may be schema-qualified (`sub.table` = table `table` in manifest
+  // root `<root>/sub`); a bare name lives in the statement root
+  // itself.
+  private val ApplyChangesRe =
+    ("(?is)^APPLY\\s+CHANGES\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+" +
+      "([A-Za-z0-9_.-]+)\\s+KEYS\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)" +
+      "(?:\\s+STORED\\s+AS\\s+SCD\\s+TYPE\\s+(\\d+))?\\s*$").r
+
+  /** Resolve a possibly schema-qualified table reference of the APPLY
+    * CHANGES statement: `sub.table` → (root/sub, table) at the FIRST
+    * dot; a bare name stays in `root`. */
+  private def resolveQualified(root: String, ref: String): (String, String) = {
+    val i = ref.indexOf('.')
+    if (i < 0) (root, ref)
+    else {
+      require(i > 0 && i < ref.length - 1,
+        s"malformed qualified table reference: $ref")
+      (s"$root/${ref.substring(0, i)}", ref.substring(i + 1))
+    }
+  }
 
   /** Strip one level of single quotes and unescape the two sequences
     * Snowflake option strings use (`\\n`, `\\t`); a bare token passes
@@ -2464,8 +2529,167 @@ object ManifestSql {
         s.catalog.dropTempView("showcon_src")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- APPLY CHANGES INTO as SQL text (q281): the q236 CDC-mirror
+    //       flow driven ENTIRELY by one repeated statement — bootstrap,
+    //       incremental (CoW merge + DV delete netted from the feed),
+    //       and a NOOP re-drive, all `APPLY CHANGES INTO dst.user_totals
+    //       FROM src.user_totals KEYS (user_id)` (staging asserts each
+    //       drive's report; the query re-drives once more and must see
+    //       NOOP). The mirror reads back through the SQL FileIndex
+    //       after a statement REORG physicalized the sync's DVs. Same
+    //       oracle as q236: any stale pre-image, resurrected key, or
+    //       double-applied interval shifts the per-user totals. -----
+    Q("q281_sql_apply_changes",
+      Some("""SELECT user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_u,
+             |  CAST(count(*) AS BIGINT) AS n_u
+             |FROM events
+             |WHERE (user_id BETWEEN 2 AND 5
+             |   OR CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00')
+             |  AND user_id NOT BETWEEN 7 AND 9
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = sqlApplyRoot(s, dir)
+        // re-drive THROUGH the statement: exactly-once means this is a
+        // NOOP report, asserted IN the query so a regression fails the
+        // board, not a spec
+        val re = runDml(s, root,
+          "APPLY CHANGES INTO dst.user_totals FROM src.user_totals KEYS (user_id)")
+          .collect()(0)
+        require(re.getString(2) == "NOOP",
+          s"re-driven APPLY CHANGES must be a NOOP, reported $re")
+        register(s, s"$root/dst", "user_totals", "apply_sql_mirror")
+        val out = runDml(s, s"$root/dst",
+          """SELECT user_id, CAST(total_u AS DOUBLE) AS total_u, n_u
+            |FROM apply_sql_mirror ORDER BY user_id""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("apply_sql_mirror")
+        out
+      }),
+
+    // ----- APPLY CHANGES ... STORED AS SCD TYPE 2 as SQL text (q282):
+    //       the q264 history-keeping mirror from statement text —
+    //       bootstrap, one incremental interval (restatement + DV
+    //       erasure on the source) opening AND closing intervals, NOOP
+    //       re-drive, all the same statement; the query asserts the
+    //       NOOP in-plan and reads the interval algebra back through
+    //       SQL over the registered history table. q264's oracle
+    //       derives the expected (n_rows, has_open, cur_tv) triple per
+    //       user from raw events. -----
+    Q("q282_sql_apply_changes_scd2",
+      Some("""WITH u1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00'
+             |  GROUP BY user_id),
+             |u2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-11 00:00:00'
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-21 00:00:00'
+             |    AND user_id % 3 = 0 GROUP BY user_id)
+             |SELECT coalesce(u1.user_id, u2.user_id) AS user_id,
+             |  CAST(CASE WHEN u1.user_id IS NOT NULL AND u2.user_id IS NOT NULL
+             |    AND (u1.n <> u2.n OR u1.tv <> u2.tv) THEN 2 ELSE 1 END AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN coalesce(u1.user_id, u2.user_id) % 5 = 0
+             |    THEN 0 ELSE 1 END AS BIGINT) AS has_open,
+             |  CAST(CASE WHEN coalesce(u1.user_id, u2.user_id) % 5 = 0 THEN -1
+             |    ELSE CAST(coalesce(u2.tv, u1.tv) AS DOUBLE) END AS DOUBLE) AS cur_tv
+             |FROM u1 FULL OUTER JOIN u2 ON u1.user_id = u2.user_id
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = sqlScd2Root(s, dir)
+        val re = runDml(s, root,
+          "APPLY CHANGES INTO dst.acct_hist FROM src.acct KEYS (user_id) " +
+            "STORED AS SCD TYPE 2").collect()(0)
+        require(re.getString(2) == "NOOP",
+          s"re-driven SCD2 APPLY CHANGES must be a NOOP, reported $re")
+        register(s, s"$root/dst", "acct_hist", "scd2_sql_hist")
+        val out = runDml(s, s"$root/dst",
+          """SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(max(CASE WHEN __end_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS has_open,
+            |  coalesce(CAST(max(CASE WHEN __end_v IS NULL THEN tv END) AS DOUBLE), -1.0D) AS cur_tv
+            |FROM scd2_sql_hist GROUP BY user_id ORDER BY user_id""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("scd2_sql_hist")
+        out
       })
   )
+
+  /** q281's root: the q236 CDC-mirror fixture driven ENTIRELY by
+    * statement text — source commits land under `src/` exactly as in
+    * [[Manifest.applyChangesRoot]], and every sync (bootstrap,
+    * incremental, re-drive) is the verbatim APPLY CHANGES statement.
+    * Staging asserts each drive's own report, then REORG-purges the
+    * sync's deletion vectors so the mirror is SQL-FileIndex-readable. */
+  def sqlApplyRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-sql-apply/$fp-${Manifest.layoutKey}") { tmp =>
+      val src = s"$tmp/src"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+      val cutTs = lit(graft.ops.Cdc.versionCut).cast("timestamp")
+      def totals(df: DataFrame) = df.groupBy("user_id")
+        .agg(sum("value").as("total_u"), count(lit(1)).as("n_u"))
+      Manifest.commitAppendStats(s, src, "user_totals",
+        totals(ev.filter(col("ts") < cutTs)), Seq("user_id"), "user_id", 4)
+      val stmt =
+        "APPLY CHANGES INTO dst.user_totals FROM src.user_totals KEYS (user_id)"
+      val boot = runDml(s, tmp, stmt).collect()(0)
+      require(boot.getString(2) == "APPLIED" && boot.getLong(0) > 0,
+        s"staging bug: bootstrap reported $boot")
+      val _ = Manifest.commitMergeUpsert(s, src, "user_totals",
+        totals(ev).filter(col("user_id").between(2, 5)), "user_id")
+      val _2 = Manifest.commitDeleteVectors(s, src, "user_totals",
+        col("user_id").between(7, 9))
+      val inc = runDml(s, tmp, stmt).collect()(0)
+      require(inc.getLong(0) > 0 && inc.getLong(1) > 0,
+        s"staging bug: incremental sync should net upserts AND deletes, got $inc")
+      val re = runDml(s, tmp, stmt).collect()(0)
+      require(re.getString(2) == "NOOP", s"staging bug: re-drive reported $re")
+      val _3 = runDml(s, s"$tmp/dst", "REORG TABLE user_totals APPLY (PURGE)")
+    }
+  }
+
+  /** q282's root: the q264 SCD2 fixture with every sync driven by the
+    * verbatim `... STORED AS SCD TYPE 2` statement (reports asserted:
+    * bootstrap opened intervals, the incremental opened AND closed,
+    * the re-drive was NOOP). The SCD2 mirror is merge-only (no DVs),
+    * so it is SQL-readable as committed. */
+  def sqlScd2Root(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-sql-scd2/$fp-${Manifest.layoutKey}") { tmp =>
+      val src = s"$tmp/src"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value").cast("decimal(18,4)").as("value"),
+          col("ts"))
+      val a = lit("2024-01-11 00:00:00").cast("timestamp")
+      val b = lit("2024-01-21 00:00:00").cast("timestamp")
+      def st(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").cast("decimal(18,4)").as("tv"))
+      Manifest.commitAppendStats(s, src, "acct", st(ev.filter(col("ts") < a)),
+        Seq("user_id"), "user_id", 4)
+      val stmt = "APPLY CHANGES INTO dst.acct_hist FROM src.acct " +
+        "KEYS (user_id) STORED AS SCD TYPE 2"
+      val boot = runDml(s, tmp, stmt).collect()(0)
+      require(boot.getString(2) == "APPLIED" && boot.getLong(0) > 0,
+        s"staging bug: scd2 bootstrap reported $boot")
+      val _ = Manifest.commitMergeUpsert(s, src, "acct",
+        st(ev.filter(col("ts") >= a && col("ts") < b &&
+          col("user_id") % 3 === 0)), "user_id")
+      val _2 = Manifest.commitDeleteVectors(s, src, "acct",
+        col("user_id") % 5 === 0)
+      val inc = runDml(s, tmp, stmt).collect()(0)
+      require(inc.getLong(0) > 0 && inc.getLong(1) > 0,
+        s"staging bug: scd2 incremental should open AND close intervals, got $inc")
+      val re = runDml(s, tmp, stmt).collect()(0)
+      require(re.getString(2) == "NOOP",
+        s"staging bug: scd2 re-drive reported $re")
+    }
+  }
 
   /** q225's null-stats root: three stats commits of `events` slices
     * with engineered NULL structure in `value` — days <10 all-NULL,

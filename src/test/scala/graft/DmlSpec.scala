@@ -671,4 +671,49 @@ class DmlSpec extends SparkSuite {
         "SELECT count(*) AS n FROM t TIMESTAMP AS OF '1999-01-01 00:00:00'")
     }
   }
+
+  test("APPLY CHANGES statement refusals: malformed KEYS, missing INTO, bad SCD type, unknown source") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "src_t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    // empty KEYS never reaches the SQL parser
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "APPLY CHANGES INTO dst_t FROM src_t KEYS ()")
+    }
+    assert(e1.getMessage.contains("malformed APPLY CHANGES"))
+    // missing INTO clause
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "APPLY CHANGES FROM src_t KEYS (k)")
+    }
+    assert(e2.getMessage.contains("malformed APPLY CHANGES"))
+    // SCD TYPE 3 is not a thing this engine silently approximates
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "APPLY CHANGES INTO dst_t FROM src_t KEYS (k) STORED AS SCD TYPE 3")
+    }
+    assert(e3.getMessage.contains("SCD TYPE 3"))
+    // a source that does not exist refuses instead of NOOP-ing
+    val e4 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "APPLY CHANGES INTO dst_t FROM nope_t KEYS (k)")
+    }
+    assert(e4.getMessage.contains("unknown source table"))
+  }
+
+  test("APPLY CHANGES statement mirrors within one root and re-drives quiesce") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "src_t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1))
+    val stmt = "APPLY CHANGES INTO dst_t FROM src_t KEYS (k)"
+    val boot = ManifestSql.runDml(spark, root, stmt).collect()(0)
+    assert(boot.getString(2) == "APPLIED" && boot.getLong(0) == 2L)
+    // same-root re-drive: the interval now contains only the mirror's
+    // own commit — a pure NOOP, and the version must NOT advance
+    val v = Manifest.snapshotVersion(root)
+    val re = ManifestSql.runDml(spark, root, stmt).collect()(0)
+    assert(re.getString(2) == "NOOP")
+    assert(Manifest.snapshotVersion(root) == v)
+    assert(Manifest.readTable(spark, root, "dst_t").count() == 2L)
+  }
 }
