@@ -81,6 +81,77 @@ object Governance {
              |FROM customer
              |WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
              |ORDER BY c_custkey""".stripMargin),
-      (s, dir) => policedCustomer(s, dir, "analyst").orderBy("c_custkey"))
+      (s, dir) => policedCustomer(s, dir, "analyst").orderBy("c_custkey")),
+
+    // ----- Governance DDL (q283): q188's rewrites become REGISTERED
+    //       METADATA — CREATE MASKING/ROW ACCESS POLICY + ALTER TABLE
+    //       SET/ADD persist the policies as claim-sidecar markers, and
+    //       the SAME verbatim SELECT returns different results per
+    //       `SET ROLE`: the analyst sees two granted segments with
+    //       both masks applied, the admin sees the table byte-
+    //       identical (the policy body's own role check folds away).
+    //       The oracle recomputes both role views independently, so
+    //       drift in the mask arithmetic, the row filter, OR the role
+    //       plumbing breaks the hash. -----
+    Q("q283_policy_ddl_roles",
+      Some("""SELECT * FROM (
+             |  SELECT 'admin' AS role, c_custkey, c_name,
+             |    CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT 'analyst', c_custkey,
+             |    repeat('*', greatest(length(c_name) - 4, 0)) ||
+             |      substr(c_name, length(c_name) - 3),
+             |    CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE),
+             |    c_mktsegment
+             |  FROM customer
+             |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING'))
+             |ORDER BY role, c_custkey""".stripMargin),
+      (s, dir) => {
+        import graft.sources.ManifestSql
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-gov-ddl").toString
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            col("c_acctbal").cast("double").as("c_acctbal"),
+            col("c_mktsegment"))
+          .createOrReplaceTempView("gov_cust_src")
+        ManifestSql.runDml(s, root,
+          """CREATE TABLE cust AS SELECT * FROM gov_cust_src;
+            |CREATE MASKING POLICY mask_name AS (val STRING) RETURNS STRING ->
+            |  CASE WHEN current_role() = 'admin' THEN val
+            |       ELSE concat(repeat('*', greatest(length(val) - 4, 0)),
+            |                   substring(val, -4, 4)) END;
+            |CREATE MASKING POLICY mask_bal AS (v DOUBLE) RETURNS DOUBLE ->
+            |  CASE WHEN current_role() = 'admin' THEN v
+            |       ELSE CAST(floor(v / 1000) * 1000 AS DOUBLE) END;
+            |CREATE ROW ACCESS POLICY seg_access AS (seg STRING) RETURNS BOOLEAN ->
+            |  current_role() = 'admin' OR seg IN ('AUTOMOBILE', 'BUILDING');
+            |ALTER TABLE cust MODIFY COLUMN c_name SET MASKING POLICY mask_name;
+            |ALTER TABLE cust MODIFY COLUMN c_acctbal SET MASKING POLICY mask_bal;
+            |ALTER TABLE cust ADD ROW ACCESS POLICY seg_access ON (c_mktsegment)"""
+            .stripMargin)
+        def asRole(role: String): DataFrame = {
+          ManifestSql.runDml(s, root, s"SET ROLE $role")
+          ManifestSql.register(s, root, "cust", "gov_cust_v")
+          val out = ManifestSql.runDml(s, root,
+            s"""SELECT '$role' AS role, c_custkey, c_name, c_acctbal,
+               |  c_mktsegment
+               |FROM gov_cust_v ORDER BY c_custkey""".stripMargin)
+            .localCheckpoint(true)
+          s.catalog.dropTempView("gov_cust_v")
+          out
+        }
+        val out =
+          try asRole("admin").unionByName(asRole("analyst"))
+            .orderBy("role", "c_custkey")
+          finally {
+            s.conf.set("graft.sql.role", "admin") // restore session default
+            s.catalog.dropTempView("gov_cust_src")
+            graft.ops.Staging.deleteRecursively(
+              java.nio.file.Paths.get(root))
+          }
+        out
+      })
   )
 }

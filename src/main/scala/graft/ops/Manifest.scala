@@ -1056,6 +1056,161 @@ object Manifest {
     fp
   }
 
+  // ------------------------------------- governance policies (registry)
+  // Masking and row-access policies as REGISTERED METADATA, the same
+  // claim-sidecar registry CHECK constraints use: `CREATE ... POLICY`
+  // persists a definition marker, `ALTER TABLE ... SET/ADD ...`
+  // persists the per-table attachment marker, and the SQL read path
+  // ([[graft.sources.ManifestSql.tableDF]]) applies whatever is
+  // registered for the session's role — policies survive vacuum, ride
+  // replication, and cost one metadata walk at registration time, not
+  // per row (the rewrite itself is a plain Catalyst projection/filter
+  // composed onto the scan; see [[Governance]] for the 100-TB
+  // rationale of read-time policies over per-role copies).
+
+  private def policyDefMarker(name: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe policy name: $name")
+    s"_policydef_$name"
+  }
+
+  private def policiesMarker(table: String): String = {
+    require(table.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe table name: $table")
+    s"_policies_$table"
+  }
+
+  /** Register a policy definition: `kind` is "mask" (a value rewrite)
+    * or "row" (a boolean row filter); `body` is a Spark SQL expression
+    * over `argName` that may call `current_role()` (substituted with
+    * the session role literal at read time). A metadata commit;
+    * duplicate live names refuse. */
+  def createPolicy(s: SparkSession, root: String, name: String,
+                   kind: String, argName: String, body: String,
+                   maxRetries: Int = 5): Unit = {
+    require(kind == "mask" || kind == "row",
+      s"createPolicy: kind must be mask|row, got $kind")
+    require(argName.matches("[A-Za-z0-9_]+"),
+      s"unsafe policy argument name: $argName")
+    require(body.trim.nonEmpty, "empty policy body")
+    // parse errors surface at registration (role substituted by probe)
+    val _probe = expr(roleSubstituted(body, "admin"))
+    val marker = policyDefMarker(name)
+    val _ = casCommit(s, root, { base =>
+      require(policyOf(root, name).isEmpty,
+        s"policy $name already exists at $root")
+      deltaOrFull(s, root, base, Nil, Nil)
+        .copy(extras = Seq(marker ->
+          s"$kind\n$argName\n$body".getBytes("UTF-8")))
+    }, maxRetries)
+  }
+
+  /** The live definition of policy `name`: (kind, argName, body). */
+  def policyOf(root: String, name: String): Option[(String, String, String)] =
+    claimMarkers(root, policyDefMarker(name)).get(policyDefMarker(name))
+      .filter(_.nonEmpty)
+      .map { bytes =>
+        val s = new String(bytes, "UTF-8")
+        val i = s.indexOf('\n'); val j = s.indexOf('\n', i + 1)
+        (s.substring(0, i), s.substring(i + 1, j), s.substring(j + 1))
+      }
+
+  /** `current_role()` → the session role as a literal — policies are
+    * ordinary expressions after this one substitution. */
+  private[graft] def roleSubstituted(body: String, role: String): String = {
+    require(role.matches("[A-Za-z0-9_]+"), s"unsafe role name: $role")
+    body.replaceAll("(?i)current_role\\s*\\(\\s*\\)", s"'$role'")
+  }
+
+  /** `table`'s registered attachments: (column → masking policy,
+    * row-access attachments as (policy, column)). */
+  def tablePolicies(root: String,
+                    table: String): (Map[String, String], Seq[(String, String)]) = {
+    val m = claimMarkers(root, policiesMarker(table))
+      .get(policiesMarker(table)).filter(_.nonEmpty)
+      .map(b => new String(b, "UTF-8")).getOrElse("")
+    val lines = m.split('\n').toSeq.filter(_.nonEmpty)
+    val masks = lines.collect { case l if l.startsWith("mask:") =>
+      val Array(_, c, p) = l.split(":", 3); c -> p }.toMap
+    val rows = lines.collect { case l if l.startsWith("row:") =>
+      val Array(_, p, c) = l.split(":", 3); (p, c) }
+    (masks, rows)
+  }
+
+  def tableHasPolicies(root: String, table: String): Boolean = {
+    val (m, r) = tablePolicies(root, table)
+    m.nonEmpty || r.nonEmpty
+  }
+
+  private def renderPolicies(masks: Map[String, String],
+                             rows: Seq[(String, String)]): Array[Byte] =
+    (masks.toSeq.sorted.map { case (c, p) => s"mask:$c:$p" } ++
+      rows.map { case (p, c) => s"row:$p:$c" }).mkString("\n").getBytes("UTF-8")
+
+  /** Common attach machinery: validate against the CURRENT table
+    * schema and policy registry inside the claim attempt, then commit
+    * the updated attachment marker — attachments serialize with every
+    * other commit on the root. */
+  private def commitPolicyChange(s: SparkSession, root: String, table: String)(
+      change: (Map[String, String], Seq[(String, String)])
+        => (Map[String, String], Seq[(String, String)])): Unit = {
+    val _ = casCommit(s, root, { base =>
+      val (masks, rows) = tablePolicies(root, table)
+      val (m2, r2) = change(masks, rows)
+      deltaOrFull(s, root, base, Nil, Nil)
+        .copy(extras = Seq(policiesMarker(table) -> renderPolicies(m2, r2)))
+    }, 5)
+  }
+
+  private def tableSchemaOf(s: SparkSession, root: String,
+                            table: String): StructType =
+    registeredSchema(s, root, table)
+      .getOrElse(readTable(s, root, table).schema)
+
+  /** `ALTER TABLE t MODIFY COLUMN c SET MASKING POLICY p` — SET
+    * replaces any existing attachment on the column (Snowflake
+    * semantics). */
+  def attachMaskingPolicy(s: SparkSession, root: String, table: String,
+                          column: String, policy: String): Unit = {
+    val (kind, arg, _) = policyOf(root, policy).getOrElse(
+      throw new IllegalArgumentException(s"unknown policy $policy"))
+    require(kind == "mask",
+      s"policy $policy is a $kind policy, not a masking policy")
+    val sch = tableSchemaOf(s, root, table)
+    require(sch.fieldNames.contains(column),
+      s"ALTER TABLE $table: unknown column $column")
+    require(arg == column || !sch.fieldNames.contains(arg),
+      s"policy $policy's argument name '$arg' collides with a column of $table")
+    commitPolicyChange(s, root, table)((m, r) => (m + (column -> policy), r))
+  }
+
+  def detachMaskingPolicy(s: SparkSession, root: String, table: String,
+                          column: String): Unit =
+    commitPolicyChange(s, root, table)((m, r) => (m - column, r))
+
+  /** `ALTER TABLE t ADD ROW ACCESS POLICY p ON (c)` — at most one row
+    * policy per table (Snowflake semantics); DROP first to replace. */
+  def attachRowPolicy(s: SparkSession, root: String, table: String,
+                      policy: String, column: String): Unit = {
+    val (kind, arg, _) = policyOf(root, policy).getOrElse(
+      throw new IllegalArgumentException(s"unknown policy $policy"))
+    require(kind == "row",
+      s"policy $policy is a $kind policy, not a row access policy")
+    val sch = tableSchemaOf(s, root, table)
+    require(sch.fieldNames.contains(column),
+      s"ALTER TABLE $table: unknown column $column")
+    require(arg == column || !sch.fieldNames.contains(arg),
+      s"policy $policy's argument name '$arg' collides with a column of $table")
+    commitPolicyChange(s, root, table) { (m, r) =>
+      require(r.isEmpty,
+        s"$table already has row access policy ${r.head._1} (drop it first)")
+      (m, Seq((policy, column)))
+    }
+  }
+
+  def detachRowPolicy(s: SparkSession, root: String, table: String,
+                      policy: String): Unit =
+    commitPolicyChange(s, root, table)((m, r) => (m, r.filterNot(_._1 == policy)))
+
   // ----------------------------------------------------- snapshot tags
 
   private def tagPath(root: String, name: String): Path = {

@@ -94,7 +94,41 @@ object ManifestSql {
         if (alts.isEmpty) col(f.name)
         else coalesce((f.name +: alts.reverse).map(col): _*).as(f.name)
       }: _*)
-    (df, index)
+    (applyPolicies(spark, root, table, df), index)
+  }
+
+  /** Compose `table`'s REGISTERED governance policies onto the scan
+    * for the session's role (`graft.sql.role`, default `admin` — the
+    * single-user session owner): row-access policies filter first,
+    * masking policies rewrite their columns, both as plain Catalyst
+    * expressions (codegen'd, pushdown-friendly; the row filter reaches
+    * the parquet scan). Policies resolve at REGISTRATION — after `SET
+    * ROLE`, re-register the view, exactly like a catalog session. A
+    * policy-free table returns the frame untouched. */
+  private def applyPolicies(spark: SparkSession, root: String, table: String,
+                            df0: DataFrame): DataFrame = {
+    val (masks, rowPols) = Manifest.tablePolicies(root, table)
+    if (masks.isEmpty && rowPols.isEmpty) return df0
+    val role = spark.conf.get("graft.sql.role", "admin")
+    def argAndBody(policy: String): (String, org.apache.spark.sql.Column) = {
+      val (_, arg, body) = Manifest.policyOf(root, policy).getOrElse(
+        throw new IllegalStateException(
+          s"table $table references unknown policy $policy"))
+      (arg, expr(Manifest.roleSubstituted(body, role)))
+    }
+    var df = df0
+    rowPols.foreach { case (policy, colName) =>
+      val (arg, pred) = argAndBody(policy)
+      if (arg == colName) df = df.filter(pred)
+      else df = df.withColumn(arg, col(colName)).filter(pred).drop(arg)
+    }
+    masks.toSeq.sorted.foreach { case (colName, policy) =>
+      val (arg, e) = argAndBody(policy)
+      if (arg == colName) df = df.withColumn(colName, e)
+      else df = df.withColumn(arg, col(colName))
+        .withColumn(colName, e).drop(arg)
+    }
+    df
   }
 
   /** Register `table` as temp view `viewName`: from here on, plain
@@ -615,6 +649,39 @@ object ManifestSql {
       case TruncateRe(table) =>
         Manifest.commitTruncate(spark, root, table)
         last = spark.emptyDataFrame
+      case CreatePolicyRe(kindS, name, argName, body) =>
+        // CREATE MASKING/ROW ACCESS POLICY: the definition registers
+        // as claim-sidecar metadata (survives vacuum, rides
+        // replication); the body is a plain expression over the arg,
+        // with current_role() substituted at read time
+        val kind =
+          if (kindS.equalsIgnoreCase("masking")) "mask" else "row"
+        Manifest.createPolicy(spark, root, name, kind, argName, body.trim)
+        last = spark.emptyDataFrame
+      case SetMaskPolicyRe(table, colName, policy) =>
+        Manifest.attachMaskingPolicy(spark, root, table, colName, policy)
+        last = spark.emptyDataFrame
+      case UnsetMaskPolicyRe(table, colName) =>
+        Manifest.detachMaskingPolicy(spark, root, table, colName)
+        last = spark.emptyDataFrame
+      case AddRowPolicyRe(table, policy, colName) =>
+        Manifest.attachRowPolicy(spark, root, table, policy, colName)
+        last = spark.emptyDataFrame
+      case DropRowPolicyRe(table, policy) =>
+        Manifest.detachRowPolicy(spark, root, table, policy)
+        last = spark.emptyDataFrame
+      case SetRoleRe(role) =>
+        // session role, read by policy application at REGISTRATION
+        // time (re-register views after switching, like any catalog)
+        require(role.matches("[A-Za-z0-9_]+"), s"unsafe role name: $role")
+        spark.conf.set("graft.sql.role", role)
+        last = spark.emptyDataFrame
+      case ShowPoliciesRe(table) =>
+        val (masks, rowPols) = Manifest.tablePolicies(root, table)
+        last = { import spark.implicits._
+          (masks.toSeq.sorted.map { case (c, p) => ("MASKING", c, p) } ++
+            rowPols.map { case (p, c) => ("ROW ACCESS", c, p) })
+            .toDF("kind", "column_name", "policy") }
       case ApplyChangesRe(dst, src, keyCol, scdType) =>
         // APPLY CHANGES INTO: the CDC-mirror verb family as statement
         // text — TYPE 1 (default) keeps dst the key-wise mirror of
@@ -810,6 +877,9 @@ object ManifestSql {
         try Manifest.manifestRows(spark, root, v).exists(_._1 == table)
         catch { case _: Exception => false }
       if (!present) return None
+      // a governed table never answers from metadata: row/mask
+      // policies must see every read, and file stats know no roles
+      if (Manifest.tableHasPolicies(root, table)) return None
       val parsedOpt = splitTopLevel(items, ',').map(_.trim).map {
         case MetaAggItemRe(fn, arg, alias) =>
           Some((fn.toLowerCase, arg, Option(alias)))
@@ -886,6 +956,28 @@ object ManifestSql {
     ("(?is)^APPLY\\s+CHANGES\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+" +
       "([A-Za-z0-9_.-]+)\\s+KEYS\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)" +
       "(?:\\s+STORED\\s+AS\\s+SCD\\s+TYPE\\s+(\\d+))?\\s*$").r
+
+  // Governance DDL: policies as registered metadata (Snowflake's
+  // statement shapes), applied per role on the SQL read path.
+  private val CreatePolicyRe =
+    ("(?is)^CREATE\\s+(MASKING|ROW\\s+ACCESS)\\s+POLICY\\s+([A-Za-z0-9_]+)" +
+      "\\s+AS\\s*\\(\\s*([A-Za-z0-9_]+)\\s+[A-Za-z0-9(),\\s]+?\\)\\s*" +
+      "RETURNS\\s+[A-Za-z0-9(),]+\\s*->\\s*(.+)$").r
+  private val SetMaskPolicyRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+MODIFY\\s+COLUMN\\s+" +
+      "([A-Za-z0-9_]+)\\s+SET\\s+MASKING\\s+POLICY\\s+([A-Za-z0-9_]+)\\s*$").r
+  private val UnsetMaskPolicyRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+MODIFY\\s+COLUMN\\s+" +
+      "([A-Za-z0-9_]+)\\s+UNSET\\s+MASKING\\s+POLICY\\s*$").r
+  private val AddRowPolicyRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ADD\\s+ROW\\s+ACCESS\\s+" +
+      "POLICY\\s+([A-Za-z0-9_]+)\\s+ON\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)\\s*$").r
+  private val DropRowPolicyRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+DROP\\s+ROW\\s+ACCESS\\s+" +
+      "POLICY\\s+([A-Za-z0-9_]+)\\s*$").r
+  private val SetRoleRe = "(?is)^SET\\s+ROLE\\s+([A-Za-z0-9_]+)\\s*$".r
+  private val ShowPoliciesRe =
+    "(?is)^SHOW\\s+POLICIES\\s+([A-Za-z0-9_.-]+)\\s*$".r
 
   /** Resolve a possibly schema-qualified table reference of the APPLY
     * CHANGES statement: `sub.table` → (root/sub, table) at the FIRST
