@@ -1211,6 +1211,120 @@ object Manifest {
                       policy: String): Unit =
     commitPolicyChange(s, root, table)((m, r) => (m, r.filterNot(_._1 == policy)))
 
+  // ------------------------------------ ANALYZE: persisted table stats
+
+  /** One ANALYZE run's persisted result: the snapshot it described,
+    * the exact row count, and per profiled column (nulls, exact NDV,
+    * min, max as stat strings — None = all-NULL column). */
+  final case class ColStats(nNulls: Long, ndv: Long,
+                            min: Option[String], max: Option[String])
+  final case class TableStats(version: Long, nRows: Long,
+                              cols: Map[String, ColStats])
+
+  private def statsMarkerName(table: String): String = {
+    require(table.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe table name: $table")
+    s"_stats_$table"
+  }
+
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS ...]` — compute
+    * exact table/column statistics (the [[Stats]] one-pruned-pass-per-
+    * column shape: each pass scans ONE column, distinct aggregates
+    * map-side; the textbook single-scan multi-distinct Expand plan
+    * measured 9.5× slower) and PERSIST them as a claim-sidecar marker,
+    * where the metadata-aggregate fast path and `SHOW STATS` read them
+    * back with zero data I/O. The marker records the snapshot version
+    * analyzed; consumers compare the table's CURRENT file set against
+    * that version's to decide freshness (exactness survives unrelated
+    * commits — policy DDL, other tables — and dies with the first data
+    * change). Returns the stats relation (what SHOW STATS serves). */
+  def analyzeTable(s: SparkSession, root: String, table: String,
+                   columns: Seq[String], maxRetries: Int = 5): DataFrame = {
+    val v = snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    require(manifestRows(s, root, v).exists(_._1 == table),
+      s"ANALYZE: unknown table $table at v$v")
+    val df = readTable(s, root, table, v)
+    columns.foreach(c => require(df.columns.contains(c),
+      s"ANALYZE $table: unknown column $c"))
+    val nRows = countRows(s, root, table, v) // metadata where possible
+    val colStats = columns.map { c =>
+      val r = df.select(col(c)).agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c)),
+        min(col(c)).cast("string"),
+        max(col(c)).cast("string")).head()
+      c -> ColStats(
+        if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))
+    }
+    val entries =
+      Seq("__v" -> (v.toString, null: String),
+        "__nrows" -> (nRows.toString, null: String)) ++
+        colStats.flatMap { case (c, st) =>
+          Seq(c -> (st.min.orNull, st.max.orNull),
+            s"__nc_$c" -> (st.nNulls.toString, null: String),
+            s"__ndv_$c" -> (st.ndv.toString, null: String))
+        }
+    val _ = casCommit(s, root, { base =>
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras =
+        Seq(statsMarkerName(table) -> statsJsonOf(entries).getBytes("UTF-8")))
+    }, maxRetries)
+    statsRelation(s, TableStats(v, nRows, colStats.toMap), columns)
+  }
+
+  private def statsRelation(s: SparkSession, ts: TableStats,
+                            order: Seq[String]): DataFrame = {
+    import s.implicits._
+    val cols = if (order.nonEmpty) order else ts.cols.keys.toSeq.sorted
+    val rows =
+      if (cols.isEmpty) Seq(("*", ts.nRows, 0L, -1L,
+        Option.empty[String], Option.empty[String]))
+      else cols.map { c =>
+        val st = ts.cols(c)
+        (c, ts.nRows, st.nNulls, st.ndv, st.min, st.max)
+      }
+    rows.toDF("column_name", "n_rows", "n_nulls", "n_distinct",
+      "min_v", "max_v").orderBy("column_name")
+  }
+
+  /** The newest persisted ANALYZE result for `table`, if any. */
+  def persistedStats(root: String, table: String): Option[TableStats] =
+    claimMarkers(root, statsMarkerName(table)).get(statsMarkerName(table))
+      .filter(_.nonEmpty)
+      .map { bytes =>
+        val m = parseStatsJson(new String(bytes, "UTF-8"))
+        def lv(k: String): Long = m.get(k).flatMap(_._1).fold(0L)(_.toLong)
+        val cols = m.keys.filterNot(_.startsWith("__")).map { c =>
+          c -> ColStats(lv(s"__nc_$c"), lv(s"__ndv_$c"),
+            m(c)._1, m(c)._2)
+        }.toMap
+        TableStats(lv("__v"), lv("__nrows"), cols)
+      }
+
+  /** Persisted stats IF they still describe the current table content:
+    * the table's resolved (file, stats) set is unchanged since the
+    * analyzed version — survives unrelated commits, dies with the
+    * first data change. Metadata-sized check. */
+  def freshStats(s: SparkSession, root: String,
+                 table: String): Option[TableStats] =
+    persistedStats(root, table).filter { ts =>
+      val now = snapshotVersion(root)
+      ts.version > 0 && (ts.version == now || {
+        def rowsOf(v: Long) = manifestRows(s, root, v)
+          .collect { case (t, f, st) if t == table => (f, st) }.toSet
+        rowsOf(now) == rowsOf(ts.version)
+      })
+    }
+
+  /** SHOW STATS — read the persisted registry back, metadata-only. */
+  def showStats(s: SparkSession, root: String, table: String): DataFrame = {
+    val ts = persistedStats(root, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no persisted statistics for $table — run ANALYZE TABLE first"))
+    statsRelation(s, ts, Nil)
+  }
+
   // ----------------------------------------------------- snapshot tags
 
   private def tagPath(root: String, name: String): Path = {

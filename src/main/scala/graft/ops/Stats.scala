@@ -106,6 +106,85 @@ object Stats {
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
         columnStatsUnion(li, profiled).orderBy("column_name")
+      }),
+
+    // ----- ANALYZE TABLE as statement text, stats PERSISTED (q284):
+    //       q183's computation gains the catalog half — `ANALYZE
+    //       TABLE ... FOR COLUMNS` lands exact (nulls, NDV, min, max)
+    //       as a claim-sidecar marker, `SHOW STATS` reads it back
+    //       metadata-only, and `count(DISTINCT c)` statements answer
+    //       from the persisted NDV while the stats stay fresh. The
+    //       fixture DELETES the data files after ANALYZE, so every
+    //       number in this result can only have come from the
+    //       registry — a fast path that silently fell back to the
+    //       scan would throw, failing the board. Oracle recomputes
+    //       all of it from the raw table. -----
+    Q("q284_sql_analyze_stats",
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |  CAST(value AS DECIMAL(18,4)) AS value FROM events)
+             |SELECT * FROM (
+             |  SELECT 'event_type' AS column_name,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(*) - count(event_type) AS BIGINT) AS n_nulls,
+             |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+             |    CAST(min(event_type) AS VARCHAR) AS min_v,
+             |    CAST(max(event_type) AS VARCHAR) AS max_v FROM e
+             |  UNION ALL
+             |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+             |    CAST(count(*) - count(user_id) AS BIGINT),
+             |    CAST(count(DISTINCT user_id) AS BIGINT),
+             |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM e
+             |  UNION ALL
+             |  SELECT 'value', CAST(count(*) AS BIGINT),
+             |    CAST(count(*) - count(value) AS BIGINT),
+             |    CAST(count(DISTINCT value) AS BIGINT),
+             |    CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR) FROM e
+             |  UNION ALL
+             |  SELECT 'sql:ndv_fast_path', CAST(count(*) AS BIGINT),
+             |    CAST(0 AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT),
+             |    NULL, NULL FROM e)
+             |ORDER BY column_name""".stripMargin),
+      (s, dir) => {
+        import graft.sources.ManifestSql
+        import s.implicits._
+        val root = sqlAnalyzeRoot(s, dir)
+        val stats = ManifestSql.runDml(s, root, "SHOW STATS FOR events_log")
+        // the fixture deleted the data files: this statement can only
+        // answer from the persisted registry (count(*) from manifest
+        // footer counts, NDV from the ANALYZE marker)
+        val fast = ManifestSql.runDml(s, root,
+          "SELECT count(*) AS n_rows, count(DISTINCT user_id) AS ndv " +
+            "FROM events_log").head()
+        val sqlRow = Seq(("sql:ndv_fast_path", fast.getLong(0), 0L,
+          fast.getLong(1), Option.empty[String], Option.empty[String]))
+          .toDF("column_name", "n_rows", "n_nulls", "n_distinct",
+            "min_v", "max_v")
+        stats.unionByName(sqlRow).orderBy("column_name")
       })
   )
+
+  /** q284's root: one ranged commit of `events`, ANALYZE persisted
+    * through statement text — then the DATA FILES ARE DELETED, so any
+    * read that survives is provably metadata-only. */
+  def sqlAnalyzeRoot(s: SparkSession, dir: String): String = {
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-sql-analyze/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      Manifest.commitAppendRanged(s, tmp, "events_log", ev, "ts", 4)
+      // register the schema (an empty evolving append): the metadata
+      // answer path serves column types from the registration instead
+      // of inferring them from file footers — the files are about to
+      // be deleted
+      val _r = Manifest.commitAppendEvolve(s, tmp, "events_log",
+        ev.limit(0), allowEvolution = true)
+      val rep = graft.sources.ManifestSql.runDml(s, tmp,
+        "ANALYZE TABLE events_log COMPUTE STATISTICS " +
+          "FOR COLUMNS event_type, user_id, value")
+      require(rep.count() == 3L, "staging bug: ANALYZE reported wrong arity")
+      graft.ops.Staging.deleteRecursively(
+        java.nio.file.Paths.get(s"$tmp/data"))
+    }
+  }
 }

@@ -682,6 +682,15 @@ object ManifestSql {
           (masks.toSeq.sorted.map { case (c, p) => ("MASKING", c, p) } ++
             rowPols.map { case (p, c) => ("ROW ACCESS", c, p) })
             .toDF("kind", "column_name", "policy") }
+      case AnalyzeRe(table, colsS) =>
+        // ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS a, b]:
+        // exact stats, persisted as a claim marker (the registry SHOW
+        // STATS and the count(DISTINCT) metadata path read back)
+        val cols = Option(colsS).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        last = Manifest.analyzeTable(spark, root, table, cols)
+      case ShowStatsRe(table) =>
+        last = Manifest.showStats(spark, root, table)
       case ApplyChangesRe(dst, src, keyCol, scdType) =>
         // APPLY CHANGES INTO: the CDC-mirror verb family as statement
         // text — TYPE 1 (default) keeps dst the key-wise mirror of
@@ -852,7 +861,8 @@ object ManifestSql {
     ("(?is)^SELECT\\s+(.+?)\\s+FROM\\s+([A-Za-z0-9_.-]+)" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*$").r
   private val MetaAggItemRe =
-    ("(?is)^(count|min|max)\\s*\\(\\s*(\\*|[A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
+    ("(?is)^(count|min|max)\\s*\\(\\s*(\\*|(?:DISTINCT\\s+)?" +
+      "[A-Za-z_][A-Za-z0-9_]*)\\s*\\)" +
       "(?:\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*))?$").r
 
   /** Whole-table `SELECT count(*) | count(c) | min(c) | max(c) [AS a],
@@ -914,6 +924,18 @@ object ManifestSql {
         (fn, arg) match {
           case ("count", "*") =>
             Some(lit(Manifest.countRows(spark, root, table, v)).as(name))
+          case ("count", d) if d.toLowerCase(java.util.Locale.ROOT)
+              .startsWith("distinct") =>
+            // exact NDV from the PERSISTED ANALYZE registry — only
+            // while the stats still describe the current content
+            // (freshStats compares the resolved file set), and only
+            // for the live snapshot (a travel clause falls through to
+            // the scan path, which is correct at any version)
+            val c = d.split("\\s+", 2)(1)
+            if (fieldOf(c).isEmpty || v != sv) None
+            else Manifest.freshStats(spark, root, table)
+              .flatMap(_.cols.get(c))
+              .map(st => lit(st.ndv).as(name))
           case ("count", c) if fieldOf(c).isDefined =>
             Some(lit(Manifest.columnNonNullCount(spark, root, table, c, v))
               .as(name))
@@ -978,6 +1000,11 @@ object ManifestSql {
   private val SetRoleRe = "(?is)^SET\\s+ROLE\\s+([A-Za-z0-9_]+)\\s*$".r
   private val ShowPoliciesRe =
     "(?is)^SHOW\\s+POLICIES\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val AnalyzeRe =
+    ("(?is)^ANALYZE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+COMPUTE\\s+STATISTICS" +
+      "(?:\\s+FOR\\s+COLUMNS\\s+(.+?))?\\s*$").r
+  private val ShowStatsRe =
+    "(?is)^SHOW\\s+STATS\\s+(?:FOR\\s+)?([A-Za-z0-9_.-]+)\\s*$".r
 
   /** Resolve a possibly schema-qualified table reference of the APPLY
     * CHANGES statement: `sub.table` → (root/sub, table) at the FIRST

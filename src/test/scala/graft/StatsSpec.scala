@@ -25,6 +25,36 @@ class StatsSpec extends SparkSuite {
       .orderBy("column_name").collect().toSeq == expect)
   }
 
+  test("persisted ANALYZE stats are exact, fresh until the table changes, and survive unrelated commits") {
+    import graft.ops.Manifest
+    import graft.sources.ManifestSql
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-analyze-spec").toString
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("k", "s").coalesce(1))
+    val rep = ManifestSql.runDml(spark, root,
+      "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k, s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(rep.toSet == Set(("k", 3L, 0L, 2L, "1", "2"),
+      ("s", 3L, 0L, 2L, "a", "b")))
+    assert(Manifest.freshStats(spark, root, "t").exists(_.nRows == 3L))
+    // an UNRELATED commit (another table) does not stale the stats
+    Manifest.commitAppend(spark, root, "u",
+      Seq((9L, "z")).toDF("k", "s").coalesce(1))
+    assert(Manifest.freshStats(spark, root, "t").isDefined)
+    // a DATA change does — the registry stops feeding fast paths, SHOW
+    // STATS still shows what was recorded
+    Manifest.commitAppend(spark, root, "t",
+      Seq((3L, "c")).toDF("k", "s").coalesce(1))
+    assert(Manifest.freshStats(spark, root, "t").isEmpty)
+    assert(ManifestSql.runDml(spark, root, "SHOW STATS FOR t").count() == 2L)
+    // no stats at all refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "SHOW STATS FOR u")
+    }
+  }
+
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
     case q: QueryStageExec        => flatten(q.plan)
