@@ -545,6 +545,102 @@ object Curation {
             round(lit(1) - countDistinct(col("ck")).cast("double") / count(lit(1)), 4)
               .as("dup_rate"),
             (round((sum(col("score").cast("decimal(8,4)")) * 10000).cast("double")
-              / count(lit(1))) / 10000.0).as("mean_diversity")))
+              / count(lit(1))) / 10000.0).as("mean_diversity"))),
+
+    // ----- BPE trainer LOOP (q285): q133 counted ONE round's pairs;
+    //       this is the actual trainer — N bounded rounds of (count
+    //       adjacent symbol pairs → merge the argmax pair everywhere →
+    //       recount), producing the ordered merge table a tokenizer
+    //       ships. 100-TB shape: the corpus is scanned ONCE into the
+    //       word-type vocabulary (types ≪ instances — Heaps' law) with
+    //       per-type counts; every round then works on the vocab-sized
+    //       frame — one map-side-combinable weighted pair agg, ONE
+    //       collected row (the argmax — metadata-sized, like q166's
+    //       per-round fixpoint check), one row-local merge rewrite,
+    //       and a localCheckpoint so the plan stays O(1) across
+    //       rounds. The merge itself is greedy left-to-right
+    //       non-overlapping, implemented as delimiter-framed string
+    //       replace ('|p1||p2|' → '|p1p2|') — the SAME primitive both
+    //       engines ship, so the semantics can't drift. Oracle:
+    //       the identical rounds UNROLLED as chained CTEs, each
+    //       re-deriving its own argmax — a wrong merge, a wrong
+    //       tiebreak, or round state leaking across iterations breaks
+    //       the hash at the first divergent round. -----
+    Q("q285_bpe_trainer",
+      Some(duckBpeRounds(6)),
+      (s, dir) => {
+        import s.implicits._
+        var vocab = Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]{2,}$"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .withColumn("syms",
+            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .localCheckpoint(true)
+        val merges = Seq.newBuilder[(Long, String, String, Long)]
+        for (r <- 1 to 6) {
+          val top = vocab.filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> " +
+                "struct(element_at(syms, i) AS p1, element_at(syms, i + 1) AS p2))"))
+              .as("pr"))
+            .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+            .agg(sum("cnt").as("n"))
+            .orderBy(col("n").desc, col("p1"), col("p2"))
+            .limit(1).collect()(0)
+          val (p1, p2, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((r.toLong, p1, p2, n))
+          // merged symbols are letter-runs by construction ([a-z]+
+          // tokens), so inlining them in the expression is safe
+          vocab = vocab
+            .withColumn("s2", expr(
+              s"replace(concat('|', array_join(syms, '||'), '|'), " +
+                s"'|$p1||$p2|', '|$p1$p2|')"))
+            .withColumn("syms",
+              split(expr("substring(s2, 2, length(s2) - 2)"), "\\|\\|"))
+            .drop("s2")
+            .localCheckpoint(true)
+        }
+        merges.result().toDF("merge_round", "p1", "p2", "n")
+          .orderBy("merge_round")
+      })
   )
+
+  /** The q285 oracle: `n` BPE rounds unrolled as chained CTEs — every
+    * round re-derives its pair counts (weighted by word-type count),
+    * its argmax (count DESC, pair ASC), and its merged vocabulary via
+    * the same delimiter-framed replace the engine uses. */
+  private def duckBpeRounds(n: Int): String = {
+    val base =
+      """w AS (
+        |  SELECT t AS w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE regexp_matches(t, '^[a-z]{2,}$') GROUP BY t),
+        |r0 AS (SELECT w, cnt,
+        |  list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
+        |  FROM w)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      s"""pc$r AS (
+         |  SELECT pr[1] AS p1, pr[2] AS p2, SUM(cnt) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |      i -> [syms[i], syms[i + 1]])) AS pr
+         |    FROM r${r - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT p1, p2, n FROM pc$r ORDER BY n DESC, p1, p2 LIMIT 1),
+         |r$r AS (
+         |  SELECT w, cnt,
+         |    string_split(substr(s2, 2, len(s2) - 2), '||') AS syms
+         |  FROM (
+         |    SELECT w, cnt,
+         |      replace('|' || array_to_string(syms, '||') || '|',
+         |        '|' || t$r.p1 || '||' || t$r.p2 || '|',
+         |        '|' || t$r.p1 || t$r.p2 || '|') AS s2
+         |    FROM r${r - 1}, t$r))""".stripMargin
+    }
+    val selects = (1 to n).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, p1, p2, " +
+        s"CAST(n AS BIGINT) AS n FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $base,\n${rounds.mkString(",\n")}\n$selects\nORDER BY merge_round"
+  }
 }

@@ -586,48 +586,9 @@ object Similarity {
               |    PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS rn FROM sc)
               |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
       (s, dir) => {
-        graft.functions.GraftExtensions.register(s)
-        val e = Tables.load(s, dir, "embeddings")
-        // coarse IVF cells + probes (the q62 stage, verbatim)
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        val asg = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
-          .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
-        val wAsg = Window.partitionBy(col("vec_id"))
-          .orderBy(col("rcos").desc, col("c_id"))
-        val ranked = asg.withColumn("rn", row_number().over(wAsg))
-          .select("vec_id", "c_id", "rn").cache()
-        ranked.count() // eager: cells + probes both scan it
-        val cells = ranked.filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_id").as("cell"))
-        val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-        val cand = broadcast(probes).join(cells, Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("cand_id"))
-        // PQ codes + per-query tables (the q222 stage)
-        val sub = e.select(col("vec_id"),
-          posexplode(array((0 until 4).map(m =>
-            slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "s")))
-        val pcent = sub.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("pc"), col("m").as("cm"), col("s").as("cs"))
-        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(expr("dot_product(s, cs)").desc, col("pc"))
-        val codes = sub.join(broadcast(pcent), col("m") === col("cm"))
-          .withColumn("prn", row_number().over(wEnc))
-          .filter(col("prn") === 1)
-          .select(col("vec_id").as("cand_id"), col("m"), col("pc"))
-        val dtab = sub.filter(col("vec_id") < 5)
-          .join(broadcast(pcent), col("m") === col("cm"))
-          .select(col("vec_id").as("q_id"), col("m"), col("pc"),
-            floor(expr("dot_product(s, cs)") * 10000.0 + 0.5).as("d_e4"))
-        // ADC over the cell-bounded candidates only
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("score_e4").desc, col("cand_id"))
-        cand.join(codes, Seq("cand_id"))
-          .join(broadcast(dtab), Seq("q_id", "m", "pc"))
-          .groupBy("q_id", "cand_id")
-          .agg(sum("d_e4").as("score_e4"))
+        adcScores(s, Tables.load(s, dir, "embeddings"))
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 3)
           .select(col("q_id"), col("cand_id"), col("score_e4"),
@@ -700,66 +661,217 @@ object Similarity {
               |    PARTITION BY q_id ORDER BY cos_exact DESC, cand_id) AS rn FROM ref)
               |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
       (s, dir) => {
-        graft.functions.GraftExtensions.register(s)
         val e = Tables.load(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        val asg = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
-          .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
-        val wAsg = Window.partitionBy(col("vec_id"))
-          .orderBy(col("rcos").desc, col("c_id"))
-        val ranked = asg.withColumn("rn", row_number().over(wAsg))
-          .select("vec_id", "c_id", "rn").cache()
-        ranked.count() // eager: cells + probes both scan it
-        val cells = ranked.filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_id").as("cell"))
-        val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-        val cand = broadcast(probes).join(cells, Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("cand_id"))
-        val sub = e.select(col("vec_id"),
-          posexplode(array((0 until 4).map(m =>
-            slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "s")))
-        val pcent = sub.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("pc"), col("m").as("cm"), col("s").as("cs"))
-        val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(expr("dot_product(s, cs)").desc, col("pc"))
-        val codes = sub.join(broadcast(pcent), col("m") === col("cm"))
-          .withColumn("prn", row_number().over(wEnc))
-          .filter(col("prn") === 1)
-          .select(col("vec_id").as("cand_id"), col("m"), col("pc"))
-        val dtab = sub.filter(col("vec_id") < 5)
-          .join(broadcast(pcent), col("m") === col("cm"))
-          .select(col("vec_id").as("q_id"), col("m"), col("pc"),
-            floor(expr("dot_product(s, cs)") * 10000.0 + 0.5).as("d_e4"))
         val wAdc = Window.partitionBy(col("q_id"))
           .orderBy(col("score_e4").desc, col("cand_id"))
         // ADC shortlist: top-10 per query by compressed score
-        val shortlist = cand.join(codes, Seq("cand_id"))
-          .join(broadcast(dtab), Seq("q_id", "m", "pc"))
-          .groupBy("q_id", "cand_id")
-          .agg(sum("d_e4").as("score_e4"))
+        val shortlist = adcScores(s, e)
           .withColumn("arn", row_number().over(wAdc))
           .filter(col("arn") <= 10)
           .select("q_id", "cand_id")
-        // EXACT re-rank of the shortlist only: a broadcast of O(q x 10)
-        // pairs against the corpus by key — never a corpus self-join
-        val qEmb = e.select(col("vec_id").as("q_id"),
-          col("embedding").as("q_emb"))
-        val cEmb = e.select(col("vec_id").as("cand_id"),
-          col("embedding").as("c_emb2"))
-        val wRef = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_exact").desc, col("cand_id"))
-        broadcast(shortlist)
-          .join(qEmb, Seq("q_id")).join(cEmb, Seq("cand_id"))
-          .withColumn("cos_exact",
-            round(expr("cosine_sim(q_emb, c_emb2)"), 4))
-          .withColumn("rn", row_number().over(wRef))
-          .filter(col("rn") <= 3)
+        refineExact(s, e, shortlist, 3)
           .select(col("q_id"), col("cand_id"), col("cos_exact"),
             col("rn").cast("int").as("rn"))
           .orderBy("q_id", "rn")
+      }),
+
+    // ----- ANN recall audit (q286): the no-silent-caps rule applied
+    //       to the ANN stack itself. The board so far proves each
+    //       tier's ORDERING is computed right; this op measures what
+    //       the compression actually costs — recall@3 of the raw
+    //       IVF-PQ shortlist and of the refined (exact re-ranked)
+    //       top-3 against the brute-force exact top-3, per query, as
+    //       a first-class differential relation (the audit a
+    //       production ANN deployment runs before trusting an index).
+    //       All three tiers recompute independently in the oracle, so
+    //       a recall fraction that drifts — an over-pruned cell, a
+    //       mis-encoded code, a refine that leaks ADC order — breaks
+    //       the hash. Cost: exact side is queries × corpus (the q48
+    //       broadcast shape); at 100 TB this runs on a SAMPLE of
+    //       queries by construction (vec_id < 5 here), never the full
+    //       query log. -----
+    Q("q286_ann_recall_audit",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT e.vec_id, c.c_id,
+              |    round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+              |          / (e.nrm * c.c_nrm), 4) AS rcos
+              |  FROM e CROSS JOIN c),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg),
+              |cells AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+              |cand AS (
+              |  SELECT p.q_id, t.vec_id AS cand_id
+              |  FROM probes p JOIN cells t ON t.cell = p.cell AND t.vec_id <> p.q_id),
+              |sub AS (
+              |  SELECT vec_id, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
+              |  FROM e, (VALUES (0),(1),(2),(3)) AS mm(m)),
+              |pcent AS (SELECT vec_id AS pc, m, s AS cs FROM sub WHERE vec_id < 8),
+              |enc AS (
+              |  SELECT vec_id, m, pc FROM (
+              |    SELECT sub.vec_id, sub.m, p.pc,
+              |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              |        ORDER BY list_dot_product(sub.s, p.cs) DESC, p.pc) AS prn
+              |    FROM sub JOIN pcent p ON p.m = sub.m) WHERE prn = 1),
+              |dtab AS (
+              |  SELECT q.vec_id AS q_id, p.m, p.pc,
+              |    CAST(floor(list_dot_product(q.s, p.cs) * 10000 + 0.5) AS BIGINT) AS d_e4
+              |  FROM sub q JOIN pcent p ON p.m = q.m WHERE q.vec_id < 5),
+              |sc AS (
+              |  SELECT cand.q_id, cand.cand_id,
+              |    CAST(SUM(d.d_e4) AS BIGINT) AS score_e4
+              |  FROM cand
+              |  JOIN enc ON enc.vec_id = cand.cand_id
+              |  JOIN dtab d ON d.q_id = cand.q_id AND d.m = enc.m AND d.pc = enc.pc
+              |  GROUP BY cand.q_id, cand.cand_id),
+              |adc3 AS (
+              |  SELECT q_id, cand_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS rn FROM sc)
+              |  WHERE rn <= 3),
+              |shortlist AS (
+              |  SELECT q_id, cand_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS arn FROM sc)
+              |  WHERE arn <= 10),
+              |refd AS (
+              |  SELECT s.q_id, s.cand_id,
+              |    round(list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[])
+              |          / (eq.nrm * ec.nrm), 4) AS cos_exact
+              |  FROM shortlist s
+              |  JOIN e eq ON eq.vec_id = s.q_id
+              |  JOIN e ec ON ec.vec_id = s.cand_id),
+              |ref3 AS (
+              |  SELECT q_id, cand_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY cos_exact DESC, cand_id) AS rn FROM refd)
+              |  WHERE rn <= 3),
+              |ex AS (
+              |  SELECT q.vec_id AS q_id, cnd.vec_id AS cand_id,
+              |    round(list_dot_product(q.embedding::DOUBLE[], cnd.embedding::DOUBLE[])
+              |          / (q.nrm * cnd.nrm), 4) AS cos
+              |  FROM e q JOIN e cnd ON cnd.vec_id <> q.vec_id WHERE q.vec_id < 5),
+              |ex3 AS (
+              |  SELECT q_id, cand_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn FROM ex)
+              |  WHERE rn <= 3)
+              |SELECT e3.q_id,
+              |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_adc,
+              |  CAST(sum(CASE WHEN r3.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_refine,
+              |  CAST(round(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 4) AS DOUBLE) AS recall_adc,
+              |  CAST(round(sum(CASE WHEN r3.cand_id IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 4) AS DOUBLE) AS recall_refine
+              |FROM ex3 e3
+              |LEFT JOIN adc3 a ON a.q_id = e3.q_id AND a.cand_id = e3.cand_id
+              |LEFT JOIN ref3 r3 ON r3.q_id = e3.q_id AND r3.cand_id = e3.cand_id
+              |GROUP BY e3.q_id ORDER BY e3.q_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val e = Tables.load(s, dir, "embeddings")
+        val wAdc = Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("cand_id"))
+        val sc = adcScores(s, e)
+          .withColumn("arn", row_number().over(wAdc))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val adc3 = sc.filter(col("arn") <= 3).select("q_id", "cand_id")
+        val shortlist = sc.filter(col("arn") <= 10).select("q_id", "cand_id")
+        val ref3 = refineExact(s, e, shortlist, 3).select("q_id", "cand_id")
+        // exact top-3: the q48 brute-force broadcast shape over the
+        // audited query sample (cosine_sim folds norms into the one
+        // codegen loop — no precomputed nrm column needed)
+        val n = e
+        val q = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wEx = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        val ex3 = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(expr("cosine_sim(q_emb, embedding)"), 4))
+          .select(col("q_id"), col("vec_id").as("cand_id"), col("cos"))
+          .withColumn("rn", row_number().over(wEx))
+          .filter(col("rn") <= 3).select("q_id", "cand_id")
+        val out = ex3
+          .join(adc3.withColumn("a_hit", lit(1)), Seq("q_id", "cand_id"), "left")
+          .join(ref3.withColumn("r_hit", lit(1)), Seq("q_id", "cand_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("a_hit"), lit(0))).as("hits_adc"),
+            sum(coalesce(col("r_hit"), lit(0))).as("hits_refine"))
+          .select(col("q_id"), col("hits_adc"), col("hits_refine"),
+            round(col("hits_adc") / 3.0, 4).cast("double").as("recall_adc"),
+            round(col("hits_refine") / 3.0, 4).cast("double").as("recall_refine"))
+          .orderBy("q_id")
+          .localCheckpoint(true)
+        sc.unpersist()
+        out
       })
   )
+
+  /** Shared IVF-coarse + PQ-ADC scoring stage (q238 / q274 / q286):
+    * candidates come from the ≤2 probed cells only (the corpus never
+    * self-joins), each scored by the broadcast distance-table lookup
+    * with order-independent e4 sums — returns (q_id, cand_id,
+    * score_e4). */
+  private def adcScores(s: org.apache.spark.sql.SparkSession,
+                        e: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    // coarse IVF cells + probes (the q62 stage, verbatim)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val asg = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+      .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("rcos").desc, col("c_id"))
+    val ranked = asg.withColumn("rn", row_number().over(wAsg))
+      .select("vec_id", "c_id", "rn").cache()
+    ranked.count() // eager: cells + probes both scan it
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val cand = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    // PQ codes + per-query tables (the q222 stage)
+    val sub = e.select(col("vec_id"),
+      posexplode(array((0 until 4).map(m =>
+        slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "s")))
+    val pcent = sub.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("pc"), col("m").as("cm"), col("s").as("cs"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(expr("dot_product(s, cs)").desc, col("pc"))
+    val codes = sub.join(broadcast(pcent), col("m") === col("cm"))
+      .withColumn("prn", row_number().over(wEnc))
+      .filter(col("prn") === 1)
+      .select(col("vec_id").as("cand_id"), col("m"), col("pc"))
+    val dtab = sub.filter(col("vec_id") < 5)
+      .join(broadcast(pcent), col("m") === col("cm"))
+      .select(col("vec_id").as("q_id"), col("m"), col("pc"),
+        floor(expr("dot_product(s, cs)") * 10000.0 + 0.5).as("d_e4"))
+    // ADC over the cell-bounded candidates only
+    cand.join(codes, Seq("cand_id"))
+      .join(broadcast(dtab), Seq("q_id", "m", "pc"))
+      .groupBy("q_id", "cand_id")
+      .agg(sum("d_e4").as("score_e4"))
+  }
+
+  /** EXACT cosine re-rank of an ANN shortlist (q274 / q286): a
+    * broadcast of O(queries × shortlist) pairs keyed against the
+    * corpus — never a corpus self-join. Returns the shortlist with
+    * `cos_exact` and the per-query exact rank `rn ≤ k`. */
+  private def refineExact(s: org.apache.spark.sql.SparkSession, e: DataFrame,
+                          shortlist: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    val qEmb = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cEmb = e.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb2"))
+    val wRef = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_exact").desc, col("cand_id"))
+    broadcast(shortlist)
+      .join(qEmb, Seq("q_id")).join(cEmb, Seq("cand_id"))
+      .withColumn("cos_exact", round(expr("cosine_sim(q_emb, c_emb2)"), 4))
+      .withColumn("rn", row_number().over(wRef))
+      .filter(col("rn") <= k)
+  }
 }
