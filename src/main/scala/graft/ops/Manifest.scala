@@ -2918,21 +2918,27 @@ object Manifest {
           .filter(col("__end_v").isNull)
           .join(firstPerKey, Seq(keyCol), "inner")
           .withColumn("__end_v", col("_firstv")).drop("_firstv")
-        val batch = closed.unionByName(newRows)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val nNew = newRows.count()
-          val nClosed = closed.count()
-          try {
-            if (nNew + nClosed > 0)
-              commitMergeUpsert(s, dstRoot, dstTable, batch, "__hkey",
-                txn = Some(appId -> to))
-            else // still advance the ledger on a no-change interval
-              commitAppend(s, dstRoot, dstTable, batch,
-                txn = Some(appId -> to))
-          } catch { case _: TxnAlreadyCommitted => () }
-          Some((nNew, nClosed))
-        } finally batch.unpersist()
+        // the (opened, closed) report rides OBSERVE metrics on the
+        // merge's own first pass (its key-bounds aggregate pins the
+        // batch and scans it fully) — zero extra actions per sync
+        // (previously two count() passes), the q251 unload-report
+        // device. An all-empty batch merges as an early no-op (no
+        // claim, ledger untouched — the statement-re-drive quiesce
+        // contract), and the metrics still fire on that same pass.
+        val obs = org.apache.spark.sql.Observation()
+        val batch = closed.withColumn("__cl", lit(1L))
+          .unionByName(newRows.withColumn("__cl", lit(0L)))
+          .observe(obs, count(lit(1)).as("n_total"),
+            sum(col("__cl")).as("n_closed"))
+          .drop("__cl")
+        try commitMergeUpsert(s, dstRoot, dstTable, batch, "__hkey",
+          txn = Some(appId -> to))
+        catch { case _: TxnAlreadyCommitted => () }
+        val m = obs.get
+        val nTotal = m("n_total").asInstanceOf[Long]
+        val nClosed = // sum over zero rows observes as null
+          Option(m("n_closed")).fold(0L)(_.asInstanceOf[Long])
+        Some((nTotal - nClosed, nClosed))
       }
     } finally kv.unpersist()
   }

@@ -77,11 +77,27 @@ class Scd2Spec extends SparkSuite {
     // cancels, no history churn
     Manifest.commitMergeUpsert(spark, src, "t",
       Seq((1L, 1.0)).toDF("k", "v"), "k")
+    val v0 = Manifest.snapshotVersion(dst)
     assert(Manifest.applyChangesScd2(spark, src, "t", dst, "h", "k")
       .contains((0L, 0L)))
     assert(hist(dst).count() == 2L)
-    // ledger advanced: a re-drive reports no pending interval
+    // zero-change intervals are PURE no-ops: no commit, no version
+    // minted, and every further re-drive keeps reporting (0, 0)
+    // without touching the destination (the statement-re-drive
+    // quiesce contract — the next REAL change still applies, because
+    // the unadvanced ledger just widens that sync's interval)
+    assert(Manifest.snapshotVersion(dst) == v0)
+    assert(Manifest.applyChangesScd2(spark, src, "t", dst, "h", "k")
+      .contains((0L, 0L)))
+    assert(Manifest.snapshotVersion(dst) == v0)
+    // ...and the widened interval applies exactly once
+    Manifest.commitMergeUpsert(spark, src, "t",
+      Seq((2L, 9.0)).toDF("k", "v"), "k")
+    assert(Manifest.applyChangesScd2(spark, src, "t", dst, "h", "k")
+      .contains((1L, 1L)))
     assert(Manifest.applyChangesScd2(spark, src, "t", dst, "h", "k").isEmpty)
+    // k=1 open, k=2's first interval closed in place, k=2's new open
+    assert(hist(dst).count() == 3L)
   }
 
   test("delete then re-insert opens a NEW interval, history preserved") {
