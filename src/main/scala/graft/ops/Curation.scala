@@ -570,47 +570,131 @@ object Curation {
       Some(duckBpeRounds(6)),
       (s, dir) => {
         import s.implicits._
-        var vocab = Tables.load(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z]{2,}$"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .withColumn("syms",
-            expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-          .localCheckpoint(true)
-        val merges = Seq.newBuilder[(Long, String, String, Long)]
-        for (r <- 1 to 6) {
-          val top = vocab.filter(size(col("syms")) >= 2)
-            .select(col("cnt"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> " +
-                "struct(element_at(syms, i) AS p1, element_at(syms, i + 1) AS p2))"))
-              .as("pr"))
-            .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-            .agg(sum("cnt").as("n"))
-            .orderBy(col("n").desc, col("p1"), col("p2"))
-            .limit(1).collect()(0)
-          val (p1, p2, n) = (top.getString(0), top.getString(1), top.getLong(2))
-          merges += ((r.toLong, p1, p2, n))
-          // merged symbols are letter-runs by construction ([a-z]+
-          // tokens), so inlining them in the expression is safe
-          vocab = vocab
-            .withColumn("s2", expr(
-              s"replace(concat('|', array_join(syms, '||'), '|'), " +
-                s"'|$p1||$p2|', '|$p1$p2|')"))
-            .withColumn("syms",
-              split(expr("substring(s2, 2, length(s2) - 2)"), "\\|\\|"))
-            .drop("s2")
-            .localCheckpoint(true)
-        }
-        merges.result().toDF("merge_round", "p1", "p2", "n")
+        bpeTrainRounds(s, dir, 6)._1
+          .toDF("merge_round", "p1", "p2", "n")
           .orderBy("merge_round")
+      }),
+
+    // ----- BPE ENCODER (q287): the apply side of q285's trainer — the
+    //       op that actually tokenizes the corpus with the learned
+    //       merges. 100-TB shape: the trainer's final vocabulary
+    //       already holds each word TYPE's token sequence, so encoding
+    //       is (a) one corpus pass into per-(source, word) instance
+    //       counts (keyed agg, map-side combinable) and (b) one
+    //       word-keyed equi-join against the vocab — the text column
+    //       is never re-scanned per merge, and the join key is the
+    //       word, so both sides shuffle keyed (no broadcast claim: at
+    //       100 TB the vocabulary is Heaps'-law millions of types, a
+    //       legitimate shuffle join, and AQE may still broadcast it at
+    //       small SF). Output = the tokenizer datasheet: per-source
+    //       word instances, BPE token count, fertility (tokens/word —
+    //       THE tokenizer-quality number), and distinct token types.
+    //       Oracle: the same six rounds unrolled (any trainer drift
+    //       breaks encode too), then the same join + rollup. -----
+    Q("q287_bpe_encode",
+      Some(s"""WITH ${duckBpePrefix(6)},
+             |sw AS (
+             |  SELECT source, t AS w, count(*) AS n FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS t
+             |    FROM documents)
+             |  WHERE regexp_matches(t, '^[a-z]{2,}$$') GROUP BY 1, 2),
+             |j AS (SELECT sw.source, sw.n, r6.syms
+             |      FROM sw JOIN r6 ON sw.w = r6.w),
+             |a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+             |        CAST(sum(n * len(syms)) AS BIGINT) AS n_bpe_tokens
+             |      FROM j GROUP BY source),
+             |ty AS (SELECT source,
+             |        CAST(count(DISTINCT tok) AS BIGINT) AS n_token_types
+             |       FROM (SELECT source, unnest(syms) AS tok FROM j)
+             |       GROUP BY source)
+             |SELECT a.source, n_words, n_bpe_tokens,
+             |  round(n_bpe_tokens * 10000.0 / n_words) / 10000.0 AS fertility,
+             |  n_token_types
+             |FROM a JOIN ty USING (source) ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val vocab = bpeTrainRounds(s, dir, 6)._2
+        val sw = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]{2,}$"))
+          .groupBy("source", "w").agg(count(lit(1)).as("n"))
+        val j = sw.join(vocab.select("w", "syms"), "w")
+        // fertility divides two exact-integer doubles, so the rounding
+        // tie (if any) is a representable half both engines agree on
+        val a = j.groupBy("source")
+          .agg(sum(col("n")).cast("long").as("n_words"),
+            sum(col("n") * size(col("syms"))).cast("long").as("n_bpe_tokens"))
+          .withColumn("fertility",
+            round(col("n_bpe_tokens").cast("double") * 10000.0
+              / col("n_words").cast("double")) / 10000.0)
+        val ty = j.select(col("source"), explode(col("syms")).as("tok"))
+          .groupBy("source").agg(countDistinct(col("tok")).as("n_token_types"))
+        a.join(ty, "source")
+          .select("source", "n_words", "n_bpe_tokens", "fertility",
+            "n_token_types")
+          .orderBy("source")
       })
   )
+
+  /** Shared q285/q287 trainer: `n` BPE merge rounds over the word-type
+    * vocabulary. Returns (ordered merge table rows, final vocabulary
+    * frame `(w, cnt, syms)`). The corpus is scanned ONCE into word
+    * types (Heaps' law: types ≪ instances); each round is one
+    * map-side-combinable weighted pair count, ONE collected argmax row
+    * (metadata-sized, the q166 fixpoint-check discipline), a row-local
+    * delimiter-framed merge rewrite, and a localCheckpoint so the plan
+    * stays O(1) across rounds. */
+  private def bpeTrainRounds(s: SparkSession, dir: String, n: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var vocab = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to n) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS p1, element_at(syms, i + 1) AS p2))"))
+          .as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(1).collect()(0)
+      val (p1, p2, nCnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, p1, p2, nCnt))
+      // merged symbols are letter-runs by construction ([a-z]+
+      // tokens), so inlining them in the expression is safe
+      vocab = vocab
+        .withColumn("s2", expr(
+          s"replace(concat('|', array_join(syms, '||'), '|'), " +
+            s"'|$p1||$p2|', '|$p1$p2|')"))
+        .withColumn("syms",
+          split(expr("substring(s2, 2, length(s2) - 2)"), "\\|\\|"))
+        .drop("s2")
+        .localCheckpoint(true)
+    }
+    (merges.result(), vocab)
+  }
 
   /** The q285 oracle: `n` BPE rounds unrolled as chained CTEs — every
     * round re-derives its pair counts (weighted by word-type count),
     * its argmax (count DESC, pair ASC), and its merged vocabulary via
     * the same delimiter-framed replace the engine uses. */
   private def duckBpeRounds(n: Int): String = {
+    val selects = (1 to n).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, p1, p2, " +
+        s"CAST(n AS BIGINT) AS n FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${duckBpePrefix(n)}\n$selects\nORDER BY merge_round"
+  }
+
+  /** The CTE prefix both BPE oracles share (q285 trainer / q287
+    * encoder): word-type vocabulary + `n` unrolled merge rounds, each
+    * re-deriving its own argmax and merged vocabulary `r<n>`. */
+  private def duckBpePrefix(n: Int): String = {
     val base =
       """w AS (
         |  SELECT t AS w, count(*) AS cnt FROM (
@@ -637,10 +721,6 @@ object Curation {
          |        '|' || t$r.p1 || t$r.p2 || '|') AS s2
          |    FROM r${r - 1}, t$r))""".stripMargin
     }
-    val selects = (1 to n).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, p1, p2, " +
-        s"CAST(n AS BIGINT) AS n FROM t$r")
-      .mkString("\nUNION ALL\n")
-    s"WITH $base,\n${rounds.mkString(",\n")}\n$selects\nORDER BY merge_round"
+    s"$base,\n${rounds.mkString(",\n")}"
   }
 }

@@ -918,7 +918,7 @@ object Manifest {
     * must re-validate before claiming. */
   private def checkFingerprint(root: String, table: String): String =
     checkConstraints(root, table).toSeq.sorted
-      .map { case (n, e) => s"$n=$e" }.mkString(" ")
+      .map { case (n, e) => s"$n=$e" }.mkString("\u0000")
 
   /** Register a CHECK constraint on `table` (Delta `ALTER TABLE ADD
     * CONSTRAINT`): from this moment EVERY write path — append, multi-
