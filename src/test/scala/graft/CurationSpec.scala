@@ -245,6 +245,29 @@ class CurationSpec extends SparkSuite {
     assert(gotOrder == expectedOrder, s"race order $gotOrder != expected $expectedOrder")
   }
 
+  test("q287 encode agrees with an independent word count and bounds its tokens") {
+    val enc = q("q287_bpe_encode").collect()
+    assert(enc.nonEmpty)
+    // n_words must equal a direct count of the trainer's word filter —
+    // a vocab join that drops word types would silently under-count
+    val direct = Tables.load(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    enc.foreach { r =>
+      val src = r.getAs[String]("source")
+      val words = r.getAs[Long]("n_words")
+      val toks = r.getAs[Long]("n_bpe_tokens")
+      assert(words == direct(src), s"$src word count drifted")
+      // every word is >= 1 token, and 6 merges cannot push fertility
+      // below 1: tokens bounded below by instances, above by chars
+      assert(toks >= words, s"$src tokens < words")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Long]("n_token_types") > 0)
+    }
+  }
+
   test("q158 datasheet is one row with sane ranges") {
     val r = q("q158_corpus_datasheet").collect()
     assert(r.length == 1)
