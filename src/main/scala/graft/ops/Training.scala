@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -404,8 +405,132 @@ object Training {
           .filter(col("rn") <= col("quota"))
           .select(col("source"), col("doc_id"), col("rn"))
           .orderBy("source", "rn")
+      }),
+
+    // ----- k-means TRAINER (q288): q126 ran ONE Lloyd step; this is
+    //       the bounded-round loop (3 rounds, k = 8 seeds) under the
+    //       q166/q285 iteration discipline — per round: assignment is
+    //       corpus x BROADCAST centroids (k x dims is tiny at any
+    //       corpus size), the update is a (cluster, dim)-keyed agg
+    //       whose cardinality is k x dims (corpus-size-independent,
+    //       partial agg eats the posexplode), and both the assignment
+    //       and the new centroid frame localCheckpoint so the plan
+    //       stays O(1) across rounds (production: persist + unpersist
+    //       the previous round). Cross-engine round stability: the
+    //       embeddings quantize ONCE to 4-dp doubles, so every later
+    //       centroid mean is an exact DECIMAL sum scaled to an integer
+    //       divide (order-independent), and each round's centroids are
+    //       themselves 4-dp — float drift cannot compound across
+    //       rounds. Output = per-round per-cluster (members, cohesion,
+    //       centroid norm); the oracle unrolls the SAME three rounds as
+    //       chained CTEs, so every round hash-checks, not just the
+    //       fixpoint. -----
+    Q("q288_kmeans_train",
+      Some(duckKmeansRounds(3)),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> round(cast(x AS double), 4))")
+              .as("emb"))
+        var cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+          .localCheckpoint(true)
+        // sequential left-to-right folds — the same element order DuckDB's
+        // list_dot_product sums in, so the doubles match bit-for-bit
+        val dot = "aggregate(zip_with(emb, c_emb, (x, y) -> x * y), " +
+          "0D, (acc, x) -> acc + x)"
+        val nA = "sqrt(aggregate(transform(emb, x -> x * x), 0D, (acc, x) -> acc + x))"
+        val nB = "sqrt(aggregate(transform(c_emb, x -> x * x), 0D, (acc, x) -> acc + x))"
+        val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        for (r <- 1 to 3) {
+          val wAsg = Window.partitionBy(col("vec_id"))
+            .orderBy(col("rcos").desc, col("c_id"))
+          val best = e.crossJoin(broadcast(cents))
+            .withColumn("rcos", round(expr(s"$dot / ($nA * $nB)"), 4))
+            .withColumn("rn", row_number().over(wAsg))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("c_id").as("cluster"), col("rcos"))
+            .localCheckpoint(true)
+          val stats = best.groupBy("cluster")
+            .agg(count(lit(1)).as("n_members"),
+              (round((sum(col("rcos").cast("decimal(8,4)")) * 10000)
+                .cast("double") / count(lit(1))) / 10000.0).as("cohesion"))
+          val cent = best.join(e, "vec_id")
+            .select(col("cluster"), posexplode(col("emb")).as(Seq("pos", "v")))
+            .groupBy("cluster", "pos")
+            .agg((round((sum(col("v").cast("decimal(18,4)")) * 10000)
+              .cast("double") / count(lit(1))) / 10000.0).as("m"))
+          // m and m*m are exact 4-/8-dp decimals under the hood, so the
+          // decimal casts are lossless and the norm sum order-proof
+          val norms = cent.groupBy("cluster")
+            .agg(round(sqrt(sum((col("m") * col("m")).cast("decimal(20,8)"))
+              .cast("double")), 4).as("centroid_norm"))
+          rounds += stats.join(norms, "cluster")
+            .select(lit(r).cast("long").as("rnd"), col("cluster"),
+              col("n_members"), col("cohesion"), col("centroid_norm"))
+          cents = cent.groupBy("cluster")
+            .agg(expr(
+              "transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+              .as("c_emb"))
+            .select(col("cluster").as("c_id"), col("c_emb"))
+            .localCheckpoint(true)
+        }
+        rounds.reduce(_ unionByName _).orderBy("rnd", "cluster")
       })
   )
+
+  /** The q288 oracle: `n` Lloyd rounds unrolled as chained CTEs — each
+    * round re-derives its assignment (rounded cosine, c_id tiebreak),
+    * its per-cluster stats, and its 4-dp-quantized centroids. */
+  private def duckKmeansRounds(n: Int): String = {
+    val base =
+      """e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS emb
+        |  FROM embeddings),
+        |en AS (SELECT vec_id, emb,
+        |  sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < 8)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      s"""asg$r AS (
+         |  SELECT en.vec_id, c.c_id,
+         |    round(list_dot_product(en.emb, c.c_emb)
+         |      / (en.nrm * sqrt(list_dot_product(c.c_emb, c.c_emb))), 4) AS rcos
+         |  FROM en CROSS JOIN c${r - 1} c),
+         |best$r AS (
+         |  SELECT vec_id, c_id AS cluster, rcos FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg$r)
+         |  WHERE rn = 1),
+         |stats$r AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |    round(CAST(sum(CAST(rcos AS DECIMAL(8,4))) * 10000 AS DOUBLE)
+         |      / count(*)) / 10000.0 AS cohesion
+         |  FROM best$r GROUP BY cluster),
+         |dims$r AS (
+         |  SELECT b.cluster, generate_subscripts(e.emb, 1) AS pos,
+         |    unnest(e.emb) AS v
+         |  FROM best$r b JOIN e ON e.vec_id = b.vec_id),
+         |cent$r AS (
+         |  SELECT cluster, pos,
+         |    round(CAST(sum(CAST(v AS DECIMAL(18,4))) * 10000 AS DOUBLE)
+         |      / count(*)) / 10000.0 AS m
+         |  FROM dims$r GROUP BY cluster, pos),
+         |cn$r AS (
+         |  SELECT cluster,
+         |    round(sqrt(CAST(sum(CAST(m * m AS DECIMAL(20,8))) AS DOUBLE)), 4)
+         |      AS centroid_norm
+         |  FROM cent$r GROUP BY cluster),
+         |c$r AS (
+         |  SELECT cluster AS c_id, list(m ORDER BY pos) AS c_emb
+         |  FROM cent$r GROUP BY cluster)""".stripMargin
+    }
+    val selects = (1 to n).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rnd, s.cluster, s.n_members, " +
+        s"s.cohesion, n.centroid_norm FROM stats$r s JOIN cn$r n USING (cluster)")
+      .mkString("\nUNION ALL\n")
+    s"WITH $base,\n${rounds.mkString(",\n")}\n$selects\nORDER BY rnd, cluster"
+  }
 
   /** DuckDB per-doc distinct shingle-hash list (mirrors
     * [[Text.shingleHashSets]]; see Text for the determinism notes). */
