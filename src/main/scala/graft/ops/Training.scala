@@ -476,6 +476,85 @@ object Training {
             .localCheckpoint(true)
         }
         rounds.reduce(_ unionByName _).orderBy("rnd", "cluster")
+      }),
+
+    // ----- language ID by char-trigram profiles (q289): the classic
+    //       n-gram language classifier (Cavnar–Trenkle / CLD shape) as
+    //       a differential op — train per-lang top-20 trigram profiles
+    //       on the even-doc_id half, classify the odd half, report
+    //       per-language accuracy. 100-TB shape: the profile is langs
+    //       x 20 rows (BROADCAST — genuinely tiny at any corpus size,
+    //       unlike entity-cardinality frames), the corpus side is one
+    //       explode into (doc, trigram) counts (keyed agg, map-side
+    //       combinable), one int-weighted equi-join on the trigram,
+    //       and per-doc argmax (one window, the same shuffle class as
+    //       a keyed agg). All-integer scores: rank-weight x count —
+    //       zero float hazards anywhere. Docs sharing no profile
+    //       trigram drop out of the denominator in BOTH engines
+    //       (inner-join flow), so n_docs states the classified set
+    //       explicitly. -----
+    Q("q289_lang_id",
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, text FROM documents WHERE len(text) >= 3),
+             |tg AS (
+             |  SELECT doc_id, lang, unnest(list_transform(range(1, len(text) - 1),
+             |    i -> substr(text, i, 3))) AS tri
+             |  FROM d),
+             |prof AS (
+             |  SELECT cand, tri, 21 - rk AS w FROM (
+             |    SELECT lang AS cand, tri, count(*) AS cnt,
+             |      row_number() OVER (PARTITION BY lang
+             |        ORDER BY count(*) DESC, tri) AS rk
+             |    FROM tg WHERE doc_id % 2 = 0 GROUP BY lang, tri)
+             |  WHERE rk <= 20),
+             |dc AS (
+             |  SELECT doc_id, lang, tri, count(*) AS n FROM tg
+             |  WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+             |scored AS (
+             |  SELECT dc.doc_id, dc.lang, prof.cand, sum(dc.n * prof.w) AS score
+             |  FROM dc JOIN prof ON dc.tri = prof.tri
+             |  GROUP BY 1, 2, 3),
+             |pred AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, cand) AS rn
+             |    FROM scored) WHERE rn = 1)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  round(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) * 10000.0
+             |    / count(*)) / 10000.0 AS acc
+             |FROM pred GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 3)
+        val tri = docs.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3))")).as("tri"))
+        val prof = tri.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("lang").as("cand"), col("tri"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("cand").orderBy(col("cnt").desc, col("tri"))))
+          .filter(col("rk") <= 20)
+          .select(col("cand"), col("tri"),
+            (lit(21) - col("rk")).cast("long").as("w"))
+        val dc = tri.filter(col("doc_id") % 2 === 1)
+          .groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("n"))
+        val scored = dc.join(broadcast(prof), "tri")
+          .groupBy("doc_id", "lang", "cand")
+          .agg(sum(col("n") * col("w")).as("score"))
+        val pred = scored.withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))))
+          .filter(col("rn") === 1)
+        pred.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cand") === col("lang"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("acc", round(col("n_correct").cast("double") * 10000.0
+            / col("n_docs").cast("double")) / 10000.0)
+          .select("lang", "n_docs", "n_correct", "acc")
+          .orderBy("lang")
       })
   )
 

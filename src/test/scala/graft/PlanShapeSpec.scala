@@ -165,6 +165,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q289: the trigram profile broadcasts; the corpus side never sort-merge joins") {
+    val p = formatted("q289_lang_id")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q128: chunk dedup is explode → partial agg → one keyed shuffle") {
     val p = formatted("q128_chunk_dedup")
     assert(!p.contains("Join"), p)

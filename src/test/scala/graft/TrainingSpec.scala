@@ -28,4 +28,22 @@ class TrainingSpec extends SparkSuite {
       }
     }
   }
+
+  test("q289 accuracy arithmetic is consistent and the split is honored") {
+    val rows = q("q289_lang_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val c = r.getAs[Long]("n_correct")
+      assert(c >= 0 && c <= n)
+      assert(math.abs(r.getAs[Double]("acc") -
+        math.round(c * 10000.0 / n) / 10000.0) < 1e-12)
+    }
+    // the classified set is bounded by the test half (odd doc_ids)
+    val testHalf = Tables.load(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.expr(
+        "doc_id % 2 = 1 AND length(text) >= 3"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum <= testHalf)
+  }
 }
