@@ -805,6 +805,78 @@ object Similarity {
           .localCheckpoint(true)
         sc.unpersist()
         out
+      }),
+
+    // ----- per-label centroid affinity matrix (q290): the domain-
+    //       similarity map a mixture designer reads before setting
+    //       source weights — mean embedding per label, then pairwise
+    //       cosine between the label centroids. 100-TB shape: ONE
+    //       corpus pass into a (label, dim)-keyed agg whose cardinality
+    //       is labels x dims (corpus-size-independent, partial agg eats
+    //       the posexplode); everything after is labels² rows of
+    //       driver-trivial arithmetic. Embeddings quantize to 4-dp
+    //       first so each centroid mean is an exact DECIMAL sum scaled
+    //       to an integer divide (order-proof); the pairwise cosines
+    //       fold sequentially over pos-ordered lists, bit-equal in both
+    //       engines. -----
+    Q("q290_label_affinity",
+      Some("""WITH e AS (
+             |  SELECT label,
+             |    list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS emb
+             |  FROM embeddings),
+             |dims AS (SELECT label, generate_subscripts(emb, 1) AS pos,
+             |  unnest(emb) AS v FROM e),
+             |cent AS (
+             |  SELECT label, pos,
+             |    round(CAST(sum(CAST(v AS DECIMAL(18,4))) * 10000 AS DOUBLE)
+             |      / count(*)) / 10000.0 AS m
+             |  FROM dims GROUP BY label, pos),
+             |cl AS (SELECT label, list(m ORDER BY pos) AS c
+             |       FROM cent GROUP BY label),
+             |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+             |      FROM e GROUP BY label)
+             |SELECT CAST(a.label AS BIGINT) AS label_a,
+             |  CAST(b.label AS BIGINT) AS label_b,
+             |  na.n_vecs AS n_a, nb.n_vecs AS n_b,
+             |  round(list_dot_product(a.c, b.c)
+             |    / (sqrt(list_dot_product(a.c, a.c))
+             |       * sqrt(list_dot_product(b.c, b.c))), 4) AS rcos
+             |FROM cl a JOIN cl b ON a.label <= b.label
+             |JOIN n na ON na.label = a.label
+             |JOIN n nb ON nb.label = b.label
+             |ORDER BY label_a, label_b""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            expr("transform(embedding, x -> round(cast(x AS double), 4))")
+              .as("emb"))
+        val cent = e.select(col("label"),
+            posexplode(col("emb")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg((round((sum(col("v").cast("decimal(18,4)")) * 10000)
+            .cast("double") / count(lit(1))) / 10000.0).as("m"))
+        val cl = cent.groupBy("label")
+          .agg(expr(
+            "transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+            .as("c"))
+        val n = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        val a = cl.select(col("label").as("label_a"), col("c").as("ca"))
+          .join(n.select(col("label").as("label_a"), col("n_vecs").as("n_a")),
+            "label_a")
+        val b = cl.select(col("label").as("label_b"), col("c").as("cb"))
+          .join(n.select(col("label").as("label_b"), col("n_vecs").as("n_b")),
+            "label_b")
+        val dot =
+          "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        val nrmA =
+          "sqrt(aggregate(transform(ca, x -> x * x), 0D, (acc, x) -> acc + x))"
+        val nrmB =
+          "sqrt(aggregate(transform(cb, x -> x * x), 0D, (acc, x) -> acc + x))"
+        a.crossJoin(broadcast(b))
+          .filter(col("label_a") <= col("label_b"))
+          .withColumn("rcos", round(expr(s"$dot / ($nrmA * $nrmB)"), 4))
+          .select("label_a", "label_b", "n_a", "n_b", "rcos")
+          .orderBy("label_a", "label_b")
       })
   )
 

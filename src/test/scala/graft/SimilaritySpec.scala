@@ -134,4 +134,21 @@ class SimilaritySpec extends SparkSuite {
       "a vector outside the probed cells must not be a candidate")
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("q290 affinity matrix: unit diagonal, symmetric-half coverage, bounded cosines") {
+    val rows = SparkEntry.queries("q290_label_affinity")(
+      spark, "/root/testdata/sf0.001").collect()
+    val labels = rows.map(_.getAs[Long]("label_a")).distinct.sorted
+    // upper-triangular including the diagonal: k*(k+1)/2 rows exactly
+    assert(rows.length == labels.length * (labels.length + 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("label_a"), r.getAs[Long]("label_b"))
+      assert(a <= b)
+      val c = r.getAs[Double]("rcos")
+      if (a == b) {
+        assert(c == 1.0, s"self-affinity of $a is $c, not 1.0")
+        assert(r.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+      } else assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
 }
