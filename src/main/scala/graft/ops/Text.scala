@@ -1030,6 +1030,238 @@ object Text {
             round(coalesce(col("n_dup"), lit(0L)).cast("double")
               / col("n_grams"), 4).as("dup_frac"))
           .orderBy("doc_id")
+      }),
+
+    // ----- Zipf rank-frequency audit (q292): fit ln(freq) ~ ln(rank)
+    //       over each source's top-100 tokens — the classic corpus
+    //       sanity check (natural text slopes near -1; template/spam
+    //       sources bend the curve). 100-TB shape: one (source, token)
+    //       keyed agg (map-side combinable), one per-source top-100
+    //       window (the q275 shuffle class), then 100 rows per source
+    //       of INTEGER least-squares — logs quantize to e4 BIGINTs so
+    //       every sum is exact and order-independent; the slope is one
+    //       double division of two exact integers at the end. -----
+    Q("q292_zipf_audit",
+      Some("""WITH tok AS (
+             |  SELECT source, t FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS t
+             |    FROM documents)
+             |  WHERE regexp_matches(t, '^[a-z]{2,}$')),
+             |cnts AS (SELECT source, t, count(*) AS cnt
+             |         FROM tok GROUP BY 1, 2),
+             |top AS (SELECT * FROM (
+             |  SELECT source, t, cnt, row_number() OVER (
+             |    PARTITION BY source ORDER BY cnt DESC, t) AS rk
+             |  FROM cnts) WHERE rk <= 100),
+             |xy AS (SELECT source,
+             |  CAST(round(ln(rk) * 10000) AS BIGINT) AS x,
+             |  CAST(round(ln(cnt) * 10000) AS BIGINT) AS y FROM top)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+             |  round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             |    * 10000.0
+             |    / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+             |    / 10000.0 AS zipf_slope
+             |FROM xy GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val cnts = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("t"))
+          .filter(col("t").rlike("^[a-z]{2,}$"))
+          .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("cnt").desc, col("t"))
+        val xy = cnts.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 100)
+          .select(col("source"),
+            round(log(col("rk").cast("double")) * 10000).cast("long").as("x"),
+            round(log(col("cnt").cast("double")) * 10000).cast("long").as("y"))
+        xy.groupBy("source")
+          .agg(count(lit(1)).as("n_top"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("zipf_slope",
+            round((col("n_top") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") * 10000.0
+              / (col("n_top") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) / 10000.0)
+          .select("source", "n_top", "zipf_slope")
+          .orderBy("source")
+      }),
+
+    // ----- BM25 top-k retrieval (q293): keyword search over the
+    //       corpus with the Lucene BM25 variant (idf = ln(1 + (N-df+.5)
+    //       /(df+.5)) — always positive, so tiny-vocab corpora where
+    //       every doc contains a common term still rank sanely).
+    //       k1 = 1.2, b = 0.75. 100-TB shape: the posting list
+    //       (doc, term, tf) is ONE corpus pass (keyed agg, map-side
+    //       combinable); the tiny fixed query-term set broadcasts, so
+    //       only query-term postings survive the join — everything
+    //       downstream is O(df of the query terms), and top-k is a
+    //       per-query window over that bounded set (never the corpus).
+    //       Cross-engine determinism: per-(doc, term) contributions
+    //       compute the SAME double expression from exact integer
+    //       inputs in both engines, quantize to e4 BIGINTs, and the
+    //       per-doc score is an exact integer sum (order-independent);
+    //       ties break on doc_id. -----
+    Q("q293_bm25_topk",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, t FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |    FROM documents)
+             |  WHERE regexp_matches(t, '^[a-z]{2,}$')),
+             |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tok GROUP BY 1, 2),
+             |dln AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |        FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+             |               CAST(sum(dl) AS BIGINT) AS tt FROM dln),
+             |qs(q_id, qtext) AS (VALUES
+             |  (CAST(1 AS BIGINT), 'vector scan join'),
+             |  (CAST(2 AS BIGINT), 'window merge'),
+             |  (CAST(3 AS BIGINT), 'customer stream filter')),
+             |qt AS (SELECT DISTINCT q_id,
+             |         unnest(string_split(qtext, ' ')) AS t FROM qs),
+             |dfr AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+             |        WHERE t IN (SELECT DISTINCT t FROM qt) GROUP BY t),
+             |c AS (SELECT qt.q_id, tf.doc_id,
+             |    CAST(round(
+             |      ln(1.0 + (tot.nd - dfr.df + 0.5) / (dfr.df + 0.5))
+             |      * ((tf.tf * 2.2)
+             |         / (tf.tf + 0.3 + 0.9 * dln.dl * tot.nd / tot.tt))
+             |      * 10000) AS BIGINT) AS c_e4
+             |  FROM qt JOIN dfr USING (t) JOIN tf USING (t)
+             |  JOIN dln ON dln.doc_id = tf.doc_id CROSS JOIN tot),
+             |sc AS (SELECT q_id, doc_id, sum(c_e4) AS s_e4
+             |       FROM c GROUP BY 1, 2)
+             |SELECT q_id, rank, doc_id, s_e4 / 10000.0 AS score
+             |FROM (SELECT q_id, doc_id, s_e4, row_number() OVER (
+             |        PARTITION BY q_id ORDER BY s_e4 DESC, doc_id)
+             |        AS rank FROM sc)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .filter(col("t").rlike("^[a-z]{2,}$"))
+        val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dln = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val tot = dln.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+        val qs = Seq((1L, "vector scan join"), (2L, "window merge"),
+          (3L, "customer stream filter")).toDF("q_id", "qtext")
+        val qt = qs.select(col("q_id"),
+          explode(split(col("qtext"), " ")).as("t")).distinct()
+        val dfr = tf.join(broadcast(qt.select("t").distinct()), "t")
+          .groupBy("t").agg(count(lit(1)).as("df"))
+        // the query-term set and its df frame are query-sized
+        // (broadcast by construction); the posting list never self-joins
+        val c = broadcast(qt).join(broadcast(dfr), "t").join(tf, "t")
+          .join(dln, "doc_id").crossJoin(broadcast(tot))
+          .withColumn("c_e4", round(
+            log(lit(1.0) + (col("nd") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)))
+            * ((col("tf") * lit(2.2))
+               / (col("tf") + lit(0.3)
+                  + lit(0.9) * col("dl") * col("nd") / col("tt")))
+            * 10000).cast("long"))
+        val sc = c.groupBy("q_id", "doc_id").agg(sum("c_e4").as("s_e4"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("s_e4").desc, col("doc_id"))
+        sc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("doc_id"),
+            (col("s_e4") / 10000.0).as("score"))
+          .orderBy("q_id", "rank")
+      }),
+
+    // ----- LSH dedup recall audit (q296): the q286 no-silent-caps
+    //       discipline applied to the DEDUP family — how many true
+    //       near-dup pairs does the production MinHash-LSH pipeline
+    //       (q41's bands + bucket cap + exact-Jaccard verify) actually
+    //       surface? Ground truth is the COMPLETE within-source pair
+    //       set at J ≥ 0.4 via the shingle inverted index (blocking by
+    //       source is what bounds completeness at 100 TB — the audit
+    //       states its reference scope instead of pretending global
+    //       ground truth is tractable). Both the 3-band×2-row signature
+    //       (theoretical pair-hit rate 1-(1-J²)³ ≈ 0.41 at J = 0.4) and
+    //       the bucket cap are sources of misses, and both are PRICED
+    //       here per source. At fixture scale every true pair is a
+    //       near-exact dup (J ≈ 0.97 — identical band rows), so the
+    //       audit verifies recall 1.0, proving the pipeline loses
+    //       nothing on the pairs the fixture actually has (the q204
+    //       zero-skip discipline); a mid-J corpus surfaces the band
+    //       misses as sub-1.0 rows. One shared shingle-set pass feeds both
+    //       sides; shuffles stay keyed (band bucket / (source, hash));
+    //       nothing all-pairs. Oracle recomputes truth AND the LSH
+    //       pipeline, so an accidentally-exact LSH path (recall 1.0
+    //       everywhere) or a cap regression breaks the hash. -----
+    Q("q296_lsh_recall_audit",
+      Some(s"""WITH $duckLshCtes,
+              |lshp AS (
+              |  SELECT d1, d2 FROM inter
+              |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.4),
+              |shs AS (
+              |  SELECT doc_id, source, unnest($duckShingleHashes) AS h
+              |  FROM documents WHERE len($duckTokens) >= 3),
+              |tint AS (
+              |  SELECT x.source AS source, x.doc_id AS d1, y.doc_id AS d2,
+              |    count(*) AS i
+              |  FROM shs x JOIN shs y ON x.source = y.source AND x.h = y.h
+              |    AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2, 3),
+              |truth AS (
+              |  SELECT source, d1, d2 FROM tint
+              |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              |  WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.4)
+              |SELECT t.source, CAST(count(*) AS BIGINT) AS n_true,
+              |  CAST(coalesce(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 END), 0)
+              |    AS BIGINT) AS n_found,
+              |  round(CAST(coalesce(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 END), 0)
+              |    AS DOUBLE) / count(*), 4) AS recall
+              |FROM truth t LEFT JOIN lshp l ON l.d1 = t.d1 AND l.d2 = t.d2
+              |GROUP BY t.source ORDER BY t.source""".stripMargin),
+      (s, dir) => {
+        val docs = shingleSets(s, dir, extra = Seq("source")).cache()
+        docs.count() // eager: both audit sides consume the same sets
+        val sh = docs.select(col("doc_id"), col("source"),
+          explode(col("hashes")).as("h"))
+        val sizes = docs.select(col("doc_id"), col("n"))
+        // exact-Jaccard verification shared by both sides (the q41
+        // shape: intersect via the doc-keyed hash join, never re-shingle)
+        def verified(pairs: org.apache.spark.sql.DataFrame) = pairs
+          .join(sh.as("x"), col("x.doc_id") === col("d1"))
+          .join(sh.as("y"),
+            col("y.doc_id") === col("d2") && col("x.h") === col("y.h"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+          .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+          .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+          .filter(col("i").cast("double")
+            / (col("s1.n") + col("s2.n") - col("i")) >= 0.4)
+          .select("d1", "d2")
+        val lshp =
+          verified(bandPairs(docs.select(col("doc_id") +: mhCols: _*)))
+        // ground truth: the complete within-source inverted-index pair
+        // set — (source, hash)-keyed shuffle, blocked, never all-pairs
+        val tint = sh.as("x").join(sh.as("y"),
+            col("x.source") === col("y.source") && col("x.h") === col("y.h")
+              && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.source").as("source"), col("x.doc_id").as("d1"),
+            col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("i"))
+        val truth = tint
+          .join(sizes.as("s1"), col("s1.doc_id") === col("d1"))
+          .join(sizes.as("s2"), col("s2.doc_id") === col("d2"))
+          .filter(col("i").cast("double")
+            / (col("s1.n") + col("s2.n") - col("i")) >= 0.4)
+          .select("source", "d1", "d2")
+        truth.join(lshp.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum("hit"), lit(0L)).as("n_found"))
+          .withColumn("recall",
+            round(col("n_found").cast("double") / col("n_true"), 4))
+          .select("source", "n_true", "n_found", "recall")
+          .orderBy("source")
       })
   )
 }

@@ -37,6 +37,94 @@ object Training {
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
 
+  /** DuckDB CTE chain shared by the q294 mixture and the q299 planner:
+    * (source, lang) token cells, sqrt-temperature e4 scores, e8 base
+    * weights, and the three unrolled cap-and-redistribute rounds
+    * (w1/w2/w3) — sharing the text keeps the two oracles' round
+    * arithmetic identical by construction. */
+  private val duckMixtureCtes: String =
+    """cell AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT source, lang,
+      |      unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE regexp_matches(t, '^[a-z]{2,}$') GROUP BY 1, 2),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM cell),
+      |s AS (SELECT source, lang,
+      |    CAST(round(10000 * sqrt(n / tt.tt)) AS BIGINT) AS s_e4
+      |  FROM cell CROSS JOIN tt),
+      |ss AS (SELECT CAST(sum(s_e4) AS BIGINT) AS ss FROM s),
+      |w0 AS (SELECT source, lang,
+      |    CAST(round(100000000.0 * s_e4 / ss.ss) AS BIGINT) AS w
+      |  FROM s CROSS JOIN ss),
+      |a1 AS (SELECT
+      |    CAST(count(*) FILTER (WHERE w > 1500000) AS BIGINT) AS ncap,
+      |    CAST(coalesce(sum(w) FILTER (WHERE w <= 1500000), 0)
+      |      AS BIGINT) AS su FROM w0),
+      |w1 AS (SELECT source, lang,
+      |    CASE WHEN w > 1500000 THEN CAST(1500000 AS BIGINT)
+      |    ELSE CAST(round(CAST(w * (100000000 - a1.ncap * 1500000)
+      |      AS DOUBLE) / a1.su) AS BIGINT) END AS w
+      |  FROM w0 CROSS JOIN a1),
+      |a2 AS (SELECT
+      |    CAST(count(*) FILTER (WHERE w > 1500000) AS BIGINT) AS ncap,
+      |    CAST(coalesce(sum(w) FILTER (WHERE w <= 1500000), 0)
+      |      AS BIGINT) AS su FROM w1),
+      |w2 AS (SELECT source, lang,
+      |    CASE WHEN w > 1500000 THEN CAST(1500000 AS BIGINT)
+      |    ELSE CAST(round(CAST(w * (100000000 - a2.ncap * 1500000)
+      |      AS DOUBLE) / a2.su) AS BIGINT) END AS w
+      |  FROM w1 CROSS JOIN a2),
+      |a3 AS (SELECT
+      |    CAST(count(*) FILTER (WHERE w > 1500000) AS BIGINT) AS ncap,
+      |    CAST(coalesce(sum(w) FILTER (WHERE w <= 1500000), 0)
+      |      AS BIGINT) AS su FROM w2),
+      |w3 AS (SELECT source, lang,
+      |    CASE WHEN w > 1500000 THEN CAST(1500000 AS BIGINT)
+      |    ELSE CAST(round(CAST(w * (100000000 - a3.ncap * 1500000)
+      |      AS DOUBLE) / a3.su) AS BIGINT) END AS w
+      |  FROM w2 CROSS JOIN a3)""".stripMargin
+
+  /** (source, lang) token counts — ONE corpus pass, map-side
+    * combinable; everything downstream of the mixture is cells-sized. */
+  private def mixtureCells(s: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").rlike("^[a-z]{2,}$"))
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+
+  /** The q294 waterfilling loop: sqrt-temperature e8 base weights,
+    * then 3 cap-and-redistribute rounds (cap 1.5e6 e8-units), one
+    * localCheckpoint per round. Returns the per-round weight frames
+    * (source, lang, w) — last is the effective mixture. */
+  private def cappedMixtureRounds(cells: DataFrame): Seq[DataFrame] = {
+    val capL = 1500000L
+    val tt = cells.agg(sum(col("n")).as("tt"))
+    val sc = cells.crossJoin(broadcast(tt))
+      .withColumn("s_e4",
+        round(lit(10000) * sqrt(col("n") / col("tt"))).cast("long"))
+    val ss = sc.agg(sum(col("s_e4")).as("ss"))
+    var w = sc.crossJoin(broadcast(ss))
+      .select(col("source"), col("lang"),
+        round(lit(100000000.0) * col("s_e4") / col("ss"))
+          .cast("long").as("w"))
+      .localCheckpoint(true)
+    (1 to 3).map { _ =>
+      val a = w.agg(
+        sum(when(col("w") > capL, 1L).otherwise(0L)).as("ncap"),
+        coalesce(sum(when(col("w") <= capL, col("w"))), lit(0L)).as("su"))
+      w = w.crossJoin(broadcast(a))
+        .select(col("source"), col("lang"),
+          when(col("w") > capL, lit(capL)).otherwise(
+            round((col("w") * (lit(100000000L)
+                - col("ncap") * lit(capL))).cast("double") / col("su"))
+              .cast("long")).as("w"))
+        .localCheckpoint(true)
+      w
+    }
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- PII detection + masking: email/phone regex sweep with a
@@ -555,6 +643,182 @@ object Training {
             / col("n_docs").cast("double")) / 10000.0)
           .select("lang", "n_docs", "n_correct", "acc")
           .orderBy("lang")
+      }),
+
+    // ----- DSIR-style importance selection (q291): resample the raw
+    //       corpus toward a TARGET domain (here: the lang='en' slice)
+    //       by unigram-LM importance ratios — the Xie-et-al data
+    //       selection shape, with deterministic per-source top-10%
+    //       selection standing in for the sampling step (the same
+    //       rank-based materialization discipline as q148/q165).
+    //       100-TB shape: token stats are keyed aggs; the per-token
+    //       log-ratio table is VOCAB-sized, so the doc-scoring join is
+    //       an honest token-keyed equi-join (not broadcast — Heaps'-law
+    //       millions of types at corpus scale); selection is one
+    //       per-source window (the q275 shuffle class). Cross-engine
+    //       determinism: add-one-smoothed ratios of exact integers,
+    //       one ln per TOKEN TYPE quantized to an e4 BIGINT, so every
+    //       per-doc score and mean is exact integer arithmetic. -----
+    Q("q291_importance_select",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source, lang, t FROM (
+             |    SELECT doc_id, source, lang,
+             |      unnest(string_split(text, ' ')) AS t FROM documents)
+             |  WHERE regexp_matches(t, '^[a-z]{2,}$')),
+             |rc AS (SELECT t, count(*) AS rc FROM tok GROUP BY t),
+             |tc AS (SELECT t, count(*) AS tc FROM tok
+             |       WHERE lang = 'en' GROUP BY t),
+             |tot AS (SELECT (SELECT sum(rc) FROM rc) AS nr,
+             |        (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+             |        (SELECT count(*) FROM rc) AS v),
+             |lr AS (SELECT rc.t,
+             |    CAST(round(ln(
+             |      CAST((coalesce(tc.tc, 0) + 1) * (tot.nr + tot.v) AS DOUBLE)
+             |      / ((rc.rc + 1.0) * CAST(tot.nt + tot.v AS DOUBLE)))
+             |      * 10000) AS BIGINT) AS lr_e4
+             |  FROM rc LEFT JOIN tc ON tc.t = rc.t CROSS JOIN tot),
+             |dt AS (SELECT doc_id, source, t, count(*) AS n
+             |       FROM tok GROUP BY 1, 2, 3),
+             |sc AS (SELECT dt.doc_id, dt.source,
+             |         sum(dt.n * lr.lr_e4) AS score_e4
+             |       FROM dt JOIN lr ON lr.t = dt.t GROUP BY 1, 2),
+             |sel AS (SELECT * FROM (
+             |  SELECT source, doc_id, score_e4,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY score_e4 DESC, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS nsrc
+             |  FROM sc) WHERE rn <= ceil(nsrc / 10.0)),
+             |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |      FROM sc GROUP BY source),
+             |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+             |        round(CAST(sum(score_e4) AS DOUBLE) / count(*))
+             |          / 10000.0 AS mean_sel_score
+             |      FROM sel GROUP BY source)
+             |SELECT a.source, a.n_docs, b.n_selected, b.mean_sel_score
+             |FROM a JOIN b USING (source) ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(split(col("text"), " ")).as("t"))
+          .filter(col("t").rlike("^[a-z]{2,}$"))
+        val rc = tok.groupBy("t").agg(count(lit(1)).as("rc"))
+        val tc = tok.filter(col("lang") === "en")
+          .groupBy("t").agg(count(lit(1)).as("tc"))
+        val tot = rc.agg(sum(col("rc")).as("nr"), count(lit(1)).as("v"))
+          .crossJoin(tok.filter(col("lang") === "en")
+            .agg(count(lit(1)).as("nt")))
+        val lr = rc.join(tc, Seq("t"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("lr_e4", round(log(
+            ((coalesce(col("tc"), lit(0L)) + 1) * (col("nr") + col("v")))
+              .cast("double")
+              / ((col("rc") + lit(1.0))
+                 * (col("nt") + col("v")).cast("double")))
+            * 10000).cast("long"))
+          .select("t", "lr_e4")
+        val dt = tok.groupBy("doc_id", "source", "t")
+          .agg(count(lit(1)).as("n"))
+        val sc = dt.join(lr, "t")
+          .groupBy("doc_id", "source")
+          .agg(sum(col("n") * col("lr_e4")).as("score_e4"))
+        val wSrc = Window.partitionBy("source")
+          .orderBy(col("score_e4").desc, col("doc_id"))
+        val sel = sc.withColumn("rn", row_number().over(wSrc))
+          .withColumn("nsrc", count(lit(1)).over(Window.partitionBy("source")))
+          .filter(col("rn") <= ceil(col("nsrc") / lit(10.0)))
+        val a = sc.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val b = sel.groupBy("source")
+          .agg(count(lit(1)).as("n_selected"),
+            (round(sum(col("score_e4")).cast("double") / count(lit(1)))
+              / 10000.0).as("mean_sel_score"))
+        a.join(b, "source")
+          .select("source", "n_docs", "n_selected", "mean_sel_score")
+          .orderBy("source")
+      }),
+
+    // ----- temperature-scaled mixture with capacity caps (q294): the
+    //       mT5/PaLM sampling-rate design — per-(source, lang) cell
+    //       weights ∝ p^α (α = 0.5 flattens toward uniform), then cap
+    //       any cell at 1.5e6 e8-units (1.5%) and redistribute the
+    //       excess proportionally among uncapped cells, iterating 3
+    //       bounded rounds (capping can push a renormalized cell back
+    //       over the cap — the classic waterfilling loop). 100-TB
+    //       shape: ONE corpus pass into a (source, lang)-keyed token
+    //       count (map-side combinable); every round after is
+    //       cells-sized (corpus-size-independent) with a broadcast
+    //       2-value aggregate, localCheckpoint per round (the q166
+    //       discipline). Cross-engine determinism: p^0.5 is IEEE
+    //       `sqrt` (correctly rounded — stronger than exp/ln), scores
+    //       quantize to e4, weights live as e8 BIGINTs re-quantized
+    //       every round, and each round's update is one double
+    //       division of exact integers; the oracle unrolls the SAME
+    //       three rounds as chained CTEs so every round hash-checks,
+    //       not just the fixpoint. -----
+    Q("q294_capped_mixture",
+      Some(s"""WITH $duckMixtureCtes
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS rnd, source, lang,
+             |    w / 100000000.0 AS weight FROM w1
+             |  UNION ALL SELECT CAST(2 AS BIGINT), source, lang,
+             |    w / 100000000.0 FROM w2
+             |  UNION ALL SELECT CAST(3 AS BIGINT), source, lang,
+             |    w / 100000000.0 FROM w3)
+             |ORDER BY rnd, source, lang""".stripMargin),
+      (s, dir) => {
+        val rounds = cappedMixtureRounds(mixtureCells(s, dir))
+        rounds.zipWithIndex
+          .map { case (w, i) => w.withColumn("rnd", lit((i + 1).toLong)) }
+          .reduce(_ unionByName _)
+          .select(col("rnd"), col("source"), col("lang"),
+            (col("w") / 100000000.0).as("weight"))
+          .orderBy("rnd", "source", "lang")
+      }),
+
+    // ----- token-budget epoch planner (q299): the data-constrained-
+    //       scaling audit run BEFORE training (Muennighoff et al.: past
+    //       ~4 epochs repeated tokens stop helping) — given the q294
+    //       effective mixture and a budget of 2× the corpus's tokens
+    //       (scale-invariant: the plan is meaningful at any SF — flat
+    //       cells land near 2 epochs, capped-big cells under 1, small
+    //       cells the sqrt-temperature pulled UP blow the 4-epoch
+    //       wall), how many epochs does each (source, lang) cell run,
+    //       which cells exceed 4, and how many tokens are effective?
+    //       target = budget × weight; epochs = target / available;
+    //       effective = min(target, 4 × available). 100-TB shape: the
+    //       corpus pass is q294's cell count (shared helper), the
+    //       planner itself is cells-sized arithmetic — exact integers
+    //       end to end (e8 weights, e4 epochs), so the board hash-
+    //       checks the planning table a mixture designer acts on. -----
+    Q("q299_epoch_plan",
+      Some(s"""WITH $duckMixtureCtes,
+             |plan AS (
+             |  SELECT cell.source, cell.lang, cell.n,
+             |    CAST(round(2.0 * tt.tt * w3.w / 100000000.0) AS BIGINT)
+             |      AS target_tokens
+             |  FROM cell JOIN w3 ON w3.source = cell.source
+             |    AND w3.lang = cell.lang CROSS JOIN tt)
+             |SELECT source, lang, n AS avail_tokens, target_tokens,
+             |  round(CAST(target_tokens AS DOUBLE) / n, 4) AS epochs,
+             |  target_tokens > 4 * n AS over_4ep,
+             |  least(target_tokens, 4 * n) AS effective_tokens
+             |FROM plan ORDER BY source, lang""".stripMargin),
+      (s, dir) => {
+        val cells = mixtureCells(s, dir).localCheckpoint(true)
+        val w3 = cappedMixtureRounds(cells).last
+        val tt = cells.agg(sum(col("n")).as("tt"))
+        cells.join(w3, Seq("source", "lang"))
+          .crossJoin(broadcast(tt))
+          .withColumn("target_tokens",
+            round(lit(2.0) * col("tt") * col("w") / lit(100000000.0))
+              .cast("long"))
+          .select(col("source"), col("lang"), col("n").as("avail_tokens"),
+            col("target_tokens"),
+            round(col("target_tokens").cast("double") / col("n"), 4)
+              .as("epochs"),
+            (col("target_tokens") > lit(4L) * col("n")).as("over_4ep"),
+            least(col("target_tokens"), lit(4L) * col("n"))
+              .as("effective_tokens"))
+          .orderBy("source", "lang")
       })
   )
 

@@ -171,6 +171,37 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q293: BM25 never cartesians; the posting-list agg is map-side partial") {
+    val p = formatted("q293_bm25_topk")
+    // the query-term set is tiny and every join against it is keyed —
+    // a cartesian/nested-loop anywhere means the corpus self-joined
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q291: the vocab-sized log-ratio table is NOT hint-broadcast") {
+    // Heaps'-law vocabularies are corpus-scale frames: the doc-scoring
+    // join must stay an honest keyed join that AQE may (at fixture
+    // scale) choose to broadcast — a *hint* would force an OOM at
+    // 100×. The only permitted hint is the broadcast(tot) on the
+    // 1-row totals frame.
+    val analyzed = graft.SparkEntry.queries("q291_importance_select")(
+      spark, "/root/testdata/sf0.001").queryExecution.analyzed
+    val hinted = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // the totals frame appears once per plan-tree reuse of the scoring
+    // subquery, so assert WHAT is hinted, not how often: every hint
+    // must wrap the 1-row totals aggregate (columns nr/v/nt), never
+    // the token-keyed lr table (columns t/lr_e4)
+    assert(hinted.nonEmpty)
+    hinted.foreach { h =>
+      val out = h.child.output.map(_.name).toSet
+      assert(out.subsetOf(Set("nr", "v", "nt")),
+        s"a broadcast hint wraps a non-totals frame with columns $out")
+    }
+  }
+
   test("q128: chunk dedup is explode → partial agg → one keyed shuffle") {
     val p = formatted("q128_chunk_dedup")
     assert(!p.contains("Join"), p)

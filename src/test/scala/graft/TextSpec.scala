@@ -112,6 +112,28 @@ class TextSpec extends SparkSuite {
     assert(audit.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
   }
 
+  test("q292 zipf slope: uniform frequencies fit flat, geometric decay fits steep") {
+    def q292(dir: String) =
+      Text.queries.find(_.name == "q292_zipf_audit").get.fn(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_top"), r.getAs[Double]("zipf_slope"))).toMap
+    // every token appears exactly once → ln(freq) is constant → the
+    // least-squares numerator is exactly zero (integer arithmetic, so
+    // EXACTLY, not approximately)
+    withDocs(docs((1L, "aa bb cc dd", "u"))) { dir =>
+      val (nTop, slope) = q292(dir)("u")
+      assert(nTop == 4L)
+      assert(slope == 0.0, s"uniform corpus must fit slope 0, got $slope")
+    }
+    // geometric decay 16/8/4/2/1 → steeply negative fit
+    val geo = ("aa " * 16) + ("bb " * 8) + ("cc " * 4) + ("dd " * 2) + "ee"
+    withDocs(docs((1L, geo.trim, "g"))) { dir =>
+      val (nTop, slope) = q292(dir)("g")
+      assert(nTop == 5L)
+      assert(slope < -1.0, s"geometric corpus must fit a steep slope, got $slope")
+    }
+  }
+
   /** Write the docs DataFrame as a parquet fixture dir so queries that
     * take (spark, sfDir) can run against it. */
   private def withDocs[T](d: org.apache.spark.sql.DataFrame)(f: String => T): T = {
