@@ -1028,6 +1028,184 @@ object Manifest {
     (legacy -- dropped) ++ sidecar.collect { case (n, Some(e)) => n -> e }
   }
 
+  // ------------------------------------------------- table properties
+
+  /** Claim-sidecar marker name of one table property — the same
+    * length-prefixed scheme as [[checkMarkerName]] (unambiguous for
+    * any legal identifiers, immune to Spark's hidden-file `_x=y`
+    * exemption). Keys follow Delta's dotted convention
+    * (`owner`, `delta.appendOnly`, `quality.tier`, ...). */
+  private def propMarkerName(table: String, key: String): String = {
+    require(key.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe property key: $key")
+    require(table.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe table name: $table")
+    s"_prop_${table.length}.$table.$key"
+  }
+
+  private def propMarkerPrefix(table: String): String =
+    s"_prop_${table.length}.$table."
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES`: register (or overwrite)
+    * key→value metadata on `table` as ONE claim-sidecar commit —
+    * serialized with every data commit by the version CAS, carried
+    * by vacuum like any other marker, visible to time travel's
+    * history. Values must be non-empty (empty bytes are the tombstone
+    * encoding, [[unsetTableProperties]]). Requires the table to exist
+    * — properties on a name that was never committed would silently
+    * attach to nothing. */
+  def setTableProperties(s: SparkSession, root: String, table: String,
+                         props: Map[String, String],
+                         maxRetries: Int = 5): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES: empty property list")
+    props.foreach { case (k, v) =>
+      val _ = propMarkerName(table, k) // validates the key
+      require(v.nonEmpty, s"SET TBLPROPERTIES: empty value for '$k'")
+    }
+    val _ = casCommit(s, root, { base =>
+      require(base > 0 && manifestRows(s, root, base).exists(_._1 == table),
+        s"SET TBLPROPERTIES: no table $table in $root")
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras =
+        props.toSeq.sortBy(_._1).map { case (k, v) =>
+          propMarkerName(table, k) -> v.getBytes("UTF-8") })
+    }, maxRetries)
+  }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES`: tombstone claims (empty
+    * marker bytes) shadowing the registrations; unknown keys are a
+    * no-op, like Delta's IF EXISTS default. */
+  def unsetTableProperties(s: SparkSession, root: String, table: String,
+                           keys: Seq[String], maxRetries: Int = 5): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES: empty key list")
+    val live = tableProperties(root, table)
+    val doomed = keys.filter(live.contains)
+    if (doomed.isEmpty) return
+    val _ = casCommit(s, root, { base =>
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras =
+        doomed.sorted.map(k => propMarkerName(table, k) -> Array.empty[Byte]))
+    }, maxRetries)
+  }
+
+  /** Effective properties of `table`: newest claim wins per key,
+    * empty bytes = unset. Metadata-only (one directory listing per
+    * retained claim, bounded by vacuum). */
+  def tableProperties(root: String, table: String): Map[String, String] = {
+    val prefix = propMarkerPrefix(table)
+    claimMarkers(root, prefix).collect {
+      case (n, bytes) if bytes.nonEmpty =>
+        n.substring(prefix.length) -> new String(bytes, "UTF-8")
+    }
+  }
+
+  // --------------------------------------------------- grants (ACL)
+
+  private def grantMarkerName(table: String, role: String): String = {
+    require(role.matches("[A-Za-z0-9_]+"), s"unsafe role name: $role")
+    require(table.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe table name: $table")
+    s"_grant_${table.length}.$table.$role"
+  }
+
+  private def grantMarkerPrefix(table: String): String =
+    s"_grant_${table.length}.$table."
+
+  /** Sticky ACL-closure marker: written by the table's FIRST grant and
+    * never tombstoned, so revoking the last grant leaves the table
+    * CLOSED (admin-only) instead of silently reopening to everyone —
+    * the reopen would be a security hole no warehouse ships. */
+  private def aclOnMarkerName(table: String): String =
+    s"_aclon_${table.length}.$table"
+
+  /** `GRANT SELECT ON table TO role`: register the grant as a claim-
+    * sidecar marker (CAS-serialized, vacuum-carried — the same
+    * registry discipline as CHECK constraints and TBLPROPERTIES).
+    * Access model: a table with NO grant history is open (the
+    * single-user default every pre-grant root relies on); the FIRST
+    * grant closes it — from then on only `admin` and granted roles
+    * read, enforced at view registration and on the metadata-
+    * aggregate fast path — and closure is permanent (see
+    * [[aclOnMarkerName]]). */
+  def grantSelect(s: SparkSession, root: String, table: String,
+                  role: String, maxRetries: Int = 5): Unit = {
+    val marker = grantMarkerName(table, role)
+    val _ = casCommit(s, root, { base =>
+      require(base > 0 && manifestRows(s, root, base).exists(_._1 == table),
+        s"GRANT: no table $table in $root")
+      deltaOrFull(s, root, base, Nil, Nil)
+        .copy(extras = Seq(
+          marker -> "SELECT".getBytes("UTF-8"),
+          aclOnMarkerName(table) -> "1".getBytes("UTF-8")))
+    }, maxRetries)
+  }
+
+  /** `REVOKE SELECT ON table FROM role`: tombstone claim; revoking a
+    * role that was never granted is a no-op. */
+  def revokeSelect(s: SparkSession, root: String, table: String,
+                   role: String, maxRetries: Int = 5): Unit = {
+    if (!tableGrants(root, table).contains(role)) {
+      val _ = grantMarkerName(table, role) // still validates identifiers
+      return
+    }
+    val _ = casCommit(s, root, { base =>
+      deltaOrFull(s, root, base, Nil, Nil)
+        .copy(extras = Seq(grantMarkerName(table, role) -> Array.empty[Byte]))
+    }, maxRetries)
+  }
+
+  /** Roles holding SELECT on `table` (newest claim wins, empty bytes
+    * = revoked). Metadata-only. */
+  def tableGrants(root: String, table: String): Set[String] = {
+    val prefix = grantMarkerPrefix(table)
+    claimMarkers(root, prefix).collect {
+      case (n, bytes) if bytes.nonEmpty => n.substring(prefix.length)
+    }.toSet
+  }
+
+  /** `FSCK REPAIR TABLE`: drop manifest entries whose data files are
+    * physically MISSING (out-of-band deletion, storage corruption) so
+    * reads stop dying on FileNotFound — Databricks' repair verb. The
+    * repair is a normal CAS claim, serialized with writers and visible
+    * in DESCRIBE HISTORY; the claim closure re-checks existence
+    * against ITS base so a racing append's fresh files are never
+    * swept. Dry run reports without committing. Returns
+    * (missing, live) file counts. Cost: one existence probe per
+    * manifest entry of the table — metadata-sized. */
+  def commitFsckRepair(s: SparkSession, root: String, table: String,
+                       dryRun: Boolean = false,
+                       maxRetries: Int = 5): (Long, Long) = {
+    def missingOf(v: Long): (Seq[(String, String)], Int) = {
+      val rows = manifestRows(s, root, v).filter(_._1 == table)
+      require(rows.nonEmpty, s"FSCK: no table $table in $root")
+      (rows.collect {
+        case (t, f, _) if !Files.exists(Paths.get(root, f)) => (t, f)
+      }, rows.size)
+    }
+    val v = snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val (missing, total) = missingOf(v)
+    if (dryRun || missing.isEmpty)
+      return (missing.size.toLong, (total - missing.size).toLong)
+    val _ = casCommit(s, root, { base =>
+      val (miss, _) = missingOf(base)
+      deltaOrFull(s, root, base, Nil, Nil, removes = miss)
+    }, maxRetries)
+    (missing.size.toLong, (total - missing.size).toLong)
+  }
+
+  /** Enforce the grant registry for one read: a table with no grant
+    * HISTORY is open to anyone; once any grant ever registered, only
+    * `admin` and currently-granted roles read — revoking the last
+    * grant leaves it admin-only, never reopened. Fails loudly — a
+    * silent empty frame would read as "no rows", not "no access". */
+  def requireSelect(root: String, table: String, role: String): Unit = {
+    if (role == "admin") return
+    val closed = claimMarkers(root, aclOnMarkerName(table)).nonEmpty
+    if (closed && !tableGrants(root, table).contains(role))
+      throw new IllegalStateException(
+        s"role $role lacks SELECT on $table (granted: " +
+          s"${tableGrants(root, table).toSeq.sorted.mkString(", ")})")
+  }
+
   /** Validate just-published files against `table`'s CHECK
     * constraints — one scan of THIS commit's files, column-pruned to
     * the predicates' inputs, all constraints in a single agg pass. On

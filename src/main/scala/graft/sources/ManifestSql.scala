@@ -60,6 +60,12 @@ object ManifestSql {
               version: Long = -1L): (DataFrame, ManifestFileIndex) = {
     val v = if (version > 0) version else Manifest.snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
+    // ACL gate: a table with registered grants reads only as admin or
+    // a granted role (enforced HERE, where every SQL view is born, so
+    // no statement path can route around it); grant-free tables stay
+    // open. Enforcement is registration-time, like policy resolution.
+    Manifest.requireSelect(root, table,
+      spark.conf.get("graft.sql.role", "admin"))
     val entries = ManifestFileIndex.resolveEntries(spark, root, table, v)
     require(entries.nonEmpty, s"table $table absent from snapshot v$v")
     val schema = Manifest.registeredSchema(spark, root, table, v).getOrElse(
@@ -616,6 +622,64 @@ object ManifestSql {
         last = { import spark.implicits._
           Manifest.checkConstraints(root, table).toSeq.sorted
             .toDF("name", "expression") }
+      case SetPropsRe(table, propsS) =>
+        // ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...): one claim-
+        // sidecar commit; later SETs of the same key shadow earlier
+        val kvs = splitTopLevel(propsS, ',').map(_.trim).map {
+          case PropKvRe(k, v) => k -> v
+          case other => throw new IllegalArgumentException(
+            s"SET TBLPROPERTIES: expected 'key'='value', got: $other")
+        }
+        require(kvs.map(_._1).distinct.size == kvs.size,
+          s"SET TBLPROPERTIES: duplicate key in ($propsS)")
+        Manifest.setTableProperties(spark, root, table, kvs.toMap)
+        last = spark.emptyDataFrame
+      case UnsetPropsRe(table, keysS) =>
+        val keys = splitTopLevel(keysS, ',').map(_.trim).map {
+          case PropKeyRe(k) => k
+          case other => throw new IllegalArgumentException(
+            s"UNSET TBLPROPERTIES: expected 'key', got: $other")
+        }
+        Manifest.unsetTableProperties(spark, root, table, keys)
+        last = spark.emptyDataFrame
+      case ShowPropsRe(table) =>
+        // SHOW TBLPROPERTIES t: the effective registry, pure metadata
+        last = { import spark.implicits._
+          Manifest.tableProperties(root, table).toSeq.sorted
+            .toDF("key", "value") }
+      case CommentTableRe(table, text) =>
+        // COMMENT ON TABLE t IS '...': the 'comment' property (Spark's
+        // catalog convention); '' clears it
+        if (text.isEmpty)
+          Manifest.unsetTableProperties(spark, root, table, Seq("comment"))
+        else
+          Manifest.setTableProperties(spark, root, table,
+            Map("comment" -> text))
+        last = spark.emptyDataFrame
+      case CommentColumnRe(table, colName, text) =>
+        // COMMENT ON COLUMN t.c IS '...': per-column comments under
+        // 'comment.<col>' keys — DESCRIBE TABLE EXTENDED reads them back
+        val sch = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        require(sch.fieldNames.contains(colName),
+          s"COMMENT ON COLUMN: no column $colName in $table")
+        if (text.isEmpty)
+          Manifest.unsetTableProperties(spark, root, table,
+            Seq(s"comment.$colName"))
+        else
+          Manifest.setTableProperties(spark, root, table,
+            Map(s"comment.$colName" -> text))
+        last = spark.emptyDataFrame
+      case DescribeExtRe(table) =>
+        // DESCRIBE TABLE EXTENDED t: q278's column listing + comments
+        val sch = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        val props = Manifest.tableProperties(root, table)
+        last = { import spark.implicits._
+          sch.fields.toSeq.map(f =>
+            (f.name, f.dataType.sql.toLowerCase, f.nullable,
+              props.getOrElse(s"comment.${f.name}", "")))
+            .toDF("col_name", "data_type", "nullable", "comment") }
       case DescribeTableRe(table) =>
         // DESCRIBE TABLE t: the column listing every catalog serves —
         // the REGISTERED schema when one governs reads (evolved /
@@ -676,6 +740,28 @@ object ManifestSql {
         require(role.matches("[A-Za-z0-9_]+"), s"unsafe role name: $role")
         spark.conf.set("graft.sql.role", role)
         last = spark.emptyDataFrame
+      case GrantRe(table, role) =>
+        // GRANT SELECT ON t TO r: the first grant closes the table
+        // (only admin + granted roles read from then on)
+        Manifest.grantSelect(spark, root, table, role)
+        last = spark.emptyDataFrame
+      case RevokeRe(table, role) =>
+        Manifest.revokeSelect(spark, root, table, role)
+        last = spark.emptyDataFrame
+      case ShowGrantsRe(table) =>
+        // SHOW GRANTS ON t: the live ACL, pure metadata
+        last = { import spark.implicits._
+          Manifest.tableGrants(root, table).toSeq.sorted
+            .map(r => (r, "SELECT")).toDF("role", "privilege") }
+      case FsckRe(table, dry) =>
+        // FSCK REPAIR TABLE t [DRY RUN]: drop entries whose data files
+        // vanished out-of-band; the maintenance report a scheduler acts on
+        val isDry = dry != null
+        val (missing, live) =
+          Manifest.commitFsckRepair(spark, root, table, isDry)
+        last = { import spark.implicits._
+          Seq((missing, live, if (isDry) "DRY RUN" else "REPAIRED"))
+            .toDF("missing_files", "live_files", "mode") }
       case ShowPoliciesRe(table) =>
         val (masks, rowPols) = Manifest.tablePolicies(root, table)
         last = { import spark.implicits._
@@ -890,6 +976,10 @@ object ManifestSql {
       // a governed table never answers from metadata: row/mask
       // policies must see every read, and file stats know no roles
       if (Manifest.tableHasPolicies(root, table)) return None
+      // the ACL gate applies to metadata answers too — min/max of a
+      // column IS data (fail loudly, same contract as the scan path)
+      Manifest.requireSelect(root, table,
+        spark.conf.get("graft.sql.role", "admin"))
       val parsedOpt = splitTopLevel(items, ',').map(_.trim).map {
         case MetaAggItemRe(fn, arg, alias) =>
           Some((fn.toLowerCase, arg, Option(alias)))
@@ -964,6 +1054,27 @@ object ManifestSql {
     "(?is)^DESCRIBE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val ShowConstraintsRe =
     "(?is)^SHOW\\s+CONSTRAINTS\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  // TBLPROPERTIES: Delta/Spark statement shapes, values as manifest
+  // claim-sidecar markers (the CHECK-constraint registry idiom)
+  private val SetPropsRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+SET\\s+TBLPROPERTIES" +
+      "\\s*\\((.+)\\)\\s*$").r
+  private val UnsetPropsRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+UNSET\\s+TBLPROPERTIES" +
+      "\\s*\\(([^)]*)\\)\\s*$").r
+  private val ShowPropsRe =
+    "(?is)^SHOW\\s+TBLPROPERTIES\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  // COMMENT ON ... IS: sugar over the property registry (Spark's own
+  // convention — table comments are the 'comment' catalog property)
+  private val CommentTableRe =
+    "(?is)^COMMENT\\s+ON\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+IS\\s+'([^']*)'\\s*$".r
+  private val CommentColumnRe =
+    ("(?is)^COMMENT\\s+ON\\s+COLUMN\\s+([A-Za-z0-9_.-]+)\\." +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+IS\\s+'([^']*)'\\s*$").r
+  private val DescribeExtRe =
+    "(?is)^DESCRIBE\\s+TABLE\\s+EXTENDED\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val PropKvRe = "(?s)^'([^']+)'\\s*=\\s*'([^']*)'$".r
+  private val PropKeyRe = "(?s)^'([^']+)'$".r
   private val ReorgRe =
     ("(?is)^REORG\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+APPLY\\s*" +
       "\\(\\s*PURGE\\s*\\)\\s*$").r
@@ -998,6 +1109,18 @@ object ManifestSql {
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+DROP\\s+ROW\\s+ACCESS\\s+" +
       "POLICY\\s+([A-Za-z0-9_]+)\\s*$").r
   private val SetRoleRe = "(?is)^SET\\s+ROLE\\s+([A-Za-z0-9_]+)\\s*$".r
+  // ACL statements: grants as registered metadata (Snowflake shapes)
+  private val GrantRe =
+    ("(?is)^GRANT\\s+SELECT\\s+ON\\s+([A-Za-z0-9_.-]+)\\s+TO\\s+" +
+      "([A-Za-z0-9_]+)\\s*$").r
+  private val RevokeRe =
+    ("(?is)^REVOKE\\s+SELECT\\s+ON\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+" +
+      "([A-Za-z0-9_]+)\\s*$").r
+  private val ShowGrantsRe =
+    "(?is)^SHOW\\s+GRANTS\\s+ON\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val FsckRe =
+    ("(?is)^FSCK\\s+REPAIR\\s+TABLE\\s+([A-Za-z0-9_.-]+)" +
+      "(\\s+DRY\\s+RUN)?\\s*$").r
   private val ShowPoliciesRe =
     "(?is)^SHOW\\s+POLICIES\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val AnalyzeRe =
@@ -2731,6 +2854,197 @@ object ManifestSql {
             |FROM scd2_sql_hist GROUP BY user_id ORDER BY user_id""".stripMargin)
           .localCheckpoint(true)
         s.catalog.dropTempView("scd2_sql_hist")
+        out
+      }),
+
+    // ----- TBLPROPERTIES (q295): table-level key→value metadata as
+    //       statement text — SET (register + overwrite), UNSET
+    //       (tombstone), SHOW (read back). Properties persist as
+    //       claim-sidecar markers (the CHECK-constraint registry
+    //       idiom): serialized with data commits by the version CAS
+    //       and carried by VACUUM — the script vacuums to the
+    //       retention floor BEFORE the listing, so a registry that
+    //       only lived in collected claim dirs would come back empty
+    //       and break the oracle's literal row set. Overwrite and
+    //       tombstone shadowing are both exercised (quality.tier set
+    //       twice, 'doomed' unset). Pure metadata at any scale. -----
+    Q("q295_sql_tblproperties",
+      Some("""SELECT * FROM (VALUES
+             |  ('owner', 'data-platform'),
+             |  ('quality.tier', 'gold'),
+             |  ('retention.days', '30'))
+             |  t(key, value)
+             |ORDER BY key""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-props").toString
+        graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("value").as("v"))
+          .createOrReplaceTempView("props_src")
+        val out = runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM props_src;
+            |ALTER TABLE t SET TBLPROPERTIES ('owner'='data-platform', 'quality.tier'='bronze', 'doomed'='yes');
+            |ALTER TABLE t SET TBLPROPERTIES ('quality.tier'='gold', 'retention.days'='30');
+            |ALTER TABLE t UNSET TBLPROPERTIES ('doomed', 'never.was.set');
+            |INSERT INTO t SELECT * FROM props_src;
+            |VACUUM RETAIN 1 VERSIONS GRACE 0;
+            |SHOW TBLPROPERTIES t""".stripMargin)
+          .orderBy("key").localCheckpoint(true)
+        s.catalog.dropTempView("props_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- GRANT / REVOKE / SHOW GRANTS (q297): the ACL half of the
+    //       governance surface (policies rewrite WHAT a role sees,
+    //       q283; grants decide WHETHER it reads at all). Grants are
+    //       claim-sidecar markers — CAS-serialized, vacuum-carried —
+    //       and the FIRST grant closes the table: only admin + granted
+    //       roles read, enforced where every SQL view is born
+    //       (tableDF) and on the metadata-aggregate fast path, failing
+    //       loudly (a silent empty frame would read as "no rows", not
+    //       "no access"). The query asserts the enforcement matrix
+    //       IN-PLAN — granted role reads the same count as admin, an
+    //       ungranted role refuses BOTH the view registration and the
+    //       metadata COUNT — then lists the surviving ACL after a
+    //       vacuum to the retention floor; the oracle states it
+    //       literally, so a revoke that lingers (or a grant the vacuum
+    //       dropped) breaks the board. Pure metadata at any scale. -----
+    Q("q297_sql_grants",
+      Some("""SELECT * FROM (VALUES ('analyst', 'SELECT'))
+             |  t(role, privilege)
+             |ORDER BY role""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-grants").toString
+        graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("value").as("v"))
+          .createOrReplaceTempView("grants_src")
+        runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM grants_src;
+            |GRANT SELECT ON t TO analyst;
+            |GRANT SELECT ON t TO doomed;
+            |REVOKE SELECT ON t FROM doomed;
+            |INSERT INTO t SELECT * FROM grants_src;
+            |VACUUM RETAIN 1 VERSIONS GRACE 0""".stripMargin)
+        try {
+          s.conf.set("graft.sql.role", "analyst")
+          register(s, root, "t", "grants_t")
+          val nGranted = s.sql("SELECT count(*) FROM grants_t")
+            .collect()(0).getLong(0)
+          s.conf.set("graft.sql.role", "intern")
+          require(scala.util.Try(register(s, root, "t", "grants_t2"))
+            .isFailure, "ungranted role must refuse view registration")
+          require(scala.util.Try(
+            runDml(s, root, "SELECT count(*) AS n FROM t")).isFailure,
+            "ungranted role must refuse the metadata COUNT")
+          s.conf.set("graft.sql.role", "admin")
+          register(s, root, "t", "grants_t")
+          val nAdmin = s.sql("SELECT count(*) FROM grants_t")
+            .collect()(0).getLong(0)
+          require(nGranted == nAdmin && nAdmin > 0L,
+            s"granted role read $nGranted rows, admin $nAdmin")
+        } finally s.conf.set("graft.sql.role", "admin")
+        val out = runDml(s, root, "SHOW GRANTS ON t")
+          .orderBy("role").localCheckpoint(true)
+        s.catalog.dropTempView("grants_src")
+        s.catalog.dropTempView("grants_t")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- COMMENT ON + DESCRIBE TABLE EXTENDED (q298): catalog
+    //       documentation as statement text. Comments are sugar over
+    //       the q295 property registry (Spark's own convention — the
+    //       table comment IS the 'comment' catalog property; column
+    //       comments live under 'comment.<col>'), so they inherit the
+    //       full marker discipline for free: CAS-serialized,
+    //       overwrite-shadowed, vacuum-carried. The script overwrites
+    //       one column comment (last writer wins) and the query
+    //       asserts the table-level comment in-plan via SHOW
+    //       TBLPROPERTIES; the oracle states the annotated column
+    //       listing literally. Pure metadata at any scale. -----
+    Q("q298_sql_comments",
+      Some("""SELECT * FROM (VALUES
+             |  ('user_id', 'bigint', true, 'who did it'),
+             |  ('v', 'double', true, 'event value'))
+             |  t(col_name, data_type, nullable, comment)
+             |ORDER BY col_name""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-comments").toString
+        graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("value").cast("double").as("v"))
+          .createOrReplaceTempView("cmnt_src")
+        val out = runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM cmnt_src;
+            |COMMENT ON TABLE t IS 'demo events slice';
+            |COMMENT ON COLUMN t.user_id IS 'who did it';
+            |COMMENT ON COLUMN t.v IS 'wrong, overwrite me';
+            |COMMENT ON COLUMN t.v IS 'event value';
+            |DESCRIBE TABLE EXTENDED t""".stripMargin)
+          .orderBy("col_name").localCheckpoint(true)
+        // the table-level comment rides the property registry —
+        // asserted in-plan so a lost marker fails the board
+        val tc = Manifest.tableProperties(root, "t").get("comment")
+        require(tc.contains("demo events slice"),
+          s"table comment missing or wrong: $tc")
+        s.catalog.dropTempView("cmnt_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- FSCK REPAIR TABLE (q300): the corruption-repair verb —
+    //       data files deleted OUT-OF-BAND (storage loss, a fat-
+    //       fingered rm) leave manifest entries pointing at nothing
+    //       and every read dying on FileNotFound; FSCK drops exactly
+    //       the dead entries as a normal CAS claim (serialized with
+    //       writers, in DESCRIBE HISTORY). The fixture commits two
+    //       batches as separate claims, physically deletes the second
+    //       batch's files BEHIND the ledger's back, asserts the DRY
+    //       RUN prices the damage, repairs, asserts the re-run reports
+    //       a clean table, and reads the survivors back through SQL —
+    //       the oracle states the first batch from raw events, so a
+    //       repair that drops a healthy file (or keeps a dead one and
+    //       crashes the scan) breaks the board. Cost: one existence
+    //       probe per manifest entry — metadata-sized at any scale. -----
+    Q("q300_sql_fsck",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id < 10
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-fsck").toString
+        graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("value").cast("double").as("v"))
+          .createOrReplaceTempView("fsck_src")
+        runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM fsck_src WHERE user_id < 10;
+            |INSERT INTO t SELECT * FROM fsck_src WHERE user_id >= 10""".stripMargin)
+        // files of the SECOND commit only = v2's table entries minus v1's
+        val v = Manifest.snapshotVersion(root)
+        val before = Manifest.manifestRows(s, root, v - 1)
+          .collect { case ("t", f, _) => f }.toSet
+        val doomed = Manifest.manifestRows(s, root, v)
+          .collect { case ("t", f, _) if !before(f) => f }
+        require(doomed.nonEmpty, "fixture must add files in commit 2")
+        doomed.foreach(f => Files.delete(Paths.get(root, f)))
+        val dryRep = runDml(s, root, "FSCK REPAIR TABLE t DRY RUN")
+          .collect()(0)
+        require(dryRep.getLong(0) == doomed.size.toLong
+          && dryRep.getString(2) == "DRY RUN",
+          s"dry run must price the damage, reported $dryRep")
+        runDml(s, root, "FSCK REPAIR TABLE t")
+        val clean = runDml(s, root, "FSCK REPAIR TABLE t").collect()(0)
+        require(clean.getLong(0) == 0L,
+          s"post-repair FSCK must report a clean table, got $clean")
+        register(s, root, "t", "fsck_t")
+        val out = runDml(s, root,
+          """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            |FROM fsck_t GROUP BY user_id ORDER BY user_id""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("fsck_src")
+        s.catalog.dropTempView("fsck_t")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })
   )

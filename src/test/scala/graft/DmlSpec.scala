@@ -701,6 +701,90 @@ class DmlSpec extends SparkSuite {
     assert(e4.getMessage.contains("unknown source table"))
   }
 
+  test("TBLPROPERTIES lifecycle: set, overwrite, unset, survive vacuum; refusals") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t SET TBLPROPERTIES ('owner'='alice', 'tier'='bronze')")
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t SET TBLPROPERTIES ('tier'='gold')") // overwrite shadows
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t UNSET TBLPROPERTIES ('owner', 'never.set')") // unknown = no-op
+    assert(Manifest.tableProperties(root, "t") == Map("tier" -> "gold"))
+    // the registry rides claim sidecars: vacuum to the floor keeps it
+    Manifest.commitAppend(spark, root, "t",
+      Seq((2L, 2.0)).toDF("k", "v").coalesce(1))
+    val _ = Manifest.vacuum(spark, root, 1, 0L)
+    assert(Manifest.tableProperties(root, "t") == Map("tier" -> "gold"))
+    val show = ManifestSql.runDml(spark, root, "SHOW TBLPROPERTIES t")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(show.toSeq == Seq("tier" -> "gold"))
+    // refusals: malformed kv, duplicate key, empty value, missing table
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "ALTER TABLE t SET TBLPROPERTIES (owner='alice')")
+    }
+    assert(e1.getMessage.contains("expected 'key'='value'"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "ALTER TABLE t SET TBLPROPERTIES ('a'='1', 'a'='2')")
+    }
+    assert(e2.getMessage.contains("duplicate key"))
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "ALTER TABLE t SET TBLPROPERTIES ('a'='')")
+    }
+    assert(e3.getMessage.contains("empty value"))
+    val e4 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "ALTER TABLE nope SET TBLPROPERTIES ('a'='1')")
+    }
+    assert(e4.getMessage.contains("no table nope"))
+  }
+
+  test("GRANT lifecycle: open until first grant, enforced after, closure sticky") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1))
+    def readAs(role: String): scala.util.Try[Long] = {
+      spark.conf.set("graft.sql.role", role)
+      val t = scala.util.Try {
+        ManifestSql.register(spark, root, "t", "grant_spec_t")
+        spark.sql("SELECT count(*) FROM grant_spec_t").collect()(0).getLong(0)
+      }
+      spark.conf.set("graft.sql.role", "admin")
+      t
+    }
+    // no grant history: open to any role (pre-grant compatibility)
+    assert(readAs("rando").get == 2L)
+    ManifestSql.runDml(spark, root, "GRANT SELECT ON t TO analyst")
+    assert(readAs("analyst").get == 2L)
+    assert(readAs("admin").get == 2L)
+    val denied = readAs("rando")
+    assert(denied.isFailure &&
+      denied.failed.get.getMessage.contains("lacks SELECT"))
+    // the metadata fast path enforces too
+    spark.conf.set("graft.sql.role", "rando")
+    val metaDenied = scala.util.Try(
+      ManifestSql.runDml(spark, root, "SELECT count(*) FROM t"))
+    spark.conf.set("graft.sql.role", "admin")
+    assert(metaDenied.isFailure)
+    // revoking the LAST grant leaves the table CLOSED (admin-only),
+    // never silently reopened
+    ManifestSql.runDml(spark, root, "REVOKE SELECT ON t FROM analyst")
+    assert(Manifest.tableGrants(root, "t").isEmpty)
+    assert(readAs("analyst").isFailure, "revoked role must lose access")
+    assert(readAs("rando").isFailure, "empty ACL must stay closed")
+    assert(readAs("admin").get == 2L)
+    // GRANT on a missing table refuses
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "GRANT SELECT ON nope TO analyst")
+    }
+    assert(e.getMessage.contains("no table nope"))
+    spark.catalog.dropTempView("grant_spec_t")
+  }
+
   test("APPLY CHANGES statement mirrors within one root and re-drives quiesce") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "src_t",
