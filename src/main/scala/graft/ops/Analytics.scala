@@ -249,6 +249,91 @@ object Analytics {
           .select(col("node"), round(col("r"), 6).as("rank"))
           .orderBy(col("rank").desc, col("node"))
           .limit(20)
+      }),
+
+    // ----- RFM segmentation (q301): the classic customer-value grid —
+    //       per user recency (last event time), frequency (events),
+    //       monetary (value sum), scored 1–5 against exact population
+    //       quintile CUTS and bucketed into named segments. The scale
+    //       decision: NO global ntile window (an unpartitioned window
+    //       collapses to ONE task — the one shuffle shape this codebase
+    //       bans); instead, cuts come from exact `percentile` over the
+    //       user frame (one pass, 12 scalars) and scores are pure
+    //       comparisons against the broadcast 1-row cuts frame — fully
+    //       parallel at any user cardinality. Determinism: all three
+    //       metrics are exact BIGINTs (floor-seconds, counts, e4 value
+    //       sums), the interpolated cuts compute the same double
+    //       formula in both engines from those integers, and an
+    //       integer metric can only flip across a cut if the cut
+    //       itself crossed an integer — which identical arithmetic
+    //       cannot do differently. -----
+    Q("q301_rfm_segments",
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(max(ts))) AS BIGINT) AS r_key,
+             |    CAST(count(*) AS BIGINT) AS f,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000
+             |      AS BIGINT) AS m_e4
+             |  FROM events GROUP BY user_id),
+             |c AS (SELECT
+             |    quantile_cont(r_key, 0.2) AS r1, quantile_cont(r_key, 0.4) AS r2,
+             |    quantile_cont(r_key, 0.6) AS r3, quantile_cont(r_key, 0.8) AS r4,
+             |    quantile_cont(f, 0.2) AS f1, quantile_cont(f, 0.4) AS f2,
+             |    quantile_cont(f, 0.6) AS f3, quantile_cont(f, 0.8) AS f4,
+             |    quantile_cont(m_e4, 0.2) AS m1, quantile_cont(m_e4, 0.4) AS m2,
+             |    quantile_cont(m_e4, 0.6) AS m3, quantile_cont(m_e4, 0.8) AS m4
+             |  FROM u),
+             |sc AS (SELECT user_id,
+             |    CAST(1 + CAST(r_key > c.r1 AS INT) + CAST(r_key > c.r2 AS INT)
+             |      + CAST(r_key > c.r3 AS INT) + CAST(r_key > c.r4 AS INT)
+             |      AS BIGINT) AS r_q,
+             |    CAST(1 + CAST(f > c.f1 AS INT) + CAST(f > c.f2 AS INT)
+             |      + CAST(f > c.f3 AS INT) + CAST(f > c.f4 AS INT)
+             |      AS BIGINT) AS f_q,
+             |    CAST(1 + CAST(m_e4 > c.m1 AS INT) + CAST(m_e4 > c.m2 AS INT)
+             |      + CAST(m_e4 > c.m3 AS INT) + CAST(m_e4 > c.m4 AS INT)
+             |      AS BIGINT) AS m_q
+             |  FROM u CROSS JOIN c)
+             |SELECT user_id, r_q, f_q, m_q,
+             |  CASE WHEN r_q >= 4 AND f_q >= 4 THEN 'champion'
+             |       WHEN m_q >= 4 THEN 'big_spender'
+             |       WHEN r_q <= 2 AND f_q >= 3 THEN 'at_risk'
+             |       ELSE 'regular' END AS segment
+             |FROM sc ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val u = Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(unix_timestamp(max(col("ts"))).as("r_key"),
+            count(lit(1)).as("f"),
+            (sum(col("value").cast("decimal(18,4)")) * 10000)
+              .cast("long").as("m_e4"))
+        val cuts = u.agg(
+          expr("percentile(r_key, 0.2)").as("r1"),
+          expr("percentile(r_key, 0.4)").as("r2"),
+          expr("percentile(r_key, 0.6)").as("r3"),
+          expr("percentile(r_key, 0.8)").as("r4"),
+          expr("percentile(f, 0.2)").as("f1"),
+          expr("percentile(f, 0.4)").as("f2"),
+          expr("percentile(f, 0.6)").as("f3"),
+          expr("percentile(f, 0.8)").as("f4"),
+          expr("percentile(m_e4, 0.2)").as("m1"),
+          expr("percentile(m_e4, 0.4)").as("m2"),
+          expr("percentile(m_e4, 0.6)").as("m3"),
+          expr("percentile(m_e4, 0.8)").as("m4"))
+        def score(v: String, c: Seq[String]) =
+          (lit(1) + c.map(x => (col(v) > col(x)).cast("int"))
+            .reduce(_ + _)).cast("long")
+        u.crossJoin(broadcast(cuts))
+          .select(col("user_id"),
+            score("r_key", Seq("r1", "r2", "r3", "r4")).as("r_q"),
+            score("f", Seq("f1", "f2", "f3", "f4")).as("f_q"),
+            score("m_e4", Seq("m1", "m2", "m3", "m4")).as("m_q"))
+          .withColumn("segment",
+            when(col("r_q") >= 4 && col("f_q") >= 4, "champion")
+              .when(col("m_q") >= 4, "big_spender")
+              .when(col("r_q") <= 2 && col("f_q") >= 3, "at_risk")
+              .otherwise("regular"))
+          .orderBy("user_id")
       })
   )
 

@@ -1262,6 +1262,56 @@ object Text {
             round(col("n_found").cast("double") / col("n_true"), 4))
           .select("source", "n_true", "n_found", "recall")
           .orderBy("source")
+      }),
+
+    // ----- overlapping-window chunker (q306): the RAG/pretraining
+    //       chunk op — 32-token windows at stride 24 (8-token overlap
+    //       so no boundary context is lost), a trailing window kept
+    //       only when it contributes NEW tokens beyond the overlap
+    //       (start + 8 < n), never a fully-redundant tail. Everything
+    //       is row-local higher-order functions over the split-token
+    //       array (sequence → slice → concat) — whole-stage codegen,
+    //       zero shuffles before the final sort, so the op scans at
+    //       I/O speed at any corpus size. The board checks the chunk
+    //       GEOMETRY (counts, token totals, last-chunk length) and a
+    //       first-chunk md5 per doc, so an off-by-one in stride,
+    //       overlap, or the tail rule breaks the hash. -----
+    Q("q306_chunk_overlap",
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |nn AS (SELECT doc_id, tk, len(tk) AS n FROM d),
+             |ch AS (
+             |  SELECT doc_id, n, s,
+             |    len(tk[s + 1 : s + 32]) AS clen,
+             |    md5(array_to_string(tk[s + 1 : s + 32], ' ')) AS cfp
+             |  FROM nn, unnest(range(0, n, 24)) AS t(s)
+             |  WHERE s = 0 OR s + 8 < n)
+             |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(clen) AS BIGINT) AS chunk_tokens,
+             |  CAST(max(CASE WHEN s = 0 THEN clen END) AS BIGINT)
+             |    AS first_chunk_len,
+             |  max(CASE WHEN s = 0 THEN cfp END) AS first_chunk_fp
+             |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .withColumn("n", size(col("tk")))
+        val ch = d
+          .select(col("doc_id"), col("n"), col("tk"),
+            explode(expr("sequence(0, greatest(n - 1, 0), 24)")).as("s"))
+          .filter(col("s") === 0 || col("s") + 8 < col("n"))
+          .select(col("doc_id"), col("n"), col("s"),
+            size(expr("slice(tk, s + 1, 32)")).as("clen"),
+            md5(concat_ws(" ", expr("slice(tk, s + 1, 32)"))).as("cfp"))
+        ch.groupBy("doc_id")
+          .agg(max(col("n")).cast("long").as("n_tokens"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("clen")).cast("long").as("chunk_tokens"),
+            max(when(col("s") === 0, col("clen"))).cast("long")
+              .as("first_chunk_len"),
+            max(when(col("s") === 0, col("cfp"))).as("first_chunk_fp"))
+          .orderBy("doc_id")
       })
   )
 }
