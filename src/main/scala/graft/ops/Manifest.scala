@@ -1192,6 +1192,38 @@ object Manifest {
     (missing.size.toLong, (total - missing.size).toLong)
   }
 
+  /** `GENERATE symlink_format_manifest FOR TABLE t` (Delta's external-
+    * reader export): write the table's LIVE file list so engines with
+    * no manifest machinery (Trino/Presto/DuckDB) read the listed
+    * parquet files directly. REFUSES while any file carries a deletion
+    * vector — an external reader cannot apply DVs and would resurrect
+    * soft-deleted rows (Delta refuses for the same reason); run `REORG
+    * TABLE t APPLY (PURGE)` first. Writes one absolute path per line
+    * (sorted) to `<root>/_symlink_format_manifest/<table>/manifest`
+    * and returns the file count. The export is a point-in-time
+    * snapshot — regenerate after commits, like Delta. Metadata-sized
+    * at any scale. */
+  def generateSymlinkManifest(s: SparkSession, root: String,
+                              table: String): Long = {
+    val v = snapshotVersion(root)
+    require(v > 0, s"no committed snapshot at $root")
+    val rows = manifestRows(s, root, v).filter(_._1 == table)
+    require(rows.nonEmpty, s"GENERATE: no table $table in $root")
+    val dvd = rows.count { case (_, _, st) =>
+      st != null && dvRefOf(st).isDefined }
+    require(dvd == 0,
+      s"GENERATE: $dvd file(s) of $table carry deletion vectors an " +
+        s"external reader cannot apply; run REORG TABLE $table APPLY " +
+        "(PURGE) first")
+    val dir = Paths.get(root, "_symlink_format_manifest", table)
+    val _ = Files.createDirectories(dir)
+    val lines = rows.map { case (_, f, _) =>
+      Paths.get(root, f).toAbsolutePath.toString }.sorted
+    val _2 = Files.write(dir.resolve("manifest"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    lines.size.toLong
+  }
+
   /** Enforce the grant registry for one read: a table with no grant
     * HISTORY is open to anyone; once any grant ever registered, only
     * `admin` and currently-granted roles read — revoking the last
@@ -3229,8 +3261,13 @@ object Manifest {
       }
       current match {
         case Some(cur) =>
+          // added columns register NULLABLE regardless of the batch's
+          // nullability: pre-evolution files have no value for them,
+          // and a non-nullable registration would NPE codegen on the
+          // first NULL-filled read
           StructType(cur.fields ++
-            df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name)))
+            df.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+              .map(_.copy(nullable = true)))
         case None => df.schema
       }
     }
@@ -3809,7 +3846,8 @@ object Manifest {
   def commitMergeUpsert(s: SparkSession, root: String, table: String,
                         updates: DataFrame, keyCol: String,
                         maxRetries: Int = 5,
-                        txn: Option[(String, Long)] = None): Long = {
+                        txn: Option[(String, Long)] = None,
+                        allowEvolution: Boolean = false): Long = {
     // Pin the source batch: a non-deterministic `updates` (sample, rand,
     // now()) re-evaluated on a conflict retry could drift outside the
     // key bounds computed here, desyncing the affected-file set from the
@@ -3833,8 +3871,46 @@ object Manifest {
           s"commitMergeUpsert: updates carry duplicate $keyCol values " +
             s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
             "MERGE requires at most one source row per key")
+      // MERGE WITH SCHEMA EVOLUTION: the source must carry every target
+      // column (type-identical — same enforcement as the evolving
+      // append) plus the new ones; the evolved schema registers in the
+      // SAME claim as the merged data, and old files NULL-fill the new
+      // columns on read. Matched rows are replaced by full source rows
+      // (this merge's existing full-row contract, now over the wider
+      // schema).
+      val evolve: Option[(Option[StructType], StructType)] =
+        if (!allowEvolution) None
+        else {
+          val reg = registeredSchema(s, root, table)
+          val cur = reg.getOrElse(readTable(s, root, table).schema)
+          cur.fields.foreach { f =>
+            val got = pinned.schema.fields.find(_.name == f.name).getOrElse(
+              throw new IllegalArgumentException(
+                s"MERGE WITH SCHEMA EVOLUTION: source drops column ${f.name}"))
+            if (got.dataType != f.dataType)
+              throw new IllegalArgumentException(
+                s"MERGE WITH SCHEMA EVOLUTION: column ${f.name} is " +
+                  s"${got.dataType}, table has ${f.dataType}")
+          }
+          val added = pinned.schema.fieldNames.toSet -- cur.fieldNames.toSet
+          val resurrected = added.intersect(reservedNames(root, table))
+          if (resurrected.nonEmpty)
+            throw new IllegalArgumentException(
+              s"schema evolution: ${resurrected.mkString(",")} previously " +
+                s"existed on $table — old files still store the name; " +
+                "re-adding would resurrect their values")
+          // added columns register NULLABLE regardless of the source
+          // expression's nullability: every pre-evolution file (and
+          // every survivor row the rewrite NULL-fills) has no value
+          // for them — a non-nullable registration would NPE codegen
+          // on the first such read
+          Some((reg, StructType(cur.fields ++
+            pinned.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+              .map(_.copy(nullable = true)))))
+        }
       val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
-      commitMergeUpsertPinned(s, root, table, pinned, keyCol, keyPred, maxRetries, txn)
+      commitMergeUpsertPinned(s, root, table, pinned, keyCol, keyPred,
+        maxRetries, txn, evolve)
     } finally pinned.unpersist()
   }
 
@@ -3842,7 +3918,8 @@ object Manifest {
                                       table: String, updates: DataFrame,
                                       keyCol: String, keyPred: Pred,
                                       maxRetries: Int,
-                                      txn: Option[(String, Long)] = None): Long = {
+                                      txn: Option[(String, Long)] = None,
+                                      evolve: Option[(Option[StructType], StructType)] = None): Long = {
     var tries = 0
     while (true) {
       val base = latestReadableClaim(root)
@@ -3856,12 +3933,22 @@ object Manifest {
       val expected = manifestRows(s, root, base)
         .collect { case (t, f, _) if t == table => f }.toSet
       val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
-      val survivors =
+      val survivors0 =
         if (affected.isEmpty) updates
         else readResolved(s, root, affected.map { case (_, f, st) => (f, st) },
             registeredSchema(s, root, table, base))
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(updates)
+          // evolving merge: survivor rows NULL-fill the source's new
+          // columns (old files keep doing so on read, via the
+          // registered schema)
+          .unionByName(updates, allowMissingColumns = evolve.isDefined)
+      // pin the evolved column ORDER so published files agree with the
+      // registered schema regardless of union branch order
+      val survivors = evolve match {
+        case Some((_, evolved)) =>
+          survivors0.select(evolved.fieldNames.toIndexedSeq.map(col): _*)
+        case None => survivors0
+      }
       val hint = nextVersion(root)
       val relFiles = publishData(s, root, hint, table, survivors)
       val newRows = statsRowsFor(s, root, table, relFiles, Seq(keyCol))
@@ -3874,8 +3961,17 @@ object Manifest {
           if (cur != expected)
             throw new CommitConflict(
               s"$table changed under the merge (computed at v$base, claiming at v$b)")
+          // evolving merge: the schema registration rides the SAME
+          // claim as the data (atomic, like the evolving append), and
+          // a registration that moved underneath forces a recompute
+          evolve.foreach { case (regAtPlan, _) =>
+            if (registeredSchema(s, root, table, b) != regAtPlan)
+              throw new CommitConflict(
+                s"$table's registered schema changed under the evolving merge")
+          }
           deltaOrFull(s, root, b, Nil, newRows, removes)
-            .copy(extras = txnExtras(txn))
+            .copy(extras = txnExtras(txn) ++ evolve.map { case (_, ev) =>
+              schemaMarker(table) -> ev.json.getBytes("UTF-8") }.toSeq)
         }, maxRetries)
       } catch {
         case _: CommitConflict =>

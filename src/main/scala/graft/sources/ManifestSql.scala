@@ -219,6 +219,68 @@ object ManifestSql {
     "(?is)^UPDATE\\s+([A-Za-z0-9_.-]+)\\s+SET\\s+(.*)$".r
   private val MergeRe =
     "(?is)^MERGE\\s+INTO\\s+([A-Za-z0-9_.-]+)(?:\\s+AS\\s+\\w+)?\\s+USING\\s+(.*)$".r
+  private val MergeEvolveRe =
+    ("(?is)^MERGE\\s+WITH\\s+SCHEMA\\s+EVOLUTION\\s+INTO\\s+" +
+      "([A-Za-z0-9_.-]+)(?:\\s+AS\\s+\\w+)?\\s+USING\\s+(.*)$").r
+
+  /** Shared body of the MERGE statement forms (see the q223 scaladoc):
+    * parses the Delta full-row shorthand
+    * `USING <view | (subquery)> [AS] s ON t.k = s.k WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    * [+ `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`], routing to
+    * [[Manifest.commitMergeUpsert]] / [[Manifest.commitMergeFull]].
+    * Conditional WHEN clauses / column-wise SET lists are rejected
+    * loudly, not mis-parsed. `evolve` = the WITH SCHEMA EVOLUTION
+    * statement form (incompatible with the BY SOURCE tail — the
+    * combination is refused, not guessed at). */
+  private def runMergeText(spark: SparkSession, root: String,
+                           table: String, rest: String,
+                           evolve: Boolean): Unit = {
+    val onPos = topLevelKeyword(rest, "on")
+    require(onPos > 0, s"MERGE without ON clause: $rest")
+    val sourcePart = rest.substring(0, onPos).trim
+    val afterOn = rest.substring(onPos + 2)
+    val whenPos = topLevelKeyword(afterOn, "when")
+    require(whenPos > 0, s"MERGE without WHEN clauses: $afterOn")
+    val onText = afterOn.substring(0, whenPos).trim
+    // full-sync tail first: WHEN NOT MATCHED BY SOURCE [AND c]
+    // THEN DELETE peels off the original text (condition keeps
+    // its case); the head must still be the standard shorthand
+    val (coreWhen, syncDelete) = afterOn.substring(whenPos) match {
+      case MergeSyncTailRe(head, cond) => (head, Some(Option(cond)))
+      case w => (w, None)
+    }
+    require(!(evolve && syncDelete.isDefined),
+      "MERGE WITH SCHEMA EVOLUTION does not combine with WHEN NOT " +
+        "MATCHED BY SOURCE")
+    val whenNorm = coreWhen.toLowerCase.trim.replaceAll("\\s+", " ")
+    require(whenNorm ==
+      "when matched then update set * when not matched then insert *",
+      "unsupported MERGE WHEN shape (only the full-row " +
+        s"UPDATE SET * / INSERT * shorthand is supported): $whenNorm")
+    val keyCol = onText match {
+      case MergeOnRe(_, k1, _, k2) if k1.equalsIgnoreCase(k2) => k1
+      case _ => throw new IllegalArgumentException(
+        s"unsupported MERGE ON shape (need t.k = s.k, one shared column): $onText")
+    }
+    val sourceDf =
+      if (sourcePart.startsWith("(")) {
+        val close = matchingParen(sourcePart)
+        require(close > 0, s"unbalanced parens in MERGE source: $sourcePart")
+        spark.sql(sourcePart.substring(1, close))
+      } else spark.table(sourcePart.split("\\s+").head)
+    syncDelete match {
+      case Some(cond) =>
+        // sync merge: target rows whose key is absent from the
+        // source are deleted (unconditionally, or where the AND
+        // condition passes — unqualified target columns)
+        val _ = Manifest.commitMergeFull(spark, root, table, sourceDf, keyCol,
+          cond.map(expr).getOrElse(lit(true)))
+      case None =>
+        val _ = Manifest.commitMergeUpsert(spark, root, table, sourceDf,
+          keyCol, allowEvolution = evolve)
+    }
+  }
   private val InsertRe =
     "(?is)^INSERT\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
   private val CtasRe =
@@ -382,56 +444,15 @@ object ManifestSql {
             Manifest.commitUpdateVectors(spark, root, table, lit(true), sets)
         }
         last = spark.emptyDataFrame
+      case MergeEvolveRe(table, rest) =>
+        // MERGE WITH SCHEMA EVOLUTION INTO t USING ... (Delta's
+        // statement shape): the full-row merge where the source may
+        // carry NEW columns — the widened schema registers atomically
+        // with the merged data; old files NULL-fill on read
+        runMergeText(spark, root, table, rest, evolve = true)
+        last = spark.emptyDataFrame
       case MergeRe(table, rest) =>
-        // MERGE INTO t USING <view | (subquery)> [AS] s
-        //   ON t.k = s.k
-        //   WHEN MATCHED THEN UPDATE SET *
-        //   WHEN NOT MATCHED THEN INSERT *
-        // — the Delta full-row shorthand, which is exactly
-        // commitMergeUpsert's contract (matched keys replace, new keys
-        // insert, one atomic commit, O(affected files) rewrite bounded
-        // by the source's key stats). Conditional WHEN clauses /
-        // column-wise SET lists are rejected loudly, not mis-parsed.
-        val onPos = topLevelKeyword(rest, "on")
-        require(onPos > 0, s"MERGE without ON clause: $rest")
-        val sourcePart = rest.substring(0, onPos).trim
-        val afterOn = rest.substring(onPos + 2)
-        val whenPos = topLevelKeyword(afterOn, "when")
-        require(whenPos > 0, s"MERGE without WHEN clauses: $afterOn")
-        val onText = afterOn.substring(0, whenPos).trim
-        // full-sync tail first: WHEN NOT MATCHED BY SOURCE [AND c]
-        // THEN DELETE peels off the original text (condition keeps
-        // its case); the head must still be the standard shorthand
-        val (coreWhen, syncDelete) = afterOn.substring(whenPos) match {
-          case MergeSyncTailRe(head, cond) => (head, Some(Option(cond)))
-          case w => (w, None)
-        }
-        val whenNorm = coreWhen.toLowerCase.trim.replaceAll("\\s+", " ")
-        require(whenNorm ==
-          "when matched then update set * when not matched then insert *",
-          "unsupported MERGE WHEN shape (only the full-row " +
-            s"UPDATE SET * / INSERT * shorthand is supported): $whenNorm")
-        val keyCol = onText match {
-          case MergeOnRe(_, k1, _, k2) if k1.equalsIgnoreCase(k2) => k1
-          case _ => throw new IllegalArgumentException(
-            s"unsupported MERGE ON shape (need t.k = s.k, one shared column): $onText")
-        }
-        val sourceDf =
-          if (sourcePart.startsWith("(")) {
-            val close = matchingParen(sourcePart)
-            require(close > 0, s"unbalanced parens in MERGE source: $sourcePart")
-            spark.sql(sourcePart.substring(1, close))
-          } else spark.table(sourcePart.split("\\s+").head)
-        syncDelete match {
-          case Some(cond) =>
-            // sync merge: target rows whose key is absent from the
-            // source are deleted (unconditionally, or where the AND
-            // condition passes — unqualified target columns)
-            Manifest.commitMergeFull(spark, root, table, sourceDf, keyCol,
-              cond.map(expr).getOrElse(lit(true)))
-          case None =>
-            Manifest.commitMergeUpsert(spark, root, table, sourceDf, keyCol)
-        }
+        runMergeText(spark, root, table, rest, evolve = false)
         last = spark.emptyDataFrame
       case ReplaceWhereRe(table, rest) =>
         // INSERT INTO t REPLACE WHERE <pred> <query>: selective
@@ -762,6 +783,59 @@ object ManifestSql {
         last = { import spark.implicits._
           Seq((missing, live, if (isDry) "DRY RUN" else "REPAIRED"))
             .toDF("missing_files", "live_files", "mode") }
+      case GenerateRe(table) =>
+        // GENERATE symlink_format_manifest FOR TABLE t: export the
+        // live file list for external parquet readers (refuses on DVs)
+        val n = Manifest.generateSymlinkManifest(spark, root, table)
+        last = { import spark.implicits._
+          Seq(Tuple1(n)).toDF("n_files") }
+      case CreateLikeRe(dst, src) =>
+        // CREATE TABLE dst LIKE src: schema-only creation (Snowflake/
+        // Spark's LIKE) — the new table starts EMPTY with src's
+        // registered schema; properties/comments/grants/constraints
+        // are NOT copied (they describe src's data and governance, not
+        // dst's). One empty registering commit.
+        val v = Manifest.snapshotVersion(root)
+        require(v > 0 &&
+          Manifest.manifestRows(spark, root, v).exists(_._1 == src),
+          s"CREATE TABLE LIKE: no table $src in $root")
+        require(!Manifest.manifestRows(spark, root, v).exists(_._1 == dst),
+          s"CREATE TABLE: $dst already exists in $root")
+        val sch = Manifest.registeredSchema(spark, root, src)
+          .getOrElse(Manifest.readTable(spark, root, src).schema)
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+        Manifest.commitAppendEvolve(spark, root, dst, empty,
+          allowEvolution = true)
+        last = spark.emptyDataFrame
+      case ShowCreateRe(table) =>
+        // SHOW CREATE TABLE t: one canonical single-line DDL statement
+        // reassembled from registered metadata — schema (registered or
+        // inferred), per-column comments, CHECK constraints (as
+        // 'constraint.<name>' properties, the Delta convention), and
+        // TBLPROPERTIES — all deterministically ordered. Pure metadata.
+        val sch = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        val props = Manifest.tableProperties(root, table)
+        val cols = sch.fields.map { f =>
+          val t = f.dataType.sql.toUpperCase(java.util.Locale.ROOT)
+          val nn = if (f.nullable) "" else " NOT NULL"
+          val cm = props.get(s"comment.${f.name}")
+            .map(c => s" COMMENT '$c'").getOrElse("")
+          s"${f.name} $t$nn$cm"
+        }.mkString(", ")
+        val allProps =
+          Manifest.checkConstraints(root, table).map { case (n, e) =>
+            s"constraint.$n" -> e
+          } ++ props.view.filterKeys(!_.startsWith("comment."))
+        val tail =
+          if (allProps.isEmpty) ""
+          else allProps.toSeq.sorted
+            .map { case (k, v2) => s"'$k' = '$v2'" }
+            .mkString(" TBLPROPERTIES (", ", ", ")")
+        last = { import spark.implicits._
+          Seq(s"CREATE TABLE $table ($cols) USING parquet$tail")
+            .toDF("create_stmt") }
       case ShowPoliciesRe(table) =>
         val (masks, rowPols) = Manifest.tablePolicies(root, table)
         last = { import spark.implicits._
@@ -1121,6 +1195,14 @@ object ManifestSql {
   private val FsckRe =
     ("(?is)^FSCK\\s+REPAIR\\s+TABLE\\s+([A-Za-z0-9_.-]+)" +
       "(\\s+DRY\\s+RUN)?\\s*$").r
+  private val GenerateRe =
+    ("(?is)^GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" +
+      "([A-Za-z0-9_.-]+)\\s*$").r
+  private val CreateLikeRe =
+    ("(?is)^CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+LIKE\\s+" +
+      "([A-Za-z0-9_.-]+)\\s*$").r
+  private val ShowCreateRe =
+    "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val ShowPoliciesRe =
     "(?is)^SHOW\\s+POLICIES\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val AnalyzeRe =
@@ -3044,6 +3126,188 @@ object ManifestSql {
           .localCheckpoint(true)
         s.catalog.dropTempView("fsck_src")
         s.catalog.dropTempView("fsck_t")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- GENERATE symlink_format_manifest (q302): the external-
+    //       reader bridge (Delta's GENERATE) — engines with no
+    //       manifest machinery read the exported live-file list as
+    //       plain parquet. The DV hazard is the whole point: after a
+    //       merge-on-read DELETE the parquet bytes still hold the
+    //       deleted rows, so GENERATE must REFUSE until REORG ...
+    //       APPLY (PURGE) physicalizes the DVs (asserted in-plan).
+    //       The PROOF is differential: the query's output is computed
+    //       by reading ONLY the files the manifest exported — the
+    //       external reader's exact path, no FileIndex, no DV
+    //       machinery — and the oracle states the post-delete content
+    //       from raw events; a manifest that leaks a pre-purge file
+    //       resurrects deleted users and breaks the hash. -----
+    Q("q302_sql_generate_manifest",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |FROM events WHERE user_id < 30 AND user_id % 3 <> 0
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-gen").toString
+        graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("value").cast("double").as("v"))
+          .filter(col("user_id") < 30)
+          .createOrReplaceTempView("gen_src")
+        runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM gen_src;
+            |DELETE FROM t WHERE user_id % 3 = 0""".stripMargin)
+        // with live DVs the export must refuse, pointing at REORG
+        val refused = scala.util.Try(
+          runDml(s, root, "GENERATE symlink_format_manifest FOR TABLE t"))
+        require(refused.isFailure && refused.failed.get.getMessage
+          .contains("REORG"), s"DV'd export must refuse, got $refused")
+        runDml(s, root, "REORG TABLE t APPLY (PURGE)")
+        val rep = runDml(s, root,
+          "GENERATE symlink_format_manifest FOR TABLE t").collect()(0)
+        // the external reader's path: the exported list IS the table
+        val listed = Files.readAllLines(
+          Paths.get(root, "_symlink_format_manifest", "t", "manifest"))
+        require(rep.getLong(0) == listed.size.toLong && !listed.isEmpty,
+          s"export listed ${listed.size} files, reported $rep")
+        val out = s.read.parquet(
+            scala.jdk.CollectionConverters.ListHasAsScala(listed)
+              .asScala.toSeq: _*)
+          .groupBy("user_id").agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("user_id")
+          .localCheckpoint(true)
+        s.catalog.dropTempView("gen_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- MERGE WITH SCHEMA EVOLUTION (q303): Delta's statement
+    //       shape for the merge whose SOURCE carries new columns — the
+    //       widened schema registers atomically in the SAME claim as
+    //       the merged data (the evolving-append discipline applied to
+    //       MERGE), and files the key-bound rewrite never touched
+    //       NULL-fill the new column on read. The fixture builds the
+    //       target as TWO commits so the merge's stats bound leaves
+    //       the first commit's file untouched — proving the read-side
+    //       NULL-fill, not just the rewrite path. In-plan asserts: the
+    //       PLAIN MERGE statement refuses the widened source (no
+    //       silent evolution), and DESCRIBE TABLE lists the new column
+    //       after. Oracle derives the restated totals + tier from raw
+    //       events. -----
+    Q("q303_sql_merge_evolve",
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events WHERE user_id < 30 GROUP BY user_id)
+             |SELECT user_id,
+             |  CASE WHEN user_id >= 10 THEN 2 * cnt ELSE cnt END AS n,
+             |  CASE WHEN user_id >= 10 THEN (CASE WHEN user_id % 2 = 0
+             |    THEN 'gold' ELSE 'silver' END) END AS tier
+             |FROM u ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-mev").toString
+        graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("value").cast("double").as("v"))
+          .createOrReplaceTempView("mev_src")
+        runDml(s, root,
+          """CREATE TABLE t AS SELECT user_id,
+            |  CAST(count(*) AS BIGINT) AS n FROM mev_src
+            |  WHERE user_id < 10 GROUP BY user_id;
+            |INSERT INTO t SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            |  FROM mev_src WHERE user_id BETWEEN 10 AND 19
+            |  GROUP BY user_id""".stripMargin)
+        val srcSql = """(SELECT user_id, CAST(2 * count(*) AS BIGINT) AS n,
+          | CASE WHEN user_id % 2 = 0 THEN 'gold' ELSE 'silver' END AS tier
+          | FROM mev_src WHERE user_id BETWEEN 10 AND 29
+          | GROUP BY user_id) s ON t.user_id = s.user_id
+          | WHEN MATCHED THEN UPDATE SET *
+          | WHEN NOT MATCHED THEN INSERT *""".stripMargin.replace("\n", " ")
+        // a PLAIN merge must refuse the widened source, never evolve
+        // silently
+        val refused = scala.util.Try(
+          runDml(s, root, s"MERGE INTO t USING $srcSql"))
+        require(refused.isFailure,
+          "plain MERGE must refuse a source with new columns")
+        runDml(s, root, s"MERGE WITH SCHEMA EVOLUTION INTO t USING $srcSql")
+        val cols = runDml(s, root, "DESCRIBE TABLE t")
+          .collect().map(_.getString(0)).toSet
+        require(cols == Set("user_id", "n", "tier"),
+          s"evolved schema must list tier, got $cols")
+        register(s, root, "t", "mev_t")
+        val out = runDml(s, root,
+          "SELECT user_id, n, tier FROM mev_t ORDER BY user_id")
+          .localCheckpoint(true)
+        s.catalog.dropTempView("mev_src")
+        s.catalog.dropTempView("mev_t")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- CREATE TABLE ... LIKE (q304): schema-only creation — the
+    //       new table starts EMPTY with the source's registered
+    //       schema; data, properties, comments, grants and constraints
+    //       are NOT copied (they describe the source's content and
+    //       governance, not the clone's). The fixture decorates the
+    //       source with a comment first, so the oracle's empty-comment
+    //       column PROVES the non-copy; the metadata COUNT answering 0
+    //       without a scan is asserted in-plan. One empty registering
+    //       commit — metadata-sized at any scale. -----
+    Q("q304_sql_create_like",
+      Some("""SELECT * FROM (VALUES
+             |  ('user_id', 'bigint', true, ''),
+             |  ('v', 'double', true, ''))
+             |  t(col_name, data_type, nullable, comment)
+             |ORDER BY col_name""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-like").toString
+        graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("value").cast("double").as("v"))
+          .createOrReplaceTempView("like_src")
+        runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM like_src;
+            |COMMENT ON COLUMN t.v IS 'source-only comment';
+            |CREATE TABLE t2 LIKE t""".stripMargin)
+        // the clone is empty, and metadata answers that without a scan
+        val n = runDml(s, root, "SELECT count(*) AS n FROM t2")
+          .collect()(0).getLong(0)
+        require(n == 0L, s"LIKE clone must start empty, counted $n")
+        val out = runDml(s, root, "DESCRIBE TABLE EXTENDED t2")
+          .orderBy("col_name").localCheckpoint(true)
+        s.catalog.dropTempView("like_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- SHOW CREATE TABLE (q305): the DDL round-trip every catalog
+    //       serves — one canonical statement reassembled from the
+    //       registered metadata: schema with per-column comments and
+    //       nullability, CHECK constraints as 'constraint.<name>'
+    //       properties (the Delta convention), TBLPROPERTIES sorted.
+    //       The fixture registers one of each metadata kind and the
+    //       oracle states the statement LITERALLY — a constraint or
+    //       property that leaks out of (or into) the DDL breaks the
+    //       board. Pure metadata. -----
+    Q("q305_sql_show_create",
+      Some("""SELECT 'CREATE TABLE t (user_id BIGINT, v DOUBLE COMMENT '
+             |  || chr(39) || 'event value' || chr(39)
+             |  || ') USING parquet TBLPROPERTIES ('
+             |  || chr(39) || 'constraint.uid_nonneg' || chr(39)
+             |  || ' = ' || chr(39) || 'user_id >= 0' || chr(39) || ', '
+             |  || chr(39) || 'owner' || chr(39)
+             |  || ' = ' || chr(39) || 'alice' || chr(39) || ')'
+             |  AS create_stmt""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-showcreate").toString
+        graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("value").cast("double").as("v"))
+          .createOrReplaceTempView("showcreate_src")
+        val out = runDml(s, root,
+          """CREATE TABLE t AS SELECT * FROM showcreate_src;
+            |ALTER TABLE t ADD CONSTRAINT uid_nonneg CHECK (user_id >= 0);
+            |ALTER TABLE t SET TBLPROPERTIES ('owner'='alice');
+            |COMMENT ON COLUMN t.v IS 'event value';
+            |SHOW CREATE TABLE t""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("showcreate_src")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

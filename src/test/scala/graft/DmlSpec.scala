@@ -743,6 +743,47 @@ class DmlSpec extends SparkSuite {
     assert(e4.getMessage.contains("no table nope"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: refusals and the nullable registration") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1))
+    Seq((2L, 21.0, "x"), (3L, 30.0, "y")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("mev_spec_src")
+    // BY SOURCE + evolution is refused, not guessed at
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING mev_spec_src s " +
+          "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT * " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(e1.getMessage.contains("does not combine"))
+    // a source DROPPING a target column refuses even under evolution
+    Seq((2L, "x")).toDF("k", "tag").createOrReplaceTempView("mev_spec_bad")
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING mev_spec_bad s " +
+          "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e2.getMessage.contains("drops column"))
+    // the happy path registers the added column NULLABLE (the source's
+    // expression was non-nullable; pre-evolution rows have no value)
+    ManifestSql.runDml(spark, root,
+      "MERGE WITH SCHEMA EVOLUTION INTO t USING mev_spec_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val sch = Manifest.registeredSchema(spark, root, "t").get
+    assert(sch("tag").nullable, "evolved column must register nullable")
+    val got = Manifest.readTable(spark, root, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.get(2)))).toSet
+    assert(got == Set((1L, 10.0, None), (2L, 21.0, Some("x")),
+      (3L, 30.0, Some("y"))))
+    spark.catalog.dropTempView("mev_spec_src")
+    spark.catalog.dropTempView("mev_spec_bad")
+  }
+
   test("GRANT lifecycle: open until first grant, enforced after, closure sticky") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
