@@ -515,9 +515,15 @@ object Manifest {
                         advance: Boolean = true): Long = {
     val op = currentOpName()
     var tries = 0
+    // the last attempt's published add-set: used ONLY by the terminal
+    // failure path below to retire pending-check entries for a batch
+    // that will now never claim
+    var lastAdds: Set[(String, String)] = Set.empty
     while (tries < maxRetries) {
       val version = nextVersion(root)
       val payload0 = attempt(baseFn(root))
+      lastAdds = payload0.ops.collect {
+        case ("add", t, f, _) if f != null => (t, f) }.toSet
       preClaimTestHook()
       // Writer half of the CHECK-registration fence: if the registry
       // changed since this thread's publish validated its files (a
@@ -560,6 +566,13 @@ object Manifest {
       }
       tries += 1
     }
+    // terminal failure: this attempt's published files will never be
+    // claimed (vacuum collects them) — retire their pending-check
+    // entries NOW, so the claim-time fence never re-validates an
+    // abandoned batch against a future registry and fails an
+    // unrelated later commit on this thread
+    pendingChecks.get().filterInPlace(e => e.root != root ||
+      e.files.isEmpty || !e.files.forall(f => lastAdds((e.table, f))))
     throw new IllegalStateException(
       s"commit: lost the version race $maxRetries times at $root")
   }
@@ -1207,6 +1220,15 @@ object Manifest {
                               table: String): Long = {
     val v = snapshotVersion(root)
     require(v > 0, s"no committed snapshot at $root")
+    // the export IS a read of the raw bytes — ACL-gated like any scan,
+    // and a policy-governed table refuses for every non-admin role
+    // (external readers apply no masking/row filters; the exported
+    // list would leak what the policies exist to hide)
+    val role = s.conf.get("graft.sql.role", "admin")
+    requireSelect(root, table, role)
+    require(role == "admin" || !tableHasPolicies(root, table),
+      s"GENERATE: $table carries masking/row-access policies an " +
+        "external reader cannot apply; only admin may export it")
     val rows = manifestRows(s, root, v).filter(_._1 == table)
     require(rows.nonEmpty, s"GENERATE: no table $table in $root")
     val dvd = rows.count { case (_, _, st) =>
@@ -1247,7 +1269,12 @@ object Manifest {
   private def enforceChecks(s: SparkSession, root: String, table: String,
                             relFiles: Seq[String]): String = {
     val checks = checkConstraints(root, table).toSeq.sortBy(_._1)
-    val fp = checks.map { case (n, e) => s"$n=$e" }.mkString(" ")
+    // MUST render identically to [[checkFingerprint]] (same \u0000
+    // separator): the claim-time fence compares the two, and a
+    // cosmetic mismatch would make every multi-constraint commit
+    // re-scan its published files on every claim — a whole
+    // redundant read pass per write at scale
+    val fp = checks.map { case (n, e) => s"$n=$e" }.mkString("\u0000")
     if (checks.isEmpty || relFiles.isEmpty) return fp
     val df = s.read.parquet(relFiles.map(f => s"$root/$f"): _*)
     val aggs = checks.map { case (_, e) =>
@@ -3030,7 +3057,14 @@ object Manifest {
       // PURE no-op: no empty commit, ledger untouched — the next sync
       // rescans the same (cheap, metadata-sized) interval. This is
       // what makes a re-driven statement quiesce instead of minting
-      // one empty version per drive.
+      // one empty version per drive. Retention interaction (shared
+      // with every CDC consumer, incl. Delta's CDF): a ledger that
+      // stays at `fromV` while the table is quiet depends on the
+      // SOURCE retaining v(fromV) — a vacuum that collects it forces a
+      // re-bootstrap, exactly like a changelog consumer outliving the
+      // changelog's retention. Source retention must cover the longest
+      // expected quiet period; the failure is loud (the interval read
+      // errors), never a silent skip.
       if (dstExists && nUp == 0L && nDel == 0L) return Some((0L, 0L))
       if (!dstExists) {
         // bootstrap: net state IS the table (net-deleted keys never land)
@@ -3933,6 +3967,24 @@ object Manifest {
       val expected = manifestRows(s, root, base)
         .collect { case (t, f, _) if t == table => f }.toSet
       val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
+      // Non-evolving merge schema enforcement when NOTHING overlaps:
+      // with affected files the unionByName below rejects a drifted
+      // source, but when the key bounds miss every file there is no
+      // union — a widened/narrowed source would publish AS-IS, landing
+      // mixed-schema files silently beside the table's. Same refusal,
+      // made explicit.
+      if (affected.isEmpty && evolve.isEmpty) {
+        val cur = registeredSchema(s, root, table, base)
+          .getOrElse(readTable(s, root, table, base).schema)
+          .fieldNames.toSet
+        val got = updates.schema.fieldNames.toSet
+        if (got != cur)
+          throw new IllegalArgumentException(
+            s"commitMergeUpsert: source columns " +
+              s"{${got.toSeq.sorted.mkString(",")}} do not match $table " +
+              s"{${cur.toSeq.sorted.mkString(",")}} — use MERGE WITH " +
+              "SCHEMA EVOLUTION for new columns")
+      }
       val survivors0 =
         if (affected.isEmpty) updates
         else readResolved(s, root, affected.map { case (_, f, st) => (f, st) },
@@ -4481,7 +4533,8 @@ object Manifest {
           try l.iterator().asScala.map(_.getFileName.toString)
             .filter(n => n.startsWith("_txn_") || n.startsWith("_schema_") ||
               n.startsWith("_check_") || n.startsWith("_policy") ||
-              n.startsWith("_stats_")).toList
+              n.startsWith("_stats_") || n.startsWith("_prop_") ||
+              n.startsWith("_grant_") || n.startsWith("_aclon_")).toList
           finally l.close()
         markers.foreach { name =>
           if (!Files.exists(dest.resolve(name)))
@@ -4536,6 +4589,37 @@ object Manifest {
     * uninitialized root) and carries the tables' current schema
     * registrations. Returns (files copied, bytes copied). Work is
     * metadata-driven: |files| copies, no data interpretation. */
+  /** Marker families beyond schema/check that make up a root's
+    * governance + catalog registry: policy definitions and
+    * attachments, table properties (incl. comments), grants with the
+    * sticky ACL closure, and persisted ANALYZE stats. Shared by export
+    * (bootstrap) and incremental replication so a PROMOTED replica
+    * governs exactly like its source — a replica that lost its masking
+    * policies or ACL closure would serve raw data to every role. */
+  private val registryPrefixes = Seq(
+    "_policydef_", "_policies_", "_prop_", "_grant_", "_aclon_", "_stats_")
+
+  /** Effective (newest, non-tombstoned) registry markers of `root`. */
+  private def registryMarkers(root: String): Seq[(String, Array[Byte])] =
+    registryPrefixes.flatMap(p => claimMarkers(root, p).toSeq)
+      .filter(_._2.nonEmpty).sortBy(_._1)
+
+  /** Registry delta in the checkDelta shape: source values (new or
+    * changed) ride as markers, destination entries the source no
+    * longer holds ride as tombstones — applied INSIDE the sync claim,
+    * atomic with the rows. */
+  private def registryDelta(root: String,
+                            destRoot: String): Seq[(String, Array[Byte])] =
+    registryPrefixes.flatMap { p =>
+      val src = claimMarkers(root, p).filter(_._2.nonEmpty)
+      val dst = claimMarkers(destRoot, p).filter(_._2.nonEmpty)
+      val adds = src.toSeq.sortBy(_._1).filter { case (n, b) =>
+        !dst.get(n).exists(_.sameElements(b)) }
+      val drops = (dst.keySet -- src.keySet).toSeq.sorted
+        .map(n => n -> Array.empty[Byte])
+      adds ++ drops
+    }
+
   def exportSnapshot(s: SparkSession, root: String, destRoot: String): (Int, Long) =
     exportSnapshotTxn(s, root, destRoot, None)
 
@@ -4583,8 +4667,8 @@ object Manifest {
       txnLedgerExtras(root, exclude = txnApp.map(txnMarker).getOrElse(""))
     if (!tryClaim(s, destRoot, 1L,
       Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None,
-        schemaExtras ++ checkExtrasOut ++ txnExtrasOut ++
-          txnExtras(txnApp.map(_ -> v)))))
+        schemaExtras ++ checkExtrasOut ++ registryMarkers(root) ++
+          txnExtrasOut ++ txnExtras(txnApp.map(_ -> v)))))
       throw new IllegalStateException(
         s"exportSnapshot: $destRoot already has a v1 claim")
     advancePointer(destRoot, 1L)
@@ -4700,7 +4784,8 @@ object Manifest {
               s"replicateSnapshot: $destRoot diverged from the source snapshot " +
                 s"it last applied (v$last) — out-of-band writes on a replica")
           deltaOrFull(s, destRoot, base, Nil, changed, removed ++ readds)
-            .copy(extras = schemaExtras ++ checkDelta ++ srcLedger ++
+            .copy(extras = schemaExtras ++ checkDelta ++
+              registryDelta(root, destRoot) ++ srcLedger ++
               txnExtras(Some(appId -> srcV)))
         }, maxRetries)
         (copied, bytes)

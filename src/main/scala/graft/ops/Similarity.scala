@@ -782,12 +782,11 @@ object Similarity {
         // exact top-3: the q48 brute-force broadcast shape over the
         // audited query sample (cosine_sim folds norms into the one
         // codegen loop — no precomputed nrm column needed)
-        val n = e
-        val q = n.filter(col("vec_id") < 5)
+        val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val wEx = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("cand_id"))
-        val ex3 = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        val ex3 = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .withColumn("cos", round(expr("cosine_sim(q_emb, embedding)"), 4))
           .select(col("q_id"), col("vec_id").as("cand_id"), col("cos"))
           .withColumn("rn", row_number().over(wEx))

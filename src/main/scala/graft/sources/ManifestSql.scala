@@ -780,8 +780,12 @@ object ManifestSql {
         val isDry = dry != null
         val (missing, live) =
           Manifest.commitFsckRepair(spark, root, table, isDry)
+        val mode =
+          if (isDry) "DRY RUN"
+          else if (missing == 0L) "CLEAN" // nothing committed
+          else "REPAIRED"
         last = { import spark.implicits._
-          Seq((missing, live, if (isDry) "DRY RUN" else "REPAIRED"))
+          Seq((missing, live, mode))
             .toDF("missing_files", "live_files", "mode") }
       case GenerateRe(table) =>
         // GENERATE symlink_format_manifest FOR TABLE t: export the
@@ -845,11 +849,18 @@ object ManifestSql {
       case AnalyzeRe(table, colsS) =>
         // ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS a, b]:
         // exact stats, persisted as a claim marker (the registry SHOW
-        // STATS and the count(DISTINCT) metadata path read back)
+        // STATS and the count(DISTINCT) metadata path read back).
+        // ACL-gated: per-column min/max/NDV IS data (the same contract
+        // as the metadata-aggregate path)
+        Manifest.requireSelect(root, table,
+          spark.conf.get("graft.sql.role", "admin"))
         val cols = Option(colsS).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         last = Manifest.analyzeTable(spark, root, table, cols)
       case ShowStatsRe(table) =>
+        // ACL-gated like ANALYZE: the registry holds column bounds/NDV
+        Manifest.requireSelect(root, table,
+          spark.conf.get("graft.sql.role", "admin"))
         last = Manifest.showStats(spark, root, table)
       case ApplyChangesRe(dst, src, keyCol, scdType) =>
         // APPLY CHANGES INTO: the CDC-mirror verb family as statement
@@ -1088,8 +1099,10 @@ object ManifestSql {
         (fn, arg) match {
           case ("count", "*") =>
             Some(lit(Manifest.countRows(spark, root, table, v)).as(name))
-          case ("count", d) if d.toLowerCase(java.util.Locale.ROOT)
-              .startsWith("distinct") =>
+          // the DISTINCT keyword needs trailing whitespace: a COLUMN
+          // literally named distinct_ids is a plain count, and the
+          // bare-prefix test used to crash the split below on it
+          case ("count", d) if d.matches("(?is)^distinct\\s+.*") =>
             // exact NDV from the PERSISTED ANALYZE registry — only
             // while the stats still describe the current content
             // (freshStats compares the resolved file set), and only

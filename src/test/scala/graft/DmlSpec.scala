@@ -743,10 +743,25 @@ class DmlSpec extends SparkSuite {
     assert(e4.getMessage.contains("no table nope"))
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION: refusals and the nullable registration") {
+  test("metadata COUNT over a column literally named distinct_ids") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
-      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1))
+      Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+        .toDF("k", "distinct_ids").coalesce(1))
+    // the DISTINCT-keyword detection needs trailing whitespace: a bare
+    // prefix test crashed the split on this statement (AIOOBE) where
+    // the metadata non-null count should answer
+    val n = ManifestSql.runDml(spark, root,
+      "SELECT count(distinct_ids) AS n FROM t").collect()(0).getLong(0)
+    assert(n == 2L)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: refusals and the nullable registration") {
+    val root = freshRoot()
+    // ranged append records k stats, so the far-key refusal below
+    // exercises the NO-OVERLAP path (affected = empty), not the union
+    Manifest.commitAppendRanged(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "k", 1)
     Seq((2L, 21.0, "x"), (3L, 30.0, "y")).toDF("k", "v", "tag")
       .createOrReplaceTempView("mev_spec_src")
     // BY SOURCE + evolution is refused, not guessed at
@@ -767,6 +782,19 @@ class DmlSpec extends SparkSuite {
           "WHEN NOT MATCHED THEN INSERT *")
     }
     assert(e2.getMessage.contains("drops column"))
+    // a widened source whose keys miss EVERY target file must refuse
+    // too: no union runs on that path, so the explicit schema check is
+    // the only thing standing between the statement and silently
+    // publishing mixed-schema files
+    Seq((999L, 9.0, "z")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("mev_spec_far")
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "MERGE INTO t USING mev_spec_far s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e3.getMessage.contains("do not match"))
+    spark.catalog.dropTempView("mev_spec_far")
     // the happy path registers the added column NULLABLE (the source's
     // expression was non-nullable; pre-evolution rows have no value)
     ManifestSql.runDml(spark, root,

@@ -621,6 +621,66 @@ class ManifestSpec extends SparkSuite {
     }
   }
 
+  test("registry markers replicate: properties, grants, ACL closure, policies") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-replica-registry")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    Manifest.commitAppend(spark, src, "t",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1))
+    Manifest.setTableProperties(spark, src, "t",
+      Map("owner" -> "alice", "doomed" -> "yes"))
+    Manifest.grantSelect(spark, src, "t", "analyst")
+    Manifest.createPolicy(spark, src, "maskv", "mask", "x",
+      "CASE WHEN current_role() = 'admin' THEN x ELSE NULL END")
+    Manifest.attachMaskingPolicy(spark, src, "t", "v", "maskv")
+    // bootstrap carries the whole registry, not just rows + schema
+    val _ = Manifest.replicateSnapshot(spark, src, dst)
+    assert(Manifest.tableProperties(dst, "t") ==
+      Map("owner" -> "alice", "doomed" -> "yes"))
+    assert(Manifest.tableGrants(dst, "t") == Set("analyst"))
+    assert(Manifest.tablePolicies(dst, "t")._1 == Map("v" -> "maskv"))
+    assert(Manifest.policyOf(dst, "maskv").isDefined)
+    intercept[IllegalStateException] {
+      Manifest.requireSelect(dst, "t", "rando")
+    }
+    // a registry CHANGE rides the next sync as delta + tombstones
+    Manifest.unsetTableProperties(spark, src, "t", Seq("doomed"))
+    Manifest.revokeSelect(spark, src, "t", "analyst")
+    Manifest.commitAppend(spark, src, "t",
+      Seq((3L, 3.0)).toDF("k", "v").coalesce(1))
+    val _2 = Manifest.replicateSnapshot(spark, src, dst)
+    assert(Manifest.tableProperties(dst, "t") == Map("owner" -> "alice"))
+    assert(Manifest.tableGrants(dst, "t").isEmpty)
+    // closure is sticky on the replica too: empty ACL stays admin-only
+    intercept[IllegalStateException] {
+      Manifest.requireSelect(dst, "t", "analyst")
+    }
+  }
+
+  test("registry markers survive a vacuum past the fold boundary") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vac-registry").toString
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Manifest.setTableProperties(spark, root, "t", Map("tier" -> "gold"))
+    Manifest.grantSelect(spark, root, "t", "analyst")
+    // cross the delta-chain fold boundary (foldEvery = 8): after the
+    // fold, the marker-bearing claims are no longer protected chain
+    // ancestors, so vacuum to the floor exercises the marker CARRY —
+    // before the fix, _prop_/_grant_/_aclon_ were not in the carry
+    // list and the table silently REOPENED (or lost its properties)
+    (1 to 10).foreach { i =>
+      Manifest.commitAppend(spark, root, "t",
+        Seq((i + 10L, i.toDouble)).toDF("k", "v").coalesce(1))
+    }
+    val _ = Manifest.vacuum(spark, root, 1, 0L)
+    assert(Manifest.tableProperties(root, "t") == Map("tier" -> "gold"))
+    assert(Manifest.tableGrants(root, "t") == Set("analyst"))
+    intercept[IllegalStateException] { // still CLOSED, not reopened
+      Manifest.requireSelect(root, "t", "rando")
+    }
+  }
+
   test("live SQL view tracks commits; pinned view stays frozen") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-liveview-spec").toString
