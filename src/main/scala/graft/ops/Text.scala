@@ -1312,6 +1312,100 @@ object Text {
               .as("first_chunk_len"),
             max(when(col("s") === 0, col("cfp"))).as("first_chunk_fp"))
           .orderBy("doc_id")
+      }),
+
+    // ----- dedup funnel datasheet (q307): the attrition table every
+    //       pipeline publishes — docs and tokens surviving each dedup
+    //       tier: raw → exact (one kept per identical text) → near-dup
+    //       (one kept per LSH connected component OVER THE EXACT
+    //       SURVIVORS). Stage ORDER is semantic, not cosmetic: exact
+    //       dups share every band, so a >cap group of identical docs
+    //       would be SKIPPED by the LSH bucket guard — running exact
+    //       first is what keeps the near-dup tier complete. 100-TB
+    //       shape: exact = one hash-keyed agg; the band graph is built
+    //       on survivors only (strictly fewer nodes), components via
+    //       the bounded q104 propagation; every stage count is a keyed
+    //       agg. Oracle recomputes the SAME survivor-restricted graph
+    //       with a recursive CTE, so a funnel stage that double-counts
+    //       (or a near-dup pass that silently re-admits an exact dup)
+    //       breaks the hash. -----
+    Q("q307_dedup_funnel",
+      Some(s"""WITH RECURSIVE
+              |ex AS (SELECT min(doc_id) AS doc_id FROM documents
+              |       GROUP BY md5(text)),
+              |toks AS (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |sig AS (
+              |  SELECT doc_id, ${duckMhExprs("hs").mkString(", ")}
+              |  FROM (SELECT doc_id, $duckShingleHashes AS hs
+              |        FROM documents WHERE len($duckTokens) >= 3
+              |          AND doc_id IN (SELECT doc_id FROM ex))
+              |), bands AS (
+              |  SELECT doc_id, band, v1, v2 FROM (
+              |    SELECT doc_id, 1 AS band, mh1 AS v1, mh2 AS v2 FROM sig
+              |    UNION ALL SELECT doc_id, 2, mh3, mh4 FROM sig
+              |    UNION ALL SELECT doc_id, 3, mh5, mh6 FROM sig)
+              |), bsz AS (
+              |  SELECT band, v1, v2, count(*) AS c FROM bands
+              |  GROUP BY band, v1, v2
+              |), edges AS (
+              |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+              |  FROM bands a JOIN bands b ON a.band = b.band
+              |    AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id <> b.doc_id
+              |  JOIN bsz s ON s.band = a.band AND s.v1 = a.v1
+              |    AND s.v2 = a.v2 AND s.c <= $lshBucketCap
+              |), reach(src, dst) AS (
+              |  SELECT src, dst FROM edges
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+              |), comp AS (
+              |  SELECT src AS id, least(src, min(dst)) AS component
+              |  FROM reach GROUP BY src
+              |), kept2 AS (
+              |  SELECT DISTINCT component AS doc_id FROM comp
+              |  UNION ALL
+              |  SELECT doc_id FROM ex
+              |  WHERE doc_id NOT IN (SELECT id FROM comp))
+              |SELECT * FROM (
+              |  SELECT CAST(0 AS BIGINT) AS stage,
+              |    CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM toks
+              |  UNION ALL SELECT CAST(1 AS BIGINT),
+              |    CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT)
+              |    FROM toks WHERE doc_id IN (SELECT doc_id FROM ex)
+              |  UNION ALL SELECT CAST(2 AS BIGINT),
+              |    CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT)
+              |    FROM toks WHERE doc_id IN (SELECT doc_id FROM kept2))
+              |ORDER BY stage""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .cache()
+        docs.count() // eager: three funnel stages share the scan
+        val ex = docs.groupBy(md5(col("text")))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        // the band graph on exact survivors ONLY (stage order matters:
+        // see the scaladoc) — shingleSets is corpus-wide, the semi-join
+        // prunes it to the kept set before any pair forms
+        val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*)
+          .join(ex, "doc_id").cache()
+        sig.count()
+        val comp = Graph.connectedComponents(
+          bandPairs(sig).select(col("d1").as("src"), col("d2").as("dst")))
+        val kept2 = comp.select(col("component").as("doc_id")).distinct()
+          .unionByName(ex.join(
+            comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti"))
+        def stage(st: Long, ids: Option[org.apache.spark.sql.DataFrame]) =
+          ids.map(docs.join(_, "doc_id")).getOrElse(docs)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_toks")).as("n_tokens"))
+            .select(lit(st).as("stage"), col("n_docs"), col("n_tokens"))
+        stage(0L, None)
+          .unionByName(stage(1L, Some(ex)))
+          .unionByName(stage(2L, Some(kept2)))
+          .orderBy("stage")
       })
   )
 }
