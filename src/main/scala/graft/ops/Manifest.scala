@@ -3648,6 +3648,60 @@ object Manifest {
     0L // unreachable
   }
 
+  /** `OPTIMIZE ... WHERE` — Delta's predicate-scoped compaction: only
+    * files whose recorded stats OVERLAP the predicate bin-pack;
+    * everything else inherits by reference. The maintenance verb for
+    * "yesterday's partition fragmented" — at 100 TB a full-table
+    * OPTIMIZE rewrites everything, this rewrites O(scope). The packed
+    * files re-record stats for the predicate columns, so the rewrite
+    * never costs the table its pruning power. Same conflict discipline
+    * as [[compactSmallFiles]] (full-table read set, whole-rewrite
+    * retry). Returns (version, files in scope, files packed). */
+  def compactTableWhere(s: SparkSession, root: String, table: String,
+                        preds: Seq[Pred], targetBytes: Long = 128L << 20,
+                        maxRetries: Int = 5): (Long, Int, Int) = {
+    require(preds.nonEmpty, "OPTIMIZE WHERE: empty predicate")
+    var attempt = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val rows = manifestRows(s, root, base)
+        .collect { case (t, f, st) if t == table => (f, st) }
+      require(rows.nonEmpty, s"table $table absent from snapshot v$base")
+      val (affected, _) = overlappingRows(s, root, table, preds, base)
+      if (affected.size < 2)
+        return (base, affected.size, affected.size) // nothing worth packing
+      val files = affected.map { case (_, f, st) => (f, st) }
+      val bytes = files.map { case (f, _) => Files.size(Paths.get(root, f)) }.sum
+      val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val packed = readResolved(s, root, files,
+        registeredSchema(s, root, table, base)).repartition(bins)
+      val hint = nextVersion(root)
+      val newRows = statsRowsFor(s, root, table,
+        publishData(s, root, hint, table, packed),
+        preds.map(_.column).distinct)
+      val expected = rows.map(_._1).toSet
+      try {
+        return (casCommit(s, root, { b =>
+          val cur = manifestRows(s, root, b)
+            .collect { case (t, f, _) if t == table => f }.toSet
+          if (cur != expected)
+            throw new CommitConflict(
+              s"$table changed under the scoped compaction at v$b")
+          deltaOrFull(s, root, b, Nil, newRows,
+            removes = affected.map { case (t, f, _) => (t, f) })
+        }, maxRetries), affected.size, newRows.size)
+      } catch {
+        case _: CommitConflict =>
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"compactTableWhere: lost $maxRetries races at $root")
+      }
+    }
+    (0L, 0, 0) // unreachable
+  }
+
   /** REORG TABLE ... APPLY (PURGE) — Delta's deletion-vector
     * hardening pass: rewrite ONLY the files that carry a DV,
     * physicalizing their soft deletes, and inherit every clean file

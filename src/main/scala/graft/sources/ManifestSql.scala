@@ -584,6 +584,26 @@ object ManifestSql {
         // name rides as a read alias; no data moves
         Manifest.commitRenameColumn(spark, root, table, from, to)
         last = spark.emptyDataFrame
+      case OptimizeWhereRe(table, colName, loS, hiS, targetS) =>
+        // OPTIMIZE t WHERE c BETWEEN lo AND hi [TARGET n]: predicate-
+        // scoped bin-pack — only stat-overlapping files rewrite, the
+        // rest inherit by reference (Delta's selective OPTIMIZE)
+        val sch = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        val f = sch.fields.find(_.name == colName).getOrElse(
+          throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE: no column $colName in $table"))
+        def unq(v: String) =
+          if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+            v.substring(1, v.length - 1)
+          else v
+        val target = Option(targetS).map(_.toLong).getOrElse(128L << 20)
+        val (v, nScope, nPacked) = Manifest.compactTableWhere(spark, root,
+          table, Seq(Manifest.Pred(colName, unq(loS), unq(hiS),
+            f.dataType.sql.toLowerCase(java.util.Locale.ROOT))), target)
+        last = { import spark.implicits._
+          Seq((v, nScope.toLong, nPacked.toLong))
+            .toDF("version", "n_files_in_scope", "n_files_packed") }
       case OptimizeRe(table, minS, targetS) =>
         // OPTIMIZE t [MIN <bytes>] [TARGET <bytes>]: with MIN, the
         // incremental small-file pass (files under MIN bin-pack,
@@ -1000,6 +1020,10 @@ object ManifestSql {
 
   private val OptimizeRe =
     "(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)(?:\\s+MIN\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?\\s*$".r
+  private val OptimizeWhereRe =
+    ("(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)\\s+WHERE\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+BETWEEN\\s+('[^']*'|[^\\s']+)\\s+AND\\s+" +
+      "('[^']*'|[^\\s']+)(?:\\s+TARGET\\s+(\\d+))?\\s*$").r
   private val ZorderRe =
     ("(?is)^OPTIMIZE\\s+([A-Za-z0-9_.-]+)\\s+ZORDER\\s+BY\\s*\\(\\s*" +
       "([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)+)\\s*\\)" +
@@ -1250,14 +1274,17 @@ object ManifestSql {
   }
 
   /** Parse the clause tail of a COPY statement: `FILES = (...)`,
-    * `PATTERN = '...'`, `FILE_FORMAT = (...)` in any order. Unknown
+    * `PATTERN = '...'`, `FILE_FORMAT = (...)`,
+    * `VALIDATION_MODE = 'RETURN_ERRORS'` in any order. Unknown
     * clauses are rejected loudly — a silently ignored ON_ERROR would
     * load with the wrong semantics. */
   private def parseCopyClauses(rest0: String)
-      : (Option[Seq[String]], Option[String], Map[String, String]) = {
+      : (Option[Seq[String]], Option[String], Map[String, String],
+         Option[String]) = {
     var files: Option[Seq[String]] = None
     var pattern: Option[String] = None
     var fmt = Map.empty[String, String]
+    var validation: Option[String] = None
     var rest = rest0.trim
     val KeyRe = "(?is)^([A-Za-z_]+)\\s*=\\s*(.*)$".r
     while (rest.nonEmpty) {
@@ -1265,6 +1292,19 @@ object ManifestSql {
         case KeyRe(key, tail0) =>
           val tail = tail0.trim
           key.toUpperCase(java.util.Locale.ROOT) match {
+            case "VALIDATION_MODE" =>
+              require(tail.startsWith("'"),
+                s"COPY INTO: VALIDATION_MODE expects a quoted mode, got: $tail")
+              val close = tail.indexOf('\'', 1)
+              require(close > 0,
+                s"COPY INTO: unterminated VALIDATION_MODE: $tail")
+              val mode = tail.substring(1, close)
+                .toUpperCase(java.util.Locale.ROOT)
+              require(mode == "RETURN_ERRORS",
+                s"COPY INTO: unsupported VALIDATION_MODE '$mode' " +
+                  "(only RETURN_ERRORS)")
+              validation = Some(mode)
+              tail.substring(close + 1).trim
             case "FILES" =>
               require(tail.startsWith("("),
                 s"COPY INTO: FILES expects a parenthesized list, got: $tail")
@@ -1297,7 +1337,7 @@ object ManifestSql {
             s"COPY INTO: malformed clause text: $other")
       }
     }
-    (files, pattern, fmt)
+    (files, pattern, fmt, validation)
   }
 
   /** Parse a FILE_FORMAT block's `KEY = value` pairs. Values are a
@@ -1413,7 +1453,7 @@ object ManifestSql {
     * wrote. */
   def sqlCopyInto(spark: SparkSession, root: String, table: String,
                   stage: String, clauses: String): DataFrame = {
-    val (files, pattern, fmt) = parseCopyClauses(clauses)
+    val (files, pattern, fmt, validation) = parseCopyClauses(clauses)
     require(files.isEmpty || pattern.isEmpty,
       "COPY INTO: FILES and PATTERN are mutually exclusive")
     val (opts, nullVals) = copyFormatOptions(fmt)
@@ -1423,6 +1463,18 @@ object ManifestSql {
       require(m.nonEmpty, pattern.fold(s"COPY INTO: empty stage $stage")(p =>
         s"COPY INTO: PATTERN '$p' matched no staged files in $stage"))
       m
+    }
+    if (validation.isDefined) {
+      // VALIDATION_MODE = 'RETURN_ERRORS' (Snowflake's dry-run COPY):
+      // parse + classify the selected files with the ON_ERROR audit
+      // machinery and return the per-file error report — COMMITTING
+      // NOTHING. The statement a loader runs before trusting a stage.
+      val (_, audit) =
+        graft.ops.Ingest.copyOnErrorContinue(spark, stage, names)
+      return audit
+        .select(col("file_name").as("file"), col("rows_parsed"),
+          col("rows_loaded"), col("errors_seen"))
+        .orderBy("file")
     }
     val loaded = graft.ops.Ingest.copyIntoOptions(
       spark, stage, names, opts, nullVals, tagSrcFile = true)
@@ -1472,9 +1524,11 @@ object ManifestSql {
         val (name, tail) = if (end < 0) (rest, "") else rest.splitAt(end)
         (spark.table(name), tail)
       }
-    val (files, pattern, fmt) = parseCopyClauses(clauses)
+    val (files, pattern, fmt, validation) = parseCopyClauses(clauses)
     require(files.isEmpty && pattern.isEmpty,
       "COPY INTO location: FILES/PATTERN do not apply to an unload")
+    require(validation.isEmpty,
+      "COPY INTO location: VALIDATION_MODE does not apply to an unload")
     var opts = graft.ops.Ingest.csvOptions - "mode"
     opts += "nullValue" -> "NULL"
     opts += "timestampFormat" -> "yyyy-MM-dd HH:mm:ss"
@@ -3321,6 +3375,102 @@ object ManifestSql {
             |SHOW CREATE TABLE t""".stripMargin)
           .localCheckpoint(true)
         s.catalog.dropTempView("showcreate_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- OPTIMIZE ... WHERE (q308): predicate-scoped compaction —
+    //       the verb for "yesterday's partition fragmented": only
+    //       files whose recorded stats overlap the predicate rewrite,
+    //       the rest inherit BY REFERENCE. In-plan asserts pin the
+    //       scale contract, not just the outcome: the scope is a
+    //       proper subset of the 8 ranged files, every out-of-scope
+    //       file survives under its ORIGINAL path (identity, not
+    //       re-write), and the packed files re-record key stats so a
+    //       post-OPTIMIZE pruned read stays pruned. Oracle = full
+    //       content unchanged (compaction must move bytes, never
+    //       change them). -----
+    Q("q308_sql_optimize_where",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-optwhere").toString
+        Manifest.commitAppendRanged(s, root, "t",
+          graft.Tables.load(s, dir, "events")
+            .select(col("user_id"),
+              col("value").cast("decimal(18,4)").as("value")),
+          "user_id", 8)
+        val before = Manifest.manifestRows(s, root, 1L)
+          .collect { case ("t", f, _) => f }.toSet
+        // SF-proportional scope: the bottom ~45% of the key range
+        // covers several of the 8 ranged files at any fixture scale
+        val maxU = graft.Tables.load(s, dir, "events")
+          .agg(max(col("user_id"))).head().getLong(0)
+        val rep = runDml(s, root,
+          s"OPTIMIZE t WHERE user_id BETWEEN 0 AND ${maxU * 45 / 100} " +
+            "TARGET 134217728").collect()(0)
+        val (nScope, nPacked) = (rep.getLong(1), rep.getLong(2))
+        require(nScope >= 2 && nScope < 8,
+          s"scope must be a proper subset of the 8 ranged files: $nScope")
+        val after = Manifest.manifestRows(s, root, rep.getLong(0))
+          .collect { case ("t", f, _) => f }.toSet
+        // out-of-scope files inherit by reference — identical paths
+        val untouched = before.intersect(after)
+        require(untouched.size.toLong == 8L - nScope,
+          s"expected ${8 - nScope} untouched files, got ${untouched.size}")
+        require(after.size.toLong == 8L - nScope + nPacked,
+          s"file algebra broken: ${after.size} after")
+        // pruning power survives the rewrite: a ranged read prunes
+        val (keptRows, _) = graft.ops.Manifest.overlappingRowsSpark(s, root,
+          "t", Seq(Manifest.Pred("user_id", "90", "99", "bigint")),
+          rep.getLong(0))
+        require(keptRows.size < after.size,
+          s"post-OPTIMIZE stats must still prune " +
+            s"(${keptRows.size} of ${after.size})")
+        register(s, root, "t", "optwhere_t")
+        val out = runDml(s, root,
+          """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(value) AS DOUBLE) AS total
+            |FROM optwhere_t GROUP BY user_id ORDER BY user_id""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("optwhere_t")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- COPY INTO ... VALIDATION_MODE = 'RETURN_ERRORS' (q309):
+    //       Snowflake's dry-run COPY — parse and classify the selected
+    //       staged files with the ON_ERROR audit machinery (q170's
+    //       branch-stable PERMISSIVE classifier) and return the
+    //       per-file error report while COMMITTING NOTHING: the
+    //       statement a loader runs before trusting a stage. The
+    //       no-commit contract is asserted IN-PLAN (the root has no
+    //       snapshot after the validation ran); the oracle states the
+    //       report literally — a validation that loads, or a load
+    //       report that drifts from the ON_ERROR classifier's counts,
+    //       breaks the board. -----
+    Q("q309_sql_copy_validate",
+      Some("""SELECT file, CAST(rows_parsed AS BIGINT) AS rows_parsed,
+             |  CAST(rows_loaded AS BIGINT) AS rows_loaded,
+             |  CAST(errors_seen AS BIGINT) AS errors_seen
+             |FROM (VALUES
+             |  ('product_order_trans_dirty_a.csv', 6, 3, 3),
+             |  ('product_order_trans_dirty_b.csv', 4, 3, 1)
+             |) AS t(file, rows_parsed, rows_loaded, errors_seen)
+             |ORDER BY file""".stripMargin),
+      (s, _) => {
+        val root = Files.createTempDirectory("graft-sql-validate").toString
+        val stage = graft.ops.Ingest.writeDirtyStageFixtures()
+        val out = runDml(s, root,
+          s"""COPY INTO trans FROM '$stage'
+             |  FILES = ('${graft.ops.Ingest.dirtyFileA}', '${graft.ops.Ingest.dirtyFileB}')
+             |  VALIDATION_MODE = 'RETURN_ERRORS'""".stripMargin
+            .replace("\n", " "))
+          .orderBy("file").localCheckpoint(true)
+        // the dry-run contract: NOTHING was committed
+        require(Manifest.snapshotVersion(root) <= 0,
+          "VALIDATION_MODE must not commit")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })
