@@ -813,6 +813,16 @@ object ManifestSql {
         val n = Manifest.generateSymlinkManifest(spark, root, table)
         last = { import spark.implicits._
           Seq(Tuple1(n)).toDF("n_files") }
+      case ListStageRe(stage, pattern) =>
+        // LIST '<stage>' [PATTERN = '...']: Snowflake's stage listing —
+        // the introspection half of COPY/REMOVE, driver-side metadata
+        // (one name + size per staged file, never a byte of content)
+        val staged = graft.ops.Ingest.stageFiles(spark, stage)
+        val names = Option(pattern).fold(staged)(p => staged.filter(_.matches(p)))
+        last = { import spark.implicits._
+          names.sorted.map(f =>
+            (f, Files.size(Paths.get(stage, f))))
+            .toDF("name", "size_bytes") }
       case CreateLikeRe(dst, src) =>
         // CREATE TABLE dst LIKE src: schema-only creation (Snowflake/
         // Spark's LIKE) — the new table starts EMPTY with src's
@@ -1235,6 +1245,8 @@ object ManifestSql {
   private val GenerateRe =
     ("(?is)^GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" +
       "([A-Za-z0-9_.-]+)\\s*$").r
+  private val ListStageRe =
+    "(?is)^LIST\\s+'([^']+)'(?:\\s+PATTERN\\s*=\\s*'([^']*)')?\\s*$".r
   private val CreateLikeRe =
     ("(?is)^CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+LIKE\\s+" +
       "([A-Za-z0-9_.-]+)\\s*$").r
@@ -3471,6 +3483,32 @@ object ManifestSql {
         // the dry-run contract: NOTHING was committed
         require(Manifest.snapshotVersion(root) <= 0,
           "VALIDATION_MODE must not commit")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- LIST '<stage>' (q310): Snowflake's stage listing as
+    //       statement text — the introspection half of COPY (what
+    //       would I load?) and REMOVE (what would I delete?). Pure
+    //       driver-side metadata: one (name, size) row per staged
+    //       file, PATTERN= shares COPY's regex selection, never a byte
+    //       of content read. The oracle states the dirty fixtures'
+    //       exact byte sizes literally — the fixture strings are
+    //       pinned in this repo, so a drifted writer (extra newline,
+    //       changed header) breaks the listing, the way a stage
+    //       manifest should. -----
+    Q("q310_sql_list_stage",
+      Some("""SELECT * FROM (VALUES
+             |  ('product_order_trans_dirty_a.csv', CAST(343 AS BIGINT)),
+             |  ('product_order_trans_dirty_b.csv', CAST(264 AS BIGINT)))
+             |  t(name, size_bytes)
+             |ORDER BY name""".stripMargin),
+      (s, _) => {
+        val root = Files.createTempDirectory("graft-sql-list").toString
+        val stage = graft.ops.Ingest.writeDirtyStageFixtures()
+        val out = runDml(s, root,
+          s"LIST '$stage' PATTERN = 'product_order_trans_dirty_.*'")
+          .orderBy("name").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })
