@@ -170,25 +170,36 @@ object Ingest {
     *    likewise skips empty lines rather than rejecting them).
     */
   def copyOnErrorContinue(spark: SparkSession, stageDir: String,
-                          files: Seq[String]): (DataFrame, DataFrame) = {
+                          files: Seq[String],
+                          opts: Map[String, String] = csvOptions,
+                          nullVals: Seq[String] = Seq("NULL", "null", ""))
+      : (DataFrame, DataFrame) = {
     val rawSchema = StructType(
       transSchema.fields.map(f => StructField(f.name, StringType, nullable = true))
         :+ StructField("_corrupt", StringType, nullable = true))
     // header=true is the scan-level option; from_csv sees single records,
-    // so SKIP_HEADER becomes an explicit filter on the known header line
-    val parseOpts = (csvOptions -- Seq("header", "lineSep")) +
-      ("columnNameOfCorruptRecord" -> "_corrupt")
-    val headerLine = transSchema.fields.map(_.name).mkString(csvOptions("sep"))
+    // so SKIP_HEADER becomes an explicit filter on the known header line.
+    // `opts`/`nullVals` are the CALLER's parsed FILE_FORMAT block (the
+    // same map the real load would run with), so a VALIDATION_MODE
+    // dry-run classifies under the statement's own format, never a
+    // hardcoded default that could disagree with the load.
+    val parseOpts = (opts -- Seq("header", "lineSep")) +
+      ("mode" -> "PERMISSIVE") + ("columnNameOfCorruptRecord" -> "_corrupt")
+    val sep = opts.getOrElse("sep", ",")
+    val skipHeader = opts.getOrElse("header", "true").equalsIgnoreCase("true")
+    val headerLine = transSchema.fields.map(_.name).mkString(sep)
+    val headerFilter =
+      if (skipHeader) col("value") =!= headerLine else lit(true)
     val raw = spark.read.text(files.map(f => s"$stageDir/$f"): _*)
       .select(col("value"),
         element_at(split(col("_metadata.file_path"), "/"), -1).as("_src_file"))
-      .filter(length(col("value")) > 0 && col("value") =!= headerLine)
+      .filter(length(col("value")) > 0 && headerFilter)
       .withColumn("_p", from_csv(col("value"), rawSchema, parseOpts))
       .select(transSchema.fields.map(f => col(s"_p.${f.name}").as(f.name))
         ++ Seq(col("_p._corrupt").as("_corrupt"), col("_src_file")): _*)
     // NULL_IF normalization on the DATA columns only (the corrupt and
     // file-name columns must pass through verbatim)
-    val sentinels = Seq("NULL", "null", "").map(lit)
+    val sentinels = nullVals.map(lit)
     val cleaned = raw.select(
       transSchema.fields.map(f =>
         when(col(f.name).isin(sentinels: _*), lit(null)).otherwise(col(f.name)).as(f.name)).toSeq

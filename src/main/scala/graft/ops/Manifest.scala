@@ -577,6 +577,29 @@ object Manifest {
       s"commit: lost the version race $maxRetries times at $root")
   }
 
+  /** Retire this thread's pending-check entry for (root, table). The
+    * casCommit terminal path above only covers exhaustion INSIDE the
+    * claim loop; outer rewrite loops (merge / update / delete /
+    * compact) exhaust on CommitConflict thrown from the attempt
+    * closure, which propagates out of casCommit BEFORE tryClaim — so
+    * their abandoned batch's pending entry would survive and a later
+    * unrelated commit on this thread could re-validate (and fail on)
+    * it. Each such loop calls this before its terminal throw; the
+    * entry is necessarily its own abandoned publish (thread-local,
+    * one publish→claim in flight per thread). */
+  private def retirePending(root: String, table: String): Unit =
+    pendingChecks.get().filterInPlace(e =>
+      !(e.root == root && e.table == table))
+
+  /** [[retirePending]] + the terminal IllegalStateException, as one
+    * expression so every outer loop's exhaustion path stays a single
+    * statement. */
+  private def retireAndFail(root: String, table: String,
+                            msg: String): Nothing = {
+    retirePending(root, table)
+    throw new IllegalStateException(msg)
+  }
+
   /** Build an append/replace payload against `base`: a DELTA (drops +
     * adds over the parent) while the chain is short, a FULL fold —
     * resolved parent minus drops, plus adds — every [[foldEvery]]-th
@@ -2442,7 +2465,7 @@ object Manifest {
         case _: CommitConflict =>
           tries += 1
           if (tries >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"commitDeleteVectors: $table kept changing under the delete " +
                 s"($maxRetries attempts) at $root")
       }
@@ -2575,7 +2598,7 @@ object Manifest {
           case _: CommitConflict =>
             tries += 1
             if (tries >= maxRetries)
-              throw new IllegalStateException(
+              retireAndFail(root, table,
                 s"commitUpdateVectors: $table kept changing under the update " +
                   s"($maxRetries attempts) at $root")
         }
@@ -2669,7 +2692,7 @@ object Manifest {
         case _: CommitConflict =>
           tries += 1
           if (tries >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"commitDedupVectors: $table kept changing under the dedup " +
                 s"($maxRetries attempts) at $root")
       }
@@ -3329,7 +3352,7 @@ object Manifest {
         case _: CommitConflict =>
           tries += 1
           if (tries >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"commitAppendEvolve: $table's registration kept changing " +
                 s"($maxRetries attempts) at $root")
           current = registeredSchema(s, root, table)
@@ -3463,7 +3486,7 @@ object Manifest {
         case _: CommitConflict =>
           tries += 1
           if (tries >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"schema DDL: $table's registration kept changing " +
                 s"($maxRetries attempts) at $root")
       }
@@ -3641,7 +3664,7 @@ object Manifest {
         case _: CommitConflict =>
           attempt += 1
           if (attempt >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"compactSmallFiles: lost $maxRetries races at $root")
       }
     }
@@ -3669,8 +3692,9 @@ object Manifest {
         .collect { case (t, f, st) if t == table => (f, st) }
       require(rows.nonEmpty, s"table $table absent from snapshot v$base")
       val (affected, _) = overlappingRows(s, root, table, preds, base)
-      if (affected.size < 2)
-        return (base, affected.size, affected.size) // nothing worth packing
+      // nothing worth packing: no rewrite happened and no commit was
+      // claimed, so files_packed reports 0 — not the in-scope count
+      if (affected.size < 2) return (base, affected.size, 0)
       val files = affected.map { case (_, f, st) => (f, st) }
       val bytes = files.map { case (f, _) => Files.size(Paths.get(root, f)) }.sum
       val bins = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -3695,7 +3719,7 @@ object Manifest {
         case _: CommitConflict =>
           attempt += 1
           if (attempt >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"compactTableWhere: lost $maxRetries races at $root")
       }
     }
@@ -3754,7 +3778,7 @@ object Manifest {
         case _: CommitConflict =>
           attempt += 1
           if (attempt >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"compactPurgeDv: lost $maxRetries races at $root")
       }
     }
@@ -3784,7 +3808,7 @@ object Manifest {
         case _: CommitConflict =>
           attempt += 1
           if (attempt >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"compactTable: $table kept changing under the rewrite " +
                 s"($maxRetries attempts) at $root")
       }
@@ -3845,7 +3869,7 @@ object Manifest {
         case _: CommitConflict =>
           tries += 1
           if (tries >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"commitDeleteWhere: $table kept changing under the rewrite " +
                 s"($maxRetries attempts) at $root")
       }
@@ -3909,7 +3933,7 @@ object Manifest {
         case _: CommitConflict =>
           tries += 1
           if (tries >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"commitUpdateWhere: $table kept changing under the rewrite " +
                 s"($maxRetries attempts) at $root")
       }
@@ -4083,7 +4107,7 @@ object Manifest {
         case _: CommitConflict =>
           tries += 1
           if (tries >= maxRetries)
-            throw new IllegalStateException(
+            retireAndFail(root, table,
               s"commitMergeUpsert: $table kept changing under the rewrite " +
                 s"($maxRetries attempts) at $root")
       }
@@ -4186,7 +4210,7 @@ object Manifest {
           case _: CommitConflict =>
             tries += 1
             if (tries >= maxRetries)
-              throw new IllegalStateException(
+              retireAndFail(root, table,
                 s"commitReplaceWhere: $table kept changing under the replace " +
                   s"($maxRetries attempts) at $root")
         }
@@ -4276,7 +4300,7 @@ object Manifest {
           case _: CommitConflict =>
             tries += 1
             if (tries >= maxRetries)
-              throw new IllegalStateException(
+              retireAndFail(root, table,
                 s"commitMergeFull: $table kept changing under the rewrite " +
                   s"($maxRetries attempts) at $root")
         }

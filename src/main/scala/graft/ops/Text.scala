@@ -1254,7 +1254,8 @@ object Text {
           .filter(col("i").cast("double")
             / (col("s1.n") + col("s2.n") - col("i")) >= 0.4)
           .select("source", "d1", "d2")
-        truth.join(lshp.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+        val out = truth
+          .join(lshp.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
           .groupBy("source")
           .agg(count(lit(1)).as("n_true"),
             coalesce(sum("hit"), lit(0L)).as("n_found"))
@@ -1262,6 +1263,9 @@ object Text {
             round(col("n_found").cast("double") / col("n_true"), 4))
           .select("source", "n_true", "n_found", "recall")
           .orderBy("source")
+          .localCheckpoint(true)
+        docs.unpersist() // result is pinned; don't let the corpus cache linger
+        out
       }),
 
     // ----- overlapping-window chunker (q306): the RAG/pretraining
@@ -1402,10 +1406,14 @@ object Text {
             .agg(count(lit(1)).as("n_docs"),
               sum(col("n_toks")).as("n_tokens"))
             .select(lit(st).as("stage"), col("n_docs"), col("n_tokens"))
-        stage(0L, None)
+        val out = stage(0L, None)
           .unionByName(stage(1L, Some(ex)))
           .unionByName(stage(2L, Some(kept2)))
           .orderBy("stage")
+          .localCheckpoint(true)
+        docs.unpersist() // result is pinned; release both shared caches
+        sig.unpersist()
+        out
       })
   )
 }

@@ -1481,8 +1481,11 @@ object ManifestSql {
       // parse + classify the selected files with the ON_ERROR audit
       // machinery and return the per-file error report — COMMITTING
       // NOTHING. The statement a loader runs before trusting a stage.
+      // The statement's own parsed FILE_FORMAT/NULL_IF options thread
+      // through, so the dry-run classifies each row exactly as the
+      // un-validated COPY would load it.
       val (_, audit) =
-        graft.ops.Ingest.copyOnErrorContinue(spark, stage, names)
+        graft.ops.Ingest.copyOnErrorContinue(spark, stage, names, opts, nullVals)
       return audit
         .select(col("file_name").as("file"), col("rows_parsed"),
           col("rows_loaded"), col("errors_seen"))
