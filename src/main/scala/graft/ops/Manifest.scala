@@ -4115,6 +4115,192 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** One WHEN clause of a clause-form MERGE ([[commitMergeClauses]]).
+    * Condition and expression operands are VERBATIM SQL text resolved
+    * against the statement's own target/source aliases — parse-time
+    * strings, not pre-bound Columns, because they must resolve inside
+    * the merge's internal join where both relations are in scope. */
+  sealed trait MergeWhen { def cond: Option[String] }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET c1 = e1, ...` — empty
+    * `sets` means the full-row `SET *` shorthand (every target column
+    * takes the source's value). */
+  final case class MergeUpdate(cond: Option[String],
+                               sets: Seq[(String, String)]) extends MergeWhen
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class MergeDelete(cond: Option[String]) extends MergeWhen
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)`
+    * — empty `cols` means the full-row `INSERT *` shorthand. */
+  final case class MergeInsert(cond: Option[String], cols: Seq[String],
+                               vals: Seq[String]) extends MergeWhen
+
+  /** Clause-form MERGE — the full ANSI/Delta grammar the full-row
+    * shorthand ([[commitMergeUpsert]]) is a special case of:
+    * ordered `WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... |
+    * DELETE` clauses and `WHEN NOT MATCHED [AND c] THEN INSERT
+    * (cols) VALUES (exprs)` clauses, with ANSI semantics throughout —
+    * per matched row the FIRST clause whose condition passes applies
+    * (none ⇒ the row is kept unchanged); per unmatched source row the
+    * first passing insert clause fires (none ⇒ the row is not
+    * inserted); a NULL condition does not pass; every SET / VALUES
+    * expression is evaluated against the OLD target row joined to its
+    * source row (one projection — `SET a = t.b, b = t.a` swaps), the
+    * [[commitUpdateWhere]] old-row discipline extended across the
+    * merge join; insert columns not listed NULL-fill.
+    *
+    * 100-TB shape is [[commitMergeUpsert]]'s, unchanged: the source's
+    * key bounds select the affected file set through per-file stats,
+    * matched evaluation is ONE keyed join of affected rows × source,
+    * unmatched inserts are one anti-join of the source against the
+    * same affected rows (complete, because every target row a source
+    * key could match lives in a bounds-overlapping file), untouched
+    * files inherit by reference, and the whole outcome lands as one
+    * atomic delta commit with fresh key stats. Multi-match sources are
+    * rejected loudly (ANSI's duplicate-source-row error); claim-time
+    * read-set validation + whole-rewrite retry as in the shorthand
+    * path. `tAlias`/`sAlias` are the statement's relation aliases —
+    * clause text resolves `t.x`/`s.x` against them. */
+  def commitMergeClauses(s: SparkSession, root: String, table: String,
+                         source: DataFrame, keyCol: String,
+                         tAlias: String, sAlias: String,
+                         matched: Seq[MergeWhen],
+                         notMatched: Seq[MergeInsert],
+                         maxRetries: Int = 5): Long = {
+    require(matched.forall(!_.isInstanceOf[MergeInsert]),
+      "commitMergeClauses: INSERT is not a MATCHED action")
+    require(tAlias != sAlias,
+      s"MERGE: target and source aliases collide ($tAlias)")
+    // pin the source batch (same rationale as commitMergeUpsert: key
+    // bounds, dup check, rewrite, and every retry see ONE batch)
+    val pinned = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyType = pinned.schema(keyCol).dataType.sql
+      val kb = pinned.agg(
+        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
+        count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol))).head()
+      if (kb.getLong(2) == 0L) return snapshotVersion(root)
+      if (kb.getLong(3) != kb.getLong(4))
+        throw new IllegalArgumentException(
+          s"MERGE: updates carry duplicate $keyCol values " +
+            s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
+            "MERGE requires at most one source row per key")
+      val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
+      // ANSI condition semantics: NULL does not pass
+      def passes(c: Option[String]): org.apache.spark.sql.Column =
+        c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
+      var tries = 0
+      while (true) {
+        val base = latestReadableClaim(root)
+        require(base > 0, s"no committed snapshot at $root")
+        val expected = manifestRows(s, root, base)
+          .collect { case (t, f, _) if t == table => f }.toSet
+        val tgtSchema = registeredSchema(s, root, table, base)
+          .getOrElse(readTable(s, root, table, base).schema)
+        val tgtCols = tgtSchema.fieldNames.toIndexedSeq
+        // clause validation against the CURRENT registration — unknown
+        // SET / INSERT columns refuse before anything is read
+        matched.foreach {
+          case MergeUpdate(_, sets) =>
+            val bad = sets.map(_._1).filterNot(tgtCols.contains)
+            require(bad.isEmpty, s"MERGE: SET of unknown columns $bad")
+          case _ =>
+        }
+        notMatched.foreach { ins =>
+          require(ins.cols.size == ins.vals.size,
+            s"MERGE: INSERT lists ${ins.cols.size} columns but " +
+              s"${ins.vals.size} values")
+          val bad = ins.cols.filterNot(tgtCols.contains)
+          require(bad.isEmpty, s"MERGE: INSERT of unknown columns $bad")
+        }
+        val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
+        val current =
+          if (affected.isEmpty)
+            s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              tgtSchema)
+          else readResolved(s, root,
+            affected.map { case (_, f, st) => (f, st) },
+            registeredSchema(s, root, table, base))
+        val joined = current.alias(tAlias).join(pinned.alias(sAlias),
+          col(s"$tAlias.$keyCol") === col(s"$sAlias.$keyCol"), "inner")
+        // first-match-wins clause index: outermost WHEN is clause 0
+        val mIdx = matched.zipWithIndex.reverse
+          .foldLeft(lit(-1): org.apache.spark.sql.Column) {
+            case (acc, (cl, i)) => when(passes(cl.cond), lit(i)).otherwise(acc)
+          }
+        val keep = matched.zipWithIndex
+          .foldLeft(col("_mi") === -1) {
+            case (acc, (_: MergeUpdate, i)) => acc || col("_mi") === i
+            case (acc, _) => acc
+          }
+        // one projection per target column: the clause that hit picks
+        // its SET expression (OLD-row + source namespace), everything
+        // else keeps the target value
+        val matchedOut = joined.withColumn("_mi", mIdx).filter(keep)
+          .select(tgtCols.map { c =>
+            matched.zipWithIndex.foldLeft(col(s"$tAlias.$c")) {
+              case (acc, (MergeUpdate(_, sets), i)) =>
+                val set =
+                  if (sets.isEmpty) Some(col(s"$sAlias.$c")) // SET *
+                  else sets.find(_._1 == c).map(kv => expr(kv._2))
+                set.map(e => when(col("_mi") === i, e).otherwise(acc))
+                  .getOrElse(acc)
+              case (acc, _) => acc
+            }.cast(tgtSchema(c).dataType).as(c)
+          }: _*)
+        val unmatchedTgt = current
+          .join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(tgtCols.map(col): _*)
+        // unmatched source rows: anti-join against the affected rows'
+        // keys is complete — any target row a source key could match
+        // lives in a bounds-overlapping file (NULL-key source rows
+        // match nothing, so they land here, as in the shorthand path)
+        val nm = pinned.alias(sAlias).join(
+          current.select(col(keyCol).as("__tk")),
+          col(s"$sAlias.$keyCol") === col("__tk"), "left_anti")
+        val nmIdx = notMatched.zipWithIndex.reverse
+          .foldLeft(lit(-1): org.apache.spark.sql.Column) {
+            case (acc, (cl, i)) => when(passes(cl.cond), lit(i)).otherwise(acc)
+          }
+        val nmTagged = nm.withColumn("_mi", nmIdx)
+        val inserts = notMatched.zipWithIndex.map { case (ins, i) =>
+          nmTagged.filter(col("_mi") === i).select(tgtCols.map { c =>
+            val v =
+              if (ins.cols.isEmpty) col(s"$sAlias.$c") // INSERT *
+              else ins.cols.indexOf(c) match {
+                case -1 => lit(null)
+                case p => expr(ins.vals(p))
+              }
+            v.cast(tgtSchema(c).dataType).as(c)
+          }: _*)
+        }
+        val rewritten = inserts.foldLeft(
+          unmatchedTgt.unionByName(matchedOut))(_ unionByName _)
+        val hint = nextVersion(root)
+        val relFiles = publishData(s, root, hint, table, rewritten)
+        val newRows = statsRowsFor(s, root, table, relFiles, Seq(keyCol))
+        val removes = affected.map { case (t, f, _) => (t, f) }
+        try {
+          return casCommit(s, root, { b =>
+            val cur = manifestRows(s, root, b)
+              .collect { case (t, f, _) if t == table => f }.toSet
+            if (cur != expected)
+              throw new CommitConflict(
+                s"$table changed under the merge (computed at v$base, " +
+                  s"claiming at v$b)")
+            deltaOrFull(s, root, b, Nil, newRows, removes)
+          }, maxRetries)
+        } catch {
+          case _: CommitConflict =>
+            tries += 1
+            if (tries >= maxRetries)
+              retireAndFail(root, table,
+                s"commitMergeClauses: $table kept changing under the " +
+                  s"rewrite ($maxRetries attempts) at $root")
+        }
+      }
+      -1L // unreachable
+    } finally pinned.unpersist()
+  }
+
   /** Selective overwrite — Delta's `replaceWhere` / the partition-
     * overwrite idiom generalized to any predicate: atomically DELETE
     * every current row matching `replaceFilter` and INSERT `batch`,

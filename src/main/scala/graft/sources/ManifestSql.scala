@@ -218,24 +218,121 @@ object ManifestSql {
   private val UpdateRe =
     "(?is)^UPDATE\\s+([A-Za-z0-9_.-]+)\\s+SET\\s+(.*)$".r
   private val MergeRe =
-    "(?is)^MERGE\\s+INTO\\s+([A-Za-z0-9_.-]+)(?:\\s+AS\\s+\\w+)?\\s+USING\\s+(.*)$".r
+    ("(?is)^MERGE\\s+INTO\\s+([A-Za-z0-9_.-]+)" +
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*))?\\s+USING\\s+(.*)$").r
   private val MergeEvolveRe =
     ("(?is)^MERGE\\s+WITH\\s+SCHEMA\\s+EVOLUTION\\s+INTO\\s+" +
-      "([A-Za-z0-9_.-]+)(?:\\s+AS\\s+\\w+)?\\s+USING\\s+(.*)$").r
+      "([A-Za-z0-9_.-]+)" +
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*))?\\s+USING\\s+(.*)$").r
+  // one WHEN clause each — non-greedy condition up to THEN (a
+  // top-level CASE ... THEN inside a clause condition would mis-split;
+  // parenthesize it, as the loud downstream parse failure instructs)
+  private val WhenNotMatchedRe =
+    "(?is)^WHEN\\s+NOT\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+INSERT\\s+(.+)$".r
+  private val WhenMatchedUpdRe =
+    "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+UPDATE\\s+SET\\s+(.+)$".r
+  private val WhenMatchedDelRe =
+    "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$".r
+
+  /** All top-level word-boundary positions of keyword `word` — the
+    * multi-hit sibling of [[topLevelKeyword]], used to split a MERGE's
+    * WHEN-clause chain. */
+  private def topLevelPositions(s: String, word: String): Seq[Int] = {
+    val mask = topLevelMask(s)
+    val lower = s.toLowerCase
+    def wordChar(ch: Char): Boolean =
+      Character.isLetterOrDigit(ch) || ch == '_' || ch == '.'
+    val out = Seq.newBuilder[Int]
+    var i = lower.indexOf(word)
+    while (i >= 0) {
+      val bounded =
+        (i == 0 || !wordChar(lower.charAt(i - 1))) &&
+          (i + word.length >= s.length ||
+            !wordChar(lower.charAt(i + word.length)))
+      if (bounded && mask(i)) out += i
+      i = lower.indexOf(word, i + 1)
+    }
+    out.result()
+  }
+
+  /** `[AS] alias` tail of a MERGE relation; `default` is the relation's
+    * own name (None for an anonymous subquery). */
+  private def relAlias(toks: Seq[String], default: Option[String]): Option[String] =
+    toks.map(_.trim).filter(_.nonEmpty) match {
+      case Seq() => default
+      case Seq(a) => Some(a)
+      case Seq(as, a) if as.equalsIgnoreCase("AS") => Some(a)
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE relation tail: ${other.mkString(" ")}")
+    }
+
+  /** Parse one `WHEN ...` clause into its [[Manifest.MergeWhen]] form.
+    * SET left-hand sides may carry the target alias (stripped here);
+    * expression text goes VERBATIM to Spark's parser downstream. */
+  private def parseWhenClause(clause: String, tAlias: String): Manifest.MergeWhen = {
+    def cond(c: String): Option[String] = Option(c).map(_.trim)
+    clause match {
+      case WhenNotMatchedRe(c, body0) =>
+        val body = body0.trim
+        if (body == "*") Manifest.MergeInsert(cond(c), Nil, Nil)
+        else {
+          require(body.startsWith("("),
+            s"unsupported INSERT shape (need * or (cols) VALUES (exprs)): $body")
+          val close = matchingParen(body)
+          require(close > 0, s"unbalanced parens in INSERT column list: $body")
+          val cols = splitTopLevel(body.substring(1, close), ',').map(_.trim)
+          val after = body.substring(close + 1).trim
+          require(after.length >= 6 && after.substring(0, 6).equalsIgnoreCase("VALUES"),
+            s"INSERT column list without VALUES: $after")
+          val vp = after.substring(6).trim
+          require(vp.startsWith("("), s"VALUES without a parenthesized list: $vp")
+          val vclose = matchingParen(vp)
+          require(vclose == vp.length - 1,
+            s"trailing text after INSERT VALUES list: $vp")
+          Manifest.MergeInsert(cond(c), cols,
+            splitTopLevel(vp.substring(1, vclose), ','))
+        }
+      case WhenMatchedUpdRe(c, body0) =>
+        val body = body0.trim
+        if (body == "*") Manifest.MergeUpdate(cond(c), Nil)
+        else {
+          val sets = splitTopLevel(body, ',').map { a =>
+            val eq = a.indexOf('=')
+            require(eq > 0 && topLevelMask(a)(eq), s"malformed SET clause: $a")
+            var lhs = a.substring(0, eq).trim
+            if (lhs.length > tAlias.length + 1 &&
+              lhs.substring(0, tAlias.length).equalsIgnoreCase(tAlias) &&
+              lhs.charAt(tAlias.length) == '.')
+              lhs = lhs.substring(tAlias.length + 1)
+            lhs -> a.substring(eq + 1).trim
+          }
+          Manifest.MergeUpdate(cond(c), sets)
+        }
+      case WhenMatchedDelRe(c) => Manifest.MergeDelete(cond(c))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE WHEN clause: $other")
+    }
+  }
 
   /** Shared body of the MERGE statement forms (see the q223 scaladoc):
-    * parses the Delta full-row shorthand
-    * `USING <view | (subquery)> [AS] s ON t.k = s.k WHEN MATCHED THEN
-    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-    * [+ `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`], routing to
-    * [[Manifest.commitMergeUpsert]] / [[Manifest.commitMergeFull]].
-    * Conditional WHEN clauses / column-wise SET lists are rejected
-    * loudly, not mis-parsed. `evolve` = the WITH SCHEMA EVOLUTION
-    * statement form (incompatible with the BY SOURCE tail — the
-    * combination is refused, not guessed at). */
+    * parses the full clause grammar —
+    * `USING <view | (subquery)> [AS] s ON t.k = s.k` followed by any
+    * ordered mix of `WHEN MATCHED [AND c] THEN UPDATE SET <* | col =
+    * expr, ...> | DELETE` and `WHEN NOT MATCHED [AND c] THEN INSERT
+    * <* | (cols) VALUES (exprs)>` clauses
+    * [+ `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`]. The exact
+    * two-clause full-row shorthand (`UPDATE SET * / INSERT *`, no
+    * conditions) routes to [[Manifest.commitMergeUpsert]] — bit-
+    * unchanged fast path; everything else routes to
+    * [[Manifest.commitMergeClauses]] with the statement's own aliases,
+    * so clause text resolves `t.x`/`s.x` verbatim. `evolve` = the WITH
+    * SCHEMA EVOLUTION statement form — full-row shorthand only, and
+    * incompatible with the BY SOURCE tail (both combinations are
+    * refused, not guessed at); the BY SOURCE tail likewise combines
+    * only with the shorthand head ([[Manifest.commitMergeFull]]). */
   private def runMergeText(spark: SparkSession, root: String,
-                           table: String, rest: String,
-                           evolve: Boolean): Unit = {
+                           table: String, tgtAliasRaw: String,
+                           rest: String, evolve: Boolean): Unit = {
     val onPos = topLevelKeyword(rest, "on")
     require(onPos > 0, s"MERGE without ON clause: $rest")
     val sourcePart = rest.substring(0, onPos).trim
@@ -253,32 +350,63 @@ object ManifestSql {
     require(!(evolve && syncDelete.isDefined),
       "MERGE WITH SCHEMA EVOLUTION does not combine with WHEN NOT " +
         "MATCHED BY SOURCE")
-    val whenNorm = coreWhen.toLowerCase.trim.replaceAll("\\s+", " ")
-    require(whenNorm ==
-      "when matched then update set * when not matched then insert *",
-      "unsupported MERGE WHEN shape (only the full-row " +
-        s"UPDATE SET * / INSERT * shorthand is supported): $whenNorm")
-    val keyCol = onText match {
-      case MergeOnRe(_, k1, _, k2) if k1.equalsIgnoreCase(k2) => k1
-      case _ => throw new IllegalArgumentException(
-        s"unsupported MERGE ON shape (need t.k = s.k, one shared column): $onText")
-    }
-    val sourceDf =
+    val (sourceDf, srcAlias) =
       if (sourcePart.startsWith("(")) {
         val close = matchingParen(sourcePart)
         require(close > 0, s"unbalanced parens in MERGE source: $sourcePart")
-        spark.sql(sourcePart.substring(1, close))
-      } else spark.table(sourcePart.split("\\s+").head)
+        (spark.sql(sourcePart.substring(1, close)),
+          relAlias(sourcePart.substring(close + 1).split("\\s+").toSeq, None))
+      } else {
+        val toks = sourcePart.split("\\s+").toSeq
+        (spark.table(toks.head), relAlias(toks.tail, Some(toks.head)))
+      }
+    val tAlias = Option(tgtAliasRaw).getOrElse(table)
+    val (onQuals, keyCol) = onText match {
+      case MergeOnRe(q1, k1, q2, k2) if k1.equalsIgnoreCase(k2) =>
+        (Set(q1.toLowerCase, q2.toLowerCase), k1)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported MERGE ON shape (need t.k = s.k, one shared column): $onText")
+    }
+    // split + parse the clause chain
+    val positions = topLevelPositions(coreWhen, "when")
+    require(positions.nonEmpty &&
+      coreWhen.substring(0, positions.head).trim.isEmpty,
+      s"malformed MERGE WHEN chain: $coreWhen")
+    val clauses = positions.zip(positions.tail :+ coreWhen.length)
+      .map { case (a, b) => parseWhenClause(coreWhen.substring(a, b).trim, tAlias) }
+    val legacy = clauses match {
+      case Seq(Manifest.MergeUpdate(None, Seq()),
+               Manifest.MergeInsert(None, Seq(), Seq())) => true
+      case _ => false
+    }
     syncDelete match {
       case Some(cond) =>
+        require(legacy,
+          "WHEN NOT MATCHED BY SOURCE combines only with the full-row " +
+            "UPDATE SET * / INSERT * shorthand")
         // sync merge: target rows whose key is absent from the
         // source are deleted (unconditionally, or where the AND
         // condition passes — unqualified target columns)
         val _ = Manifest.commitMergeFull(spark, root, table, sourceDf, keyCol,
           cond.map(expr).getOrElse(lit(true)))
-      case None =>
+      case None if legacy || evolve =>
+        require(legacy,
+          "MERGE WITH SCHEMA EVOLUTION supports only the full-row " +
+            s"UPDATE SET * / INSERT * shorthand, got: $coreWhen")
         val _ = Manifest.commitMergeUpsert(spark, root, table, sourceDf,
           keyCol, allowEvolution = evolve)
+      case None =>
+        // clause form: the statement's aliases ARE the resolution
+        // namespace — require the ON qualifiers to be exactly them
+        val sA = srcAlias.getOrElse(throw new IllegalArgumentException(
+          "clause-form MERGE needs a named or aliased source"))
+        require(onQuals == Set(tAlias.toLowerCase, sA.toLowerCase),
+          s"MERGE ON qualifiers $onQuals do not match the statement " +
+            s"aliases ($tAlias, $sA)")
+        val _ = Manifest.commitMergeClauses(spark, root, table, sourceDf,
+          keyCol, tAlias, sA,
+          clauses.filter(!_.isInstanceOf[Manifest.MergeInsert]),
+          clauses.collect { case i: Manifest.MergeInsert => i })
     }
   }
   private val InsertRe =
@@ -444,15 +572,15 @@ object ManifestSql {
             Manifest.commitUpdateVectors(spark, root, table, lit(true), sets)
         }
         last = spark.emptyDataFrame
-      case MergeEvolveRe(table, rest) =>
+      case MergeEvolveRe(table, tAlias, rest) =>
         // MERGE WITH SCHEMA EVOLUTION INTO t USING ... (Delta's
         // statement shape): the full-row merge where the source may
         // carry NEW columns — the widened schema registers atomically
         // with the merged data; old files NULL-fill on read
-        runMergeText(spark, root, table, rest, evolve = true)
+        runMergeText(spark, root, table, tAlias, rest, evolve = true)
         last = spark.emptyDataFrame
-      case MergeRe(table, rest) =>
-        runMergeText(spark, root, table, rest, evolve = false)
+      case MergeRe(table, tAlias, rest) =>
+        runMergeText(spark, root, table, tAlias, rest, evolve = false)
         last = spark.emptyDataFrame
       case ReplaceWhereRe(table, rest) =>
         // INSERT INTO t REPLACE WHERE <pred> <query>: selective
@@ -3512,6 +3640,155 @@ object ManifestSql {
         val out = runDml(s, root,
           s"LIST '$stage' PATTERN = 'product_order_trans_dirty_.*'")
           .orderBy("name").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- conditional-clause MERGE (q311): the full ANSI grammar as
+    //       text — WHEN MATCHED AND s.op='D' THEN DELETE / WHEN
+    //       MATCHED THEN UPDATE SET col-wise / WHEN NOT MATCHED AND c
+    //       THEN INSERT (cols) VALUES (exprs) — the first statement a
+    //       migrating warehouse user writes that the full-row
+    //       shorthand refuses. Four outcome classes in one statement:
+    //       matched+op=D deletes, matched+op=U accumulates (SET
+    //       expressions against the OLD row joined to its source row),
+    //       source-only op=U inserts, source-only op=D hits NO insert
+    //       clause and lands nowhere. Oracle recomputes all four
+    //       routes per key — a clause mis-ordered, a condition
+    //       evaluated on the wrong side, or a NULL-condition row
+    //       mis-routed shifts some user's state. -----
+    Q("q311_sql_merge_clauses",
+      Some("""WITH firsth AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND user_id % 5 <> 3
+             |  GROUP BY user_id),
+             |secondh AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv,
+             |    CASE WHEN user_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY user_id),
+             |merged AS (
+             |  SELECT f.user_id, f.n_events + s.n_events AS n_events,
+             |    CAST(f.tv + s.tv AS DECIMAL(18,4)) AS tv
+             |  FROM firsth f JOIN secondh s ON f.user_id = s.user_id
+             |  WHERE s.op <> 'D'
+             |  UNION ALL
+             |  SELECT f.user_id, f.n_events, f.tv FROM firsth f
+             |  WHERE NOT EXISTS (SELECT 1 FROM secondh s WHERE s.user_id = f.user_id)
+             |  UNION ALL
+             |  SELECT s.user_id, s.n_events, s.tv FROM secondh s
+             |  WHERE s.op <> 'D'
+             |    AND NOT EXISTS (SELECT 1 FROM firsth f WHERE f.user_id = s.user_id))
+             |SELECT user_id, n_events, CAST(tv AS DOUBLE) AS total_v
+             |FROM merged ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-mclause").toString
+        Manifest.commitAppend(s, root, "user_state",
+          stateOf(ev.filter(col("ts") < cut && col("user_id") % 5 =!= 3))
+            .coalesce(2))
+        stateOf(ev.filter(col("ts") >= cut))
+          .withColumn("op",
+            when(col("user_id") % 7 === 0, "D").otherwise("U"))
+          .createOrReplaceTempView("merge_src_q311")
+        runDml(s, root,
+          """MERGE INTO user_state t USING merge_src_q311 s
+            |ON t.user_id = s.user_id
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET n_events = t.n_events + s.n_events,
+            |  tv = t.tv + s.tv
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN
+            |  INSERT (user_id, n_events, tv)
+            |  VALUES (s.user_id, s.n_events, s.tv)""".stripMargin)
+        val out = Manifest.readTable(s, root, "user_state")
+          .select(col("user_id"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
+          .orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView("merge_src_q311")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- column-wise MERGE with clause precedence (q312): ordered
+    //       matched clauses with OVERLAPPING conditions (n % 3 = 0
+    //       beats n % 2 = 0 at n ≡ 0 mod 6 — first match wins, so a
+    //       clause-order bug leaves 'c0' rows with a mutated tv),
+    //       alias-qualified SET left-hand sides (t.n_events = ...),
+    //       a no-clause-passes row class that must survive UNCHANGED,
+    //       and a partial-column INSERT whose unlisted tv NULL-fills.
+    //       Oracle recomputes the per-key CASE in clause order. -----
+    Q("q312_sql_merge_colwise",
+      Some("""WITH firsth AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv,
+             |    'old' AS status
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND user_id % 5 <> 3
+             |  GROUP BY user_id),
+             |secondh AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY user_id),
+             |out AS (
+             |  SELECT f.user_id,
+             |    CASE WHEN s.n_events % 3 = 0 THEN f.n_events + s.n_events
+             |         WHEN s.n_events % 2 = 0 THEN f.n_events + s.n_events
+             |         ELSE f.n_events END AS n_events,
+             |    CASE WHEN s.n_events % 3 = 0 THEN f.tv
+             |         WHEN s.n_events % 2 = 0 THEN CAST(f.tv + s.tv AS DECIMAL(18,4))
+             |         ELSE f.tv END AS tv,
+             |    CASE WHEN s.n_events % 3 = 0 THEN 'c0'
+             |         ELSE f.status END AS status
+             |  FROM firsth f JOIN secondh s ON f.user_id = s.user_id
+             |  UNION ALL
+             |  SELECT f.user_id, f.n_events, f.tv, f.status FROM firsth f
+             |  WHERE NOT EXISTS (SELECT 1 FROM secondh s WHERE s.user_id = f.user_id)
+             |  UNION ALL
+             |  SELECT s.user_id, s.n_events, CAST(NULL AS DECIMAL(18,4)), 'new'
+             |  FROM secondh s
+             |  WHERE NOT EXISTS (SELECT 1 FROM firsth f WHERE f.user_id = s.user_id))
+             |SELECT user_id, n_events, CAST(tv AS DOUBLE) AS total_v, status
+             |FROM out ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-mcolwise").toString
+        Manifest.commitAppend(s, root, "user_state",
+          stateOf(ev.filter(col("ts") < cut && col("user_id") % 5 =!= 3))
+            .withColumn("status", lit("old")).coalesce(2))
+        stateOf(ev.filter(col("ts") >= cut))
+          .createOrReplaceTempView("merge_src_q312")
+        runDml(s, root,
+          """MERGE INTO user_state t USING merge_src_q312 s
+            |ON t.user_id = s.user_id
+            |WHEN MATCHED AND s.n_events % 3 = 0 THEN UPDATE SET
+            |  status = 'c0', n_events = t.n_events + s.n_events
+            |WHEN MATCHED AND s.n_events % 2 = 0 THEN UPDATE SET
+            |  t.n_events = t.n_events + s.n_events, t.tv = t.tv + s.tv
+            |WHEN NOT MATCHED THEN INSERT (user_id, n_events, status)
+            |  VALUES (s.user_id, s.n_events, 'new')""".stripMargin)
+        val out = Manifest.readTable(s, root, "user_state")
+          .select(col("user_id"), col("n_events"),
+            col("tv").cast("double").as("total_v"), col("status"))
+          .orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView("merge_src_q312")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

@@ -110,24 +110,94 @@ class DmlSpec extends SparkSuite {
       .filter(col("k") === 3L).head().getDouble(1) == 600.0)
   }
 
-  test("MERGE rejects conditional WHEN clauses and non-equi ON shapes") {
+  test("conditional WHEN clause applies; non-equi ON shapes still refuse") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
       Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
     Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("merge_bad_src")
-    intercept[IllegalArgumentException] {
-      ManifestSql.runDml(spark, root,
-        """MERGE INTO t USING merge_bad_src AS s ON t.k = s.k
-          |WHEN MATCHED AND s.v > 1 THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
+    // a conditional SET * routes through the clause path now
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING merge_bad_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 1 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Manifest.readTable(spark, root, "t").head().getDouble(1) == 2.0)
     intercept[IllegalArgumentException] {
       ManifestSql.runDml(spark, root,
         """MERGE INTO t USING merge_bad_src AS s ON t.k >= s.k
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    // neither rejected statement committed anything
+    // the rejected statement committed nothing
+    assert(Manifest.readTable(spark, root, "t").head().getDouble(1) == 2.0)
+  }
+
+  test("clause-form MERGE: first match wins, NULL conditions do not pass, DELETE routes") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "a"), (4L, 40.0, "a"))
+        .toDF("k", "v", "tag").coalesce(1))
+    Seq((1L, Some(100.0)), (2L, None), (3L, Some(0.5)),
+        (5L, Some(50.0)), (6L, None))
+      .toDF("k", "v").createOrReplaceTempView("clause_src")
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING clause_src s ON t.k = s.k
+        |WHEN MATCHED AND s.v > 50 THEN DELETE
+        |WHEN MATCHED AND s.v > 0.4 THEN UPDATE SET v = t.v + s.v, tag = 'hit'
+        |WHEN NOT MATCHED AND s.v IS NOT NULL THEN
+        |  INSERT (k, tag) VALUES (s.k, 'new')""".stripMargin)
+    val got = Manifest.readTable(spark, root, "t").collect()
+      .map(r => (r.getLong(0),
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getString(2)))).toMap
+    // k=1: 100 > 50 → first clause (DELETE) wins over the also-true update
+    // k=2: NULL condition passes NOTHING → row survives unchanged
+    // k=3: second clause → old-row SET; k=4: unmatched target → unchanged
+    // k=5: insert clause, unlisted v NULL-fills
+    // k=6: NULL insert condition → not inserted
+    assert(got == Map(
+      2L -> (Some(20.0), "a"), 3L -> (Some(30.5), "hit"),
+      4L -> (Some(40.0), "a"), 5L -> (None, "new")))
+  }
+
+  test("clause-form MERGE refusals: dup source keys, unknown SET column, arity, evolve/BY SOURCE combos") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("clause_dup_src")
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("clause_one_src")
+    // duplicate source keys refuse in the clause path too
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING clause_dup_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    // SET of a column the table does not have
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING clause_one_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v > 1 THEN UPDATE SET nosuch = 1""".stripMargin)
+    }
+    // INSERT column/value arity mismatch
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING clause_one_src s ON t.k = s.k
+          |WHEN NOT MATCHED AND s.v > 1 THEN INSERT (k) VALUES (s.k, 1)""".stripMargin)
+    }
+    // WITH SCHEMA EVOLUTION supports only the full-row shorthand
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE WITH SCHEMA EVOLUTION INTO t USING clause_one_src s
+          |ON t.k = s.k
+          |WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    // BY SOURCE tail combines only with the full-row shorthand head
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING clause_one_src s ON t.k = s.k
+          |WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    // none of the rejected statements committed anything
     assert(Manifest.readTable(spark, root, "t").head().getDouble(1) == 1.0)
   }
 
