@@ -1064,14 +1064,17 @@ object ManifestSql {
           "malformed APPLY CHANGES statement (expected: APPLY CHANGES " +
             "INTO <dst> FROM <src> KEYS (<key>) [STORED AS SCD TYPE 1|2]): " + st)
       case other =>
-        // plain SQL text — after resolving any `t VERSION AS OF n` /
-        // `t TIMESTAMP AS OF '...'` time-travel clauses against the
-        // manifest root (Delta's SQL travel syntax, register-time
-        // version pinning under the hood). Whole-table COUNT/MIN/MAX
-        // statements over a manifest table answer from metadata first
-        // (the Snowflake/Delta aggregate pushdown — zero data I/O).
+        // plain SQL text — after resolving any `table_changes(...)`
+        // TVF calls (Delta's CDF SQL surface, feed registered as a
+        // view) and `t VERSION AS OF n` / `t TIMESTAMP AS OF '...'`
+        // time-travel clauses against the manifest root (Delta's SQL
+        // travel syntax, register-time version pinning under the
+        // hood). Whole-table COUNT/MIN/MAX statements over a manifest
+        // table answer from metadata first (the Snowflake/Delta
+        // aggregate pushdown — zero data I/O).
         last = metaAggAnswer(spark, root, other).getOrElse(
-          spark.sql(rewriteTimeTravel(spark, root, other)))
+          spark.sql(rewriteTimeTravel(spark, root,
+            rewriteTableChanges(spark, root, other))))
     }
     // BEGIN [TRANSACTION] ... COMMIT spans fold into ONE atomic
     // multi-table commit; ROLLBACK discards the span (every effect is
@@ -1802,6 +1805,43 @@ object ManifestSql {
     val afterV = rewrite(sql, VersionAsOfRe, _.toLong)
     rewrite(afterV, TimestampAsOfRe,
       ts => Manifest.versionAsOf(root, parseTsMillis(spark, ts)))
+  }
+
+  private val TableChangesRe =
+    ("(?i)\\btable_changes\\s*\\(\\s*'([A-Za-z0-9_.-]+)'\\s*,\\s*" +
+      "([0-9]+)\\s*(?:,\\s*([0-9]+)\\s*)?\\)").r
+
+  /** Resolve `table_changes('<t>', from [, to])` table-function calls
+    * (Delta's CDF SQL surface) against manifest root `root`: each
+    * occurrence registers the row-level change feed of manifest table
+    * `t` over commits `from..to` INCLUSIVE (omitted `to` = the current
+    * snapshot) as a temp view — the table's columns plus
+    * `_change_type` / `_commit_version`, derived post-hoc from the
+    * commit log by [[Manifest.readChangeFeed]] (append steps price
+    * O(delta), DV steps O(matched rows), CoW rewrites a file-bounded
+    * row diff — so the batch SQL consumer pays the same costs the API
+    * consumer does) — and the call text is replaced by the view's
+    * name, so the surrounding statement plans over it like any
+    * relation. `from = to + 1` is the legal EMPTY interval (a caught-
+    * up consumer re-polling): an empty, schema-preserving frame.
+    * Quote-aware (a call-shaped string literal is left alone — the
+    * q243 rewrite discipline); statements without the TVF pass
+    * through byte-identical. */
+  def rewriteTableChanges(spark: SparkSession, root: String, sql: String): String = {
+    val mask = quoteMask(sql)
+    TableChangesRe.findAllMatchIn(sql).filter(m => mask(m.start)).toList.reverse
+      .foldLeft(sql) { (acc, m) =>
+        val table = m.group(1)
+        val from = m.group(2).toLong
+        require(from >= 1,
+          s"table_changes: from-version must be >= 1, got $from")
+        val to = Option(m.group(3)).map(_.toLong).getOrElse(-1L)
+        val view = s"${table.replace('.', '_')}__changes_${from}_" +
+          (if (to > 0) to.toString else "latest")
+        Manifest.readChangeFeed(spark, root, table, from - 1, to)
+          .createOrReplaceTempView(view)
+        acc.substring(0, m.start) + view + acc.substring(m.end)
+      }
   }
 
   // --------------------------------------------------------------- queries
@@ -3791,6 +3831,49 @@ object ManifestSql {
         s.catalog.dropTempView("merge_src_q312")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- table_changes() as SQL text (q313): the q228 row-level
+    //       change feed reached as a TABLE FUNCTION in verbatim
+    //       statement text — the batch SQL consumer Delta serves with
+    //       `table_changes('t', from, to)`, no Scala call sites. Same
+    //       four-commit fixture (append, DV DELETE, DV UPDATE,
+    //       append), same oracle recomputing every (version, change)
+    //       class from the raw table: a TVF that resolved the wrong
+    //       interval, dropped the pre-image deletes, or priced the
+    //       update's post-image with the old value shifts the
+    //       per-class sums — hash breaks. -----
+    Q("q313_sql_table_changes",
+      Some("""WITH ev AS (SELECT user_id, CAST(value AS DECIMAL(18,4)) AS value,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |del2 AS (SELECT * FROM ev
+             |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-12 00:00:00'),
+             |upd3 AS (SELECT * FROM ev
+             |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND user_id = 3
+             |    AND NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |      AND ts < TIMESTAMP '2024-01-12 00:00:00')),
+             |classes AS (
+             |  SELECT 1 AS v, 'insert' AS change, count(*) AS n, sum(value) AS sv
+             |  FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+             |  UNION ALL SELECT 2, 'delete', count(*), sum(value) FROM del2
+             |  UNION ALL SELECT 3, 'delete', count(*), sum(value) FROM upd3
+             |  UNION ALL SELECT 3, 'insert', count(*), sum(value * 2) FROM upd3
+             |  UNION ALL SELECT 4, 'insert', count(*), sum(value)
+             |  FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+             |SELECT CAST(v AS BIGINT) AS v, change,
+             |  CAST(n AS BIGINT) AS n, CAST(sv AS DOUBLE) AS sv
+             |FROM classes ORDER BY v, change""".stripMargin),
+      (s, dir) => {
+        val root = Manifest.changeFeedRoot(s, dir)
+        runDml(s, root,
+          """SELECT _commit_version AS v, _change_type AS change,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(sum(value) AS DOUBLE) AS sv
+            |FROM table_changes('events_log', 1, 4)
+            |GROUP BY _commit_version, _change_type
+            |ORDER BY v, change""".stripMargin)
       })
   )
 

@@ -939,4 +939,52 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.snapshotVersion(root) == v)
     assert(Manifest.readTable(spark, root, "dst_t").count() == 2L)
   }
+
+  test("table_changes() TVF: per-commit classes, repack silence, 2-arg/empty forms") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",                      // v1
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").coalesce(2))
+    Manifest.commitUpdateWhere(spark, root, "t",                 // v2: CoW rewrite
+      Seq(Manifest.Pred("k", "2", "2", "bigint")), col("k") === 2L,
+      Map("v" -> (col("v") + 5.0)))
+    Manifest.compactTable(spark, root, "t", targetBytes = Long.MaxValue) // v3
+    Manifest.commitAppend(spark, root, "t",                      // v4
+      Seq((4L, 40.0)).toDF("k", "v").coalesce(1))
+    val feed = ManifestSql.runDml(spark, root,
+      """SELECT _commit_version AS cv, _change_type AS ct, k, v
+        |FROM table_changes('t', 1, 4) ORDER BY cv, ct, k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // v2's CoW rewrite surfaces ONLY the changed row as its pre-image
+    // delete + post-image insert (untouched rows in the rewritten file
+    // cancel); v3's pure repack contributes ZERO change rows
+    assert(feed.toSeq == Seq(
+      (1L, "insert", 1L, 10.0), (1L, "insert", 2L, 20.0), (1L, "insert", 3L, 30.0),
+      (2L, "delete", 2L, 20.0), (2L, "insert", 2L, 25.0),
+      (4L, "insert", 4L, 40.0)))
+    // 2-arg form reads to the current snapshot
+    val tail = ManifestSql.runDml(spark, root,
+      "SELECT k FROM table_changes('t', 4) ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(tail.toSeq == Seq(4L))
+    // from = latest + 1: the legal empty interval, schema preserved
+    val empty = ManifestSql.runDml(spark, root,
+      "SELECT * FROM table_changes('t', 5)")
+    assert(empty.count() == 0L &&
+      empty.columns.contains("_change_type") &&
+      empty.columns.contains("_commit_version"))
+    // from-version 0 refuses (versions start at 1)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "SELECT * FROM table_changes('t', 0, 4)")
+    }
+  }
+
+  test("table_changes() text inside a string literal is immune to the rewrite") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    val got = ManifestSql.runDml(spark, root,
+      """SELECT "table_changes('t', 1, 99)" AS s""")
+      .collect()(0).getString(0)
+    assert(got == "table_changes('t', 1, 99)")
+  }
 }
