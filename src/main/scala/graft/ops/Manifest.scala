@@ -2607,6 +2607,195 @@ object Manifest {
     -1L // unreachable
   }
 
+  /** One statement of a multi-verb BEGIN...COMMIT span
+    * ([[commitSpan]]): its effect is computed against the span's
+    * pinned base snapshot and FOLDED into the one claim. */
+  sealed trait SpanAction { def table: String }
+  /** `INSERT INTO table <query>` — batch already cast to the table's
+    * registered column order. */
+  final case class SpanInsert(table: String, batch: DataFrame) extends SpanAction
+  /** `DELETE FROM table WHERE pred` — merge-on-read, DV sidecars. */
+  final case class SpanDelete(table: String,
+                              pred: org.apache.spark.sql.Column) extends SpanAction
+  /** `UPDATE table SET ... WHERE pred` — merge-on-read: old images DV,
+    * new images append. */
+  final case class SpanUpdate(table: String, pred: org.apache.spark.sql.Column,
+                              sets: Map[String, org.apache.spark.sql.Column])
+    extends SpanAction
+
+  /** Multi-VERB atomic transaction — the BEGIN...COMMIT span widened
+    * past INSERT: DELETE and UPDATE effects stage as unclaimed DV
+    * sidecars + new-image files, INSERT batches as unclaimed data
+    * files, and everything folds into ONE CAS claim. Readers at any
+    * version see the whole span or none of it; a failure anywhere
+    * (analysis error, CHECK violation, claim conflict exhaustion)
+    * leaves NOTHING visible — staged files stay unclaimed and vacuum
+    * collects them — so the classic restate-a-day
+    * `BEGIN; DELETE day; INSERT day'; COMMIT` can never be observed
+    * half-done, the transaction a single-statement engine forces users
+    * to fake with a temp-table swap.
+    *
+    * Isolation is SNAPSHOT-AT-BEGIN: every statement reads the
+    * pre-transaction state (effects defer to COMMIT — a span is a
+    * write-set, not an interactive session). The two orderings that
+    * would contradict that are refused loudly rather than silently
+    * surprising: a DELETE/UPDATE of a table an earlier in-span INSERT
+    * touched (it would not see the inserted rows), and a second
+    * DELETE/UPDATE of the same table (its scan would not see the
+    * first's vectors). DELETE/UPDATE semantics are exactly the
+    * merge-on-read paths' ([[commitDeleteVectors]] /
+    * [[commitUpdateVectors]]: O(matched rows) write cost, NULL
+    * predicates keep rows, existing DVs applied first so deleted rows
+    * never re-match or resurrect); a table's UPDATE images and INSERT
+    * batches union into ONE publish per table (the publish→claim
+    * CHECK-validation window stays per-table single, as every other
+    * committer keeps it). Claim-time read-set validation per
+    * DV-touched table + whole-recompute retry vs racers; at 100 TB
+    * the span costs its verbs' own deltas — nothing here rescans an
+    * untouched file. */
+  def commitSpan(s: SparkSession, root: String, actions: Seq[SpanAction],
+                 maxRetries: Int = 5): Long = {
+    require(actions.nonEmpty, "empty transaction: nothing to commit")
+    val seenInsert = scala.collection.mutable.Set[String]()
+    val seenDv = scala.collection.mutable.Set[String]()
+    actions.foreach {
+      case SpanInsert(t, _) => seenInsert += t
+      case a =>
+        require(!seenInsert.contains(a.table),
+          s"span: DELETE/UPDATE of ${a.table} after an in-span INSERT " +
+            "into it — span statements read the pre-transaction " +
+            "snapshot; put the DELETE/UPDATE first")
+        require(!seenDv.contains(a.table),
+          s"span: at most one DELETE/UPDATE per table per span (${a.table})")
+        seenDv += a.table
+    }
+    actions.collect { case u: SpanUpdate => u }.foreach(u =>
+      require(u.sets.nonEmpty, s"span UPDATE ${u.table}: empty SET list"))
+    var tries = 0
+    while (true) {
+      val base = latestReadableClaim(root)
+      require(base > 0, s"no committed snapshot at $root")
+      val absRoot = Paths.get(root).toAbsolutePath.normalize()
+      val hint = nextVersion(root)
+      val newRows = Seq.newBuilder[(String, String, String)]
+      val removes = Seq.newBuilder[(String, String)]
+      val expects = Seq.newBuilder[(String, Set[String])]
+      // per-table append payloads (UPDATE new images + INSERT batches)
+      // accumulate here and publish ONCE per table, in first-touch
+      // order; hits frames stay persisted until their images publish
+      val appends = scala.collection.mutable.LinkedHashMap[String, Vector[DataFrame]]()
+      val pinned = Seq.newBuilder[DataFrame]
+      import s.implicits._
+      try {
+        actions.foreach {
+          case SpanInsert(table, batch) =>
+            appends(table) = appends.getOrElse(table, Vector.empty) :+ batch
+          case action =>
+            val table = action.table
+            val cur = manifestRows(s, root, base)
+              .collect { case (t, f, st) if t == table => (f, st) }
+            require(cur.nonEmpty, s"table $table absent from snapshot v$base")
+            expects += (table -> cur.map(_._1).toSet)
+            val raw = registeredSchema(s, root, table, base) match {
+              case Some(sc) => readPinned(s, sc,
+                cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq,
+                Some(("_p", "_ri")))
+              case None => s.read
+                .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+                .withColumn("_p",
+                  expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))"))
+                .withColumn("_ri", col("_metadata.row_index"))
+            }
+            val existingPos = cur.flatMap { case (f, st) =>
+              dvRefOf(st).toSeq.flatMap { case (side, _) =>
+                val abs = absRoot.resolve(f).normalize().toString
+                readDvSidecar(root, side).map(p => (abs, p))
+              }
+            }
+            val masked =
+              if (existingPos.isEmpty) raw
+              else raw.join(broadcast(existingPos.toDF("_p", "_ri")),
+                Seq("_p", "_ri"), "left_anti")
+            val pred = action match {
+              case SpanDelete(_, p) => p
+              case SpanUpdate(_, p, _) => p
+              case _ => lit(false) // unreachable
+            }
+            val hits = masked.filter(pred)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            pinned += hits
+            val posRows = hits.select(col("_p"), col("_ri"))
+              .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+              .collect() // one row per touched file: O(matched) positions
+            if (posRows.nonEmpty) {
+              val perFile = posRows.map { r =>
+                val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
+                  .toString.replace('\\', '/')
+                rel -> r.getSeq[Long](1).toArray
+              }.toMap
+              val touched = cur.filter { case (f, _) => perFile.contains(f) }
+              val token = java.util.UUID.randomUUID().toString.take(8)
+              touched.foreach { case (f, st) =>
+                val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
+                  .getOrElse(Array.empty[Long])
+                val merged = (old ++ perFile(f)).distinct.sorted
+                val side = s"$f.dv-$token"
+                writeDvSidecar(root, side, merged)
+                newRows += ((table, f, statsWithDv(st, side, merged.length.toLong)))
+                removes += ((table, f))
+              }
+              action match {
+                case SpanUpdate(_, _, sets) =>
+                  val dataCols = masked.columns.filterNot(c => c == "_p" || c == "_ri")
+                  val unknown = sets.keySet.diff(dataCols.toSet)
+                  require(unknown.isEmpty,
+                    s"span UPDATE $table: SET of unknown columns $unknown")
+                  val updated = hits.select(dataCols.toIndexedSeq.map { c =>
+                    sets.get(c).map(_.cast(hits.schema(c).dataType).as(c))
+                      .getOrElse(col(c))
+                  }: _*)
+                  appends(table) = appends.getOrElse(table, Vector.empty) :+ updated
+                case _ =>
+              }
+            }
+        }
+        appends.foreach { case (table, batches) =>
+          val relFiles = publishData(s, root, hint,
+            table, batches.reduce(_ unionByName _))
+          newRows ++= statsRowsFor(s, root, table, relFiles, Seq.empty)
+        }
+      } finally pinned.result().foreach(_.unpersist())
+      val adds = newRows.result()
+      val rms = removes.result()
+      val exps = expects.result()
+      try {
+        return casCommit(s, root, { b =>
+          exps.foreach { case (t, exp) =>
+            val now = manifestRows(s, root, b)
+              .collect { case (tt, f, _) if tt == t => f }.toSet
+            if (now != exp)
+              throw new CommitConflict(
+                s"$t changed under the span (computed at v$base, claiming at v$b)")
+          }
+          deltaOrFull(s, root, b, Nil, adds, rms)
+        }, maxRetries)
+      } catch {
+        case _: CommitConflict =>
+          tries += 1
+          if (tries >= maxRetries) {
+            // retire EVERY span table's pending entry — the abandoned
+            // publishes are this thread's own (the ADVICE-hardened
+            // outer-loop discipline, span-wide)
+            (seenDv ++ seenInsert).foreach(retirePending(root, _))
+            throw new IllegalStateException(
+              s"commitSpan: tables kept changing under the span " +
+                s"($maxRetries attempts) at $root")
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Exact DEDUP as deletion vectors: keep, per `key` group, the row
     * with the smallest `orderCol` (file path + position break residual
     * ties, so the survivor is deterministic) and mask every other copy

@@ -1106,46 +1106,71 @@ object ManifestSql {
     last
   }
 
-  /** `BEGIN; INSERT INTO a ...; INSERT INTO b ...; COMMIT` — the span
-    * lands as ONE claim ([[Manifest.commitAppendMulti]]): a fact batch
-    * and its audit/summary rows can never be observed apart, at any
-    * version, under any crash — and a failure ANYWHERE in the span
-    * (analysis error, CHECK violation on the last batch) leaves
-    * NOTHING visible; already-published files stay unclaimed and
-    * vacuum collects them. Supported verb inside a span: `INSERT INTO`
-    * (multi-table atomic ingest — the transaction every warehouse
-    * actually runs); every other verb is already a single atomic
-    * commit on its own and refuses loudly inside a span. Reads inside
-    * the span see the PRE-transaction state (effects defer to
-    * COMMIT). Returns the commit report. */
+  /** `BEGIN; DELETE FROM t ...; INSERT INTO t ...; COMMIT` — the span
+    * lands as ONE claim ([[Manifest.commitSpan]]): a restate-a-day
+    * (DELETE + re-INSERT), a fact batch and its audit rows, or any
+    * mix of `INSERT INTO` / `DELETE FROM ... [WHERE ...]` /
+    * `UPDATE ... SET ... [WHERE ...]` across tables can never be
+    * observed apart, at any version, under any crash — and a failure
+    * ANYWHERE in the span (analysis error, CHECK violation on the
+    * last batch) leaves NOTHING visible; already-published files and
+    * DV sidecars stay unclaimed and vacuum collects them. Statements
+    * inside the span read the PRE-transaction snapshot (effects defer
+    * to COMMIT); `commitSpan` refuses the orderings that would
+    * contradict that. MERGE and the `IN (subquery)` DELETE/UPDATE
+    * forms refuse loudly inside a span (each is its own atomic
+    * commit); maintenance/DDL verbs likewise. Returns the commit
+    * report. */
   private def commitTxn(spark: SparkSession, root: String,
                         body: Seq[String]): DataFrame = {
     require(body.nonEmpty, "empty transaction: nothing to commit")
-    val parsed = body.map {
-      case InsertRe(table, query) => (table, query)
+    def noSubquery(w: String, verb: String): Unit =
+      require(!DeleteInSubRe.matches(w),
+        s"$verb ... IN (subquery) inside BEGIN...COMMIT is not " +
+          "supported (run it as its own atomic statement)")
+    val actions: Seq[Manifest.SpanAction] = body.map {
+      case InsertRe(table, query) =>
+        val target = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        val batch = spark.sql(query)
+        require(batch.schema.length == target.length,
+          s"INSERT INTO $table: ${batch.schema.length} columns provided, " +
+            s"table has ${target.length}")
+        Manifest.SpanInsert(table,
+          batch.toDF(target.fieldNames.toIndexedSeq: _*)
+            .select(target.fields.toIndexedSeq.map(f =>
+              col(f.name).cast(f.dataType)): _*))
+      case DeleteRe(table, rest) =>
+        Option(rest).map(_.trim).filter(_.nonEmpty) match {
+          case None => Manifest.SpanDelete(table, lit(true))
+          case Some(r) =>
+            require(r.toLowerCase.startsWith("where"),
+              s"unsupported DELETE clause: $r")
+            val w = r.substring(5).trim
+            noSubquery(w, "DELETE")
+            Manifest.SpanDelete(table, expr(w))
+        }
+      case UpdateRe(table, rest) =>
+        val wherePos = topLevelKeyword(rest, "where")
+        val (setPart, whereText) =
+          if (wherePos < 0) (rest, None)
+          else (rest.substring(0, wherePos),
+            Some(rest.substring(wherePos + 5).trim))
+        val sets = splitTopLevel(setPart, ',').map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0 && topLevelMask(a)(eq), s"malformed SET clause: $a")
+          a.substring(0, eq).trim -> expr(a.substring(eq + 1))
+        }.toMap
+        whereText.foreach(noSubquery(_, "UPDATE"))
+        Manifest.SpanUpdate(table,
+          whereText.map(expr).getOrElse(lit(true)), sets)
       case other => throw new IllegalArgumentException(
-        "only INSERT INTO is supported inside BEGIN...COMMIT (every " +
-          s"other verb is its own atomic commit): $other")
+        "only INSERT INTO / DELETE FROM / UPDATE are supported inside " +
+          s"BEGIN...COMMIT (every other verb is its own atomic commit): $other")
     }
-    val batches = parsed.map { case (table, query) =>
-      val target = Manifest.registeredSchema(spark, root, table)
-        .getOrElse(Manifest.readTable(spark, root, table).schema)
-      val batch = spark.sql(query)
-      require(batch.schema.length == target.length,
-        s"INSERT INTO $table: ${batch.schema.length} columns provided, " +
-          s"table has ${target.length}")
-      table -> batch.toDF(target.fieldNames.toIndexedSeq: _*)
-        .select(target.fields.toIndexedSeq.map(f =>
-          col(f.name).cast(f.dataType)): _*)
-    }
-    // several INSERTs into the same table union into one batch (the
-    // multi-commit takes one batch per table)
-    val merged = batches.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (t, bs) => (t, bs.map(_._2).reduce(_ union _), Seq.empty[String])
-    }
-    val v = Manifest.commitAppendMulti(spark, root, merged)
+    val v = Manifest.commitSpan(spark, root, actions)
     import spark.implicits._
-    Seq((v, body.size.toLong, merged.size.toLong))
+    Seq((v, body.size.toLong, actions.map(_.table).distinct.size.toLong))
       .toDF("version", "n_statements", "n_tables")
   }
 
@@ -3874,6 +3899,77 @@ object ManifestSql {
             |FROM table_changes('events_log', 1, 4)
             |GROUP BY _commit_version, _change_type
             |ORDER BY v, change""".stripMargin)
+      }),
+
+    // ----- multi-verb transaction (q314): the restate-a-day pattern
+    //       as ONE atomic span — `BEGIN; DELETE day; INSERT day';
+    //       UPDATE audit; COMMIT` folds a DV delete, an append, and a
+    //       DV update (second table) into ONE CAS claim. The query
+    //       asserts single-version atomicity IN-PLAN (`adv` = versions
+    //       the span advanced, oracle says 1 — a span that committed
+    //       per-verb reports 3); the oracle recomputes the restated
+    //       day (doubled values) + kept days per event_type and the
+    //       bumped audit counter: a half-applied span (day deleted but
+    //       not re-inserted, audit not bumped) shifts a branch of the
+    //       union — hash breaks. Failure-invisibility and ROLLBACK
+    //       no-op are DmlSpec's pins. -----
+    Q("q314_sql_multiverb_txn",
+      Some("""WITH f AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events
+             |  WHERE user_id < 50
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'),
+             |kept AS (SELECT event_type, v FROM f
+             |  WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-11 00:00:00')),
+             |restated AS (SELECT event_type, CAST(v * 2 AS DECIMAL(18,4)) AS v
+             |  FROM f WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-11 00:00:00'),
+             |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM restated)
+             |SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(v) AS DOUBLE) AS total, CAST(1 AS BIGINT) AS adv
+             |FROM allr GROUP BY event_type
+             |UNION ALL
+             |SELECT 'audit:restates', 1, CAST(NULL AS DOUBLE), 1
+             |ORDER BY k""".stripMargin),
+      (s, dir) => {
+        // user_id < 50 on BOTH sides: span machinery is what's priced
+        val ev = graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50 &&
+            col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-span").toString
+        Manifest.commitAppend(s, root, "facts", ev.coalesce(4))
+        Manifest.commitAppend(s, root, "audit", {
+          import s.implicits._
+          Seq(("restates", 0L)).toDF("k", "n").coalesce(1)
+        })
+        ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+          .createOrReplaceTempView("span_src_q314")
+        val before = Manifest.snapshotVersion(root)
+        runDml(s, root,
+          """BEGIN;
+            |DELETE FROM facts WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+            |  AND ts < TIMESTAMP '2024-01-11 00:00:00';
+            |INSERT INTO facts SELECT user_id, event_type, value * 2, ts
+            |  FROM span_src_q314;
+            |UPDATE audit SET n = n + 1;
+            |COMMIT""".stripMargin)
+        val adv = Manifest.snapshotVersion(root) - before
+        val facts = Manifest.readTable(s, root, "facts")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value").cast("double").as("total"))
+          .select(col("event_type").as("k"), col("n"), col("total"))
+        val audit = Manifest.readTable(s, root, "audit")
+          .select(concat(lit("audit:"), col("k")).as("k"), col("n"),
+            lit(null).cast("double").as("total"))
+        val out = facts.union(audit)
+          .withColumn("adv", lit(adv))
+          .orderBy("k").localCheckpoint(true)
+        s.catalog.dropTempView("span_src_q314")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
       })
   )
 

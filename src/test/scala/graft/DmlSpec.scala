@@ -940,6 +940,88 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "dst_t").count() == 2L)
   }
 
+  test("multi-verb span: one version, mid-span failure invisible, ROLLBACK no-op") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "a",
+      Seq(("n", 0L)).toDF("k", "c").coalesce(1))
+    Seq((4L, 40.0)).toDF("k", "v").createOrReplaceTempView("span_src")
+    val v0 = Manifest.snapshotVersion(root)
+    // DELETE + INSERT (same table) + UPDATE (second table): ONE claim
+    ManifestSql.runDml(spark, root,
+      """BEGIN;
+        |DELETE FROM t WHERE k = 2;
+        |INSERT INTO t SELECT k, v FROM span_src;
+        |UPDATE a SET c = c + 1;
+        |COMMIT""".stripMargin)
+    assert(Manifest.snapshotVersion(root) == v0 + 1)
+    assert(Manifest.readTable(spark, root, "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap ==
+      Map(1L -> 10.0, 3L -> 30.0, 4L -> 40.0))
+    assert(Manifest.readTable(spark, root, "a").head().getLong(1) == 1L)
+    // mid-span failure (bad INSERT arity AFTER a valid DELETE):
+    // nothing visible, no version advanced
+    val v1 = Manifest.snapshotVersion(root)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |DELETE FROM t WHERE k = 1;
+          |INSERT INTO t SELECT k, v, 99 FROM span_src;
+          |COMMIT""".stripMargin)
+    }
+    assert(Manifest.snapshotVersion(root) == v1)
+    assert(Manifest.readTable(spark, root, "t").count() == 3L)
+    // ROLLBACK discards a DELETE-carrying span entirely
+    ManifestSql.runDml(spark, root,
+      "BEGIN; DELETE FROM t WHERE k = 1; ROLLBACK")
+    assert(Manifest.snapshotVersion(root) == v1)
+    assert(Manifest.readTable(spark, root, "t").count() == 3L)
+  }
+
+  test("span ordering/verb refusals: DV-after-INSERT, double DV, MERGE, IN-subquery") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Seq((2L, 2.0)).toDF("k", "v").createOrReplaceTempView("span_bad_src")
+    val v = Manifest.snapshotVersion(root)
+    // a DELETE of a table an earlier in-span INSERT touched (span
+    // statements read the pre-transaction snapshot — refuse, not skew)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |INSERT INTO t SELECT k, v FROM span_bad_src;
+          |DELETE FROM t WHERE k = 2;
+          |COMMIT""".stripMargin)
+    }
+    // a second DELETE/UPDATE of the same table
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |DELETE FROM t WHERE k = 1;
+          |UPDATE t SET v = 2 WHERE k = 1;
+          |COMMIT""".stripMargin)
+    }
+    // MERGE is its own atomic commit
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |MERGE INTO t USING span_bad_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *;
+          |COMMIT""".stripMargin)
+    }
+    // the IN (subquery) forms run outside spans only
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |DELETE FROM t WHERE k IN (SELECT k FROM span_bad_src);
+          |COMMIT""".stripMargin)
+    }
+    // none of the refused spans committed anything
+    assert(Manifest.snapshotVersion(root) == v)
+    assert(Manifest.readTable(spark, root, "t").count() == 1L)
+  }
+
   test("table_changes() TVF: per-commit classes, repack silence, 2-arg/empty forms") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",                      // v1
