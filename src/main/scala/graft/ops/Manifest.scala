@@ -3755,6 +3755,53 @@ object Manifest {
     }
   }
 
+  /** ALTER COLUMN TYPE — WIDENING only, as metadata DDL: one commit
+    * registers the widened schema, ZERO data moves. Files written
+    * before the widening serve through the pinned-schema read's
+    * parquet type PROMOTION (Spark's reader serves INT32 as LongType,
+    * FLOAT as DoubleType, and DECIMAL precision growth directly —
+    * SchemaDdlSpec pins the read-back against literally-pre-widen
+    * files); post-widen appends land in the widened type, and
+    * INSERT's positional cast follows the registration automatically.
+    * Narrowing and lossy changes refuse LOUDLY — they would truncate
+    * silently at read, the one failure mode a schema registry exists
+    * to prevent. Legal widenings: byte→short/int/long, short→int/long,
+    * int→long, float→double, decimal(p,s)→decimal(P,s) with P>p (a
+    * scale change relocates the point — refused). Rename aliases
+    * widen with the field: old files storing the former name promote
+    * the same way. At 100 TB this is the schema evolution a
+    * long-lived fact table eventually needs — an id column outgrowing
+    * INT — priced as one metadata commit instead of a full rewrite. */
+  def commitAlterColumnType(s: SparkSession, root: String, table: String,
+                            colName: String,
+                            newType: org.apache.spark.sql.types.DataType,
+                            maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision > d1.precision
+      case _ => false
+    }
+    commitSchemaChange(s, root, table, maxRetries) { cur =>
+      val f = cur.fields.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN: no column $colName on $table " +
+            s"(has ${cur.fieldNames.mkString(", ")})"))
+      require(f.dataType != newType,
+        s"ALTER COLUMN: $colName is already ${f.dataType.sql}")
+      require(widens(f.dataType, newType),
+        s"ALTER COLUMN: ${f.dataType.sql} -> ${newType.sql} is not a " +
+          "widening (narrowing/lossy changes would truncate silently " +
+          "at read) — refused")
+      StructType(cur.fields.map(x =>
+        if (x.name == colName) x.copy(dataType = newType) else x))
+    }
+  }
+
   /** Alias-aware schema-pinned read: files are scanned with the
     * PHYSICAL union schema (current names + every rename alias, each
     * NULL-filled where absent) and projected back to the logical

@@ -707,6 +707,13 @@ object ManifestSql {
         // name becomes reserved (re-adding would resurrect old values)
         Manifest.commitDropColumn(spark, root, table, colName)
         last = spark.emptyDataFrame
+      case AlterColumnTypeRe(table, colName, typeDdl) =>
+        // ALTER TABLE t ALTER COLUMN c [SET DATA] TYPE <type>:
+        // WIDENING-only metadata DDL — pre-widen files serve through
+        // parquet type promotion, narrowing refuses loudly
+        Manifest.commitAlterColumnType(spark, root, table, colName,
+          org.apache.spark.sql.types.DataType.fromDDL(typeDdl))
+        last = spark.emptyDataFrame
       case RenameColumnRe(table, from, to) =>
         // ALTER TABLE t RENAME COLUMN a TO b: metadata DDL — the old
         // name rides as a read alias; no data moves
@@ -1200,6 +1207,10 @@ object ManifestSql {
   private val DropColumnRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+DROP\\s+COLUMN\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
+  private val AlterColumnTypeRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ALTER\\s+COLUMN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+" +
+      "([A-Za-z0-9_(),\\s]+?)\\s*$").r
   private val RenameColumnRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+RENAME\\s+COLUMN\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
@@ -3968,6 +3979,62 @@ object ManifestSql {
           .withColumn("adv", lit(adv))
           .orderBy("k").localCheckpoint(true)
         s.catalog.dropTempView("span_src_q314")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- ALTER COLUMN TYPE widening (q315): an id column outgrows
+    //       INT mid-history — the table commits as INT32 files, widens
+    //       to BIGINT as ONE metadata commit (zero data moves), then a
+    //       positional INSERT lands ids beyond the int range. The
+    //       oracle recomputes both eras per event_type over BIGINT
+    //       arithmetic: a pre-widen file misread under the widened
+    //       registration (the parquet-promotion read path), an
+    //       overflowed sum, or an insert that truncated back to int
+    //       all shift sum_uid — hash breaks. -----
+    Q("q315_sql_alter_column_type",
+      Some("""WITH pre AS (SELECT event_type, CAST(user_id AS BIGINT) AS uid,
+             |    CAST(value AS DECIMAL(18,4)) AS v FROM events
+             |  WHERE user_id < 50
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'),
+             |w2 AS (SELECT event_type,
+             |    CAST(user_id AS BIGINT) + 3000000000 AS uid,
+             |    CAST(value AS DECIMAL(18,4)) AS v FROM events
+             |  WHERE user_id < 50
+             |    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'),
+             |allr AS (SELECT * FROM pre UNION ALL SELECT * FROM w2)
+             |SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(uid) AS BIGINT) AS sum_uid,
+             |  CAST(sum(v) AS DOUBLE) AS total
+             |FROM allr GROUP BY event_type ORDER BY k""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("v"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val root = Files.createTempDirectory("graft-sql-widen").toString
+        // era 1: uid is INT32 on disk
+        Manifest.commitAppend(s, root, "facts",
+          ev.filter(col("ts") < cut)
+            .select(col("user_id").cast("int").as("uid"),
+              col("event_type"), col("v")).coalesce(2))
+        runDml(s, root, "ALTER TABLE facts ALTER COLUMN uid TYPE BIGINT")
+        // era 2: ids beyond the int range, positional INSERT as text
+        ev.filter(col("ts") >= cut)
+          .select((col("user_id").cast("long") + 3000000000L).as("uid"),
+            col("event_type"), col("v"))
+          .createOrReplaceTempView("widen_src_q315")
+        runDml(s, root,
+          "INSERT INTO facts SELECT uid, event_type, v FROM widen_src_q315")
+        val out = Manifest.readTable(s, root, "facts")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("uid").as("sum_uid"),
+            sum("v").cast("double").as("total"))
+          .select(col("event_type").as("k"), col("n"), col("sum_uid"),
+            col("total"))
+          .orderBy("k").localCheckpoint(true)
+        s.catalog.dropTempView("widen_src_q315")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

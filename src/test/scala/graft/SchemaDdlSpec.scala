@@ -134,4 +134,51 @@ class SchemaDdlSpec extends SparkSuite {
       ManifestSql.runDml(spark, root, "ALTER TABLE t ADD COLUMN b DOUBLE")
     }
   }
+
+  test("ALTER COLUMN TYPE widens: pre-widen files promote, insert follows") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1, 1.5f, BigDecimal("12.34")), (2, 2.5f, BigDecimal("99999.99")))
+        .toDF("k", "f", "d")
+        .select(col("k").cast("int"), col("f").cast("float"),
+          col("d").cast("decimal(8,2)")).coalesce(1))
+    ManifestSql.runDml(spark, root,
+      """ALTER TABLE t ALTER COLUMN k TYPE BIGINT;
+        |ALTER TABLE t ALTER COLUMN f SET DATA TYPE DOUBLE;
+        |ALTER TABLE t ALTER COLUMN d TYPE DECIMAL(18,2)""".stripMargin)
+    // pre-widen INT32/FLOAT/DECIMAL(8,2) files read back exactly under
+    // the widened registration (parquet type promotion, zero rewrites)
+    val sch = Manifest.readTable(spark, root, "t").schema
+    assert(sch("k").dataType.sql == "BIGINT" &&
+      sch("f").dataType.sql == "DOUBLE" &&
+      sch("d").dataType.sql == "DECIMAL(18,2)")
+    // positional INSERT lands a value beyond the int range
+    ManifestSql.runDml(spark, root,
+      "INSERT INTO t VALUES (3000000001, 3.5, 123456789012345.67)")
+    val got = Manifest.readTable(spark, root, "t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDecimal(2).toString))
+    assert(got.toSeq == Seq((1L, 1.5, "12.34"), (2L, 2.5, "99999.99"),
+      (3000000001L, 3.5, "123456789012345.67")))
+  }
+
+  test("ALTER COLUMN TYPE refuses narrowing, lossy, scale, same-type, unknown") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0, BigDecimal("1.23"))).toDF("k", "v", "d")
+        .select(col("k"), col("v"), col("d").cast("decimal(8,2)")).coalesce(1))
+    def refuse(stmt: String): Unit =
+      intercept[IllegalArgumentException] { ManifestSql.runDml(spark, root, stmt) }
+    refuse("ALTER TABLE t ALTER COLUMN k TYPE INT")           // narrowing
+    refuse("ALTER TABLE t ALTER COLUMN v TYPE FLOAT")         // lossy
+    refuse("ALTER TABLE t ALTER COLUMN d TYPE DECIMAL(18,4)") // scale change
+    refuse("ALTER TABLE t ALTER COLUMN d TYPE DECIMAL(6,2)")  // precision shrink
+    refuse("ALTER TABLE t ALTER COLUMN k TYPE BIGINT")        // already BIGINT
+    refuse("ALTER TABLE t ALTER COLUMN v TYPE STRING")        // class change
+    refuse("ALTER TABLE t ALTER COLUMN nope TYPE BIGINT")     // unknown column
+    // nothing registered: the table still reads with its own types
+    val sch = Manifest.readTable(spark, root, "t").schema
+    assert(sch("k").dataType.sql == "BIGINT" &&
+      sch("v").dataType.sql == "DOUBLE" &&
+      sch("d").dataType.sql == "DECIMAL(8,2)")
+  }
 }
