@@ -1197,6 +1197,78 @@ object Manifest {
     }.toSet
   }
 
+  // ------------------------------------------- schema-level grants (ACL)
+
+  /** The schema a dotted table name lives in: everything before the
+    * LAST dot (`sales.daily.facts` → `sales.daily`); an undotted name
+    * has none. */
+  private def schemaOf(table: String): Option[String] = {
+    val i = table.lastIndexOf('.')
+    if (i <= 0) None else Some(table.substring(0, i))
+  }
+
+  private def schemaGrantMarkerName(schema: String, role: String): String = {
+    require(role.matches("[A-Za-z0-9_]+"), s"unsafe role name: $role")
+    require(schema.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe schema name: $schema")
+    s"_grantsch_${schema.length}.$schema.$role"
+  }
+
+  private def schemaGrantPrefix(schema: String): String =
+    s"_grantsch_${schema.length}.$schema."
+
+  /** Sticky closure marker for a SCHEMA — same never-reopen discipline
+    * as [[aclOnMarkerName]]. */
+  private def schemaAclOnMarkerName(schema: String): String =
+    s"_aclonsch_${schema.length}.$schema"
+
+  /** `GRANT SELECT ON SCHEMA s TO role`: one grant covers every table
+    * under the `s.` prefix — a multi-table root does not need
+    * per-table statements. Resolution PRECEDENCE: a table with its own
+    * grant history is governed by its table-level grants EXCLUSIVELY
+    * (the table grant overrides the schema grant, both to narrow and
+    * to widen); otherwise the schema's grants decide; otherwise open.
+    * Closure is sticky at both levels (revoking the last grant leaves
+    * the scope admin-only, never silently reopened). The grant refuses
+    * on a schema with no tables — a typo'd GRANT must not "succeed"
+    * into a silent no-op. */
+  def grantSelectSchema(s: SparkSession, root: String, schema: String,
+                        role: String, maxRetries: Int = 5): Unit = {
+    val marker = schemaGrantMarkerName(schema, role)
+    val _ = casCommit(s, root, { base =>
+      require(base > 0 && manifestRows(s, root, base)
+          .exists(_._1.startsWith(schema + ".")),
+        s"GRANT ON SCHEMA: no table under schema $schema in $root")
+      deltaOrFull(s, root, base, Nil, Nil)
+        .copy(extras = Seq(
+          marker -> "SELECT".getBytes("UTF-8"),
+          schemaAclOnMarkerName(schema) -> "1".getBytes("UTF-8")))
+    }, maxRetries)
+  }
+
+  /** `REVOKE SELECT ON SCHEMA s FROM role`: tombstone claim; revoking
+    * a never-granted role is a no-op (identifiers still validate). */
+  def revokeSelectSchema(s: SparkSession, root: String, schema: String,
+                         role: String, maxRetries: Int = 5): Unit = {
+    if (!schemaGrants(root, schema).contains(role)) {
+      val _ = schemaGrantMarkerName(schema, role)
+      return
+    }
+    val _ = casCommit(s, root, { base =>
+      deltaOrFull(s, root, base, Nil, Nil)
+        .copy(extras = Seq(
+          schemaGrantMarkerName(schema, role) -> Array.empty[Byte]))
+    }, maxRetries)
+  }
+
+  /** Roles holding SELECT on schema `schema`. Metadata-only. */
+  def schemaGrants(root: String, schema: String): Set[String] = {
+    val prefix = schemaGrantPrefix(schema)
+    claimMarkers(root, prefix).collect {
+      case (n, bytes) if bytes.nonEmpty => n.substring(prefix.length)
+    }.toSet
+  }
+
   /** `FSCK REPAIR TABLE`: drop manifest entries whose data files are
     * physically MISSING (out-of-band deletion, storage corruption) so
     * reads stop dying on FileNotFound — Databricks' repair verb. The
@@ -1276,11 +1348,22 @@ object Manifest {
     * silent empty frame would read as "no rows", not "no access". */
   def requireSelect(root: String, table: String, role: String): Unit = {
     if (role == "admin") return
-    val closed = claimMarkers(root, aclOnMarkerName(table)).nonEmpty
-    if (closed && !tableGrants(root, table).contains(role))
-      throw new IllegalStateException(
-        s"role $role lacks SELECT on $table (granted: " +
-          s"${tableGrants(root, table).toSeq.sorted.mkString(", ")})")
+    // table-level grant history governs EXCLUSIVELY when present —
+    // the table grant overrides the schema grant in both directions
+    if (claimMarkers(root, aclOnMarkerName(table)).nonEmpty) {
+      if (!tableGrants(root, table).contains(role))
+        throw new IllegalStateException(
+          s"role $role lacks SELECT on $table (granted: " +
+            s"${tableGrants(root, table).toSeq.sorted.mkString(", ")})")
+      return
+    }
+    schemaOf(table).foreach { sch =>
+      if (claimMarkers(root, schemaAclOnMarkerName(sch)).nonEmpty &&
+          !schemaGrants(root, sch).contains(role))
+        throw new IllegalStateException(
+          s"role $role lacks SELECT on $table (schema $sch is closed; " +
+            s"schema grants: ${schemaGrants(root, sch).toSeq.sorted.mkString(", ")})")
+    }
   }
 
   /** Validate just-published files against `table`'s CHECK
@@ -5034,7 +5117,8 @@ object Manifest {
             .filter(n => n.startsWith("_txn_") || n.startsWith("_schema_") ||
               n.startsWith("_check_") || n.startsWith("_policy") ||
               n.startsWith("_stats_") || n.startsWith("_prop_") ||
-              n.startsWith("_grant_") || n.startsWith("_aclon_")).toList
+              n.startsWith("_grant_") || n.startsWith("_aclon_") ||
+              n.startsWith("_grantsch_") || n.startsWith("_aclonsch_")).toList
           finally l.close()
         markers.foreach { name =>
           if (!Files.exists(dest.resolve(name)))
@@ -5097,7 +5181,8 @@ object Manifest {
     * governs exactly like its source — a replica that lost its masking
     * policies or ACL closure would serve raw data to every role. */
   private val registryPrefixes = Seq(
-    "_policydef_", "_policies_", "_prop_", "_grant_", "_aclon_", "_stats_")
+    "_policydef_", "_policies_", "_prop_", "_grant_", "_aclon_",
+    "_grantsch_", "_aclonsch_", "_stats_")
 
   /** Effective (newest, non-tombstoned) registry markers of `root`. */
   private def registryMarkers(root: String): Seq[(String, Array[Byte])] =

@@ -916,6 +916,19 @@ object ManifestSql {
         require(role.matches("[A-Za-z0-9_]+"), s"unsafe role name: $role")
         spark.conf.set("graft.sql.role", role)
         last = spark.emptyDataFrame
+      case GrantSchemaRe(schema, role) =>
+        // GRANT SELECT ON SCHEMA s TO r: one grant covers every table
+        // under the s. prefix; a table's own grant history overrides
+        Manifest.grantSelectSchema(spark, root, schema, role)
+        last = spark.emptyDataFrame
+      case RevokeSchemaRe(schema, role) =>
+        Manifest.revokeSelectSchema(spark, root, schema, role)
+        last = spark.emptyDataFrame
+      case ShowGrantsSchemaRe(schema) =>
+        // SHOW GRANTS ON SCHEMA s: the live schema ACL, pure metadata
+        last = { import spark.implicits._
+          Manifest.schemaGrants(root, schema).toSeq.sorted
+            .map(r => (r, "SELECT")).toDF("role", "privilege") }
       case GrantRe(table, role) =>
         // GRANT SELECT ON t TO r: the first grant closes the table
         // (only admin + granted roles read from then on)
@@ -1406,6 +1419,14 @@ object ManifestSql {
       "([A-Za-z0-9_]+)\\s*$").r
   private val ShowGrantsRe =
     "(?is)^SHOW\\s+GRANTS\\s+ON\\s+([A-Za-z0-9_.-]+)\\s*$".r
+  private val GrantSchemaRe =
+    ("(?is)^GRANT\\s+SELECT\\s+ON\\s+SCHEMA\\s+([A-Za-z0-9_.-]+)\\s+TO\\s+" +
+      "([A-Za-z0-9_]+)\\s*$").r
+  private val RevokeSchemaRe =
+    ("(?is)^REVOKE\\s+SELECT\\s+ON\\s+SCHEMA\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+" +
+      "([A-Za-z0-9_]+)\\s*$").r
+  private val ShowGrantsSchemaRe =
+    "(?is)^SHOW\\s+GRANTS\\s+ON\\s+SCHEMA\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val FsckRe =
     ("(?is)^FSCK\\s+REPAIR\\s+TABLE\\s+([A-Za-z0-9_.-]+)" +
       "(\\s+DRY\\s+RUN)?\\s*$").r
@@ -4035,6 +4056,66 @@ object ManifestSql {
             col("total"))
           .orderBy("k").localCheckpoint(true)
         s.catalog.dropTempView("widen_src_q315")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- schema-level grants (q316): `GRANT SELECT ON SCHEMA sales
+    //       TO analyst` closes every table under the `sales.` prefix
+    //       with ONE statement — and a table's own grant history
+    //       OVERRIDES the schema grant in both directions (the q297
+    //       table-level registry wins exclusively when present). The
+    //       enforcement matrix is asserted IN-PLAN: analyst reads
+    //       sales.facts (schema grant) at admin's count but refuses
+    //       sales.audit (table-closed to auditor only), auditor reads
+    //       audit but refuses facts, intern refuses both; the output
+    //       lists both registries after a vacuum to the floor, stated
+    //       literally by the oracle — a schema grant the vacuum
+    //       dropped, or precedence inverted, breaks the board. Pure
+    //       metadata at any scale. -----
+    Q("q316_sql_schema_grants",
+      Some("""SELECT * FROM (VALUES
+             |  ('analyst', 'SELECT', 'schema:sales'),
+             |  ('auditor', 'SELECT', 'table:sales.audit'))
+             |  t(role, privilege, scope)
+             |ORDER BY scope, role""".stripMargin),
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-sql-schgrants").toString
+        graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("value").cast("double").as("v"))
+          .createOrReplaceTempView("schg_src")
+        runDml(s, root,
+          """CREATE TABLE sales.facts AS SELECT * FROM schg_src;
+            |CREATE TABLE sales.audit AS SELECT * FROM schg_src;
+            |GRANT SELECT ON SCHEMA sales TO analyst;
+            |GRANT SELECT ON sales.audit TO auditor;
+            |VACUUM RETAIN 1 VERSIONS GRACE 0""".stripMargin)
+        def canRead(role: String, table: String): Boolean = {
+          s.conf.set("graft.sql.role", role)
+          try scala.util.Try {
+            register(s, root, table, "schg_probe_v")
+            s.sql("SELECT count(*) FROM schg_probe_v").collect()(0).getLong(0)
+          }.isSuccess
+          finally s.conf.set("graft.sql.role", "admin")
+        }
+        // the precedence matrix, in-plan: schema grant serves facts,
+        // table grant overrides it on audit, strangers refuse all
+        require(canRead("analyst", "sales.facts") &&
+          !canRead("analyst", "sales.audit") &&
+          canRead("auditor", "sales.audit") &&
+          !canRead("auditor", "sales.facts") &&
+          !canRead("intern", "sales.facts") &&
+          !canRead("intern", "sales.audit") &&
+          canRead("admin", "sales.facts") && canRead("admin", "sales.audit"),
+          "schema-grant precedence matrix violated")
+        val out = runDml(s, root, "SHOW GRANTS ON SCHEMA sales")
+          .withColumn("scope", lit("schema:sales"))
+          .union(runDml(s, root, "SHOW GRANTS ON sales.audit")
+            .withColumn("scope", lit("table:sales.audit")))
+          .orderBy("scope", "role").localCheckpoint(true)
+        s.catalog.dropTempView("schg_src")
+        s.catalog.dropTempView("schg_probe_v")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

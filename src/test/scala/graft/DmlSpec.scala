@@ -1022,6 +1022,35 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").count() == 1L)
   }
 
+  test("schema grants: table grant overrides schema grant both ways; sticky closure") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "s.a",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "s.b",
+      Seq((2L, 2.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root, "GRANT SELECT ON SCHEMA s TO r1")
+    def ok(role: String, table: String): Boolean = {
+      spark.conf.set("graft.sql.role", role)
+      try scala.util.Try(
+        ManifestSql.register(spark, root, table, "schg_spec_v")).isSuccess
+      finally spark.conf.set("graft.sql.role", "admin")
+    }
+    assert(ok("r1", "s.a") && ok("r1", "s.b") && !ok("r2", "s.a"))
+    // NARROWING override: a table-level grant to r2 closes s.b at the
+    // table level — r1's schema grant no longer reaches it
+    ManifestSql.runDml(spark, root, "GRANT SELECT ON s.b TO r2")
+    assert(!ok("r1", "s.b") && ok("r2", "s.b") && ok("r1", "s.a"))
+    // WIDENING override: r2 is table-granted on s.b despite never
+    // holding the schema grant (already shown), and revoking the
+    // schema's last grant leaves the schema CLOSED, never reopened
+    ManifestSql.runDml(spark, root, "REVOKE SELECT ON SCHEMA s FROM r1")
+    assert(!ok("r1", "s.a") && !ok("r2", "s.a") && ok("r2", "s.b"))
+    // a grant on a schema with no tables refuses (typo guard)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "GRANT SELECT ON SCHEMA nope TO r1")
+    }
+  }
+
   test("table_changes() TVF: per-commit classes, repack silence, 2-arg/empty forms") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",                      // v1
