@@ -160,6 +160,42 @@ object Stats {
           .toDF("column_name", "n_rows", "n_nulls", "n_distinct",
             "min_v", "max_v")
         stats.unionByName(sqlRow).orderBy("column_name")
+      }),
+
+    // ----- incremental ANALYZE (q317): stats maintenance at O(delta)
+    //       — after the full ANALYZE, an append lands and `ANALYZE
+    //       TABLE ... UPDATE STATISTICS` merges it: counts add, min/
+    //       max fold, NDV unions the persisted HLL sketch with the
+    //       delta's, and the re-persisted marker keeps the
+    //       count(DISTINCT) metadata fast path SERVING instead of
+    //       going dark until the next full rescan. O(delta) is proved
+    //       IN-FIXTURE, not claimed: the era-1 data files are DELETED
+    //       before the increment runs (a rescan would throw), and
+    //       era-2's are deleted before the final statement (which can
+    //       therefore only answer from the merged registry). The
+    //       tolerance-band oracle (the q90/q145 estimator idiom):
+    //       exact n_rows + exact NDV recomputed from raw events, plus
+    //       |merged_est − exact|/exact ≤ 5% as an oracle-pinned flag
+    //       (default lgConfigK=12 ⇒ ~1.6% rsd — 5% is ≳3σ). -----
+    Q("q317_sql_analyze_incremental",
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+             |  CAST(1 AS INT) AS approx_ok
+             |FROM events""".stripMargin),
+      (s, dir) => {
+        import graft.sources.ManifestSql
+        import s.implicits._
+        val root = sqlIncAnalyzeRoot(s, dir)
+        // data files are all gone: metadata-only by construction
+        val fast = ManifestSql.runDml(s, root,
+          "SELECT count(*) AS n_rows, count(DISTINCT user_id) AS ndv " +
+            "FROM events_log").head()
+        val exact = Tables.load(s, dir, "events")
+          .agg(countDistinct(col("user_id"))).head().getLong(0)
+        Seq((fast.getLong(0), exact,
+          if (math.abs(fast.getLong(1) - exact).toDouble / exact <= 0.05) 1
+          else 0))
+          .toDF("n_rows", "exact_ndv", "approx_ok")
       })
   )
 
@@ -185,6 +221,42 @@ object Stats {
       require(rep.count() == 3L, "staging bug: ANALYZE reported wrong arity")
       graft.ops.Staging.deleteRecursively(
         java.nio.file.Paths.get(s"$tmp/data"))
+    }
+  }
+
+  /** q317's root: era-1 commits + full ANALYZE, era-1 data files
+    * DELETED, era-2 appends, incremental ANALYZE (which can therefore
+    * only have scanned era-2), era-2 files deleted too — every number
+    * the final statement serves is provably registry-only, and the
+    * increment provably never rescanned the analyzed era. */
+  def sqlIncAnalyzeRoot(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val fp = Staging.fingerprintOf(dir, Seq("events"))
+    Staging.ensure(s"target/graft-sql-inc-analyze/$fp-${Manifest.layoutKey}") { tmp =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      Manifest.commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") < cut), "ts", 4)
+      val _r = Manifest.commitAppendEvolve(s, tmp, "events_log",
+        ev.limit(0), allowEvolution = true)
+      val rep = graft.sources.ManifestSql.runDml(s, tmp,
+        "ANALYZE TABLE events_log COMPUTE STATISTICS " +
+          "FOR COLUMNS event_type, user_id")
+      require(rep.count() == 2L, "staging bug: ANALYZE reported wrong arity")
+      // era-1 files vanish BEFORE the increment: O(delta) by proof
+      val dataDir = JPaths.get(s"$tmp/data")
+      val era1 = { val l = JFiles.list(dataDir)
+        try l.iterator().asScala.toList finally l.close() }
+      Manifest.commitAppendRanged(s, tmp, "events_log",
+        ev.filter(col("ts") >= cut), "ts", 4)
+      era1.foreach(Staging.deleteRecursively)
+      val inc = graft.sources.ManifestSql.runDml(s, tmp,
+        "ANALYZE TABLE events_log UPDATE STATISTICS")
+      require(inc.count() == 2L, "staging bug: increment reported wrong arity")
+      Staging.deleteRecursively(dataDir)
     }
   }
 }

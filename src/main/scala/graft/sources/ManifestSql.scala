@@ -1035,6 +1035,14 @@ object ManifestSql {
         val cols = Option(colsS).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         last = Manifest.analyzeTable(spark, root, table, cols)
+      case AnalyzeUpdateRe(table) =>
+        // ANALYZE TABLE t UPDATE STATISTICS: incremental maintenance —
+        // pure-append intervals merge O(delta) (HLL-union NDV, folded
+        // min/max, added counts) and keep the metadata fast path
+        // serving; rewrite intervals refuse (run the full ANALYZE)
+        Manifest.requireSelect(root, table,
+          spark.conf.get("graft.sql.role", "admin"))
+        last = Manifest.analyzeIncremental(spark, root, table)
       case ShowStatsRe(table) =>
         // ACL-gated like ANALYZE: the registry holds column bounds/NDV
         Manifest.requireSelect(root, table,
@@ -1445,6 +1453,8 @@ object ManifestSql {
   private val AnalyzeRe =
     ("(?is)^ANALYZE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+COMPUTE\\s+STATISTICS" +
       "(?:\\s+FOR\\s+COLUMNS\\s+(.+?))?\\s*$").r
+  private val AnalyzeUpdateRe =
+    "(?is)^ANALYZE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+UPDATE\\s+STATISTICS\\s*$".r
   private val ShowStatsRe =
     "(?is)^SHOW\\s+STATS\\s+(?:FOR\\s+)?([A-Za-z0-9_.-]+)\\s*$".r
 

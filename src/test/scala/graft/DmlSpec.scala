@@ -1022,6 +1022,45 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").count() == 1L)
   }
 
+  test("incremental ANALYZE: append merges O(delta), rewrite refuses, stale falls through") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      (1L to 50L).map(k => (k, s"u$k")).toDF("k", "s").coalesce(1))
+    // no baseline yet: the increment refuses
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "ANALYZE TABLE t UPDATE STATISTICS")
+    }
+    ManifestSql.runDml(spark, root,
+      "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k, s")
+    Manifest.commitAppend(spark, root, "t",
+      (51L to 80L).map(k => (k, s"u$k")).toDF("k", "s").coalesce(1))
+    val inc = ManifestSql.runDml(spark, root,
+      "ANALYZE TABLE t UPDATE STATISTICS")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // counts added, min/max folded; HLL is near-exact at this size
+    assert(inc("k")._1 == 80L && inc("k")._3 == "1" && inc("k")._4 == "80")
+    assert(math.abs(inc("k")._2 - 80L) <= 4L &&
+      math.abs(inc("s")._2 - 80L) <= 4L)
+    // the metadata fast path serves the merged NDV (registry fresh)
+    val fast = ManifestSql.runDml(spark, root,
+      "SELECT count(*) AS n, count(DISTINCT k) AS ndv FROM t").head()
+    assert(fast.getLong(0) == 80L && math.abs(fast.getLong(1) - 80L) <= 4L)
+    // a rewrite staleness: compaction repacks the file set, so the
+    // interval is non-append — the increment refuses, and
+    // count(DISTINCT) falls through to the scan path (exact again),
+    // as the stale-exact discipline says
+    Manifest.compactTable(spark, root, "t", targetBytes = Long.MaxValue)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "ANALYZE TABLE t UPDATE STATISTICS")
+    }
+    ManifestSql.register(spark, root, "t", "t") // the scan path's relation
+    val scan = ManifestSql.runDml(spark, root,
+      "SELECT count(DISTINCT k) AS ndv FROM t").head()
+    assert(scan.getLong(0) == 80L)
+    spark.catalog.dropTempView("t")
+  }
+
   test("schema grants: table grant overrides schema grant both ways; sticky closure") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "s.a",
