@@ -319,6 +319,41 @@ object Text {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Exact-substring SPAN REMOVAL (the Lee et al. 2022 dedup as a
+    * REWRITE, not just the q257 signal): tokenize each doc, mark every
+    * token position covered by a 5-gram that occurs in ≥2 DISTINCT
+    * docs of `docs`, drop the marked positions, re-join the
+    * survivors. Input needs (doc_id, text); returns it plus `tk`
+    * (original tokens), `kept` (surviving tokens, order preserved)
+    * and `new_text` (the re-joined doc — empty when boilerplate
+    * covered everything). 100-TB shape: one gram-keyed distinct-doc
+    * agg + one semi-join back (the q257 costs exactly — at scale the
+    * gram string becomes a 64-bit hash before the shuffle), covered
+    * positions collapse to ONE per-doc sorted set (row-sized, like
+    * the q306 chunker's row-local arrays), and the rewrite itself is
+    * a per-row index-filter HOF — zero extra shuffles. Docs under 5
+    * tokens have no grams and pass through whole. */
+  def spanDedupRewrite(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tt = docs.withColumn("tk", split(col("text"), " "))
+    val g = tt.filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(4, size(tk) - 1), i -> struct(i - 4 AS s, " +
+          "concat_ws(' ', tk[i-4], tk[i-3], tk[i-2], tk[i-1], tk[i]) AS g))"))
+        .as("sg"))
+      .select(col("doc_id"), col("sg.s").as("s"), col("sg.g").as("g"))
+    val dup = g.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val cov = g.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(expr("sequence(s, s + 4)")).as("p"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("p"))).as("cov"))
+    tt.join(cov, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("cov").isNull, col("tk"))
+        .otherwise(expr("filter(tk, (t, i) -> NOT array_contains(cov, i))")))
+      .withColumn("new_text", concat_ws(" ", col("kept")))
+      .drop("cov")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ----- exact dedup via content-normalization hash: key is md5 of the
@@ -1322,7 +1357,10 @@ object Text {
     //       pipeline publishes — docs and tokens surviving each dedup
     //       tier: raw → exact (one kept per identical text) → near-dup
     //       (one kept per LSH connected component OVER THE EXACT
-    //       SURVIVORS). Stage ORDER is semantic, not cosmetic: exact
+    //       SURVIVORS) → span dedup (duplicated 5-gram spans REMOVED
+    //       from the near-dup survivors, the q318 rewrite — the tier
+    //       that shrinks TOKENS, not docs). Stage ORDER is semantic,
+    //       not cosmetic: exact
     //       dups share every band, so a >cap group of identical docs
     //       would be SKIPPED by the LSH bucket guard — running exact
     //       first is what keeps the near-dup tier complete. 100-TB
@@ -1370,7 +1408,29 @@ object Text {
               |  SELECT DISTINCT component AS doc_id FROM comp
               |  UNION ALL
               |  SELECT doc_id FROM ex
-              |  WHERE doc_id NOT IN (SELECT id FROM comp))
+              |  WHERE doc_id NOT IN (SELECT id FROM comp)
+              |), l3 AS (
+              |  SELECT d.doc_id, string_split(d.text, ' ') AS l
+              |  FROM documents d
+              |  WHERE d.doc_id IN (SELECT doc_id FROM kept2)
+              |), g3 AS (
+              |  SELECT doc_id, unnest(range(1, len(l) - 3)) AS i, l FROM l3
+              |), g3g AS (
+              |  SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS g FROM g3
+              |), dup3 AS (
+              |  SELECT g FROM (
+              |    SELECT g, count(DISTINCT doc_id) AS nd FROM g3g GROUP BY g)
+              |  WHERE nd >= 2
+              |), cov3 AS (
+              |  SELECT DISTINCT doc_id, unnest([i, i+1, i+2, i+3, i+4]) AS p
+              |  FROM g3g WHERE g IN (SELECT g FROM dup3)
+              |), pos3 AS (
+              |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS p FROM l3
+              |), pd3 AS (
+              |  SELECT pos3.doc_id, count(*) AS nk FROM pos3
+              |  WHERE NOT EXISTS (SELECT 1 FROM cov3 c
+              |    WHERE c.doc_id = pos3.doc_id AND c.p = pos3.p)
+              |  GROUP BY pos3.doc_id)
               |SELECT * FROM (
               |  SELECT CAST(0 AS BIGINT) AS stage,
               |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -1380,14 +1440,17 @@ object Text {
               |    FROM toks WHERE doc_id IN (SELECT doc_id FROM ex)
               |  UNION ALL SELECT CAST(2 AS BIGINT),
               |    CAST(count(*) AS BIGINT), CAST(sum(n_toks) AS BIGINT)
-              |    FROM toks WHERE doc_id IN (SELECT doc_id FROM kept2))
+              |    FROM toks WHERE doc_id IN (SELECT doc_id FROM kept2)
+              |  UNION ALL SELECT CAST(3 AS BIGINT),
+              |    CAST(count(*) AS BIGINT),
+              |    CAST(coalesce(sum(nk), 0) AS BIGINT) FROM pd3)
               |ORDER BY stage""".stripMargin),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             size(split(col("text"), " ")).cast("long").as("n_toks"))
           .cache()
-        docs.count() // eager: three funnel stages share the scan
+        docs.count() // eager: four funnel stages share the scan
         val ex = docs.groupBy(md5(col("text")))
           .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
         // the band graph on exact survivors ONLY (stage order matters:
@@ -1406,14 +1469,83 @@ object Text {
             .agg(count(lit(1)).as("n_docs"),
               sum(col("n_toks")).as("n_tokens"))
             .select(lit(st).as("stage"), col("n_docs"), col("n_tokens"))
+        // stage 3 — span dedup over the near-dup SURVIVORS: the
+        // doc-level tiers removed whole copies; this tier rewrites
+        // the remaining docs, dropping token spans duplicated across
+        // ≥2 survivors (a doc survives stage 3 while it has ≥1 token)
+        val sd = spanDedupRewrite(
+          docs.join(kept2, "doc_id").select("doc_id", "text"))
+        val st3 = sd.agg(
+          sum(when(size(col("kept")) > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(size(col("kept")).cast("long")).as("n_tokens"))
+          .select(lit(3L).as("stage"), col("n_docs"), col("n_tokens"))
         val out = stage(0L, None)
           .unionByName(stage(1L, Some(ex)))
           .unionByName(stage(2L, Some(kept2)))
+          .unionByName(st3)
           .orderBy("stage")
           .localCheckpoint(true)
         docs.unpersist() // result is pinned; release both shared caches
         sig.unpersist()
         out
+      }),
+
+    // ----- exact-substring span dedup as a REWRITE (q318): q257
+    //       measures the duplicated-span fraction; the Lee-et-al op
+    //       actually REMOVES the spans. Every token position covered
+    //       by a 5-gram occurring in ≥2 distinct docs is dropped and
+    //       the survivors re-join — whole-doc dedup can't touch this
+    //       (the docs differ), yet the shared boilerplate vanishes.
+    //       The oracle recomputes the removed-token count per source
+    //       AND the rebuilt corpus size in characters (so a rewrite
+    //       that dropped the right COUNT of tokens but the wrong ones
+    //       still breaks the hash); TextSpec pins a hand-built
+    //       two-doc overlap down to the exact rebuilt strings. -----
+    Q("q318_span_dedup_rewrite",
+      Some("""WITH tt AS (SELECT doc_id, source,
+             |    string_split(text, ' ') AS l FROM documents),
+             |gidx AS (SELECT doc_id, unnest(range(1, len(l) - 3)) AS i, l
+             |         FROM tt),
+             |g2 AS (SELECT doc_id, i,
+             |    array_to_string(l[i:i+4], ' ') AS g FROM gidx),
+             |dup AS (SELECT g FROM (
+             |    SELECT g, count(DISTINCT doc_id) AS nd FROM g2 GROUP BY g)
+             |  WHERE nd >= 2),
+             |covp AS (SELECT DISTINCT doc_id,
+             |    unnest([i, i+1, i+2, i+3, i+4]) AS p
+             |  FROM g2 WHERE g IN (SELECT g FROM dup)),
+             |pos AS (SELECT doc_id, source, unnest(range(1, len(l) + 1)) AS p
+             |        FROM tt),
+             |kept AS (SELECT pos.doc_id, pos.source, pos.p FROM pos
+             |  WHERE NOT EXISTS (SELECT 1 FROM covp c
+             |    WHERE c.doc_id = pos.doc_id AND c.p = pos.p)),
+             |keptok AS (SELECT k.doc_id, k.source, t.l[k.p] AS tok
+             |           FROM kept k JOIN tt t ON t.doc_id = k.doc_id),
+             |perdoc AS (SELECT doc_id, source, count(*) AS nk,
+             |    sum(length(tok)) AS sc FROM keptok GROUP BY 1, 2),
+             |tots AS (SELECT source, count(*) AS n_docs,
+             |    sum(len(l)) AS tokens_before FROM tt GROUP BY source),
+             |keptagg AS (SELECT source, sum(nk) AS tokens_after,
+             |    sum(sc + nk - 1) AS chars_after FROM perdoc GROUP BY source)
+             |SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(tokens_before AS BIGINT) AS tokens_before,
+             |  CAST(tokens_before - coalesce(tokens_after, 0) AS BIGINT)
+             |    AS tokens_removed,
+             |  CAST(coalesce(tokens_after, 0) AS BIGINT) AS tokens_after,
+             |  CAST(coalesce(chars_after, 0) AS BIGINT) AS chars_after
+             |FROM tots t LEFT JOIN keptagg USING (source)
+             |ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val sd = spanDedupRewrite(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
+        sd.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("tokens_before"),
+          sum((size(col("tk")) - size(col("kept"))).cast("long"))
+            .as("tokens_removed"),
+          sum(size(col("kept")).cast("long")).as("tokens_after"),
+          sum(length(col("new_text")).cast("long")).as("chars_after"))
+          .orderBy("source")
       })
   )
 }

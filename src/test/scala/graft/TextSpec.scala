@@ -134,6 +134,32 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("span dedup rewrite: shared 5-gram span removed from both docs, rest survives") {
+    // the docs differ (whole-doc dedup keeps both) but share the
+    // 5-token boilerplate "one two three four five" — overlapping
+    // grams: doc 1 carries it at positions 2..6, doc 2 at 0..4
+    val d = docs(
+      (1L, "alpha beta one two three four five gamma", "s"),
+      (2L, "one two three four five delta epsilon", "s"),
+      (3L, "zeta eta theta", "s")) // < 5 tokens: passes through whole
+    val out = Text.spanDedupRewrite(d.select("doc_id", "text"))
+      .select("doc_id", "new_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exactly the shared span vanishes; order of survivors preserved
+    assert(out == Map(
+      1L -> "alpha beta gamma",
+      2L -> "delta epsilon",
+      3L -> "zeta eta theta"))
+    // a doc that IS the shared span rebuilds to the empty string
+    val d2 = docs(
+      (1L, "one two three four five", "s"),
+      (2L, "x one two three four five y", "s"))
+    val out2 = Text.spanDedupRewrite(d2.select("doc_id", "text"))
+      .select("doc_id", "new_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "", 2L -> "x y"))
+  }
+
   /** Write the docs DataFrame as a parquet fixture dir so queries that
     * take (spark, sfDir) can run against it. */
   private def withDocs[T](d: org.apache.spark.sql.DataFrame)(f: String => T): T = {
