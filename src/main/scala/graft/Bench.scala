@@ -148,11 +148,25 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$js$rest,""" +
         s""""stream_sec":${fmt(streamSec)},"sf":$sfNum}"""
     }
-    val line = (Seq(render(3, jitter), render(2, jitter), render(2, jitter.take(3)),
-        render(2, Nil), render(1, Nil)) ++
-        Seq(10, 20, 30, 40, 50, 60, 75, 90, 120, 150)
-          .map(n => render(1, Nil, rollupCheapest = n)))
-      .find(_.length <= 1950).getOrElse(render(1, Nil, rollupCheapest = results.size))
+    // When every full rendering overflows, binary-search the SMALLEST
+    // fold that fits — fixed fold steps left ~30 listable rows on the
+    // table at 310 queries (stepping 120→150 when 128 would have
+    // fit), and every unlisted row is a regression the next round
+    // cannot attribute.
+    def smallestFittingFold(): String = {
+      var lo = 1; var hi = results.size
+      var best = render(1, Nil, rollupCheapest = results.size)
+      while (lo <= hi) {
+        val mid = (lo + hi) / 2
+        val r = render(1, Nil, rollupCheapest = mid)
+        if (r.length <= 1950) { best = r; hi = mid - 1 }
+        else lo = mid + 1
+      }
+      best
+    }
+    val line = Seq(render(3, jitter), render(2, jitter), render(2, jitter.take(3)),
+        render(2, Nil), render(1, Nil))
+      .find(_.length <= 1950).getOrElse(smallestFittingFold())
     // Full-resolution per-query record, UN-capped: the driver line
     // above folds the cheapest queries into a rollup to fit its
     // ~2000-char stdout window, which loses their per-query

@@ -640,10 +640,12 @@ class DmlSpec extends SparkSuite {
     ManifestSql.runDml(spark, root,
       "BEGIN; INSERT INTO a VALUES (9, 9.0); ROLLBACK")
     assert(Manifest.snapshotVersion(root) == before)
-    // guards: non-INSERT verbs, bare COMMIT, unterminated BEGIN
+    // guards: unsupported verbs (DELETE/UPDATE/INSERT are span verbs
+    // now — MERGE stays its own atomic commit), bare COMMIT,
+    // unterminated BEGIN
     intercept[IllegalArgumentException] {
       ManifestSql.runDml(spark, root,
-        "BEGIN; DELETE FROM a WHERE k = 1; COMMIT")
+        "BEGIN; OPTIMIZE a; COMMIT")
     }
     intercept[IllegalArgumentException] {
       ManifestSql.runDml(spark, root, "COMMIT")
