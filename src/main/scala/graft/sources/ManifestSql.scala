@@ -314,6 +314,123 @@ object ManifestSql {
     }
   }
 
+  /** Parse a MERGE/UPDATE-FROM/DELETE-USING source relation —
+    * `<view | (subquery)> [AS] alias` — into (frame, alias); a named
+    * view's own name is its default alias. */
+  private def parseRelation(spark: SparkSession,
+                            part: String): (org.apache.spark.sql.DataFrame, Option[String]) =
+    if (part.startsWith("(")) {
+      val close = matchingParen(part)
+      require(close > 0, s"unbalanced parens in source relation: $part")
+      (spark.sql(part.substring(1, close)),
+        relAlias(part.substring(close + 1).split("\\s+").toSeq, None))
+    } else {
+      val toks = part.split("\\s+").toSeq
+      (spark.table(toks.head), relAlias(toks.tail, Some(toks.head)))
+    }
+
+  /** Split `text` on top-level AND keywords (quote/paren-aware). */
+  private def splitConjuncts(text: String): Seq[String] = {
+    val cuts = topLevelPositions(text, "and")
+    val bounds = (-3 +: cuts) :+ text.length // -3: first segment starts at 0
+    bounds.zip(bounds.tail).map { case (a, b) =>
+      text.substring(a + 3, b).trim
+    }.filter(_.nonEmpty)
+  }
+
+  /** `UPDATE t SET c = e, ... FROM <src> [AS] s WHERE t.k = s.k
+    * [AND cond]` (the Snowflake join-update) — semantically a MERGE
+    * with one conditional MATCHED clause and NO insert clause, and it
+    * routes to exactly that machinery ([[Manifest.commitMergeClauses]]):
+    * SET expressions see the OLD target row joined to its source row,
+    * the extra WHERE conjuncts become the clause condition (verbatim,
+    * either alias), unmatched target rows are untouched, and
+    * duplicate source keys refuse LOUDLY — the nondeterministic
+    * multi-match update warehouses ship as a footgun is not
+    * reproduced. One WHERE conjunct must be the `t.k = s.k`
+    * equi-join; stats-bounded O(affected files) cost as in MERGE. */
+  private def runUpdateFrom(spark: SparkSession, root: String, table: String,
+                            rest: String, fromPos: Int): Unit = {
+    val setPart = rest.substring(0, fromPos)
+    val tail = rest.substring(fromPos + 4)
+    val wherePos = topLevelKeyword(tail, "where")
+    require(wherePos > 0,
+      s"UPDATE ... FROM without a WHERE join condition: $tail")
+    val (sourceDf, srcAlias) =
+      parseRelation(spark, tail.substring(0, wherePos).trim)
+    val sA = srcAlias.getOrElse(throw new IllegalArgumentException(
+      "UPDATE ... FROM needs a named or aliased source"))
+    val sets = splitTopLevel(setPart, ',').map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0 && topLevelMask(a)(eq), s"malformed SET clause: $a")
+      var lhs = a.substring(0, eq).trim
+      if (lhs.length > table.length + 1 &&
+        lhs.substring(0, table.length).equalsIgnoreCase(table) &&
+        lhs.charAt(table.length) == '.')
+        lhs = lhs.substring(table.length + 1)
+      lhs -> a.substring(eq + 1).trim
+    }
+    val conj = splitConjuncts(tail.substring(wherePos + 5).trim)
+    val (joins, conds) = conj.partition {
+      case MergeOnRe(q1, k1, q2, k2) =>
+        k1.equalsIgnoreCase(k2) &&
+          Set(q1.toLowerCase, q2.toLowerCase) ==
+            Set(table.toLowerCase, sA.toLowerCase)
+      case _ => false
+    }
+    require(joins.size == 1,
+      s"UPDATE ... FROM needs exactly one '$table.k = $sA.k' equi-join " +
+        s"conjunct in WHERE (found ${joins.size})")
+    val keyCol = joins.head match { case MergeOnRe(_, k1, _, _) => k1 }
+    val cond = if (conds.isEmpty) None else Some(conds.mkString(" AND "))
+    val _ = Manifest.commitMergeClauses(spark, root, table, sourceDf,
+      keyCol, table, sA, Seq(Manifest.MergeUpdate(cond, sets)), Nil)
+  }
+
+  /** `DELETE FROM t USING <src> [AS] s WHERE t.k = s.k [AND conds]`
+    * (the Snowflake join-delete): rows of `t` whose key appears in
+    * the (filtered) source are deleted through the SEMI-JOIN DV path
+    * ([[Manifest.commitDeleteKeys]] — O(matched rows), key set never
+    * visits the driver, duplicate source keys harmless). Extra
+    * conjuncts must reference the SOURCE alone (they filter which
+    * source rows drive the delete); a condition on the TARGET is the
+    * MERGE ... WHEN MATCHED THEN DELETE clause's job and refuses
+    * loudly here rather than mis-binding. */
+  private def runDeleteUsing(spark: SparkSession, root: String, table: String,
+                             rest: String): Unit = {
+    val wherePos = topLevelKeyword(rest, "where")
+    require(wherePos > 0,
+      s"DELETE ... USING without a WHERE join condition: $rest")
+    val (sourceDf, srcAlias) =
+      parseRelation(spark, rest.substring(0, wherePos).trim)
+    val sA = srcAlias.getOrElse(throw new IllegalArgumentException(
+      "DELETE ... USING needs a named or aliased source"))
+    val conj = splitConjuncts(rest.substring(wherePos + 5).trim)
+    val (joins, conds) = conj.partition {
+      case MergeOnRe(q1, k1, q2, k2) =>
+        k1.equalsIgnoreCase(k2) &&
+          Set(q1.toLowerCase, q2.toLowerCase) ==
+            Set(table.toLowerCase, sA.toLowerCase)
+      case _ => false
+    }
+    require(joins.size == 1,
+      s"DELETE ... USING needs exactly one '$table.k = $sA.k' equi-join " +
+        s"conjunct in WHERE (found ${joins.size})")
+    val keyCol = joins.head match { case MergeOnRe(_, k1, _, _) => k1 }
+    // remaining conjuncts must bind to the source alone — strip the
+    // alias and refuse any reference to the target's namespace
+    val badRef = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(table) + "\\.").r
+    conds.foreach(c => require(badRef.findFirstIn(c).isEmpty,
+      s"DELETE ... USING condition references the target ($c) — " +
+        "use MERGE ... WHEN MATCHED [AND cond] THEN DELETE for " +
+        "target-side conditions"))
+    val filtered = conds.foldLeft(sourceDf.alias(sA))(
+      (df, c) => df.filter(expr(c))) // alias-qualified refs resolve
+    val _ = Manifest.commitDeleteKeys(spark, root, table,
+      filtered.select(col(keyCol)), keyCol)
+  }
+
   /** Shared body of the MERGE statement forms (see the q223 scaladoc):
     * parses the full clause grammar —
     * `USING <view | (subquery)> [AS] s ON t.k = s.k` followed by any
@@ -520,6 +637,9 @@ object ManifestSql {
         Option(rest).map(_.trim).filter(_.nonEmpty) match {
           case None => // unqualified DELETE: all rows
             Manifest.commitDeleteVectors(spark, root, table, lit(true))
+          case Some(r) if r.toLowerCase.startsWith("using") =>
+            // DELETE FROM t USING s WHERE t.k = s.k [AND conds-on-s]
+            runDeleteUsing(spark, root, table, r.substring(5).trim)
           case Some(r) =>
             require(r.toLowerCase.startsWith("where"),
               s"unsupported DELETE clause: $r")
@@ -543,6 +663,16 @@ object ManifestSql {
                 Manifest.commitDeleteVectors(spark, root, table, expr(w))
             }
         }
+        last = spark.emptyDataFrame
+      case UpdateRe(table, rest) if {
+          val f = topLevelKeyword(rest, "from")
+          val w = topLevelKeyword(rest, "where")
+          f >= 0 && (w < 0 || f < w)
+        } =>
+        // UPDATE t SET ... FROM <src> [AS] s WHERE t.k = s.k [AND c]:
+        // the join-update — a one-clause MERGE under the hood
+        runUpdateFrom(spark, root, table, rest,
+          topLevelKeyword(rest, "from"))
         last = spark.emptyDataFrame
       case UpdateRe(table, rest) =>
         val wherePos = topLevelKeyword(rest, "where")
@@ -4126,6 +4256,76 @@ object ManifestSql {
           .orderBy("scope", "role").localCheckpoint(true)
         s.catalog.dropTempView("schg_src")
         s.catalog.dropTempView("schg_probe_v")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- join-DML statements (q319): Snowflake's `DELETE FROM t
+    //       USING s WHERE ...` and `UPDATE t SET ... FROM s WHERE
+    //       ...` — the two statements a warehouse migration hits
+    //       right after MERGE. The delete rides the semi-join DV path
+    //       (duplicate source keys HARMLESS — the delete view is
+    //       deliberately self-unioned to prove it); the update IS a
+    //       one-clause MERGE (old-row SET semantics, source columns
+    //       in scope, dup-key refusal). Source-only rows land
+    //       NOWHERE (join-DML never inserts — that's MERGE's job).
+    //       Oracle recomputes the three-way route per user. -----
+    Q("q319_sql_join_dml",
+      Some("""WITH firsth AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND user_id % 5 <> 3
+             |  GROUP BY user_id),
+             |secondh AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv,
+             |    CASE WHEN user_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY user_id),
+             |out AS (
+             |  SELECT f.user_id,
+             |    f.n_events + coalesce(s.n_events, 0) AS n_events,
+             |    CAST(f.tv + coalesce(s.tv, 0) AS DECIMAL(18,4)) AS tv
+             |  FROM firsth f LEFT JOIN secondh s
+             |    ON f.user_id = s.user_id AND s.op = 'U'
+             |  WHERE NOT EXISTS (SELECT 1 FROM secondh d
+             |    WHERE d.user_id = f.user_id AND d.op = 'D'))
+             |SELECT user_id, n_events, CAST(tv AS DOUBLE) AS total_v
+             |FROM out ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-joindml").toString
+        Manifest.commitAppend(s, root, "user_state",
+          stateOf(ev.filter(col("ts") < cut && col("user_id") % 5 =!= 3))
+            .coalesce(2))
+        val src = stateOf(ev.filter(col("ts") >= cut))
+          .withColumn("op",
+            when(col("user_id") % 7 === 0, "D").otherwise("U"))
+        src.createOrReplaceTempView("jdml_src")
+        // duplicate keys in the delete view — must be harmless
+        src.filter(col("op") === "D").unionAll(src.filter(col("op") === "D"))
+          .createOrReplaceTempView("jdml_dels")
+        runDml(s, root,
+          """DELETE FROM user_state USING jdml_dels s
+            |  WHERE user_state.user_id = s.user_id AND s.op = 'D';
+            |UPDATE user_state SET n_events = user_state.n_events + s.n_events,
+            |  tv = user_state.tv + s.tv
+            |FROM jdml_src s
+            |WHERE user_state.user_id = s.user_id AND s.op = 'U'""".stripMargin)
+        val out = Manifest.readTable(s, root, "user_state")
+          .select(col("user_id"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
+          .orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView("jdml_src")
+        s.catalog.dropTempView("jdml_dels")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

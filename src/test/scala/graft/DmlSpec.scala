@@ -1024,6 +1024,49 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").count() == 1L)
   }
 
+  test("UPDATE...FROM is a one-clause merge; DELETE...USING rides the keyed DV path") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0), (3L, 30.0, 300.0))
+        .toDF("k", "v", "w").coalesce(1))
+    Seq((1L, 5.0, "U"), (2L, 7.0, "D"), (9L, 9.0, "U"))
+      .toDF("k", "dv", "op").createOrReplaceTempView("jdml_spec_src")
+    // join-update: source column in the SET, old-row semantics (v and
+    // w swap THROUGH the source row), condition routes, k=9 (no
+    // target match) lands nowhere, k=3 (no source row) untouched
+    ManifestSql.runDml(spark, root,
+      """UPDATE t SET v = t.w + s.dv, w = t.v
+        |FROM jdml_spec_src s WHERE t.k = s.k AND s.op = 'U'""".stripMargin)
+    val got = Manifest.readTable(spark, root, "t").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> (105.0, 10.0), 2L -> (20.0, 200.0),
+      3L -> (30.0, 300.0)))
+    // join-delete: duplicate source keys harmless; source-only
+    // condition filters which rows drive it
+    Seq((2L, "D"), (2L, "D"), (3L, "X"))
+      .toDF("k", "op").createOrReplaceTempView("jdml_spec_dels")
+    ManifestSql.runDml(spark, root,
+      "DELETE FROM t USING jdml_spec_dels s WHERE t.k = s.k AND s.op = 'D'")
+    assert(Manifest.readTable(spark, root, "t")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // refusals: no equi-join conjunct; target-side condition in
+    // DELETE...USING; duplicate source keys in the join-UPDATE
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "UPDATE t SET v = s.dv FROM jdml_spec_src s WHERE s.op = 'U'")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "DELETE FROM t USING jdml_spec_dels s WHERE t.k = s.k AND t.v > 0")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "UPDATE t SET v = s.dv FROM jdml_spec_dels s WHERE t.k = s.k")
+    }
+    // nothing refused committed anything
+    assert(Manifest.readTable(spark, root, "t").count() == 2L)
+  }
+
   test("incremental ANALYZE: append merges O(delta), rewrite refuses, stale falls through") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
