@@ -431,6 +431,143 @@ object ManifestSql {
       filtered.select(col(keyCol)), keyCol)
   }
 
+  /** `INSERT ALL | FIRST [WHEN <cond> THEN] INTO t [(cols) VALUES
+    * (exprs)] ... [ELSE INTO t ...] SELECT ...` — Snowflake's
+    * multi-table insert (the fan-out router every warehouse ETL
+    * eventually writes): the subquery evaluates ONCE (pinned), each
+    * branch filters it — `ALL` fires every matching WHEN (a row can
+    * land in several tables), `FIRST` fires only the first matching
+    * WHEN per row (guarded by the accumulated negation of earlier
+    * conditions), `ELSE` takes the rows no WHEN matched; a branch's
+    * `(cols) VALUES (exprs)` projects subquery columns into the
+    * target's columns (unlisted columns NULL-fill), a bare `INTO t`
+    * takes the full row positionally. ALL targets land in ONE CAS
+    * claim ([[Manifest.commitAppendMulti]]) — readers see every
+    * branch or none, the cross-table atomicity Snowflake itself does
+    * give this statement and single-table logs cannot. Targets must
+    * exist (a typo'd INTO must not auto-create a table); unknown
+    * branch columns refuse before anything lands. Returns the
+    * (table, n_rows_inserted) report. */
+  private def runInsertMulti(spark: SparkSession, root: String,
+                             mode: String, rest: String): DataFrame = {
+    val selPos = topLevelKeyword(rest, "select")
+    require(selPos > 0, s"INSERT $mode without a SELECT subquery: $rest")
+    val branchText = rest.substring(0, selPos).trim
+    val first = mode.equalsIgnoreCase("FIRST")
+    // scan the branch region: WHEN <cond> THEN INTO ... | ELSE INTO
+    // ... | leading unconditional INTO ...
+    val whenPos = topLevelPositions(branchText, "when")
+    val elsePos = topLevelPositions(branchText, "else")
+    require(elsePos.size <= 1, "INSERT: at most one ELSE branch")
+    require(elsePos.forall(e => whenPos.forall(_ < e)),
+      "INSERT: ELSE must follow every WHEN")
+    // (condOpt, intoText) per region, in statement order
+    val regions: Seq[(Option[String], String)] = {
+      val cuts = (whenPos ++ elsePos).sorted
+      if (cuts.isEmpty) Seq((None, branchText))
+      else {
+        val lead = branchText.substring(0, cuts.head).trim
+        require(lead.isEmpty,
+          s"INSERT: unparsed text before the first WHEN/ELSE: $lead")
+        cuts.zip(cuts.tail :+ branchText.length).map { case (a, b) =>
+          val seg = branchText.substring(a, b).trim
+          if (seg.toLowerCase.startsWith("else"))
+            (Some("__else__"), seg.substring(4).trim)
+          else {
+            val thenPos = topLevelKeyword(seg, "then")
+            require(thenPos > 0, s"WHEN without THEN: $seg")
+            (Some(seg.substring(4, thenPos).trim),
+              seg.substring(thenPos + 4).trim)
+          }
+        }
+      }
+    }
+    // each region's INTO list: INTO t [(cols) VALUES (exprs)]
+    final case class Branch(cond: Option[String], table: String,
+                            cols: Seq[String], vals: Seq[String])
+    val branches = regions.flatMap { case (cond, intoText) =>
+      val intos = topLevelPositions(intoText, "into")
+      require(intos.nonEmpty && intoText.substring(0, intos.head).trim.isEmpty,
+        s"INSERT: expected INTO, got: $intoText")
+      intos.zip(intos.tail :+ intoText.length).map { case (a, b) =>
+        val seg = intoText.substring(a + 4, b).trim
+        val name = seg.takeWhile(!_.isWhitespace)
+        require(name.matches("[A-Za-z0-9_.-]+"), s"bad INTO target: $seg")
+        val tail = seg.substring(name.length).trim
+        if (tail.isEmpty) Branch(cond, name, Nil, Nil)
+        else {
+          require(tail.startsWith("("), s"unsupported INTO tail: $tail")
+          val close = matchingParen(tail)
+          val cols = splitTopLevel(tail.substring(1, close), ',').map(_.trim)
+          val after = tail.substring(close + 1).trim
+          require(after.length >= 6 &&
+            after.substring(0, 6).equalsIgnoreCase("VALUES"),
+            s"INTO column list without VALUES: $after")
+          val vp = after.substring(6).trim
+          require(vp.startsWith("(") && matchingParen(vp) == vp.length - 1,
+            s"malformed INTO VALUES list: $vp")
+          val vals = splitTopLevel(vp.substring(1, vp.length - 1), ',')
+          require(cols.size == vals.size,
+            s"INTO $name lists ${cols.size} columns but ${vals.size} values")
+          Branch(cond, name, cols, vals)
+        }
+      }
+    }
+    require(branches.nonEmpty, "INSERT: no INTO branches")
+    val pinned = spark.sql(rest.substring(selPos))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // FIRST: each WHEN guarded by the accumulated negation of the
+      // earlier conditions; ELSE is that negation over ALL whens
+      val whenConds = regions.flatMap(_._1).filter(_ != "__else__").distinct
+      def guard(cond: Option[String]): org.apache.spark.sql.Column =
+        cond match {
+          case None => lit(true)
+          case Some("__else__") =>
+            whenConds.map(c => !coalesce(expr(c), lit(false)))
+              .foldLeft(lit(true))(_ && _)
+          case Some(c) if first =>
+            val before = whenConds.takeWhile(_ != c)
+            before.map(p => !coalesce(expr(p), lit(false)))
+              .foldLeft(coalesce(expr(c), lit(false)))(_ && _)
+          case Some(c) => coalesce(expr(c), lit(false))
+        }
+      val perBranch = branches.map { b =>
+        val target = Manifest.registeredSchema(spark, root, b.table)
+          .getOrElse(Manifest.readTable(spark, root, b.table).schema)
+        val rows = pinned.filter(guard(b.cond))
+        val batch =
+          if (b.cols.isEmpty) {
+            require(rows.schema.length == target.length,
+              s"INTO ${b.table}: ${rows.schema.length} columns provided, " +
+                s"table has ${target.length}")
+            rows.toDF(target.fieldNames.toIndexedSeq: _*)
+              .select(target.fields.toIndexedSeq.map(f =>
+                col(f.name).cast(f.dataType)): _*)
+          } else {
+            val bad = b.cols.filterNot(target.fieldNames.contains)
+            require(bad.isEmpty, s"INTO ${b.table}: unknown columns $bad")
+            rows.select(target.fields.toIndexedSeq.map { f =>
+              (b.cols.indexOf(f.name) match {
+                case -1 => lit(null)
+                case p => expr(b.vals(p))
+              }).cast(f.dataType).as(f.name)
+            }: _*)
+          }
+        (b.table, batch)
+      }
+      val merged = perBranch.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (t, bs) => (t, bs.map(_._2).reduce(_ unionByName _),
+          Seq.empty[String])
+      }
+      val v = Manifest.commitAppendMulti(spark, root, merged)
+      import spark.implicits._
+      merged.map { case (t, df, _) => (t, df.count()) }
+        .toDF("table_name", "n_rows_inserted")
+        .withColumn("version", lit(v)).orderBy("table_name")
+    } finally pinned.unpersist()
+  }
+
   /** Shared body of the MERGE statement forms (see the q223 scaladoc):
     * parses the full clause grammar —
     * `USING <view | (subquery)> [AS] s ON t.k = s.k` followed by any
@@ -528,6 +665,8 @@ object ManifestSql {
   }
   private val InsertRe =
     "(?is)^INSERT\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
+  private val InsertMultiRe =
+    "(?is)^INSERT\\s+(ALL|FIRST)\\s+(.*)$".r
   private val CtasRe =
     "(?is)^CREATE\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+AS\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
   private val CreateOrReplaceRe =
@@ -746,6 +885,10 @@ object ManifestSql {
         Manifest.commitClone(spark, root, src, dst,
           Option(verS).map(_.toLong).getOrElse(-1L))
         last = spark.emptyDataFrame
+      case InsertMultiRe(mode, rest) =>
+        // INSERT ALL|FIRST ... INTO ... SELECT: the Snowflake
+        // multi-table router — all branches land in ONE claim
+        last = runInsertMulti(spark, root, mode, rest)
       case InsertRe(table, query) =>
         // INSERT INTO t <query>: the query text (SELECT/VALUES/WITH)
         // plans against whatever views are registered; the result
@@ -4326,6 +4469,76 @@ object ManifestSql {
           .orderBy("user_id").localCheckpoint(true)
         s.catalog.dropTempView("jdml_src")
         s.catalog.dropTempView("jdml_dels")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- multi-table INSERT (q320): Snowflake's `INSERT FIRST WHEN
+    //       ... THEN INTO ... ELSE INTO ... SELECT` router — one
+    //       subquery pass fans rows to N tables, FIRST-match
+    //       precedence (overlapping conditions make the order
+    //       semantic: value >= 100 beats value >= 0), a (cols)
+    //       VALUES (exprs) branch projecting/NULL-filling, and ALL
+    //       BRANCHES IN ONE CAS CLAIM (atomicity Snowflake itself
+    //       does not give this statement) — asserted in-plan via the
+    //       report's single version. A second ALL-mode statement
+    //       proves a row CAN land in two tables when both conditions
+    //       pass. Oracle recomputes every route per class. -----
+    Q("q320_sql_insert_multi",
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    CAST(value AS DECIMAL(18,4)) AS v FROM events
+             |  WHERE user_id < 50
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00')
+             |SELECT 'big' AS t, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(v) AS DOUBLE) AS sv FROM e WHERE v >= 100
+             |UNION ALL SELECT 'mid', CAST(count(*) AS BIGINT),
+             |  CAST(sum(v) AS DOUBLE) FROM e WHERE v >= 0 AND v < 100
+             |UNION ALL SELECT 'neg', CAST(count(*) AS BIGINT),
+             |  CAST(NULL AS DOUBLE) FROM e WHERE v < 0
+             |UNION ALL SELECT 'all_hot', CAST(count(*) AS BIGINT),
+             |  CAST(sum(v) AS DOUBLE) FROM e WHERE user_id < 10
+             |UNION ALL SELECT 'all_purchase', CAST(count(*) AS BIGINT),
+             |  CAST(sum(v) AS DOUBLE) FROM e WHERE event_type = 'purchase'
+             |ORDER BY t""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50 &&
+            col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("v"))
+        val root = Files.createTempDirectory("graft-sql-insmulti").toString
+        val shape = ev.limit(0)
+        Seq("big", "mid", "neg", "all_hot", "all_purchase").foreach(t =>
+          Manifest.commitAppend(s, root, t, shape.coalesce(1)))
+        ev.createOrReplaceTempView("route_src_q320")
+        val before = Manifest.snapshotVersion(root)
+        // FIRST: overlapping conditions — order decides; the neg
+        // branch projects (user_id) VALUES (user_id): v NULL-fills
+        val rep1 = runDml(s, root,
+          """INSERT FIRST
+            |  WHEN v >= 100 THEN INTO big
+            |  WHEN v >= 0 THEN INTO mid
+            |  ELSE INTO neg (user_id) VALUES (user_id)
+            |SELECT user_id, event_type, v FROM route_src_q320""".stripMargin)
+        // ALL: a hot-user purchase lands in BOTH tables
+        val rep2 = runDml(s, root,
+          """INSERT ALL
+            |  WHEN user_id < 10 THEN INTO all_hot
+            |  WHEN event_type = 'purchase' THEN INTO all_purchase
+            |SELECT user_id, event_type, v FROM route_src_q320""".stripMargin)
+        // one claim per statement — the report's version column is
+        // constant within each
+        require(rep1.select(countDistinct(col("version"))).head().getLong(0) == 1L
+          && rep2.select(countDistinct(col("version"))).head().getLong(0) == 1L
+          && Manifest.snapshotVersion(root) == before + 2,
+          "multi-table INSERT must land as one claim per statement")
+        val out = Seq("big", "mid", "neg", "all_hot", "all_purchase").map { t =>
+          Manifest.readTable(s, root, t)
+            .agg(count(lit(1)).as("n"), sum("v").cast("double").as("sv"))
+            .select(lit(t).as("t"), col("n"), col("sv"))
+        }.reduce(_ unionByName _).orderBy("t").localCheckpoint(true)
+        s.catalog.dropTempView("route_src_q320")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

@@ -1024,6 +1024,49 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").count() == 1L)
   }
 
+  test("INSERT ALL/FIRST: same-table branches union, one claim, loud refusals") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t1",
+      Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "t2",
+      Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("ins_multi_src")
+    val v0 = Manifest.snapshotVersion(root)
+    // two branches into the SAME table union into one batch; the
+    // whole statement is one claim
+    val rep = ManifestSql.runDml(spark, root,
+      """INSERT ALL
+        |  WHEN k = 1 THEN INTO t1
+        |  WHEN v > 1.5 THEN INTO t1
+        |  WHEN k = 2 THEN INTO t2 (k) VALUES (k * 10)
+        |SELECT k, v FROM ins_multi_src""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("t1" -> 3L, "t2" -> 1L))
+    assert(Manifest.snapshotVersion(root) == v0 + 1)
+    assert(Manifest.readTable(spark, root, "t1").count() == 4L)
+    val t2 = Manifest.readTable(spark, root, "t2").orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    assert(t2.toSeq == Seq((0L, Some(0.0)), (20L, None))) // v NULL-fills
+    // refusals: unknown target, unknown projected column, WHEN after
+    // ELSE — and none of them committed anything
+    intercept[Exception] {
+      ManifestSql.runDml(spark, root,
+        "INSERT ALL WHEN k = 1 THEN INTO nope SELECT k, v FROM ins_multi_src")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "INSERT ALL WHEN k = 1 THEN INTO t1 (zz) VALUES (k) " +
+          "SELECT k, v FROM ins_multi_src")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """INSERT FIRST ELSE INTO t1 WHEN k = 1 THEN INTO t2
+          |SELECT k, v FROM ins_multi_src""".stripMargin)
+    }
+    assert(Manifest.snapshotVersion(root) == v0 + 1)
+  }
+
   test("UPDATE...FROM is a one-clause merge; DELETE...USING rides the keyed DV path") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
