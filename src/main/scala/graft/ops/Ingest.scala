@@ -96,6 +96,31 @@ object Ingest {
       else col(f.name)
     }.toSeq: _*)
 
+  /** Positional raw read for TRANSFORM-on-load COPY (`COPY INTO t
+    * FROM (SELECT $1, CAST($2 AS ...) FROM '<stage>')`): the staged
+    * CSV files as ALL-STRING columns named `$1..$n` — Snowflake's
+    * stage-reference semantics, where `$N` is the N-th field as TEXT
+    * and the statement's projection does the typing. The statement's
+    * FILE_FORMAT options and NULL_IF sentinels apply before the
+    * projection ever sees a value, exactly as the plain COPY's reader
+    * does. */
+  def copyTransformRead(spark: SparkSession, stageDir: String,
+                        files: Seq[String],
+                        opts: Map[String, String] = csvOptions,
+                        nullVals: Seq[String] = Seq("NULL", "null", "")): DataFrame = {
+    val raw = spark.read.format("csv")
+      .options(opts - "inferSchema") // all-string by construction
+      .load(files.map(f => s"$stageDir/$f"): _*)
+      // captured HERE: _metadata only resolves on the scan relation
+      .withColumn("_src_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+    val cleaned = nullIf(raw, nullVals)
+    val dataCols = cleaned.columns.filterNot(_ == "_src_file")
+    cleaned.select(dataCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"$$${i + 1}")
+    }.toSeq :+ col("_src_file"): _*)
+  }
+
   /** `product_order_trans_{{ ds[5:7]+ds[8:10]+ds[0:4] }}.csv`
     * (`dags/s3_data_copy_test.py:34`) in plain Scala. */
   def stagedFileName(ds: LocalDate): String =

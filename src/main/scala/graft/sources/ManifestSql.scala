@@ -940,6 +940,10 @@ object ManifestSql {
         last = spark.emptyDataFrame
       case UnloadRe(dest, rest) =>
         last = sqlCopyUnload(spark, dest, rest)
+      case CopyTransformRe(table, part) =>
+        // COPY INTO t FROM (SELECT $1, ... FROM '<stage>'): Snowflake
+        // transform-on-load — reshape/cast during the load
+        last = sqlCopyTransform(spark, root, table, part)
       case CopyRe(table, stage, clauses) =>
         last = sqlCopyInto(spark, root, table, stage, clauses)
       case ZorderRe(table, colsS, splitS) =>
@@ -1479,6 +1483,9 @@ object ManifestSql {
 
   private val CopyRe =
     "(?is)^COPY\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+'([^']+)'\\s*(.*)$".r
+  // transform-on-load: the source is a parenthesized SELECT over a stage
+  private val CopyTransformRe =
+    "(?is)^COPY\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s*(\\(.*)$".r
   // unload direction: the TARGET is the quoted location
   private val UnloadRe =
     "(?is)^COPY\\s+INTO\\s+'([^']+)'\\s+FROM\\s+(.*)$".r
@@ -1975,6 +1982,90 @@ object ManifestSql {
     val perFile = names.zipWithIndex.map { case (f, i) =>
       sum(when(col("_src_file") === f, 1L).otherwise(0L)).as(s"f$i") }
     val observed = loaded.observe(obs, perFile.head, perFile.tail: _*)
+    Manifest.commitAppend(spark, root, table, observed.drop("_src_file"))
+    val counts = obs.get
+    import spark.implicits._
+    names.zipWithIndex
+      .map { case (f, i) => (f, counts(s"f$i").asInstanceOf[Long], "LOADED") }
+      .toDF("file", "rows_loaded", "status")
+      .orderBy("file")
+  }
+
+  /** Rewrite Snowflake positional stage references `$N` into the
+    * backticked column names the transform read serves (`\`$N\``),
+    * quote-aware — a `'$1'` string literal is data, not a reference. */
+  private def rewriteDollarRefs(e: String): String = {
+    val mask = quoteMask(e)
+    "\\$(\\d+)".r.findAllMatchIn(e).toList.reverse.foldLeft(e) { (acc, m) =>
+      if (!mask(m.start)) acc
+      else acc.substring(0, m.start) + "`$" + m.group(1) + "`" +
+        acc.substring(m.end)
+    }
+  }
+
+  /** `COPY INTO t FROM (SELECT $1, CAST($2 AS ...), ... FROM
+    * '<stage>') [FILES/PATTERN/FILE_FORMAT]` — Snowflake's
+    * TRANSFORM-on-load COPY: reshape, cast, derive, or drop columns
+    * DURING the load instead of staging twice. `$N` is the N-th
+    * staged field as TEXT (the stage-reference semantics); the
+    * projection expressions go verbatim to Spark's parser with `$N`
+    * rewritten to the positional read's columns; FILE_FORMAT/NULL_IF
+    * apply BEFORE the projection sees a value (a NULL_IF sentinel
+    * must not reach a CAST); the result aligns to the target schema
+    * by position and lands through the ordinary atomic commit with
+    * the same observe-metric per-file report as the plain COPY.
+    * VALIDATION_MODE refuses here (the dry-run classifies the
+    * UNTRANSFORMED parse — run it as a plain COPY statement). */
+  def sqlCopyTransform(spark: SparkSession, root: String, table: String,
+                       part: String): DataFrame = {
+    val close = matchingParen(part)
+    require(close > 0, s"unbalanced parens in COPY transform source: $part")
+    val inner = part.substring(1, close).trim
+    val clauses = part.substring(close + 1).trim
+    require(inner.length >= 6 &&
+      inner.substring(0, 6).equalsIgnoreCase("SELECT"),
+      s"COPY INTO ... FROM (...) must wrap a SELECT: $inner")
+    val fromPos = topLevelKeyword(inner, "from")
+    require(fromPos > 0, s"transform COPY's SELECT has no FROM: $inner")
+    val projText = inner.substring(6, fromPos)
+    val stage = inner.substring(fromPos + 4).trim match {
+      case s if s.length > 2 && s.head == '\'' && s.last == '\'' &&
+        !s.substring(1, s.length - 1).contains('\'') =>
+        s.substring(1, s.length - 1)
+      case other => throw new IllegalArgumentException(
+        s"transform COPY must read a quoted stage path, got: $other")
+    }
+    val (files, pattern, fmt, validation) = parseCopyClauses(clauses)
+    require(validation.isEmpty,
+      "VALIDATION_MODE does not combine with a transform COPY (the " +
+        "dry-run classifies the untransformed parse — run a plain COPY)")
+    require(files.isEmpty || pattern.isEmpty,
+      "COPY INTO: FILES and PATTERN are mutually exclusive")
+    val (opts, nullVals) = copyFormatOptions(fmt)
+    val names = files.getOrElse {
+      val staged = graft.ops.Ingest.stageFiles(spark, stage)
+      val m = pattern.fold(staged)(p => staged.filter(_.matches(p)))
+      require(m.nonEmpty, pattern.fold(s"COPY INTO: empty stage $stage")(p =>
+        s"COPY INTO: PATTERN '$p' matched no staged files in $stage"))
+      m
+    }
+    val src = graft.ops.Ingest.copyTransformRead(spark, stage, names,
+      opts, nullVals) // carries _src_file from the scan relation
+    val projections = splitTopLevel(projText, ',').map(e =>
+      rewriteDollarRefs(e.trim))
+    val out = src.select(projections.map(expr) :+ col("_src_file"): _*)
+    val target = Manifest.registeredSchema(spark, root, table)
+      .getOrElse(Manifest.readTable(spark, root, table).schema)
+    require(out.schema.length - 1 == target.length,
+      s"COPY INTO $table: ${out.schema.length - 1} projected columns, " +
+        s"table has ${target.length}")
+    val batch = out.toDF(target.fieldNames.toIndexedSeq :+ "_src_file": _*)
+      .select(target.fields.toIndexedSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)) :+ col("_src_file"): _*)
+    val obs = org.apache.spark.sql.Observation()
+    val perFile = names.zipWithIndex.map { case (f, i) =>
+      sum(when(col("_src_file") === f, 1L).otherwise(0L)).as(s"f$i") }
+    val observed = batch.observe(obs, perFile.head, perFile.tail: _*)
     Manifest.commitAppend(spark, root, table, observed.drop("_src_file"))
     val counts = obs.get
     import spark.implicits._
@@ -4539,6 +4630,60 @@ object ManifestSql {
             .select(lit(t).as("t"), col("n"), col("sv"))
         }.reduce(_ unionByName _).orderBy("t").localCheckpoint(true)
         s.catalog.dropTempView("route_src_q320")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- transform-on-load COPY (q321): Snowflake's `COPY INTO t
+    //       FROM (SELECT $1, CAST(...), ... FROM '<stage>')` —
+    //       reshape during the load instead of staging twice: casts,
+    //       a derived column ($4 * $5), a function (upper), a
+    //       constant batch tag, and dropped columns, with $N the
+    //       N-th staged field AS TEXT and NULL_IF applied before any
+    //       cast sees a sentinel. FULLY differential oracle: DuckDB
+    //       re-reads the same staged file all-varchar and applies the
+    //       same transforms — a projection bound to the wrong
+    //       position, a cast applied before NULL_IF, or a dropped
+    //       header row shifts the hash. -----
+    Q("q321_sql_copy_transform",
+      Some {
+        val f = graft.ops.Ingest.stagedFileName(graft.ops.Ingest.backfillStart)
+        s"""SELECT CAST(trans_id AS BIGINT) AS trans_id,
+           |  CAST(CAST(quantity AS INT) * CAST(unit_price AS DOUBLE)
+           |    AS DOUBLE) AS gross,
+           |  upper(currency) AS currency_uc,
+           |  'b-2022-07' AS batch
+           |FROM read_csv('${graft.ops.Ingest.stageDir}/$f',
+           |  header=true, delim=',', quote='"', escape='"',
+           |  nullstr=['NULL', 'null', ''], all_varchar=true)
+           |ORDER BY trans_id""".stripMargin
+      },
+      (s, _) => {
+        import s.implicits._
+        val stage = graft.ops.Ingest.writeStageFixtures()
+        val f = graft.ops.Ingest.stagedFileName(graft.ops.Ingest.backfillStart)
+        val root = Files.createTempDirectory("graft-sql-copy-xform").toString
+        // the transform target must pre-exist (Snowflake's contract —
+        // a typo'd COPY must not auto-create a mistyped table)
+        Manifest.commitAppend(s, root, "trans_gross",
+          Seq.empty[(Long, Double, String, String)]
+            .toDF("trans_id", "gross", "currency_uc", "batch").coalesce(1))
+        runDml(s, root,
+          s"""COPY INTO trans_gross FROM (
+             |  SELECT CAST($$1 AS BIGINT),
+             |    CAST($$4 AS INT) * CAST($$5 AS DOUBLE),
+             |    upper($$6), 'b-2022-07'
+             |  FROM '$stage')
+             |FILES = ('$f')
+             |FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = ','
+             |  SKIP_HEADER = 1 FIELD_OPTIONALLY_ENCLOSED_BY = '"'
+             |  ESCAPE_UNENCLOSED_FIELD = NONE RECORD_DELIMITER = '\\n'
+             |  NULL_IF = ('NULL', 'null', '') EMPTY_FIELD_AS_NULL = TRUE)"""
+            .stripMargin)
+        val out = Manifest.readTable(s, root, "trans_gross")
+          .select(col("trans_id"), col("gross").cast("double").as("gross"),
+            col("currency_uc"), col("batch"))
+          .orderBy("trans_id").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

@@ -1024,6 +1024,25 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "t").count() == 1L)
   }
 
+  test("transform COPY: '$1' string literal is data, VALIDATION_MODE refuses") {
+    val root = freshRoot()
+    val stage = graft.ops.Ingest.writeStageFixtures()
+    val f = graft.ops.Ingest.stagedFileName(graft.ops.Ingest.backfillStart)
+    Manifest.commitAppend(spark, root, "xf",
+      Seq.empty[(Long, String)].toDF("trans_id", "tag").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      s"""COPY INTO xf FROM (SELECT CAST($$1 AS BIGINT), '$$1' FROM '$stage')
+         |FILES = ('$f')""".stripMargin)
+    val got = Manifest.readTable(spark, root, "xf")
+    assert(got.count() == 8L &&
+      got.select("tag").distinct().head().getString(0) == "$1")
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        s"""COPY INTO xf FROM (SELECT CAST($$1 AS BIGINT), '$$1' FROM '$stage')
+           |FILES = ('$f') VALIDATION_MODE = 'RETURN_ERRORS'""".stripMargin)
+    }
+  }
+
   test("INSERT ALL/FIRST: same-table branches union, one claim, loud refusals") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t1",
