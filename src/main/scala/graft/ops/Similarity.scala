@@ -876,6 +876,110 @@ object Similarity {
           .withColumn("rcos", round(expr(s"$dot / ($nrmA * $nrmB)"), 4))
           .select("label_a", "label_b", "n_a", "n_b", "rcos")
           .orderBy("label_a", "label_b")
+      }),
+
+    // ----- SemDeDup: cluster-bounded semantic dedup (q322): the
+    //       Abbas-et-al recipe — cluster the embedding space, then
+    //       prune near-duplicate PAIRS within clusters only, which is
+    //       what makes semantic dedup affordable at corpus scale
+    //       (pair cost = Σ cluster² instead of corpus²; the coarse
+    //       assignment is the same broadcast-centroid pass the IVF
+    //       tier and q288 use). The fixture plants a deterministic
+    //       re-embedded crawl: every vec_id % 5 == 0 gains a +10000
+    //       replica — IDENTICAL (a true semantic dup, cos = 1) unless
+    //       vec_id % 10 == 0, where the first 32 dims NEGATE (a
+    //       look-alike id that is NOT a dup and must survive). The
+    //       dominated rule is closure-free by design: v is removed
+    //       iff some same-cluster u < v has cos(u,v) ≥ 0.95 — no
+    //       transitive component pass, exactly the paper's keep-one-
+    //       per-pair pruning. Oracle recomputes assignment, planting,
+    //       pairs, and the dominated set; a replica assigned to the
+    //       wrong cluster, a flipped copy mistaken for a dup, or a
+    //       survivor double-removed shifts a cluster row. -----
+    Q("q322_semdedup",
+      Some("""WITH b AS (SELECT vec_id,
+             |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS emb
+             |  FROM embeddings),
+             |reps AS (SELECT vec_id + 10000 AS vec_id,
+             |    CASE WHEN vec_id % 10 = 0 THEN
+             |      list_transform(range(1, len(emb) + 1),
+             |        i -> CASE WHEN i <= 32 THEN -emb[i] ELSE emb[i] END)
+             |    ELSE emb END AS emb
+             |  FROM b WHERE vec_id % 5 = 0),
+             |e AS (SELECT * FROM b UNION ALL SELECT * FROM reps),
+             |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM b WHERE vec_id < 8),
+             |asg AS (SELECT vec_id, c_id AS cluster FROM (
+             |  SELECT e.vec_id, c.c_id,
+             |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |      round(list_dot_product(e.emb, c.c_emb) /
+             |        (sqrt(list_dot_product(e.emb, e.emb)) *
+             |         sqrt(list_dot_product(c.c_emb, c.c_emb))), 4) DESC,
+             |      c.c_id) AS rn
+             |  FROM e CROSS JOIN cents c) t WHERE rn = 1),
+             |pairs AS (
+             |  SELECT a.vec_id AS u, bb.vec_id AS v
+             |  FROM asg a JOIN asg bb
+             |    ON a.cluster = bb.cluster AND a.vec_id < bb.vec_id
+             |  JOIN e ea ON ea.vec_id = a.vec_id
+             |  JOIN e eb ON eb.vec_id = bb.vec_id
+             |  WHERE round(list_dot_product(ea.emb, eb.emb) /
+             |      (sqrt(list_dot_product(ea.emb, ea.emb)) *
+             |       sqrt(list_dot_product(eb.emb, eb.emb))), 4) >= 0.95),
+             |removed AS (SELECT DISTINCT v FROM pairs)
+             |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+             |  CAST(sum(CASE WHEN vec_id IN (SELECT v FROM removed)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  CAST(sum(CASE WHEN vec_id IN (SELECT v FROM removed)
+             |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+             |FROM asg GROUP BY cluster ORDER BY cluster""".stripMargin),
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> round(cast(x AS double), 4))")
+              .as("emb"))
+        val reps = base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            when(col("vec_id") % 10 === 0,
+              expr("transform(emb, (x, i) -> " +
+                "CASE WHEN i < 32 THEN -x ELSE x END)"))
+              .otherwise(col("emb")).as("emb"))
+        val e = base.unionByName(reps).localCheckpoint(true)
+        // sequential left-to-right folds — DuckDB list_dot_product's
+        // summation order, so the 4-dp rounds agree bit-for-bit (the
+        // q288 parity discipline)
+        def cosOf(x: String, y: String) = {
+          val dot = s"aggregate(zip_with($x, $y, (p, q) -> p * q), " +
+            "0D, (acc, p) -> acc + p)"
+          val nx = s"sqrt(aggregate(transform($x, p -> p * p), 0D, (acc, p) -> acc + p))"
+          val ny = s"sqrt(aggregate(transform($y, p -> p * p), 0D, (acc, p) -> acc + p))"
+          round(expr(s"$dot / ($nx * $ny)"), 4)
+        }
+        val wAsg = Window.partitionBy(col("vec_id"))
+          .orderBy(col("rcos").desc, col("c_id"))
+        val asg = e.crossJoin(
+            broadcast(base.filter(col("vec_id") < 8)
+              .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))))
+          .withColumn("rcos", cosOf("emb", "c_emb"))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id").as("cluster"))
+          .localCheckpoint(true)
+        val withEmb = asg.join(e, "vec_id")
+        // cluster-bounded pair generation — the SemDeDup cost bound
+        val pairs = withEmb.select(col("cluster"), col("vec_id").as("u"),
+            col("emb").as("ua"))
+          .join(withEmb.select(col("cluster"), col("vec_id").as("v"),
+            col("emb").as("vb")), "cluster")
+          .filter(col("u") < col("v"))
+          .filter(cosOf("ua", "vb") >= 0.95)
+        val removed = pairs.select(col("v").as("vec_id")).distinct()
+        val flagged = asg.join(removed.withColumn("rm", lit(1L)),
+          Seq("vec_id"), "left")
+        flagged.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+            sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("cluster")
       })
   )
 
