@@ -4583,6 +4583,16 @@ object Manifest {
   final case class MergeInsert(cond: Option[String], cols: Seq[String],
                                vals: Seq[String]) extends MergeWhen
 
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN ...` clause of a
+    * clause-form MERGE: applies to TARGET rows whose key has no
+    * source match — there is no source row, so conditions and SET
+    * expressions reference target columns only (unqualified or
+    * target-aliased). */
+  sealed trait MergeBySource { def cond: Option[String] }
+  final case class BySourceDelete(cond: Option[String]) extends MergeBySource
+  final case class BySourceUpdate(cond: Option[String],
+                                  sets: Seq[(String, String)]) extends MergeBySource
+
   /** Clause-form MERGE — the full ANSI/Delta grammar the full-row
     * shorthand ([[commitMergeUpsert]]) is a special case of:
     * ordered `WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ... |
@@ -4614,6 +4624,7 @@ object Manifest {
                          tAlias: String, sAlias: String,
                          matched: Seq[MergeWhen],
                          notMatched: Seq[MergeInsert],
+                         bySource: Seq[MergeBySource] = Nil,
                          maxRetries: Int = 5): Long = {
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "commitMergeClauses: INSERT is not a MATCHED action")
@@ -4627,7 +4638,11 @@ object Manifest {
       val kb = pinned.agg(
         min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
         count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol))).head()
-      if (kb.getLong(2) == 0L) return snapshotVersion(root)
+      // an empty source is a no-op ONLY without BY SOURCE clauses —
+      // with them it is the full-sync degenerate case (every target
+      // row is unmatched; an unconditional delete truncates)
+      if (kb.getLong(2) == 0L && bySource.isEmpty)
+        return snapshotVersion(root)
       if (kb.getLong(3) != kb.getLong(4))
         throw new IllegalArgumentException(
           s"MERGE: updates carry duplicate $keyCol values " +
@@ -4661,7 +4676,23 @@ object Manifest {
           val bad = ins.cols.filterNot(tgtCols.contains)
           require(bad.isEmpty, s"MERGE: INSERT of unknown columns $bad")
         }
-        val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
+        bySource.foreach {
+          case BySourceUpdate(_, sets) =>
+            val bad = sets.map(_._1).filterNot(tgtCols.contains)
+            require(bad.isEmpty,
+              s"MERGE: BY SOURCE SET of unknown columns $bad")
+          case _ =>
+        }
+        // BY SOURCE clauses see EVERY unmatched target row, so the
+        // rewrite scope is the whole table (the full-sync cost —
+        // exactly what the semantics mean; the shorthand path's
+        // condition-bound pruning is an optimization this general
+        // form does not attempt); without them, key-stats pruning
+        val affected =
+          if (bySource.isEmpty)
+            overlappingRows(s, root, table, Seq(keyPred), base)._1
+          else manifestRows(s, root, base).collect {
+            case (t, f, st) if t == table => (t, f, st) }
         val current =
           if (affected.isEmpty)
             s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -4696,9 +4727,35 @@ object Manifest {
               case (acc, _) => acc
             }.cast(tgtSchema(c).dataType).as(c)
           }: _*)
-        val unmatchedTgt = current
+        val unmatchedBase = current
           .join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .select(tgtCols.map(col): _*)
+        val unmatchedTgt =
+          if (bySource.isEmpty) unmatchedBase.select(tgtCols.map(col): _*)
+          else {
+            // first-match-wins over the BY SOURCE chain: a DELETE hit
+            // drops the row, an UPDATE hit projects its SET against
+            // the old row, no hit keeps the row unchanged (there is
+            // no source row — expressions bind target columns only)
+            val bIdx = bySource.zipWithIndex.reverse
+              .foldLeft(lit(-1): org.apache.spark.sql.Column) {
+                case (acc, (cl, i)) => when(passes(cl.cond), lit(i)).otherwise(acc)
+              }
+            val keepB = bySource.zipWithIndex
+              .foldLeft(col("_bi") === -1) {
+                case (acc, (_: BySourceUpdate, i)) => acc || col("_bi") === i
+                case (acc, _) => acc
+              }
+            unmatchedBase.alias(tAlias).withColumn("_bi", bIdx).filter(keepB)
+              .select(tgtCols.map { c =>
+                bySource.zipWithIndex.foldLeft(col(s"$tAlias.$c")) {
+                  case (acc, (BySourceUpdate(_, sets), i)) =>
+                    sets.find(_._1 == c).map(kv =>
+                      when(col("_bi") === i, expr(kv._2)).otherwise(acc))
+                      .getOrElse(acc)
+                  case (acc, _) => acc
+                }.cast(tgtSchema(c).dataType).as(c)
+              }: _*)
+          }
         // unmatched source rows: anti-join against the affected rows'
         // keys is complete — any target row a source key could match
         // lives in a bounds-overlapping file (NULL-key source rows

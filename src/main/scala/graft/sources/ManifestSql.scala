@@ -233,6 +233,12 @@ object ManifestSql {
     "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+UPDATE\\s+SET\\s+(.+)$".r
   private val WhenMatchedDelRe =
     "(?is)^WHEN\\s+MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+DELETE\\s*$".r
+  private val WhenBySrcUpdRe =
+    ("(?is)^WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE(?:\\s+AND\\s+(.+?))?" +
+      "\\s+THEN\\s+UPDATE\\s+SET\\s+(.+)$").r
+  private val WhenBySrcDelRe =
+    ("(?is)^WHEN\\s+NOT\\s+MATCHED\\s+BY\\s+SOURCE(?:\\s+AND\\s+(.+?))?" +
+      "\\s+THEN\\s+DELETE\\s*$").r
 
   /** All top-level word-boundary positions of keyword `word` — the
     * multi-hit sibling of [[topLevelKeyword]], used to split a MERGE's
@@ -266,12 +272,34 @@ object ManifestSql {
         s"unsupported MERGE relation tail: ${other.mkString(" ")}")
     }
 
-  /** Parse one `WHEN ...` clause into its [[Manifest.MergeWhen]] form.
-    * SET left-hand sides may carry the target alias (stripped here);
-    * expression text goes VERBATIM to Spark's parser downstream. */
-  private def parseWhenClause(clause: String, tAlias: String): Manifest.MergeWhen = {
+  /** Parse one `WHEN ...` clause into its [[Manifest.MergeWhen]] /
+    * [[Manifest.MergeBySource]] form (BY SOURCE patterns checked
+    * FIRST — `NOT MATCHED BY SOURCE` must never half-match the plain
+    * `NOT MATCHED` insert grammar). SET left-hand sides may carry the
+    * target alias (stripped here); expression text goes VERBATIM to
+    * Spark's parser downstream. */
+  private def parseWhenClause(clause: String, tAlias: String)
+      : Either[Manifest.MergeBySource, Manifest.MergeWhen] = {
     def cond(c: String): Option[String] = Option(c).map(_.trim)
+    def sets(body: String): Seq[(String, String)] =
+      splitTopLevel(body, ',').map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0 && topLevelMask(a)(eq), s"malformed SET clause: $a")
+        var lhs = a.substring(0, eq).trim
+        if (lhs.length > tAlias.length + 1 &&
+          lhs.substring(0, tAlias.length).equalsIgnoreCase(tAlias) &&
+          lhs.charAt(tAlias.length) == '.')
+          lhs = lhs.substring(tAlias.length + 1)
+        lhs -> a.substring(eq + 1).trim
+      }
     clause match {
+      case WhenBySrcUpdRe(c, body) =>
+        return Left(Manifest.BySourceUpdate(cond(c), sets(body.trim)))
+      case WhenBySrcDelRe(c) =>
+        return Left(Manifest.BySourceDelete(cond(c)))
+      case _ =>
+    }
+    Right(clause match {
       case WhenNotMatchedRe(c, body0) =>
         val body = body0.trim
         if (body == "*") Manifest.MergeInsert(cond(c), Nil, Nil)
@@ -295,23 +323,11 @@ object ManifestSql {
       case WhenMatchedUpdRe(c, body0) =>
         val body = body0.trim
         if (body == "*") Manifest.MergeUpdate(cond(c), Nil)
-        else {
-          val sets = splitTopLevel(body, ',').map { a =>
-            val eq = a.indexOf('=')
-            require(eq > 0 && topLevelMask(a)(eq), s"malformed SET clause: $a")
-            var lhs = a.substring(0, eq).trim
-            if (lhs.length > tAlias.length + 1 &&
-              lhs.substring(0, tAlias.length).equalsIgnoreCase(tAlias) &&
-              lhs.charAt(tAlias.length) == '.')
-              lhs = lhs.substring(tAlias.length + 1)
-            lhs -> a.substring(eq + 1).trim
-          }
-          Manifest.MergeUpdate(cond(c), sets)
-        }
+        else Manifest.MergeUpdate(cond(c), sets(body))
       case WhenMatchedDelRe(c) => Manifest.MergeDelete(cond(c))
       case other => throw new IllegalArgumentException(
         s"unsupported MERGE WHEN clause: $other")
-    }
+    })
   }
 
   /** Parse a MERGE/UPDATE-FROM/DELETE-USING source relation —
@@ -621,46 +637,58 @@ object ManifestSql {
       case _ => throw new IllegalArgumentException(
         s"unsupported MERGE ON shape (need t.k = s.k, one shared column): $onText")
     }
-    // split + parse the clause chain
-    val positions = topLevelPositions(coreWhen, "when")
-    require(positions.nonEmpty &&
-      coreWhen.substring(0, positions.head).trim.isEmpty,
-      s"malformed MERGE WHEN chain: $coreWhen")
-    val clauses = positions.zip(positions.tail :+ coreWhen.length)
-      .map { case (a, b) => parseWhenClause(coreWhen.substring(a, b).trim, tAlias) }
-    val legacy = clauses match {
+    // split + parse the clause chain (empty = the whole statement was
+    // a single BY SOURCE tail the sync peel took — legal)
+    val parsed =
+      if (coreWhen.trim.isEmpty) Seq.empty
+      else {
+        val positions = topLevelPositions(coreWhen, "when")
+        require(positions.nonEmpty &&
+          coreWhen.substring(0, positions.head).trim.isEmpty,
+          s"malformed MERGE WHEN chain: $coreWhen")
+        positions.zip(positions.tail :+ coreWhen.length)
+          .map { case (a, b) =>
+            parseWhenClause(coreWhen.substring(a, b).trim, tAlias) }
+      }
+    val clauses = parsed.collect { case Right(w) => w }
+    val bys = parsed.collect { case Left(b) => b }
+    val legacy = bys.isEmpty && (clauses match {
       case Seq(Manifest.MergeUpdate(None, Seq()),
                Manifest.MergeInsert(None, Seq(), Seq())) => true
       case _ => false
-    }
-    syncDelete match {
-      case Some(cond) =>
-        require(legacy,
-          "WHEN NOT MATCHED BY SOURCE combines only with the full-row " +
-            "UPDATE SET * / INSERT * shorthand")
-        // sync merge: target rows whose key is absent from the
-        // source are deleted (unconditionally, or where the AND
-        // condition passes — unqualified target columns)
+    })
+    require(!(evolve && (!legacy || syncDelete.isDefined)),
+      "MERGE WITH SCHEMA EVOLUTION supports only the full-row " +
+        s"UPDATE SET * / INSERT * shorthand (no BY SOURCE), got: $coreWhen")
+    (syncDelete, legacy) match {
+      case (Some(cond), true) =>
+        // legacy sync merge, bit-unchanged: target rows whose key is
+        // absent from the source are deleted (unconditionally, or
+        // where the AND condition passes — unqualified target
+        // columns), with union-of-bounds pruning
         val _ = Manifest.commitMergeFull(spark, root, table, sourceDf, keyCol,
           cond.map(expr).getOrElse(lit(true)))
-      case None if legacy || evolve =>
-        require(legacy,
-          "MERGE WITH SCHEMA EVOLUTION supports only the full-row " +
-            s"UPDATE SET * / INSERT * shorthand, got: $coreWhen")
+      case (None, true) =>
         val _ = Manifest.commitMergeUpsert(spark, root, table, sourceDf,
           keyCol, allowEvolution = evolve)
-      case None =>
+      case (sd, false) =>
         // clause form: the statement's aliases ARE the resolution
-        // namespace — require the ON qualifiers to be exactly them
+        // namespace — require the ON qualifiers to be exactly them.
+        // A trailing BY SOURCE DELETE the sync peel took rejoins the
+        // chain as the LAST BY SOURCE clause (it was the last clause
+        // of the statement)
         val sA = srcAlias.getOrElse(throw new IllegalArgumentException(
           "clause-form MERGE needs a named or aliased source"))
         require(onQuals == Set(tAlias.toLowerCase, sA.toLowerCase),
           s"MERGE ON qualifiers $onQuals do not match the statement " +
             s"aliases ($tAlias, $sA)")
+        val allBys = bys ++
+          sd.map(c => Manifest.BySourceDelete(c.map(_.trim))).toSeq
         val _ = Manifest.commitMergeClauses(spark, root, table, sourceDf,
           keyCol, tAlias, sA,
           clauses.filter(!_.isInstanceOf[Manifest.MergeInsert]),
-          clauses.collect { case i: Manifest.MergeInsert => i })
+          clauses.collect { case i: Manifest.MergeInsert => i },
+          allBys)
     }
   }
   private val InsertRe =

@@ -190,15 +190,45 @@ class DmlSpec extends SparkSuite {
           |ON t.k = s.k
           |WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v""".stripMargin)
     }
-    // BY SOURCE tail combines only with the full-row shorthand head
+    // evolve + BY SOURCE refuses even on the shorthand head
     intercept[IllegalArgumentException] {
       ManifestSql.runDml(spark, root,
-        """MERGE INTO t USING clause_one_src s ON t.k = s.k
-          |WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = s.v
+        """MERGE WITH SCHEMA EVOLUTION INTO t USING clause_one_src s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
     // none of the rejected statements committed anything
     assert(Manifest.readTable(spark, root, "t").head().getDouble(1) == 1.0)
+  }
+
+  test("clause-form MERGE with BY SOURCE: conditional delete, update, first-match") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0, "live"), (2L, 20.0, "live"), (3L, 30.0, "live"),
+          (4L, 200.0, "live"))
+        .toDF("k", "v", "st").coalesce(1))
+    Seq((1L, 99.0)).toDF("k", "v").createOrReplaceTempView("bysrc_spec")
+    // k=1 matched (updates); k=2..4 unmatched by source:
+    //   v >= 100 → DELETE (k=4); v >= 25 → retired (k=3); else keep (k=2)
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING bysrc_spec s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.v >= 100 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND v >= 25 THEN
+        |  UPDATE SET st = 'retired'""".stripMargin)
+    val got = Manifest.readTable(spark, root, "t").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getString(2)))).toMap
+    assert(got == Map(1L -> (99.0, "live"), 2L -> (20.0, "live"),
+      3L -> (30.0, "retired")))
+    // BY-SOURCE-only statement (no core clauses): legal, and an
+    // empty-interval source with BY SOURCE truncates conditionally
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING bysrc_spec s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND st = 'retired' THEN DELETE""".stripMargin)
+    assert(Manifest.readTable(spark, root, "t")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
   test("INSERT INTO and CTAS route to manifest commits; VALUES form works; re-CTAS refuses") {
