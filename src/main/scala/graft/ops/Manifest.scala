@@ -2935,6 +2935,18 @@ object Manifest {
               case SpanUpdate(_, p, _) => p
               case _ => lit(false) // unreachable
             }
+            // SET-column validation BEFORE the match runs: an UPDATE
+            // with a typo'd SET column refuses even when its predicate
+            // matches zero rows — same refuse-loudly discipline as
+            // commitMergeClauses/commitUpdateVectors
+            action match {
+              case SpanUpdate(_, _, sets) =>
+                val dataCols = masked.columns.filterNot(c => c == "_p" || c == "_ri")
+                val unknown = sets.keySet.diff(dataCols.toSet)
+                require(unknown.isEmpty,
+                  s"span UPDATE $table: SET of unknown columns $unknown")
+              case _ =>
+            }
             val hits = masked.filter(pred)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             pinned += hits
@@ -2961,9 +2973,6 @@ object Manifest {
               action match {
                 case SpanUpdate(_, _, sets) =>
                   val dataCols = masked.columns.filterNot(c => c == "_p" || c == "_ri")
-                  val unknown = sets.keySet.diff(dataCols.toSet)
-                  require(unknown.isEmpty,
-                    s"span UPDATE $table: SET of unknown columns $unknown")
                   val updated = hits.select(dataCols.toIndexedSeq.map { c =>
                     sets.get(c).map(_.cast(hits.schema(c).dataType).as(c))
                       .getOrElse(col(c))

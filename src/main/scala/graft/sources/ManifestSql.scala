@@ -498,10 +498,21 @@ object ManifestSql {
         }
       }
     }
-    // each region's INTO list: INTO t [(cols) VALUES (exprs)]
-    final case class Branch(cond: Option[String], table: String,
-                            cols: Seq[String], vals: Seq[String])
+    // each region's INTO list: INTO t [(cols) VALUES (exprs)] —
+    // `whenIdx` is the region's POSITION among the WHEN regions (-1
+    // for ELSE / unconditional): FIRST-mode precedence is positional,
+    // so two WHEN branches with IDENTICAL condition text still negate
+    // correctly (guarding by text would give the later branch the
+    // first's guard and route a row into BOTH targets)
+    final case class Branch(cond: Option[String], whenIdx: Int,
+                            table: String, cols: Seq[String],
+                            vals: Seq[String])
+    var whenSeen = -1
     val branches = regions.flatMap { case (cond, intoText) =>
+      val whenIdx = cond match {
+        case Some(c) if c != "__else__" => whenSeen += 1; whenSeen
+        case _ => -1
+      }
       val intos = topLevelPositions(intoText, "into")
       require(intos.nonEmpty && intoText.substring(0, intos.head).trim.isEmpty,
         s"INSERT: expected INTO, got: $intoText")
@@ -510,7 +521,7 @@ object ManifestSql {
         val name = seg.takeWhile(!_.isWhitespace)
         require(name.matches("[A-Za-z0-9_.-]+"), s"bad INTO target: $seg")
         val tail = seg.substring(name.length).trim
-        if (tail.isEmpty) Branch(cond, name, Nil, Nil)
+        if (tail.isEmpty) Branch(cond, whenIdx, name, Nil, Nil)
         else {
           require(tail.startsWith("("), s"unsupported INTO tail: $tail")
           val close = matchingParen(tail)
@@ -525,7 +536,7 @@ object ManifestSql {
           val vals = splitTopLevel(vp.substring(1, vp.length - 1), ',')
           require(cols.size == vals.size,
             s"INTO $name lists ${cols.size} columns but ${vals.size} values")
-          Branch(cond, name, cols, vals)
+          Branch(cond, whenIdx, name, cols, vals)
         }
       }
     }
@@ -534,24 +545,25 @@ object ManifestSql {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // FIRST: each WHEN guarded by the accumulated negation of the
-      // earlier conditions; ELSE is that negation over ALL whens
-      val whenConds = regions.flatMap(_._1).filter(_ != "__else__").distinct
-      def guard(cond: Option[String]): org.apache.spark.sql.Column =
+      // earlier conditions BY POSITION (`take(whenIdx)`, never by
+      // condition text — duplicate texts must not share a guard);
+      // ELSE is that negation over ALL whens
+      val whenConds = regions.flatMap(_._1).filter(_ != "__else__")
+      def guard(cond: Option[String], whenIdx: Int): org.apache.spark.sql.Column =
         cond match {
           case None => lit(true)
           case Some("__else__") =>
             whenConds.map(c => !coalesce(expr(c), lit(false)))
               .foldLeft(lit(true))(_ && _)
           case Some(c) if first =>
-            val before = whenConds.takeWhile(_ != c)
-            before.map(p => !coalesce(expr(p), lit(false)))
+            whenConds.take(whenIdx).map(p => !coalesce(expr(p), lit(false)))
               .foldLeft(coalesce(expr(c), lit(false)))(_ && _)
           case Some(c) => coalesce(expr(c), lit(false))
         }
       val perBranch = branches.map { b =>
         val target = Manifest.registeredSchema(spark, root, b.table)
           .getOrElse(Manifest.readTable(spark, root, b.table).schema)
-        val rows = pinned.filter(guard(b.cond))
+        val rows = pinned.filter(guard(b.cond, b.whenIdx))
         val batch =
           if (b.cols.isEmpty) {
             require(rows.schema.length == target.length,
@@ -572,13 +584,21 @@ object ManifestSql {
           }
         (b.table, batch)
       }
+      // the (table, n_rows_inserted) report rides `observe` metrics on
+      // the commit's OWN write pass (the COPY q241 / unload q251
+      // idiom) — no second action per branch: publishData executes
+      // each batch exactly once before the claim, so every
+      // Observation resolves, including zero-row branches (count = 0)
       val merged = perBranch.groupBy(_._1).toSeq.sortBy(_._1).map {
-        case (t, bs) => (t, bs.map(_._2).reduce(_ unionByName _),
-          Seq.empty[String])
+        case (t, bs) =>
+          val obs = org.apache.spark.sql.Observation()
+          (t, bs.map(_._2).reduce(_ unionByName _)
+            .observe(obs, count(lit(1)).as("n")), obs)
       }
-      val v = Manifest.commitAppendMulti(spark, root, merged)
+      val v = Manifest.commitAppendMulti(spark, root,
+        merged.map { case (t, df, _) => (t, df, Seq.empty[String]) })
       import spark.implicits._
-      merged.map { case (t, df, _) => (t, df.count()) }
+      merged.map { case (t, _, obs) => (t, obs.get("n").asInstanceOf[Long]) }
         .toDF("table_name", "n_rows_inserted")
         .withColumn("version", lit(v)).orderBy("table_name")
     } finally pinned.unpersist()
@@ -1405,9 +1425,14 @@ object ManifestSql {
         // hood). Whole-table COUNT/MIN/MAX statements over a manifest
         // table answer from metadata first (the Snowflake/Delta
         // aggregate pushdown — zero data I/O).
-        last = metaAggAnswer(spark, root, other).getOrElse(
-          spark.sql(rewriteTimeTravel(spark, root,
-            rewriteTableChanges(spark, root, other))))
+        last = metaAggAnswer(spark, root, other).getOrElse {
+          val (rewritten, feedViews) = rewriteTableChanges(spark, root, other)
+          // analysis resolves the feed views INTO the plan, so they
+          // drop as soon as spark.sql returns — no accumulation, no
+          // cross-root collision window beyond this statement
+          try spark.sql(rewriteTimeTravel(spark, root, rewritten))
+          finally feedViews.foreach(spark.catalog.dropTempView(_))
+        }
     }
     // BEGIN [TRANSACTION] ... COMMIT spans fold into ONE atomic
     // multi-table commit; ROLLBACK discards the span (every effect is
@@ -1484,6 +1509,18 @@ object ManifestSql {
             Manifest.SpanDelete(table, expr(w))
         }
       case UpdateRe(table, rest) =>
+        // mirror runDml's top-level FROM detection: a join-UPDATE
+        // (`UPDATE t SET ... FROM s WHERE ...`) must refuse with the
+        // span's clear unsupported-verb message, never mis-parse the
+        // FROM clause into a SET expression and die in Spark's parser
+        locally {
+          val f = topLevelKeyword(rest, "from")
+          val w = topLevelKeyword(rest, "where")
+          require(f < 0 || (w >= 0 && w < f),
+            "UPDATE ... FROM (join-update) inside BEGIN...COMMIT is " +
+              "not supported (run it as its own atomic statement, or " +
+              "use MERGE)")
+        }
         val wherePos = topLevelKeyword(rest, "where")
         val (setPart, whereText) =
           if (wherePos < 0) (rest, None)
@@ -2285,10 +2322,21 @@ object ManifestSql {
     * up consumer re-polling): an empty, schema-preserving frame.
     * Quote-aware (a call-shaped string literal is left alone — the
     * q243 rewrite discipline); statements without the TVF pass
-    * through byte-identical. */
-  def rewriteTableChanges(spark: SparkSession, root: String, sql: String): String = {
+    * through byte-identical.
+    *
+    * View names carry the ROOT's fingerprint plus a per-statement
+    * nonce, and the caller drops them once `spark.sql` has planned
+    * (analysis resolves the view into the plan, so the name is dead
+    * weight after): two manifest roots with a same-named table in one
+    * session can never collide via createOrReplaceTempView, and views
+    * do not accumulate across statements. Returns the rewritten text
+    * plus the view names to drop. */
+  def rewriteTableChanges(spark: SparkSession, root: String,
+                          sql: String): (String, Seq[String]) = {
     val mask = quoteMask(sql)
-    TableChangesRe.findAllMatchIn(sql).filter(m => mask(m.start)).toList.reverse
+    val created = Seq.newBuilder[String]
+    val out = TableChangesRe.findAllMatchIn(sql).filter(m => mask(m.start))
+      .toList.reverse
       .foldLeft(sql) { (acc, m) =>
         val table = m.group(1)
         val from = m.group(2).toLong
@@ -2296,12 +2344,17 @@ object ManifestSql {
           s"table_changes: from-version must be >= 1, got $from")
         val to = Option(m.group(3)).map(_.toLong).getOrElse(-1L)
         val view = s"${table.replace('.', '_')}__changes_${from}_" +
-          (if (to > 0) to.toString else "latest")
+          (if (to > 0) to.toString else "latest") +
+          f"_${root.hashCode & 0xffffff}%06x_${changesNonce.incrementAndGet()}"
         Manifest.readChangeFeed(spark, root, table, from - 1, to)
           .createOrReplaceTempView(view)
+        created += view
         acc.substring(0, m.start) + view + acc.substring(m.end)
       }
+    (out, created.result())
   }
+
+  private val changesNonce = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // --------------------------------------------------------------- queries
 

@@ -1116,6 +1116,67 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.snapshotVersion(root) == v0 + 1)
   }
 
+  test("INSERT FIRST: duplicate condition text routes to the FIRST branch only") {
+    val root = freshRoot()
+    Seq("d1", "d2").foreach(t => Manifest.commitAppend(spark, root, t,
+      Seq((0L, 0.0)).toDF("k", "v").coalesce(1)))
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("ins_first_dup_src")
+    // two WHEN branches with IDENTICAL condition text: FIRST-mode
+    // precedence is positional — every matching row routes to d1,
+    // NONE to d2 (guarding by condition text would send it to both)
+    val rep = ManifestSql.runDml(spark, root,
+      """INSERT FIRST
+        |  WHEN k >= 1 THEN INTO d1
+        |  WHEN k >= 1 THEN INTO d2
+        |SELECT k, v FROM ins_first_dup_src""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("d1" -> 2L, "d2" -> 0L))
+    assert(Manifest.readTable(spark, root, "d1").count() == 3L)
+    assert(Manifest.readTable(spark, root, "d2").count() == 1L)
+  }
+
+  test("span UPDATE: typo'd SET column refuses even when nothing matches") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    val v0 = Manifest.snapshotVersion(root)
+    // the predicate matches ZERO rows — the unknown SET column must
+    // still refuse (validation runs before the match, the
+    // commitMergeClauses/commitUpdateVectors discipline)
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |UPDATE t SET nope = 9 WHERE k = 999;
+          |COMMIT""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown columns"))
+    assert(Manifest.snapshotVersion(root) == v0)
+  }
+
+  test("span UPDATE ... FROM refuses with the span's message, not a parse error") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Seq((1L, 9.0)).toDF("k", "v").createOrReplaceTempView("span_updfrom_src")
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |UPDATE t SET v = s.v FROM span_updfrom_src s WHERE t.k = s.k;
+          |COMMIT""".stripMargin)
+    }
+    assert(e.getMessage.contains("BEGIN...COMMIT"))
+    // a SET expression whose TEXT contains 'from' (a string literal)
+    // still parses as a plain span update
+    Manifest.commitAppend(spark, root, "s2",
+      Seq((1L, "x")).toDF("k", "tag").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      """BEGIN;
+        |UPDATE s2 SET tag = 'from here' WHERE k = 1;
+        |COMMIT""".stripMargin)
+    assert(Manifest.readTable(spark, root, "s2").head().getString(1) == "from here")
+  }
+
   test("UPDATE...FROM is a one-clause merge; DELETE...USING rides the keyed DV path") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
