@@ -2605,9 +2605,24 @@ object Manifest {
                        keys: DataFrame, keyCol: String,
                        maxRetries: Int = 5,
                        txn: Option[(String, Long)] = None): Long =
+    commitDeleteKeys(s, root, table, keys, Seq(keyCol), maxRetries, txn)
+
+  /** Composite-key form of [[commitDeleteKeys]]: the semi-join matches
+    * on the CONJUNCTION of all key columns (a row deletes only when
+    * every key column equals a source row's — SQL multi-column IN
+    * semantics: a NULL in ANY key column matches nothing). The
+    * single-key path above delegates here with a one-element list, so
+    * its behavior is bit-unchanged. */
+  def commitDeleteKeys(s: SparkSession, root: String, table: String,
+                       keys: DataFrame, keyCols: Seq[String],
+                       maxRetries: Int, txn: Option[(String, Long)]): Long = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"commitDeleteKeys: key columns must be non-empty and distinct ($keyCols)")
     deleteVectorsBy(s, root, table,
-      df => df.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"),
+      df => df.join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi"),
       maxRetries, txn)
+  }
 
   /** Shared DV-delete core: `matcher` narrows the raw scan (data
     * columns + precomputed `__graft_p`/`__graft_ri` position columns)
@@ -3459,13 +3474,26 @@ object Manifest {
     * deletes) applied, or None when the source has nothing new. */
   def applyChangesInto(s: SparkSession, srcRoot: String, srcTable: String,
                        dstRoot: String, dstTable: String,
-                       keyCol: String): Option[(Long, Long)] = {
+                       keyCol: String): Option[(Long, Long)] =
+    applyChangesInto(s, srcRoot, srcTable, dstRoot, dstTable, Seq(keyCol))
+
+  /** Composite-key form of [[applyChangesInto]]: the net-change window
+    * partitions by ALL key columns, the delete semi-join and the merge
+    * match on their conjunction, and the destination's per-file stats
+    * record every key column (conjunctive pruning on later syncs). The
+    * single-key signature delegates here, bit-unchanged. */
+  def applyChangesInto(s: SparkSession, srcRoot: String, srcTable: String,
+                       dstRoot: String, dstTable: String,
+                       keyCols: Seq[String]): Option[(Long, Long)] = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"applyChangesInto: key columns must be non-empty and distinct ($keyCols)")
     val appId = s"applychanges-$dstTable"
     val fromV = lastCommittedTxn(dstRoot, appId).getOrElse(0L)
     val to = snapshotVersion(srcRoot)
     if (to <= fromV) return None
     val feed = readChangeFeed(s, srcRoot, srcTable, fromV, to)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "insert", 1).otherwise(0).desc)
     val net = feed.withColumn("_rn", row_number().over(w))
@@ -3481,7 +3509,7 @@ object Manifest {
       // driver-side key list, no giant Catalyst `In` literal (a
       // 1M-literal In is a planner hazard far below any collect guard)
       val dels = net.filter(col("_change_type") === "delete")
-        .select(col(keyCol))
+        .select(keyCols.map(col): _*)
       val nDel = dels.count()
       val dstV = snapshotVersion(dstRoot)
       val dstExists = dstV > 0 &&
@@ -3503,17 +3531,18 @@ object Manifest {
       if (dstExists && nUp == 0L && nDel == 0L) return Some((0L, 0L))
       if (!dstExists) {
         // bootstrap: net state IS the table (net-deleted keys never land)
-        commitAppendStats(s, dstRoot, dstTable, upserts, Seq(keyCol),
-          keyCol, 1, txn = Some(appId -> to))
+        commitAppendStats(s, dstRoot, dstTable, upserts, keyCols,
+          keyCols.head, 1, txn = Some(appId -> to))
       } else {
         if (nDel > 0)
-          try commitDeleteKeys(s, dstRoot, dstTable, dels, keyCol,
-            txn = Some(s"$appId-del" -> to))
+          try commitDeleteKeys(s, dstRoot, dstTable, dels, keyCols,
+            maxRetries = 5, txn = Some(s"$appId-del" -> to))
           catch { case _: TxnAlreadyCommitted => () } // crash-replay half
         try {
           if (nUp > 0)
-            commitMergeUpsert(s, dstRoot, dstTable, upserts, keyCol,
-              txn = Some(appId -> to))
+            commitMergeUpsert(s, dstRoot, dstTable, upserts, keyCols,
+              maxRetries = 5, txn = Some(appId -> to),
+              allowEvolution = false)
           else // advance the progress ledger even on a delete-only interval
             commitAppend(s, dstRoot, dstTable, upserts,
               txn = Some(appId -> to))
@@ -4418,7 +4447,26 @@ object Manifest {
                         updates: DataFrame, keyCol: String,
                         maxRetries: Int = 5,
                         txn: Option[(String, Long)] = None,
-                        allowEvolution: Boolean = false): Long = {
+                        allowEvolution: Boolean = false): Long =
+    commitMergeUpsert(s, root, table, updates, Seq(keyCol), maxRetries,
+      txn, allowEvolution)
+
+  /** Composite-key form of [[commitMergeUpsert]]: a target row matches
+    * a source row when EVERY key column is equal (a NULL in any key
+    * column matches nothing — that source row is a plain insert, as in
+    * the single-key path). File pruning is the CONJUNCTION of
+    * per-column key bounds through the multi-column per-file stats
+    * (q198's machinery): a file survives only if every key column's
+    * recorded [min, max] overlaps the source's — at (tenant_id, id)
+    * cardinality that conjunction prunes multiplicatively where either
+    * bound alone would keep the file. The single-key signature above
+    * delegates here with a one-element list, bit-unchanged. */
+  def commitMergeUpsert(s: SparkSession, root: String, table: String,
+                        updates: DataFrame, keyCols: Seq[String],
+                        maxRetries: Int, txn: Option[(String, Long)],
+                        allowEvolution: Boolean): Long = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"commitMergeUpsert: key columns must be non-empty and distinct ($keyCols)")
     // Pin the source batch: a non-deterministic `updates` (sample, rand,
     // now()) re-evaluated on a conflict retry could drift outside the
     // key bounds computed here, desyncing the affected-file set from the
@@ -4426,21 +4474,24 @@ object Manifest {
     // and every retry all see ONE consistent batch.
     val pinned = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val keyType = pinned.schema(keyCol).dataType.sql
-      val kb = pinned.agg(
-        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
-        count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol))).head()
-      if (kb.getLong(2) == 0L) return snapshotVersion(root)
+      val keyTypes = keyCols.map(k => pinned.schema(k).dataType.sql)
+      val kbAggs = Seq(count(lit(1)),
+        count(when(keyCols.map(col(_).isNotNull).reduce(_ && _), lit(1))),
+        count_distinct(keyCols.map(col).head, keyCols.map(col).tail: _*)) ++
+        keyCols.flatMap(k => Seq(min(col(k)).cast("string"),
+          max(col(k)).cast("string")))
+      val kb = pinned.agg(kbAggs.head, kbAggs.tail: _*).head()
+      if (kb.getLong(0) == 0L) return snapshotVersion(root)
       // MERGE rejects multi-match sources: two update rows with one key
       // would both land, breaking per-key-exactly-once — fail loudly
       // (ANSI MERGE's "duplicate row in source" error), don't pick one.
-      // The check is over NON-NULL keys (count(key), not count(*)): a
-      // NULL key matches no target row, so NULL-key rows are plain
-      // inserts, not duplicates of each other
-      if (kb.getLong(3) != kb.getLong(4))
+      // The check is over COMPLETE keys (every column non-null): a key
+      // with any NULL column matches no target row, so such rows are
+      // plain inserts, not duplicates of each other
+      if (kb.getLong(1) != kb.getLong(2))
         throw new IllegalArgumentException(
-          s"commitMergeUpsert: updates carry duplicate $keyCol values " +
-            s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
+          s"commitMergeUpsert: updates carry duplicate (${keyCols.mkString(", ")}) " +
+            s"values (${kb.getLong(1)} complete keys, ${kb.getLong(2)} distinct) — " +
             "MERGE requires at most one source row per key")
       // MERGE WITH SCHEMA EVOLUTION: the source must carry every target
       // column (type-identical — same enforcement as the evolving
@@ -4479,15 +4530,16 @@ object Manifest {
             pinned.schema.fields.filterNot(f => cur.fieldNames.contains(f.name))
               .map(_.copy(nullable = true)))))
         }
-      val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
-      commitMergeUpsertPinned(s, root, table, pinned, keyCol, keyPred,
+      val keyPreds = keyCols.indices.map(i => Pred(keyCols(i),
+        kb.getString(3 + 2 * i), kb.getString(4 + 2 * i), keyTypes(i)))
+      commitMergeUpsertPinned(s, root, table, pinned, keyCols, keyPreds,
         maxRetries, txn, evolve)
     } finally pinned.unpersist()
   }
 
   private def commitMergeUpsertPinned(s: SparkSession, root: String,
                                       table: String, updates: DataFrame,
-                                      keyCol: String, keyPred: Pred,
+                                      keyCols: Seq[String], keyPreds: Seq[Pred],
                                       maxRetries: Int,
                                       txn: Option[(String, Long)] = None,
                                       evolve: Option[(Option[StructType], StructType)] = None): Long = {
@@ -4503,7 +4555,7 @@ object Manifest {
       // for)
       val expected = manifestRows(s, root, base)
         .collect { case (t, f, _) if t == table => f }.toSet
-      val (affected, _) = overlappingRows(s, root, table, Seq(keyPred), base)
+      val (affected, _) = overlappingRows(s, root, table, keyPreds, base)
       // Non-evolving merge schema enforcement when NOTHING overlaps:
       // with affected files the unionByName below rejects a drifted
       // source, but when the key bounds miss every file there is no
@@ -4526,7 +4578,7 @@ object Manifest {
         if (affected.isEmpty) updates
         else readResolved(s, root, affected.map { case (_, f, st) => (f, st) },
             registeredSchema(s, root, table, base))
-          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
           // evolving merge: survivor rows NULL-fill the source's new
           // columns (old files keep doing so on read, via the
           // registered schema)
@@ -4540,7 +4592,7 @@ object Manifest {
       }
       val hint = nextVersion(root)
       val relFiles = publishData(s, root, hint, table, survivors)
-      val newRows = statsRowsFor(s, root, table, relFiles, Seq(keyCol))
+      val newRows = statsRowsFor(s, root, table, relFiles, keyCols)
       val removes = affected.map { case (t, f, _) => (t, f) }
       try {
         return casCommit(s, root, { b =>
@@ -4634,7 +4686,27 @@ object Manifest {
                          matched: Seq[MergeWhen],
                          notMatched: Seq[MergeInsert],
                          bySource: Seq[MergeBySource] = Nil,
-                         maxRetries: Int = 5): Long = {
+                         maxRetries: Int = 5): Long =
+    commitMergeClauses(s, root, table, source, Seq(keyCol), tAlias, sAlias,
+      matched, notMatched, bySource, maxRetries)
+
+  /** Composite-key form of [[commitMergeClauses]]: `ON t.a = s.a AND
+    * t.b = s.b ...` — a target row matches a source row when EVERY
+    * key column is equal (a NULL in any key column matches nothing,
+    * so that source row is an insert candidate, as in the single-key
+    * path), the duplicate-source check is per COMPLETE composite key,
+    * and file pruning is the CONJUNCTION of per-column key bounds
+    * through the multi-column per-file stats. The single-key
+    * signature above delegates here, bit-unchanged. */
+  def commitMergeClauses(s: SparkSession, root: String, table: String,
+                         source: DataFrame, keyCols: Seq[String],
+                         tAlias: String, sAlias: String,
+                         matched: Seq[MergeWhen],
+                         notMatched: Seq[MergeInsert],
+                         bySource: Seq[MergeBySource],
+                         maxRetries: Int): Long = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"MERGE: key columns must be non-empty and distinct ($keyCols)")
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "commitMergeClauses: INSERT is not a MATCHED action")
     require(tAlias != sAlias,
@@ -4643,21 +4715,25 @@ object Manifest {
     // bounds, dup check, rewrite, and every retry see ONE batch)
     val pinned = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val keyType = pinned.schema(keyCol).dataType.sql
-      val kb = pinned.agg(
-        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
-        count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol))).head()
+      val keyTypes = keyCols.map(k => pinned.schema(k).dataType.sql)
+      val kbAggs = Seq(count(lit(1)),
+        count(when(keyCols.map(col(_).isNotNull).reduce(_ && _), lit(1))),
+        count_distinct(keyCols.map(col).head, keyCols.map(col).tail: _*)) ++
+        keyCols.flatMap(k => Seq(min(col(k)).cast("string"),
+          max(col(k)).cast("string")))
+      val kb = pinned.agg(kbAggs.head, kbAggs.tail: _*).head()
       // an empty source is a no-op ONLY without BY SOURCE clauses —
       // with them it is the full-sync degenerate case (every target
       // row is unmatched; an unconditional delete truncates)
-      if (kb.getLong(2) == 0L && bySource.isEmpty)
+      if (kb.getLong(0) == 0L && bySource.isEmpty)
         return snapshotVersion(root)
-      if (kb.getLong(3) != kb.getLong(4))
+      if (kb.getLong(1) != kb.getLong(2))
         throw new IllegalArgumentException(
-          s"MERGE: updates carry duplicate $keyCol values " +
-            s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
+          s"MERGE: updates carry duplicate (${keyCols.mkString(", ")}) values " +
+            s"(${kb.getLong(1)} complete keys, ${kb.getLong(2)} distinct) — " +
             "MERGE requires at most one source row per key")
-      val keyPred = Pred(keyCol, kb.getString(0), kb.getString(1), keyType)
+      val keyPreds = keyCols.indices.map(i => Pred(keyCols(i),
+        kb.getString(3 + 2 * i), kb.getString(4 + 2 * i), keyTypes(i)))
       // ANSI condition semantics: NULL does not pass
       def passes(c: Option[String]): org.apache.spark.sql.Column =
         c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
@@ -4699,7 +4775,7 @@ object Manifest {
         // form does not attempt); without them, key-stats pruning
         val affected =
           if (bySource.isEmpty)
-            overlappingRows(s, root, table, Seq(keyPred), base)._1
+            overlappingRows(s, root, table, keyPreds, base)._1
           else manifestRows(s, root, base).collect {
             case (t, f, st) if t == table => (t, f, st) }
         val current =
@@ -4710,7 +4786,8 @@ object Manifest {
             affected.map { case (_, f, st) => (f, st) },
             registeredSchema(s, root, table, base))
         val joined = current.alias(tAlias).join(pinned.alias(sAlias),
-          col(s"$tAlias.$keyCol") === col(s"$sAlias.$keyCol"), "inner")
+          keyCols.map(k => col(s"$tAlias.$k") === col(s"$sAlias.$k"))
+            .reduce(_ && _), "inner")
         // first-match-wins clause index: outermost WHEN is clause 0
         val mIdx = matched.zipWithIndex.reverse
           .foldLeft(lit(-1): org.apache.spark.sql.Column) {
@@ -4737,7 +4814,7 @@ object Manifest {
             }.cast(tgtSchema(c).dataType).as(c)
           }: _*)
         val unmatchedBase = current
-          .join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .join(pinned.select(keyCols.map(col): _*), keyCols, "left_anti")
         val unmatchedTgt =
           if (bySource.isEmpty) unmatchedBase.select(tgtCols.map(col): _*)
           else {
@@ -4770,8 +4847,11 @@ object Manifest {
         // lives in a bounds-overlapping file (NULL-key source rows
         // match nothing, so they land here, as in the shorthand path)
         val nm = pinned.alias(sAlias).join(
-          current.select(col(keyCol).as("__tk")),
-          col(s"$sAlias.$keyCol") === col("__tk"), "left_anti")
+          current.select(keyCols.zipWithIndex.map {
+            case (k, i) => col(k).as(s"__tk$i") }: _*),
+          keyCols.zipWithIndex.map { case (k, i) =>
+            col(s"$sAlias.$k") === col(s"__tk$i") }.reduce(_ && _),
+          "left_anti")
         val nmIdx = notMatched.zipWithIndex.reverse
           .foldLeft(lit(-1): org.apache.spark.sql.Column) {
             case (acc, (cl, i)) => when(passes(cl.cond), lit(i)).otherwise(acc)
@@ -4792,7 +4872,7 @@ object Manifest {
           unmatchedTgt.unionByName(matchedOut))(_ unionByName _)
         val hint = nextVersion(root)
         val relFiles = publishData(s, root, hint, table, rewritten)
-        val newRows = statsRowsFor(s, root, table, relFiles, Seq(keyCol))
+        val newRows = statsRowsFor(s, root, table, relFiles, keyCols)
         val removes = affected.map { case (t, f, _) => (t, f) }
         try {
           return casCommit(s, root, { b =>
@@ -4944,21 +5024,38 @@ object Manifest {
                       updates: DataFrame, keyCol: String,
                       deleteFilter: org.apache.spark.sql.Column = lit(true),
                       deletePreds: Seq[Pred] = Nil,
-                      maxRetries: Int = 5): Long = {
+                      maxRetries: Int = 5): Long =
+    commitMergeFull(s, root, table, updates, Seq(keyCol), deleteFilter,
+      deletePreds, maxRetries)
+
+  /** Composite-key form of [[commitMergeFull]] — equality over every
+    * key column, conjunctive key-bound pruning, per-complete-key
+    * duplicate refusal; the single-key signature delegates here. */
+  def commitMergeFull(s: SparkSession, root: String, table: String,
+                      updates: DataFrame, keyCols: Seq[String],
+                      deleteFilter: org.apache.spark.sql.Column,
+                      deletePreds: Seq[Pred],
+                      maxRetries: Int): Long = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"commitMergeFull: key columns must be non-empty and distinct ($keyCols)")
     val pinned = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val keyType = pinned.schema(keyCol).dataType.sql
-      val kb = pinned.agg(
-        min(col(keyCol)).cast("string"), max(col(keyCol)).cast("string"),
-        count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol))).head()
-      if (kb.getLong(3) != kb.getLong(4))
+      val keyTypes = keyCols.map(k => pinned.schema(k).dataType.sql)
+      val kbAggs = Seq(count(lit(1)),
+        count(when(keyCols.map(col(_).isNotNull).reduce(_ && _), lit(1))),
+        count_distinct(keyCols.map(col).head, keyCols.map(col).tail: _*)) ++
+        keyCols.flatMap(k => Seq(min(col(k)).cast("string"),
+          max(col(k)).cast("string")))
+      val kb = pinned.agg(kbAggs.head, kbAggs.tail: _*).head()
+      if (kb.getLong(1) != kb.getLong(2))
         throw new IllegalArgumentException(
-          s"commitMergeFull: updates carry duplicate $keyCol values " +
-            s"(${kb.getLong(3)} non-null keys, ${kb.getLong(4)} distinct) — " +
+          s"commitMergeFull: updates carry duplicate (${keyCols.mkString(", ")}) " +
+            s"values (${kb.getLong(1)} complete keys, ${kb.getLong(2)} distinct) — " +
             "MERGE requires at most one source row per key")
-      val keyPred =
-        if (kb.getLong(3) == 0L) None
-        else Some(Pred(keyCol, kb.getString(0), kb.getString(1), keyType))
+      val keyPreds =
+        if (kb.getLong(1) == 0L) Nil
+        else keyCols.indices.map(i => Pred(keyCols(i),
+          kb.getString(3 + 2 * i), kb.getString(4 + 2 * i), keyTypes(i)))
       var tries = 0
       while (true) {
         val base = latestReadableClaim(root)
@@ -4966,9 +5063,9 @@ object Manifest {
         val expected = manifestRows(s, root, base)
           .collect { case (t, f, _) if t == table => f }.toSet
         require(expected.nonEmpty, s"table $table absent from snapshot v$base")
-        val byKey = keyPred
-          .map(p => overlappingRows(s, root, table, Seq(p), base)._1)
-          .getOrElse(Nil)
+        val byKey =
+          if (keyPreds.isEmpty) Nil
+          else overlappingRows(s, root, table, keyPreds, base)._1
         val byDel = overlappingRows(s, root, table, deletePreds, base)._1
         val affected = (byKey ++ byDel).distinctBy(_._2)
         val survivors =
@@ -4979,7 +5076,7 @@ object Manifest {
               registeredSchema(s, root, table, base))
             val order = current.columns
             current
-              .join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .join(pinned.select(keyCols.map(col): _*), keyCols, "left_anti")
               .filter(!coalesce(deleteFilter, lit(false)))
               .select(order.toIndexedSeq.map(col): _*)
               .unionByName(pinned)
@@ -4987,7 +5084,7 @@ object Manifest {
         val hint = nextVersion(root)
         val relFiles = publishData(s, root, hint, table, survivors)
         val newRows = statsRowsFor(s, root, table, relFiles,
-          (keyCol +: deletePreds.map(_.column)).distinct)
+          (keyCols ++ deletePreds.map(_.column)).distinct)
         val removes = affected.map { case (t, f, _) => (t, f) }
         try {
           return casCommit(s, root, { b =>

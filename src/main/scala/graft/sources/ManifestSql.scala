@@ -394,13 +394,17 @@ object ManifestSql {
             Set(table.toLowerCase, sA.toLowerCase)
       case _ => false
     }
-    require(joins.size == 1,
-      s"UPDATE ... FROM needs exactly one '$table.k = $sA.k' equi-join " +
-        s"conjunct in WHERE (found ${joins.size})")
-    val keyCol = joins.head match { case MergeOnRe(_, k1, _, _) => k1 }
+    require(joins.nonEmpty,
+      s"UPDATE ... FROM needs at least one '$table.k = $sA.k' equi-join " +
+        "conjunct in WHERE")
+    // composite keys: every `t.k = s.k` conjunct is a key column; the
+    // match is their conjunction (the commitMergeClauses contract)
+    val keyCols = joins.map { case MergeOnRe(_, k1, _, _) => k1 }
+    require(keyCols.map(_.toLowerCase).distinct.size == keyCols.size,
+      s"UPDATE ... FROM repeats a join key column: ${keyCols.mkString(", ")}")
     val cond = if (conds.isEmpty) None else Some(conds.mkString(" AND "))
     val _ = Manifest.commitMergeClauses(spark, root, table, sourceDf,
-      keyCol, table, sA, Seq(Manifest.MergeUpdate(cond, sets)), Nil)
+      keyCols, table, sA, Seq(Manifest.MergeUpdate(cond, sets)), Nil, Nil, 5)
   }
 
   /** `DELETE FROM t USING <src> [AS] s WHERE t.k = s.k [AND conds]`
@@ -429,10 +433,14 @@ object ManifestSql {
             Set(table.toLowerCase, sA.toLowerCase)
       case _ => false
     }
-    require(joins.size == 1,
-      s"DELETE ... USING needs exactly one '$table.k = $sA.k' equi-join " +
-        s"conjunct in WHERE (found ${joins.size})")
-    val keyCol = joins.head match { case MergeOnRe(_, k1, _, _) => k1 }
+    require(joins.nonEmpty,
+      s"DELETE ... USING needs at least one '$table.k = $sA.k' equi-join " +
+        "conjunct in WHERE")
+    // composite keys: every `t.k = s.k` conjunct is a key column; a
+    // row deletes only when ALL of them match a source row
+    val keyCols = joins.map { case MergeOnRe(_, k1, _, _) => k1 }
+    require(keyCols.map(_.toLowerCase).distinct.size == keyCols.size,
+      s"DELETE ... USING repeats a join key column: ${keyCols.mkString(", ")}")
     // remaining conjuncts must bind to the source alone — strip the
     // alias and refuse any reference to the target's namespace
     val badRef = ("(?i)(?<![A-Za-z0-9_])" +
@@ -444,7 +452,7 @@ object ManifestSql {
     val filtered = conds.foldLeft(sourceDf.alias(sA))(
       (df, c) => df.filter(expr(c))) // alias-qualified refs resolve
     val _ = Manifest.commitDeleteKeys(spark, root, table,
-      filtered.select(col(keyCol)), keyCol)
+      filtered.select(keyCols.map(col): _*), keyCols, 5, None)
   }
 
   /** `INSERT ALL | FIRST [WHEN <cond> THEN] INTO t [(cols) VALUES
@@ -651,12 +659,25 @@ object ManifestSql {
         (spark.table(toks.head), relAlias(toks.tail, Some(toks.head)))
       }
     val tAlias = Option(tgtAliasRaw).getOrElse(table)
-    val (onQuals, keyCol) = onText match {
+    // composite keys: the ON clause is a CONJUNCTION of `t.k = s.k`
+    // equi-conjuncts (one or more) — every conjunct must bind the same
+    // two relations, the key list must not repeat a column, and
+    // anything else (OR, inequality, expressions) refuses loudly
+    val onPairs = splitConjuncts(onText).map {
       case MergeOnRe(q1, k1, q2, k2) if k1.equalsIgnoreCase(k2) =>
         (Set(q1.toLowerCase, q2.toLowerCase), k1)
-      case _ => throw new IllegalArgumentException(
-        s"unsupported MERGE ON shape (need t.k = s.k, one shared column): $onText")
+      case c => throw new IllegalArgumentException(
+        s"unsupported MERGE ON conjunct (need t.k = s.k, shared column " +
+          s"name per conjunct): $c")
     }
+    require(onPairs.nonEmpty,
+      s"unsupported MERGE ON shape (need t.k = s.k [AND ...]): $onText")
+    require(onPairs.map(_._1).distinct.size == 1,
+      s"MERGE ON conjuncts bind different relations: $onText")
+    val onQuals = onPairs.head._1
+    val keyCols = onPairs.map(_._2)
+    require(keyCols.map(_.toLowerCase).distinct.size == keyCols.size,
+      s"MERGE ON repeats a key column: $onText")
     // split + parse the clause chain (empty = the whole statement was
     // a single BY SOURCE tail the sync peel took — legal)
     val parsed =
@@ -686,11 +707,11 @@ object ManifestSql {
         // absent from the source are deleted (unconditionally, or
         // where the AND condition passes — unqualified target
         // columns), with union-of-bounds pruning
-        val _ = Manifest.commitMergeFull(spark, root, table, sourceDf, keyCol,
-          cond.map(expr).getOrElse(lit(true)))
+        val _ = Manifest.commitMergeFull(spark, root, table, sourceDf, keyCols,
+          cond.map(expr).getOrElse(lit(true)), Nil, 5)
       case (None, true) =>
         val _ = Manifest.commitMergeUpsert(spark, root, table, sourceDf,
-          keyCol, allowEvolution = evolve)
+          keyCols, 5, None, allowEvolution = evolve)
       case (sd, false) =>
         // clause form: the statement's aliases ARE the resolution
         // namespace — require the ON qualifiers to be exactly them.
@@ -705,10 +726,10 @@ object ManifestSql {
         val allBys = bys ++
           sd.map(c => Manifest.BySourceDelete(c.map(_.trim))).toSeq
         val _ = Manifest.commitMergeClauses(spark, root, table, sourceDf,
-          keyCol, tAlias, sA,
+          keyCols, tAlias, sA,
           clauses.filter(!_.isInstanceOf[Manifest.MergeInsert]),
           clauses.collect { case i: Manifest.MergeInsert => i },
-          allBys)
+          allBys, 5)
     }
   }
   private val InsertRe =
@@ -1373,7 +1394,7 @@ object ManifestSql {
         Manifest.requireSelect(root, table,
           spark.conf.get("graft.sql.role", "admin"))
         last = Manifest.showStats(spark, root, table)
-      case ApplyChangesRe(dst, src, keyCol, scdType) =>
+      case ApplyChangesRe(dst, src, keyColsS, scdType) =>
         // APPLY CHANGES INTO: the CDC-mirror verb family as statement
         // text — TYPE 1 (default) keeps dst the key-wise mirror of
         // src's change feed; TYPE 2 keeps the full validity-interval
@@ -1383,6 +1404,9 @@ object ManifestSql {
         // report a scheduler acts on.
         val (dstRoot, dstTable) = resolveQualified(root, dst)
         val (srcRoot, srcTable) = resolveQualified(root, src)
+        val keyCols = keyColsS.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keyCols.map(_.toLowerCase).distinct.size == keyCols.size,
+          s"APPLY CHANGES: KEYS repeats a column (${keyCols.mkString(", ")})")
         val srcV = Manifest.snapshotVersion(srcRoot)
         require(srcV > 0,
           s"APPLY CHANGES: no committed snapshot at source '$src'")
@@ -1393,14 +1417,18 @@ object ManifestSql {
         last = Option(scdType).map(_.toInt).getOrElse(1) match {
           case 1 =>
             Manifest.applyChangesInto(spark, srcRoot, srcTable,
-              dstRoot, dstTable, keyCol)
+              dstRoot, dstTable, keyCols)
               .map { case (u, d) =>
                 Seq((u, d, if (u == 0L && d == 0L) "NOOP" else "APPLIED")) }
               .getOrElse(Seq((0L, 0L, "NOOP")))
               .toDF("rows_upserted", "rows_deleted", "status")
           case 2 =>
+            require(keyCols.size == 1,
+              "APPLY CHANGES ... SCD TYPE 2 supports a single key column " +
+                s"(got ${keyCols.mkString(", ")}) — the __hkey surrogate " +
+                "is key:start_v")
             Manifest.applyChangesScd2(spark, srcRoot, srcTable,
-              dstRoot, dstTable, keyCol)
+              dstRoot, dstTable, keyCols.head)
               .map { case (o, c) =>
                 Seq((o, c, if (o == 0L && c == 0L) "NOOP" else "APPLIED")) }
               .getOrElse(Seq((0L, 0L, "NOOP")))
@@ -1741,7 +1769,8 @@ object ManifestSql {
   // itself.
   private val ApplyChangesRe =
     ("(?is)^APPLY\\s+CHANGES\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+FROM\\s+" +
-      "([A-Za-z0-9_.-]+)\\s+KEYS\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)" +
+      "([A-Za-z0-9_.-]+)\\s+KEYS\\s*\\(\\s*" +
+      "([A-Za-z0-9_]+(?:\\s*,\\s*[A-Za-z0-9_]+)*)\\s*\\)" +
       "(?:\\s+STORED\\s+AS\\s+SCD\\s+TYPE\\s+(\\d+))?\\s*$").r
 
   // Governance DDL: policies as registered metadata (Snowflake's
@@ -4765,6 +4794,154 @@ object ManifestSql {
           .select(col("trans_id"), col("gross").cast("double").as("gross"),
             col("currency_uc"), col("batch"))
           .orderBy("trans_id").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- composite-key clause MERGE (q323): `ON t.a = s.a AND
+    //       t.b = s.b` — the first statement a migrating user writes
+    //       after the single-key one works (real warehouse tables key
+    //       on (tenant, entity) or (date, id)). The table keys on
+    //       (user_id, event_type): the SAME user_id appears under five
+    //       event types, so a key bug that matches on user_id alone
+    //       (or prunes on one column's bounds as a row filter)
+    //       corrupts four siblings per hit. Four outcome classes:
+    //       matched & s.n_events >= 4 accumulates, matched otherwise
+    //       deletes, source-only & s.tv > 150 inserts, source-only
+    //       otherwise lands NOWHERE (all four verified non-empty at
+    //       sf0.01: 545/55/127/23). Oracle recomputes every class per
+    //       composite key. -----
+    Q("q323_sql_merge_composite_key",
+      Some("""WITH firsth AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND user_id % 5 <> 3
+             |  GROUP BY 1, 2),
+             |secondh AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY 1, 2),
+             |merged AS (
+             |  SELECT f.user_id, f.event_type,
+             |    f.n_events + s.n_events AS n_events,
+             |    CAST(f.tv + s.tv AS DECIMAL(18,4)) AS tv
+             |  FROM firsth f JOIN secondh s
+             |    ON f.user_id = s.user_id AND f.event_type = s.event_type
+             |  WHERE s.n_events >= 4
+             |  UNION ALL
+             |  SELECT f.user_id, f.event_type, f.n_events, f.tv FROM firsth f
+             |  WHERE NOT EXISTS (SELECT 1 FROM secondh s
+             |    WHERE s.user_id = f.user_id AND s.event_type = f.event_type)
+             |  UNION ALL
+             |  SELECT s.user_id, s.event_type, s.n_events, s.tv FROM secondh s
+             |  WHERE s.tv > 150 AND NOT EXISTS (SELECT 1 FROM firsth f
+             |    WHERE f.user_id = s.user_id AND f.event_type = s.event_type))
+             |SELECT user_id, event_type, n_events, CAST(tv AS DOUBLE) AS total_v
+             |FROM merged ORDER BY user_id, event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id", "event_type")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-mergeck").toString
+        Manifest.commitAppend(s, root, "pair_state",
+          stateOf(ev.filter(col("ts") < cut && col("user_id") % 5 =!= 3))
+            .coalesce(2))
+        stateOf(ev.filter(col("ts") >= cut))
+          .createOrReplaceTempView("merge_src_q323")
+        runDml(s, root,
+          """MERGE INTO pair_state t USING merge_src_q323 s
+            |ON t.user_id = s.user_id AND t.event_type = s.event_type
+            |WHEN MATCHED AND s.n_events >= 4 THEN
+            |  UPDATE SET n_events = t.n_events + s.n_events, tv = t.tv + s.tv
+            |WHEN MATCHED THEN DELETE
+            |WHEN NOT MATCHED AND s.tv > 150 THEN
+            |  INSERT (user_id, event_type, n_events, tv)
+            |  VALUES (s.user_id, s.event_type, s.n_events, s.tv)""".stripMargin)
+        val out = Manifest.readTable(s, root, "pair_state")
+          .select(col("user_id"), col("event_type"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
+          .orderBy("user_id", "event_type").localCheckpoint(true)
+        s.catalog.dropTempView("merge_src_q323")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- composite-key join-DML (q324): `DELETE ... USING` and
+    //       `UPDATE ... FROM` with TWO `t.k = s.k` equi-conjuncts in
+    //       WHERE — the join-DML counterpart of q323. The delete's op
+    //       flag depends on BOTH key columns ('D' only for user_id %
+    //       7 = 0 AND event_type <> 'purchase'), so a single-column
+    //       key bug erases a surviving sibling row (the same user's
+    //       purchase state) and shifts the hash; the update
+    //       accumulates per composite pair through the one-clause
+    //       MERGE path (dup-pair refusal, old-row SET semantics).
+    //       Oracle recomputes the three-way route per pair. -----
+    Q("q324_sql_join_dml_composite",
+      Some("""WITH firsth AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND user_id % 5 <> 3
+             |  GROUP BY 1, 2),
+             |secondh AS (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv,
+             |    CASE WHEN user_id % 7 = 0 AND event_type <> 'purchase'
+             |      THEN 'D' ELSE 'U' END AS op
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY 1, 2),
+             |out AS (
+             |  SELECT f.user_id, f.event_type,
+             |    f.n_events + coalesce(s.n_events, 0) AS n_events,
+             |    CAST(f.tv + coalesce(s.tv, 0) AS DECIMAL(18,4)) AS tv
+             |  FROM firsth f LEFT JOIN secondh s
+             |    ON f.user_id = s.user_id AND f.event_type = s.event_type
+             |      AND s.op = 'U'
+             |  WHERE NOT EXISTS (SELECT 1 FROM secondh d
+             |    WHERE d.user_id = f.user_id AND d.event_type = f.event_type
+             |      AND d.op = 'D'))
+             |SELECT user_id, event_type, n_events, CAST(tv AS DOUBLE) AS total_v
+             |FROM out ORDER BY user_id, event_type""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id", "event_type")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-joindml2").toString
+        Manifest.commitAppend(s, root, "pair_state",
+          stateOf(ev.filter(col("ts") < cut && col("user_id") % 5 =!= 3))
+            .coalesce(2))
+        val src = stateOf(ev.filter(col("ts") >= cut))
+          .withColumn("op",
+            when(col("user_id") % 7 === 0 && col("event_type") =!= "purchase",
+              "D").otherwise("U"))
+        src.createOrReplaceTempView("jdml2_src")
+        runDml(s, root,
+          """DELETE FROM pair_state USING jdml2_src s
+            |  WHERE pair_state.user_id = s.user_id
+            |    AND pair_state.event_type = s.event_type AND s.op = 'D';
+            |UPDATE pair_state
+            |  SET n_events = pair_state.n_events + s.n_events,
+            |      tv = pair_state.tv + s.tv
+            |FROM jdml2_src s
+            |WHERE pair_state.user_id = s.user_id
+            |  AND pair_state.event_type = s.event_type AND s.op = 'U'""".stripMargin)
+        val out = Manifest.readTable(s, root, "pair_state")
+          .select(col("user_id"), col("event_type"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
+          .orderBy("user_id", "event_type").localCheckpoint(true)
+        s.catalog.dropTempView("jdml2_src")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

@@ -1116,6 +1116,109 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.snapshotVersion(root) == v0 + 1)
   }
 
+  test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {
+    val root = freshRoot()
+    // (a, b) is the key: a=1 appears under TWO b values — a bug that
+    // matches on one column alone corrupts the sibling
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+        .toDF("a", "b", "v").coalesce(1))
+    Seq((1L, "x", 5.0)).toDF("a", "b", "v")
+      .createOrReplaceTempView("ck_src")
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING ck_src s ON t.a = s.a AND t.b = s.b
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin)
+    val got = Manifest.readTable(spark, root, "t").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1L, "x") -> 15.0, (1L, "y") -> 20.0, (2L, "x") -> 30.0))
+    // same a under two b values is NOT a duplicate (complete-key
+    // distinctness — a single-column dup check would wrongly refuse)
+    Seq((3L, "x", 1.0), (3L, "y", 2.0)).toDF("a", "b", "v")
+      .createOrReplaceTempView("ck_ok")
+    ManifestSql.runDml(spark, root,
+      """MERGE INTO t USING ck_ok s ON t.a = s.a AND t.b = s.b
+        |WHEN NOT MATCHED THEN INSERT (a, b, v) VALUES (s.a, s.b, s.v)""".stripMargin)
+    assert(Manifest.readTable(spark, root, "t").count() == 5L)
+    // a REPEATED complete key refuses loudly (ANSI duplicate-source)
+    Seq((9L, "x", 1.0), (9L, "x", 2.0)).toDF("a", "b", "v")
+      .createOrReplaceTempView("ck_dup")
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING ck_dup s ON t.a = s.a AND t.b = s.b
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // a repeated key COLUMN in ON refuses at parse time
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """MERGE INTO t USING ck_ok s ON t.a = s.a AND t.a = s.a
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+  }
+
+  test("composite-key merge prunes files by the CONJUNCTION of key bounds") {
+    val root = freshRoot()
+    // two batches with OVERLAPPING a-bounds but DISJOINT b-bounds:
+    // pruning on a alone keeps both; the conjunction keeps only one
+    Manifest.commitAppendStats(spark, root, "t",
+      Seq((1L, 1L, 1.0), (10L, 10L, 2.0)).toDF("a", "b", "v").coalesce(1),
+      Seq("a", "b"), "a", 1)
+    Manifest.commitAppendStats(spark, root, "t",
+      Seq((2L, 50L, 3.0), (9L, 60L, 4.0)).toDF("a", "b", "v").coalesce(1),
+      Seq("a", "b"), "a", 1)
+    val before = Manifest.manifestRows(spark, root,
+      Manifest.snapshotVersion(root)).collect { case ("t", f, _) => f }.toSet
+    assert(before.size == 2)
+    val loB = before.find(_.contains("/v1/"))
+      .getOrElse(fail("expected batch 1's file under data/v1/"))
+    // keys (5, 55): a-interval [5,5] overlaps BOTH batches' a-bounds,
+    // b-interval [55,55] overlaps only batch 2 — the merge must
+    // rewrite batch 2's file and inherit batch 1's BY REFERENCE
+    Manifest.commitMergeUpsert(spark, root, "t",
+      Seq((5L, 55L, 9.0)).toDF("a", "b", "v"), Seq("a", "b"),
+      5, None, allowEvolution = false)
+    val after = Manifest.manifestRows(spark, root,
+      Manifest.snapshotVersion(root)).collect { case ("t", f, _) => f }.toSet
+    assert(after.contains(loB), "batch 1's file must survive by reference")
+    assert(!after.contains(before.diff(Set(loB)).head),
+      "batch 2's file must be rewritten")
+    val got = Manifest.readTable(spark, root, "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1L, 1L) -> 1.0, (10L, 10L) -> 2.0,
+      (2L, 50L) -> 3.0, (9L, 60L) -> 4.0, (5L, 55L) -> 9.0))
+  }
+
+  test("APPLY CHANGES with composite KEYS mirrors per pair; SCD2 refuses multi-key") {
+    val root = freshRoot()
+    val src = s"$root/src"
+    Manifest.commitAppendStats(spark, src, "pairs",
+      Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0))
+        .toDF("a", "b", "v").coalesce(1), Seq("a", "b"), "a", 1)
+    val stmt = "APPLY CHANGES INTO dst.pairs FROM src.pairs KEYS (a, b)"
+    val boot = ManifestSql.runDml(spark, root, stmt).collect()(0)
+    assert(boot.getString(2) == "APPLIED" && boot.getLong(0) == 3L)
+    // update ONE pair; its same-a sibling must not move
+    Manifest.commitMergeUpsert(spark, src, "pairs",
+      Seq((1L, "x", 10.0)).toDF("a", "b", "v"), Seq("a", "b"),
+      5, None, allowEvolution = false)
+    val inc = ManifestSql.runDml(spark, root, stmt).collect()(0)
+    assert(inc.getString(2) == "APPLIED")
+    val got = Manifest.readTable(spark, s"$root/dst", "pairs").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1L, "x") -> 10.0, (1L, "y") -> 2.0, (2L, "x") -> 3.0))
+    // re-drive quiesces (exactly-once through the txn ledger)
+    assert(ManifestSql.runDml(spark, root, stmt).collect()(0)
+      .getString(2) == "NOOP")
+    // SCD TYPE 2's surrogate is key:start_v — multi-key refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        "APPLY CHANGES INTO dst.hist FROM src.pairs KEYS (a, b) " +
+          "STORED AS SCD TYPE 2")
+    }
+    assert(e.getMessage.contains("single key"))
+  }
+
   test("INSERT FIRST: duplicate condition text routes to the FIRST branch only") {
     val root = freshRoot()
     Seq("d1", "d2").foreach(t => Manifest.commitAppend(spark, root, t,
