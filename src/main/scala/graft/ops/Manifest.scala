@@ -2851,6 +2851,23 @@ object Manifest {
   final case class SpanUpdate(table: String, pred: org.apache.spark.sql.Column,
                               sets: Map[String, org.apache.spark.sql.Column])
     extends SpanAction
+  /** Clause-form `MERGE INTO table` as a span verb — merge-on-read:
+    * every matched row whose first-passing clause is an UPDATE or
+    * DELETE lands its OLD position in the table's DV sidecars; UPDATE
+    * hits append new images (old row + source namespace, the
+    * [[commitMergeClauses]] projection); NOT MATCHED clauses append
+    * inserts. Counts as the table's one DV verb in the span. Clause
+    * grammar, condition semantics (NULL does not pass, first match
+    * wins), composite keys, and the duplicate-complete-key refusal
+    * are exactly [[commitMergeClauses]]'; BY SOURCE clauses and
+    * schema evolution stay single-statement-only (a span reads the
+    * pre-transaction snapshot — a whole-table rewrite verb does not
+    * fold into DV sidecars). */
+  final case class SpanMerge(table: String, source: DataFrame,
+                             keyCols: Seq[String],
+                             tAlias: String, sAlias: String,
+                             matched: Seq[MergeWhen],
+                             notMatched: Seq[MergeInsert]) extends SpanAction
 
   /** Multi-VERB atomic transaction — the BEGIN...COMMIT span widened
     * past INSERT: DELETE and UPDATE effects stage as unclaimed DV
@@ -2900,6 +2917,16 @@ object Manifest {
     }
     actions.collect { case u: SpanUpdate => u }.foreach(u =>
       require(u.sets.nonEmpty, s"span UPDATE ${u.table}: empty SET list"))
+    actions.collect { case m: SpanMerge => m }.foreach { m =>
+      require(m.matched.nonEmpty || m.notMatched.nonEmpty,
+        s"span MERGE ${m.table}: no WHEN clauses")
+      require(m.matched.forall(!_.isInstanceOf[MergeInsert]),
+        s"span MERGE ${m.table}: INSERT is not a MATCHED action")
+      require(m.keyCols.nonEmpty && m.keyCols.distinct.size == m.keyCols.size,
+        s"span MERGE ${m.table}: key columns must be non-empty and distinct")
+      require(m.tAlias != m.sAlias,
+        s"span MERGE ${m.table}: target and source aliases collide (${m.tAlias})")
+    }
     var tries = 0
     while (true) {
       val base = latestReadableClaim(root)
@@ -2915,6 +2942,29 @@ object Manifest {
       val appends = scala.collection.mutable.LinkedHashMap[String, Vector[DataFrame]]()
       val pinned = Seq.newBuilder[DataFrame]
       import s.implicits._
+      // stage `posRows` (one row per touched file: path + sorted
+      // matched positions) as merged DV sidecars for `table` — the
+      // shared tail of every DV-producing span verb
+      def stageDv(table: String, cur: Seq[(String, String)],
+                  posRows: Array[org.apache.spark.sql.Row]): Unit = {
+        if (posRows.isEmpty) return
+        val perFile = posRows.map { r =>
+          val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
+            .toString.replace('\\', '/')
+          rel -> r.getSeq[Long](1).toArray
+        }.toMap
+        val touched = cur.filter { case (f, _) => perFile.contains(f) }
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        touched.foreach { case (f, st) =>
+          val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
+            .getOrElse(Array.empty[Long])
+          val merged = (old ++ perFile(f)).distinct.sorted
+          val side = s"$f.dv-$token"
+          writeDvSidecar(root, side, merged)
+          newRows += ((table, f, statsWithDv(st, side, merged.length.toLong)))
+          removes += ((table, f))
+        }
+      }
       try {
         actions.foreach {
           case SpanInsert(table, batch) =>
@@ -2945,56 +2995,149 @@ object Manifest {
               if (existingPos.isEmpty) raw
               else raw.join(broadcast(existingPos.toDF("_p", "_ri")),
                 Seq("_p", "_ri"), "left_anti")
-            val pred = action match {
-              case SpanDelete(_, p) => p
-              case SpanUpdate(_, p, _) => p
-              case _ => lit(false) // unreachable
-            }
-            // SET-column validation BEFORE the match runs: an UPDATE
-            // with a typo'd SET column refuses even when its predicate
-            // matches zero rows — same refuse-loudly discipline as
-            // commitMergeClauses/commitUpdateVectors
+            val dataCols = masked.columns.filterNot(c => c == "_p" || c == "_ri")
             action match {
-              case SpanUpdate(_, _, sets) =>
-                val dataCols = masked.columns.filterNot(c => c == "_p" || c == "_ri")
-                val unknown = sets.keySet.diff(dataCols.toSet)
-                require(unknown.isEmpty,
-                  s"span UPDATE $table: SET of unknown columns $unknown")
+              case SpanMerge(_, source, keyCols, tA, sA, matchedCl, notMatchedCl) =>
+                // clause/key validation BEFORE anything is read — the
+                // commitMergeClauses refuse-loudly discipline
+                keyCols.foreach(k => require(dataCols.contains(k),
+                  s"span MERGE $table: unknown key column $k"))
+                matchedCl.foreach {
+                  case MergeUpdate(_, sets) =>
+                    val bad = sets.map(_._1).filterNot(dataCols.contains)
+                    require(bad.isEmpty,
+                      s"span MERGE $table: SET of unknown columns $bad")
+                  case _ =>
+                }
+                notMatchedCl.foreach { ins =>
+                  require(ins.cols.size == ins.vals.size,
+                    s"span MERGE $table: INSERT lists ${ins.cols.size} " +
+                      s"columns but ${ins.vals.size} values")
+                  val bad = ins.cols.filterNot(dataCols.contains)
+                  require(bad.isEmpty,
+                    s"span MERGE $table: INSERT of unknown columns $bad")
+                }
+                // pin the source: dup check, join, and anti-join must
+                // see ONE batch (the commitMergeClauses pin rationale)
+                val src = source.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                pinned += src
+                val kb = src.agg(
+                  count(when(keyCols.map(col(_).isNotNull).reduce(_ && _), lit(1))),
+                  count_distinct(keyCols.map(col).head,
+                    keyCols.map(col).tail: _*)).head()
+                if (kb.getLong(0) != kb.getLong(1))
+                  throw new IllegalArgumentException(
+                    s"span MERGE $table: source carries duplicate " +
+                      s"(${keyCols.mkString(", ")}) values — MERGE requires " +
+                      "at most one source row per key")
+                def passes(c: Option[String]): org.apache.spark.sql.Column =
+                  c.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
+                // matched rows whose FIRST passing clause is UPDATE or
+                // DELETE: old position → DV; no clause passes → the row
+                // stays in its file untouched (no DV, no image)
+                val mIdx = matchedCl.zipWithIndex.reverse
+                  .foldLeft(lit(-1): org.apache.spark.sql.Column) {
+                    case (acc, (cl, i)) => when(passes(cl.cond), lit(i)).otherwise(acc)
+                  }
+                val hits = masked.alias(tA).join(src.alias(sA),
+                  keyCols.map(k => col(s"$tA.$k") === col(s"$sA.$k"))
+                    .reduce(_ && _), "inner")
+                  .withColumn("_mi", mIdx).filter(col("_mi") =!= -1)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                pinned += hits
+                stageDv(table, cur, hits
+                  .select(col(s"$tA._p").as("_p"), col(s"$tA._ri").as("_ri"))
+                  .groupBy("_p")
+                  .agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+                  .collect())
+                // UPDATE-hit rows append new images: one projection per
+                // column over the OLD row joined to its source row
+                val updIdx = matchedCl.zipWithIndex
+                  .collect { case (_: MergeUpdate, i) => i }
+                if (updIdx.nonEmpty) {
+                  val updated = hits
+                    .filter(updIdx.map(i => col("_mi") === i).reduce(_ || _))
+                    .select(dataCols.toIndexedSeq.map { c =>
+                      matchedCl.zipWithIndex.foldLeft(col(s"$tA.$c")) {
+                        case (acc, (MergeUpdate(_, sets), i)) =>
+                          val set =
+                            if (sets.isEmpty) Some(col(s"$sA.$c")) // SET *
+                            else sets.find(_._1 == c).map(kv => expr(kv._2))
+                          set.map(e => when(col("_mi") === i, e).otherwise(acc))
+                            .getOrElse(acc)
+                        case (acc, _) => acc
+                      }.cast(masked.schema(c).dataType).as(c)
+                    }: _*)
+                  if (updated.count() > 0) // persisted hits: cheap count
+                    appends(table) = appends.getOrElse(table, Vector.empty) :+ updated
+                }
+                // unmatched source rows: first passing insert clause
+                // fires; none → the row lands nowhere
+                if (notMatchedCl.nonEmpty) {
+                  val nmIdx = notMatchedCl.zipWithIndex.reverse
+                    .foldLeft(lit(-1): org.apache.spark.sql.Column) {
+                      case (acc, (cl, i)) => when(passes(cl.cond), lit(i)).otherwise(acc)
+                    }
+                  val nmTagged = src.alias(sA).join(
+                    masked.select(keyCols.zipWithIndex.map {
+                      case (k, i) => col(k).as(s"__tk$i") }: _*),
+                    keyCols.zipWithIndex.map { case (k, i) =>
+                      col(s"$sA.$k") === col(s"__tk$i") }.reduce(_ && _),
+                    "left_anti")
+                    .withColumn("_mi", nmIdx).filter(col("_mi") =!= -1)
+                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  pinned += nmTagged
+                  val inserts = notMatchedCl.zipWithIndex.map { case (ins, i) =>
+                    nmTagged.filter(col("_mi") === i)
+                      .select(dataCols.toIndexedSeq.map { c =>
+                        val v =
+                          if (ins.cols.isEmpty) col(s"$sA.$c") // INSERT *
+                          else ins.cols.indexOf(c) match {
+                            case -1 => lit(null)
+                            case p => expr(ins.vals(p))
+                          }
+                        v.cast(masked.schema(c).dataType).as(c)
+                      }: _*)
+                  }.reduce(_ unionByName _)
+                  if (nmTagged.count() > 0)
+                    appends(table) = appends.getOrElse(table, Vector.empty) :+ inserts
+                }
               case _ =>
-            }
-            val hits = masked.filter(pred)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            pinned += hits
-            val posRows = hits.select(col("_p"), col("_ri"))
-              .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
-              .collect() // one row per touched file: O(matched) positions
-            if (posRows.nonEmpty) {
-              val perFile = posRows.map { r =>
-                val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
-                  .toString.replace('\\', '/')
-                rel -> r.getSeq[Long](1).toArray
-              }.toMap
-              val touched = cur.filter { case (f, _) => perFile.contains(f) }
-              val token = java.util.UUID.randomUUID().toString.take(8)
-              touched.foreach { case (f, st) =>
-                val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
-                  .getOrElse(Array.empty[Long])
-                val merged = (old ++ perFile(f)).distinct.sorted
-                val side = s"$f.dv-$token"
-                writeDvSidecar(root, side, merged)
-                newRows += ((table, f, statsWithDv(st, side, merged.length.toLong)))
-                removes += ((table, f))
-              }
-              action match {
-                case SpanUpdate(_, _, sets) =>
-                  val dataCols = masked.columns.filterNot(c => c == "_p" || c == "_ri")
-                  val updated = hits.select(dataCols.toIndexedSeq.map { c =>
-                    sets.get(c).map(_.cast(hits.schema(c).dataType).as(c))
-                      .getOrElse(col(c))
-                  }: _*)
-                  appends(table) = appends.getOrElse(table, Vector.empty) :+ updated
-                case _ =>
-              }
+                val pred = action match {
+                  case SpanDelete(_, p) => p
+                  case SpanUpdate(_, p, _) => p
+                  case _ => lit(false) // unreachable
+                }
+                // SET-column validation BEFORE the match runs: an UPDATE
+                // with a typo'd SET column refuses even when its predicate
+                // matches zero rows — same refuse-loudly discipline as
+                // commitMergeClauses/commitUpdateVectors
+                action match {
+                  case SpanUpdate(_, _, sets) =>
+                    val unknown = sets.keySet.diff(dataCols.toSet)
+                    require(unknown.isEmpty,
+                      s"span UPDATE $table: SET of unknown columns $unknown")
+                  case _ =>
+                }
+                val hits = masked.filter(pred)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                pinned += hits
+                val posRows = hits.select(col("_p"), col("_ri"))
+                  .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+                  .collect() // one row per touched file: O(matched) positions
+                stageDv(table, cur, posRows)
+                if (posRows.nonEmpty) {
+                  action match {
+                    case SpanUpdate(_, _, sets) =>
+                      val updated = hits.select(dataCols.toIndexedSeq.map { c =>
+                        sets.get(c).map(_.cast(hits.schema(c).dataType).as(c))
+                          .getOrElse(col(c))
+                      }: _*)
+                      appends(table) = appends.getOrElse(table, Vector.empty) :+ updated
+                    case _ =>
+                  }
+                }
             }
         }
         appends.foreach { case (table, batches) =>

@@ -732,6 +732,60 @@ object ManifestSql {
           allBys, 5)
     }
   }
+  /** Parse a clause-form MERGE statement body into a
+    * [[Manifest.SpanMerge]] action for BEGIN...COMMIT spans — the same
+    * ON/WHEN grammar as [[runMergeText]] minus the forms a span cannot
+    * fold into DV sidecars: `WHEN NOT MATCHED BY SOURCE` (whole-table
+    * rewrite scope) and WITH SCHEMA EVOLUTION refuse loudly toward
+    * their single-statement forms. */
+  private def parseSpanMerge(spark: SparkSession, table: String,
+                             tgtAliasRaw: String,
+                             rest: String): Manifest.SpanMerge = {
+    val onPos = topLevelKeyword(rest, "on")
+    require(onPos > 0, s"MERGE without ON clause: $rest")
+    val sourcePart = rest.substring(0, onPos).trim
+    val afterOn = rest.substring(onPos + 2)
+    val whenPos = topLevelKeyword(afterOn, "when")
+    require(whenPos > 0, s"MERGE without WHEN clauses: $afterOn")
+    val onText = afterOn.substring(0, whenPos).trim
+    val coreWhen = afterOn.substring(whenPos)
+    require(!MergeSyncTailRe.matches(coreWhen),
+      "MERGE ... WHEN NOT MATCHED BY SOURCE inside BEGIN...COMMIT is " +
+        "not supported (run it as its own atomic statement)")
+    val (sourceDf, srcAlias) = parseRelation(spark, sourcePart)
+    val sA = srcAlias.getOrElse(throw new IllegalArgumentException(
+      "MERGE inside BEGIN...COMMIT needs a named or aliased source"))
+    val tAlias = Option(tgtAliasRaw).getOrElse(table)
+    val onPairs = splitConjuncts(onText).map {
+      case MergeOnRe(q1, k1, q2, k2) if k1.equalsIgnoreCase(k2) =>
+        (Set(q1.toLowerCase, q2.toLowerCase), k1)
+      case c => throw new IllegalArgumentException(
+        s"unsupported MERGE ON conjunct (need t.k = s.k, shared column " +
+          s"name per conjunct): $c")
+    }
+    require(onPairs.nonEmpty && onPairs.map(_._1).distinct.size == 1,
+      s"unsupported MERGE ON shape (need t.k = s.k [AND ...]): $onText")
+    require(onPairs.head._1 == Set(tAlias.toLowerCase, sA.toLowerCase),
+      s"MERGE ON qualifiers ${onPairs.head._1} do not match the " +
+        s"statement aliases ($tAlias, $sA)")
+    val keyCols = onPairs.map(_._2)
+    require(keyCols.map(_.toLowerCase).distinct.size == keyCols.size,
+      s"MERGE ON repeats a key column: $onText")
+    val positions = topLevelPositions(coreWhen, "when")
+    require(positions.nonEmpty &&
+      coreWhen.substring(0, positions.head).trim.isEmpty,
+      s"malformed MERGE WHEN chain: $coreWhen")
+    val parsed = positions.zip(positions.tail :+ coreWhen.length)
+      .map { case (a, b) => parseWhenClause(coreWhen.substring(a, b).trim, tAlias) }
+    require(parsed.forall(_.isRight),
+      "MERGE ... WHEN NOT MATCHED BY SOURCE inside BEGIN...COMMIT is " +
+        "not supported (run it as its own atomic statement)")
+    val clauses = parsed.collect { case Right(w) => w }
+    Manifest.SpanMerge(table, sourceDf, keyCols, tAlias, sA,
+      clauses.filter(!_.isInstanceOf[Manifest.MergeInsert]),
+      clauses.collect { case i: Manifest.MergeInsert => i })
+  }
+
   private val InsertRe =
     "(?is)^INSERT\\s+INTO\\s+([A-Za-z0-9_.-]+)\\s+((?:SELECT|VALUES|WITH|TABLE)\\b.*)$".r
   private val InsertMultiRe =
@@ -1496,17 +1550,19 @@ object ManifestSql {
     * lands as ONE claim ([[Manifest.commitSpan]]): a restate-a-day
     * (DELETE + re-INSERT), a fact batch and its audit rows, or any
     * mix of `INSERT INTO` / `DELETE FROM ... [WHERE ...]` /
-    * `UPDATE ... SET ... [WHERE ...]` across tables can never be
-    * observed apart, at any version, under any crash — and a failure
-    * ANYWHERE in the span (analysis error, CHECK violation on the
-    * last batch) leaves NOTHING visible; already-published files and
-    * DV sidecars stay unclaimed and vacuum collects them. Statements
-    * inside the span read the PRE-transaction snapshot (effects defer
-    * to COMMIT); `commitSpan` refuses the orderings that would
-    * contradict that. MERGE and the `IN (subquery)` DELETE/UPDATE
-    * forms refuse loudly inside a span (each is its own atomic
-    * commit); maintenance/DDL verbs likewise. Returns the commit
-    * report. */
+    * `UPDATE ... SET ... [WHERE ...]` / clause-form `MERGE INTO`
+    * across tables can never be observed apart, at any version, under
+    * any crash — and a failure ANYWHERE in the span (analysis error,
+    * CHECK violation on the last batch) leaves NOTHING visible;
+    * already-published files and DV sidecars stay unclaimed and
+    * vacuum collects them. Statements inside the span read the
+    * PRE-transaction snapshot (effects defer to COMMIT); `commitSpan`
+    * refuses the orderings that would contradict that, and MERGE
+    * counts as the table's one DV verb. The `IN (subquery)`
+    * DELETE/UPDATE forms, join-UPDATE, MERGE WITH SCHEMA EVOLUTION,
+    * and MERGE ... BY SOURCE refuse loudly inside a span (each is its
+    * own atomic commit); maintenance/DDL verbs likewise. Returns the
+    * commit report. */
   private def commitTxn(spark: SparkSession, root: String,
                         body: Seq[String]): DataFrame = {
     require(body.nonEmpty, "empty transaction: nothing to commit")
@@ -1562,9 +1618,21 @@ object ManifestSql {
         whereText.foreach(noSubquery(_, "UPDATE"))
         Manifest.SpanUpdate(table,
           whereText.map(expr).getOrElse(lit(true)), sets)
+      case MergeEvolveRe(_, _, _) =>
+        throw new IllegalArgumentException(
+          "MERGE WITH SCHEMA EVOLUTION inside BEGIN...COMMIT is not " +
+            "supported (schema registration is its own atomic statement)")
+      case MergeRe(table, tAlias, rest) =>
+        // clause-form MERGE folds into the span as a DV verb: matched
+        // UPDATE/DELETE hits land old positions in the table's DV
+        // sidecars, new images and inserts stage as unpublished files,
+        // all under the ONE claim (the restate-plus-reconcile
+        // transaction: BEGIN; DELETE day; MERGE corrections; COMMIT)
+        parseSpanMerge(spark, table, tAlias, rest)
       case other => throw new IllegalArgumentException(
-        "only INSERT INTO / DELETE FROM / UPDATE are supported inside " +
-          s"BEGIN...COMMIT (every other verb is its own atomic commit): $other")
+        "only INSERT INTO / DELETE FROM / UPDATE / MERGE INTO are " +
+          "supported inside BEGIN...COMMIT (every other verb is its " +
+          s"own atomic commit): $other")
     }
     val v = Manifest.commitSpan(spark, root, actions)
     import spark.implicits._
@@ -4942,6 +5010,114 @@ object ManifestSql {
             col("tv").cast("double").as("total_v"))
           .orderBy("user_id", "event_type").localCheckpoint(true)
         s.catalog.dropTempView("jdml2_src")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- MERGE inside BEGIN...COMMIT (q325): the restate-plus-
+    //       reconcile transaction — `BEGIN; DELETE day; MERGE
+    //       corrections; INSERT audit; COMMIT` — lands as ONE claim:
+    //       the day restatement, the clause MERGE's DV sidecars + new
+    //       images (update/delete/insert/no-clause row classes, the
+    //       q311 grammar), and the audit row can never be observed
+    //       apart. Atomicity asserted IN-PLAN: the span report's
+    //       version equals the single version the root advanced by.
+    //       Oracle recomputes the post-span state of BOTH tables per
+    //       user — a MERGE that committed separately from the DELETE
+    //       would still hash right, which is why the version assert
+    //       is in the plan and the row content is in the oracle. -----
+    Q("q325_sql_txn_merge_span",
+      Some("""WITH firsth AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND user_id % 5 <> 3
+             |  GROUP BY user_id),
+             |secondh AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv,
+             |    CASE WHEN user_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |  GROUP BY user_id),
+             |merged AS (
+             |  SELECT f.user_id, f.n_events + s.n_events AS n_events,
+             |    CAST(f.tv + s.tv AS DECIMAL(18,4)) AS tv
+             |  FROM firsth f JOIN secondh s ON f.user_id = s.user_id
+             |  WHERE s.op <> 'D'
+             |  UNION ALL
+             |  SELECT f.user_id, f.n_events, f.tv FROM firsth f
+             |  WHERE NOT EXISTS (SELECT 1 FROM secondh s WHERE s.user_id = f.user_id)
+             |  UNION ALL
+             |  SELECT s.user_id, s.n_events, s.tv FROM secondh s
+             |  WHERE s.op <> 'D'
+             |    AND NOT EXISTS (SELECT 1 FROM firsth f WHERE f.user_id = s.user_id)),
+             |surviving AS (
+             |  SELECT user_id, CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+             |    AS BIGINT) AS n_day_rows
+             |  FROM events
+             |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |    AND CAST(CAST(ts AS TIMESTAMP) AS DATE) <> DATE '2024-01-10'
+             |  GROUP BY user_id)
+             |SELECT m.user_id, m.n_events, CAST(m.tv AS DOUBLE) AS total_v,
+             |  CAST(coalesce(s.n_day_rows, 0) AS BIGINT) AS n_day_rows
+             |FROM merged m LEFT JOIN surviving s ON m.user_id = s.user_id
+             |ORDER BY m.user_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-mergespan").toString
+        Manifest.commitAppend(s, root, "day_facts",
+          ev.filter(col("ts") < cut)
+            .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")).coalesce(2))
+        Manifest.commitAppend(s, root, "user_state",
+          stateOf(ev.filter(col("ts") < cut && col("user_id") % 5 =!= 3))
+            .coalesce(2))
+        Manifest.commitAppend(s, root, "audit_log",
+          Seq((0L, "boot")).toDF("span_id", "note").coalesce(1))
+        stateOf(ev.filter(col("ts") >= cut))
+          .withColumn("op",
+            when(col("user_id") % 7 === 0, "D").otherwise("U"))
+          .createOrReplaceTempView("span_merge_src_q325")
+        val v0 = Manifest.snapshotVersion(root)
+        val rep = runDml(s, root,
+          """BEGIN;
+            |DELETE FROM day_facts WHERE day = DATE '2024-01-10';
+            |MERGE INTO user_state t USING span_merge_src_q325 s
+            |ON t.user_id = s.user_id
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET n_events = t.n_events + s.n_events,
+            |  tv = t.tv + s.tv
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN
+            |  INSERT (user_id, n_events, tv)
+            |  VALUES (s.user_id, s.n_events, s.tv);
+            |INSERT INTO audit_log SELECT 1, 'reconciled';
+            |COMMIT""".stripMargin).collect()(0)
+        // single-version atomicity, in-plan: the whole span is ONE
+        // claim, and the pre-span snapshot still time-travels
+        require(rep.getLong(0) == v0 + 1 &&
+          Manifest.snapshotVersion(root) == v0 + 1 &&
+          Manifest.readTable(s, root, "audit_log").count() == 2L &&
+          Manifest.readTable(s, root, "day_facts", v0).count() >
+            Manifest.readTable(s, root, "day_facts").count(),
+          "span must land as exactly one claim with the pre-span " +
+            "snapshot intact")
+        val dayCnt = Manifest.readTable(s, root, "day_facts")
+          .groupBy("user_id").agg(count(lit(1)).as("n_day_rows"))
+        val out = Manifest.readTable(s, root, "user_state")
+          .join(dayCnt, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_events"),
+            col("tv").cast("double").as("total_v"),
+            coalesce(col("n_day_rows"), lit(0L)).as("n_day_rows"))
+          .orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView("span_merge_src_q325")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

@@ -1034,12 +1034,30 @@ class DmlSpec extends SparkSuite {
           |UPDATE t SET v = 2 WHERE k = 1;
           |COMMIT""".stripMargin)
     }
-    // MERGE is its own atomic commit
+    // the MERGE forms a span cannot fold into DV sidecars refuse:
+    // schema evolution and the BY SOURCE whole-table-scope tail
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |MERGE WITH SCHEMA EVOLUTION INTO t USING span_bad_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *;
+          |COMMIT""".stripMargin)
+    }
     intercept[IllegalArgumentException] {
       ManifestSql.runDml(spark, root,
         """BEGIN;
           |MERGE INTO t USING span_bad_src s ON t.k = s.k
-          |WHEN MATCHED THEN UPDATE SET *;
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE;
+          |COMMIT""".stripMargin)
+    }
+    // MERGE is the table's one DV verb: a second DV verb refuses
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |MERGE INTO t USING span_bad_src s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE;
+          |DELETE FROM t WHERE k = 1;
           |COMMIT""".stripMargin)
     }
     // the IN (subquery) forms run outside spans only
@@ -1114,6 +1132,90 @@ class DmlSpec extends SparkSuite {
           |SELECT k, v FROM ins_multi_src""".stripMargin)
     }
     assert(Manifest.snapshotVersion(root) == v0 + 1)
+  }
+
+  test("MERGE inside BEGIN...COMMIT: one claim, all four row classes, DV + images") {
+    val root = freshRoot()
+    // restate + reconcile: DELETE the stale day's facts, MERGE the
+    // corrections into state, INSERT the audit row — one claim
+    Manifest.commitAppend(spark, root, "day_facts",
+      Seq((1L, "d1"), (4L, "d2")).toDF("k", "day").coalesce(1))
+    Manifest.commitAppend(spark, root, "state",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+        .toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "audit",
+      Seq((0L, "boot")).toDF("k", "tag").coalesce(1))
+    // source: k=1 updates (op U), k=2 deletes (op D), k=3 matches NO
+    // clause (op X — must survive unchanged), k=9 inserts (unmatched)
+    Seq((1L, 5.0, "U"), (2L, 0.0, "D"), (3L, 7.0, "X"), (9L, 90.0, "U"))
+      .toDF("k", "v", "op").createOrReplaceTempView("span_merge_src")
+    val v0 = Manifest.snapshotVersion(root)
+    val rep = ManifestSql.runDml(spark, root,
+      """BEGIN;
+        |DELETE FROM day_facts WHERE day = 'd2';
+        |MERGE INTO state t USING span_merge_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = t.v + s.v
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (k, v) VALUES (s.k, s.v);
+        |INSERT INTO audit SELECT 99, 'reconciled';
+        |COMMIT""".stripMargin).collect()(0)
+    // single-version atomicity: the whole span is ONE claim
+    assert(rep.getLong(0) == v0 + 1 && Manifest.snapshotVersion(root) == v0 + 1)
+    val got = Manifest.readTable(spark, root, "state").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k=1: 10 + 5 updated; k=2 deleted; k=3 no clause → unchanged;
+    // k=4 unmatched-by-source → untouched; k=9 inserted
+    assert(got == Map(1L -> 15.0, 3L -> 30.0, 4L -> 40.0, 9L -> 90.0))
+    assert(Manifest.readTable(spark, root, "day_facts").count() == 1L)
+    assert(Manifest.readTable(spark, root, "audit").count() == 2L)
+    // at v0 nothing had happened (time travel across the span)
+    assert(Manifest.readTable(spark, root, "state", v0).count() == 4L)
+    assert(Manifest.readTable(spark, root, "day_facts", v0).count() == 2L)
+  }
+
+  test("span MERGE failure leaves NOTHING visible; ordering refusals hold") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "state",
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "other",
+      Seq((1L, "x")).toDF("k", "tag").coalesce(1))
+    Seq((1L, 5.0)).toDF("k", "v").createOrReplaceTempView("span_merge_bad")
+    val v0 = Manifest.snapshotVersion(root)
+    // unknown SET column: the whole span (including the earlier
+    // DELETE's staged DVs on the OTHER table) must be invisible
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |DELETE FROM other WHERE k = 1;
+          |MERGE INTO state t USING span_merge_bad s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET nope = s.v;
+          |COMMIT""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown columns"))
+    assert(Manifest.snapshotVersion(root) == v0)
+    assert(Manifest.readTable(spark, root, "state").count() == 1L)
+    assert(Manifest.readTable(spark, root, "other").count() == 1L)
+    // MERGE of a table an earlier in-span INSERT touched refuses
+    // (span statements read the pre-transaction snapshot)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |INSERT INTO state SELECT 2, 2.0;
+          |MERGE INTO state t USING span_merge_bad s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v;
+          |COMMIT""".stripMargin)
+    }
+    // dup source keys refuse through the span path too
+    Seq((1L, 5.0), (1L, 6.0)).toDF("k", "v")
+      .createOrReplaceTempView("span_merge_dup")
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        """BEGIN;
+          |MERGE INTO state t USING span_merge_dup s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v;
+          |COMMIT""".stripMargin)
+    }
+    assert(Manifest.snapshotVersion(root) == v0)
   }
 
   test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {
