@@ -67,6 +67,20 @@ object FooterStats {
     Some(out)
   }
 
+  /** Top-level field names physically present in a file's footer
+    * schema — the "was this file written before the column existed?"
+    * question ADD COLUMN DEFAULT reads need (a file lacking the
+    * physical column serves the registered default; a file carrying
+    * it serves its stored values, including stored NULLs). One footer
+    * open, no data I/O. */
+  def physicalColumns(conf: Configuration, file: String): Set[String] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HadoopPath(file), conf))
+    try reader.getFooter.getFileMetaData.getSchema
+      .getFields.asScala.map(_.getName).toSet
+    finally reader.close()
+  }
+
   private def fileStats(conf: Configuration, file: String, cols: Seq[String],
                         zone: ZoneId): Option[Seq[(String, (String, String))]] = {
     val reader = ParquetFileReader.open(

@@ -3995,6 +3995,16 @@ object Manifest {
     if (f.metadata.contains(aliasKey)) f.metadata.getStringArray(aliasKey).toSeq
     else Nil
 
+  /** Field-metadata key carrying an ADD COLUMN DEFAULT's literal SQL
+    * text — served by pinned reads for files that predate the column
+    * and applied by positional INSERT for the missing trailing
+    * column. */
+  private val defaultKey = "graft.default"
+
+  private[graft] def defaultOf(f: StructField): Option[String] =
+    if (f.metadata.contains(defaultKey)) Some(f.metadata.getString(defaultKey))
+    else None
+
   /** Field-metadata key carrying the table's DROPPED-name tombstones
     * (rides the first field — StructType has no table-level metadata
     * slot). The NEWEST registration is self-contained: the guard
@@ -4197,6 +4207,56 @@ object Manifest {
     }
   }
 
+  /** `ALTER TABLE t ADD COLUMN c <type> DEFAULT <literal>` — metadata
+    * DDL: registers the widened schema with the default's SQL text in
+    * the new field's metadata. Pre-evolution rows SERVE the default on
+    * every pinned read (per-file footer branching in [[readPinned]] —
+    * a post-evolution row that stored NULL stays NULL, the distinction
+    * `coalesce` alone would erase), and positional INSERT fills the
+    * missing trailing column with it. Only LITERAL defaults register
+    * (a bare literal or a cast of one): a column reference has nothing
+    * to bind, and a function call (`current_date()`, `rand()`) would
+    * re-evaluate per read, silently drifting the values pre-evolution
+    * rows serve — both refuse loudly at DDL time, as does a default
+    * that does not cast to the declared type. */
+  def commitAddColumnDefault(s: SparkSession, root: String, table: String,
+                             colName: String, dt: org.apache.spark.sql.types.DataType,
+                             defaultSql: String, maxRetries: Int = 5): Long = {
+    val parsed = s.sessionState.sqlParser.parseExpression(defaultSql)
+    def literalTree(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case _: org.apache.spark.sql.catalyst.expressions.Literal => true
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => literalTree(c.child)
+        case _ => false
+      }
+    require(literalTree(parsed),
+      s"ADD COLUMN DEFAULT: '$defaultSql' is not a literal — column " +
+        "references and function calls (current_date(), rand(), ...) " +
+        "would drift per read; register a constant")
+    // the default must cast to the declared type NOW, not at first
+    // read (ANSI mode throws on a bad cast; non-ANSI yields NULL —
+    // both surface as the same loud DDL-time refusal)
+    val isNullLit =
+      parsed.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] &&
+        parsed.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value == null
+    val castOk =
+      try !s.range(1).select(expr(defaultSql).cast(dt).as("d")).head().isNullAt(0)
+      catch { case _: Exception => false }
+    require(castOk || isNullLit,
+      s"ADD COLUMN DEFAULT: '$defaultSql' does not cast to ${dt.sql}")
+    commitSchemaChange(s, root, table, maxRetries) { cur =>
+      require(!cur.fieldNames.contains(colName),
+        s"ALTER TABLE $table: column $colName already exists")
+      val resurrected = Set(colName).intersect(reservedNames(root, table))
+      require(resurrected.isEmpty,
+        s"ALTER TABLE $table: $colName previously existed — old files " +
+          "still store the name; re-adding would resurrect their values")
+      StructType(cur.fields :+ StructField(colName, dt, nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(defaultKey, defaultSql).build()))
+    }
+  }
+
   /** Alias-aware schema-pinned read: files are scanned with the
     * PHYSICAL union schema (current names + every rename alias, each
     * NULL-filled where absent) and projected back to the logical
@@ -4204,7 +4264,17 @@ object Manifest {
     * physical column is present per file, so the coalesce picks the
     * stored values regardless of which side of a rename the file was
     * written on. Alias-free schemas take the plain pinned read
-    * (byte-identical behavior). */
+    * (byte-identical behavior).
+    *
+    * Columns registered with a DEFAULT ([[commitAddColumnDefault]])
+    * branch PER FILE by footer schema: a file written BEFORE the
+    * column existed serves the registered default expression, a file
+    * carrying the physical column serves its stored values — including
+    * stored NULLs, which a naive `coalesce(col, default)` would
+    * silently rewrite (the default-vs-NULL distinction warehouses
+    * keep). The branching costs one footer open per file at PLANNING
+    * time, only for schemas that register a default; default-free
+    * schemas take the existing paths untouched. */
   private def readPinned(s: SparkSession, schema: StructType,
                          paths: Seq[String],
                          posNames: Option[(String, String)] = None): DataFrame = {
@@ -4215,22 +4285,37 @@ object Manifest {
         .as(p),
       col("_metadata.row_index").as(ri))
     }
-    val aliased = schema.fields.exists(f => aliasesOf(f).nonEmpty)
-    if (!aliased) {
-      val df = s.read.schema(schema).parquet(paths: _*)
-      if (posNames.isEmpty) df
-      else df.select(schema.fieldNames.toIndexedSeq.map(col) ++ posCols: _*)
-    } else {
-      val phys = StructType(schema.fields.flatMap { f =>
-        StructField(f.name, f.dataType, nullable = true) +:
-          aliasesOf(f).map(a => StructField(a, f.dataType, nullable = true))
-      })
-      s.read.schema(phys).parquet(paths: _*)
-        .select(schema.fields.toIndexedSeq.map { f =>
+    def readGroup(ps: Seq[String], absent: Set[String]): DataFrame = {
+      def serve(f: StructField): org.apache.spark.sql.Column =
+        if (absent.contains(f.name))
+          expr(defaultOf(f).get).cast(f.dataType).as(f.name)
+        else {
           val alts = aliasesOf(f)
           if (alts.isEmpty) col(f.name)
           else coalesce((f.name +: alts.reverse).map(col): _*).as(f.name)
-        } ++ posCols: _*)
+        }
+      val aliased = schema.fields.exists(f => aliasesOf(f).nonEmpty)
+      if (!aliased && absent.isEmpty) {
+        val df = s.read.schema(schema).parquet(ps: _*)
+        if (posNames.isEmpty) df
+        else df.select(schema.fieldNames.toIndexedSeq.map(col) ++ posCols: _*)
+      } else {
+        val phys = StructType(schema.fields.flatMap { f =>
+          StructField(f.name, f.dataType, nullable = true) +:
+            aliasesOf(f).map(a => StructField(a, f.dataType, nullable = true))
+        })
+        s.read.schema(phys).parquet(ps: _*)
+          .select(schema.fields.toIndexedSeq.map(serve) ++ posCols: _*)
+      }
+    }
+    val defCols = schema.fields.filter(f => defaultOf(f).isDefined).map(_.name)
+    if (defCols.isEmpty) readGroup(paths, Set.empty)
+    else {
+      val conf = s.sparkContext.hadoopConfiguration
+      paths.groupBy(p => defCols.toSeq
+          .filterNot(FooterStats.physicalColumns(conf, p).contains))
+        .map { case (absent, ps) => readGroup(ps, absent.toSet) }
+        .reduce(_ unionByName _)
     }
   }
 

@@ -1025,12 +1025,25 @@ object ManifestSql {
         val reg = Manifest.registeredSchema(spark, root, table)
         val target = reg.getOrElse(Manifest.readTable(spark, root, table).schema)
         val batch = spark.sql(query)
-        require(batch.schema.length == target.length,
-          s"INSERT INTO $table: ${batch.schema.length} columns provided, " +
-            s"table has ${target.length}")
-        val aligned = batch.toDF(target.fieldNames.toIndexedSeq: _*)
-          .select(target.fields.toIndexedSeq.map(f =>
-            col(f.name).cast(f.dataType)): _*)
+        // a positional INSERT may omit TRAILING columns that carry a
+        // registered DEFAULT — the default fills them (the Snowflake/
+        // Delta contract); any other arity mismatch refuses
+        val nGiven = batch.schema.length
+        val omittable = target.fields.drop(nGiven)
+        require(nGiven == target.length ||
+          (nGiven < target.length &&
+            omittable.forall(f => Manifest.defaultOf(f).isDefined)),
+          s"INSERT INTO $table: $nGiven columns provided, " +
+            s"table has ${target.length}" +
+            (if (nGiven < target.length) " and the omitted trailing " +
+              "columns carry no DEFAULT" else ""))
+        val aligned = batch
+          .toDF(target.fieldNames.take(nGiven).toIndexedSeq: _*)
+          .select(target.fields.toIndexedSeq.map { f =>
+            if (target.fieldNames.indexOf(f.name) < nGiven)
+              col(f.name).cast(f.dataType)
+            else expr(Manifest.defaultOf(f).get).cast(f.dataType).as(f.name)
+          }: _*)
         // through the evolve path when registered: the append is
         // enforced against the registration (and re-pins it)
         if (reg.isDefined)
@@ -1085,21 +1098,29 @@ object ManifestSql {
         last = { import spark.implicits._
           Seq((v, nBefore.toLong, nAfter))
             .toDF("version", "n_files_before", "n_files_after") }
-      case AddColumnRe(table, colName, typeDdl) =>
-        // ALTER TABLE t ADD COLUMN c <type>: metadata DDL — registers
-        // the evolved schema atomically (an empty evolving append);
-        // existing files NULL-fill the column on read, and the SQL
-        // register path pins the registered schema automatically
-        val cur = Manifest.registeredSchema(spark, root, table)
-          .getOrElse(Manifest.readTable(spark, root, table).schema)
-        require(!cur.fieldNames.contains(colName),
-          s"ALTER TABLE $table: column $colName already exists")
+      case AddColumnRe(table, colName, typeDdl, defaultSql) =>
+        // ALTER TABLE t ADD COLUMN c <type> [DEFAULT <literal>]:
+        // metadata DDL — registers the evolved schema atomically.
+        // Without DEFAULT, existing files NULL-fill the column on
+        // read; with it, pre-evolution rows SERVE the default
+        // (per-file footer branching — a stored NULL stays NULL) and
+        // positional INSERT fills the missing trailing column
         val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
-        val empty = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(cur.fields :+ StructField(colName, dt, nullable = true)))
-        Manifest.commitAppendEvolve(spark, root, table, empty,
-          allowEvolution = true)
+        Option(defaultSql) match {
+          case Some(d) =>
+            Manifest.commitAddColumnDefault(spark, root, table, colName,
+              dt, d.trim)
+          case None =>
+            val cur = Manifest.registeredSchema(spark, root, table)
+              .getOrElse(Manifest.readTable(spark, root, table).schema)
+            require(!cur.fieldNames.contains(colName),
+              s"ALTER TABLE $table: column $colName already exists")
+            val empty = spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(cur.fields :+ StructField(colName, dt, nullable = true)))
+            Manifest.commitAppendEvolve(spark, root, table, empty,
+              allowEvolution = true)
+        }
         last = spark.emptyDataFrame
       case DropColumnRe(table, colName) =>
         // ALTER TABLE t DROP COLUMN c: metadata DDL — registers the
@@ -1665,7 +1686,8 @@ object ManifestSql {
       "(?:\\s+SPLIT\\s+(\\d+))?\\s*$").r
   private val AddColumnRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+ADD\\s+COLUMN\\s+" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9_(),\\s]+?)\\s*$").r
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9_(),\\s]+?)" +
+      "(?:\\s+DEFAULT\\s+(.+?))?\\s*$").r
   private val DropColumnRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+DROP\\s+COLUMN\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*$").r
@@ -5118,6 +5140,67 @@ object ManifestSql {
             coalesce(col("n_day_rows"), lit(0L)).as("n_day_rows"))
           .orderBy("user_id").localCheckpoint(true)
         s.catalog.dropTempView("span_merge_src_q325")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- ADD COLUMN ... DEFAULT (q326): the remaining evolution
+    //       verb warehouses ship — pre-evolution rows SERVE the
+    //       registered default (per-file footer branching, never
+    //       `coalesce` — a post-evolution row that stored NULL must
+    //       stay NULL), and a positional INSERT omitting the trailing
+    //       column fills it with the default. Three row eras in one
+    //       table: era-1 (before the column existed → 'USD'), era-2
+    //       full-arity inserts (explicit 'EUR' / explicit NULL), and
+    //       an era-2 positional insert (omitted → 'USD'). Oracle
+    //       recomputes every era's currency; a NULL-fill read of
+    //       era-1, a coalesce rewrite of era-2's NULLs, or a
+    //       mis-filled positional insert each shift the hash. -----
+    Q("q326_sql_add_column_default",
+      Some("""WITH e AS (SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v,
+             |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(v) AS DECIMAL(18,4)) AS tv
+             |  FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+             |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(v) AS DECIMAL(18,4)) AS tv
+             |  FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1)
+             |SELECT user_id, n_events, CAST(tv AS DOUBLE) AS total_v,
+             |  'USD' AS currency FROM f
+             |UNION ALL
+             |SELECT user_id + 200000, n_events, CAST(tv AS DOUBLE),
+             |  CASE WHEN user_id % 3 = 0 THEN NULL ELSE 'EUR' END FROM s
+             |UNION ALL
+             |SELECT user_id + 100000, n_events, CAST(tv AS DOUBLE), 'USD'
+             |FROM s WHERE user_id % 5 = 0
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-adddefault").toString
+        // era 1: the column does not exist yet
+        Manifest.commitAppend(s, root, "costs",
+          stateOf(ev.filter(col("ts") < cut)).coalesce(2))
+        stateOf(ev.filter(col("ts") >= cut))
+          .createOrReplaceTempView("add_default_src_q326")
+        runDml(s, root,
+          """ALTER TABLE costs ADD COLUMN currency STRING DEFAULT 'USD';
+            |INSERT INTO costs SELECT user_id + 200000, n_events, tv,
+            |  CASE WHEN user_id % 3 = 0 THEN CAST(NULL AS STRING)
+            |    ELSE 'EUR' END FROM add_default_src_q326;
+            |INSERT INTO costs SELECT user_id + 100000, n_events, tv
+            |FROM add_default_src_q326 WHERE user_id % 5 = 0""".stripMargin)
+        val out = Manifest.readTable(s, root, "costs")
+          .select(col("user_id"), col("n_events"),
+            col("tv").cast("double").as("total_v"), col("currency"))
+          .orderBy("user_id").localCheckpoint(true)
+        s.catalog.dropTempView("add_default_src_q326")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

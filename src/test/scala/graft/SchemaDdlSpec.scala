@@ -181,4 +181,68 @@ class SchemaDdlSpec extends SparkSuite {
       sch("v").dataType.sql == "DOUBLE" &&
       sch("d").dataType.sql == "DECIMAL(8,2)")
   }
+
+  test("ADD COLUMN DEFAULT: era-1 rows serve the default, stored NULL stays NULL") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1))
+    // plain ADD COLUMN first, on a sibling table: era-1 NULL-fills —
+    // the behavior DEFAULT must be DISTINGUISHABLE from
+    Manifest.commitAppend(spark, root, "plain",
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root, "ALTER TABLE plain ADD COLUMN tag STRING")
+    assert(Manifest.readTable(spark, root, "plain").head().isNullAt(2))
+    // DEFAULT: era-1 rows serve 'USD'
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t ADD COLUMN cur STRING DEFAULT 'USD'")
+    val era1 = Manifest.readTable(spark, root, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(era1 == Map(1L -> "USD", 2L -> "USD"))
+    // era-2: one explicit value, one explicit NULL — the stored NULL
+    // must SURVIVE (a coalesce-based read would rewrite it to 'USD')
+    ManifestSql.runDml(spark, root,
+      "INSERT INTO t SELECT 3, 30.0, 'EUR'; " +
+        "INSERT INTO t SELECT 4, 40.0, CAST(NULL AS STRING)")
+    // era-2 positional omission: the trailing DEFAULT column fills
+    ManifestSql.runDml(spark, root, "INSERT INTO t SELECT 5, 50.0")
+    val got = Manifest.readTable(spark, root, "t").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(got == Map(1L -> Some("USD"), 2L -> Some("USD"),
+      3L -> Some("EUR"), 4L -> None, 5L -> Some("USD")))
+    // DV'd reads keep the per-file branching: delete an era-1 row
+    ManifestSql.runDml(spark, root, "DELETE FROM t WHERE k = 2")
+    val afterDv = Manifest.readTable(spark, root, "t").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(afterDv == got - 2L)
+  }
+
+  test("ADD COLUMN DEFAULT refusals: non-literal, bad cast, arity") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1))
+    def refuse(stmt: String): String =
+      intercept[IllegalArgumentException] {
+        ManifestSql.runDml(spark, root, stmt) }.getMessage
+    // function calls would re-evaluate per read (values drift);
+    // column references have nothing to bind; both refuse loudly
+    assert(refuse("ALTER TABLE t ADD COLUMN d DATE DEFAULT current_date()")
+      .contains("not a literal"))
+    assert(refuse("ALTER TABLE t ADD COLUMN w DOUBLE DEFAULT v * 2")
+      .contains("not a literal"))
+    assert(refuse("ALTER TABLE t ADD COLUMN r DOUBLE DEFAULT rand()")
+      .contains("not a literal"))
+    // a default that does not cast to the declared type refuses at
+    // DDL time, not at first read
+    assert(refuse("ALTER TABLE t ADD COLUMN n INT DEFAULT 'abc'")
+      .contains("does not cast"))
+    // a literal NULL default is legal (explicitly registered)
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t ADD COLUMN tag STRING DEFAULT NULL")
+    assert(Manifest.readTable(spark, root, "t").head().isNullAt(2))
+    // positional omission of a NON-default column still refuses
+    Manifest.commitAppend(spark, root, "u",
+      Seq((1L, 10.0)).toDF("k", "v").coalesce(1))
+    assert(refuse("INSERT INTO u SELECT 2")
+      .contains("no DEFAULT"))
+  }
 }
