@@ -1064,6 +1064,100 @@ object Manifest {
     (legacy -- dropped) ++ sidecar.collect { case (n, Some(e)) => n -> e }
   }
 
+  // ------------------------------------------------- named streams (CDC)
+
+  /** Claim-sidecar marker of a named STREAM object (Snowflake
+    * `CREATE STREAM s ON TABLE t`): bytes = `{"table":"t","offset":N}`
+    * where N is the last CONSUMED source version — `SELECT ... FROM s`
+    * serves the change feed over `(N, current]`, and a consuming DML
+    * advances N atomically with its own commit. Newest wins; empty
+    * bytes = DROP STREAM tombstone. Carried by vacuum and shipped by
+    * replication like every other registry marker. */
+  private def streamMarkerName(name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe stream name: $name")
+    s"_stream_$name"
+  }
+
+  private val streamJsonRe =
+    """\{"table":"([A-Za-z0-9_.-]+)","offset":(\d+)\}""".r
+
+  /** The stream's (source table, last-consumed version), or None if
+    * the name was never created or was dropped. */
+  def streamDef(root: String, name: String): Option[(String, Long)] =
+    claimMarkers(root, streamMarkerName(name))
+      .get(streamMarkerName(name)).filter(_.nonEmpty)
+      .map(b => new String(b, "UTF-8") match {
+        case streamJsonRe(t, o) => (t, o.toLong)
+        case other => throw new IllegalStateException(
+          s"corrupt stream marker for $name: $other")
+      })
+
+  /** All live stream names of `root` (enumeration for the SQL
+    * rewrite and SHOW STREAMS). */
+  def streamNames(root: String): Seq[String] =
+    claimMarkers(root, "_stream_").collect {
+      case (n, b) if b.nonEmpty => n.substring("_stream_".length)
+    }.toSeq.sorted
+
+  /** `CREATE STREAM name ON TABLE t` — one metadata claim registering
+    * the cursor at the CURRENT version (the stream starts empty: only
+    * commits after creation are changes, the Snowflake contract).
+    * Existing names refuse (DROP STREAM first); the table must
+    * exist. */
+  def createStream(s: SparkSession, root: String, name: String,
+                   table: String, maxRetries: Int = 5): Long =
+    casCommit(s, root, { base =>
+      require(base > 0 && manifestRows(s, root, base).exists(_._1 == table),
+        s"CREATE STREAM: no table $table in $root")
+      require(streamDef(root, name).isEmpty,
+        s"stream $name already exists (DROP STREAM first)")
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
+        streamMarkerName(name) ->
+          s"""{"table":"$table","offset":$base}""".getBytes("UTF-8")))
+    }, maxRetries)
+
+  /** `DROP STREAM name` — tombstone claim; unknown names refuse
+    * loudly (a typo'd drop silently succeeding hides a live
+    * consumer). */
+  def dropStream(s: SparkSession, root: String, name: String,
+                 maxRetries: Int = 5): Long =
+    casCommit(s, root, { base =>
+      require(streamDef(root, name).isDefined, s"unknown stream $name")
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
+        streamMarkerName(name) -> Array.empty[Byte]))
+    }, maxRetries)
+
+  /** The consuming append: `batch` lands on `table` AND the stream's
+    * offset advances to `toOffset`, in ONE claim — a reader at any
+    * version sees both or neither, so a crash (or a re-driven
+    * scheduler) can never double-apply an interval. Claim-time
+    * validation pins the offset this consumption READ from: a racing
+    * consumer that advanced it first wins, and this commit fails
+    * LOUDLY instead of applying the same delta twice (the
+    * exactly-once rule every ledger commit here follows). */
+  def commitConsumeStream(s: SparkSession, root: String, name: String,
+                          table: String, batch: DataFrame,
+                          fromOffset: Long, toOffset: Long,
+                          maxRetries: Int = 5): Long = {
+    val hint = nextVersion(root)
+    val relFiles = publishData(s, root, hint, table, batch)
+    val newRows = relFiles.map(f => (table, f, null: String))
+    val srcTable = streamDef(root, name).map(_._1).getOrElse(
+      throw new IllegalArgumentException(s"unknown stream $name"))
+    casCommit(s, root, { base =>
+      val cur = streamDef(root, name)
+      if (!cur.exists(_._2 == fromOffset))
+        throw new IllegalStateException(
+          s"stream $name was consumed concurrently (offset " +
+            s"${cur.map(_._2).getOrElse(-1L)}, this consumption read " +
+            s"from $fromOffset) — re-read the stream")
+      deltaOrFull(s, root, base, Nil, newRows).copy(extras = Seq(
+        streamMarkerName(name) ->
+          s"""{"table":"$srcTable","offset":$toOffset}""".getBytes("UTF-8")))
+    }, maxRetries)
+  }
+
   // ------------------------------------------------- table properties
 
   /** Claim-sidecar marker name of one table property — the same
@@ -5640,7 +5734,8 @@ object Manifest {
               n.startsWith("_check_") || n.startsWith("_policy") ||
               n.startsWith("_stats_") || n.startsWith("_prop_") ||
               n.startsWith("_grant_") || n.startsWith("_aclon_") ||
-              n.startsWith("_grantsch_") || n.startsWith("_aclonsch_")).toList
+              n.startsWith("_grantsch_") || n.startsWith("_aclonsch_") ||
+              n.startsWith("_stream_")).toList
           finally l.close()
         markers.foreach { name =>
           if (!Files.exists(dest.resolve(name)))
@@ -5704,7 +5799,7 @@ object Manifest {
     * policies or ACL closure would serve raw data to every role. */
   private val registryPrefixes = Seq(
     "_policydef_", "_policies_", "_prop_", "_grant_", "_aclon_",
-    "_grantsch_", "_aclonsch_", "_stats_")
+    "_grantsch_", "_aclonsch_", "_stats_", "_stream_")
 
   /** Effective (newest, non-tombstoned) registry markers of `root`. */
   private def registryMarkers(root: String): Seq[(String, Array[Byte])] =

@@ -1012,6 +1012,19 @@ object ManifestSql {
         // INSERT ALL|FIRST ... INTO ... SELECT: the Snowflake
         // multi-table router — all branches land in ONE claim
         last = runInsertMulti(spark, root, mode, rest)
+      case InsertRe(table, query) if Manifest.streamNames(root)
+          .exists(n => topLevelPositions(query, n.toLowerCase).nonEmpty) =>
+        // INSERT INTO t SELECT ... FROM <stream>: the CONSUMING form —
+        // the stream's pending interval plans as the source, and the
+        // offset advances ATOMICALLY with the insert's own commit
+        // (one claim: rows + cursor), so a re-driven statement sees an
+        // empty stream and quiesces instead of double-applying
+        val consumed = Manifest.streamNames(root)
+          .filter(n => topLevelPositions(query, n.toLowerCase).nonEmpty)
+        require(consumed.size == 1,
+          s"INSERT consuming multiple streams (${consumed.mkString(", ")}) " +
+            "is not supported — one cursor advances per statement")
+        last = consumeStreamInsert(spark, root, consumed.head, table, query)
       case InsertRe(table, query) =>
         // INSERT INTO t <query>: the query text (SELECT/VALUES/WITH)
         // plans against whatever views are registered; the result
@@ -1203,6 +1216,24 @@ object ManifestSql {
         last = Manifest.tableHistory(spark, root)
       case ShowTablesRe() =>
         last = Manifest.listTables(spark, root)
+      case CreateStreamRe(name, table) =>
+        // CREATE STREAM s ON TABLE t: register a named change-feed
+        // cursor at the CURRENT version (the stream starts empty —
+        // only commits after creation are changes, the Snowflake
+        // contract); SELECT ... FROM s serves the feed since the
+        // cursor, a consuming INSERT advances it with its own commit
+        Manifest.createStream(spark, root, name, table)
+        last = spark.emptyDataFrame
+      case DropStreamRe(name) =>
+        Manifest.dropStream(spark, root, name)
+        last = spark.emptyDataFrame
+      case ShowStreamsRe() =>
+        last = { import spark.implicits._
+          Manifest.streamNames(root)
+            .map { n =>
+              val (t, off) = Manifest.streamDef(root, n).get
+              (n, t, off)
+            }.toDF("name", "table_name", "offset").orderBy("name") }
       case DropTableRe(table) =>
         Manifest.commitDropTable(spark, root, table)
         last = spark.emptyDataFrame
@@ -1529,12 +1560,15 @@ object ManifestSql {
         // table answer from metadata first (the Snowflake/Delta
         // aggregate pushdown — zero data I/O).
         last = metaAggAnswer(spark, root, other).getOrElse {
-          val (rewritten, feedViews) = rewriteTableChanges(spark, root, other)
+          val (rewritten0, streamViews) = rewriteStreamReads(spark, root, other)
+          val (rewritten, feedViews) =
+            rewriteTableChanges(spark, root, rewritten0)
           // analysis resolves the feed views INTO the plan, so they
           // drop as soon as spark.sql returns — no accumulation, no
           // cross-root collision window beyond this statement
           try spark.sql(rewriteTimeTravel(spark, root, rewritten))
-          finally feedViews.foreach(spark.catalog.dropTempView(_))
+          finally (feedViews ++ streamViews)
+            .foreach(spark.catalog.dropTempView(_))
         }
     }
     // BEGIN [TRANSACTION] ... COMMIT spans fold into ONE atomic
@@ -1705,6 +1739,12 @@ object ManifestSql {
   private val HistoryRe =
     "(?is)^DESCRIBE\\s+HISTORY(?:\\s+([A-Za-z0-9_.-]+))?\\s*$".r
   private val ShowTablesRe = "(?is)^SHOW\\s+TABLES\\s*$".r
+  private val CreateStreamRe =
+    ("(?is)^CREATE\\s+STREAM\\s+([A-Za-z0-9_]+)\\s+ON\\s+TABLE\\s+" +
+      "([A-Za-z0-9_.-]+)\\s*$").r
+  private val DropStreamRe =
+    "(?is)^DROP\\s+STREAM\\s+([A-Za-z0-9_]+)\\s*$".r
+  private val ShowStreamsRe = "(?is)^SHOW\\s+STREAMS\\s*$".r
   private val DropTableRe =
     "(?is)^DROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val UndropTableRe =
@@ -2474,6 +2514,90 @@ object ManifestSql {
   }
 
   private val changesNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The consuming INSERT's body: read the stream's pending interval,
+    * plan the statement over it, land the rows AND the advanced
+    * cursor in ONE claim ([[Manifest.commitConsumeStream]] — a racing
+    * consumer fails loudly at claim time, never double-applies). An
+    * interval with nothing pending is a PURE no-op: no claim, cursor
+    * unchanged — the re-driven-scheduler quiesce discipline
+    * ([[Manifest.applyChangesInto]]'s). Returns the consumption
+    * report. */
+  private def consumeStreamInsert(spark: SparkSession, root: String,
+                                  name: String, table: String,
+                                  query: String): DataFrame = {
+    import spark.implicits._
+    val (srcTable, offset) = Manifest.streamDef(root, name).getOrElse(
+      throw new IllegalArgumentException(s"unknown stream $name"))
+    val cur = Manifest.snapshotVersion(root)
+    val feed = Manifest.readChangeFeed(spark, root, srcTable, offset, cur)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cur <= offset || feed.isEmpty)
+        Seq((name, 0L, offset, offset, "NOOP"))
+          .toDF("stream", "n_rows_inserted", "from_version", "to_version",
+            "status")
+      else {
+        val view = s"${name}__consume_" +
+          f"${root.hashCode & 0xffffff}%06x_${changesNonce.incrementAndGet()}"
+        feed.createOrReplaceTempView(view)
+        try {
+          var q = query
+          topLevelPositions(q, name.toLowerCase).sorted.reverse.foreach(p =>
+            q = q.substring(0, p) + view + q.substring(p + name.length))
+          val target = Manifest.registeredSchema(spark, root, table)
+            .getOrElse(Manifest.readTable(spark, root, table).schema)
+          val batch = spark.sql(q)
+          require(batch.schema.length == target.length,
+            s"INSERT INTO $table: ${batch.schema.length} columns " +
+              s"provided, table has ${target.length}")
+          val obs = org.apache.spark.sql.Observation()
+          val aligned = batch.toDF(target.fieldNames.toIndexedSeq: _*)
+            .select(target.fields.toIndexedSeq.map(f =>
+              col(f.name).cast(f.dataType)): _*)
+            .observe(obs, count(lit(1)).as("n"))
+          val _ = Manifest.commitConsumeStream(spark, root, name, table,
+            aligned, offset, cur)
+          Seq((name, obs.get("n").asInstanceOf[Long], offset, cur, "APPLIED"))
+            .toDF("stream", "n_rows_inserted", "from_version", "to_version",
+              "status")
+        } finally spark.catalog.dropTempView(view)
+      }
+    } finally feed.unpersist()
+  }
+
+  /** Resolve NAMED STREAM reads: every word-bounded, quote-masked
+    * mention of a live stream name registers the stream's pending
+    * change feed — `readChangeFeed(table, offset, current]`, the
+    * table's columns + `_change_type`/`_commit_version` — as a
+    * nonce'd temp view and rewrites the mention to it, so
+    * `SELECT ... FROM s` plans over exactly what a consuming DML
+    * would consume. A plain read NEVER advances the offset (Snowflake
+    * semantics: only DML consumption does); statements mentioning no
+    * stream pass through byte-identical. Returns the rewritten text
+    * plus the views to drop after planning. */
+  def rewriteStreamReads(spark: SparkSession, root: String,
+                         sql: String): (String, Seq[String]) = {
+    val names = Manifest.streamNames(root)
+    if (names.isEmpty) return (sql, Nil)
+    val created = Seq.newBuilder[String]
+    var out = sql
+    names.foreach { n =>
+      val positions = topLevelPositions(out, n.toLowerCase)
+      if (positions.nonEmpty) {
+        val (t, off) = Manifest.streamDef(root, n).get
+        val cur = Manifest.snapshotVersion(root)
+        val view = s"${n}__stream_" +
+          f"${root.hashCode & 0xffffff}%06x_${changesNonce.incrementAndGet()}"
+        Manifest.readChangeFeed(spark, root, t, off, cur)
+          .createOrReplaceTempView(view)
+        created += view
+        positions.sorted.reverse.foreach(p =>
+          out = out.substring(0, p) + view + out.substring(p + n.length))
+      }
+    }
+    (out, created.result())
+  }
 
   // --------------------------------------------------------------- queries
 
@@ -5201,6 +5325,74 @@ object ManifestSql {
             col("tv").cast("double").as("total_v"), col("currency"))
           .orderBy("user_id").localCheckpoint(true)
         s.catalog.dropTempView("add_default_src_q326")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- CREATE STREAM ... ON TABLE (q327): the named change-feed
+    //       object a statement-submitting scheduler reaches for —
+    //       `CREATE STREAM s ON TABLE t` registers a cursor, `SELECT
+    //       ... FROM s` reads the pending interval WITHOUT consuming,
+    //       and `INSERT ... SELECT ... FROM s` lands the rows AND the
+    //       advanced cursor in ONE claim, so a re-driven statement
+    //       quiesces (NOOP, no new version) instead of double-
+    //       applying — asserted in-plan across TWO consumption
+    //       rounds + one re-drive. Oracle: the two consumed intervals
+    //       union to exactly the post-creation data, so the final
+    //       per-user rollup equals a plain aggregate of it — an
+    //       offset that re-served round 1's rows in round 2 (or
+    //       skipped a commit) shifts every affected user's sum. -----
+    Q("q327_sql_named_stream",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |    AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-23 00:00:00").cast("timestamp")
+        val root = Files.createTempDirectory("graft-sql-stream").toString
+        Manifest.commitAppend(s, root, "events_log",
+          ev.filter(col("ts") < cut).coalesce(2))
+        Manifest.commitAppend(s, root, "user_deltas",
+          ev.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+            .limit(0).coalesce(1))
+        runDml(s, root, "CREATE STREAM ev_stream ON TABLE events_log")
+        val consume =
+          """INSERT INTO user_deltas
+            |SELECT user_id, count(*), CAST(sum(value) AS DECIMAL(18,4))
+            |FROM ev_stream WHERE _change_type = 'insert'
+            |GROUP BY user_id""".stripMargin
+        // round 1: commit the mid-month batch, consume it
+        Manifest.commitAppend(s, root, "events_log",
+          ev.filter(col("ts") >= cut && col("ts") < cut2).coalesce(2))
+        val r1 = runDml(s, root, consume).collect()(0)
+        // re-drive: the cursor advanced with round 1's own commit —
+        // the stream is EMPTY, no version mints, nothing double-lands
+        val vAfter1 = Manifest.snapshotVersion(root)
+        val re = runDml(s, root, consume).collect()(0)
+        // round 2: a later batch consumes incrementally (never re-
+        // serving round 1's interval)
+        Manifest.commitAppend(s, root, "events_log",
+          ev.filter(col("ts") >= cut2).coalesce(2))
+        val r2 = runDml(s, root, consume).collect()(0)
+        require(r1.getString(4) == "APPLIED" && re.getString(4) == "NOOP" &&
+          r2.getString(4) == "APPLIED" &&
+          Manifest.snapshotVersion(root) > vAfter1 &&
+          r2.getLong(2) >= r1.getLong(3),
+          s"stream consumption must advance exactly once per interval " +
+            s"(r1=$r1, re=$re, r2=$r2)")
+        val out = Manifest.readTable(s, root, "user_deltas")
+          .groupBy("user_id")
+          .agg(sum("n_events").cast("bigint").as("n_events"),
+            sum("tv").cast("decimal(18,4)").cast("double").as("total_v"))
+          .orderBy("user_id").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

@@ -1218,6 +1218,50 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.snapshotVersion(root) == v0)
   }
 
+  test("named streams: empty at creation, read-no-consume, consume-on-commit, exactly-once") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "src",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "tgt",
+      Seq.empty[(Long, Double)].toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root, "CREATE STREAM s1 ON TABLE src")
+    // the stream starts EMPTY — pre-creation rows are not changes
+    assert(ManifestSql.runDml(spark, root, "SELECT * FROM s1").count() == 0L)
+    // a post-creation commit appears; plain reads do NOT consume
+    ManifestSql.runDml(spark, root, "INSERT INTO src SELECT 2, 2.0")
+    assert(ManifestSql.runDml(spark, root,
+      "SELECT k FROM s1 WHERE _change_type = 'insert'").count() == 1L)
+    assert(ManifestSql.runDml(spark, root, "SELECT k FROM s1").count() == 1L)
+    // consumption: rows + advanced cursor land in ONE claim
+    val v0 = Manifest.snapshotVersion(root)
+    val rep = ManifestSql.runDml(spark, root,
+      "INSERT INTO tgt SELECT k, v FROM s1 WHERE _change_type = 'insert'")
+      .collect()(0)
+    assert(rep.getString(4) == "APPLIED" && rep.getLong(1) == 1L)
+    assert(Manifest.snapshotVersion(root) == v0 + 1)
+    assert(Manifest.readTable(spark, root, "tgt").count() == 1L)
+    assert(Manifest.streamDef(root, "s1").exists(_._2 == v0))
+    // exactly-once under re-drive: the stream is empty, NO new
+    // version mints, nothing double-applies
+    val rep2 = ManifestSql.runDml(spark, root,
+      "INSERT INTO tgt SELECT k, v FROM s1 WHERE _change_type = 'insert'")
+      .collect()(0)
+    assert(rep2.getString(4) == "NOOP")
+    assert(Manifest.snapshotVersion(root) == v0 + 1)
+    assert(Manifest.readTable(spark, root, "tgt").count() == 1L)
+    // SHOW STREAMS serves the cursor; DROP tombstones; unknown refuses
+    val shown = ManifestSql.runDml(spark, root, "SHOW STREAMS").collect()(0)
+    assert(shown.getString(0) == "s1" && shown.getString(1) == "src")
+    ManifestSql.runDml(spark, root, "DROP STREAM s1")
+    assert(ManifestSql.runDml(spark, root, "SHOW STREAMS").count() == 0L)
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "DROP STREAM s1")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root, "CREATE STREAM s9 ON TABLE nope")
+    }
+  }
+
   test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {
     val root = freshRoot()
     // (a, b) is the key: a=1 appears under TWO b values — a bug that
