@@ -686,7 +686,9 @@ object Manifest {
   def commitAppendMulti(s: SparkSession, root: String,
                         batches: Seq[(String, DataFrame, Seq[String])],
                         maxRetries: Int = 5,
-                        txn: Option[(String, Long)] = None): Long = {
+                        txn: Option[(String, Long)] = None,
+                        extras: Seq[(String, Array[Byte])] = Nil,
+                        validate: Long => Unit = _ => ()): Long = {
     require(batches.nonEmpty, "commitAppendMulti: no batches")
     require(batches.map(_._1).distinct.size == batches.size,
       "commitAppendMulti: one batch per table")
@@ -697,9 +699,20 @@ object Manifest {
     }
     casCommit(s, root, { base =>
       txnGuard(root, txn)
-      deltaOrFull(s, root, base, Nil, newRows).copy(extras = txnExtras(txn))
+      // caller-supplied claim-time validation (e.g. the ANN index's
+      // cursor check) — runs INSIDE the claim like txnGuard, so a
+      // racer that moved the guarded state fails before linking
+      validate(base)
+      deltaOrFull(s, root, base, Nil, newRows)
+        .copy(extras = txnExtras(txn) ++ extras)
     }, maxRetries)
   }
+
+  /** The newest live (non-tombstoned) claim marker named exactly
+    * `name`, if any — package-private so sibling ops (the ANN index's
+    * codebook marker) can read their own registrations. */
+  private[ops] def claimMarker(root: String, name: String): Option[Array[Byte]] =
+    claimMarkers(root, name).get(name).filter(_.nonEmpty)
 
   /** REPLACE commit: carry every OTHER table's rows forward and swap
     * `table`'s file set for the new data — the commit primitive behind

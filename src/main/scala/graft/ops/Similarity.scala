@@ -980,8 +980,332 @@ object Similarity {
             sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
             sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_kept"))
           .orderBy("cluster")
+      }),
+
+    // ----- committed ANN index (q328): the q238 IVF-PQ stack as a
+    //       PERSISTED artifact instead of a per-query rebuild — cells
+    //       and codes are manifest TABLES, the codebook a claim-
+    //       sidecar MARKER, all landed in ONE atomic claim; appends
+    //       maintain it O(delta) BY PROOF (the q317 device: era-1's
+    //       data files are deleted from disk before the increment —
+    //       a maintenance that rescanned the indexed era would throw)
+    //       with the cursor advancing in the same claim as the new
+    //       codes, and a re-driven maintenance quiesces. In-plan
+    //       asserts pin committed-probe ≡ recompute-from-scratch and
+    //       exact-delta indexing; the oracle recomputes the FULL-
+    //       corpus IVF-PQ independently, so a code encoded against a
+    //       drifted codebook, a lost era, or a double-indexed vector
+    //       shifts some query's top-3. -----
+    Q("q328_ann_index_committed",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT e.vec_id, c.c_id,
+              |    round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+              |          / (e.nrm * c.c_nrm), 4) AS rcos
+              |  FROM e CROSS JOIN c),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg),
+              |cells AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+              |cand AS (
+              |  SELECT p.q_id, t.vec_id AS cand_id
+              |  FROM probes p JOIN cells t ON t.cell = p.cell AND t.vec_id <> p.q_id),
+              |sub AS (
+              |  SELECT vec_id, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
+              |  FROM e, (VALUES (0),(1),(2),(3)) AS mm(m)),
+              |pcent AS (SELECT vec_id AS pc, m, s AS cs FROM sub WHERE vec_id < 8),
+              |enc AS (
+              |  SELECT vec_id, m, pc FROM (
+              |    SELECT sub.vec_id, sub.m, p.pc,
+              |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              |        ORDER BY list_dot_product(sub.s, p.cs) DESC, p.pc) AS prn
+              |    FROM sub JOIN pcent p ON p.m = sub.m) WHERE prn = 1),
+              |dtab AS (
+              |  SELECT q.vec_id AS q_id, p.m, p.pc,
+              |    CAST(floor(list_dot_product(q.s, p.cs) * 10000 + 0.5) AS BIGINT) AS d_e4
+              |  FROM sub q JOIN pcent p ON p.m = q.m WHERE q.vec_id < 5),
+              |sc AS (
+              |  SELECT cand.q_id, cand.cand_id,
+              |    CAST(SUM(d.d_e4) AS BIGINT) AS score_e4
+              |  FROM cand
+              |  JOIN enc ON enc.vec_id = cand.cand_id
+              |  JOIN dtab d ON d.q_id = cand.q_id AND d.m = enc.m AND d.pc = enc.pc
+              |  GROUP BY cand.q_id, cand.cand_id)
+              |SELECT q_id, cand_id, score_e4, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS rn FROM sc)
+              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val cutId = e.agg(max("vec_id")).head().getLong(0) / 2
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ann-idx").toString
+        Manifest.commitAppend(s, root, "embeddings",
+          e.filter(col("vec_id") <= cutId).coalesce(2))
+        val _ = buildAnnIndex(s, root, "embeddings", "ivfpq")
+        val queries = e.filter(col("vec_id") < 5)
+        // probe 1: the committed index answers EXACTLY what a
+        // recompute-from-scratch answers (every candidate's score,
+        // not just the top-3) — asserted in-plan
+        val fromIdx = queryAnnIndex(s, root, "ivfpq", queries).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val rebuilt = adcScores(s, e.filter(col("vec_id") <= cutId)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        require(fromIdx.nonEmpty && fromIdx == rebuilt,
+          "committed-index probe must equal the recompute-from-scratch answer")
+        // O(delta) BY PROOF: delete era-1's data files from DISK — a
+        // maintenance that rescanned the indexed era would throw
+        val v1 = Manifest.snapshotVersion(root)
+        Manifest.manifestRows(s, root, v1)
+          .collect { case ("embeddings", f, _) => f }
+          .foreach(f => java.nio.file.Files.delete(
+            java.nio.file.Paths.get(root, f)))
+        Manifest.commitAppend(s, root, "embeddings",
+          e.filter(col("vec_id") > cutId).coalesce(2))
+        val n2 = e.filter(col("vec_id") > cutId).count()
+        val m = maintainAnnIndex(s, root, "ivfpq")
+        require(m.exists(_._1 == n2),
+          s"maintenance must index exactly the delta (got $m, want $n2)")
+        require(maintainAnnIndex(s, root, "ivfpq").isEmpty,
+          "re-driven maintenance must quiesce")
+        // final: top-3 per query against the MAINTAINED index — the
+        // oracle recomputes the full-corpus IVF-PQ independently
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("cand_id"))
+        val out = queryAnnIndex(s, root, "ivfpq", queries)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"), col("score_e4"),
+            col("rn").cast("int").as("rn"))
+          .orderBy("q_id", "rn").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
+        out
       })
   )
+
+  // ------------------------------------------- committed ANN index (q328)
+
+  private val annNSub = 4
+  private val annSubDim = 16
+  private val annNCoarse = 8
+
+  private def annMarkerName(name: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe index name: $name")
+    s"_annidx_$name"
+  }
+
+  /** The codebook marker's text rendering — `src=`/`v=` header lines,
+    * then one `C|id|f,f,...` line per coarse centroid and one
+    * `P|m|pc|f,...` line per PQ sub-centroid. Floats round-trip
+    * EXACTLY through Float.toString/toFloat, so a query against the
+    * committed codebook scores bit-identically to one against the
+    * trainer rows it was extracted from. `v` is the source version
+    * the index covers — the maintenance cursor. */
+  private def renderAnnMarker(srcTable: String, v: Long,
+                              coarse: Seq[(Long, Array[Float])],
+                              pq: Seq[(Int, Long, Array[Float])]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(s"src=$srcTable\n").append(s"v=$v\n")
+    coarse.sortBy(_._1).foreach { case (id, a) =>
+      sb.append(s"C|$id|${a.mkString(",")}\n") }
+    pq.sortBy(t => (t._1, t._2)).foreach { case (m, pc, a) =>
+      sb.append(s"P|$m|$pc|${a.mkString(",")}\n") }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def parseAnnMarker(bytes: Array[Byte])
+      : (String, Long, Seq[(Long, Array[Float])], Seq[(Int, Long, Array[Float])]) = {
+    val lines = new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
+    val src = lines.find(_.startsWith("src=")).getOrElse(
+      throw new IllegalStateException("corrupt ann marker: no src")).substring(4)
+    val v = lines.find(_.startsWith("v=")).getOrElse(
+      throw new IllegalStateException("corrupt ann marker: no v")).substring(2).toLong
+    val coarse = lines.filter(_.startsWith("C|")).toSeq.map { l =>
+      val p = l.split("\\|")
+      (p(1).toLong, p(2).split(",").map(_.toFloat))
+    }
+    val pq = lines.filter(_.startsWith("P|")).toSeq.map { l =>
+      val p = l.split("\\|")
+      (p(1).toInt, p(2).toLong, p(3).split(",").map(_.toFloat))
+    }
+    (src, v, coarse, pq)
+  }
+
+  /** Shared encode stage of the committed index: coarse cell per
+    * vector (argmax rounded cosine against the broadcast codebook,
+    * the q62/q238 assignment verbatim) and one PQ code per (vector,
+    * subspace) (argmax subvector dot, the q222 encoding verbatim).
+    * Used by BUILD over the whole table and by MAINTAIN over an
+    * append delta — same expressions, so an incrementally-indexed
+    * vector scores identically to a rebuilt one. */
+  private def encodeAnn(s: org.apache.spark.sql.SparkSession, e: DataFrame,
+                        cents: DataFrame, pcent: DataFrame)
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftExtensions.register(s)
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("rcos").desc, col("c_id"))
+    val cells = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+      .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val sub = e.select(col("vec_id"),
+      posexplode(array((0 until annNSub).map(m =>
+        slice(col("embedding"), m * annSubDim + 1, annSubDim)): _*))
+        .as(Seq("m", "s")))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(expr("dot_product(s, cs)").desc, col("pc"))
+    val codes = sub.join(broadcast(pcent), col("m") === col("cm"))
+      .withColumn("prn", row_number().over(wEnc))
+      .filter(col("prn") === 1)
+      .select(col("vec_id"), col("m"), col("pc"))
+    (cells, codes)
+  }
+
+  /** BUILD the ANN index as a COMMITTED artifact: IVF cell
+    * assignments land as manifest table `<name>_cells`, PQ codes as
+    * `<name>_codes`, and the codebooks (coarse + PQ centroids,
+    * extracted from the trainer rows — the fixture's vec_id < 8; at
+    * corpus scale the q288 k-means trainer supplies them) as the
+    * `_annidx_<name>` claim-sidecar marker — ALL in ONE atomic claim,
+    * so no reader can ever see cells without codes or either without
+    * the codebook that decodes them. The marker records the source
+    * version the index covers; [[maintainAnnIndex]] advances it
+    * O(delta). Refuses an existing name at claim time. */
+  def buildAnnIndex(s: org.apache.spark.sql.SparkSession, root: String,
+                    srcTable: String, name: String): Long = {
+    graft.functions.GraftExtensions.register(s)
+    import s.implicits._
+    val v = Manifest.snapshotVersion(root)
+    val e = Manifest.readTable(s, root, srcTable, v)
+      .select("vec_id", "embedding")
+    val coarse = e.filter(col("vec_id") < annNCoarse).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    require(coarse.size == annNCoarse,
+      s"buildAnnIndex: expected $annNCoarse trainer rows, got ${coarse.size}")
+    val pq = for {
+      (id, a) <- coarse
+      m <- 0 until annNSub
+    } yield (m, id, a.slice(m * annSubDim, (m + 1) * annSubDim))
+    val (cells, codes) = encodeAnn(s, e,
+      coarse.toDF("c_id", "c_emb"), pq.toDF("cm", "pc", "cs"))
+    Manifest.commitAppendMulti(s, root,
+      Seq((s"${name}_cells", cells, Seq("vec_id")),
+        (s"${name}_codes", codes, Seq("vec_id"))),
+      maxRetries = 5, txn = None,
+      extras = Seq(annMarkerName(name) ->
+        renderAnnMarker(srcTable, v, coarse, pq)),
+      validate = _ => require(
+        Manifest.claimMarker(root, annMarkerName(name)).isEmpty,
+        s"ann index $name already exists"))
+  }
+
+  /** MAINTAIN the committed index O(delta) on append: the marker's
+    * cursor bounds the unindexed interval, [[Manifest.tableChanges]]
+    * reads EXACTLY the files that interval added (a rewrite interval
+    * refuses loudly toward a rebuild — compressed codes cannot be
+    * subtracted), the delta encodes against the COMMITTED codebook
+    * (never re-trained — codes stay comparable across eras), and the
+    * new cells/codes + advanced cursor land in ONE claim with
+    * claim-time cursor validation (a racing maintainer fails loudly,
+    * never double-indexes). A nothing-pending interval is a PURE
+    * no-op. Returns (vectors indexed, version), None when caught
+    * up. */
+  def maintainAnnIndex(s: org.apache.spark.sql.SparkSession, root: String,
+                       name: String): Option[(Long, Long)] = {
+    import s.implicits._
+    val bytes = Manifest.claimMarker(root, annMarkerName(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown ann index $name"))
+    val (srcTable, fromV, coarse, pq) = parseAnnMarker(bytes)
+    val cur = Manifest.snapshotVersion(root)
+    if (cur <= fromV) return None
+    // metadata-only pending check FIRST: an interval whose commits
+    // touched other tables only must quiesce without planning the
+    // source at all — tableChanges' empty-delta branch plans the FULL
+    // file list for schema preservation, and the indexed era's files
+    // need not even exist anymore (the q317/q328 proof device)
+    val beforeRows = Manifest.manifestRows(s, root, fromV)
+      .collect { case (t, f, st) if t == srcTable => (f, st) }.toSet
+    val afterRows = Manifest.manifestRows(s, root, cur)
+      .collect { case (t, f, st) if t == srcTable => (f, st) }.toSet
+    if (beforeRows == afterRows) return None
+    require(beforeRows.subsetOf(afterRows),
+      s"ann index $name: ($fromV, $cur] contains a rewrite of $srcTable " +
+        "— compressed codes cannot be subtracted; rebuild the index")
+    val (delta, pure) = Manifest.tableChanges(s, root, srcTable, fromV, cur)
+    require(pure,
+      s"ann index $name: ($fromV, $cur] contains a rewrite of $srcTable " +
+        "— compressed codes cannot be subtracted; rebuild the index")
+    val newE = delta.select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = newE.count()
+      if (n == 0L) return None // interval touched other tables only
+      val (cells, codes) = encodeAnn(s, newE,
+        coarse.toDF("c_id", "c_emb"), pq.toDF("cm", "pc", "cs"))
+      val v = Manifest.commitAppendMulti(s, root,
+        Seq((s"${name}_cells", cells, Seq("vec_id")),
+          (s"${name}_codes", codes, Seq("vec_id"))),
+        maxRetries = 5, txn = None,
+        extras = Seq(annMarkerName(name) ->
+          renderAnnMarker(srcTable, cur, coarse, pq)),
+        validate = _ => {
+          val now = Manifest.claimMarker(root, annMarkerName(name))
+            .map(parseAnnMarker)
+          if (!now.exists(_._2 == fromV))
+            throw new IllegalStateException(
+              s"ann index $name advanced concurrently (cursor " +
+                s"${now.map(_._2).getOrElse(-1L)}, this maintenance read " +
+                s"from $fromV) — re-drive")
+        })
+      Some((n, v))
+    } finally newE.unpersist()
+  }
+
+  /** QUERY the committed index: probes come from the marker's
+    * codebook (queries × broadcast centroids — the corpus is never
+    * read), candidates from the committed `<name>_cells` table,
+    * scores from the committed `<name>_codes` table against the
+    * per-query broadcast distance table — the [[adcScores]] plan
+    * with every per-call rebuild replaced by a committed-table read.
+    * Returns (q_id, cand_id, score_e4), identical to the rebuild's
+    * by construction (same expressions, float-exact codebook
+    * round-trip — q328 asserts it in-plan). */
+  def queryAnnIndex(s: org.apache.spark.sql.SparkSession, root: String,
+                    name: String, queries: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    import s.implicits._
+    val bytes = Manifest.claimMarker(root, annMarkerName(name)).getOrElse(
+      throw new IllegalArgumentException(s"unknown ann index $name"))
+    val (_, _, coarse, pq) = parseAnnMarker(bytes)
+    val cents = coarse.toDF("c_id", "c_emb")
+    val pcent = pq.toDF("cm", "pc", "cs")
+    val cells = Manifest.readTable(s, root, s"${name}_cells")
+    val codes = Manifest.readTable(s, root, s"${name}_codes")
+    val wQ = Window.partitionBy(col("vec_id"))
+      .orderBy(col("rcos").desc, col("c_id"))
+    val probes = queries.select("vec_id", "embedding").crossJoin(broadcast(cents))
+      .withColumn("rcos", round(expr("cosine_sim(embedding, c_emb)"), 4))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val cand = broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val qsub = queries.select(col("vec_id"),
+      posexplode(array((0 until annNSub).map(m =>
+        slice(col("embedding"), m * annSubDim + 1, annSubDim)): _*))
+        .as(Seq("m", "s")))
+    val dtab = qsub.join(broadcast(pcent), col("m") === col("cm"))
+      .select(col("vec_id").as("q_id"), col("m"), col("pc"),
+        floor(expr("dot_product(s, cs)") * 10000.0 + 0.5).as("d_e4"))
+    cand.join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+      .join(broadcast(dtab), Seq("q_id", "m", "pc"))
+      .groupBy("q_id", "cand_id")
+      .agg(sum("d_e4").as("score_e4"))
+  }
 
   /** Shared IVF-coarse + PQ-ADC scoring stage (q238 / q274 / q286):
     * candidates come from the ≤2 probed cells only (the corpus never

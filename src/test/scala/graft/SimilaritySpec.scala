@@ -151,4 +151,31 @@ class SimilaritySpec extends SparkSuite {
       } else assert(c >= -1.0001 && c <= 1.0001)
     }
   }
+
+  test("committed ANN index: existing-name, unknown-index, and rewrite-interval refusals") {
+    import graft.ops.{Manifest, Similarity}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-spec").toString
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    Manifest.commitAppend(spark, root, "embeddings", e.coalesce(1))
+    Similarity.buildAnnIndex(spark, root, "embeddings", "idx")
+    // an existing name refuses at claim time (never half-overwrites)
+    intercept[IllegalArgumentException] {
+      Similarity.buildAnnIndex(spark, root, "embeddings", "idx")
+    }
+    // a caught-up maintenance quiesces; an unknown index refuses
+    assert(Similarity.maintainAnnIndex(spark, root, "idx").isEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.maintainAnnIndex(spark, root, "nope")
+    }
+    // a REWRITE of the source refuses toward a rebuild (compressed
+    // codes cannot be subtracted): delete one row merge-on-read
+    Manifest.commitDeleteVectors(spark, root, "embeddings",
+      col("vec_id") === 40L)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.maintainAnnIndex(spark, root, "idx")
+    }
+    assert(ex.getMessage.contains("rebuild"))
+  }
 }
