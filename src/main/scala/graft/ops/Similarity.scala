@@ -1082,6 +1082,93 @@ object Similarity {
           .orderBy("q_id", "rn").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
         out
+      }),
+
+    // ----- committed-index refine (q329): the PRODUCTION ANN query
+    //       path end to end — shortlist from the COMMITTED index
+    //       (q328's cells/codes/codebook, zero corpus reads), exact
+    //       cosine re-rank of only the shortlist (q274's refine tier,
+    //       a broadcast keyed join against the corpus by vec_id).
+    //       Oracle = q274's: the recompute-from-scratch IVF-PQ
+    //       shortlist + exact re-rank — so a committed code that
+    //       drifts the shortlist, or an ADC score leaking into the
+    //       final ranks, breaks the hash. This is what makes the
+    //       persisted index REAL: the query a user actually runs
+    //       composes committed-artifact candidate generation with
+    //       exact scoring, reading O(index) + O(queries × shortlist)
+    //       — never the corpus. -----
+    Q("q329_ann_index_refine",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |), c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT e.vec_id, c.c_id,
+              |    round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+              |          / (e.nrm * c.c_nrm), 4) AS rcos
+              |  FROM e CROSS JOIN c),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg),
+              |cells AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+              |cand AS (
+              |  SELECT p.q_id, t.vec_id AS cand_id
+              |  FROM probes p JOIN cells t ON t.cell = p.cell AND t.vec_id <> p.q_id),
+              |sub AS (
+              |  SELECT vec_id, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
+              |  FROM e, (VALUES (0),(1),(2),(3)) AS mm(m)),
+              |pcent AS (SELECT vec_id AS pc, m, s AS cs FROM sub WHERE vec_id < 8),
+              |enc AS (
+              |  SELECT vec_id, m, pc FROM (
+              |    SELECT sub.vec_id, sub.m, p.pc,
+              |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              |        ORDER BY list_dot_product(sub.s, p.cs) DESC, p.pc) AS prn
+              |    FROM sub JOIN pcent p ON p.m = sub.m) WHERE prn = 1),
+              |dtab AS (
+              |  SELECT q.vec_id AS q_id, p.m, p.pc,
+              |    CAST(floor(list_dot_product(q.s, p.cs) * 10000 + 0.5) AS BIGINT) AS d_e4
+              |  FROM sub q JOIN pcent p ON p.m = q.m WHERE q.vec_id < 5),
+              |sc AS (
+              |  SELECT cand.q_id, cand.cand_id,
+              |    CAST(SUM(d.d_e4) AS BIGINT) AS score_e4
+              |  FROM cand
+              |  JOIN enc ON enc.vec_id = cand.cand_id
+              |  JOIN dtab d ON d.q_id = cand.q_id AND d.m = enc.m AND d.pc = enc.pc
+              |  GROUP BY cand.q_id, cand.cand_id),
+              |shortlist AS (
+              |  SELECT q_id, cand_id FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS arn FROM sc)
+              |  WHERE arn <= 10),
+              |ref AS (
+              |  SELECT s.q_id, s.cand_id,
+              |    round(list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[])
+              |          / (eq.nrm * ec.nrm), 4) AS cos_exact
+              |  FROM shortlist s
+              |  JOIN e eq ON eq.vec_id = s.q_id
+              |  JOIN e ec ON ec.vec_id = s.cand_id)
+              |SELECT q_id, cand_id, cos_exact, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY cos_exact DESC, cand_id) AS rn FROM ref)
+              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ann-refine").toString
+        Manifest.commitAppend(s, root, "embeddings", e.coalesce(2))
+        val _ = buildAnnIndex(s, root, "embeddings", "ivfpq")
+        val queries = e.filter(col("vec_id") < 5)
+        val wAdc = Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("cand_id"))
+        val shortlist = queryAnnIndex(s, root, "ivfpq", queries)
+          .withColumn("arn", row_number().over(wAdc))
+          .filter(col("arn") <= 10)
+          .select("q_id", "cand_id")
+        val out = refineExact(s, e, shortlist, 3)
+          .select(col("q_id"), col("cand_id"), col("cos_exact"),
+            col("rn").cast("int").as("rn"))
+          .orderBy("q_id", "rn").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
+        out
       })
   )
 
