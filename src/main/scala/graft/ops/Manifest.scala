@@ -1107,11 +1107,28 @@ object Manifest {
       })
 
   /** All live stream names of `root` (enumeration for the SQL
-    * rewrite and SHOW STREAMS). */
-  def streamNames(root: String): Seq[String] =
-    claimMarkers(root, "_stream_").collect {
-      case (n, b) if b.nonEmpty => n.substring("_stream_".length)
-    }.toSeq.sorted
+    * rewrite and SHOW STREAMS). Memoized by (root, version): the SQL
+    * surface consults this on EVERY statement (the stream-read
+    * rewrite), and the underlying claim-dir walk would otherwise tax
+    * multi-statement scripts that never touch a stream; stream state
+    * changes only through commits, so the version key invalidates
+    * exactly when it can change. */
+  def streamNames(root: String): Seq[String] = {
+    val key = (root, snapshotVersion(root))
+    val got = streamNamesMemo.get(key)
+    if (got != null) got
+    else {
+      val names = claimMarkers(root, "_stream_").collect {
+        case (n, b) if b.nonEmpty => n.substring("_stream_".length)
+      }.toSeq.sorted
+      if (streamNamesMemo.size > 256) streamNamesMemo.clear() // fixture-root cap
+      streamNamesMemo.put(key, names)
+      names
+    }
+  }
+
+  private val streamNamesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
 
   /** `CREATE STREAM name ON TABLE t` — one metadata claim registering
     * the cursor at the CURRENT version (the stream starts empty: only
