@@ -1130,6 +1130,161 @@ object Manifest {
   private val streamNamesMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
 
+  /** `ALTER TABLE a SWAP WITH b` — Snowflake's blue-green publish
+    * verb: ONE claim re-keys a's manifest rows to b and b's to a (by
+    * reference — zero data read or written, DV/bloom sidecars travel
+    * with their files) and swaps the tables' per-table metadata
+    * registry — schema registrations, CHECK constraints, properties
+    * (incl. comments), grants + ACL closures, policy attachments,
+    * ANALYZE stats — emitting tombstones where only one side carried
+    * an entry, so nothing leaks across the swap. Readers at any
+    * version see both tables swapped or neither; the pre-swap
+    * snapshot time-travels. Refuses loudly when a live STREAM or a
+    * committed ANN index references either table (their cursors bind
+    * the NAME to a commit history the swap rewrites — Snowflake
+    * likewise invalidates streams on swap; re-create them on the
+    * post-swap name instead of silently mis-feeding). */
+  def commitSwapTables(s: SparkSession, root: String, a: String, b: String,
+                       maxRetries: Int = 5): Long = {
+    require(a != b, s"SWAP WITH: cannot swap $a with itself")
+    casCommit(s, root, { base =>
+      val rows = manifestRows(s, root, base)
+      require(rows.exists(_._1 == a) ||
+        registeredSchema(s, root, a, base).isDefined, s"unknown table $a")
+      require(rows.exists(_._1 == b) ||
+        registeredSchema(s, root, b, base).isDefined, s"unknown table $b")
+      streamNames(root).foreach { n =>
+        val src = streamDef(root, n).map(_._1)
+        require(!src.contains(a) && !src.contains(b),
+          s"SWAP WITH: stream $n reads ${src.get} — drop it first and " +
+            "re-create on the post-swap name")
+      }
+      claimMarkers(root, "_annidx_").filter(_._2.nonEmpty).foreach {
+        case (n, bytes) =>
+          val src = new String(bytes, "UTF-8").linesIterator
+            .find(_.startsWith("src=")).map(_.substring(4))
+          require(!src.contains(a) && !src.contains(b),
+            s"SWAP WITH: ann index ${n.substring("_annidx_".length)} " +
+              s"covers ${src.get} — rebuild it on the post-swap name")
+      }
+      val adds = rows.collect {
+        case (t, f, st) if t == a => (b, f, st)
+        case (t, f, st) if t == b => (a, f, st)
+      }
+      val removes = rows.collect {
+        case (t, f, _) if t == a || t == b => (t, f)
+      }
+      // length-prefixed families swap by prefix rename; exact-name
+      // families swap the single marker — absences TOMBSTONE so a
+      // one-sided entry cannot survive on both names
+      def prefixSwap(pA: String, pB: String): Seq[(String, Array[Byte])] = {
+        val am = claimMarkers(root, pA).filter(_._2.nonEmpty)
+        val bm = claimMarkers(root, pB).filter(_._2.nonEmpty)
+        val moved = am.toSeq.map { case (n, x) =>
+          (pB + n.substring(pA.length)) -> x } ++
+          bm.toSeq.map { case (n, x) => (pA + n.substring(pB.length)) -> x }
+        val newNames = moved.map(_._1).toSet
+        val tombs = (am.keySet ++ bm.keySet).diff(newNames).toSeq.sorted
+          .map(_ -> Array.empty[Byte])
+        moved.sortBy(_._1) ++ tombs
+      }
+      def exactSwap(nA: String, nB: String): Seq[(String, Array[Byte])] = {
+        val va = claimMarker(root, nA)
+        val vb = claimMarker(root, nB)
+        Seq(nB -> va.getOrElse(Array.empty[Byte]),
+          nA -> vb.getOrElse(Array.empty[Byte]))
+          .filter { case (n, x) => x.nonEmpty || claimMarker(root, n).isDefined }
+      }
+      val extras =
+        prefixSwap(checkMarkerPrefix(a), checkMarkerPrefix(b)) ++
+          prefixSwap(propMarkerPrefix(a), propMarkerPrefix(b)) ++
+          prefixSwap(grantMarkerPrefix(a), grantMarkerPrefix(b)) ++
+          exactSwap(schemaMarker(a), schemaMarker(b)) ++
+          exactSwap(policiesMarker(a), policiesMarker(b)) ++
+          exactSwap(statsMarkerName(a), statsMarkerName(b)) ++
+          exactSwap(aclOnMarkerName(a), aclOnMarkerName(b))
+      deltaOrFull(s, root, base, Nil, adds, removes)
+        .copy(extras = extras.distinctBy(_._1))
+    }, maxRetries)
+  }
+
+  // ------------------------------------------------- named tasks (DAGs)
+
+  /** Claim-sidecar marker of a named TASK (Snowflake `CREATE TASK t
+    * [AFTER dep] AS <statement>`): first line `after=<dep or ->`, the
+    * rest is the task's single-statement body verbatim. The
+    * reference's whole operating model is a scheduler submitting
+    * statements — tasks are that DAG as warehouse objects: AFTER
+    * edges form the graph, EXECUTE TASK runs a task and its
+    * descendants in dependency order. Newest wins; empty bytes =
+    * DROP TASK tombstone; carried by vacuum, shipped by
+    * replication. */
+  private def taskMarkerName(name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe task name: $name")
+    s"_task_$name"
+  }
+
+  /** All live tasks of `root`: name → (AFTER dependency, body). */
+  def taskDefs(root: String): Map[String, (Option[String], String)] =
+    claimMarkers(root, "_task_").collect {
+      case (n, b) if b.nonEmpty =>
+        val text = new String(b, "UTF-8")
+        val nl = text.indexOf('\n')
+        require(nl > 0 && text.startsWith("after="),
+          s"corrupt task marker $n")
+        val dep = text.substring(6, nl).trim match {
+          case "-" => None
+          case d => Some(d)
+        }
+        n.substring("_task_".length) -> (dep, text.substring(nl + 1))
+    }
+
+  /** `CREATE TASK name [AFTER dep] AS <statement>` — one metadata
+    * claim. Existing names refuse (DROP TASK first); an AFTER
+    * dependency must already exist (a dangling edge would silently
+    * never run), and the new edge must not close a cycle (walk the
+    * AFTER chain — it is acyclic by induction, so the walk
+    * terminates). */
+  def createTask(s: SparkSession, root: String, name: String,
+                 after: Option[String], sql: String,
+                 maxRetries: Int = 5): Long = {
+    require(sql.trim.nonEmpty, s"CREATE TASK $name: empty body")
+    casCommit(s, root, { base =>
+      val defs = taskDefs(root)
+      require(!defs.contains(name),
+        s"task $name already exists (DROP TASK first)")
+      after.foreach { dep =>
+        require(defs.contains(dep),
+          s"CREATE TASK $name: unknown AFTER dependency $dep")
+        // cycle check: name is new, so a cycle could only close if
+        // dep's chain reached name — it cannot (name isn't registered
+        // yet), but a SELF-edge must refuse explicitly
+        require(dep != name, s"CREATE TASK $name: AFTER itself")
+      }
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
+        taskMarkerName(name) ->
+          s"after=${after.getOrElse("-")}\n$sql".getBytes("UTF-8")))
+    }, maxRetries)
+  }
+
+  /** `DROP TASK name` — tombstone claim; refuses unknown names and
+    * names other tasks depend on (dropping mid-graph would silently
+    * orphan the descendants). */
+  def dropTask(s: SparkSession, root: String, name: String,
+               maxRetries: Int = 5): Long =
+    casCommit(s, root, { base =>
+      val defs = taskDefs(root)
+      require(defs.contains(name), s"unknown task $name")
+      val dependents = defs.collect {
+        case (n, (Some(dep), _)) if dep == name => n }
+      require(dependents.isEmpty,
+        s"DROP TASK $name: task(s) ${dependents.mkString(", ")} run " +
+          "AFTER it — drop them first")
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
+        taskMarkerName(name) -> Array.empty[Byte]))
+    }, maxRetries)
+
   /** `CREATE STREAM name ON TABLE t` — one metadata claim registering
     * the cursor at the CURRENT version (the stream starts empty: only
     * commits after creation are changes, the Snowflake contract).
@@ -5765,7 +5920,7 @@ object Manifest {
               n.startsWith("_stats_") || n.startsWith("_prop_") ||
               n.startsWith("_grant_") || n.startsWith("_aclon_") ||
               n.startsWith("_grantsch_") || n.startsWith("_aclonsch_") ||
-              n.startsWith("_stream_")).toList
+              n.startsWith("_stream_") || n.startsWith("_task_")).toList
           finally l.close()
         markers.foreach { name =>
           if (!Files.exists(dest.resolve(name)))
@@ -5829,7 +5984,7 @@ object Manifest {
     * policies or ACL closure would serve raw data to every role. */
   private val registryPrefixes = Seq(
     "_policydef_", "_policies_", "_prop_", "_grant_", "_aclon_",
-    "_grantsch_", "_aclonsch_", "_stats_", "_stream_")
+    "_grantsch_", "_aclonsch_", "_stats_", "_stream_", "_task_")
 
   /** Effective (newest, non-tombstoned) registry markers of `root`. */
   private def registryMarkers(root: String): Seq[(String, Array[Byte])] =

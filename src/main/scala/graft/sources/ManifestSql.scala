@@ -1227,6 +1227,31 @@ object ManifestSql {
       case DropStreamRe(name) =>
         Manifest.dropStream(spark, root, name)
         last = spark.emptyDataFrame
+      case CreateTaskRe(name, dep, body) =>
+        // CREATE TASK t [AFTER dep] AS <statement>: the reference's
+        // DAG model as warehouse objects — one registered statement
+        // per task, AFTER edges form the graph, EXECUTE TASK runs a
+        // task and its descendants in dependency order
+        Manifest.createTask(spark, root, name, Option(dep), body.trim)
+        last = spark.emptyDataFrame
+      case DropTaskRe(name) =>
+        Manifest.dropTask(spark, root, name)
+        last = spark.emptyDataFrame
+      case ShowTasksRe() =>
+        last = { import spark.implicits._
+          Manifest.taskDefs(root).toSeq.sortBy(_._1)
+            .map { case (n, (dep, sql)) => (n, dep.getOrElse(""), sql) }
+            .toDF("name", "after", "definition") }
+      case ExecuteTaskRe(name) =>
+        last = executeTask(spark, root, name)
+      case SwapRe(a, b) =>
+        // ALTER TABLE a SWAP WITH b: the blue-green publish verb —
+        // one claim re-keys both tables' rows by reference and swaps
+        // their whole per-table metadata registry (schema, checks,
+        // properties, grants, policies, stats), tombstoning one-sided
+        // entries; streams/ANN indexes on either table refuse loudly
+        Manifest.commitSwapTables(spark, root, a, b)
+        last = spark.emptyDataFrame
       case ShowStreamsRe() =>
         last = { import spark.implicits._
           Manifest.streamNames(root)
@@ -1745,6 +1770,17 @@ object ManifestSql {
   private val DropStreamRe =
     "(?is)^DROP\\s+STREAM\\s+([A-Za-z0-9_]+)\\s*$".r
   private val ShowStreamsRe = "(?is)^SHOW\\s+STREAMS\\s*$".r
+  private val CreateTaskRe =
+    ("(?is)^CREATE\\s+TASK\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+AFTER\\s+([A-Za-z0-9_]+))?\\s+AS\\s+(.+)$").r
+  private val ExecuteTaskRe =
+    "(?is)^EXECUTE\\s+TASK\\s+([A-Za-z0-9_]+)\\s*$".r
+  private val DropTaskRe =
+    "(?is)^DROP\\s+TASK\\s+([A-Za-z0-9_]+)\\s*$".r
+  private val ShowTasksRe = "(?is)^SHOW\\s+TASKS\\s*$".r
+  private val SwapRe =
+    ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+SWAP\\s+WITH\\s+" +
+      "([A-Za-z0-9_.-]+)\\s*$").r
   private val DropTableRe =
     "(?is)^DROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val UndropTableRe =
@@ -2514,6 +2550,40 @@ object ManifestSql {
   }
 
   private val changesNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `EXECUTE TASK name`: run the task and every DESCENDANT through
+    * AFTER edges, in BFS level order (name-sorted within a level —
+    * deterministic fan-out, the reference's DAG semantics where a
+    * task triggers when its predecessor completes). Each body is one
+    * statement re-entering [[runDml]], so a task can be any verb the
+    * surface ships — INSERT, MERGE, COPY, maintenance. A body failure
+    * propagates loudly mid-run: already-completed tasks' commits
+    * stand (each statement is its own atomic commit — task graphs are
+    * checkpoints, not transactions; BEGIN...COMMIT is the atomicity
+    * verb), exactly like a scheduler re-running a failed DAG from the
+    * failed node. Returns one (task_name, position, status) row per
+    * executed task. */
+  private def executeTask(spark: SparkSession, root: String,
+                          name: String): DataFrame = {
+    import spark.implicits._
+    val defs = Manifest.taskDefs(root)
+    require(defs.contains(name), s"unknown task $name")
+    val order = Seq.newBuilder[String]
+    var frontier = Seq(name)
+    val seen = scala.collection.mutable.Set(name)
+    while (frontier.nonEmpty) {
+      order ++= frontier
+      val cur = frontier.toSet
+      frontier = defs.collect {
+        case (n, (Some(dep), _)) if cur.contains(dep) && !seen(n) => n
+      }.toSeq.sorted
+      frontier.foreach(seen += _)
+    }
+    order.result().zipWithIndex.map { case (t, i) =>
+      val _ = runDml(spark, root, defs(t)._2)
+      (t, i + 1, "OK")
+    }.toDF("task_name", "position", "status")
+  }
 
   /** The consuming INSERT's body: read the stream's pending interval,
     * plan the statement over it, land the rows AND the advanced
@@ -5392,6 +5462,124 @@ object ManifestSql {
           .groupBy("user_id")
           .agg(sum("n_events").cast("bigint").as("n_events"),
             sum("tv").cast("decimal(18,4)").cast("double").as("total_v"))
+          .orderBy("user_id").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- named TASK objects (q330): the reference's entire
+    //       operating model — an Airflow DAG submitting one statement
+    //       per node — as warehouse objects: `CREATE TASK t [AFTER
+    //       dep] AS <statement>` registers the node, AFTER edges form
+    //       the graph, `EXECUTE TASK root` runs the node and its
+    //       DESCENDANTS in dependency order (BFS levels, name-sorted
+    //       fan-out — the load→{audit, daily} diamond every ETL
+    //       ships). Order is asserted in-plan from the run report
+    //       (positions 1/2/3) plus the audit row equaling the loaded
+    //       count — a fan-out task running BEFORE its dependency
+    //       would audit an empty table. Oracle recomputes the daily
+    //       rollup straight from events. -----
+    Q("q330_sql_tasks",
+      Some("""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("v"),
+            to_date(col("ts")).as("day"))
+        val root = Files.createTempDirectory("graft-sql-tasks").toString
+        Manifest.commitAppend(s, root, "fact", ev.limit(0).coalesce(1))
+        Manifest.commitAppend(s, root, "daily",
+          ev.groupBy("day").agg(count(lit(1)).as("n_events"),
+            sum("v").cast("decimal(18,4)").as("tv")).limit(0).coalesce(1))
+        Manifest.commitAppend(s, root, "audit",
+          Seq.empty[Long].toDF("n_loaded").coalesce(1))
+        ev.createOrReplaceTempView("task_src_q330")
+        register(s, root, "fact", "fact_live_q330") // live view: sees t_load's commit
+        runDml(s, root,
+          """CREATE TASK t_load AS INSERT INTO fact
+            |  SELECT user_id, v, day FROM task_src_q330;
+            |CREATE TASK t_daily AFTER t_load AS INSERT INTO daily
+            |  SELECT day, count(*), CAST(sum(v) AS DECIMAL(18,4))
+            |  FROM fact_live_q330 GROUP BY day;
+            |CREATE TASK t_audit AFTER t_load AS INSERT INTO audit
+            |  SELECT count(*) FROM fact_live_q330""".stripMargin)
+        val rep = runDml(s, root, "EXECUTE TASK t_load").collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSeq
+        val nEv = ev.count()
+        val audited = Manifest.readTable(s, root, "audit").head().getLong(0)
+        require(rep == Seq(("t_load", 1), ("t_audit", 2), ("t_daily", 3)) &&
+          audited == nEv,
+          s"task graph must run load -> {audit, daily} in order " +
+            s"(got $rep, audited $audited of $nEv)")
+        val out = Manifest.readTable(s, root, "daily")
+          .select(col("day"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
+          .orderBy("day").localCheckpoint(true)
+        s.catalog.dropTempView("task_src_q330")
+        s.catalog.dropTempView("fact_live_q330")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- ALTER TABLE ... SWAP WITH (q331): Snowflake's blue-green
+    //       publish — rebuild the corrected table under a staging
+    //       name, swap atomically: ONE claim re-keys both tables'
+    //       rows BY REFERENCE (zero data moved) and swaps the
+    //       per-table metadata registry (the CHECK constraint and the
+    //       quality-tier property travel WITH their content — the
+    //       rename-pair semantics), tombstoning one-sided entries.
+    //       In-plan asserts pin the single version, the staging side
+    //       now holding the OLD content, the metadata having moved,
+    //       and the pre-swap snapshot time-traveling. Oracle
+    //       recomputes the published (full-corpus) rollup — a swap
+    //       that copied instead of re-keyed would still hash right,
+    //       which is why the version count and both directions are
+    //       asserted in-plan. -----
+    Q("q331_sql_swap_tables",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        def stateOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(count(lit(1)).as("n_events"),
+              sum("value").cast("decimal(18,4)").as("tv"))
+        val root = Files.createTempDirectory("graft-sql-swap").toString
+        // live = the stale first half; staging = the corrected rebuild
+        Manifest.commitAppend(s, root, "costs",
+          stateOf(ev.filter(col("ts") < cut)).coalesce(2))
+        Manifest.commitAppend(s, root, "costs_staging",
+          stateOf(ev).coalesce(2))
+        runDml(s, root,
+          "ALTER TABLE costs ADD CONSTRAINT pos CHECK (n_events > 0)")
+        Manifest.setTableProperties(s, root, "costs",
+          Map("quality.tier" -> "gold"))
+        val nOld = Manifest.readTable(s, root, "costs").count()
+        val nNew = Manifest.readTable(s, root, "costs_staging").count()
+        val v0 = Manifest.snapshotVersion(root)
+        runDml(s, root, "ALTER TABLE costs SWAP WITH costs_staging")
+        require(Manifest.snapshotVersion(root) == v0 + 1 &&
+          Manifest.readTable(s, root, "costs").count() == nNew &&
+          Manifest.readTable(s, root, "costs_staging").count() == nOld &&
+          Manifest.readTable(s, root, "costs", v0).count() == nOld &&
+          Manifest.checkConstraints(root, "costs_staging").contains("pos") &&
+          !Manifest.checkConstraints(root, "costs").contains("pos") &&
+          Manifest.tableProperties(root, "costs_staging")
+            .get("quality.tier").contains("gold") &&
+          !Manifest.tableProperties(root, "costs").contains("quality.tier"),
+          "SWAP WITH must exchange rows AND metadata in one claim, " +
+            "time-travelably")
+        val out = Manifest.readTable(s, root, "costs")
+          .select(col("user_id"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
           .orderBy("user_id").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out

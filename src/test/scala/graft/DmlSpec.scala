@@ -1262,6 +1262,71 @@ class DmlSpec extends SparkSuite {
     }
   }
 
+  test("named tasks: subtree execution, refusal classes, SHOW TASKS") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "log",
+      Seq((0L, "boot")).toDF("k", "src").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      """CREATE TASK a AS INSERT INTO log SELECT 1, 'a';
+        |CREATE TASK b AFTER a AS INSERT INTO log SELECT 2, 'b';
+        |CREATE TASK c AFTER b AS INSERT INTO log SELECT 3, 'c'""".stripMargin)
+    // executing a MID-GRAPH node runs its subtree only (b, c — never
+    // the parent a), exactly a scheduler resuming from a failed node
+    val rep = ManifestSql.runDml(spark, root, "EXECUTE TASK b").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rep == Seq(("b", 1), ("c", 2)))
+    val srcs = Manifest.readTable(spark, root, "log").collect()
+      .map(_.getString(1)).sorted.toSeq
+    assert(srcs == Seq("b", "boot", "c")) // a never ran
+    // SHOW TASKS serves the graph
+    val shown = ManifestSql.runDml(spark, root, "SHOW TASKS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown == Map("a" -> "", "b" -> "a", "c" -> "b"))
+    // refusals: duplicate name, unknown AFTER, self-edge, drop with
+    // dependents, unknown EXECUTE/DROP
+    def refuse(stmt: String): Unit =
+      intercept[IllegalArgumentException] {
+        ManifestSql.runDml(spark, root, stmt) }
+    refuse("CREATE TASK a AS INSERT INTO log SELECT 9, 'x'")
+    refuse("CREATE TASK d AFTER nope AS INSERT INTO log SELECT 9, 'x'")
+    refuse("CREATE TASK d AFTER d AS INSERT INTO log SELECT 9, 'x'")
+    refuse("DROP TASK a") // b runs AFTER it
+    refuse("DROP TASK nope")
+    refuse("EXECUTE TASK nope")
+    // leaf-first drop succeeds
+    ManifestSql.runDml(spark, root, "DROP TASK c; DROP TASK b; DROP TASK a")
+    assert(ManifestSql.runDml(spark, root, "SHOW TASKS").count() == 0L)
+  }
+
+  test("SWAP WITH: grants travel with content; stream/index/self refusals") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "live",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "stage",
+      Seq((2L, 2.0), (3L, 3.0)).toDF("k", "v").coalesce(1))
+    // a grant on live must guard the CONTENT after the swap (the
+    // rename-pair semantics): stage's name inherits it, live opens
+    Manifest.grantSelect(spark, root, "live", "analyst")
+    ManifestSql.runDml(spark, root, "ALTER TABLE live SWAP WITH stage")
+    assert(Manifest.readTable(spark, root, "live").count() == 2L)
+    assert(Manifest.readTable(spark, root, "stage").count() == 1L)
+    intercept[Exception] { // old content now named stage: grant moved
+      Manifest.requireSelect(root, "stage", "stranger")
+    }
+    Manifest.requireSelect(root, "stage", "analyst") // granted role reads
+    // refusals: self-swap, unknown table, live stream, ann index
+    def refuse(stmt: String): Unit =
+      intercept[IllegalArgumentException] {
+        ManifestSql.runDml(spark, root, stmt) }
+    refuse("ALTER TABLE live SWAP WITH live")
+    refuse("ALTER TABLE live SWAP WITH nope")
+    ManifestSql.runDml(spark, root, "CREATE STREAM s1 ON TABLE live")
+    refuse("ALTER TABLE live SWAP WITH stage")
+    ManifestSql.runDml(spark, root, "DROP STREAM s1")
+    ManifestSql.runDml(spark, root, "ALTER TABLE live SWAP WITH stage") // works again
+    assert(Manifest.readTable(spark, root, "live").count() == 1L)
+  }
+
   test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {
     val root = freshRoot()
     // (a, b) is the key: a=1 appears under TWO b values — a bug that
