@@ -1208,6 +1208,63 @@ object Manifest {
     }, maxRetries)
   }
 
+  // --------------------------------------------- materialized views (SQL)
+
+  /** Claim-sidecar marker of a registered MATERIALIZED VIEW: line
+    * format `src=<table>`, `keys=<k1,k2,...>`, `val=<expr>`,
+    * `sum=<alias>`, `cnt=<alias>`. The view's CONTENT is the manifest
+    * table named like the view, maintained by REFRESH through the
+    * row-level IVM path ([[Views.refreshAggFromFeed]] — the counting
+    * algorithm: O(changed rows + |MV|) through appends, DV deletes,
+    * updates, even compactions); the marker is the definition the
+    * statement surface parses once and every refresh replays. */
+  private def mviewMarkerName(name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"unsafe view name: $name")
+    s"_mview_$name"
+  }
+
+  def mviewDefs(root: String)
+      : Map[String, (String, Seq[String], String, String, String)] =
+    claimMarkers(root, "_mview_").collect {
+      case (n, b) if b.nonEmpty =>
+        val kv = new String(b, "UTF-8").split("\n")
+          .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+          .toMap
+        n.substring("_mview_".length) ->
+          ((kv("src"), kv("keys").split(",").toSeq, kv("val"),
+            kv("sum"), kv("cnt")))
+    }
+
+  def createMview(s: SparkSession, root: String, name: String,
+                  srcTable: String, keys: Seq[String], valExpr: String,
+                  sumAlias: String, cntAlias: String,
+                  maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty && keys.distinct.size == keys.size,
+      s"CREATE MATERIALIZED VIEW $name: keys must be non-empty and distinct")
+    casCommit(s, root, { base =>
+      require(!mviewDefs(root).contains(name),
+        s"materialized view $name already exists (DROP it first)")
+      require(base > 0 && manifestRows(s, root, base).exists(_._1 == srcTable),
+        s"CREATE MATERIALIZED VIEW $name: unknown source table $srcTable")
+      require(!manifestRows(s, root, base).exists(_._1 == name),
+        s"CREATE MATERIALIZED VIEW $name: a table of that name exists")
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
+        mviewMarkerName(name) ->
+          (s"src=$srcTable\nkeys=${keys.mkString(",")}\nval=$valExpr\n" +
+            s"sum=$sumAlias\ncnt=$cntAlias").getBytes("UTF-8")))
+    }, maxRetries)
+  }
+
+  def dropMview(s: SparkSession, root: String, name: String,
+                maxRetries: Int = 5): Long =
+    casCommit(s, root, { base =>
+      require(mviewDefs(root).contains(name),
+        s"unknown materialized view $name")
+      deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
+        mviewMarkerName(name) -> Array.empty[Byte]))
+    }, maxRetries)
+
   // ------------------------------------------------- named tasks (DAGs)
 
   /** Claim-sidecar marker of a named TASK (Snowflake `CREATE TASK t
@@ -5920,7 +5977,8 @@ object Manifest {
               n.startsWith("_stats_") || n.startsWith("_prop_") ||
               n.startsWith("_grant_") || n.startsWith("_aclon_") ||
               n.startsWith("_grantsch_") || n.startsWith("_aclonsch_") ||
-              n.startsWith("_stream_") || n.startsWith("_task_")).toList
+              n.startsWith("_stream_") || n.startsWith("_task_") ||
+              n.startsWith("_mview_")).toList
           finally l.close()
         markers.foreach { name =>
           if (!Files.exists(dest.resolve(name)))
@@ -5984,7 +6042,7 @@ object Manifest {
     * policies or ACL closure would serve raw data to every role. */
   private val registryPrefixes = Seq(
     "_policydef_", "_policies_", "_prop_", "_grant_", "_aclon_",
-    "_grantsch_", "_aclonsch_", "_stats_", "_stream_", "_task_")
+    "_grantsch_", "_aclonsch_", "_stats_", "_stream_", "_task_", "_mview_")
 
   /** Effective (newest, non-tombstoned) registry markers of `root`. */
   private def registryMarkers(root: String): Seq[(String, Array[Byte])] =

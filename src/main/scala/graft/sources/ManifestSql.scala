@@ -1252,6 +1252,41 @@ object ManifestSql {
         // entries; streams/ANN indexes on either table refuse loudly
         Manifest.commitSwapTables(spark, root, a, b)
         last = spark.emptyDataFrame
+      case CreateMviewRe(name, selList, srcTable, groupBy) =>
+        // CREATE MATERIALIZED VIEW mv AS SELECT k..., SUM(e) AS a,
+        // COUNT(*) AS b FROM t GROUP BY k...: registers the
+        // definition; REFRESH maintains the content through row-level
+        // IVM (the counting algorithm — O(changed rows + |MV|)
+        // through appends, DV deletes, updates, compactions)
+        val items = splitTopLevel(selList, ',').map(_.trim)
+        require(items.size >= 3,
+          "CREATE MATERIALIZED VIEW: select list must be key " +
+            s"column(s), SUM(expr) AS alias, COUNT(*) AS alias: $selList")
+        val (keys, aggs) = items.splitAt(items.size - 2)
+        keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"CREATE MATERIALIZED VIEW: keys must be plain columns, got $k"))
+        val (valExpr, sumAlias) = aggs(0) match {
+          case SumAsRe(e, al) => (e.trim, al)
+          case o => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: expected SUM(expr) AS alias, got $o")
+        }
+        val cntAlias = aggs(1) match {
+          case CountAsRe(al) => al
+          case o => throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW: expected COUNT(*) AS alias, got $o")
+        }
+        val gKeys = splitTopLevel(groupBy, ',').map(_.trim)
+        require(gKeys.map(_.toLowerCase) == keys.map(_.toLowerCase),
+          s"CREATE MATERIALIZED VIEW: GROUP BY ($gKeys) must list " +
+            s"exactly the key columns ($keys)")
+        Manifest.createMview(spark, root, name, srcTable, keys,
+          valExpr, sumAlias, cntAlias)
+        last = spark.emptyDataFrame
+      case RefreshMviewRe(name) =>
+        last = refreshMview(spark, root, name)
+      case DropMviewRe(name) =>
+        Manifest.dropMview(spark, root, name)
+        last = spark.emptyDataFrame
       case ShowStreamsRe() =>
         last = { import spark.implicits._
           Manifest.streamNames(root)
@@ -1781,6 +1816,16 @@ object ManifestSql {
   private val SwapRe =
     ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s+SWAP\\s+WITH\\s+" +
       "([A-Za-z0-9_.-]+)\\s*$").r
+  private val CreateMviewRe =
+    ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z0-9_]+)\\s+AS\\s+" +
+      "SELECT\\s+(.+?)\\s+FROM\\s+([A-Za-z0-9_.-]+)\\s+GROUP\\s+BY\\s+(.+)$").r
+  private val RefreshMviewRe =
+    "(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z0-9_]+)\\s*$".r
+  private val DropMviewRe =
+    "(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z0-9_]+)\\s*$".r
+  private val SumAsRe = "(?is)^SUM\\s*\\((.+)\\)\\s+AS\\s+([A-Za-z0-9_]+)$".r
+  private val CountAsRe =
+    "(?is)^COUNT\\s*\\(\\s*\\*\\s*\\)\\s+AS\\s+([A-Za-z0-9_]+)$".r
   private val DropTableRe =
     "(?is)^DROP\\s+TABLE\\s+([A-Za-z0-9_.-]+)\\s*$".r
   private val UndropTableRe =
@@ -2550,6 +2595,47 @@ object ManifestSql {
   }
 
   private val changesNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `REFRESH MATERIALIZED VIEW name`: one row-level IVM step — the
+    * registered definition replays over the source's change feed
+    * since the view's ledger ([[graft.ops.Views.refreshAggFromFeed]]:
+    * inserts weigh +1, deletes −1, empty groups drop out), the
+    * updated content replaces the view's table atomically with the
+    * advanced ledger, re-drives and racers quiesce. Returns the
+    * refresh report. */
+  private def refreshMview(spark: SparkSession, root: String,
+                           name: String): DataFrame = {
+    import spark.implicits._
+    val (src, keys, valExpr, _, _) = Manifest.mviewDefs(root).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown materialized view $name"))
+    val appId = s"mview-$name"
+    // metadata precheck: view and source share ONE root, so the
+    // view's own replace commit advances the source version — an
+    // interval whose commits never touched the SOURCE TABLE (pair
+    // compare, DV drift included) must report NOOP without minting a
+    // version, or every re-drive would chase its own tail
+    val from = Manifest.lastCommittedTxn(root, appId).getOrElse(0L)
+    val quiet = from > 0 && {
+      val to = Manifest.snapshotVersion(root)
+      def pairs(v: Long) = Manifest.manifestRows(spark, root, v)
+        .collect { case (t, f, st) if t == src => (f, st) }.toSet
+      to <= from || pairs(from) == pairs(to)
+    }
+    if (quiet)
+      return Seq((name, -1L, -1L, "NOOP"))
+        .toDF("view_name", "src_version", "view_version", "status")
+    graft.ops.Views.refreshAggFromFeed(spark, root, src, root, name,
+      appId, keys)(signed =>
+      signed.select(keys.map(col) ++
+        Seq(expr(valExpr).as("v"), col("_w")): _*)) match {
+      case Some((srcV, dstV)) =>
+        Seq((name, srcV, dstV, "REFRESHED"))
+          .toDF("view_name", "src_version", "view_version", "status")
+      case None =>
+        Seq((name, -1L, -1L, "NOOP"))
+          .toDF("view_name", "src_version", "view_version", "status")
+    }
+  }
 
   /** `EXECUTE TASK name`: run the task and every DESCENDANT through
     * AFTER edges, in BFS level order (name-sorted within a level —
@@ -5580,6 +5666,56 @@ object ManifestSql {
         val out = Manifest.readTable(s, root, "costs")
           .select(col("user_id"), col("n_events"),
             col("tv").cast("double").as("total_v"))
+          .orderBy("user_id").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- MATERIALIZED VIEW statements (q332): CREATE / REFRESH /
+    //       DROP as verbatim text over the row-level IVM machinery —
+    //       the counting algorithm (insert +1, delete −1, empty
+    //       groups drop) that stays INCREMENTAL through the DV
+    //       DELETE where file-granular refresh would rescan the
+    //       source. Three refresh classes asserted in-plan:
+    //       bootstrap, incremental-through-append, incremental-
+    //       through-merge-on-read-DELETE, then a re-drive NOOP.
+    //       Oracle recomputes the view over exactly the SURVIVING
+    //       rows — a delete the view absorbed wrong (or a replayed
+    //       interval) shifts some user's sum. -----
+    Q("q332_sql_materialized_view",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events WHERE user_id % 7 <> 0
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("v"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val root = Files.createTempDirectory("graft-sql-mview").toString
+        Manifest.commitAppend(s, root, "events_log",
+          ev.filter(col("ts") < cut).coalesce(2))
+        runDml(s, root,
+          """CREATE MATERIALIZED VIEW user_mv AS
+            |SELECT user_id, SUM(v) AS total_v, COUNT(*) AS n_events
+            |FROM events_log GROUP BY user_id""".stripMargin)
+        def refresh() = runDml(s, root,
+          "REFRESH MATERIALIZED VIEW user_mv").collect()(0).getString(3)
+        val boot = refresh()
+        Manifest.commitAppend(s, root, "events_log",
+          ev.filter(col("ts") >= cut).coalesce(2))
+        val inc = refresh()
+        // merge-on-read DELETE: the IVM path absorbs it incrementally
+        runDml(s, root, "DELETE FROM events_log WHERE user_id % 7 = 0")
+        val del = refresh()
+        val re = refresh()
+        require(boot == "REFRESHED" && inc == "REFRESHED" &&
+          del == "REFRESHED" && re == "NOOP",
+          s"refresh classes must be bootstrap/incremental/delete/noop " +
+            s"(got $boot/$inc/$del/$re)")
+        val out = Manifest.readTable(s, root, "user_mv")
+          .select(col("user_id"), col("n_v").cast("bigint").as("n_events"),
+            col("sum_v").cast("double").as("total_v"))
           .orderBy("user_id").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out

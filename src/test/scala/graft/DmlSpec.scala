@@ -1327,6 +1327,50 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.readTable(spark, root, "live").count() == 1L)
   }
 
+  test("materialized view statements: IVM through deletes, quiet NOOP, refusals") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "src",
+      Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v").coalesce(1))
+    Manifest.commitAppend(spark, root, "other",
+      Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      """CREATE MATERIALIZED VIEW mv AS
+        |SELECT k, SUM(v) AS sv, COUNT(*) AS n FROM src GROUP BY k""".stripMargin)
+    def refresh() = ManifestSql.runDml(spark, root,
+      "REFRESH MATERIALIZED VIEW mv").collect()(0).getString(3)
+    assert(refresh() == "REFRESHED")
+    val got0 = Manifest.readTable(spark, root, "mv").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got0 == Map(1L -> (30.0, 2L), 2L -> (5.0, 1L)))
+    // an interval touching OTHER tables only quiesces (NOOP, no
+    // version) — the shared-root tail-chasing guard
+    Manifest.commitAppend(spark, root, "other",
+      Seq((9L, 9.0)).toDF("k", "v").coalesce(1))
+    val v0 = Manifest.snapshotVersion(root)
+    assert(refresh() == "NOOP" && Manifest.snapshotVersion(root) == v0)
+    // a DV delete folds incrementally: k=1 loses one row, k=2 drops out
+    Manifest.commitDeleteVectors(spark, root, "src",
+      col("v") === 20.0 || col("k") === 2L)
+    assert(refresh() == "REFRESHED")
+    val got1 = Manifest.readTable(spark, root, "mv").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got1 == Map(1L -> (10.0, 1L)))
+    // refusals: duplicate name, name colliding with a table, unknown
+    // source, non-SUM/COUNT shape, GROUP BY drift, unknown refresh/drop
+    def refuse(stmt: String): Unit =
+      intercept[IllegalArgumentException] {
+        ManifestSql.runDml(spark, root, stmt) }
+    refuse("CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS s, COUNT(*) AS n FROM src GROUP BY k")
+    refuse("CREATE MATERIALIZED VIEW other AS SELECT k, SUM(v) AS s, COUNT(*) AS n FROM src GROUP BY k")
+    refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, SUM(v) AS s, COUNT(*) AS n FROM nope GROUP BY k")
+    refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, AVG(v) AS s, COUNT(*) AS n FROM src GROUP BY k")
+    refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, SUM(v) AS s, COUNT(*) AS n FROM src GROUP BY k, v")
+    refuse("REFRESH MATERIALIZED VIEW nope")
+    refuse("DROP MATERIALIZED VIEW nope")
+    ManifestSql.runDml(spark, root, "DROP MATERIALIZED VIEW mv")
+    refuse("REFRESH MATERIALIZED VIEW mv")
+  }
+
   test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {
     val root = freshRoot()
     // (a, b) is the key: a=1 appears under TWO b values — a bug that
