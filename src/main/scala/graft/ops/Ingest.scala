@@ -162,6 +162,85 @@ object Ingest {
       ++ (if (tagSrcFile) Seq(col("_src_file")) else Nil): _*)
   }
 
+  /** Stage fixture for the MATCH_BY_COLUMN_NAME queries: two CSV
+    * files whose headers DISAGREE — different column order, different
+    * case, an extra column the target does not carry, and a NULL
+    * sentinel that must normalize before any cast. A positional read
+    * of file B would load currencies into trans_id. */
+  def writeMbnStageFixtures(): String = {
+    val dir = Paths.get(stageDir)
+    Files.createDirectories(dir)
+    val a = Seq(
+      "trans_id,amount,currency",
+      "3001,10.50,USD",
+      "3002,NULL,EUR")
+    val b = Seq(
+      "CURRENCY,extra_note,TRANS_ID,Amount",
+      "GBP,skip me,3003,7.25",
+      "usd,and me,3004,NULL")
+    Files.write(dir.resolve("graft_mbn_a.csv"),
+      (a.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("graft_mbn_b.csv"),
+      (b.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    stageDir
+  }
+
+  /** MATCH_BY_COLUMN_NAME COPY read: each staged file is scanned
+    * HEADER-DRIVEN (all-string, its OWN header names the columns) and
+    * aligned to the target schema BY NAME — per file, so two staged
+    * files with different column orders both load correctly, the
+    * Snowflake contract a positional read cannot give. NULL_IF
+    * normalizes before any cast sees a sentinel; unmatched target
+    * columns NULL-fill; extra staged columns drop; an AMBIGUOUS
+    * case-insensitive match refuses loudly (silently picking one
+    * would load the wrong column forever). The per-file plans union
+    * by name — FILES lists are statement-sized (the COPY report
+    * contract), so the plan count is bounded by the statement. */
+  def copyIntoByName(spark: SparkSession, stageDir: String,
+                     files: Seq[String], opts: Map[String, String],
+                     nullVals: Seq[String], target: StructType,
+                     caseSensitive: Boolean): DataFrame = {
+    def hit(t: String, sc: String) =
+      if (caseSensitive) sc == t else sc.equalsIgnoreCase(t)
+    val sep = opts.getOrElse("sep", ",")
+    files.map { f =>
+      // ambiguity check reads the RAW header tokens: Spark's csv scan
+      // silently renames duplicate header names (amount0/AMOUNT1), so
+      // an ambiguous match would otherwise NULL-fill instead of
+      // refusing — and silently loading nothing where the user meant
+      // one of two columns is exactly the bug this option invites
+      val tokens = {
+        val p = new org.apache.hadoop.fs.Path(s"$stageDir/$f")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val in = fs.open(p)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+          Option(br.readLine())
+            .map(_.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+            .getOrElse(Nil)
+        } finally in.close()
+      }
+      target.fields.foreach { fd =>
+        val hits = tokens.filter(hit(fd.name, _))
+        require(hits.size <= 1,
+          s"MATCH_BY_COLUMN_NAME: $f carries ${hits.size} columns " +
+            s"matching ${fd.name} (${hits.mkString(", ")})")
+      }
+      val raw = spark.read.format("csv")
+        .options(opts + ("header" -> "true"))
+        .load(s"$stageDir/$f")
+      val cleaned = nullIf(raw, nullVals)
+      val staged = cleaned.columns
+      val projected = target.fields.toIndexedSeq.map { fd =>
+        val hits = staged.filter(hit(fd.name, _))
+        hits.headOption.map(h => col(h).cast(fd.dataType).as(fd.name))
+          .getOrElse(lit(null).cast(fd.dataType).as(fd.name))
+      }
+      cleaned.select(projected: _*).withColumn("_src_file", lit(f))
+    }.reduce(_ unionByName _)
+  }
+
   /** ON_ERROR='CONTINUE' COPY (Snowflake's dirty-load semantics,
     * file_format context `dags/s3_data_copy_test.py:38-40`): parse with
     * PERMISSIVE + `columnNameOfCorruptRecord`, classify each row as

@@ -2075,11 +2075,12 @@ object ManifestSql {
     * load with the wrong semantics. */
   private def parseCopyClauses(rest0: String)
       : (Option[Seq[String]], Option[String], Map[String, String],
-         Option[String]) = {
+         Option[String], Option[String]) = {
     var files: Option[Seq[String]] = None
     var pattern: Option[String] = None
     var fmt = Map.empty[String, String]
     var validation: Option[String] = None
+    var matchBy: Option[String] = None
     var rest = rest0.trim
     val KeyRe = "(?is)^([A-Za-z_]+)\\s*=\\s*(.*)$".r
     while (rest.nonEmpty) {
@@ -2123,6 +2124,15 @@ object ManifestSql {
                 s"COPY INTO: unbalanced parens in FILE_FORMAT: $tail")
               fmt = parseFormatBlock(tail.substring(1, close))
               tail.substring(close + 1).trim
+            case "MATCH_BY_COLUMN_NAME" =>
+              val tok = tail.takeWhile(c => !c.isWhitespace)
+              val mode = tok.toUpperCase(java.util.Locale.ROOT)
+              require(mode == "CASE_INSENSITIVE" || mode == "CASE_SENSITIVE"
+                || mode == "NONE",
+                "COPY INTO: MATCH_BY_COLUMN_NAME expects CASE_INSENSITIVE" +
+                  s" | CASE_SENSITIVE | NONE, got: $tok")
+              if (mode != "NONE") matchBy = Some(mode)
+              tail.substring(tok.length).trim
             case other =>
               throw new IllegalArgumentException(
                 s"COPY INTO: unsupported clause '$other'")
@@ -2132,7 +2142,7 @@ object ManifestSql {
             s"COPY INTO: malformed clause text: $other")
       }
     }
-    (files, pattern, fmt, validation)
+    (files, pattern, fmt, validation, matchBy)
   }
 
   /** Parse a FILE_FORMAT block's `KEY = value` pairs. Values are a
@@ -2248,7 +2258,7 @@ object ManifestSql {
     * wrote. */
   def sqlCopyInto(spark: SparkSession, root: String, table: String,
                   stage: String, clauses: String): DataFrame = {
-    val (files, pattern, fmt, validation) = parseCopyClauses(clauses)
+    val (files, pattern, fmt, validation, matchBy) = parseCopyClauses(clauses)
     require(files.isEmpty || pattern.isEmpty,
       "COPY INTO: FILES and PATTERN are mutually exclusive")
     val (opts, nullVals) = copyFormatOptions(fmt)
@@ -2260,6 +2270,9 @@ object ManifestSql {
       m
     }
     if (validation.isDefined) {
+      require(matchBy.isEmpty,
+        "COPY INTO: VALIDATION_MODE does not combine with " +
+          "MATCH_BY_COLUMN_NAME (the dry-run classifies the parse)")
       // VALIDATION_MODE = 'RETURN_ERRORS' (Snowflake's dry-run COPY):
       // parse + classify the selected files with the ON_ERROR audit
       // machinery and return the per-file error report — COMMITTING
@@ -2274,8 +2287,19 @@ object ManifestSql {
           col("rows_loaded"), col("errors_seen"))
         .orderBy("file")
     }
-    val loaded = graft.ops.Ingest.copyIntoOptions(
-      spark, stage, names, opts, nullVals, tagSrcFile = true)
+    // MATCH_BY_COLUMN_NAME: each staged file reads HEADER-DRIVEN and
+    // aligns to the target schema by name — per file, so reordered or
+    // widened stages load correctly (the positional read is the
+    // default, bit-unchanged)
+    val loaded = matchBy match {
+      case None => graft.ops.Ingest.copyIntoOptions(
+        spark, stage, names, opts, nullVals, tagSrcFile = true)
+      case Some(mode) =>
+        val target = Manifest.registeredSchema(spark, root, table)
+          .getOrElse(Manifest.readTable(spark, root, table).schema)
+        graft.ops.Ingest.copyIntoByName(spark, stage, names, opts,
+          nullVals, target, caseSensitive = mode == "CASE_SENSITIVE")
+    }
     // The load report rides `observe` metrics on the SAME pass that
     // feeds the commit (one conditional sum per selected file — the
     // FILES/PATTERN list is statement-sized): no second stage scan to
@@ -2340,10 +2364,13 @@ object ManifestSql {
       case other => throw new IllegalArgumentException(
         s"transform COPY must read a quoted stage path, got: $other")
     }
-    val (files, pattern, fmt, validation) = parseCopyClauses(clauses)
+    val (files, pattern, fmt, validation, matchBy) = parseCopyClauses(clauses)
     require(validation.isEmpty,
       "VALIDATION_MODE does not combine with a transform COPY (the " +
         "dry-run classifies the untransformed parse — run a plain COPY)")
+    require(matchBy.isEmpty,
+      "MATCH_BY_COLUMN_NAME does not combine with a transform COPY " +
+        "(the SELECT projection IS the explicit mapping)")
     require(files.isEmpty || pattern.isEmpty,
       "COPY INTO: FILES and PATTERN are mutually exclusive")
     val (opts, nullVals) = copyFormatOptions(fmt)
@@ -2406,11 +2433,13 @@ object ManifestSql {
         val (name, tail) = if (end < 0) (rest, "") else rest.splitAt(end)
         (spark.table(name), tail)
       }
-    val (files, pattern, fmt, validation) = parseCopyClauses(clauses)
+    val (files, pattern, fmt, validation, matchBy) = parseCopyClauses(clauses)
     require(files.isEmpty && pattern.isEmpty,
       "COPY INTO location: FILES/PATTERN do not apply to an unload")
     require(validation.isEmpty,
       "COPY INTO location: VALIDATION_MODE does not apply to an unload")
+    require(matchBy.isEmpty,
+      "COPY INTO location: MATCH_BY_COLUMN_NAME does not apply to an unload")
     var opts = graft.ops.Ingest.csvOptions - "mode"
     opts += "nullValue" -> "NULL"
     opts += "timestampFormat" -> "yyyy-MM-dd HH:mm:ss"
@@ -5717,6 +5746,55 @@ object ManifestSql {
           .select(col("user_id"), col("n_v").cast("bigint").as("n_events"),
             col("sum_v").cast("double").as("total_v"))
           .orderBy("user_id").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- COPY INTO ... MATCH_BY_COLUMN_NAME (q333): the Snowflake
+    //       option a reordered-or-widened stage needs — each staged
+    //       file reads HEADER-DRIVEN and aligns to the target BY
+    //       NAME, per file: the two fixture files disagree on column
+    //       order AND case, one carries an extra column (dropped),
+    //       the target carries a column neither file has
+    //       (NULL-fills), and a NULL sentinel normalizes before the
+    //       DOUBLE cast sees it. A positional read of file B would
+    //       load currencies into trans_id — the differential oracle
+    //       re-reads both files header-driven in DuckDB, so exactly
+    //       that bug breaks the hash. -----
+    Q("q333_sql_copy_match_by_name",
+      Some {
+        val d = graft.ops.Ingest.stageDir
+        s"""SELECT * FROM (
+           |  SELECT CAST(trans_id AS BIGINT) AS trans_id,
+           |    CAST(amount AS DOUBLE) AS amount, currency,
+           |    CAST(NULL AS VARCHAR) AS batch_tag
+           |  FROM read_csv('$d/graft_mbn_a.csv', header=true,
+           |    all_varchar=true, nullstr=['NULL', ''])
+           |  UNION ALL
+           |  SELECT CAST(TRANS_ID AS BIGINT),
+           |    CAST(Amount AS DOUBLE), CURRENCY, CAST(NULL AS VARCHAR)
+           |  FROM read_csv('$d/graft_mbn_b.csv', header=true,
+           |    all_varchar=true, nullstr=['NULL', '']))
+           |ORDER BY trans_id""".stripMargin
+      },
+      (s, _) => {
+        import s.implicits._
+        val stage = graft.ops.Ingest.writeMbnStageFixtures()
+        val root = Files.createTempDirectory("graft-sql-mbn").toString
+        Manifest.commitAppend(s, root, "mbn_target",
+          Seq.empty[(Long, Double, String, String)]
+            .toDF("trans_id", "amount", "currency", "batch_tag").coalesce(1))
+        val rep = runDml(s, root,
+          s"""COPY INTO mbn_target FROM '$stage'
+             |FILES = ('graft_mbn_a.csv', 'graft_mbn_b.csv')
+             |MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE
+             |FILE_FORMAT = (TYPE = CSV FIELD_DELIMITER = ','
+             |  NULL_IF = ('NULL', ''))""".stripMargin).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(rep == Map("graft_mbn_a.csv" -> 2L, "graft_mbn_b.csv" -> 2L),
+          s"per-file load report must count both files (got $rep)")
+        val out = Manifest.readTable(s, root, "mbn_target")
+          .orderBy("trans_id").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

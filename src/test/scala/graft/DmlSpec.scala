@@ -1371,6 +1371,45 @@ class DmlSpec extends SparkSuite {
     refuse("REFRESH MATERIALIZED VIEW mv")
   }
 
+  test("MATCH_BY_COLUMN_NAME: case modes, ambiguity refusal, clause combos") {
+    val root = freshRoot()
+    val stage = graft.ops.Ingest.writeMbnStageFixtures()
+    Manifest.commitAppend(spark, root, "t",
+      Seq.empty[(Long, Double, String, String)]
+        .toDF("trans_id", "amount", "currency", "batch_tag").coalesce(1))
+    // CASE_SENSITIVE: file B's TRANS_ID/Amount/CURRENCY match NOTHING
+    // — every target column NULL-fills for B's rows (never mis-binds)
+    ManifestSql.runDml(spark, root,
+      s"""COPY INTO t FROM '$stage' FILES = ('graft_mbn_b.csv')
+         |MATCH_BY_COLUMN_NAME = CASE_SENSITIVE
+         |FILE_FORMAT = (TYPE = CSV NULL_IF = ('NULL', ''))""".stripMargin)
+    val got = Manifest.readTable(spark, root, "t").collect()
+    assert(got.length == 2 && got.forall(r =>
+      r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
+    // an ambiguous case-insensitive match refuses loudly
+    val dir = java.nio.file.Paths.get(stage)
+    java.nio.file.Files.write(dir.resolve("graft_mbn_amb.csv"),
+      "amount,AMOUNT,trans_id\n1.0,2.0,9\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestSql.runDml(spark, root,
+        s"""COPY INTO t FROM '$stage' FILES = ('graft_mbn_amb.csv')
+           |MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE""".stripMargin)
+    }
+    assert(e.getMessage.contains("2 columns"))
+    // clause combos refuse: validation, transform, unload; NONE is the
+    // positional default (accepted, behaves positionally)
+    def refuse(stmt: String): Unit =
+      intercept[IllegalArgumentException] {
+        ManifestSql.runDml(spark, root, stmt) }
+    refuse(s"""COPY INTO t FROM '$stage' FILES = ('graft_mbn_a.csv')
+              |MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE
+              |VALIDATION_MODE = 'RETURN_ERRORS'""".stripMargin)
+    refuse(s"""COPY INTO t FROM (SELECT $$1, $$2, $$3, $$4 FROM '$stage')
+              |FILES = ('graft_mbn_a.csv')
+              |MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE""".stripMargin)
+    refuse(s"COPY INTO t FROM '$stage' MATCH_BY_COLUMN_NAME = SOMETIMES")
+  }
+
   test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {
     val root = freshRoot()
     // (a, b) is the key: a=1 appears under TWO b values — a bug that
