@@ -103,8 +103,9 @@ object Similarity {
     df.withColumn("nrm", expr(normExprOf(embCol)))
       .withColumn("bucket", expr(bucketExprOf(embCol, hp)))
 
-  /** DuckDB equivalents. */
-  private val duckNorm =
+  /** DuckDB equivalents (package-visible: the streaming ANN query
+    * q334 reuses the norm text in its oracle). */
+  private[graft] val duckNorm =
     "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
 
   /** DuckDB: full `maxPlanes`-bit bucket, masked down to `np` planes by

@@ -736,6 +736,117 @@ object StreamQueries {
           .localCheckpoint(true)
         Seq(sink, ckpt).foreach(deleteRecursively)
         out
+      }),
+
+    // ----- streaming maintenance of the committed ANN index (q334):
+    //       embeddings ARRIVE as a stream — each micro-batch lands on
+    //       the corpus table under a batch-id txn marker (exactly-once:
+    //       a replayed batch dies at the ledger) and the committed
+    //       IVF-PQ index advances O(batch) in the same foreachBatch
+    //       (the maintenance quiesces when the replayed append
+    //       no-opped). This is the production shape: the index is
+    //       never rebuilt, never lags more than one trigger, and the
+    //       at-least-once replay is asserted by RE-DRIVING the last
+    //       batch body verbatim. Oracle recomputes the full-corpus
+    //       IVF-PQ independently — a double-indexed batch or a missed
+    //       one shifts some query's top-3. -----
+    Q("q334_stream_ann_maintain",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, ${graft.ops.Similarity.duckNorm} AS nrm FROM embeddings
+              |), c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT e.vec_id, c.c_id,
+              |    round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+              |          / (e.nrm * c.c_nrm), 4) AS rcos
+              |  FROM e CROSS JOIN c),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg),
+              |cells AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+              |cand AS (
+              |  SELECT p.q_id, t.vec_id AS cand_id
+              |  FROM probes p JOIN cells t ON t.cell = p.cell AND t.vec_id <> p.q_id),
+              |sub AS (
+              |  SELECT vec_id, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
+              |  FROM e, (VALUES (0),(1),(2),(3)) AS mm(m)),
+              |pcent AS (SELECT vec_id AS pc, m, s AS cs FROM sub WHERE vec_id < 8),
+              |enc AS (
+              |  SELECT vec_id, m, pc FROM (
+              |    SELECT sub.vec_id, sub.m, p.pc,
+              |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              |        ORDER BY list_dot_product(sub.s, p.cs) DESC, p.pc) AS prn
+              |    FROM sub JOIN pcent p ON p.m = sub.m) WHERE prn = 1),
+              |dtab AS (
+              |  SELECT q.vec_id AS q_id, p.m, p.pc,
+              |    CAST(floor(list_dot_product(q.s, p.cs) * 10000 + 0.5) AS BIGINT) AS d_e4
+              |  FROM sub q JOIN pcent p ON p.m = q.m WHERE q.vec_id < 5),
+              |sc AS (
+              |  SELECT cand.q_id, cand.cand_id,
+              |    CAST(SUM(d.d_e4) AS BIGINT) AS score_e4
+              |  FROM cand
+              |  JOIN enc ON enc.vec_id = cand.cand_id
+              |  JOIN dtab d ON d.q_id = cand.q_id AND d.m = enc.m AND d.pc = enc.pc
+              |  GROUP BY cand.q_id, cand.cand_id)
+              |SELECT q_id, cand_id, score_e4, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS rn FROM sc)
+              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        import graft.ops.{Manifest, Similarity}
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val maxId = e.agg(max("vec_id")).head().getLong(0)
+        val c1 = maxId / 2
+        val c2 = (maxId * 3) / 4
+        // stream stage: the two post-bootstrap arrival files
+        val key = graft.ops.Staging.contentKey(
+          graft.ops.Staging.fingerprintOf(dir, Seq("embeddings")),
+          c1.toString, c2.toString)
+        val staged = graft.ops.Staging.ensure(
+          s"target/stream-stage/annidx-$key") { tmp =>
+          writeOneFile(e.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+            java.nio.file.Paths.get(tmp).resolve("00.parquet"), 1700000000000L)
+          writeOneFile(e.filter(col("vec_id") > c2),
+            java.nio.file.Paths.get(tmp).resolve("01.parquet"), 1700000001000L)
+        }
+        val root = Files.createTempDirectory("graft-stream-ann").toString
+        Manifest.commitAppend(s, root, "embeddings",
+          e.filter(col("vec_id") <= c1).coalesce(2))
+        val _ = Similarity.buildAnnIndex(s, root, "embeddings", "ivfpq")
+        def applyBatch(b: DataFrame, id: Long): Unit = {
+          try Manifest.commitAppend(s, root, "embeddings", b,
+            txn = Some("annstream" -> id))
+          catch { case _: Manifest.TxnAlreadyCommitted => () }
+          val _ = Similarity.maintainAnnIndex(s, root, "ivfpq")
+        }
+        val ckpt = newCkptDir()
+        withoutNoDataBatches(s) {
+          val q = fileStream(s, staged).writeStream
+            .option("checkpointLocation", ckpt).outputMode("append")
+            .foreachBatch((b: DataFrame, id: Long) => applyBatch(b, id))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        // at-least-once replay of the LAST batch body, verbatim: the
+        // append dies at the txn ledger, the maintenance quiesces —
+        // corpus and index byte-identical after
+        val vBefore = Manifest.snapshotVersion(root)
+        applyBatch(s.read.parquet(s"$staged/01.parquet"), 1L)
+        require(Manifest.snapshotVersion(root) == vBefore,
+          "replayed batch must be exactly-once (ledger + cursor)")
+        val queries = e.filter(col("vec_id") < 5)
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("cand_id"))
+        val out = Similarity.queryAnnIndex(s, root, "ivfpq", queries)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"), col("score_e4"),
+            col("rn").cast("int").as("rn"))
+          .orderBy("q_id", "rn").localCheckpoint(true)
+        deleteRecursively(ckpt)
+        graft.ops.Staging.deleteRecursively(
+          java.nio.file.Paths.get(root))
+        out
       })
   )
 }
