@@ -1170,6 +1170,106 @@ object Similarity {
           .orderBy("q_id", "rn").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
         out
+      }),
+
+    // ----- incremental SemDeDup over the committed index (q335): the
+    //       q322 recipe at steady state — a NEW batch semantically
+    //       dedups against the standing corpus by joining the
+    //       committed CELLS table (cluster assignments maintained
+    //       O(delta) by the index), so pair cost is
+    //       O(new × same-cluster members), never corpus² and never a
+    //       re-cluster. The delta plants q322's two classes shifted
+    //       into the new era: identical replicas (true dups — every
+    //       one dominated by its same-cluster original) and
+    //       first-32-dims-negated look-alikes (must survive).
+    //       Standing-corpus rows are NEVER re-judged (dedup verdicts
+    //       are append-monotone — re-litigating old rows on every
+    //       batch is the quadratic trap). Oracle recomputes planting,
+    //       assignment, and the new-era dominated set independently.
+    //       -----
+    Q("q335_semdedup_incremental",
+      Some(s"""WITH b AS (SELECT vec_id, embedding FROM embeddings),
+              |mx AS (SELECT max(vec_id) AS m FROM b),
+              |reps AS (SELECT vec_id + 100000 AS vec_id,
+              |    CASE WHEN vec_id % 10 = 0 THEN
+              |      list_transform(range(1, len(embedding) + 1),
+              |        i -> CASE WHEN i <= 32 THEN -embedding[i]
+              |             ELSE embedding[i] END)
+              |    ELSE embedding END AS embedding
+              |  FROM b WHERE vec_id % 5 = 0),
+              |e AS (SELECT * FROM b UNION ALL SELECT * FROM reps),
+              |en AS (SELECT vec_id, embedding,
+              |    sqrt(list_dot_product(embedding::DOUBLE[],
+              |      embedding::DOUBLE[])) AS nrm FROM e),
+              |c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+              |  FROM en WHERE vec_id < 8),
+              |asg AS (SELECT vec_id, c_id AS cluster FROM (
+              |  SELECT en.vec_id, c.c_id,
+              |    row_number() OVER (PARTITION BY en.vec_id ORDER BY
+              |      round(list_dot_product(en.embedding::DOUBLE[],
+              |        c.c_emb::DOUBLE[]) / (en.nrm * c.c_nrm), 4) DESC,
+              |      c.c_id) AS rn
+              |  FROM en CROSS JOIN c) t WHERE rn = 1),
+              |pairs AS (
+              |  SELECT bb.vec_id AS v
+              |  FROM asg a JOIN asg bb
+              |    ON a.cluster = bb.cluster AND a.vec_id < bb.vec_id
+              |  JOIN en ea ON ea.vec_id = a.vec_id
+              |  JOIN en eb ON eb.vec_id = bb.vec_id
+              |  WHERE bb.vec_id > (SELECT m FROM mx)
+              |    AND round(list_dot_product(ea.embedding::DOUBLE[],
+              |      eb.embedding::DOUBLE[]) / (ea.nrm * eb.nrm), 4) >= 0.95),
+              |removed AS (SELECT DISTINCT v FROM pairs)
+              |SELECT cluster, CAST(count(*) AS BIGINT) AS n_new,
+              |  CAST(sum(CASE WHEN vec_id IN (SELECT v FROM removed)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              |  CAST(sum(CASE WHEN vec_id IN (SELECT v FROM removed)
+              |    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+              |FROM asg WHERE vec_id > (SELECT m FROM mx)
+              |GROUP BY cluster ORDER BY cluster""".stripMargin),
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        val base = Tables.load(s, dir, "embeddings")
+          .select("vec_id", "embedding")
+        val maxId = base.agg(max("vec_id")).head().getLong(0)
+        val reps = base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            when(col("vec_id") % 10 === 0,
+              expr("transform(embedding, (x, i) -> " +
+                "CASE WHEN i < 32 THEN -x ELSE x END)"))
+              .otherwise(col("embedding")).as("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-semdedup-inc").toString
+        Manifest.commitAppend(s, root, "embeddings", base.coalesce(2))
+        val _ = buildAnnIndex(s, root, "embeddings", "sd")
+        Manifest.commitAppend(s, root, "embeddings", reps.coalesce(2))
+        val m = maintainAnnIndex(s, root, "sd")
+        require(m.exists(_._1 == reps.count()),
+          s"index maintenance must cover exactly the delta (got $m)")
+        // committed cluster assignments bound the pair generation:
+        // new v × same-cluster members (old and new), never corpus²
+        val cells = Manifest.readTable(s, root, s"sd_cells")
+          .withColumnRenamed("cell", "cluster")
+        val corpus = Manifest.readTable(s, root, "embeddings")
+        val withEmb = cells.join(corpus, "vec_id")
+        val newSide = withEmb.filter(col("vec_id") > maxId)
+          .select(col("cluster"), col("vec_id").as("v"),
+            col("embedding").as("vb"))
+        val anySide = withEmb.select(col("cluster"),
+          col("vec_id").as("u"), col("embedding").as("ua"))
+        val removed = anySide.join(newSide, "cluster")
+          .filter(col("u") < col("v"))
+          .filter(round(expr("cosine_sim(ua, vb)"), 4) >= 0.95)
+          .select(col("v").as("vec_id")).distinct()
+        val out = withEmb.filter(col("vec_id") > maxId)
+          .join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_new"),
+            sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+            sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("cluster").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
+        out
       })
   )
 
