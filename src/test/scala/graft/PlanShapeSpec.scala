@@ -482,4 +482,29 @@ class PlanShapeSpec extends SparkSuite {
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("; "))
     graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(tdir))
   }
+
+  test("committed ANN query plans over the index ONLY — the corpus is never scanned") {
+    import graft.ops.{Manifest, Similarity}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annplan").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    Manifest.commitAppend(spark, root, "embeddings", e.coalesce(1))
+    Similarity.buildAnnIndex(spark, root, "embeddings", "idx")
+    // the query's file scans must read idx_cells/idx_codes paths and
+    // NOTHING under the corpus table's data dir — reading even one
+    // corpus file would mean the "committed artifact" still pays a
+    // corpus-sized cost per query at 100 TB
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .localCheckpoint(true)
+    val plan = Similarity.queryAnnIndex(spark, root, "idx", queries)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val scanned = plan.linesIterator
+      .filter(_.contains("Location:")).mkString("\n")
+    assert(scanned.contains("idx_cells") && scanned.contains("idx_codes"),
+      s"expected committed-index scans, got:\n$scanned")
+    assert(!scanned.contains("/embeddings"),
+      s"committed-index query must not scan the corpus:\n$scanned")
+  }
 }
