@@ -372,6 +372,74 @@ object Corpus {
           .select(col("source"), col("doc_id"), col("w"),
             round(col("raw_key"), 6).as("es_key"), col("rn"))
           .orderBy("source", "rn")
+      }),
+
+    // ----- temperature-scaled language mixture (q336): the
+    //       multilingual-LM sampling recipe — per-language budgets
+    //       proportional to n_l^T with T = 0.5, flattening the
+    //       head so low-resource languages are UP-weighted relative
+    //       to their raw share (the en-vs-rest rebalancing every
+    //       multilingual corpus ships). All arithmetic is
+    //       INTEGERIZED for cross-engine exactness: the weight is
+    //       floor(sqrt(n_l) * 1e6) as BIGINT (IEEE sqrt is correctly
+    //       rounded, so both engines agree bit-for-bit), quotas are
+    //       BIGINT division — a double-sum whose ORDER differs
+    //       between engines can never flip a floor boundary.
+    //       Selection is deterministic: docs rank by md5(doc_id)
+    //       within language (both engines render lowercase hex) and
+    //       fill the quota by running char-sum — so the exact doc
+    //       set, not just the counts, is oracle-pinned. -----
+    Q("q336_temperature_mixture",
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+             |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM d),
+             |ls AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_l
+             |  FROM d GROUP BY lang),
+             |w AS (SELECT lang, n_l,
+             |    CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT) AS s_l
+             |  FROM ls),
+             |q AS (SELECT lang, n_l,
+             |    (((SELECT total FROM tot) // 4) * s_l)
+             |      // (SELECT sum(s_l) FROM w) AS quota FROM w),
+             |ranked AS (SELECT doc_id, lang, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS run
+             |  FROM d),
+             |sel AS (SELECT r.lang, r.n_chars FROM ranked r
+             |  JOIN q ON q.lang = r.lang WHERE r.run <= q.quota)
+             |SELECT q.lang, CAST(q.n_l AS BIGINT) AS n_chars_total,
+             |  CAST(q.quota AS BIGINT) AS quota_chars,
+             |  CAST(coalesce(count(s.lang), 0) AS BIGINT) AS n_docs_sel,
+             |  CAST(coalesce(sum(s.n_chars), 0) AS BIGINT) AS n_chars_sel
+             |FROM q LEFT JOIN sel s ON s.lang = q.lang
+             |GROUP BY q.lang, q.n_l, q.quota
+             |ORDER BY q.lang""".stripMargin),
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val total = d.agg(sum("n_chars").cast("long")).head().getLong(0)
+        val ls = d.groupBy("lang")
+          .agg(sum("n_chars").cast("long").as("n_l"))
+          .withColumn("s_l",
+            floor(sqrt(col("n_l").cast("double")) * 1000000.0).cast("long"))
+        val sSum = ls.agg(sum("s_l")).head().getLong(0)
+        val q = ls.withColumn("quota",
+          expr(s"(($total div 4) * s_l) div $sSum"))
+        val wRun = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sel = d.withColumn("run", sum("n_chars").over(wRun))
+          .join(broadcast(q.select("lang", "quota")), "lang")
+          .filter(col("run") <= col("quota"))
+        q.join(sel.groupBy("lang")
+            .agg(count(lit(1)).as("n_docs_sel"),
+              sum("n_chars").cast("long").as("n_chars_sel")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_l").as("n_chars_total"),
+            col("quota").as("quota_chars"),
+            coalesce(col("n_docs_sel"), lit(0L)).as("n_docs_sel"),
+            coalesce(col("n_chars_sel"), lit(0L)).as("n_chars_sel"))
+          .orderBy("lang")
       })
   )
 }
