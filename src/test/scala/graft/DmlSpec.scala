@@ -1410,6 +1410,34 @@ class DmlSpec extends SparkSuite {
     refuse(s"COPY INTO t FROM '$stage' MATCH_BY_COLUMN_NAME = SOMETIMES")
   }
 
+  test("stream/task/mview registrations survive vacuum (marker carry)") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    // register all three object families, then push their claims
+    // below the retention floor with data commits
+    ManifestSql.runDml(spark, root,
+      """CREATE STREAM s1 ON TABLE t;
+        |CREATE TASK tk1 AS INSERT INTO t SELECT 99, 9.9;
+        |CREATE MATERIALIZED VIEW mv1 AS
+        |SELECT k, SUM(v) AS sv, COUNT(*) AS n FROM t GROUP BY k""".stripMargin)
+    (1 to 4).foreach(i => Manifest.commitAppend(spark, root, "t",
+      Seq((i.toLong + 10, i.toDouble)).toDF("k", "v").coalesce(1)))
+    val _ = Manifest.vacuum(spark, root, keep = 2, graceMs = 0L)
+    // every registration still serves: the carry copied the newest
+    // marker of each family into the oldest surviving claim
+    assert(Manifest.streamDef(root, "s1").exists(_._1 == "t"))
+    assert(Manifest.taskDefs(root).contains("tk1"))
+    assert(Manifest.mviewDefs(root).contains("mv1"))
+    // and they still WORK, not just list: consume, execute, refresh
+    assert(ManifestSql.runDml(spark, root,
+      "SELECT k FROM s1 WHERE _change_type = 'insert'").count() >= 1L)
+    assert(ManifestSql.runDml(spark, root, "EXECUTE TASK tk1")
+      .collect()(0).getString(2) == "OK")
+    assert(ManifestSql.runDml(spark, root, "REFRESH MATERIALIZED VIEW mv1")
+      .collect()(0).getString(3) == "REFRESHED")
+  }
+
   test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {
     val root = freshRoot()
     // (a, b) is the key: a=1 appears under TWO b values — a bug that
