@@ -688,8 +688,17 @@ object Manifest {
                         maxRetries: Int = 5,
                         txn: Option[(String, Long)] = None,
                         extras: Seq[(String, Array[Byte])] = Nil,
-                        validate: Long => Unit = _ => ()): Long = {
-    require(batches.nonEmpty, "commitAppendMulti: no batches")
+                        validate: Long => Unit = _ => (),
+                        adds: Seq[(String, String, String)] = Nil,
+                        removes: Seq[(String, String)] = Nil): Long = {
+    // `adds`/`removes` fold PRE-RENDERED manifest rows into the same
+    // claim — the seam that lets an appends+DV-delete mixture land
+    // atomically (the ANN delete-mirror: new codes appended, doomed
+    // codes DV'd, cursor advanced — one claim, every reader sees all
+    // or none). Callers passing them are responsible for claim-time
+    // validation that the rows' tables did not move underneath.
+    require(batches.nonEmpty || adds.nonEmpty || removes.nonEmpty,
+      "commitAppendMulti: no batches")
     require(batches.map(_._1).distinct.size == batches.size,
       "commitAppendMulti: one batch per table")
     val hint = nextVersion(root)
@@ -703,7 +712,7 @@ object Manifest {
       // cursor check) — runs INSIDE the claim like txnGuard, so a
       // racer that moved the guarded state fails before linking
       validate(base)
-      deltaOrFull(s, root, base, Nil, newRows)
+      deltaOrFull(s, root, base, Nil, newRows ++ adds, removes)
         .copy(extras = txnExtras(txn) ++ extras)
     }, maxRetries)
   }
@@ -1167,6 +1176,23 @@ object Manifest {
             s"SWAP WITH: ann index ${n.substring("_annidx_".length)} " +
               s"covers ${src.get} — rebuild it on the post-swap name")
       }
+      // MATERIALIZED VIEWs bind the same way: the mview's txn ledger
+      // cursors the SOURCE name's commit history, and the mview's own
+      // CONTENT table is a manifest table the swap would re-key — a
+      // refresh after either swap would absorb the whole flip as a
+      // delete+insert delta (Snowflake suspends MVs on swap instead)
+      claimMarkers(root, "_mview_").filter(_._2.nonEmpty).foreach {
+        case (n, bytes) =>
+          val mv = n.substring("_mview_".length)
+          val src = new String(bytes, "UTF-8").linesIterator
+            .find(_.startsWith("src=")).map(_.substring(4))
+          require(!src.contains(a) && !src.contains(b),
+            s"SWAP WITH: materialized view $mv reads ${src.get} — drop " +
+              "it first and re-create on the post-swap name")
+          require(mv != a && mv != b,
+            s"SWAP WITH: $mv is a materialized view's content table — " +
+              "drop the view first")
+      }
       val adds = rows.collect {
         case (t, f, st) if t == a => (b, f, st)
         case (t, f, st) if t == b => (a, f, st)
@@ -1242,6 +1268,16 @@ object Manifest {
                   maxRetries: Int = 5): Long = {
     require(keys.nonEmpty && keys.distinct.size == keys.size,
       s"CREATE MATERIALIZED VIEW $name: keys must be non-empty and distinct")
+    // the aliases become the CONTENT table's column names — refuse at
+    // DDL time what the refresh could not store (`SELECT total_v FROM
+    // user_mv` must work after `SUM(v) AS total_v`)
+    require(sumAlias.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      cntAlias.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"CREATE MATERIALIZED VIEW $name: aliases must be plain identifiers")
+    require(sumAlias != cntAlias && !keys.contains(sumAlias) &&
+      !keys.contains(cntAlias),
+      s"CREATE MATERIALIZED VIEW $name: aliases ($sumAlias, $cntAlias) " +
+        "must be distinct from each other and from the keys")
     casCommit(s, root, { base =>
       require(!mviewDefs(root).contains(name),
         s"materialized view $name already exists (DROP it first)")
@@ -2967,6 +3003,70 @@ object Manifest {
     * are projected BEFORE the matcher runs because `_metadata` only
     * resolves on the scan relation itself — a matcher that joins
     * could not recover them afterwards. */
+  /** One ATTEMPT's DV rendering at snapshot `base`, no commit: scan
+    * `table`'s raw files, apply `matcher`, write the merged sidecars
+    * (pre-claim — a crashed attempt's sidecars stay invisible and
+    * vacuum collects them), and return the manifest delta ((re-add
+    * rows with the new `__dv` entries, removes)), or None when
+    * nothing matches. Package-private so a sibling op can fold a DV
+    * delete into ITS OWN claim (the ANN index's delete-mirror lands
+    * cells/codes DVs atomically with the advanced cursor); such a
+    * caller must validate at claim time that the table's file set is
+    * still the one scanned here. */
+  private[ops] def dvRowsFor(s: SparkSession, root: String, table: String,
+                             matcher: DataFrame => DataFrame, base: Long)
+      : Option[(Seq[(String, String, String)], Seq[(String, String)])] = {
+    val cur = manifestRows(s, root, base)
+      .collect { case (t, f, st) if t == table => (f, st) }
+    require(cur.nonEmpty, s"table $table absent from snapshot v$base")
+    val absRoot = Paths.get(root).toAbsolutePath.normalize()
+    // positions of matching rows, per physical file — a RAW scan of
+    // the current files (already-deleted positions may re-match; the
+    // union below makes that idempotent)
+    val scanned = registeredSchema(s, root, table, base) match {
+      case Some(sc) => readPinned(s, sc,
+        cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq,
+        Some(("__graft_p", "__graft_ri")))
+      case None => s.read
+        .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
+        .select(col("*"),
+          expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
+            .as("__graft_p"),
+          col("_metadata.row_index").as("__graft_ri"))
+    }
+    val hits = matcher(scanned)
+      .select(col("__graft_p").as("_p"), col("__graft_ri").as("_ri"))
+      .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
+      .collect() // one row per touched file: O(matched) positions
+    if (hits.isEmpty) return None // nothing matches
+    val perFile = hits.map { r =>
+      val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
+        .toString.replace('\\', '/')
+      rel -> r.getSeq[Long](1).toArray
+    }.toMap
+    val touched = cur.filter { case (f, _) => perFile.contains(f) }
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val newRows = touched.map { case (f, st) =>
+      val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
+        .getOrElse(Array.empty[Long])
+      val merged = (old ++ perFile(f)).distinct.sorted
+      val side = s"$f.dv-$token"
+      writeDvSidecar(root, side, merged)
+      (table, f, statsWithDv(st, side, merged.length.toLong))
+    }
+    Some((newRows, touched.map { case (f, _) => (table, f) }))
+  }
+
+  /** Keyed form of [[dvRowsFor]] — the [[commitDeleteKeys]] semi-join
+    * matcher, rendered but not committed. */
+  private[ops] def dvRowsForKeys(s: SparkSession, root: String, table: String,
+                                 keys: DataFrame, keyCols: Seq[String],
+                                 base: Long)
+      : Option[(Seq[(String, String, String)], Seq[(String, String)])] =
+    dvRowsFor(s, root, table,
+      df => df.join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi"), base)
+
   private def deleteVectorsBy(s: SparkSession, root: String, table: String,
                               matcher: DataFrame => DataFrame,
                               maxRetries: Int,
@@ -2975,46 +3075,12 @@ object Manifest {
     while (true) {
       val base = latestReadableClaim(root)
       require(base > 0, s"no committed snapshot at $root")
-      val cur = manifestRows(s, root, base)
-        .collect { case (t, f, st) if t == table => (f, st) }
-      require(cur.nonEmpty, s"table $table absent from snapshot v$base")
-      val expected = cur.map(_._1).toSet
-      val absRoot = Paths.get(root).toAbsolutePath.normalize()
-      // positions of matching rows, per physical file — a RAW scan of
-      // the current files (already-deleted positions may re-match; the
-      // union below makes that idempotent)
-      val scanned = registeredSchema(s, root, table, base) match {
-        case Some(sc) => readPinned(s, sc,
-          cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq,
-          Some(("__graft_p", "__graft_ri")))
-        case None => s.read
-          .parquet(cur.map { case (f, _) => s"$root/$f" }.toIndexedSeq: _*)
-          .select(col("*"),
-            expr("concat('/', regexp_replace(_metadata.file_path, '^[a-z]+:/+', ''))")
-              .as("__graft_p"),
-            col("_metadata.row_index").as("__graft_ri"))
+      val expected = manifestRows(s, root, base)
+        .collect { case (t, f, _) if t == table => f }.toSet
+      val (newRows, removes) = dvRowsFor(s, root, table, matcher, base) match {
+        case None => return base // nothing matches: no-op
+        case Some(d) => d
       }
-      val hits = matcher(scanned)
-        .select(col("__graft_p").as("_p"), col("__graft_ri").as("_ri"))
-        .groupBy("_p").agg(sort_array(collect_list(col("_ri"))).as("_ris"))
-        .collect() // one row per touched file: O(matched) positions
-      if (hits.isEmpty) return base // nothing matches: no-op
-      val perFile = hits.map { r =>
-        val rel = absRoot.relativize(Paths.get(r.getString(0)).normalize())
-          .toString.replace('\\', '/')
-        rel -> r.getSeq[Long](1).toArray
-      }.toMap
-      val touched = cur.filter { case (f, _) => perFile.contains(f) }
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val newRows = touched.map { case (f, st) =>
-        val old = dvRefOf(st).map { case (side, _) => readDvSidecar(root, side) }
-          .getOrElse(Array.empty[Long])
-        val merged = (old ++ perFile(f)).distinct.sorted
-        val side = s"$f.dv-$token"
-        writeDvSidecar(root, side, merged)
-        (table, f, statsWithDv(st, side, merged.length.toLong))
-      }
-      val removes = touched.map { case (f, _) => (table, f) }
       try {
         return casCommit(s, root, { b =>
           txnGuard(root, txn)
@@ -3843,8 +3909,18 @@ object Manifest {
     // cross-version unions/diffs stay coherent
     val pin = registeredSchema(s, root, table, to)
     val absRoot = Paths.get(root).toAbsolutePath.normalize()
+    // STALENESS, not a raw path error: a consumer whose cursor
+    // predates the retention floor cannot have its interval
+    // reconstructed (the from-version's manifest was vacuumed) — the
+    // Snowflake stream-staleness contract, surfaced loudly so the
+    // caller re-creates the consumer instead of mis-reading
     def rowsAt(v: Long): Seq[(String, String)] =
       if (v == 0) Seq.empty
+      else if (!manifestReadable(root, v))
+        throw new IllegalStateException(
+          s"change feed for $table from v$v: that version's manifest " +
+            "was vacuumed — the feed is STALE; re-create the consumer " +
+            "on the surviving history")
       else manifestRows(s, root, v).collect { case (t, f, st) if t == table => (f, st) }
     def dvPositions(st: String): Map[String, Array[Long]] = // file → positions
       dvRefOf(st).map { case (side, _) => side -> readDvSidecar(root, side) }.toMap
@@ -4572,9 +4648,16 @@ object Manifest {
     // the default must cast to the declared type NOW, not at first
     // read (ANSI mode throws on a bad cast; non-ANSI yields NULL —
     // both surface as the same loud DDL-time refusal)
-    val isNullLit =
-      parsed.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] &&
-        parsed.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal].value == null
+    // a typed NULL (`CAST(NULL AS STRING)`) is as legal a default as a
+    // bare NULL — recurse through the casts to the literal's value
+    // (a cast chain over null folds to null in every SQL dialect)
+    def foldsToNull(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value == null
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => foldsToNull(c.child)
+        case _ => false
+      }
+    val isNullLit = foldsToNull(parsed)
     val castOk =
       try !s.range(1).select(expr(defaultSql).cast(dt).as("d")).head().isNullAt(0)
       catch { case _: Exception => false }
@@ -4645,7 +4728,9 @@ object Manifest {
       }
     }
     val defCols = schema.fields.filter(f => defaultOf(f).isDefined).map(_.name)
-    if (defCols.isEmpty) readGroup(paths, Set.empty)
+    // empty file list: groupBy/reduce below would throw on reduce —
+    // serve the empty schema'd frame the default-free branch always did
+    if (defCols.isEmpty || paths.isEmpty) readGroup(paths, Set.empty)
     else {
       val conf = s.sparkContext.hadoopConfiguration
       paths.groupBy(p => defCols.toSeq
@@ -5978,7 +6063,7 @@ object Manifest {
               n.startsWith("_grant_") || n.startsWith("_aclon_") ||
               n.startsWith("_grantsch_") || n.startsWith("_aclonsch_") ||
               n.startsWith("_stream_") || n.startsWith("_task_") ||
-              n.startsWith("_mview_")).toList
+              n.startsWith("_mview_") || n.startsWith("_annidx_")).toList
           finally l.close()
         markers.foreach { name =>
           if (!Files.exists(dest.resolve(name)))
@@ -6042,7 +6127,8 @@ object Manifest {
     * policies or ACL closure would serve raw data to every role. */
   private val registryPrefixes = Seq(
     "_policydef_", "_policies_", "_prop_", "_grant_", "_aclon_",
-    "_grantsch_", "_aclonsch_", "_stats_", "_stream_", "_task_", "_mview_")
+    "_grantsch_", "_aclonsch_", "_stats_", "_stream_", "_task_", "_mview_",
+    "_annidx_")
 
   /** Effective (newest, non-tombstoned) registry markers of `root`. */
   private def registryMarkers(root: String): Seq[(String, Array[Byte])] =

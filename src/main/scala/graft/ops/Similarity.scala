@@ -1270,6 +1270,116 @@ object Similarity {
           .orderBy("cluster").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
         out
+      }),
+
+    // ----- ANN maintenance through DELETEs (q337): the committed
+    //       index survives merge-on-read erasure — a DV DELETE on the
+    //       source MIRRORS as vec_id semi-join DV-deletes on the
+    //       cells/codes tables, the cursor advancing in the SAME
+    //       claim, and a following append still folds O(delta).
+    //       O(touched) BY PROOF: after the DV lands, era-1's UNTOUCHED
+    //       data files leave the DISK — a maintenance that rescanned
+    //       the indexed era (or full-rebuilt) would throw. In-plan:
+    //       the maintained probe ≡ recompute-from-scratch over the
+    //       SURVIVING corpus (every candidate's score); re-drives
+    //       quiesce at both steps. Oracle recomputes the full IVF-PQ
+    //       over exactly the surviving rows — an undead candidate
+    //       (mirror missed the delete) or a lost survivor shifts some
+    //       query's top-3. -----
+    Q("q337_ann_index_delete_mirror",
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings
+              |  WHERE NOT (vec_id >= 8 AND vec_id < 13)
+              |), c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM e WHERE vec_id < 8),
+              |asg AS (
+              |  SELECT e.vec_id, c.c_id,
+              |    round(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+              |          / (e.nrm * c.c_nrm), 4) AS rcos
+              |  FROM e CROSS JOIN c),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rcos DESC, c_id) AS rn FROM asg),
+              |cells AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+              |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM ranked WHERE rn <= 2 AND vec_id < 5),
+              |cand AS (
+              |  SELECT p.q_id, t.vec_id AS cand_id
+              |  FROM probes p JOIN cells t ON t.cell = p.cell AND t.vec_id <> p.q_id),
+              |sub AS (
+              |  SELECT vec_id, m, (embedding::DOUBLE[])[m*16+1 : m*16+16] AS s
+              |  FROM e, (VALUES (0),(1),(2),(3)) AS mm(m)),
+              |pcent AS (SELECT vec_id AS pc, m, s AS cs FROM sub WHERE vec_id < 8),
+              |enc AS (
+              |  SELECT vec_id, m, pc FROM (
+              |    SELECT sub.vec_id, sub.m, p.pc,
+              |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+              |        ORDER BY list_dot_product(sub.s, p.cs) DESC, p.pc) AS prn
+              |    FROM sub JOIN pcent p ON p.m = sub.m) WHERE prn = 1),
+              |dtab AS (
+              |  SELECT q.vec_id AS q_id, p.m, p.pc,
+              |    CAST(floor(list_dot_product(q.s, p.cs) * 10000 + 0.5) AS BIGINT) AS d_e4
+              |  FROM sub q JOIN pcent p ON p.m = q.m WHERE q.vec_id < 5),
+              |sc AS (
+              |  SELECT cand.q_id, cand.cand_id,
+              |    CAST(SUM(d.d_e4) AS BIGINT) AS score_e4
+              |  FROM cand
+              |  JOIN enc ON enc.vec_id = cand.cand_id
+              |  JOIN dtab d ON d.q_id = cand.q_id AND d.m = enc.m AND d.pc = enc.pc
+              |  GROUP BY cand.q_id, cand.cand_id)
+              |SELECT q_id, cand_id, score_e4, CAST(rn AS INT) AS rn FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY score_e4 DESC, cand_id) AS rn FROM sc)
+              |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin),
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val cutId = e.agg(max("vec_id")).head().getLong(0) / 2
+        val slice = col("vec_id") >= 8L && col("vec_id") < 13L
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ann-delmirror").toString
+        Manifest.commitAppendRanged(s, root, "embeddings",
+          e.filter(col("vec_id") <= cutId), "vec_id", 4)
+        val _ = buildAnnIndex(s, root, "embeddings", "ivfpq")
+        // GDPR slice: a narrow vec_id range inside ONE era-1 file
+        // (trainer rows 0..7 survive — the codebook stays meaningful)
+        Manifest.commitDeleteVectors(s, root, "embeddings", slice)
+        // O(touched) BY PROOF: era-1 files the DV did NOT touch leave
+        // the disk — the mirror reads touched files + index tables only
+        val vDel = Manifest.snapshotVersion(root)
+        Manifest.manifestRows(s, root, vDel)
+          .collect { case ("embeddings", f, st)
+            if st == null || !st.contains("__dv") => f }
+          .foreach(f => java.nio.file.Files.delete(
+            java.nio.file.Paths.get(root, f)))
+        val m1 = maintainAnnIndex(s, root, "ivfpq")
+        require(m1.exists(_._1 == 0L),
+          s"delete-mirror must index zero new vectors (got $m1)")
+        // a following append still folds O(delta) — the indexed era
+        // (partly gone from disk) is never re-read
+        Manifest.commitAppend(s, root, "embeddings",
+          e.filter(col("vec_id") > cutId).coalesce(2))
+        val n2 = e.filter(col("vec_id") > cutId).count()
+        val m2 = maintainAnnIndex(s, root, "ivfpq")
+        require(m2.exists(_._1 == n2),
+          s"post-mirror append must index exactly the delta (got $m2, want $n2)")
+        require(maintainAnnIndex(s, root, "ivfpq").isEmpty,
+          "re-driven maintenance must quiesce")
+        // in-plan: the mirror-maintained index answers EXACTLY what a
+        // recompute over the SURVIVING corpus answers
+        val queries = e.filter(col("vec_id") < 5)
+        val fromIdx = queryAnnIndex(s, root, "ivfpq", queries).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val rebuilt = adcScores(s, e.filter(!slice)).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        require(fromIdx.nonEmpty && fromIdx == rebuilt,
+          "mirror-maintained probe must equal the surviving-corpus recompute")
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("cand_id"))
+        val out = queryAnnIndex(s, root, "ivfpq", queries)
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("cand_id"), col("score_e4"),
+            col("rn").cast("int").as("rn"))
+          .orderBy("q_id", "rn").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(java.nio.file.Paths.get(root))
+        out
       })
   )
 
@@ -1284,18 +1394,23 @@ object Similarity {
     s"_annidx_$name"
   }
 
-  /** The codebook marker's text rendering — `src=`/`v=` header lines,
-    * then one `C|id|f,f,...` line per coarse centroid and one
+  /** The codebook marker's text rendering — `src=`/`v=`/`fp=` header
+    * lines, then one `C|id|f,f,...` line per coarse centroid and one
     * `P|m|pc|f,...` line per PQ sub-centroid. Floats round-trip
     * EXACTLY through Float.toString/toFloat, so a query against the
     * committed codebook scores bit-identically to one against the
     * trainer rows it was extracted from. `v` is the source version
-    * the index covers — the maintenance cursor. */
-  private def renderAnnMarker(srcTable: String, v: Long,
+    * the index covers — the maintenance cursor; `fp` fingerprints the
+    * source's (file, stats) rows AT that version, so a caught-up
+    * index can prove itself caught up even after VACUUM collected the
+    * cursor version's claim (the post-retention steady state: most
+    * maintenance polls find nothing pending and must not depend on
+    * aged-out history to say so). */
+  private def renderAnnMarker(srcTable: String, v: Long, fp: String,
                               coarse: Seq[(Long, Array[Float])],
                               pq: Seq[(Int, Long, Array[Float])]): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append(s"src=$srcTable\n").append(s"v=$v\n")
+    sb.append(s"src=$srcTable\n").append(s"v=$v\n").append(s"fp=$fp\n")
     coarse.sortBy(_._1).foreach { case (id, a) =>
       sb.append(s"C|$id|${a.mkString(",")}\n") }
     pq.sortBy(t => (t._1, t._2)).foreach { case (m, pc, a) =>
@@ -1303,13 +1418,24 @@ object Similarity {
     sb.toString.getBytes("UTF-8")
   }
 
+  /** Order-independent fingerprint of a table's (file, stats) manifest
+    * rows — SHA-256 over the sorted `file|stats` lines. */
+  private def annRowsFp(rows: Set[(String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.toSeq.map { case (f, st) => s"$f|${String.valueOf(st)}" }.sorted
+      .foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   private def parseAnnMarker(bytes: Array[Byte])
-      : (String, Long, Seq[(Long, Array[Float])], Seq[(Int, Long, Array[Float])]) = {
+      : (String, Long, Option[String],
+         Seq[(Long, Array[Float])], Seq[(Int, Long, Array[Float])]) = {
     val lines = new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
     val src = lines.find(_.startsWith("src=")).getOrElse(
       throw new IllegalStateException("corrupt ann marker: no src")).substring(4)
     val v = lines.find(_.startsWith("v=")).getOrElse(
       throw new IllegalStateException("corrupt ann marker: no v")).substring(2).toLong
+    val fp = lines.find(_.startsWith("fp=")).map(_.substring(3))
     val coarse = lines.filter(_.startsWith("C|")).toSeq.map { l =>
       val p = l.split("\\|")
       (p(1).toLong, p(2).split(",").map(_.toFloat))
@@ -1318,7 +1444,7 @@ object Similarity {
       val p = l.split("\\|")
       (p(1).toInt, p(2).toLong, p(3).split(",").map(_.toFloat))
     }
-    (src, v, coarse, pq)
+    (src, v, fp, coarse, pq)
   }
 
   /** Shared encode stage of the committed index: coarse cell per
@@ -1379,34 +1505,44 @@ object Similarity {
     } yield (m, id, a.slice(m * annSubDim, (m + 1) * annSubDim))
     val (cells, codes) = encodeAnn(s, e,
       coarse.toDF("c_id", "c_emb"), pq.toDF("cm", "pc", "cs"))
+    val fp = annRowsFp(Manifest.manifestRows(s, root, v)
+      .collect { case (t, f, st) if t == srcTable => (f, st) }.toSet)
     Manifest.commitAppendMulti(s, root,
       Seq((s"${name}_cells", cells, Seq("vec_id")),
         (s"${name}_codes", codes, Seq("vec_id"))),
       maxRetries = 5, txn = None,
       extras = Seq(annMarkerName(name) ->
-        renderAnnMarker(srcTable, v, coarse, pq)),
+        renderAnnMarker(srcTable, v, fp, coarse, pq)),
       validate = _ => require(
         Manifest.claimMarker(root, annMarkerName(name)).isEmpty,
         s"ann index $name already exists"))
   }
 
-  /** MAINTAIN the committed index O(delta) on append: the marker's
-    * cursor bounds the unindexed interval, [[Manifest.tableChanges]]
-    * reads EXACTLY the files that interval added (a rewrite interval
-    * refuses loudly toward a rebuild — compressed codes cannot be
-    * subtracted), the delta encodes against the COMMITTED codebook
-    * (never re-trained — codes stay comparable across eras), and the
-    * new cells/codes + advanced cursor land in ONE claim with
-    * claim-time cursor validation (a racing maintainer fails loudly,
-    * never double-indexes). A nothing-pending interval is a PURE
-    * no-op. Returns (vectors indexed, version), None when caught
-    * up. */
+  /** MAINTAIN the committed index O(delta) on append AND through
+    * merge-on-read DELETEs/UPDATEs: the marker's cursor bounds the
+    * unindexed interval. A pure-append interval reads EXACTLY the
+    * files it added ([[Manifest.tableChanges]]) and appends their
+    * codes. An interval with DV drift (GDPR erasure, in-place dedup,
+    * DV UPDATE) MIRRORS it: the row-level change feed — O(matched
+    * rows), touched files only — yields the doomed `vec_id`s, which
+    * DV-delete from `<name>_cells`/`<name>_codes` by semi-join (the
+    * [[Manifest.commitDeleteKeys]] shape), while the interval's
+    * surviving post-image rows encode against the COMMITTED codebook
+    * (never re-trained — codes stay comparable across eras); new
+    * codes, index DVs, and the advanced cursor land in ONE claim.
+    * Only a COPY-ON-WRITE rewrite (compaction, CoW DELETE/MERGE)
+    * still refuses toward a rebuild — there the old files leave the
+    * manifest and compressed codes genuinely cannot be subtracted.
+    * Claim-time cursor validation makes a racing maintainer fail
+    * loudly (never double-indexes); a nothing-pending interval is a
+    * PURE no-op. Returns (vectors newly indexed, version), None when
+    * caught up. */
   def maintainAnnIndex(s: org.apache.spark.sql.SparkSession, root: String,
                        name: String): Option[(Long, Long)] = {
     import s.implicits._
     val bytes = Manifest.claimMarker(root, annMarkerName(name)).getOrElse(
       throw new IllegalArgumentException(s"unknown ann index $name"))
-    val (srcTable, fromV, coarse, pq) = parseAnnMarker(bytes)
+    val (srcTable, fromV, markerFp, coarse, pq) = parseAnnMarker(bytes)
     val cur = Manifest.snapshotVersion(root)
     if (cur <= fromV) return None
     // metadata-only pending check FIRST: an interval whose commits
@@ -1414,42 +1550,127 @@ object Similarity {
     // source at all — tableChanges' empty-delta branch plans the FULL
     // file list for schema preservation, and the indexed era's files
     // need not even exist anymore (the q317/q328 proof device)
-    val beforeRows = Manifest.manifestRows(s, root, fromV)
-      .collect { case (t, f, st) if t == srcTable => (f, st) }.toSet
     val afterRows = Manifest.manifestRows(s, root, cur)
       .collect { case (t, f, st) if t == srcTable => (f, st) }.toSet
+    val afterFp = annRowsFp(afterRows)
+    // fingerprint compare FIRST: it proves caught-up without reading
+    // the cursor version's claim — which VACUUM may have collected
+    // (registrations outlive retention; their cursors must too)
+    if (markerFp.contains(afterFp)) return None
+    val beforeRows =
+      try Manifest.manifestRows(s, root, fromV)
+        .collect { case (t, f, st) if t == srcTable => (f, st) }.toSet
+      catch {
+        case e: Exception if markerFp.isDefined =>
+          // drifted source AND the cursor claim aged out of retention:
+          // the interval is no longer diffable — refuse toward rebuild
+          throw new IllegalArgumentException(
+            s"ann index $name: source $srcTable changed but v$fromV was " +
+              s"vacuumed — the interval cannot be diffed; rebuild the index",
+            e)
+      }
     if (beforeRows == afterRows) return None
-    require(beforeRows.subsetOf(afterRows),
+    // classification is by FILE PATHS: a DV step re-adds the same path
+    // with a grown `__dv` entry (mirrorable), a CoW rewrite removes
+    // paths (refuse — the codes of relocated rows cannot be subtracted)
+    require(beforeRows.map(_._1).subsetOf(afterRows.map(_._1)),
       s"ann index $name: ($fromV, $cur] contains a rewrite of $srcTable " +
         "— compressed codes cannot be subtracted; rebuild the index")
-    val (delta, pure) = Manifest.tableChanges(s, root, srcTable, fromV, cur)
-    require(pure,
-      s"ann index $name: ($fromV, $cur] contains a rewrite of $srcTable " +
-        "— compressed codes cannot be subtracted; rebuild the index")
-    val newE = delta.select("vec_id", "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = newE.count()
-      if (n == 0L) return None // interval touched other tables only
-      val (cells, codes) = encodeAnn(s, newE,
-        coarse.toDF("c_id", "c_emb"), pq.toDF("cm", "pc", "cs"))
-      val v = Manifest.commitAppendMulti(s, root,
-        Seq((s"${name}_cells", cells, Seq("vec_id")),
-          (s"${name}_codes", codes, Seq("vec_id"))),
-        maxRetries = 5, txn = None,
-        extras = Seq(annMarkerName(name) ->
-          renderAnnMarker(srcTable, cur, coarse, pq)),
-        validate = _ => {
-          val now = Manifest.claimMarker(root, annMarkerName(name))
-            .map(parseAnnMarker)
-          if (!now.exists(_._2 == fromV))
-            throw new IllegalStateException(
-              s"ann index $name advanced concurrently (cursor " +
-                s"${now.map(_._2).getOrElse(-1L)}, this maintenance read " +
-                s"from $fromV) — re-drive")
-        })
-      Some((n, v))
-    } finally newE.unpersist()
+    val cursorGuard: Long => Unit = _ => {
+      val now = Manifest.claimMarker(root, annMarkerName(name))
+        .map(parseAnnMarker)
+      if (!now.exists(_._2 == fromV))
+        throw new IllegalStateException(
+          s"ann index $name advanced concurrently (cursor " +
+            s"${now.map(_._2).getOrElse(-1L)}, this maintenance read " +
+            s"from $fromV) — re-drive")
+    }
+    val marker = Seq(annMarkerName(name) ->
+      renderAnnMarker(srcTable, cur, afterFp, coarse, pq))
+    if (beforeRows.subsetOf(afterRows)) {
+      // pure append: the fast path — encode exactly the added files
+      val (delta, pure) = Manifest.tableChanges(s, root, srcTable, fromV, cur)
+      require(pure, s"ann index $name: interval drifted during maintenance")
+      val newE = delta.select("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = newE.count()
+        if (n == 0L) return None // interval touched other tables only
+        val (cells, codes) = encodeAnn(s, newE,
+          coarse.toDF("c_id", "c_emb"), pq.toDF("cm", "pc", "cs"))
+        val v = Manifest.commitAppendMulti(s, root,
+          Seq((s"${name}_cells", cells, Seq("vec_id")),
+            (s"${name}_codes", codes, Seq("vec_id"))),
+          maxRetries = 5, txn = None, extras = marker,
+          validate = cursorGuard)
+        Some((n, v))
+      } finally newE.unpersist()
+    } else {
+      // DV-drift interval: mirror it. The feed prices the DV steps
+      // O(matched rows) reading TOUCHED files only; per vec_id the
+      // newest event wins, an insert beating a same-version delete
+      // (an UPDATE's post-image outlives its pre-image)
+      val feed = Manifest.readChangeFeed(s, root, srcTable, fromV, cur)
+        .select(col("vec_id"), col("embedding"),
+          col("_change_type"), col("_commit_version"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var presentRef: Option[DataFrame] = None
+      try {
+        val dels = feed.filter(col("_change_type") === "delete")
+          .select("vec_id").distinct()
+        val wFin = Window.partitionBy(col("vec_id")).orderBy(
+          col("_commit_version").desc,
+          when(col("_change_type") === "insert", 1).otherwise(0).desc)
+        val present = feed.withColumn("rn", row_number().over(wFin))
+          .filter(col("rn") === 1 && col("_change_type") === "insert")
+          .select("vec_id", "embedding")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        presentRef = Some(present)
+        val nNew = present.count()
+        // any vec_id with a delete event sheds its committed index
+        // rows — a semi-join DV on both index tables (doomed keys stay
+        // distributed; never-indexed keys match nothing). A re-insert
+        // (UPDATE / resurrect) lands again via `present` in this claim.
+        def expect(t: String) = Manifest.manifestRows(s, root, cur)
+          .collect { case (`t`, f, _) => f }.toSet
+        val tables = Seq(s"${name}_cells", s"${name}_codes")
+        val expected = tables.map(t => t -> expect(t)).toMap
+        val mirrored = tables.flatMap(t =>
+          Manifest.dvRowsForKeys(s, root, t, dels, Seq("vec_id"), cur))
+        val dvAdds = mirrored.flatMap(_._1)
+        val dvRemoves = mirrored.flatMap(_._2)
+        if (nNew == 0L && dvAdds.isEmpty) return None
+        val batches =
+          if (nNew == 0L) Nil
+          else {
+            val (cells, codes) = encodeAnn(s, present,
+              coarse.toDF("c_id", "c_emb"), pq.toDF("cm", "pc", "cs"))
+            Seq((s"${name}_cells", cells, Seq("vec_id")),
+              (s"${name}_codes", codes, Seq("vec_id")))
+          }
+        val v = Manifest.commitAppendMulti(s, root, batches,
+          maxRetries = 5, txn = None, extras = marker,
+          validate = base => {
+            cursorGuard(base)
+            // the DV rows were rendered at `cur`: a concurrent write
+            // to the index tables themselves (compaction, manual DML)
+            // would make them stale — fail loudly, re-drive
+            tables.foreach { t =>
+              val now = Manifest.manifestRows(s, root, base)
+                .collect { case (`t`, f, _) => f }.toSet
+              if (now != expected(t))
+                throw new IllegalStateException(
+                  s"ann index $name: $t changed under the delete-mirror " +
+                    "— re-drive")
+            }
+          },
+          adds = dvAdds, removes = dvRemoves)
+        Some((nNew, v))
+      } finally {
+        presentRef.foreach(_.unpersist())
+        feed.unpersist()
+      }
+    }
   }
 
   /** QUERY the committed index: probes come from the marker's
@@ -1467,7 +1688,7 @@ object Similarity {
     import s.implicits._
     val bytes = Manifest.claimMarker(root, annMarkerName(name)).getOrElse(
       throw new IllegalArgumentException(s"unknown ann index $name"))
-    val (_, _, coarse, pq) = parseAnnMarker(bytes)
+    val (_, _, _, coarse, pq) = parseAnnMarker(bytes)
     val cents = coarse.toDF("c_id", "c_emb")
     val pcent = pq.toDF("cm", "pc", "cs")
     val cells = Manifest.readTable(s, root, s"${name}_cells")

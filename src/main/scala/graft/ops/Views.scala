@@ -127,13 +127,21 @@ object Views {
     *
     * `prep` receives the signed feed (row columns plus `_w` = ±1) and
     * must return (key columns..., `v`, `_w`); the maintained view is
-    * per-key (`sum_v` = Σ v·w, `n_v` = Σ w). Exactly-once via the
+    * per-key (`sumAlias` = Σ v·w, `cntAlias` = Σ w) — the STORED
+    * column names are the caller's declared aliases (a mview's
+    * `SUM(v) AS total_v` must serve `total_v`, not an internal name),
+    * defaulting to the classic `sum_v`/`n_v`. Exactly-once via the
     * destination txn ledger, like every consumer. Returns
     * (sourceVersion, dstVersion), or None when already current. */
   def refreshAggFromFeed(s: SparkSession, srcRoot: String, srcTable: String,
                          dstRoot: String, dstTable: String, appId: String,
-                         keyCols: Seq[String])(
+                         keyCols: Seq[String], sumAlias: String = "sum_v",
+                         cntAlias: String = "n_v")(
       prep: DataFrame => DataFrame): Option[(Long, Long)] = {
+    require(sumAlias != cntAlias && !keyCols.contains(sumAlias) &&
+      !keyCols.contains(cntAlias),
+      s"refreshAggFromFeed: aliases ($sumAlias, $cntAlias) must be " +
+        s"distinct from each other and from the keys (${keyCols.mkString(",")})")
     val from = Manifest.lastCommittedTxn(dstRoot, appId).getOrElse(0L)
     val to = Manifest.snapshotVersion(srcRoot)
     require(from <= to,
@@ -145,13 +153,13 @@ object Views {
         when(col("_change_type") === "insert", 1L).otherwise(-1L))
     val keyed = prep(signed)
     val delta = keyed.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("v") * col("_w")).as("sum_v"), sum(col("_w")).as("n_v"))
+      .agg(sum(col("v") * col("_w")).as(sumAlias), sum(col("_w")).as(cntAlias))
     val next = (if (from > 0)
         Manifest.readTable(s, dstRoot, dstTable).unionByName(delta)
       else delta)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum("sum_v").as("sum_v"), sum("n_v").as("n_v"))
-      .filter(col("n_v") > 0)
+      .agg(sum(sumAlias).as(sumAlias), sum(cntAlias).as(cntAlias))
+      .filter(col(cntAlias) > 0)
     try {
       val dstV = Manifest.commitReplace(s, dstRoot, dstTable, next,
         txn = Some(appId -> to))

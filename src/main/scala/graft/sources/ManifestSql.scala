@@ -2635,8 +2635,9 @@ object ManifestSql {
   private def refreshMview(spark: SparkSession, root: String,
                            name: String): DataFrame = {
     import spark.implicits._
-    val (src, keys, valExpr, _, _) = Manifest.mviewDefs(root).getOrElse(name,
-      throw new IllegalArgumentException(s"unknown materialized view $name"))
+    val (src, keys, valExpr, sumAlias, cntAlias) =
+      Manifest.mviewDefs(root).getOrElse(name,
+        throw new IllegalArgumentException(s"unknown materialized view $name"))
     val appId = s"mview-$name"
     // metadata precheck: view and source share ONE root, so the
     // view's own replace commit advances the source version — an
@@ -2654,7 +2655,7 @@ object ManifestSql {
       return Seq((name, -1L, -1L, "NOOP"))
         .toDF("view_name", "src_version", "view_version", "status")
     graft.ops.Views.refreshAggFromFeed(spark, root, src, root, name,
-      appId, keys)(signed =>
+      appId, keys, sumAlias, cntAlias)(signed =>
       signed.select(keys.map(col) ++
         Seq(expr(valExpr).as("v"), col("_w")): _*)) match {
       case Some((srcV, dstV)) =>
@@ -5742,9 +5743,11 @@ object ManifestSql {
           del == "REFRESHED" && re == "NOOP",
           s"refresh classes must be bootstrap/incremental/delete/noop " +
             s"(got $boot/$inc/$del/$re)")
+        // the content serves the DECLARED aliases — `SUM(v) AS
+        // total_v` stores total_v, not an internal name
         val out = Manifest.readTable(s, root, "user_mv")
-          .select(col("user_id"), col("n_v").cast("bigint").as("n_events"),
-            col("sum_v").cast("double").as("total_v"))
+          .select(col("user_id"), col("n_events").cast("bigint").as("n_events"),
+            col("total_v").cast("double").as("total_v"))
           .orderBy("user_id").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out

@@ -1325,6 +1325,16 @@ class DmlSpec extends SparkSuite {
     ManifestSql.runDml(spark, root, "DROP STREAM s1")
     ManifestSql.runDml(spark, root, "ALTER TABLE live SWAP WITH stage") // works again
     assert(Manifest.readTable(spark, root, "live").count() == 1L)
+    // a MATERIALIZED VIEW binding either side refuses like streams —
+    // its txn ledger cursors the NAME's commit history, and a refresh
+    // after the swap would absorb the flip as a whole-table delta
+    ManifestSql.runDml(spark, root,
+      """CREATE MATERIALIZED VIEW mv9 AS
+        |SELECT k, SUM(v) AS sv, COUNT(*) AS n FROM live GROUP BY k""".stripMargin)
+    ManifestSql.runDml(spark, root, "REFRESH MATERIALIZED VIEW mv9")
+    refuse("ALTER TABLE live SWAP WITH stage")
+    refuse("ALTER TABLE mv9 SWAP WITH stage") // the view's CONTENT table
+    ManifestSql.runDml(spark, root, "DROP MATERIALIZED VIEW mv9")
   }
 
   test("materialized view statements: IVM through deletes, quiet NOOP, refusals") {
@@ -1339,6 +1349,9 @@ class DmlSpec extends SparkSuite {
     def refresh() = ManifestSql.runDml(spark, root,
       "REFRESH MATERIALIZED VIEW mv").collect()(0).getString(3)
     assert(refresh() == "REFRESHED")
+    // the content table serves the DECLARED aliases, not internal names
+    assert(Manifest.readTable(spark, root, "mv").columns.toSeq ==
+      Seq("k", "sv", "n"))
     val got0 = Manifest.readTable(spark, root, "mv").collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(got0 == Map(1L -> (30.0, 2L), 2L -> (5.0, 1L)))
@@ -1365,6 +1378,9 @@ class DmlSpec extends SparkSuite {
     refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, SUM(v) AS s, COUNT(*) AS n FROM nope GROUP BY k")
     refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, AVG(v) AS s, COUNT(*) AS n FROM src GROUP BY k")
     refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, SUM(v) AS s, COUNT(*) AS n FROM src GROUP BY k, v")
+    // an alias colliding with a key (or its sibling) cannot be stored
+    refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, SUM(v) AS k, COUNT(*) AS n FROM src GROUP BY k")
+    refuse("CREATE MATERIALIZED VIEW m2 AS SELECT k, SUM(v) AS s, COUNT(*) AS s FROM src GROUP BY k")
     refuse("REFRESH MATERIALIZED VIEW nope")
     refuse("DROP MATERIALIZED VIEW nope")
     ManifestSql.runDml(spark, root, "DROP MATERIALIZED VIEW mv")
@@ -1410,12 +1426,19 @@ class DmlSpec extends SparkSuite {
     refuse(s"COPY INTO t FROM '$stage' MATCH_BY_COLUMN_NAME = SOMETIMES")
   }
 
-  test("stream/task/mview registrations survive vacuum (marker carry)") {
+  test("stream/task/mview/annidx registrations survive vacuum (marker carry)") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
       Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
-    // register all three object families, then push their claims
-    // below the retention floor with data commits
+    // the ANN index's codebook marker is a registration like the
+    // others: losing it to vacuum would orphan the cells/codes tables
+    Manifest.commitAppend(spark, root, "emb",
+      (0L until 12L).map(i =>
+        (i, Array.tabulate(64)(j => ((i * 7 + j) % 11 + 1).toFloat)))
+        .toDF("vec_id", "embedding").coalesce(1))
+    graft.ops.Similarity.buildAnnIndex(spark, root, "emb", "ix1")
+    // register all three SQL object families, then push every
+    // registration claim below the retention floor with data commits
     ManifestSql.runDml(spark, root,
       """CREATE STREAM s1 ON TABLE t;
         |CREATE TASK tk1 AS INSERT INTO t SELECT 99, 9.9;
@@ -1429,13 +1452,29 @@ class DmlSpec extends SparkSuite {
     assert(Manifest.streamDef(root, "s1").exists(_._1 == "t"))
     assert(Manifest.taskDefs(root).contains("tk1"))
     assert(Manifest.mviewDefs(root).contains("mv1"))
-    // and they still WORK, not just list: consume, execute, refresh
+    // and they still WORK, not just list: execute, refresh, probe (the
+    // codebook decodes the surviving cells/codes) + maintain quiesce.
+    // The STREAM's registration survives but its offset history aged
+    // below the retention floor — consumption reports STALENESS loudly
+    // (the Snowflake contract), and a re-created stream serves again
+    val stale = intercept[IllegalStateException] {
+      ManifestSql.runDml(spark, root,
+        "SELECT k FROM s1 WHERE _change_type = 'insert'").count()
+    }
+    assert(stale.getMessage.contains("STALE"))
+    ManifestSql.runDml(spark, root, "DROP STREAM s1; CREATE STREAM s1 ON TABLE t")
+    Manifest.commitAppend(spark, root, "t",
+      Seq((77L, 7.7)).toDF("k", "v").coalesce(1))
     assert(ManifestSql.runDml(spark, root,
-      "SELECT k FROM s1 WHERE _change_type = 'insert'").count() >= 1L)
+      "SELECT k FROM s1 WHERE _change_type = 'insert'").count() == 1L)
     assert(ManifestSql.runDml(spark, root, "EXECUTE TASK tk1")
       .collect()(0).getString(2) == "OK")
     assert(ManifestSql.runDml(spark, root, "REFRESH MATERIALIZED VIEW mv1")
       .collect()(0).getString(3) == "REFRESHED")
+    val probe = graft.ops.Similarity.queryAnnIndex(spark, root, "ix1",
+      Manifest.readTable(spark, root, "emb").filter(col("vec_id") < 2))
+    assert(probe.count() > 0L)
+    assert(graft.ops.Similarity.maintainAnnIndex(spark, root, "ix1").isEmpty)
   }
 
   test("composite-key MERGE: sibling keys untouched, dup refusal per COMPLETE key") {

@@ -235,14 +235,35 @@ class SchemaDdlSpec extends SparkSuite {
     // DDL time, not at first read
     assert(refuse("ALTER TABLE t ADD COLUMN n INT DEFAULT 'abc'")
       .contains("does not cast"))
-    // a literal NULL default is legal (explicitly registered)
+    // a literal NULL default is legal (explicitly registered) — and so
+    // is a TYPED null: CAST(NULL AS STRING) folds to null through the
+    // cast chain, exactly as legal as the bare form
     ManifestSql.runDml(spark, root,
       "ALTER TABLE t ADD COLUMN tag STRING DEFAULT NULL")
     assert(Manifest.readTable(spark, root, "t").head().isNullAt(2))
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t ADD COLUMN tag2 STRING DEFAULT CAST(NULL AS STRING)")
+    assert(Manifest.readTable(spark, root, "t").head().isNullAt(3))
     // positional omission of a NON-default column still refuses
     Manifest.commitAppend(spark, root, "u",
       Seq((1L, 10.0)).toDF("k", "v").coalesce(1))
     assert(refuse("INSERT INTO u SELECT 2")
       .contains("no DEFAULT"))
+  }
+
+  test("ADD COLUMN DEFAULT on a table whose file set empties reads clean") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      "ALTER TABLE t ADD COLUMN cur STRING DEFAULT 'USD'")
+    // a copy-on-write DELETE of every row leaves ZERO files — the
+    // default-branching read must serve the empty schema'd frame, not
+    // throw on an empty reduce
+    Manifest.commitDeleteWhere(spark, root, "t",
+      Seq(Manifest.Pred("k", "0", "100", "bigint")), col("k") < 100L)
+    val out = Manifest.readTable(spark, root, "t")
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("k", "v", "cur"))
   }
 }

@@ -169,10 +169,30 @@ class SimilaritySpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Similarity.maintainAnnIndex(spark, root, "nope")
     }
-    // a REWRITE of the source refuses toward a rebuild (compressed
-    // codes cannot be subtracted): delete one row merge-on-read
+    // a merge-on-read DELETE now MIRRORS (q337): vec 40's committed
+    // cells/codes rows DV out in the same claim as the cursor advance,
+    // zero new vectors index, and the re-drive quiesces
     Manifest.commitDeleteVectors(spark, root, "embeddings",
       col("vec_id") === 40L)
+    val m = Similarity.maintainAnnIndex(spark, root, "idx")
+    assert(m.exists(_._1 == 0L))
+    assert(Manifest.readTable(spark, root, "idx_cells")
+      .filter(col("vec_id") === 40L).count() == 0L)
+    assert(Manifest.readTable(spark, root, "idx_codes")
+      .filter(col("vec_id") === 40L).count() == 0L)
+    assert(Similarity.maintainAnnIndex(spark, root, "idx").isEmpty)
+    // a DV UPDATE re-indexes the post-image: the pre-image's index
+    // rows DV out and exactly ONE live cells row remains for the key
+    Manifest.commitUpdateVectors(spark, root, "embeddings",
+      col("vec_id") === 41L,
+      Map("embedding" -> expr("transform(embedding, x -> -x)")))
+    val mu = Similarity.maintainAnnIndex(spark, root, "idx")
+    assert(mu.exists(_._1 == 1L))
+    assert(Manifest.readTable(spark, root, "idx_cells")
+      .filter(col("vec_id") === 41L).count() == 1L)
+    // a COPY-ON-WRITE rewrite (compaction relocates every row) still
+    // refuses toward a rebuild — compressed codes cannot be subtracted
+    Manifest.compactTable(spark, root, "embeddings", 1L << 30)
     val ex = intercept[IllegalArgumentException] {
       Similarity.maintainAnnIndex(spark, root, "idx")
     }
