@@ -547,8 +547,17 @@ object Manifest {
           }
         }
       }
+      // commit wall-time rides INSIDE the claim (`_ts`): dir mtimes do
+      // not survive export/replication, and TIMESTAMP AS OF on a
+      // promoted replica must resolve the SOURCE's history clock — a
+      // caller that carries a foreign clock (replication) supplies its
+      // own `_ts` and wins
+      val stamped =
+        if (payload0.extras.exists(_._1 == "_ts")) payload0.extras
+        else payload0.extras :+
+          ("_ts" -> System.currentTimeMillis().toString.getBytes("UTF-8"))
       val payload = payload0.copy(extras =
-        payload0.extras :+ ("_op" -> op.getBytes("UTF-8")))
+        stamped :+ ("_op" -> op.getBytes("UTF-8")))
       if (tryClaim(s, root, version, payload)) {
         // a pending entry is discharged when ITS files get claimed —
         // never by commit boundaries (a registration claim nested
@@ -839,17 +848,24 @@ object Manifest {
   // --------------------------------------------- timestamp time travel
 
   /** Readable versions with MONOTONIC commit wall-clocks. The raw
-    * signal is each claim dir's mtime (set by the atomic claim
-    * rename); like Delta's commit-file timestamps these can regress
-    * (clock skew, replication re-writing dirs), so each version's
-    * time is adjusted to `max(own, predecessor)` — resolution below
-    * is then well-defined even over a skewed history. */
+    * signal is the `_ts` marker each claim stamps at commit time —
+    * in-claim, so export/replication ship it and a promoted replica
+    * serves the SOURCE's history clock (dir mtimes, the pre-`_ts`
+    * vintage fallback, read "copy o'clock" after any relocation);
+    * like Delta's commit-file timestamps these can regress (clock
+    * skew), so each version's time is adjusted to `max(own,
+    * predecessor)` — resolution below is then well-defined even over
+    * a skewed history. */
   private def versionTimes(root: String): Seq[(Long, Long)] = {
     val vs = claimedVersions(root).filter(mainVisible(root, _))
     var prev = Long.MinValue
     vs.map { v =>
-      val raw = Files.getLastModifiedTime(
-        Paths.get(root, "manifest", s"v$v")).toMillis
+      val tsFile = Paths.get(root, "manifest", s"v$v", "_ts")
+      val raw =
+        if (Files.exists(tsFile))
+          new String(Files.readAllBytes(tsFile), "UTF-8").trim.toLong
+        else Files.getLastModifiedTime(
+          Paths.get(root, "manifest", s"v$v")).toMillis
       prev = math.max(prev, raw)
       (v, prev)
     }
@@ -6196,10 +6212,14 @@ object Manifest {
     }
     val txnExtrasOut =
       txnLedgerExtras(root, exclude = txnApp.map(txnMarker).getOrElse(""))
+    // the destination v1 carries the SOURCE snapshot's commit clock —
+    // TIMESTAMP AS OF on the promoted environment resolves the history
+    // instant the data actually represents, not "export o'clock"
+    val tsExtra = Seq("_ts" -> commitTimeMs(root, v).toString.getBytes("UTF-8"))
     if (!tryClaim(s, destRoot, 1L,
       Payload(rows.map { case (t, f, st) => ("add", t, f, st) }, None,
         schemaExtras ++ checkExtrasOut ++ registryMarkers(root) ++
-          txnExtrasOut ++ txnExtras(txnApp.map(_ -> v)))))
+          txnExtrasOut ++ txnExtras(txnApp.map(_ -> v)) ++ tsExtra)))
       throw new IllegalStateException(
         s"exportSnapshot: $destRoot already has a v1 claim")
     advancePointer(destRoot, 1L)
@@ -6317,7 +6337,12 @@ object Manifest {
           deltaOrFull(s, destRoot, base, Nil, changed, removed ++ readds)
             .copy(extras = schemaExtras ++ checkDelta ++
               registryDelta(root, destRoot) ++ srcLedger ++
-              txnExtras(Some(appId -> srcV)))
+              txnExtras(Some(appId -> srcV)) ++
+              // the sync claim carries the SOURCE snapshot's commit
+              // clock: TIMESTAMP AS OF on the replica resolves the
+              // history instant the shipped rows represent
+              Seq("_ts" -> commitTimeMs(root, srcV).toString
+                .getBytes("UTF-8")))
         }, maxRetries)
         (copied, bytes)
     }

@@ -2526,6 +2526,10 @@ object ManifestSql {
     "(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+VERSION\\s+AS\\s+OF\\s+([0-9]+)".r
   private val TimestampAsOfRe =
     "(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+  // the Snowflake spelling of the same travel — `t AT (TIMESTAMP => 'ts')`
+  private val AtTimestampRe =
+    ("(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s+AT\\s*\\(\\s*TIMESTAMP\\s*=>" +
+      "\\s*'([^']+)'\\s*\\)").r
 
   private def parseTsMillis(spark: SparkSession, text: String): Long = {
     val fmt = new java.time.format.DateTimeFormatterBuilder()
@@ -2568,7 +2572,9 @@ object ManifestSql {
         }
     }
     val afterV = rewrite(sql, VersionAsOfRe, _.toLong)
-    rewrite(afterV, TimestampAsOfRe,
+    val afterT = rewrite(afterV, TimestampAsOfRe,
+      ts => Manifest.versionAsOf(root, parseTsMillis(spark, ts)))
+    rewrite(afterT, AtTimestampRe,
       ts => Manifest.versionAsOf(root, parseTsMillis(spark, ts)))
   }
 
@@ -5800,8 +5806,71 @@ object ManifestSql {
           .orderBy("trans_id").localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
+      }),
+
+    // ----- AT (TIMESTAMP => ...) on a PROMOTED REPLICA (q338):
+    //       commit wall-time rides INSIDE each claim (`_ts`), so
+    //       replication ships the SOURCE's history clock and the
+    //       replica resolves the same instants the source would —
+    //       the DR drill an mtime-based clock fails (every shipped
+    //       claim would read "copy o'clock" and a mid-history probe
+    //       would grab the wrong version). Fixture: bootstrap
+    //       replicate at era-1, incremental sync after era-2, probe
+    //       the REPLICA at the source's era-1 instant with the
+    //       Snowflake AT (TIMESTAMP => ...) spelling; in-plan asserts
+    //       pin clock preservation verbatim and pre-history refusal.
+    //       Oracle recomputes era-1's per-user window from raw
+    //       events — a probe resolving era-2 (clock lost) doubles
+    //       some user's counts. -----
+    Q("q338_sql_at_timestamp_replica",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val tmp = Files.createTempDirectory("graft-sql-atreplica")
+        val src = s"$tmp/src"; val dst = s"$tmp/dst"
+        Manifest.commitAppend(s, src, "events_log",
+          ev.filter(col("ts") < cut).coalesce(2))
+        Manifest.replicateSnapshot(s, src, dst) // bootstrap at era-1's instant
+        Thread.sleep(20) // distinct wall-clock instants across the eras
+        Manifest.commitAppend(s, src, "events_log",
+          ev.filter(col("ts") >= cut).coalesce(2))
+        Manifest.replicateSnapshot(s, src, dst) // sync carries era-2's instant
+        val t1 = Manifest.commitTimeMs(src, 1L)
+        require(Manifest.commitTimeMs(dst, 1L) == t1 &&
+          Manifest.commitTimeMs(dst, 2L) == Manifest.commitTimeMs(src, 2L),
+          "replica lost the source's commit clock")
+        // an instant before the source's first commit refuses loudly
+        val early = intercept0(Manifest.versionAsOf(dst, t1 - 10000L))
+        require(early, "pre-history instant must refuse")
+        // probe the replica AT the source's era-1 instant
+        val instant = java.time.Instant.ofEpochMilli(t1)
+          .atZone(Manifest.sessionZone(s)).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS", java.util.Locale.ROOT))
+        val out = runDml(s, dst,
+          s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(value) AS DOUBLE) AS total_v
+             |FROM events_log AT (TIMESTAMP => '$instant')
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+          .localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(tmp)
+        out
       })
   )
+
+  /** True when `body` throws IllegalArgumentException — an inline
+    * refusal probe for query fixtures (spec interceptors are not in
+    * scope in src/main). */
+  private def intercept0(body: => Any): Boolean =
+    try { val _ = body; false }
+    catch { case _: IllegalArgumentException => true }
 
   /** q281's root: the q236 CDC-mirror fixture driven ENTIRELY by
     * statement text — source commits land under `src/` exactly as in

@@ -763,6 +763,10 @@ class DmlSpec extends SparkSuite {
       .toLocalDateTime.format(java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss.SSS", java.util.Locale.ROOT))
     assert(n(s"SELECT count(*) AS n FROM t TIMESTAMP AS OF '$lit1'") == 1L)
+    // the Snowflake spelling resolves through the same path
+    assert(n(s"SELECT count(*) AS n FROM t AT (TIMESTAMP => '$lit1')") == 1L)
+    assert(n("SELECT count(*) AS n FROM " +
+      s"(SELECT * FROM t AT (TIMESTAMP => '$lit1'))") == 1L)
     // a clause-shaped STRING LITERAL is left alone
     val s0 = ManifestSql.runDml(spark, root,
       "SELECT 'x VERSION AS OF 1' AS s").collect()(0).getString(0)
