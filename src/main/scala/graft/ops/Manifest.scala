@@ -4149,14 +4149,33 @@ object Manifest {
     * opened, rows closed). */
   def applyChangesScd2(s: SparkSession, srcRoot: String, srcTable: String,
                        dstRoot: String, dstTable: String,
-                       keyCol: String): Option[(Long, Long)] = {
+                       keyCol: String): Option[(Long, Long)] =
+    applyChangesScd2(s, srcRoot, srcTable, dstRoot, dstTable, Seq(keyCol))
+
+  /** Composite-key form of [[applyChangesScd2]]: netting, the per-key
+    * timeline (`lead`), open-row closes, and the merge identity all
+    * run per COMPLETE key tuple — sibling keys sharing a column value
+    * never interfere (the q323/q324 `keyCols` discipline raised to
+    * the history-keeping tier). The single-key delegate above keeps
+    * its output bit-unchanged: same `__hkey = key:start_v` surrogate,
+    * same merge key. Composite histories merge on the REAL columns
+    * `(keys..., __start_v)` — a separator-string surrogate could
+    * alias two tuples whose values contain the separator — while
+    * `__hkey` (concat_ws of key parts + start_v) stays as the
+    * human-readable row identity. */
+  def applyChangesScd2(s: SparkSession, srcRoot: String, srcTable: String,
+                       dstRoot: String, dstTable: String,
+                       keyCols: Seq[String]): Option[(Long, Long)] = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"applyChangesScd2: key columns must be non-empty and distinct ($keyCols)")
     val appId = s"applyscd2-$dstTable"
     val fromV = lastCommittedTxn(dstRoot, appId).getOrElse(0L)
     val to = snapshotVersion(srcRoot)
     if (to <= fromV) return None
+    val keyC = keyCols.map(col)
     val feed = readChangeFeed(s, srcRoot, srcTable, fromV, to)
     val wKV = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol), col("_commit_version"))
+      .partitionBy(keyC :+ col("_commit_version"): _*)
       .orderBy(when(col("_change_type") === "insert", 1).otherwise(0).desc)
     val kv = feed.withColumn("_rn", row_number().over(wKV))
       .filter(col("_rn") === 1).drop("_rn")
@@ -4165,37 +4184,46 @@ object Manifest {
       val dataCols = kv.columns
         .filterNot(c => c == "_change_type" || c == "_commit_version")
       val wK = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(keyCol)).orderBy(col("_commit_version"))
+        .partitionBy(keyC: _*).orderBy(col("_commit_version"))
       val timeline = kv
         .withColumn("__end_v", lead(col("_commit_version"), 1).over(wK))
         .withColumn("_firstv", min(col("_commit_version")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
-      val hkey = concat(col(keyCol).cast("string"), lit(":"),
-        col("__start_v").cast("string"))
+          org.apache.spark.sql.expressions.Window.partitionBy(keyC: _*)))
+      val hkey = // single-key form kept literally bit-unchanged (concat
+        // nulls out on a NULL key where concat_ws would skip it)
+        if (keyCols.size == 1)
+          concat(keyC.head.cast("string"), lit(":"),
+            col("__start_v").cast("string"))
+        else concat_ws(":",
+          keyC.map(_.cast("string")) :+ col("__start_v").cast("string"): _*)
       val newRows = timeline.filter(col("_change_type") === "insert")
         .select(dataCols.toIndexedSeq.map(col) :+
           col("_commit_version").as("__start_v") :+ col("__end_v"): _*)
         .withColumn("__hkey", hkey)
-      val firstPerKey = timeline.select(col(keyCol), col("_firstv")).distinct()
+      val firstPerKey = timeline.select(keyC :+ col("_firstv"): _*).distinct()
       val dstV = snapshotVersion(dstRoot)
       val dstExists = dstV > 0 &&
         manifestRows(s, dstRoot, dstV).exists(_._1 == dstTable)
+      // merge identity: the surrogate for single keys (bit-unchanged
+      // legacy), the real (keys..., __start_v) tuple for composites
+      val mergeKeys =
+        if (keyCols.size == 1) Seq("__hkey") else keyCols :+ "__start_v"
       // empty-feed interval → pure no-op (see applyChangesInto): no
       // empty commit, ledger untouched, statement re-drives quiesce
       if (dstExists && kv.isEmpty) return Some((0L, 0L))
       if (!dstExists) {
         val nNew = newRows.count()
         try commitAppendStats(s, dstRoot, dstTable, newRows,
-          Seq("__hkey", keyCol), "__hkey", 1, txn = Some(appId -> to))
+          Seq("__hkey") ++ keyCols, "__hkey", 1, txn = Some(appId -> to))
         catch { case _: TxnAlreadyCommitted => () }
         Some((nNew, 0L))
       } else {
         // close the open rows of affected keys at their first event
         // version; the closed images REPLACE the open rows (same
-        // __hkey) in the same merge that lands the new intervals
+        // merge identity) in the same merge that lands the new intervals
         val closed = readTable(s, dstRoot, dstTable)
           .filter(col("__end_v").isNull)
-          .join(firstPerKey, Seq(keyCol), "inner")
+          .join(firstPerKey, keyCols, "inner")
           .withColumn("__end_v", col("_firstv")).drop("_firstv")
         // the (opened, closed) report rides OBSERVE metrics on the
         // merge's own first pass (its key-bounds aggregate pins the
@@ -4210,8 +4238,8 @@ object Manifest {
           .observe(obs, count(lit(1)).as("n_total"),
             sum(col("__cl")).as("n_closed"))
           .drop("__cl")
-        try commitMergeUpsert(s, dstRoot, dstTable, batch, "__hkey",
-          txn = Some(appId -> to))
+        try commitMergeUpsert(s, dstRoot, dstTable, batch, mergeKeys,
+          maxRetries = 5, txn = Some(appId -> to), allowEvolution = false)
         catch { case _: TxnAlreadyCommitted => () }
         val m = obs.get
         val nTotal = m("n_total").asInstanceOf[Long]

@@ -1589,12 +1589,8 @@ object ManifestSql {
               .getOrElse(Seq((0L, 0L, "NOOP")))
               .toDF("rows_upserted", "rows_deleted", "status")
           case 2 =>
-            require(keyCols.size == 1,
-              "APPLY CHANGES ... SCD TYPE 2 supports a single key column " +
-                s"(got ${keyCols.mkString(", ")}) — the __hkey surrogate " +
-                "is key:start_v")
             Manifest.applyChangesScd2(spark, srcRoot, srcTable,
-              dstRoot, dstTable, keyCols.head)
+              dstRoot, dstTable, keyCols)
               .map { case (o, c) =>
                 Seq((o, c, if (o == 0L && c == 0L) "NOOP" else "APPLIED")) }
               .getOrElse(Seq((0L, 0L, "NOOP")))
@@ -5862,6 +5858,57 @@ object ManifestSql {
           .localCheckpoint(true)
         graft.ops.Staging.deleteRecursively(tmp)
         out
+      }),
+
+    // ----- SCD TYPE 2 over a COMPOSITE key (q339): the q282 history
+    //       mirror keyed (user_id, event_type) — netting, the per-key
+    //       timeline, open-row closes, and the merge identity all run
+    //       per COMPLETE pair; the interval changes ONLY ('click',
+    //       user%3) pairs and deletes ONLY ('view', user%5) pairs, so
+    //       a keying bug that matches on user_id alone closes or
+    //       rewrites a sibling pair's history. Oracle derives each
+    //       pair's expected (n_rows, has_open, cur_tv) from raw
+    //       events with the same scoping — a cross-pair interference
+    //       shifts some sibling's triple and breaks the hash. -----
+    Q("q339_sql_scd2_composite_key",
+      Some("""WITH u1 AS (SELECT user_id, event_type,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00'
+             |  GROUP BY user_id, event_type),
+             |u2 AS (SELECT user_id, event_type,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tv
+             |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-11 00:00:00'
+             |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-21 00:00:00'
+             |    AND event_type = 'click' AND user_id % 3 = 0
+             |  GROUP BY user_id, event_type)
+             |SELECT user_id, event_type,
+             |  CAST(CASE WHEN u1.n IS NOT NULL AND u2.n IS NOT NULL
+             |    AND (u1.n <> u2.n OR u1.tv <> u2.tv) THEN 2 ELSE 1 END AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN user_id % 5 = 0 AND event_type = 'view'
+             |    THEN 0 ELSE 1 END AS BIGINT) AS has_open,
+             |  CAST(CASE WHEN user_id % 5 = 0 AND event_type = 'view' THEN -1
+             |    ELSE CAST(coalesce(u2.tv, u1.tv) AS DOUBLE) END AS DOUBLE) AS cur_tv
+             |FROM u1 FULL OUTER JOIN u2 USING (user_id, event_type)
+             |ORDER BY user_id, event_type""".stripMargin),
+      (s, dir) => {
+        val root = sqlScd2CompositeRoot(s, dir)
+        val re = runDml(s, root,
+          "APPLY CHANGES INTO dst.acct_hist FROM src.acct " +
+            "KEYS (user_id, event_type) STORED AS SCD TYPE 2").collect()(0)
+        require(re.getString(2) == "NOOP",
+          s"re-driven composite SCD2 must be a NOOP, reported $re")
+        register(s, s"$root/dst", "acct_hist", "scd2ck_sql_hist")
+        val out = runDml(s, s"$root/dst",
+          """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(max(CASE WHEN __end_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS has_open,
+            |  coalesce(CAST(max(CASE WHEN __end_v IS NULL THEN tv END) AS DOUBLE), -1.0D) AS cur_tv
+            |FROM scd2ck_sql_hist GROUP BY user_id, event_type
+            |ORDER BY user_id, event_type""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("scd2ck_sql_hist")
+        out
       })
   )
 
@@ -5944,6 +5991,49 @@ object ManifestSql {
       val re = runDml(s, tmp, stmt).collect()(0)
       require(re.getString(2) == "NOOP",
         s"staging bug: scd2 re-drive reported $re")
+    }
+  }
+
+  /** q339's root: the SCD2 fixture raised to a COMPOSITE key — the
+    * source is keyed (user_id, event_type), the incremental interval
+    * changes ONLY the 'click' rows of user_id%3 users and DV-deletes
+    * ONLY the 'view' rows of user_id%5 users, so any keying bug that
+    * matches on one column alone closes or rewrites a SIBLING pair's
+    * history (same user, other event_type) and the oracle hash
+    * breaks. Reports asserted per drive: bootstrap opened, the
+    * incremental opened AND closed, the re-drive NOOP'd. */
+  def sqlScd2CompositeRoot(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Staging.fingerprintOf(dir, Seq("events"))
+    graft.ops.Staging.ensure(
+      s"target/graft-sql-scd2ck/$fp-${Manifest.layoutKey}") { tmp =>
+      val src = s"$tmp/src"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("value"), col("ts"))
+      val a = lit("2024-01-11 00:00:00").cast("timestamp")
+      val b = lit("2024-01-21 00:00:00").cast("timestamp")
+      def st(df: DataFrame) = df.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum("value").cast("decimal(18,4)").as("tv"))
+      Manifest.commitAppendStats(s, src, "acct",
+        st(ev.filter(col("ts") < a)), Seq("user_id"), "user_id", 4)
+      val stmt = "APPLY CHANGES INTO dst.acct_hist FROM src.acct " +
+        "KEYS (user_id, event_type) STORED AS SCD TYPE 2"
+      val boot = runDml(s, tmp, stmt).collect()(0)
+      require(boot.getString(2) == "APPLIED" && boot.getLong(0) > 0,
+        s"staging bug: composite scd2 bootstrap reported $boot")
+      val _ = Manifest.commitMergeUpsert(s, src, "acct",
+        st(ev.filter(col("ts") >= a && col("ts") < b &&
+          col("user_id") % 3 === 0 && col("event_type") === "click")),
+        Seq("user_id", "event_type"), maxRetries = 5, txn = None,
+        allowEvolution = false)
+      val _2 = Manifest.commitDeleteVectors(s, src, "acct",
+        col("user_id") % 5 === 0 && col("event_type") === "view")
+      val inc = runDml(s, tmp, stmt).collect()(0)
+      require(inc.getLong(0) > 0 && inc.getLong(1) > 0,
+        s"staging bug: composite scd2 incremental should open AND close, got $inc")
+      val re = runDml(s, tmp, stmt).collect()(0)
+      require(re.getString(2) == "NOOP",
+        s"staging bug: composite scd2 re-drive reported $re")
     }
   }
 

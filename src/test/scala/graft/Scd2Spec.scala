@@ -116,4 +116,51 @@ class Scd2Spec extends SparkSuite {
       .toSet
     assert(rows == Set((1.0, 1L, Some(2L)), (5.0, 3L, None)), rows.toString)
   }
+
+  test("composite keys: sibling pairs independent; single-key output bit-unchanged") {
+    // --- composite: (a, b) is the key; a=1 appears under two b values
+    val (src, dst) = freshRoots()
+    Manifest.commitAppendStats(spark, src, "t",
+      Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+        .toDF("a", "b", "v"), Seq("a"), "a", 1)                        // v1
+    assert(Manifest.applyChangesScd2(spark, src, "t", dst, "h",
+      Seq("a", "b")).contains((3L, 0L)))
+    // update ONLY (1, x); delete ONLY (2, x): the sibling (1, y) must
+    // keep its ORIGINAL open interval — a single-column keying bug
+    // would close or rewrite it
+    Manifest.commitMergeUpsert(spark, src, "t",
+      Seq((1L, "x", 11.0)).toDF("a", "b", "v"), Seq("a", "b"),
+      maxRetries = 5, txn = None, allowEvolution = false)              // v2
+    Manifest.commitDeleteVectors(spark, src, "t",
+      col("a") === 2L && col("b") === "x")                             // v3
+    assert(Manifest.applyChangesScd2(spark, src, "t", dst, "h",
+      Seq("a", "b")).contains((1L, 2L)))
+    val rows = Manifest.readTable(spark, dst, "h")
+      .select("a", "b", "v", "__start_v", "__end_v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(rows == Set(
+      (1L, "x", 10.0, 1L, Some(2L)), // updated pair: first image closed
+      (1L, "x", 11.0, 2L, None),     // ...and its new open interval
+      (1L, "y", 20.0, 1L, None),     // SIBLING pair untouched, still open
+      (2L, "x", 30.0, 1L, Some(3L))  // deleted pair closed, no successor
+    ), rows.toString)
+    // __hkey carries every key part (human-readable row identity)
+    val hkeys = Manifest.readTable(spark, dst, "h")
+      .select("__hkey").as[String].collect().toSet
+    assert(hkeys == Set("1:x:1", "1:x:2", "1:y:1", "2:x:1"), hkeys.toString)
+    // re-drive quiesces
+    assert(Manifest.applyChangesScd2(spark, src, "t", dst, "h",
+      Seq("a", "b")).isEmpty)
+    // --- single-key path is the one-element delegate: same __hkey
+    // format, same history rows as the q264 pipeline always produced
+    val (src2, dst2) = freshRoots()
+    Manifest.commitAppendStats(spark, src2, "t",
+      Seq((1L, 1.0)).toDF("k", "v"), Seq("k"), "k", 1)
+    Manifest.applyChangesScd2(spark, src2, "t", dst2, "h", Seq("k"))
+    val hk = Manifest.readTable(spark, dst2, "h")
+      .select("__hkey").as[String].collect().toSeq
+    assert(hk == Seq("1:1"), hk.toString)
+  }
 }
