@@ -1118,18 +1118,29 @@ object Manifest {
   }
 
   private val streamJsonRe =
-    """\{"table":"([A-Za-z0-9_.-]+)","offset":(\d+)\}""".r
+    """\{"table":"([A-Za-z0-9_.-]+)","offset":(\d+)(?:,"mode":"(append_only)")?\}""".r
 
   /** The stream's (source table, last-consumed version), or None if
     * the name was never created or was dropped. */
   def streamDef(root: String, name: String): Option[(String, Long)] =
+    streamDefFull(root, name).map { case (t, o, _) => (t, o) }
+
+  /** Full stream definition: (source table, last-consumed version,
+    * APPEND_ONLY?). Pre-mode markers parse as full-feed streams. */
+  def streamDefFull(root: String, name: String): Option[(String, Long, Boolean)] =
     claimMarkers(root, streamMarkerName(name))
       .get(streamMarkerName(name)).filter(_.nonEmpty)
       .map(b => new String(b, "UTF-8") match {
-        case streamJsonRe(t, o) => (t, o.toLong)
+        case streamJsonRe(t, o, m) => (t, o.toLong, m != null)
         case other => throw new IllegalStateException(
           s"corrupt stream marker for $name: $other")
       })
+
+  private def streamMarkerJson(table: String, offset: Long,
+                               appendOnly: Boolean): Array[Byte] =
+    (s"""{"table":"$table","offset":$offset""" +
+      (if (appendOnly) ""","mode":"append_only"}""" else "}"))
+      .getBytes("UTF-8")
 
   /** All live stream names of `root` (enumeration for the SQL
     * rewrite and SHOW STREAMS). Memoized by (root, version): the SQL
@@ -1320,11 +1331,16 @@ object Manifest {
   // ------------------------------------------------- named tasks (DAGs)
 
   /** Claim-sidecar marker of a named TASK (Snowflake `CREATE TASK t
-    * [AFTER dep] AS <statement>`): first line `after=<dep or ->`, the
-    * rest is the task's single-statement body verbatim. The
-    * reference's whole operating model is a scheduler submitting
-    * statements — tasks are that DAG as warehouse objects: AFTER
-    * edges form the graph, EXECUTE TASK runs a task and its
+    * [SCHEDULE = '<cron>'] [AFTER dep] AS <statement>`): first line
+    * `after=<dep or ->`, second line `sched=<cron or ->` (markers of
+    * the pre-schedule vintage omit it — the parser treats a line-2
+    * without the `sched=` prefix as the body), the rest is the task's
+    * single-statement body verbatim. The reference's whole operating
+    * model is a cron-driven scheduler submitting statements — tasks
+    * are that DAG as warehouse objects: AFTER edges form the graph,
+    * SCHEDULE carries the cron text the reference keeps in its DAG
+    * files (execution stays driver-side per SURVEY §2.1 O7 — the
+    * reference's own split), EXECUTE TASK runs a task and its
     * descendants in dependency order. Newest wins; empty bytes =
     * DROP TASK tombstone; carried by vacuum, shipped by
     * replication. */
@@ -1334,8 +1350,10 @@ object Manifest {
     s"_task_$name"
   }
 
-  /** All live tasks of `root`: name → (AFTER dependency, body). */
-  def taskDefs(root: String): Map[String, (Option[String], String)] =
+  /** All live tasks of `root`:
+    * name → (AFTER dependency, SCHEDULE cron, body). */
+  def taskDefsFull(root: String)
+      : Map[String, (Option[String], Option[String], String)] =
     claimMarkers(root, "_task_").collect {
       case (n, b) if b.nonEmpty =>
         val text = new String(b, "UTF-8")
@@ -1346,19 +1364,56 @@ object Manifest {
           case "-" => None
           case d => Some(d)
         }
-        n.substring("_task_".length) -> (dep, text.substring(nl + 1))
+        val rest = text.substring(nl + 1)
+        val (sched, body) =
+          if (rest.startsWith("sched=")) {
+            val nl2 = rest.indexOf('\n')
+            require(nl2 > 0, s"corrupt task marker $n")
+            (rest.substring(6, nl2).trim match {
+              case "-" => None
+              case c => Some(c)
+            }, rest.substring(nl2 + 1))
+          } else (None, rest) // pre-schedule vintage
+        n.substring("_task_".length) -> ((dep, sched, body))
     }
 
-  /** `CREATE TASK name [AFTER dep] AS <statement>` — one metadata
-    * claim. Existing names refuse (DROP TASK first); an AFTER
-    * dependency must already exist (a dangling edge would silently
-    * never run), and the new edge must not close a cycle (walk the
-    * AFTER chain — it is acyclic by induction, so the walk
-    * terminates). */
+  /** All live tasks of `root`: name → (AFTER dependency, body). */
+  def taskDefs(root: String): Map[String, (Option[String], String)] =
+    taskDefsFull(root).map { case (n, (dep, _, body)) => n -> ((dep, body)) }
+
+  /** Shape-validate a 5-field cron expression (minute hour
+    * day-of-month month day-of-week; `*`, lists, ranges, steps) —
+    * CREATE-time refusal, the q330 discipline: a typo'd schedule must
+    * die at registration, not silently never fire in the driver. */
+  private def validateCron(name: String, text: String): Unit = {
+    val field = "(\\*|[0-9]+(-[0-9]+)?)(/[0-9]+)?" +
+      "(,(\\*|[0-9]+(-[0-9]+)?)(/[0-9]+)?)*"
+    val fields = text.trim.split("\\s+")
+    require(fields.length == 5 && fields.forall(_.matches(field)),
+      s"CREATE TASK $name: SCHEDULE must be a 5-field cron " +
+        s"(minute hour day-of-month month day-of-week), got '$text'")
+  }
+
+  /** `CREATE TASK name [SCHEDULE = '<cron>'] [AFTER dep] AS
+    * <statement>` — one metadata claim. Existing names refuse (DROP
+    * TASK first); an AFTER dependency must already exist (a dangling
+    * edge would silently never run), and the new edge must not close
+    * a cycle (walk the AFTER chain — it is acyclic by induction, so
+    * the walk terminates). SCHEDULE and AFTER are mutually exclusive
+    * (the Snowflake rule: a task fires on its own clock OR on its
+    * predecessor's completion, never both); the cron text
+    * shape-validates at CREATE. */
   def createTask(s: SparkSession, root: String, name: String,
                  after: Option[String], sql: String,
+                 schedule: Option[String] = None,
                  maxRetries: Int = 5): Long = {
     require(sql.trim.nonEmpty, s"CREATE TASK $name: empty body")
+    require(!sql.trim.startsWith("sched="),
+      s"CREATE TASK $name: body cannot start with the reserved token 'sched='")
+    require(after.isEmpty || schedule.isEmpty,
+      s"CREATE TASK $name: SCHEDULE and AFTER are mutually exclusive — " +
+        "a task fires on its own clock or on its predecessor's completion")
+    schedule.foreach(validateCron(name, _))
     casCommit(s, root, { base =>
       val defs = taskDefs(root)
       require(!defs.contains(name),
@@ -1373,7 +1428,9 @@ object Manifest {
       }
       deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
         taskMarkerName(name) ->
-          s"after=${after.getOrElse("-")}\n$sql".getBytes("UTF-8")))
+          (s"after=${after.getOrElse("-")}\n" +
+            s"sched=${schedule.map(_.trim).getOrElse("-")}\n$sql")
+            .getBytes("UTF-8")))
     }, maxRetries)
   }
 
@@ -1394,21 +1451,24 @@ object Manifest {
         taskMarkerName(name) -> Array.empty[Byte]))
     }, maxRetries)
 
-  /** `CREATE STREAM name ON TABLE t` — one metadata claim registering
-    * the cursor at the CURRENT version (the stream starts empty: only
-    * commits after creation are changes, the Snowflake contract).
-    * Existing names refuse (DROP STREAM first); the table must
-    * exist. */
+  /** `CREATE STREAM name ON TABLE t [APPEND_ONLY = TRUE]` — one
+    * metadata claim registering the cursor at the CURRENT version
+    * (the stream starts empty: only commits after creation are
+    * changes, the Snowflake contract). APPEND_ONLY marks the
+    * ingest-pipeline default mode: reads filter to appended rows and
+    * rewrite intervals SKIP (cursor still advances) instead of
+    * feeding deletes downstream. Existing names refuse (DROP STREAM
+    * first); the table must exist. */
   def createStream(s: SparkSession, root: String, name: String,
-                   table: String, maxRetries: Int = 5): Long =
+                   table: String, appendOnly: Boolean = false,
+                   maxRetries: Int = 5): Long =
     casCommit(s, root, { base =>
       require(base > 0 && manifestRows(s, root, base).exists(_._1 == table),
         s"CREATE STREAM: no table $table in $root")
       require(streamDef(root, name).isEmpty,
         s"stream $name already exists (DROP STREAM first)")
       deltaOrFull(s, root, base, Nil, Nil).copy(extras = Seq(
-        streamMarkerName(name) ->
-          s"""{"table":"$table","offset":$base}""".getBytes("UTF-8")))
+        streamMarkerName(name) -> streamMarkerJson(table, base, appendOnly)))
     }, maxRetries)
 
   /** `DROP STREAM name` — tombstone claim; unknown names refuse
@@ -1437,7 +1497,7 @@ object Manifest {
     val hint = nextVersion(root)
     val relFiles = publishData(s, root, hint, table, batch)
     val newRows = relFiles.map(f => (table, f, null: String))
-    val srcTable = streamDef(root, name).map(_._1).getOrElse(
+    val (srcTable, _, appendOnly) = streamDefFull(root, name).getOrElse(
       throw new IllegalArgumentException(s"unknown stream $name"))
     casCommit(s, root, { base =>
       val cur = streamDef(root, name)
@@ -1448,7 +1508,7 @@ object Manifest {
             s"from $fromOffset) — re-read the stream")
       deltaOrFull(s, root, base, Nil, newRows).copy(extras = Seq(
         streamMarkerName(name) ->
-          s"""{"table":"$srcTable","offset":$toOffset}""".getBytes("UTF-8")))
+          streamMarkerJson(srcTable, toOffset, appendOnly)))
     }, maxRetries)
   }
 
@@ -4012,6 +4072,58 @@ object Manifest {
           emit(before.exceptAll(after), "delete", v)
           emit(after.exceptAll(before), "insert", v)
         }
+      }
+      prev = cur
+    }
+    out.getOrElse {
+      readTable(s, root, table, to).filter(lit(false))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    }
+  }
+
+  /** APPEND-ONLY change feed — the Snowflake APPEND_ONLY stream mode,
+    * the ingest-pipeline default: ONLY rows appended by pure-append
+    * commits are emitted (tagged `_change_type = 'insert'`); a step
+    * with any removal or stats drift (DV DELETE/UPDATE, CoW rewrite,
+    * compaction) contributes NOTHING and is SKIPPED rather than
+    * erroring or feeding deletes downstream — update post-images are
+    * deliberately NOT emitted (they are not appends; Snowflake's
+    * contract). Costs O(appended files in the interval); rewrite
+    * steps cost the metadata compare only. Same staleness rule as
+    * [[readChangeFeed]]: a vacuumed from-version refuses loudly. */
+  def readAppendFeed(s: SparkSession, root: String, table: String,
+                     fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion > 0) toVersion else snapshotVersion(root)
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"readAppendFeed: bad interval ($fromVersion, $to]")
+    val steps = claimedVersions(root)
+      .filter(v => v > fromVersion && v <= to && mainVisible(root, v))
+    val pin = registeredSchema(s, root, table, to)
+    def rowsAt(v: Long): Seq[(String, String)] =
+      if (v == 0) Seq.empty
+      else if (!manifestReadable(root, v))
+        throw new IllegalStateException(
+          s"append feed for $table from v$v: that version's manifest " +
+            "was vacuumed — the feed is STALE; re-create the consumer " +
+            "on the surviving history")
+      else manifestRows(s, root, v).collect { case (t, f, st) if t == table => (f, st) }
+    var prev = rowsAt(fromVersion)
+    var out: Option[DataFrame] = None
+    steps.foreach { v =>
+      val cur = rowsAt(v)
+      if (cur != prev) {
+        val prevByPath = prev.toMap
+        val curByPath = cur.toMap
+        val added = cur.filterNot { case (f, _) => prevByPath.contains(f) }
+        val pureAppend = prev.forall { case (f, st) =>
+          curByPath.get(f).contains(st) }
+        if (pureAppend && added.nonEmpty) {
+          val tagged = readResolved(s, root, added, pin)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+          out = Some(out.fold(tagged)(_.unionByName(tagged)))
+        } // else: rewrite interval — skip, nothing was APPENDED
       }
       prev = cur
     }

@@ -1216,32 +1216,40 @@ object ManifestSql {
         last = Manifest.tableHistory(spark, root)
       case ShowTablesRe() =>
         last = Manifest.listTables(spark, root)
-      case CreateStreamRe(name, table) =>
-        // CREATE STREAM s ON TABLE t: register a named change-feed
-        // cursor at the CURRENT version (the stream starts empty —
-        // only commits after creation are changes, the Snowflake
-        // contract); SELECT ... FROM s serves the feed since the
-        // cursor, a consuming INSERT advances it with its own commit
-        Manifest.createStream(spark, root, name, table)
+      case CreateStreamRe(name, table, appendOnly) =>
+        // CREATE STREAM s ON TABLE t [APPEND_ONLY = TRUE]: register a
+        // named change-feed cursor at the CURRENT version (the stream
+        // starts empty — only commits after creation are changes, the
+        // Snowflake contract); SELECT ... FROM s serves the feed since
+        // the cursor, a consuming INSERT advances it with its own
+        // commit; APPEND_ONLY reads filter to appended rows and SKIP
+        // rewrite intervals (the ingest-pipeline default mode)
+        Manifest.createStream(spark, root, name, table,
+          appendOnly = Option(appendOnly)
+            .exists(_.equalsIgnoreCase("TRUE")))
         last = spark.emptyDataFrame
       case DropStreamRe(name) =>
         Manifest.dropStream(spark, root, name)
         last = spark.emptyDataFrame
-      case CreateTaskRe(name, dep, body) =>
-        // CREATE TASK t [AFTER dep] AS <statement>: the reference's
-        // DAG model as warehouse objects — one registered statement
-        // per task, AFTER edges form the graph, EXECUTE TASK runs a
-        // task and its descendants in dependency order
-        Manifest.createTask(spark, root, name, Option(dep), body.trim)
+      case CreateTaskRe(name, sched, dep, body) =>
+        // CREATE TASK t [SCHEDULE = '<cron>'] [AFTER dep] AS <stmt>:
+        // the reference's DAG model as warehouse objects — one
+        // registered statement per task, AFTER edges form the graph,
+        // SCHEDULE carries the cron text (validated at CREATE; the
+        // reference's own DAGs are literally cron-driven), EXECUTE
+        // TASK runs a task and its descendants in dependency order
+        Manifest.createTask(spark, root, name, Option(dep), body.trim,
+          schedule = Option(sched))
         last = spark.emptyDataFrame
       case DropTaskRe(name) =>
         Manifest.dropTask(spark, root, name)
         last = spark.emptyDataFrame
       case ShowTasksRe() =>
         last = { import spark.implicits._
-          Manifest.taskDefs(root).toSeq.sortBy(_._1)
-            .map { case (n, (dep, sql)) => (n, dep.getOrElse(""), sql) }
-            .toDF("name", "after", "definition") }
+          Manifest.taskDefsFull(root).toSeq.sortBy(_._1)
+            .map { case (n, (dep, sched, sql)) =>
+              (n, dep.getOrElse(""), sched.getOrElse(""), sql) }
+            .toDF("name", "after", "schedule", "definition") }
       case ExecuteTaskRe(name) =>
         last = executeTask(spark, root, name)
       case SwapRe(a, b) =>
@@ -1291,9 +1299,9 @@ object ManifestSql {
         last = { import spark.implicits._
           Manifest.streamNames(root)
             .map { n =>
-              val (t, off) = Manifest.streamDef(root, n).get
-              (n, t, off)
-            }.toDF("name", "table_name", "offset").orderBy("name") }
+              val (t, off, ao) = Manifest.streamDefFull(root, n).get
+              (n, t, off, if (ao) "APPEND_ONLY" else "DEFAULT")
+            }.toDF("name", "table_name", "offset", "mode").orderBy("name") }
       case DropTableRe(table) =>
         Manifest.commitDropTable(spark, root, table)
         last = spark.emptyDataFrame
@@ -1797,12 +1805,13 @@ object ManifestSql {
   private val ShowTablesRe = "(?is)^SHOW\\s+TABLES\\s*$".r
   private val CreateStreamRe =
     ("(?is)^CREATE\\s+STREAM\\s+([A-Za-z0-9_]+)\\s+ON\\s+TABLE\\s+" +
-      "([A-Za-z0-9_.-]+)\\s*$").r
+      "([A-Za-z0-9_.-]+)(?:\\s+APPEND_ONLY\\s*=\\s*(TRUE|FALSE))?\\s*$").r
   private val DropStreamRe =
     "(?is)^DROP\\s+STREAM\\s+([A-Za-z0-9_]+)\\s*$".r
   private val ShowStreamsRe = "(?is)^SHOW\\s+STREAMS\\s*$".r
   private val CreateTaskRe =
     ("(?is)^CREATE\\s+TASK\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+SCHEDULE\\s*=\\s*'([^']+)')?" +
       "(?:\\s+AFTER\\s+([A-Za-z0-9_]+))?\\s+AS\\s+(.+)$").r
   private val ExecuteTaskRe =
     "(?is)^EXECUTE\\s+TASK\\s+([A-Za-z0-9_]+)\\s*$".r
@@ -2715,10 +2724,13 @@ object ManifestSql {
                                   name: String, table: String,
                                   query: String): DataFrame = {
     import spark.implicits._
-    val (srcTable, offset) = Manifest.streamDef(root, name).getOrElse(
-      throw new IllegalArgumentException(s"unknown stream $name"))
+    val (srcTable, offset, appendOnly) =
+      Manifest.streamDefFull(root, name).getOrElse(
+        throw new IllegalArgumentException(s"unknown stream $name"))
     val cur = Manifest.snapshotVersion(root)
-    val feed = Manifest.readChangeFeed(spark, root, srcTable, offset, cur)
+    val feed = (if (appendOnly)
+        Manifest.readAppendFeed(spark, root, srcTable, offset, cur)
+      else Manifest.readChangeFeed(spark, root, srcTable, offset, cur))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (cur <= offset || feed.isEmpty)
@@ -2773,11 +2785,12 @@ object ManifestSql {
     names.foreach { n =>
       val positions = topLevelPositions(out, n.toLowerCase)
       if (positions.nonEmpty) {
-        val (t, off) = Manifest.streamDef(root, n).get
+        val (t, off, ao) = Manifest.streamDefFull(root, n).get
         val cur = Manifest.snapshotVersion(root)
         val view = s"${n}__stream_" +
           f"${root.hashCode & 0xffffff}%06x_${changesNonce.incrementAndGet()}"
-        Manifest.readChangeFeed(spark, root, t, off, cur)
+        (if (ao) Manifest.readAppendFeed(spark, root, t, off, cur)
+         else Manifest.readChangeFeed(spark, root, t, off, cur))
           .createOrReplaceTempView(view)
         created += view
         positions.sorted.reverse.foreach(p =>
@@ -5908,6 +5921,155 @@ object ManifestSql {
             |ORDER BY user_id, event_type""".stripMargin)
           .localCheckpoint(true)
         s.catalog.dropTempView("scd2ck_sql_hist")
+        out
+      }),
+
+    // ----- CREATE TASK ... SCHEDULE = '<cron>' (q340): the last
+    //       orchestration-surface asymmetry — the reference's DAGs
+    //       are literally cron-driven, so the task OBJECT must carry
+    //       the cron text: SCHEDULE registers in the `_task_` marker
+    //       (shape-validated at CREATE — a typo'd schedule dies at
+    //       registration, not by silently never firing), SHOW TASKS
+    //       serves it, EXECUTE TASK stays manual (schedule EXECUTION
+    //       is out-of-engine per SURVEY §2.1 O7 — the reference's own
+    //       split). In-plan asserts pin the SHOW TASKS graph
+    //       (schedule on the root, AFTER edges on the children),
+    //       bad-cron refusal, SCHEDULE+AFTER mutual exclusion, and
+    //       the diamond's execution order. Oracle recomputes the
+    //       per-type rollup the graph materializes. -----
+    Q("q340_sql_task_schedule",
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            col("value").cast("decimal(18,4)").as("v"))
+        val root = Files.createTempDirectory("graft-sql-tasksched").toString
+        Manifest.commitAppend(s, root, "fact", ev.limit(0).coalesce(1))
+        Manifest.commitAppend(s, root, "bytype",
+          ev.groupBy("event_type").agg(count(lit(1)).as("n_events"),
+            sum("v").cast("decimal(18,4)").as("tv")).limit(0).coalesce(1))
+        Manifest.commitAppend(s, root, "audit",
+          Seq.empty[Long].toDF("n_loaded").coalesce(1))
+        ev.createOrReplaceTempView("task_src_q340")
+        register(s, root, "fact", "fact_live_q340")
+        runDml(s, root,
+          """CREATE TASK t_ing SCHEDULE = '7 3 * * *' AS INSERT INTO fact
+            |  SELECT event_type, v FROM task_src_q340;
+            |CREATE TASK t_by AFTER t_ing AS INSERT INTO bytype
+            |  SELECT event_type, count(*), CAST(sum(v) AS DECIMAL(18,4))
+            |  FROM fact_live_q340 GROUP BY event_type;
+            |CREATE TASK t_cnt AFTER t_ing AS INSERT INTO audit
+            |  SELECT count(*) FROM fact_live_q340""".stripMargin)
+        // SHOW TASKS serves the registered graph: cron on the root,
+        // AFTER edges (and no cron) on the children
+        val shown = runDml(s, root, "SHOW TASKS").collect()
+          .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+        require(shown == Map(
+          "t_ing" -> ("" -> "7 3 * * *"),
+          "t_by" -> ("t_ing" -> ""), "t_cnt" -> ("t_ing" -> "")),
+          s"SHOW TASKS must serve the scheduled diamond (got $shown)")
+        // CREATE-time refusals: malformed cron, SCHEDULE+AFTER combo
+        require(intercept0(runDml(s, root,
+          "CREATE TASK t_bad SCHEDULE = '7 3 * *' AS SELECT 1")),
+          "a 4-field cron must refuse at CREATE")
+        require(intercept0(runDml(s, root,
+          "CREATE TASK t_bad SCHEDULE = 'every 5 minutes' AS SELECT 1")),
+          "a non-cron schedule must refuse at CREATE")
+        require(intercept0(runDml(s, root,
+          "CREATE TASK t_bad SCHEDULE = '7 3 * * *' AFTER t_ing AS SELECT 1")),
+          "SCHEDULE and AFTER together must refuse")
+        // execution stays manual and respects the AFTER order
+        val rep = runDml(s, root, "EXECUTE TASK t_ing").collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSeq
+        val audited = Manifest.readTable(s, root, "audit").head().getLong(0)
+        require(rep == Seq(("t_ing", 1), ("t_by", 2), ("t_cnt", 3)) &&
+          audited == ev.count(),
+          s"scheduled diamond must execute ing -> {by, cnt} (got $rep)")
+        val out = Manifest.readTable(s, root, "bytype")
+          .select(col("event_type"), col("n_events"),
+            col("tv").cast("double").as("total_v"))
+          .orderBy("event_type").localCheckpoint(true)
+        s.catalog.dropTempView("task_src_q340")
+        s.catalog.dropTempView("fact_live_q340")
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- APPEND_ONLY streams (q341): the ingest-pipeline default
+    //       stream mode — reads serve ONLY appended rows and a
+    //       rewrite interval (DV UPDATE + DV DELETE here) SKIPS
+    //       (cursor still advances) instead of feeding deletes or
+    //       update post-images downstream. The timeline plants the
+    //       exact bug the oracle catches: a consumer that filtered
+    //       the FULL feed to inserts would ingest the UPDATE's
+    //       post-image (+100) rows — in-plan asserts pin that the
+    //       full feed carries them (insert count > appended count,
+    //       delete rows flagged) while the append-only feed is
+    //       exactly the appended set, Snowflake's appended-then-
+    //       deleted rows included. Consumption lands the rows and
+    //       advances the cursor in one claim; the re-drive NOOPs.
+    //       Oracle: the whole corpus at ORIGINAL values. -----
+    Q("q341_sql_append_only_stream",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val root = Files.createTempDirectory("graft-sql-aostream").toString
+        Manifest.commitAppend(s, root, "events_log", ev.limit(0).coalesce(1))
+        runDml(s, root,
+          """CREATE STREAM s_ao ON TABLE events_log APPEND_ONLY = TRUE;
+            |CREATE STREAM s_full ON TABLE events_log""".stripMargin)
+        Manifest.commitAppend(s, root, "events_log",
+          ev.filter(col("ts") < cut).coalesce(2))
+        runDml(s, root,
+          "UPDATE events_log SET value = value + 100 WHERE user_id % 7 = 3")
+        runDml(s, root, "DELETE FROM events_log WHERE user_id % 7 = 5")
+        Manifest.commitAppend(s, root, "events_log",
+          ev.filter(col("ts") >= cut).coalesce(2))
+        val nAppended = ev.count()
+        // the FULL feed flags the rewrite interval (delete rows) and
+        // carries the update post-images; the APPEND_ONLY feed is
+        // exactly the appended set
+        val fullByType = runDml(s, root,
+          "SELECT _change_type, count(*) AS n FROM s_full GROUP BY _change_type")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(fullByType.getOrElse("delete", 0L) > 0L,
+          "full-feed stream must flag the rewrite interval's deletes")
+        require(fullByType.getOrElse("insert", 0L) > nAppended,
+          "full feed must carry update post-images append-only skips")
+        val aoCnt = runDml(s, root, "SELECT count(*) AS n FROM s_ao")
+          .collect()(0).getLong(0)
+        require(aoCnt == nAppended,
+          s"append-only must serve exactly the appended rows " +
+            s"(got $aoCnt, want $nAppended)")
+        val modes = runDml(s, root, "SHOW STREAMS").collect()
+          .map(r => r.getString(0) -> r.getString(3)).toMap
+        require(modes == Map("s_ao" -> "APPEND_ONLY", "s_full" -> "DEFAULT"),
+          s"SHOW STREAMS must serve the mode (got $modes)")
+        // consume-on-commit + re-drive quiesce
+        Manifest.commitAppend(s, root, "tgt",
+          ev.select("user_id", "value").limit(0).coalesce(1))
+        val rep = runDml(s, root,
+          "INSERT INTO tgt SELECT user_id, value FROM s_ao").collect()(0)
+        require(rep.getString(4) == "APPLIED" && rep.getLong(1) == nAppended,
+          s"append-only consumption must land the appended set (got $rep)")
+        val re = runDml(s, root,
+          "INSERT INTO tgt SELECT user_id, value FROM s_ao").collect()(0)
+        require(re.getString(4) == "NOOP",
+          s"re-driven append-only consumption must NOOP (got $re)")
+        val out = Manifest.readTable(s, root, "tgt")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("value").cast("double").as("total_v"))
+          .orderBy("user_id").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })
   )

@@ -1266,6 +1266,33 @@ class DmlSpec extends SparkSuite {
     }
   }
 
+  test("APPEND_ONLY stream skips rewrite intervals the full feed flags") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    ManifestSql.runDml(spark, root,
+      """CREATE STREAM ao ON TABLE t APPEND_ONLY = TRUE;
+        |CREATE STREAM ff ON TABLE t""".stripMargin)
+    Manifest.commitAppend(spark, root, "t",
+      Seq((2L, 2.0), (3L, 3.0)).toDF("k", "v").coalesce(1))
+    // DV DELETE between the two appends: the append-only consumer must
+    // see ONLY the appended rows — the appended-then-deleted row
+    // included (Snowflake's contract) — while the full feed flags the
+    // interval with its delete row
+    Manifest.commitDeleteVectors(spark, root, "t", col("k") === 2L)
+    Manifest.commitAppend(spark, root, "t",
+      Seq((4L, 4.0)).toDF("k", "v").coalesce(1))
+    val ao = ManifestSql.runDml(spark, root,
+      "SELECT k, _change_type FROM ao").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ao == Set((2L, "insert"), (3L, "insert"), (4L, "insert")), ao)
+    val ff = ManifestSql.runDml(spark, root,
+      "SELECT k, _change_type FROM ff").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ff == Set((2L, "insert"), (3L, "insert"), (4L, "insert"),
+      (2L, "delete")), ff)
+  }
+
   test("named tasks: subtree execution, refusal classes, SHOW TASKS") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "log",
@@ -1297,6 +1324,18 @@ class DmlSpec extends SparkSuite {
     refuse("DROP TASK a") // b runs AFTER it
     refuse("DROP TASK nope")
     refuse("EXECUTE TASK nope")
+    // SCHEDULE: registers (lists, ranges, steps), serves via SHOW
+    // TASKS; malformed cron and SCHEDULE+AFTER both refuse at CREATE
+    ManifestSql.runDml(spark, root,
+      "CREATE TASK sch1 SCHEDULE = '*/5 2-4 1,15 * 0' AS SELECT 1 AS x")
+    val schRow = ManifestSql.runDml(spark, root, "SHOW TASKS")
+      .filter(col("name") === "sch1").collect()(0)
+    assert(schRow.getString(1) == "" &&
+      schRow.getString(2) == "*/5 2-4 1,15 * 0")
+    refuse("CREATE TASK sch2 SCHEDULE = '1 2 3 4' AS SELECT 1 AS x")
+    refuse("CREATE TASK sch2 SCHEDULE = 'x * * * *' AS SELECT 1 AS x")
+    refuse("CREATE TASK sch2 SCHEDULE = '1 * * * *' AFTER sch1 AS SELECT 1 AS x")
+    ManifestSql.runDml(spark, root, "DROP TASK sch1")
     // leaf-first drop succeeds
     ManifestSql.runDml(spark, root, "DROP TASK c; DROP TASK b; DROP TASK a")
     assert(ManifestSql.runDml(spark, root, "SHOW TASKS").count() == 0L)
@@ -1554,7 +1593,7 @@ class DmlSpec extends SparkSuite {
       (2L, 50L) -> 3.0, (9L, 60L) -> 4.0, (5L, 55L) -> 9.0))
   }
 
-  test("APPLY CHANGES with composite KEYS mirrors per pair; SCD2 refuses multi-key") {
+  test("APPLY CHANGES with composite KEYS mirrors per pair; SCD2 runs composite too") {
     val root = freshRoot()
     val src = s"$root/src"
     Manifest.commitAppendStats(spark, src, "pairs",
@@ -1575,13 +1614,16 @@ class DmlSpec extends SparkSuite {
     // re-drive quiesces (exactly-once through the txn ledger)
     assert(ManifestSql.runDml(spark, root, stmt).collect()(0)
       .getString(2) == "NOOP")
-    // SCD TYPE 2's surrogate is key:start_v — multi-key refuses loudly
-    val e = intercept[IllegalArgumentException] {
-      ManifestSql.runDml(spark, root,
-        "APPLY CHANGES INTO dst.hist FROM src.pairs KEYS (a, b) " +
-          "STORED AS SCD TYPE 2")
-    }
-    assert(e.getMessage.contains("single key"))
+    // SCD TYPE 2 runs composite since q339: the statement bootstraps a
+    // (a, b)-keyed history — one open interval per pair, current images
+    val scd = ManifestSql.runDml(spark, root,
+      "APPLY CHANGES INTO dst.hist FROM src.pairs KEYS (a, b) " +
+        "STORED AS SCD TYPE 2").collect()(0)
+    assert(scd.getString(2) == "APPLIED")
+    val hist = Manifest.readTable(spark, s"$root/dst", "hist")
+      .filter(col("__end_v").isNull).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(hist == Map((1L, "x") -> 10.0, (1L, "y") -> 2.0, (2L, "x") -> 3.0))
   }
 
   test("INSERT FIRST: duplicate condition text routes to the FIRST branch only") {
