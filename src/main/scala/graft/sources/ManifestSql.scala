@@ -1640,29 +1640,83 @@ object ManifestSql {
     // deferred to COMMIT, so rollback has nothing to undo). Every
     // statement outside a span commits atomically on its own, as
     // before.
+    //
+    // SESSION VARIABLES (`SET v = <literal>` ... `$v` ...): the
+    // engine analogue of the reference's Jinja parameterization —
+    // scoped to THIS runScript invocation (the map below dies with
+    // the call; a task body re-entering runDml gets a fresh empty
+    // scope), substituted quote-aware into every subsequent statement
+    // (a `$v` inside a string literal is DATA, never a reference —
+    // the q243 masking discipline), values restricted to literals
+    // (string/number/boolean — an expression would re-evaluate
+    // per mention and drift). `$1`-style positional refs (COPY
+    // transforms) never collide: variable names start with a letter.
+    val sessionVars = scala.collection.mutable.LinkedHashMap[String, String]()
     val stmts = graft.ops.Sql.splitStatements(script).toIndexedSeq
     var i = 0
     while (i < stmts.length) {
       stmts(i) match {
-        case st if BeginRe.matches(st) =>
-          val end = stmts.indexWhere(t =>
-            CommitTxnRe.matches(t) || RollbackRe.matches(t), i + 1)
-          require(end > 0,
-            s"BEGIN without a matching COMMIT/ROLLBACK in the script")
-          val body = stmts.slice(i + 1, end)
-          require(!body.exists(BeginRe.matches),
-            "nested BEGIN: transactions do not nest")
-          if (CommitTxnRe.matches(stmts(end)))
-            last = commitTxn(spark, root, body)
-          i = end + 1
-        case st if CommitTxnRe.matches(st) || RollbackRe.matches(st) =>
-          throw new IllegalArgumentException(s"$st without BEGIN")
-        case st =>
-          exec(st)
+        case SetVarRe(name, value) =>
+          val v = value.trim
+          require(v.matches("'([^']|'')*'") ||
+            v.matches("-?[0-9]+(\\.[0-9]+)?") || v.matches("(?i)TRUE|FALSE"),
+            s"SET $name: value must be a literal (string, number, " +
+              s"boolean), got $v")
+          sessionVars(name) = v
+          last = spark.emptyDataFrame
           i += 1
+        case UnsetVarRe(name) =>
+          require(sessionVars.remove(name).isDefined,
+            s"UNSET $name: undefined session variable")
+          last = spark.emptyDataFrame
+          i += 1
+        case raw =>
+          val st = substVars(raw, sessionVars)
+          if (BeginRe.matches(st)) {
+            val end = stmts.indexWhere(t =>
+              CommitTxnRe.matches(t) || RollbackRe.matches(t), i + 1)
+            require(end > 0,
+              s"BEGIN without a matching COMMIT/ROLLBACK in the script")
+            val body = stmts.slice(i + 1, end).map(substVars(_, sessionVars))
+            require(!body.exists(BeginRe.matches),
+              "nested BEGIN: transactions do not nest")
+            if (CommitTxnRe.matches(stmts(end)))
+              last = commitTxn(spark, root, body)
+            i = end + 1
+          } else if (CommitTxnRe.matches(st) || RollbackRe.matches(st)) {
+            throw new IllegalArgumentException(s"$st without BEGIN")
+          } else {
+            exec(st)
+            i += 1
+          }
       }
     }
     last
+  }
+
+  private val SetVarRe =
+    "(?is)^SET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+  private val UnsetVarRe =
+    "(?is)^UNSET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val VarRefRe = "\\$([A-Za-z_][A-Za-z0-9_]*)".r
+
+  /** Substitute `$name` session-variable references at UNQUOTED
+    * positions with their registered literal text; an unregistered
+    * reference refuses loudly (a silently-unsubstituted `$v` would
+    * reach the SQL parser as garbage — or worse, parse). */
+  private def substVars(sql: String,
+                        vars: collection.Map[String, String]): String = {
+    if (!sql.contains("$")) return sql
+    val mask = quoteMask(sql)
+    VarRefRe.findAllMatchIn(sql).filter(m => mask(m.start)).toList.reverse
+      .foldLeft(sql) { (acc, m) =>
+        val name = m.group(1)
+        val v = vars.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"undefined session variable $$$name " +
+              s"(SET $name = <literal> first; scope is one script)"))
+        acc.substring(0, m.start) + v + acc.substring(m.end)
+      }
   }
 
   /** `BEGIN; DELETE FROM t ...; INSERT INTO t ...; COMMIT` — the span
@@ -6069,6 +6123,57 @@ object ManifestSql {
           .agg(count(lit(1)).as("n_events"),
             sum("value").cast("double").as("total_v"))
           .orderBy("user_id").localCheckpoint(true)
+        graft.ops.Staging.deleteRecursively(Paths.get(root))
+        out
+      }),
+
+    // ----- session variables in scripts (q342): the engine analogue
+    //       of the reference's Jinja parameterization — `SET v =
+    //       <literal>` scopes to ONE script invocation, `$v`
+    //       substitutes quote-aware into every later statement (a
+    //       `$v` inside a string literal is DATA — the oracle itself
+    //       pins it: the output carries a literal '$cut' column), an
+    //       undefined reference refuses loudly, and the scope DIES at
+    //       script end (asserted in-plan: the same reference refuses
+    //       in the next invocation). The variable VALUES steer the
+    //       data (uid floor, era cut), so a substitution bug shifts
+    //       the oracle hash, not just an error message. -----
+    Q("q342_sql_session_variables",
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_v,
+             |  '$cut' AS tag
+             |FROM events WHERE user_id >= 7
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            col("value").cast("decimal(18,4)").as("value"), col("ts"))
+        val root = Files.createTempDirectory("graft-sql-sessvars").toString
+        ev.createOrReplaceTempView("ev_q342")
+        // two variables parameterize a 3-statement script: the cut
+        // instant (string) and the uid floor (number)
+        runDml(s, root,
+          """SET cut = '2024-01-16 00:00:00';
+            |SET uid_floor = 7;
+            |CREATE TABLE hi AS SELECT user_id, value FROM ev_q342
+            |  WHERE ts < TIMESTAMP $cut AND user_id >= $uid_floor;
+            |INSERT INTO hi SELECT user_id, value FROM ev_q342
+            |  WHERE ts >= TIMESTAMP $cut AND user_id >= $uid_floor""".stripMargin)
+        // scope DIED at script end: the same reference now refuses
+        require(intercept0(runDml(s, root,
+          "SELECT count(*) AS n FROM ev_q342 WHERE user_id >= $uid_floor")),
+          "a session variable must not outlive its script")
+        // quote immunity: with the var re-defined, a QUOTED '$cut' is
+        // still data — it flows into the output column the oracle pins
+        register(s, root, "hi", "hi_q342")
+        val out = runDml(s, root,
+          """SET cut = 'would-corrupt-the-tag-if-substituted';
+            |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            |  CAST(sum(value) AS DOUBLE) AS total_v, '$cut' AS tag
+            |FROM hi_q342 GROUP BY user_id ORDER BY user_id""".stripMargin)
+          .localCheckpoint(true)
+        s.catalog.dropTempView("ev_q342")
+        s.catalog.dropTempView("hi_q342")
         graft.ops.Staging.deleteRecursively(Paths.get(root))
         out
       })

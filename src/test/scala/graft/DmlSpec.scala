@@ -1266,6 +1266,34 @@ class DmlSpec extends SparkSuite {
     }
   }
 
+  test("session variables: literals only, quote immunity, UNSET, scope death") {
+    val root = freshRoot()
+    Manifest.commitAppend(spark, root, "t",
+      Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    def refuse(stmt: String): Unit =
+      intercept[IllegalArgumentException] {
+        ManifestSql.runDml(spark, root, stmt) }
+    // numbers and strings substitute at unquoted positions; a quoted
+    // '$v' is DATA even while the variable is defined
+    val r = ManifestSql.runDml(spark, root,
+      """SET floor_k = 5;
+        |SET tag = 'hot';
+        |SELECT CAST(count(*) AS BIGINT) AS n, '$tag literal' AS quoted,
+        |  $tag AS subbed
+        |FROM (SELECT 1 AS x) WHERE 9 >= $floor_k""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "$tag literal" &&
+      r.getString(2) == "hot")
+    // UNSET kills the name mid-script; unknown UNSET refuses
+    refuse("SET a = 1; UNSET a; SELECT $a AS x")
+    refuse("UNSET nope")
+    // values must be literals — an expression would drift per mention
+    refuse("SET a = current_date(); SELECT 1 AS x")
+    refuse("SET a = k + 1; SELECT 1 AS x")
+    // undefined reference refuses; scope dies at script end
+    ManifestSql.runDml(spark, root, "SET alive = 1; SELECT $alive AS x")
+    refuse("SELECT $alive AS x")
+  }
+
   test("APPEND_ONLY stream skips rewrite intervals the full feed flags") {
     val root = freshRoot()
     Manifest.commitAppend(spark, root, "t",
