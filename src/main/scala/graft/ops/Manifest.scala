@@ -334,6 +334,87 @@ object Manifest {
       ops: Seq[(String, String, String, String)], base: Option[Long],
       extras: Seq[(String, Array[Byte])] = Nil)
 
+  // ------------------------------------------- direct ops-log parquet I/O
+  // The ops log is METADATA — a handful of string rows per claim — yet
+  // it used to ride full Spark jobs: one `coalesce(1).write.parquet`
+  // per claim and one `read.parquet(...).collect()` per chain hop.
+  // Each such job pays scheduling + commit-protocol overhead
+  // (~100-300 ms on a busy scheduler) for a few KB of bytes, and
+  // manifest resolution sits on EVERY read and EVERY commit, so the
+  // overhead multiplied across the whole DML/streaming surface (the
+  // adjudicated 0.8-1.3 s per-claim floor was mostly this). Driver
+  // metadata belongs on the driver (opt guide §5): parquet-mr's
+  // example API writes/reads the same standard parquet in ~1-5 ms,
+  // in-process, with no job. Files stay bit-compatible both ways —
+  // Spark can still read claims this writes (optional BINARY/UTF8
+  // columns = nullable strings) and this reads claims Spark wrote
+  // (older staged layouts on disk), including pre-delta vintages
+  // missing the `op`/`stats_json` columns.
+
+  private lazy val opsLogSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types => T}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+    T.buildMessage()
+      .optional(BINARY).as(L.stringType()).named("op")
+      .optional(BINARY).as(L.stringType()).named("table_name")
+      .optional(BINARY).as(L.stringType()).named("file")
+      .optional(BINARY).as(L.stringType()).named("stats_json")
+      .named("spark_schema")
+  }
+
+  private lazy val opsLogHadoopConf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(opsLogSchema, c)
+    c
+  }
+
+  /** Write `ops` as one parquet part file inside `dir` (driver-local,
+    * no Spark job). Row order is preserved. */
+  private def writeOpsLog(dir: Path,
+                          ops: Seq[(String, String, String, String)]): Unit = {
+    Files.createDirectories(dir)
+    val target = new org.apache.hadoop.fs.Path(
+      dir.resolve("part-00000.parquet").toUri.toString)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(target).withConf(opsLogHadoopConf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try ops.foreach { case (op, t, f, st) =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(opsLogSchema)
+      if (op != null) g.add("op", op)
+      if (t != null) g.add("table_name", t)
+      if (f != null) g.add("file", f)
+      if (st != null) g.add("stats_json", st)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  /** Read every parquet part of claim dir `dir` as ops rows
+    * (driver-local, no Spark job). Pre-delta vintages (no `op` column)
+    * read as plain full rows (`op = "add"`, null stats). */
+  private def readOpsLog(dir: Path): Seq[(String, String, String, String)] = {
+    val l = Files.list(dir)
+    val parts =
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toList.sortBy(_.getFileName.toString)
+      finally l.close()
+    parts.flatMap { p =>
+      val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(p.toUri.toString)).build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+        def str(n: String): String =
+          if (g.getType.containsField(n) && g.getFieldRepetitionCount(n) > 0)
+            g.getString(n, 0)
+          else null
+        val op = if (g.getType.containsField("op")) str("op") else "add"
+        (op, str("table_name"), str("file"), str("stats_json"))
+      }.toList
+      finally reader.close()
+    }
+  }
+
   /** The CAS itself: stage the ops log (and the `_base` delta marker
     * and any sidecar markers) into a tmp dir and claim
     * `manifest/v<version>` with one atomic non-replacing rename —
@@ -341,11 +422,9 @@ object Manifest {
     * writer owns the version. */
   private def tryClaim(s: SparkSession, root: String, version: Long,
                        payload: Payload): Boolean = {
-    import s.implicits._
     Files.createDirectories(Paths.get(root, "manifest"))
     val tmp = Files.createTempDirectory(Paths.get(root), s"manifest-v$version.tmp-")
-    payload.ops.toDF("op", "table_name", "file", "stats_json")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("m").toString)
+    writeOpsLog(tmp.resolve("m"), payload.ops)
     payload.base.foreach(b =>
       Files.write(tmp.resolve("m").resolve("_base"), b.toString.getBytes("UTF-8")))
     payload.extras.foreach { case (name, bytes) =>
@@ -390,13 +469,10 @@ object Manifest {
     * resolution is a handful of metadata-sized parquet reads. */
   def manifestRows(s: SparkSession, root: String,
                    version: Long): Seq[(String, String, String)] = {
-    var df = s.read.parquet(Paths.get(root, "manifest", s"v$version").toString)
-    if (!df.columns.contains("op")) // pre-delta vintage: plain full rows
-      df = df.withColumn("op", lit("add"))
-    if (!df.columns.contains("stats_json"))
-      df = df.withColumn("stats_json", lit(null).cast("string"))
-    val ops = df.select("op", "table_name", "file", "stats_json")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // direct driver-local read (see the ops-log I/O note above): a
+    // claim is a few KB of metadata and resolution sits on every read
+    // and commit — a Spark job per hop was pure scheduling overhead
+    val ops = readOpsLog(Paths.get(root, "manifest", s"v$version"))
     val parent = baseOf(root, version)
       .map(manifestRows(s, root, _)).getOrElse(Seq.empty)
     val dropped = ops.collect { case ("drop", t, _, _) => t }.toSet
