@@ -82,6 +82,29 @@ object GraftExtensions {
     * engine-wide). `extraOptimizations` is the runtime hook for
     * optimizer rules — guarded against double-append. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // Engine session defaults (opt guide §2.2): AQE's size-based
+    // partition coalescing is neutered by the stock
+    // `parallelismFirst=true`, which pins post-shuffle partition count
+    // to the cluster's parallelism even when the shuffled bytes are
+    // metadata-sized — every tiny DML/streaming shuffle then pays
+    // cores× task launches for KBs of data, and at 100 TB the same
+    // flag under-sizes partitions AT the advisory target instead of
+    // letting byte volume decide. `false` is the scale-adaptive
+    // setting (partitions ≈ bytes / advisorySize at ANY scale — the
+    // Spark tuning docs themselves recommend it); the advisory size
+    // stays at the stock 64 MB so partition sizing remains the same
+    // production value everywhere. Set via `conf` (session-level,
+    // not harness-level) so Bench/Verify/driver sessions all inherit
+    // it as engine behavior.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // Same §2.2 discipline for CACHED frames: the stock
+    // `canChangeCachedPlanOutputPartitioning=false` switches AQE OFF
+    // for any plan that materializes into the cache, so every
+    // intra-query `.cache()` (the LSH signature frame, iterative
+    // edge lists) re-inherits the fixed shuffle-partition constant.
+    // `true` lets cache materialization coalesce by bytes like any
+    // other stage — same behavior at every scale.
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     Seq(cosineSim, dotProduct, bloomAgg, bloomMightContain).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }

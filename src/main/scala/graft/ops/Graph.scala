@@ -42,17 +42,24 @@ object Graph {
     // Materialize the edge list ONCE with truncated lineage: the loop
     // re-reads it every round, and an expensive upstream (e.g. an LSH
     // band self-join) must not be re-planned or re-executed per round.
+    // The symmetrized view and the initial labels stay LAZY, narrow
+    // derivations of it — each was its own eager checkpoint pass
+    // before, which bought nothing (a union is no-shuffle, and round
+    // 1's plan dedups the labels-init shuffle via exchange reuse) and
+    // cost two extra scheduled actions per call (opt guide §1.2:
+    // remove passes before tuning what is left).
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    // symmetrize once: propagation below only follows src -> dst
+    // symmetrized view: propagation below only follows src -> dst
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
     // Convergence check: labels are monotonically non-increasing, so the
     // label SUM strictly decreases every round until fixpoint — one
     // scalar aggregate per round instead of a join against the previous
     // labels (decimal(38,0) so billions of 64-bit ids can't overflow).
+    // The aggregate runs over the round's freshly-materialized
+    // checkpoint blocks, so it costs one partition-count-sized job,
+    // never a recompute.
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
@@ -86,30 +93,47 @@ object Graph {
     *              out-edges) redistribute their mass uniformly.
     */
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val deg = e.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("outdeg")).localCheckpoint()
+    // Node table with a STATIC dangling flag: whether a node has
+    // out-edges never changes across rounds, so deciding it once here
+    // replaces the per-round `r anti-join deg` (a whole extra join of
+    // rank-table × degree-table per iteration) with a flag filter over
+    // the round's own rank frame — guide §1.2, don't recompute
+    // round-invariants inside the loop.
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(deg.select(col("src").as("node"), col("outdeg")), Seq("node"), "left")
+      .select(col("node"), col("outdeg").isNull.as("dang"))
+      .localCheckpoint(true)
     val n = nodes.count().toDouble
-    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")).cache()
+    // The big per-round join side, PRE-PARTITIONED by its join key and
+    // checkpointed WITH that partitioning (LogicalRDD keeps it): every
+    // round's `contrib ⋈ r` then shuffles only the rank table (|nodes|
+    // rows) while the edge table (|edges| rows — the heavy side at any
+    // scale) is never exchanged again. Before, the join was planned
+    // from unkeyed caches, so each of the `iters` rounds re-shuffled
+    // the edges (guide §2.4: establish a partitioning once, reuse it).
     val contrib = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")).localCheckpoint(true)
     var r = nodes.withColumn("r", lit(1.0) / lit(n))
     for (_ <- 1 to iters) {
-      val dangling = r.join(deg, r("node") === deg("src"), "left_anti")
+      // scalar-sized dangling mass, crossed in by broadcast INSIDE the
+      // round's single action (never a driver collect)
+      val dangling = r.filter(col("dang"))
         .agg(coalesce(sum(col("r")), lit(0.0)).as("m"))
       val incoming = contrib.join(r, contrib("src") === r("node"))
         .groupBy(col("dst").as("inode"))
         .agg(sum(col("r") / col("outdeg")).as("s"))
       r = nodes.join(incoming, nodes("node") === col("inode"), "left")
         .crossJoin(broadcast(dangling))
-        .select(nodes("node"),
+        .select(nodes("node"), nodes("dang"),
           (lit(1.0 - damping) / lit(n)
             + lit(damping) * (coalesce(col("s"), lit(0.0)) + col("m") / lit(n))).as("r"))
         .localCheckpoint(true)
     }
-    // the result is checkpointed — release the working caches instead of
-    // pinning executor storage for the session lifetime (the cross-query
-    // pressure the bench engineering elsewhere guards against)
-    Seq(e, nodes, deg).foreach(_.unpersist())
-    r
+    r.select(col("node"), col("r"))
   }
 }

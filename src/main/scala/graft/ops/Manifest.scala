@@ -240,27 +240,97 @@ object Manifest {
   // the real concurrency boundary.
   private val publishLock = new Object
 
+  /** Cap on the DIRECT (driver-local, no Spark job) publish path: a
+    * batch whose optimized plan is already driver-resident (a
+    * `LocalRelation` — literal `INSERT ... VALUES` rows, `LIMIT 0`
+    * empty-table creation, constant-folded projections) and holds at
+    * most this many rows is metadata-sized work, and metadata-sized
+    * work must not pay a distributed write job's scheduling + commit
+    * protocol (opt guide §5 — the same discipline the ops log got).
+    * Anything larger, or any plan that reads real data, keeps the
+    * distributed write — that is the path that must scale to 100 TB. */
+  private val directPublishMaxRows = 10000
+
+  /** `df`'s rows if they are ALREADY ON THE DRIVER (the optimizer
+    * collapsed the plan to a `LocalRelation`) and few — no job runs,
+    * this only inspects the optimized plan. None = publish via Spark. */
+  private def driverResidentRows(df: DataFrame)
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.length <= directPublishMaxRows =>
+        Some((l.schema, l.data))
+      case _ => None
+    }
+
+  /** Write `rows` as ONE parquet part file via Spark's own
+    * `ParquetWriteSupport` — bit-identical encodings to what
+    * `df.write.parquet` produces under [[publishData]]'s conf
+    * (INT64-micros timestamps, non-legacy decimals/arrays), because it
+    * IS Spark's row writer, minus the job: driver-local, in-process,
+    * ~1-5 ms. Footer min/max statistics are written by parquet-mr as
+    * usual, so [[FooterStats]] pruning sees the same metadata. */
+  private def writeDataDirect(dir: Path, schema: StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    Files.createDirectories(dir)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // the exact conf surface Spark's prepareWrite seeds for this
+    // writer (init() asserts on the first two); values mirror the
+    // session defaults publishData's Spark path writes under
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    val target = new org.apache.hadoop.fs.Path(
+      dir.resolve("part-00000.parquet").toUri.toString)
+    final class B(p: org.apache.hadoop.fs.Path) extends
+        org.apache.parquet.hadoop.ParquetWriter.Builder[
+          org.apache.spark.sql.catalyst.InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: org.apache.hadoop.conf.Configuration) =
+        new ParquetWriteSupport
+    }
+    val writer = new B(target).withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach(writer.write) finally writer.close()
+  }
+
   /** Write `df` as parquet and publish it atomically under `data/`:
     * the deterministic prefix `data/v<hint>/<table>` when free (the
     * single-writer common case — keeps layouts human-readable), else a
     * token-suffixed prefix so concurrent writers never interleave
-    * files in one directory. Returns the root-relative file paths. */
+    * files in one directory. Returns the root-relative file paths.
+    * Driver-resident metadata-sized batches take the DIRECT write
+    * ([[writeDataDirect]]); everything else goes through Spark. */
   private def publishData(s: SparkSession, root: String, hint: Long,
                           table: String, df: DataFrame): Seq[String] = {
     require(table.matches("[A-Za-z0-9_.-]+") && table.exists(_ != '.'),
       s"unsafe table name: $table") // pure-dot names ("."/"..") escape the prefix
     Files.createDirectories(Paths.get(root))
     val tmp = Files.createTempDirectory(Paths.get(root), "data-stage.tmp-")
-    // INT64-micros timestamps, not the INT96 legacy default: INT96
-    // columns carry no usable footer statistics ([[FooterStats]]).
-    // No per-write option exists, hence the locked set-write-restore
-    // (see [[publishLock]] for the trade-off analysis).
-    publishLock.synchronized {
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prevTs = s.conf.get(key)
-      s.conf.set(key, "TIMESTAMP_MICROS")
-      try df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
-      finally s.conf.set(key, prevTs)
+    driverResidentRows(df) match {
+      case Some((schema, rows)) =>
+        writeDataDirect(tmp.resolve("d"), schema, rows)
+      case None =>
+        // INT64-micros timestamps, not the INT96 legacy default: INT96
+        // columns carry no usable footer statistics ([[FooterStats]]).
+        // No per-write option exists, hence the locked set-write-restore
+        // (see [[publishLock]] for the trade-off analysis).
+        publishLock.synchronized {
+          val key = "spark.sql.parquet.outputTimestampType"
+          val prevTs = s.conf.get(key)
+          s.conf.set(key, "TIMESTAMP_MICROS")
+          try df.write.mode("overwrite").parquet(tmp.resolve("d").toString)
+          finally s.conf.set(key, prevTs)
+        }
     }
     val dest = claimDataDir(root, hint, table, tmp.resolve("d"))
     Staging.deleteRecursively(tmp)
@@ -463,22 +533,54 @@ object Manifest {
     d
   }
 
+  /** Session memo of RESOLVED manifests. A claim dir is immutable
+    * once its atomic rename lands (nothing ever writes into it), so a
+    * resolved (root, version) can be served again without re-walking
+    * the delta chain — resolution sits on EVERY read and commit, and
+    * a multi-statement script re-resolves the same snapshot dozens of
+    * times (the `streamNames` memo precedent, extended to the rows).
+    * Entries validate against the claim dir's mtime (one stat syscall
+    * vs a chain of parquet opens): a vacuumed claim drops out (the
+    * read then refuses exactly like an unmemoized one), and a rebuilt
+    * root at the same path can never serve stale rows. Bounded so a
+    * long session's temp fixtures cannot grow it without limit. */
+  private val resolveMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (java.nio.file.attribute.FileTime, Seq[(String, String, String)])]()
+  private val resolveMemoMax = 4096
+
   /** Fully-RESOLVED (table, file, stats) rows of snapshot `version`:
     * walk the delta chain to its full base, replaying each claim's
-    * drops then adds. Chain length is bounded by [[foldEvery]], so
-    * resolution is a handful of metadata-sized parquet reads. */
+    * drops then adds. Chain length is bounded by [[foldEvery]] and
+    * repeat resolutions are memoized, so a read costs at most
+    * `foldEvery` metadata-sized parquet opens once and one stat call
+    * thereafter — flat in both commit count and call count. */
   def manifestRows(s: SparkSession, root: String,
                    version: Long): Seq[(String, String, String)] = {
     // direct driver-local read (see the ops-log I/O note above): a
     // claim is a few KB of metadata and resolution sits on every read
     // and commit — a Spark job per hop was pure scheduling overhead
-    val ops = readOpsLog(Paths.get(root, "manifest", s"v$version"))
+    val dir = Paths.get(root, "manifest", s"v$version")
+    val key = (root, version)
+    val mtime =
+      try Files.getLastModifiedTime(dir)
+      catch { case _: java.io.IOException => null }
+    if (mtime != null) {
+      val hit = resolveMemo.get(key)
+      if (hit != null && hit._1 == mtime) return hit._2
+    }
+    val ops = readOpsLog(dir)
     val parent = baseOf(root, version)
       .map(manifestRows(s, root, _)).getOrElse(Seq.empty)
     val dropped = ops.collect { case ("drop", t, _, _) => t }.toSet
     val removed = ops.collect { case ("remove", t, f, _) => (t, f) }.toSet
-    parent.filterNot { case (t, f, _) => dropped(t) || removed((t, f)) } ++
-      ops.collect { case ("add", t, f, st) => (t, f, st) }
+    val resolved =
+      parent.filterNot { case (t, f, _) => dropped(t) || removed((t, f)) } ++
+        ops.collect { case ("add", t, f, st) => (t, f, st) }
+    if (mtime != null) {
+      if (resolveMemo.size >= resolveMemoMax) resolveMemo.clear()
+      resolveMemo.put(key, (mtime, resolved))
+    }
+    resolved
   }
 
   // ------------------------------------------------------- txn idempotency

@@ -1451,13 +1451,22 @@ object Text {
             size(split(col("text"), " ")).cast("long").as("n_toks"))
           .cache()
         docs.count() // eager: four funnel stages share the scan
-        val ex = docs.groupBy(md5(col("text")))
-          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        // the band graph on exact survivors ONLY (stage order matters:
-        // see the scaladoc) — shingleSets is corpus-wide, the semi-join
-        // prunes it to the kept set before any pair forms
-        val sig = shingleSets(s, dir).select(col("doc_id") +: mhCols: _*)
-          .join(ex, "doc_id").cache()
+        // ONE exact-dedup shuffle produces BOTH the survivor ids
+        // (stage 1) and the survivor TEXTS — the shingle tier's input.
+        // The prune is therefore BELOW the shingle explode: minhash
+        // map work (the md5-per-shingle that dominates dedup at crawl
+        // scale, where exact-dup fraction is 30-50%) runs over
+        // survivors only, and the former corpus-wide shingleSets →
+        // semi-join-down pass (shingle everything, then drop the dups'
+        // signatures) is gone along with its join shuffle. Texts
+        // within a group are identical (same content hash — the
+        // grouping key the oracle uses too), so first() is exact.
+        val ex2 = docs.groupBy(md5(col("text")).as("k"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+          .select("doc_id", "text").cache()
+        val ex = ex2.select("doc_id")
+        val sig = shingleHashSets(ex2, "text", Seq("doc_id"))
+          .select(col("doc_id") +: mhCols: _*).cache()
         sig.count()
         val comp = Graph.connectedComponents(
           bandPairs(sig).select(col("d1").as("src"), col("d2").as("dst")))
@@ -1485,7 +1494,8 @@ object Text {
           .unionByName(st3)
           .orderBy("stage")
           .localCheckpoint(true)
-        docs.unpersist() // result is pinned; release both shared caches
+        docs.unpersist() // result is pinned; release the shared caches
+        ex2.unpersist()
         sig.unpersist()
         out
       }),
