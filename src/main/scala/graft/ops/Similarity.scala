@@ -1362,9 +1362,14 @@ object Similarity {
         require(maintainAnnIndex(s, root, "ivfpq").isEmpty,
           "re-driven maintenance must quiesce")
         // in-plan: the mirror-maintained index answers EXACTLY what a
-        // recompute over the SURVIVING corpus answers
+        // recompute over the SURVIVING corpus answers. The probe frame
+        // materializes ONCE — the proof's collect and the declared
+        // output are the same rows, so re-running the whole
+        // index-query join tree for the second consumer was a full
+        // redundant pass (opt guide §1.2)
         val queries = e.filter(col("vec_id") < 5)
-        val fromIdx = queryAnnIndex(s, root, "ivfpq", queries).collect()
+        val qdf = queryAnnIndex(s, root, "ivfpq", queries).localCheckpoint(true)
+        val fromIdx = qdf.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         val rebuilt = adcScores(s, e.filter(!slice)).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -1372,7 +1377,7 @@ object Similarity {
           "mirror-maintained probe must equal the surviving-corpus recompute")
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("score_e4").desc, col("cand_id"))
-        val out = queryAnnIndex(s, root, "ivfpq", queries)
+        val out = qdf
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 3)
           .select(col("q_id"), col("cand_id"), col("score_e4"),

@@ -556,12 +556,17 @@ object Training {
           rounds += stats.join(norms, "cluster")
             .select(lit(r).cast("long").as("rnd"), col("cluster"),
               col("n_members"), col("cohesion"), col("centroid_norm"))
+          // LAZY on purpose: cents is a k-row aggregate over the
+          // round's CHECKPOINTED assignment frame, so the next round's
+          // broadcast computes it in one shallow pass — an eager
+          // checkpoint here was a whole extra scheduled action per
+          // round for a frame that is consumed exactly once (plan
+          // depth stays O(1) because `best` truncates each round)
           cents = cent.groupBy("cluster")
             .agg(expr(
               "transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
               .as("c_emb"))
             .select(col("cluster").as("c_id"), col("c_emb"))
-            .localCheckpoint(true)
         }
         rounds.reduce(_ unionByName _).orderBy("rnd", "cluster")
       }),
